@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query surface over the driver's TPC-H-ish tables.
+  *
+  * The reference (delta-io/connectors) delegates all relational operators to
+  * its host engines (Hive QL, Flink SQL, Power Query — see SURVEY.md §2.6);
+  * in this Spark-native engine the host engine IS Spark SQL, so these queries
+  * are the re-expression of that host-engine surface, verified against the
+  * driver's DuckDB oracle.
+  *
+  * Determinism contract with the oracle: floating-point aggregation order
+  * differs between Spark (parallel) and DuckDB, so every SUM over a double
+  * column first casts to a tight DECIMAL (exact, order-independent), and the
+  * final value is cast back to DOUBLE (IEEE-defined, identical in both
+  * engines). AVG is expressed as exact-decimal SUM cast to double divided by
+  * COUNT. Top-k queries carry full tie-break orderings so the row SET is
+  * deterministic.
+  */
+object Relational {
+  import Tables.t
+
+  // exact-decimal casts shared by Spark side; SQL mirrors inline.
+  private def m2(c: Column) = c.cast(DecimalType(12, 2))  // money / qty
+  private def r2(c: Column) = c.cast(DecimalType(4, 2))   // rates in [0,2)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- q1
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(m2($"l_quantity")).cast("double").as("sum_qty"),
+            sum(m2($"l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(m2($"l_extendedprice") * r2(lit(1) - $"l_discount")).cast("double").as("sum_disc_price"),
+            sum(m2($"l_extendedprice") * r2(lit(1) - $"l_discount") * r2(lit(1) + $"l_tax"))
+              .cast("double").as("sum_charge"),
+            (sum(m2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(m2($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+            (sum(r2($"l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------------- q3
+    QueryDef(
+      "q3_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+        val l = t(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+        // customer is tiny relative to orders/lineitem: broadcast it.
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum(m2($"l_extendedprice") * r2(lit(1) - $"l_discount")).cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey".asc)
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10""")),
+
+    // ---------------------------------------------------------------- q5
+    QueryDef(
+      "q5_local_supplier_volume",
+      (s, dir) => {
+        import s.implicits._
+        val r = t(s, dir, "region")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val su = t(s, dir, "supplier")
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                  $"o_orderdate" <  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val l = t(s, dir, "lineitem")
+        // dims are tiny → broadcast the whole dim chain; only o⋈l shuffles.
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(sum(m2($"l_extendedprice") * r2(lit(1) - $"l_discount")).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name""")),
+
+    // ---------------------------------------------------------------- q6
+    QueryDef(
+      "q6_forecast_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                  $"l_shipdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                  $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+          .agg(sum(m2($"l_extendedprice") * r2($"l_discount")).cast("double").as("revenue"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
+
+    // ------------------------------------------------------- window funcs
+    QueryDef(
+      "q_window_top_lines_per_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_qty",
+            sum(m2($"l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+          .filter($"rn" <= 3)
+          .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber", $"running_qty")
+      },
+      Some("""
+        SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty
+        FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 ROW_NUMBER() OVER w AS rn,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
+        ) WHERE rn <= 3""")),
+
+    // ------------------------------------------------------------ rollup
+    QueryDef(
+      "q_rollup_returns",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+               sum(m2($"l_quantity")).cast("double").as("sum_qty"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // --------------------------------------------------------- semi join
+    QueryDef(
+      "q_semi_join_big_spenders",
+      (s, dir) => {
+        import s.implicits._
+        val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+          .select($"o_custkey")
+        t(s, dir, "customer")
+          .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        GROUP BY c_mktsegment""")),
+
+    // --------------------------------------------------------- anti join
+    QueryDef(
+      "q_anti_join_inactive_customers",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_custkey")
+        t(s, dir, "customer")
+          .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ----------------------------------------------------------- set ops
+    QueryDef(
+      "q_setop_supplier_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val active = t(s, dir, "lineitem").select($"l_suppkey".as("suppkey")).distinct()
+        val all = t(s, dir, "supplier").select($"s_suppkey".as("suppkey"))
+        all.exceptAll(active).withColumn("status", lit("idle"))
+          .unionAll(active.intersect(all.distinct()).withColumn("status", lit("active")))
+      },
+      Some("""
+        SELECT suppkey, 'idle' AS status FROM (
+          SELECT s_suppkey AS suppkey FROM supplier
+          EXCEPT ALL
+          SELECT DISTINCT l_suppkey AS suppkey FROM lineitem)
+        UNION ALL
+        SELECT suppkey, 'active' AS status FROM (
+          SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
+          INTERSECT
+          SELECT DISTINCT s_suppkey AS suppkey FROM supplier)""")),
+
+    // ----------------------------------------------- correlated-style agg
+    QueryDef(
+      "q_avg_acctbal_above_segment_avg",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val segAvg = c.groupBy($"c_mktsegment".as("seg"))
+          .agg((sum(m2($"c_acctbal")).cast("double") / count(lit(1))).as("seg_avg"))
+        c.join(broadcast(segAvg), $"c_mktsegment" === $"seg")
+          .filter($"c_acctbal" > $"seg_avg")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_above"),
+               max(m2($"c_acctbal")).cast("double").as("max_bal"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_above,
+               CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+        FROM customer c
+        JOIN (SELECT c_mktsegment AS seg,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS seg_avg
+              FROM customer GROUP BY c_mktsegment) sa
+          ON c.c_mktsegment = sa.seg
+        WHERE c.c_acctbal > sa.seg_avg
+        GROUP BY c_mktsegment""")),
+
+    // -------------------------------------------------- events: tumbling
+    QueryDef(
+      "q_events_hourly_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2""")),
+
+    // ---------------------------------------- events: sessionization SQL
+    QueryDef(
+      "q_events_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        // microsecond gap: Spark's unix_timestamp truncates to seconds, which
+        // would disagree with the oracle on sub-second boundaries.
+        val gap = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser))
+        t(s, dir, "events")
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800000000L, lit(1)).otherwise(lit(0)))
+          .withColumn("session_id",
+            sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"), min($"ts").as("session_start"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"), max($"n_events").as("longest_session"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sessions AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+                 ts
+          FROM marked
+        ), per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+          FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS longest_session
+        FROM per_session GROUP BY user_id"""))
+  )
+}
