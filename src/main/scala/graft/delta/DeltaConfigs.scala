@@ -1,0 +1,57 @@
+package graft.delta
+
+/** Typed table-configuration registry (SURVEY §2.1 M16; ref
+  * DeltaConfig.scala:28-252). Values live in `Metadata.configuration`;
+  * interval values accept the protocol's `"interval <n> <unit>"` form. */
+case class DeltaConfig[T](
+    key: String,
+    default: String,
+    fromString: String => T,
+    validate: T => Boolean = (_: T) => true) {
+
+  def fromMetadata(metadata: Metadata): T = {
+    val raw = metadata.configuration.getOrElse(key, default)
+    val v = fromString(raw)
+    require(validate(v), s"Invalid value '$raw' for table property $key")
+    v
+  }
+}
+
+object DeltaConfigs {
+
+  /** Parse "interval 30 days" / "interval 1 week" → millis
+    * (ref util/IntervalUtils.scala — we support the units the reference's
+    * configs use). */
+  def parseIntervalMillis(s: String): Long = {
+    val norm = s.trim.toLowerCase
+    val tokens = norm.stripPrefix("interval").trim.split("\\s+")
+    require(tokens.length == 2, s"Cannot parse interval: '$s'")
+    val n = tokens(0).toLong
+    val unit = tokens(1).stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60L * 1000
+      case "hour" => 3600L * 1000
+      case "day" => 24L * 3600 * 1000
+      case "week" => 7L * 24 * 3600 * 1000
+      case u => throw new IllegalArgumentException(s"Unknown interval unit $u")
+    }
+    require(n >= 0, s"Interval must be non-negative: '$s'")
+    n * unit
+  }
+
+  val LOG_RETENTION: DeltaConfig[Long] = DeltaConfig(
+    "delta.logRetentionDuration", "interval 30 days", parseIntervalMillis)
+
+  val TOMBSTONE_RETENTION: DeltaConfig[Long] = DeltaConfig(
+    "delta.deletedFileRetentionDuration", "interval 1 week", parseIntervalMillis)
+
+  val CHECKPOINT_INTERVAL: DeltaConfig[Int] = DeltaConfig(
+    "delta.checkpointInterval", "10", _.toInt, (_: Int) > 0)
+
+  val ENABLE_EXPIRED_LOG_CLEANUP: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.enableExpiredLogCleanup", "true", _.toBoolean)
+
+  val IS_APPEND_ONLY: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.appendOnly", "false", _.toBoolean)
+}

@@ -1,0 +1,286 @@
+package graft.delta
+
+import java.io.FileNotFoundException
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.delta.storage.LogStore
+
+/** The transaction log of one Delta table (SURVEY §2.1).
+  *
+  * Holds the current [[Snapshot]], refreshes it by listing the log from the
+  * last checkpoint (M2/M6/M8), serves time travel (M9–M11), the change feed
+  * (M13), history (M12), and begins transactions (T1). Reference semantics:
+  * `DeltaLogImpl.scala:239-264`, `SnapshotManagement.scala:37-300`.
+  */
+class DeltaLog private (
+    val spark: SparkSession,
+    val logPath: Path,
+    val dataPath: Path) {
+
+  val hadoopConf: Configuration = spark.sessionState.newHadoopConf()
+  val store: LogStore = LogStore.forPath(logPath)
+
+  /** Commit mutual exclusion within this JVM (cross-process exclusion is
+    * the LogStore's atomic rename). Ref: DeltaLogImpl.scala:78,190-197. */
+  private[delta] val deltaLogLock = new Object
+
+  // ------------------------------------------------------------ configs
+  def metadata: Metadata =
+    if (currentSnapshot == null || currentSnapshot.version < 0) Metadata()
+    else currentSnapshot.metadata
+
+  def checkpointInterval: Int =
+    DeltaConfigs.CHECKPOINT_INTERVAL.fromMetadata(metadata)
+  def tombstoneRetentionMillis: Long =
+    DeltaConfigs.TOMBSTONE_RETENTION.fromMetadata(metadata)
+  def logRetentionMillis: Long =
+    DeltaConfigs.LOG_RETENTION.fromMetadata(metadata)
+  def enableExpiredLogCleanup: Boolean =
+    DeltaConfigs.ENABLE_EXPIRED_LOG_CLEANUP.fromMetadata(metadata)
+  def isAppendOnly: Boolean =
+    DeltaConfigs.IS_APPEND_ONLY.fromMetadata(metadata)
+
+  def minFileRetentionTimestamp: Long =
+    clock() - tombstoneRetentionMillis
+
+  /** Injectable clock for retention tests (ref: util/ManualClock). */
+  @volatile private[delta] var clock: () => Long = () => System.currentTimeMillis()
+
+  // --------------------------------------------------- snapshot management
+  @volatile private var currentSnapshot: Snapshot = _
+
+  def snapshot: Snapshot = {
+    if (currentSnapshot == null) update()
+    currentSnapshot
+  }
+
+  /** Refresh to the latest version (M6). Thread-safe; snapshots immutable.
+    * A missing/empty log yields the initial version=-1 snapshot so that a
+    * first transaction can create the table. */
+  def update(): Snapshot = synchronized {
+    val segment =
+      try {
+        getLogSegmentForVersion(
+          Checkpoints.lastCheckpoint(this).map(_.version), None)
+      } catch { case _: FileNotFoundException => LogSegment.empty(logPath) }
+    if (currentSnapshot == null || segment.version != currentSnapshot.version) {
+      currentSnapshot = new Snapshot(spark, this, segment.version, segment,
+        minFileRetentionTimestamp, segment.lastCommitTimestamp)
+    }
+    currentSnapshot
+  }
+
+  def tableExists: Boolean = update().version >= 0
+
+  /** List the log and assemble the segment for `versionToLoad` (or head).
+    * Ref: SnapshotManagement.scala:116-214 incl. the contiguity check. */
+  private[delta] def getLogSegmentForVersion(
+      startCheckpoint: Option[Long],
+      versionToLoad: Option[Long]): LogSegment = {
+    val startVersion = startCheckpoint.getOrElse(0L)
+    // list from the version PREFIX: "N." sorts before both "N.checkpoint..."
+    // and "N.json", so the checkpoint file itself is included
+    val listStart = new Path(logPath, f"$startVersion%020d.")
+    val files =
+      try {
+        store.listFrom(listStart, hadoopConf)
+          .filter(f => FileNames.isDeltaFile(f.getPath) ||
+                       FileNames.isCheckpointFile(f.getPath))
+          .toVector
+      } catch {
+        case _: FileNotFoundException if startCheckpoint.isDefined =>
+          // corrupted _last_checkpoint hint → full relisting (M8 fallback)
+          return getLogSegmentForVersion(None, versionToLoad)
+        case e: FileNotFoundException =>
+          throw new FileNotFoundException(
+            s"No delta log found at $logPath (${e.getMessage})")
+      }
+    if (files.isEmpty && startCheckpoint.isDefined) {
+      return getLogSegmentForVersion(None, versionToLoad)
+    }
+    if (files.isEmpty) {
+      throw new FileNotFoundException(s"Empty delta log at $logPath")
+    }
+
+    val checkpoints = files.filter(f => FileNames.isCheckpointFile(f.getPath))
+      .filter(f => versionToLoad.forall(
+        FileNames.checkpointVersion(f.getPath) <= _))
+    val deltas = files.filter(f => FileNames.isDeltaFile(f.getPath))
+      .filter(f => versionToLoad.forall(FileNames.deltaVersion(f.getPath) <= _))
+
+    val latestCheckpoint = checkpoints
+      .map(f => FileNames.checkpointVersion(f.getPath)).sorted.lastOption
+    val newestFirstDeltas = latestCheckpoint match {
+      case Some(cp) => deltas.filter(f => FileNames.deltaVersion(f.getPath) > cp)
+      case None => deltas
+    }
+    val versions = newestFirstDeltas.map(f => FileNames.deltaVersion(f.getPath))
+    // contiguity check (ref :294-300)
+    versions.zip(versions.drop(1)).foreach { case (a, b) =>
+      require(b == a + 1, s"Versions not contiguous in $logPath: $versions")
+    }
+    latestCheckpoint match {
+      case Some(cp) =>
+        require(versions.isEmpty || versions.head == cp + 1,
+          s"Gap between checkpoint $cp and first delta ${versions.headOption}")
+      case None =>
+        val expectedFirst = versionToLoad.map(_ => 0L).getOrElse(0L)
+        require(versions.nonEmpty && versions.head == expectedFirst,
+          s"Log at $logPath does not start at version 0: $versions")
+    }
+
+    val version = versions.lastOption.orElse(latestCheckpoint).getOrElse(
+      throw new IllegalStateException(s"No snapshot version derivable at $logPath"))
+    versionToLoad.foreach { v =>
+      require(version == v,
+        s"Cannot time travel to version $v; latest reconstructable is $version")
+    }
+    val cpFiles = latestCheckpoint.map { cp =>
+      files.filter(f => FileNames.isCheckpointFile(f.getPath) &&
+        FileNames.checkpointVersion(f.getPath) == cp)
+    }.getOrElse(Nil)
+    LogSegment(logPath, version, newestFirstDeltas, cpFiles, latestCheckpoint,
+      newestFirstDeltas.lastOption.map(_.getModificationTime)
+        .orElse(cpFiles.headOption.map(_.getModificationTime)).getOrElse(0L))
+  }
+
+  // ------------------------------------------------------------ txn (T1)
+  def startTransaction(): txn.OptimisticTransaction = {
+    update()
+    new txn.OptimisticTransaction(this, snapshot)
+  }
+
+  // ------------------------------------------------------- time travel
+  /** M9: snapshot pinned at an exact version. */
+  def getSnapshotForVersionAsOf(version: Long): Snapshot = {
+    val segment = getLogSegmentForVersion(None, Some(version))
+    new Snapshot(spark, this, version, segment,
+      minFileRetentionTimestamp, segment.lastCommitTimestamp)
+  }
+
+  /** M10: latest commit with timestamp <= ts, with monotonized commit
+    * timestamps (clock-skew repair, ref DeltaHistoryManager.scala:202-242). */
+  def getSnapshotForTimestampAsOf(ts: Long): Snapshot = {
+    val commits = listCommitTimestamps()
+    require(commits.nonEmpty, s"No commits at $logPath")
+    require(ts >= commits.head._2,
+      s"Timestamp $ts is before the earliest commit ${commits.head._2}")
+    val version = commits.takeWhile(_._2 <= ts).last._1
+    getSnapshotForVersionAsOf(version)
+  }
+
+  def getVersionBeforeOrAtTimestamp(ts: Long): Long = {
+    val commits = listCommitTimestamps().takeWhile(_._2 <= ts)
+    require(commits.nonEmpty, s"No version before or at $ts")
+    commits.last._1
+  }
+
+  def getVersionAtOrAfterTimestamp(ts: Long): Long = {
+    val commits = listCommitTimestamps().dropWhile(_._2 < ts)
+    require(commits.nonEmpty, s"No version at or after $ts")
+    commits.head._1
+  }
+
+  /** (version, monotonized timestamp) for every commit file. */
+  private[delta] def listCommitTimestamps(): Vector[(Long, Long)] = {
+    val raw = store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf)
+      .filter(f => FileNames.isDeltaFile(f.getPath))
+      .map(f => (FileNames.deltaVersion(f.getPath), f.getModificationTime))
+      .toVector.sortBy(_._1)
+    // monotonize: a commit's timestamp is at least its predecessor's + 1ms
+    var prev = Long.MinValue
+    raw.map { case (v, t) =>
+      val adj = math.max(t, prev + 1)
+      prev = adj
+      (v, adj)
+    }
+  }
+
+  // ---------------------------------------------------------- changes (M13)
+  /** Per-version action feed from `startVersion` (inclusive).
+    * Ref: DeltaLogImpl.scala:106-130. */
+  def getChanges(startVersion: Long,
+                 failOnDataLoss: Boolean = false): Iterator[(Long, Seq[Action])] = {
+    val files = store.listFrom(
+        FileNames.deltaFile(logPath, startVersion), hadoopConf)
+      .filter(f => FileNames.isDeltaFile(f.getPath))
+      .toVector.sortBy(f => FileNames.deltaVersion(f.getPath))
+    if (failOnDataLoss && files.nonEmpty &&
+        FileNames.deltaVersion(files.head.getPath) != startVersion) {
+      throw new IllegalStateException(
+        s"Requested changes from $startVersion but earliest available is " +
+          s"${FileNames.deltaVersion(files.head.getPath)} (log truncated)")
+    }
+    files.iterator.map { fs =>
+      val v = FileNames.deltaVersion(fs.getPath)
+      val actions = store.read(fs.getPath, hadoopConf)
+        .filter(_.trim.nonEmpty).map(JsonCodec.actionFromJson).filter(_ != null)
+      (v, actions)
+    }
+  }
+
+  // ---------------------------------------------------------- history (M12)
+  def getCommitInfoAt(version: Long): CommitInfo = {
+    val actions = store.read(FileNames.deltaFile(logPath, version), hadoopConf)
+      .filter(_.trim.nonEmpty).map(JsonCodec.fromJson)
+    actions.flatMap(_.commitInfo).headOption
+      .map(ci => ci.copy(version = Some(version)))
+      .getOrElse(CommitInfo(version = Some(version)))
+  }
+
+  def history(): Seq[CommitInfo] = {
+    val latest = snapshot.version
+    (0L to latest).reverseIterator.map(getCommitInfoAt).toVector
+  }
+
+  // ------------------------------------------------------------- cleanup (M14)
+  /** Delete commit/checkpoint files older than the retention window that
+    * precede a newer checkpoint (ref MetadataCleanup.scala:32-97; day
+    * truncation matches the reference). */
+  def cleanUpExpiredLogs(): Int = {
+    val latestCheckpoint = Checkpoints.lastCheckpoint(this).map(_.version)
+      .getOrElse(return 0)
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    cal.setTimeInMillis(clock() - logRetentionMillis)
+    cal.set(java.util.Calendar.HOUR_OF_DAY, 0)
+    cal.set(java.util.Calendar.MINUTE, 0)
+    cal.set(java.util.Calendar.SECOND, 0)
+    cal.set(java.util.Calendar.MILLISECOND, 0)
+    val cutoff = cal.getTimeInMillis
+    val fs = logPath.getFileSystem(hadoopConf)
+    var deleted = 0
+    store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf).foreach { f =>
+      val p = f.getPath
+      val isDelta = FileNames.isDeltaFile(p)
+      val isCp = FileNames.isCheckpointFile(p)
+      if ((isDelta || isCp) && f.getModificationTime < cutoff) {
+        val v = if (isDelta) FileNames.deltaVersion(p)
+                else FileNames.checkpointVersion(p)
+        // only files strictly before the newest checkpoint are reproducible
+        if (v < latestCheckpoint && fs.delete(p, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+}
+
+object DeltaLog {
+  private val cache = mutable.HashMap.empty[String, DeltaLog]
+
+  /** M1: locate `_delta_log` under the table path; one cached DeltaLog per
+    * qualified path per JVM (ref DeltaLogImpl.scala:239-264). */
+  def forTable(spark: SparkSession, path: String): DeltaLog = synchronized {
+    val dataPath = new Path(path)
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(dataPath)
+    cache.getOrElseUpdate(qualified.toString,
+      new DeltaLog(spark, new Path(qualified, "_delta_log"), qualified))
+  }
+
+  private[graft] def clearCache(): Unit = synchronized(cache.clear())
+}

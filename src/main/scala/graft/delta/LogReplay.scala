@@ -1,0 +1,80 @@
+package graft.delta
+
+import scala.collection.mutable
+
+/** Snapshot state: the result of folding the action log.
+  * Ref: SnapshotImpl.scala:375-383. */
+case class State(
+    protocol: Protocol,
+    metadata: Metadata,
+    setTransactions: Seq[SetTransaction],
+    activeFiles: Seq[AddFile],
+    tombstones: Seq[RemoveFile],
+    sizeInBytes: Long,
+    numOfFiles: Long)
+
+/** In-memory log replay with reference semantics
+  * (ref: actions/InMemoryLogReplay.scala:38-94):
+  *
+  *  - latest Protocol / Metadata / SetTransaction-per-appId wins;
+  *  - an AddFile replaces any previous Add for the same (canonicalized)
+  *    path and cancels a previous tombstone;
+  *  - a RemoveFile drops the path from active files and records a
+  *    tombstone (kept until `minFileRetentionTimestamp` expiry, M15);
+  *  - actions must be appended in ascending version order.
+  *
+  * This driver-side fold is O(live files) in memory and is used for logs
+  * up to millions of files; [[DistributedLogReplay]] performs the same fold
+  * as a Spark job for beyond-driver-memory logs (SURVEY.md §2.1 M3).
+  */
+class InMemoryLogReplay(minFileRetentionTimestamp: Long) {
+  private var currentProtocol: Protocol = _
+  private var currentMetadata: Metadata = _
+  private var currentVersion: Long = -1
+  private val transactions = mutable.HashMap.empty[String, SetTransaction]
+  private val activeFiles = mutable.LinkedHashMap.empty[String, AddFile]
+  private val tombstones = mutable.HashMap.empty[String, RemoveFile]
+
+  private def canonical(path: String): String =
+    new java.net.URI(path).normalize().toString
+
+  def append(version: Long, actions: Iterator[Action]): Unit = {
+    require(currentVersion == -1 || version == currentVersion + 1,
+      s"Attempted to replay version $version after $currentVersion")
+    currentVersion = version
+    actions.foreach {
+      case p: Protocol => currentProtocol = p
+      case m: Metadata => currentMetadata = m
+      case t: SetTransaction => transactions(t.appId) = t
+      case a: AddFile =>
+        val key = canonical(a.path)
+        activeFiles(key) = a.copy(dataChange = false)
+        tombstones.remove(key)
+      case r: RemoveFile =>
+        val key = canonical(r.path)
+        activeFiles.remove(key)
+        tombstones(key) = r.copy(dataChange = false)
+      case _: AddCDCFile => // never part of table state
+      case _: CommitInfo => // provenance only
+      case null => // ignorable / unknown action
+    }
+  }
+
+  def checkpointVersion: Long = currentVersion
+
+  def state: State = {
+    require(currentMetadata != null,
+      s"No Metadata found in log up to version $currentVersion — table corrupt")
+    val adds = activeFiles.values.toVector
+    State(
+      protocol = Option(currentProtocol).getOrElse(Protocol()),
+      metadata = currentMetadata,
+      setTransactions = transactions.values.toVector,
+      activeFiles = adds,
+      // M15 tombstone expiry: drop removes older than the retention window
+      tombstones = tombstones.values
+        .filter(_.delTimestamp > minFileRetentionTimestamp).toVector,
+      sizeInBytes = adds.map(_.size).sum,
+      numOfFiles = adds.size.toLong)
+  }
+}

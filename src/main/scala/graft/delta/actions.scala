@@ -1,0 +1,170 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The Delta transaction-log action model.
+  *
+  * Semantics follow the reference's action data model
+  * (`/root/reference/standalone/src/main/scala/io/delta/standalone/internal/actions/actions.scala:47-367`)
+  * and the public Delta protocol spec; the implementation is plain Scala
+  * case classes so the log can be (de)serialized with Jackson for JSON
+  * commits and with Spark `Encoders.product` for parquet checkpoints and
+  * distributed log replay.
+  */
+sealed trait Action {
+  def wrap: SingleAction
+}
+
+/** Marker for actions that participate in snapshot state reconstruction. */
+sealed trait FileAction extends Action {
+  def path: String
+  def dataChange: Boolean
+}
+
+case class Format(
+    provider: String = "parquet",
+    options: Map[String, String] = Map.empty)
+
+/** Table metadata — schema, partitioning, configuration.
+  * Ref: actions.scala:183-214. */
+case class Metadata(
+    id: String = java.util.UUID.randomUUID().toString,
+    name: Option[String] = None,
+    description: Option[String] = None,
+    format: Format = Format(),
+    schemaString: Option[String] = None,
+    partitionColumns: Seq[String] = Nil,
+    configuration: Map[String, String] = Map.empty,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    createdTime: Option[Long] = Some(System.currentTimeMillis()))
+  extends Action {
+
+  @transient lazy val schema: StructType =
+    schemaString.map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+
+  @transient lazy val partitionSchema: StructType =
+    new StructType(partitionColumns.map(c => schema(c)).toArray)
+
+  @transient lazy val dataSchema: StructType = {
+    val partitions = partitionColumns.toSet
+    new StructType(schema.filterNot(f => partitions.contains(f.name)).toArray)
+  }
+
+  def wrap: SingleAction = SingleAction(metaData = Some(this))
+}
+
+/** Protocol versioning — we implement reader 1 / writer 2 like the
+  * reference (actions.scala:63-82). */
+case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
+  extends Action {
+  def wrap: SingleAction = SingleAction(protocol = Some(this))
+}
+
+/** A data file that is part of the table. Ref: actions.scala:109-132. */
+case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    dataChange: Boolean = true,
+    stats: Option[String] = None,
+    tags: Option[Map[String, String]] = None)
+  extends FileAction {
+  def remove(timestamp: Long = System.currentTimeMillis(),
+             dataChange: Boolean = true): RemoveFile =
+    RemoveFile(path, Some(timestamp), dataChange,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(partitionValues), size = Some(size))
+  def wrap: SingleAction = SingleAction(add = Some(this))
+}
+
+/** A tombstone. Ref: actions.scala:143-157. */
+case class RemoveFile(
+    path: String,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    deletionTimestamp: Option[Long] = None,
+    dataChange: Boolean = true,
+    extendedFileMetadata: Option[Boolean] = None,
+    partitionValues: Option[Map[String, String]] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    size: Option[Long] = None,
+    tags: Option[Map[String, String]] = None)
+  extends FileAction {
+  def delTimestamp: Long = deletionTimestamp.getOrElse(0L)
+  def wrap: SingleAction = SingleAction(remove = Some(this))
+}
+
+/** Change-data file (never part of table state). Ref: actions.scala:164-172. */
+case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    tags: Option[Map[String, String]] = None)
+  extends FileAction {
+  override def dataChange: Boolean = false
+  def wrap: SingleAction = SingleAction(cdc = Some(this))
+}
+
+/** Streaming-writer idempotence marker. Ref: actions.scala:88-94. */
+case class SetTransaction(
+    appId: String,
+    version: Long,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    lastUpdated: Option[Long] = None)
+  extends Action {
+  def wrap: SingleAction = SingleAction(txn = Some(this))
+}
+
+/** Commit provenance, recorded first in every commit we write.
+  * Ref: actions.scala:235-308; operation names Operation.java:44-92. */
+case class CommitInfo(
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    version: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    timestamp: Option[Long] = None,
+    userId: Option[String] = None,
+    userName: Option[String] = None,
+    operation: Option[String] = None,
+    operationParameters: Option[Map[String, String]] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    readVersion: Option[Long] = None,
+    isolationLevel: Option[String] = None,
+    isBlindAppend: Option[Boolean] = None,
+    operationMetrics: Option[Map[String, String]] = None,
+    userMetadata: Option[String] = None,
+    engineInfo: Option[String] = None)
+  extends Action {
+  def wrap: SingleAction = SingleAction(commitInfo = Some(this))
+}
+
+/** One-of envelope matching the protocol's JSON layout: each commit-file
+  * line is a SingleAction with exactly one field set.
+  * Ref: actions.scala:339-367. */
+case class SingleAction(
+    txn: Option[SetTransaction] = None,
+    add: Option[AddFile] = None,
+    remove: Option[RemoveFile] = None,
+    metaData: Option[Metadata] = None,
+    protocol: Option[Protocol] = None,
+    cdc: Option[AddCDCFile] = None,
+    commitInfo: Option[CommitInfo] = None) {
+
+  def unwrap: Action =
+    txn.orElse(add).orElse(remove).orElse(metaData)
+      .orElse(protocol).orElse(cdc).orElse(commitInfo).orNull
+}
+
+/** Operation names recorded in CommitInfo (Operation.java:44-92). */
+object DeltaOperations {
+  val Write = "WRITE"
+  val StreamingUpdate = "STREAMING UPDATE"
+  val Delete = "DELETE"
+  val Truncate = "TRUNCATE"
+  val Merge = "MERGE"
+  val Update = "UPDATE"
+  val CreateTable = "CREATE TABLE"
+  val ReplaceTable = "REPLACE TABLE"
+  val ManualUpdate = "Manual Update"
+}

@@ -1,0 +1,71 @@
+package graft.delta.read
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import graft.delta.Snapshot
+
+/** A Catalyst [[FileIndex]] over one Delta snapshot.
+  *
+  * This is where the reference's scan-side optimizations become native
+  * Spark behavior (SURVEY §4): the file list comes from the transaction
+  * log, so
+  *
+  *  - partition pruning happens here in `listFiles` — Catalyst's
+  *    PruneFileSourcePartitions pushes partition filters to us and we
+  *    evaluate them per distinct partition tuple (S2/H3 semantics);
+  *  - file sizes come from AddFile metadata, so planning makes zero
+  *    per-file filesystem RPCs (the reference fabricates block locations
+  *    for the same reason, DeltaHelper.scala:170-186);
+  *  - partition values are decoded from the log's string map, NOT from
+  *    directory names — Delta semantics require log-supplied values
+  *    (hive/DeltaInputFormat.scala:43-45).
+  *
+  * Split sizing stays with Spark (`spark.sql.files.maxPartitionBytes`,
+  * default 128MB — matching the reference's `parquet.block.size` choice).
+  */
+class DeltaFileIndex(spark: SparkSession, snapshot: Snapshot)
+  extends FileIndex {
+
+  private val dataPath = snapshot.deltaLog.dataPath
+
+  override def rootPaths: Seq[Path] = Seq(dataPath)
+
+  override def partitionSchema: StructType = snapshot.metadata.partitionSchema
+
+  private def absolutePath(child: String): Path = {
+    val p = new Path(new java.net.URI(child))
+    if (p.isAbsolute) p else new Path(dataPath, p)
+  }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val files = PartitionUtils.filterFileList(
+      partitionSchema, snapshot.allFiles, partitionFilters)
+    if (partitionSchema.isEmpty) {
+      Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
+        files.map(toFileStatus).toArray))
+    } else {
+      files.groupBy(_.partitionValues).toSeq.map { case (values, group) =>
+        PartitionDirectory(
+          PartitionUtils.partitionRow(partitionSchema, values),
+          group.map(toFileStatus).toArray)
+      }
+    }
+  }
+
+  private def toFileStatus(add: graft.delta.AddFile): FileStatus =
+    new FileStatus(add.size, false, 1, 128L * 1024 * 1024,
+      add.modificationTime, absolutePath(add.path))
+
+  override def inputFiles: Array[String] =
+    snapshot.allFiles.map(f => absolutePath(f.path).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = math.max(snapshot.sizeInBytes, 1L)
+}

@@ -1,0 +1,364 @@
+package graft.delta.txn
+
+import java.nio.file.FileAlreadyExistsException
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.delta._
+import graft.delta.read.PartitionUtils
+
+// ------------------------------------------------------------- exceptions
+/** Concurrent-modification exceptions (ref: the 8 exception classes under
+  * standalone/src/main/java/io/delta/standalone/exceptions). */
+class ConcurrentModificationException(msg: String) extends RuntimeException(msg)
+class ConcurrentWriteException(msg: String) extends ConcurrentModificationException(msg)
+class ProtocolChangedException(msg: String) extends ConcurrentModificationException(msg)
+class MetadataChangedException(msg: String) extends ConcurrentModificationException(msg)
+class ConcurrentAppendException(msg: String) extends ConcurrentModificationException(msg)
+class ConcurrentDeleteReadException(msg: String) extends ConcurrentModificationException(msg)
+class ConcurrentDeleteDeleteException(msg: String) extends ConcurrentModificationException(msg)
+class ConcurrentTransactionException(msg: String) extends ConcurrentModificationException(msg)
+
+/** Isolation levels (ref isolationLevels.scala:17-25). */
+sealed trait IsolationLevel { def name: String }
+case object Serializable extends IsolationLevel { val name = "Serializable" }
+case object SnapshotIsolation extends IsolationLevel { val name = "SnapshotIsolation" }
+
+/** Optimistic read-check-write transaction (SURVEY §2.2; ref
+  * OptimisticTransactionImpl.scala:41-572).
+  *
+  * State machine: pin a snapshot → record reads (predicates, files,
+  * app-ids) → `commit(actions, op)` which prepares the action list, writes
+  * `N.json` via the LogStore's atomic put-if-absent, and on collision
+  * re-checks conflicts against each winning commit and retries at the next
+  * version.
+  */
+class OptimisticTransaction(
+    val deltaLog: DeltaLog,
+    val snapshot: Snapshot) {
+
+  def readVersion: Long = snapshot.version
+
+  private var newMetadata: Option[Metadata] = None
+  private var readTheWholeTable = false
+  private val readPredicates = ArrayBuffer.empty[Expression]
+  private val readFiles = scala.collection.mutable.HashSet.empty[String]
+  private val readTxnIds = scala.collection.mutable.HashSet.empty[String]
+  private var committed = false
+
+  // ------------------------------------------------------------ reads (T6)
+  /** Record a predicate read; prunes with the partition-only conjuncts and
+    * returns the matching files (the residual is conservative: files it
+    * would filter are still counted as read). */
+  def markFilesAsRead(predicate: Column): Seq[AddFile] = {
+    if (readVersion < 0) return Nil
+    val resolved = PartitionUtils.resolveFilter(
+      deltaLog.spark, snapshot.metadata.schema, predicate)
+    val (meta, data) = PartitionUtils.splitMetadataAndDataPredicates(
+      resolved, snapshot.metadata.partitionColumns)
+    // a data-column conjunct can match rows in ANY file — without per-file
+    // stats we must be conservative and treat it as a whole-table read
+    if (data.nonEmpty && meta.isEmpty) readTheWholeTable = true
+    val matched = PartitionUtils.filterFileList(
+      snapshot.metadata.partitionSchema, snapshot.allFiles, meta)
+    readPredicates ++= meta
+    readFiles ++= matched.map(_.path)
+    matched
+  }
+
+  def readWholeTable(): Unit = readTheWholeTable = true
+
+  /** Streaming idempotence: latest committed version for `appId`; records
+    * the read so a concurrent commit of the same appId conflicts. */
+  def txnVersion(appId: String): Long = {
+    readTxnIds += appId
+    if (readVersion < 0) -1L
+    else snapshot.transactionVersion(appId).getOrElse(-1L)
+  }
+
+  // --------------------------------------------------- metadata update (T7)
+  def updateMetadata(metadata: Metadata): Unit = {
+    require(newMetadata.isEmpty, "Cannot change the metadata more than once in a transaction")
+    var m = metadata
+    if (readVersion == -1) {
+      // brand-new table keeps its generated id
+      m = if (m.createdTime.isEmpty) m.copy(createdTime = Some(deltaLog.clock())) else m
+    } else {
+      m = m.copy(id = snapshot.metadata.id)
+    }
+    verifyNewMetadata(m)
+    newMetadata = Some(m)
+  }
+
+  private def verifyNewMetadata(m: Metadata): Unit = {
+    val schema = m.schema
+    // duplicate column check, case-insensitive (ref SchemaMergingUtils.scala:38-91)
+    val names = schema.fields.map(_.name.toLowerCase)
+    require(names.distinct.length == names.length,
+      s"Found duplicate column(s) in schema: ${names.diff(names.distinct).mkString(", ")}")
+    // partition columns ⊆ schema and at least one data column
+    // (ref SchemaUtils.scala:31-88)
+    val fieldNames = schema.fieldNames.toSet
+    m.partitionColumns.foreach { pc =>
+      require(fieldNames.contains(pc),
+        s"Partition column $pc not found in schema ${schema.treeString}")
+    }
+    require(m.partitionColumns.size < schema.size || schema.isEmpty,
+      "Cannot use all columns for partition columns")
+    // schema write-compat vs the existing table (ref SchemaUtils.scala:90-145)
+    if (readVersion >= 0 && snapshot.metadata.schemaString.isDefined &&
+        snapshot.allFiles.nonEmpty) {
+      require(isWriteCompatible(snapshot.metadata.schema, schema),
+        "New schema is not write-compatible with the table's existing schema; " +
+          s"existing: ${snapshot.metadata.schema.simpleString}, new: ${schema.simpleString}")
+    }
+  }
+
+  /** New schema must keep every existing column with the same type; it may
+    * add nullable columns or relax nullability (ref SchemaUtils.isWriteCompatible). */
+  private[delta] def isWriteCompatible(
+      existing: org.apache.spark.sql.types.StructType,
+      newSchema: org.apache.spark.sql.types.StructType): Boolean = {
+    val newFields = newSchema.fields.map(f => f.name -> f).toMap
+    existing.fields.forall { old =>
+      newFields.get(old.name).exists { nf =>
+        // same type, and nullability may only relax (nullable stays nullable)
+        nf.dataType == old.dataType && (!old.nullable || nf.nullable)
+      }
+    } && newSchema.fields.forall { nf =>
+      existing.fields.exists(_.name == nf.name) || nf.nullable
+    }
+  }
+
+  // ------------------------------------------------------------ commit (T2)
+  def commit(actions: Seq[Action], op: String,
+             engineInfo: String = "graft-spark/0.1.0"): Long = {
+    require(!committed, "Transaction already committed")
+    // extract a Metadata action if the caller passed one inline
+    val metadataActions = actions.collect { case m: Metadata => m }
+    require(metadataActions.size <= 1, "Cannot commit multiple Metadata actions")
+    metadataActions.headOption.foreach(updateMetadata)
+    var finalActions: Seq[Action] =
+      actions.filterNot(_.isInstanceOf[Metadata]) ++ newMetadata.toSeq
+
+    finalActions = prepareCommit(finalActions)
+
+    val isBlindAppend = {
+      val onlyAdds = finalActions.collect { case f: FileAction => f }
+        .forall(_.isInstanceOf[AddFile])
+      onlyAdds && !readTheWholeTable && readPredicates.isEmpty
+    }
+    // SnapshotIsolation suffices iff the commit changes no data
+    // (ref OptimisticTransactionImpl.scala:115-123)
+    val noDataChanged = finalActions.collect { case f: FileAction => f }
+      .forall(!_.dataChange)
+    val isolation: IsolationLevel =
+      if (noDataChanged) SnapshotIsolation else Serializable
+
+    val commitInfo = CommitInfo(
+      timestamp = Some(deltaLog.clock()),
+      operation = Some(op),
+      readVersion = Some(readVersion).filter(_ >= 0),
+      isolationLevel = Some(isolation.name),
+      isBlindAppend = Some(isBlindAppend),
+      engineInfo = Some(engineInfo))
+
+    val version = doCommitRetryIteratively(
+      commitInfo +: finalActions, isolation)
+    committed = true
+    postCommit(version)
+    version
+  }
+
+  /** First-commit Protocol/Metadata injection, path relativization,
+    * partition-column consistency, append-only enforcement
+    * (ref OptimisticTransactionImpl.scala:242-310). */
+  private def prepareCommit(actions: Seq[Action]): Seq[Action] = {
+    var finalActions = actions
+    if (readVersion == -1) {
+      require(newMetadata.isDefined,
+        "A table's first commit must contain Metadata (use updateMetadata)")
+      if (!finalActions.exists(_.isInstanceOf[Protocol])) {
+        finalActions = Protocol() +: finalActions
+      }
+    }
+    val partCols = newMetadata.map(_.partitionColumns)
+      .getOrElse(if (readVersion >= 0) snapshot.metadata.partitionColumns else Nil)
+    val appendOnly =
+      if (readVersion >= 0) deltaLog.isAppendOnly
+      else newMetadata.exists(DeltaConfigs.IS_APPEND_ONLY.fromMetadata)
+
+    finalActions.map {
+      case a: AddFile =>
+        require(a.partitionValues.keySet == partCols.toSet,
+          s"AddFile ${a.path} has partition values ${a.partitionValues.keySet} " +
+            s"but the table partitions by $partCols")
+        a.copy(path = relativize(a.path))
+      case r: RemoveFile =>
+        if (r.dataChange && appendOnly) {
+          throw new UnsupportedOperationException(
+            "This table is append-only (delta.appendOnly=true); deletes are not allowed")
+        }
+        r.copy(path = relativize(r.path))
+      case p: Protocol =>
+        require(p.minReaderVersion <= 1 && p.minWriterVersion <= 2,
+          s"Unsupported protocol $p; this engine implements (1, 2)")
+        p
+      case other => other
+    }
+  }
+
+  /** T12: store paths relative to the table root when they live under it. */
+  private def relativize(path: String): String = {
+    val p = new Path(path)
+    if (!p.isAbsolute) return path
+    val base = deltaLog.dataPath.toUri.getPath
+    val child = p.toUri.getPath
+    if (child.startsWith(base + "/")) child.stripPrefix(base + "/") else path
+  }
+
+  /** T3: write-or-retry loop under the per-JVM lock; cross-process mutual
+    * exclusion is the LogStore's atomic rename. */
+  private def doCommitRetryIteratively(actions: Seq[Action],
+                                       isolation: IsolationLevel): Long = {
+    var attemptVersion = readVersion + 1
+    val maxRetries = 10000000
+    var attempts = 0
+    deltaLog.deltaLogLock.synchronized {
+      while (attempts < maxRetries) {
+        try {
+          deltaLog.store.write(
+            FileNames.deltaFile(deltaLog.logPath, attemptVersion),
+            actions.map(a => JsonCodec.toJson(a)).iterator,
+            overwrite = false, deltaLog.hadoopConf)
+          deltaLog.update()
+          return attemptVersion
+        } catch {
+          case _: FileAlreadyExistsException |
+               _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            attemptVersion = checkForConflicts(attemptVersion, actions, isolation) + 1
+            attempts += 1
+        }
+      }
+    }
+    throw new ConcurrentWriteException(
+      s"Commit failed after $maxRetries attempts at ${deltaLog.dataPath}")
+  }
+
+  /** T4: validate our intent against every commit that won the race;
+    * returns the latest winning version (we retry right after it). */
+  private def checkForConflicts(attemptVersion: Long, actions: Seq[Action],
+                                isolation: IsolationLevel): Long = {
+    val winning = deltaLog.getChanges(attemptVersion).toVector
+    require(winning.nonEmpty,
+      s"Commit $attemptVersion collided but no winning commit is readable")
+    winning.foreach { case (v, winningActions) =>
+      new ConflictChecker(this, winningActions, v, isolation, actions).check()
+    }
+    winning.last._1
+  }
+
+  /** Checkpoint cadence + log cleanup (ref :393-405, Checkpoints.scala:122-135). */
+  private def postCommit(version: Long): Unit = {
+    if (version != 0 && version % deltaLog.checkpointInterval == 0) {
+      Checkpoints.writeCheckpoint(deltaLog.update())
+      if (deltaLog.enableExpiredLogCleanup) deltaLog.cleanUpExpiredLogs()
+    }
+  }
+
+  // exposed to ConflictChecker
+  private[txn] def readPredicatesSnapshot: Seq[Expression] = readPredicates.toSeq
+  private[txn] def readFilePaths: Set[String] = readFiles.toSet
+  private[txn] def readTxnIdsSnapshot: Set[String] = readTxnIds.toSet
+  private[txn] def readWholeTableFlag: Boolean = readTheWholeTable
+}
+
+/** The six conflict checks, run against one winning commit
+  * (ref ConflictChecker.scala:78-232). */
+class ConflictChecker(
+    txn: OptimisticTransaction,
+    winningActions: Seq[Action],
+    winningVersion: Long,
+    isolation: IsolationLevel,
+    ourActions: Seq[Action]) {
+
+  private val winningAdds = winningActions.collect { case a: AddFile => a }
+  private val winningRemoves = winningActions.collect { case r: RemoveFile => r }
+  private val winningTxns = winningActions.collect { case t: SetTransaction => t }
+
+  def check(): Unit = {
+    checkProtocol()
+    checkMetadata()
+    checkConcurrentAppends()
+    checkDeletedFilesRead()
+    checkDeleteDelete()
+    checkTxnIds()
+  }
+
+  private def checkProtocol(): Unit =
+    if (winningActions.exists(_.isInstanceOf[Protocol])) {
+      throw new ProtocolChangedException(
+        s"Protocol changed by concurrent commit $winningVersion")
+    }
+
+  private def checkMetadata(): Unit =
+    if (winningActions.exists(_.isInstanceOf[Metadata])) {
+      throw new MetadataChangedException(
+        s"Table metadata changed by concurrent commit $winningVersion")
+    }
+
+  /** Appends conflict when they match something we read — skipped under
+    * SnapshotIsolation (no data change in our commit;
+    * ref ConflictChecker.scala:151-156). */
+  private def checkConcurrentAppends(): Unit = {
+    if (isolation == SnapshotIsolation) return
+    if (winningAdds.isEmpty) return
+    val partitionSchema =
+      if (txn.readVersion >= 0) txn.snapshot.metadata.partitionSchema
+      else new org.apache.spark.sql.types.StructType()
+    val matched =
+      if (txn.readWholeTableFlag) winningAdds
+      else txn.readPredicatesSnapshot.flatMap(p =>
+        PartitionUtils.filterFileList(partitionSchema, winningAdds, Seq(p)))
+    if (matched.nonEmpty) {
+      throw new ConcurrentAppendException(
+        s"Files added by concurrent commit $winningVersion match this " +
+          s"transaction's read predicates: ${matched.take(3).map(_.path).mkString(", ")}")
+    }
+  }
+
+  private def checkDeletedFilesRead(): Unit = {
+    val removed = winningRemoves.map(_.path).toSet
+    val hit = txn.readFilePaths.intersect(removed)
+    if (hit.nonEmpty || (txn.readWholeTableFlag && removed.nonEmpty)) {
+      throw new ConcurrentDeleteReadException(
+        s"Files read by this transaction were deleted by concurrent commit " +
+          s"$winningVersion: ${(if (hit.nonEmpty) hit else removed).take(3).mkString(", ")}")
+    }
+  }
+
+  private def checkDeleteDelete(): Unit = {
+    val ourRemoves = ourActions.collect { case r: RemoveFile => r.path }.toSet
+    val hit = ourRemoves.intersect(winningRemoves.map(_.path).toSet)
+    if (hit.nonEmpty) {
+      throw new ConcurrentDeleteDeleteException(
+        s"Files deleted in both this transaction and concurrent commit " +
+          s"$winningVersion: ${hit.take(3).mkString(", ")}")
+    }
+  }
+
+  private def checkTxnIds(): Unit = {
+    val ourTxnAppIds = ourActions.collect { case t: SetTransaction => t.appId }.toSet ++
+      txn.readTxnIdsSnapshot
+    val hit = ourTxnAppIds.intersect(winningTxns.map(_.appId).toSet)
+    if (hit.nonEmpty) {
+      throw new ConcurrentTransactionException(
+        s"Concurrent commit $winningVersion committed for the same " +
+          s"application id(s): ${hit.mkString(", ")}")
+    }
+  }
+}

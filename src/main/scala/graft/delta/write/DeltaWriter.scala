@@ -1,0 +1,173 @@
+package graft.delta.write
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+import graft.delta._
+
+/** Batch write path (SURVEY §7 slice 1; semantics from the Flink sink's
+  * writer+committer pair, F7/F8, re-expressed as one Spark job).
+  *
+  * Files are produced by a normal distributed `df.write.parquet` into a
+  * staging directory inside the table (so executors write in parallel with
+  * Spark's own task-commit machinery), then promoted into the table root
+  * with per-file renames (metadata-only on HDFS/local) and committed to
+  * the log as AddFiles. Readers never see uncommitted files because
+  * visibility is defined by the log, not the directory listing — the same
+  * reason the Flink writer can write part files before the global commit
+  * (DeltaWriterBucket.java:311-417).
+  */
+object DeltaWriter {
+
+  def write(df: DataFrame,
+            path: String,
+            mode: SaveMode = SaveMode.Append,
+            partitionBy: Seq[String] = Nil,
+            configuration: Map[String, String] = Map.empty,
+            operation: String = DeltaOperations.Write): Long = {
+    val spark = df.sparkSession
+    val deltaLog = DeltaLog.forTable(spark, path)
+    val exists = deltaLog.tableExists
+    if (exists && mode == SaveMode.ErrorIfExists) {
+      throw new IllegalArgumentException(s"Delta table already exists at $path")
+    }
+    if (exists && mode == SaveMode.Ignore) return deltaLog.snapshot.version
+
+    val txn = deltaLog.startTransaction()
+
+    val partCols =
+      if (exists && mode != SaveMode.Overwrite) {
+        val existing = txn.snapshot.metadata.partitionColumns
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"Partitioning $partitionBy does not match the table's $existing")
+        existing
+      } else partitionBy
+
+    // metadata: first commit, overwrite-with-new-schema, or schema evolution
+    val schemaJson = df.schema.json
+    if (!exists) {
+      txn.updateMetadata(Metadata(
+        schemaString = Some(schemaJson),
+        partitionColumns = partCols,
+        configuration = configuration))
+    } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson &&
+               mode == SaveMode.Overwrite) {
+      txn.updateMetadata(txn.snapshot.metadata.copy(
+        schemaString = Some(schemaJson), partitionColumns = partCols))
+    } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson) {
+      // append-time schema evolution (T7 / F8 mergeSchema semantics): the
+      // incoming frame must cover every existing column with the same type;
+      // genuinely new columns are appended as nullable.
+      val merged = mergeSchemas(txn.snapshot.metadata.schema, df.schema)
+      if (merged.json != txn.snapshot.metadata.schemaString.getOrElse("")) {
+        txn.updateMetadata(txn.snapshot.metadata.copy(schemaString = Some(merged.json)))
+      }
+    }
+
+    val adds = writeFiles(df, deltaLog, partCols)
+    val removes: Seq[Action] =
+      if (exists && mode == SaveMode.Overwrite) {
+        txn.readWholeTable()
+        txn.snapshot.allFiles.map(_.remove(deltaLog.clock()))
+      } else Nil
+
+    txn.commit(adds ++ removes,
+      if (!exists) DeltaOperations.CreateTable
+      else if (mode == SaveMode.Overwrite) DeltaOperations.ReplaceTable
+      else operation)
+  }
+
+  /** Existing columns keep their position and type (the incoming schema
+    * must contain each of them with an equal type); columns the table has
+    * never seen are appended, forced nullable so old files read as null. */
+  private[delta] def mergeSchemas(
+      existing: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    existing.fields.foreach { old =>
+      incomingByName.get(old.name) match {
+        case None => throw new IllegalArgumentException(
+          s"Append is missing column ${old.name} present in the table schema")
+        case Some(nf) if nf.dataType != old.dataType =>
+          throw new IllegalArgumentException(
+            s"Column ${old.name}: type ${nf.dataType.simpleString} does not " +
+              s"match the table's ${old.dataType.simpleString}")
+        case _ =>
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    val appended = incoming.fields.filterNot(f => existingNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(existing.fields ++ appended)
+  }
+
+  /** Distributed parquet write into `_staging_*`, then per-file promotion
+    * to the table root. Returns the AddFiles (paths relative to the root,
+    * partition values parsed from the hive-style staging layout with the
+    * protocol's escaping rules). */
+  private[delta] def writeFiles(df: DataFrame, deltaLog: DeltaLog,
+                                partCols: Seq[String]): Seq[AddFile] = {
+    val conf = deltaLog.hadoopConf
+    val fs = deltaLog.dataPath.getFileSystem(conf)
+    val staging = new Path(deltaLog.dataPath,
+      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val writer = df.write.mode(SaveMode.Overwrite)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(staging.toString)
+
+      val files = listParquetFiles(fs, staging)
+      files.map { st =>
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(staging.toUri.getPath + "/")
+        val partitionValues = parsePartitionValues(rel, partCols)
+        // keep the partition directory layout in the promoted path — not
+        // required by the protocol (values come from the log) but friendly
+        // to humans and external tools
+        val dest = new Path(deltaLog.dataPath, rel)
+        if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest)) {
+          throw new java.io.IOException(s"Failed to promote ${st.getPath} -> $dest")
+        }
+        val destStatus = fs.getFileStatus(dest)
+        AddFile(
+          // the protocol stores paths as percent-encoded relative URIs
+          // (canonicalization ref: SnapshotImpl.scala:349-362)
+          path = new java.net.URI(null, null, rel, null).toString,
+          partitionValues = partitionValues,
+          size = destStatus.getLen,
+          modificationTime = destStatus.getModificationTime,
+          dataChange = true)
+      }
+    } finally {
+      fs.delete(staging, true)
+    }
+  }
+
+  private def listParquetFiles(fs: FileSystem, dir: Path) = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+    }
+    buf.toSeq
+  }
+
+  /** `p1=v1/p2=v2/part-xxx.parquet` → Map(p1 -> v1, p2 -> v2), unescaping
+    * hive path encoding; `__HIVE_DEFAULT_PARTITION__` → null value (the
+    * protocol serializes null partition values as JSON null). */
+  private[delta] def parsePartitionValues(
+      relPath: String, partCols: Seq[String]): Map[String, String] = {
+    val dirs = relPath.split('/').dropRight(1)
+    require(dirs.length == partCols.length,
+      s"Staged file $relPath does not match partition columns $partCols")
+    dirs.map { d =>
+      val Array(k, v) = d.split("=", 2)
+      val unescaped = ExternalCatalogUtils.unescapePathName(v)
+      k -> (if (unescaped == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else unescaped)
+    }.toMap
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.delta.DeltaTable
+
+/** Queries that run THROUGH the Delta engine: each writes a Delta table
+  * from the driver's parquet testdata, exercises an engine capability
+  * (log replay, partition pruning, time travel, metadata delete, schema
+  * evolution, checkpoints), reads the result back as a DataFrame and
+  * aggregates it. The DuckDB oracle computes the same answer directly from
+  * the source parquet — so a hash match proves the engine's write path,
+  * log replay and scan semantics, not just Spark's relational operators.
+  */
+object DeltaQueries {
+  import Tables.t
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Write lineitem to a Delta table, read it back, aggregate (M1-M6, T2, S1/S4).
+    QueryDef(
+      "delta_write_read_agg",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("roundtrip")
+        DeltaTable.write(t(s, dir, "lineitem"), path, SaveMode.Overwrite)
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+               sum($"l_quantity".cast(DecimalType(12, 2))).cast("double").as("sum_qty"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // Partitioned Delta table + partition-pruned scan (S2, M3).
+    QueryDef(
+      "delta_partition_pruned_scan",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("pruned")
+        DeltaTable.write(t(s, dir, "orders"), path, SaveMode.Overwrite,
+          partitionBy = Seq("o_orderpriority"))
+        DeltaTable.forPath(s, path).toDF
+          .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 100000.0)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double").as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0
+        GROUP BY o_orderstatus""")),
+
+    // Three commits, then read version 1 (M9 time travel).
+    QueryDef(
+      "delta_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("timetravel")
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(orders.filter($"o_orderstatus" === "F"), path, SaveMode.Overwrite)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "O"), path)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "P"), path)
+        DeltaTable.forPath(s, path).asOfVersion(1)
+          .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus""")),
+
+    // Metadata-only partition delete (tombstones, M15 path).
+    QueryDef(
+      "delta_partition_delete",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("delete")
+        DeltaTable.write(t(s, dir, "orders"), path, SaveMode.Overwrite,
+          partitionBy = Seq("o_orderpriority"))
+        val table = DeltaTable.forPath(s, path)
+        table.deleteWhere($"o_orderpriority" === "5-LOW")
+        table.toDF.groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders WHERE o_orderpriority <> '5-LOW'
+        GROUP BY o_orderpriority""")),
+
+    // Append-time schema evolution: new nullable column (T7).
+    QueryDef(
+      "delta_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("evolve")
+        val c = t(s, dir, "customer")
+        DeltaTable.write(c.filter($"c_custkey" % 2 === 0), path, SaveMode.Overwrite)
+        DeltaTable.write(
+          c.filter($"c_custkey" % 2 === 1)
+            .withColumn("vip", $"c_acctbal" > 5000.0),
+          path)
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+               count(when($"vip", 1)).as("n_vip"),
+               count(when($"vip".isNull, 1)).as("n_pre_evolution"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               COUNT(CASE WHEN c_custkey % 2 = 1 AND c_acctbal > 5000.0 THEN 1 END) AS n_vip,
+               COUNT(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS n_pre_evolution
+        FROM customer GROUP BY c_mktsegment""")),
+
+    // Many commits across a checkpoint boundary; fresh log replays from
+    // the checkpoint (M7/M8) — the count proves no file lost or duplicated.
+    QueryDef(
+      "delta_checkpoint_replay",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("checkpoint")
+        val li = t(s, dir, "lineitem")
+        DeltaTable.write(li.filter($"l_linenumber" === 1), path, SaveMode.Overwrite,
+          configuration = Map("delta.checkpointInterval" -> "3"))
+        (2 to 7).foreach { i =>
+          DeltaTable.write(li.filter($"l_linenumber" === i), path)
+        }
+        graft.delta.DeltaLog.clearCache() // force replay from checkpoint
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"l_linenumber").agg(
+            count(lit(1)).as("n"),
+            sum($"l_orderkey").as("sum_orderkey"))
+      },
+      Some("""
+        SELECT l_linenumber, COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey
+        FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7
+        GROUP BY l_linenumber""")),
+
+    // Commit history as data (M12) — deterministic operation sequence.
+    QueryDef(
+      "delta_history_ops",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("history")
+        val n = t(s, dir, "nation")
+        DeltaTable.write(n, path, SaveMode.Overwrite, partitionBy = Seq("n_regionkey"))
+        DeltaTable.write(n, path)
+        DeltaTable.forPath(s, path).deleteWhere($"n_regionkey" === 0)
+        DeltaTable.forPath(s, path).history()
+          .select($"version", $"operation", $"isBlindAppend")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(2 AS BIGINT), 'DELETE', false),
+          (CAST(1 AS BIGINT), 'WRITE', true),
+          (CAST(0 AS BIGINT), 'CREATE TABLE', true))
+          AS t(version, operation, isBlindAppend)"""))
+  )
+}

@@ -1,0 +1,150 @@
+package graft.delta
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DeltaTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleDF(n: Int, offset: Int = 0) =
+    (offset until offset + n).map(i => (i.toLong, s"name_$i", s"g${i % 3}"))
+      .toDF("id", "name", "grp")
+
+  test("create, append, read back") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(10), dir)
+      DeltaTable.write(sampleDF(5, 10), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      assert(t.version == 1)
+      assert(t.toDF.count() == 15)
+      assert(t.toDF.agg(sum($"id")).as[Long].head() == (0 until 15).sum)
+    }
+  }
+
+  test("overwrite replaces table contents") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(10), dir)
+      DeltaTable.write(sampleDF(3, 100), dir, SaveMode.Overwrite)
+      val t = DeltaTable.forPath(spark, dir)
+      assert(t.toDF.count() == 3)
+      assert(t.toDF.select(min($"id")).as[Long].head() == 100L)
+    }
+  }
+
+  test("partitioned write records partition values from the log") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(30), dir, partitionBy = Seq("grp"))
+      val log = DeltaLog.forTable(spark, dir)
+      val files = log.snapshot.allFiles
+      assert(files.forall(_.partitionValues.keySet == Set("grp")))
+      assert(files.map(_.partitionValues("grp")).toSet == Set("g0", "g1", "g2"))
+      val t = DeltaTable.forPath(spark, dir)
+      // schema order preserved: partition col stays in declared position
+      assert(t.toDF.columns.toSeq == Seq("id", "name", "grp"))
+      assert(t.toDF.filter($"grp" === "g1").count() == 10)
+    }
+  }
+
+  test("partition pruning reaches the file scan") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(30), dir, partitionBy = Seq("grp"))
+      val t = DeltaTable.forPath(spark, dir)
+      val scan = t.scan($"grp" === "g1" && $"id" > 3)
+      assert(scan.pushedPredicate.isDefined)
+      assert(scan.residualPredicate.isDefined)
+      val pruned = scan.getFiles
+      assert(pruned.nonEmpty)
+      assert(pruned.forall(_.partitionValues("grp") == "g1"))
+      // physical plan only lists g1 files
+      val df = t.toDF.filter($"grp" === "g1")
+      df.collect() // force execution so the scan's metrics are final
+      val scanned: Long = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+        }).sum
+      val all = DeltaLog.forTable(spark, dir).snapshot.numOfFiles
+      assert(scanned > 0 && scanned < all,
+        s"expected pruning: scanned=$scanned of $all")
+    }
+  }
+
+  test("metadata-only delete on partition predicate") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(30), dir, partitionBy = Seq("grp"))
+      val t = DeltaTable.forPath(spark, dir)
+      t.deleteWhere($"grp" === "g0")
+      assert(t.toDF.count() == 20)
+      intercept[IllegalArgumentException] {
+        t.deleteWhere($"id" > 5) // residual predicate → rejected
+      }
+    }
+  }
+
+  test("time travel by version and getChanges") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(10), dir)
+      DeltaTable.write(sampleDF(5, 10), dir)
+      DeltaTable.write(sampleDF(2, 100), dir, SaveMode.Overwrite)
+      val t = DeltaTable.forPath(spark, dir)
+      assert(t.asOfVersion(0).count() == 10)
+      assert(t.asOfVersion(1).count() == 15)
+      assert(t.toDF.count() == 2)
+
+      val log = DeltaLog.forTable(spark, dir)
+      val changes = log.getChanges(0).toVector
+      assert(changes.map(_._1) == Vector(0L, 1L, 2L))
+      val v2Adds = changes(2)._2.collect { case a: AddFile => a }
+      val v2Removes = changes(2)._2.collect { case r: RemoveFile => r }
+      assert(v2Adds.nonEmpty && v2Removes.nonEmpty)
+    }
+  }
+
+  test("history records operations newest-first") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(10), dir)
+      DeltaTable.write(sampleDF(5, 10), dir)
+      val ops = DeltaTable.forPath(spark, dir).history()
+        .select("operation").as[String].collect().toSeq
+      assert(ops == Seq("WRITE", "CREATE TABLE"))
+    }
+  }
+
+  test("checkpoint written at interval and snapshot loads from it") {
+    withTempDir { dir =>
+      // checkpointInterval=4 to keep the test fast
+      DeltaTable.write(sampleDF(2), dir,
+        configuration = Map("delta.checkpointInterval" -> "4"))
+      (1 to 4).foreach(i => DeltaTable.write(sampleDF(2, i * 10), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      val lc = Checkpoints.lastCheckpoint(log)
+      assert(lc.exists(_.version == 4))
+      val fs = log.logPath.getFileSystem(log.hadoopConf)
+      assert(fs.exists(FileNames.checkpointFileSingular(log.logPath, 4)))
+      // fresh log (bypassing the cache) must reconstruct from checkpoint
+      DeltaLog.clearCache()
+      val t2 = DeltaTable.forPath(spark, dir)
+      assert(t2.version == 4)
+      assert(t2.toDF.count() == 10)
+      // and time travel to a pre-checkpoint version still works
+      assert(t2.asOfVersion(1).count() == 4)
+    }
+  }
+
+  test("schema evolution: append with added nullable column") {
+    withTempDir { dir =>
+      DeltaTable.write(sampleDF(5), dir)
+      val widened = sampleDF(3, 50).withColumn("extra", lit(1.5))
+      DeltaTable.write(widened, dir)
+      val t = DeltaTable.forPath(spark, dir)
+      assert(t.toDF.columns.toSeq == Seq("id", "name", "grp", "extra"))
+      assert(t.toDF.filter($"extra".isNull).count() == 5)
+      // incompatible change (dropping a column) is rejected
+      intercept[IllegalArgumentException] {
+        DeltaTable.write(Seq((1L, "x")).toDF("id", "name"), dir)
+      }
+    }
+  }
+}
