@@ -27,14 +27,18 @@ import graft.delta.Snapshot
   * Split sizing stays with Spark (`spark.sql.files.maxPartitionBytes`,
   * default 128MB — matching the reference's `parquet.block.size` choice).
   */
-class DeltaFileIndex(spark: SparkSession, snapshot: Snapshot)
-  extends FileIndex {
+class DeltaFileIndex(
+    spark: SparkSession,
+    dataPath: Path,
+    metadata: graft.delta.Metadata,
+    addFiles: Seq[graft.delta.AddFile]) extends FileIndex {
 
-  private val dataPath = snapshot.deltaLog.dataPath
+  def this(spark: SparkSession, snapshot: Snapshot) =
+    this(spark, snapshot.deltaLog.dataPath, snapshot.metadata, snapshot.allFiles)
 
   override def rootPaths: Seq[Path] = Seq(dataPath)
 
-  override def partitionSchema: StructType = snapshot.metadata.partitionSchema
+  override def partitionSchema: StructType = metadata.partitionSchema
 
   private def absolutePath(child: String): Path = {
     val p = new Path(new java.net.URI(child))
@@ -45,7 +49,7 @@ class DeltaFileIndex(spark: SparkSession, snapshot: Snapshot)
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val files = PartitionUtils.filterFileList(
-      partitionSchema, snapshot.allFiles, partitionFilters)
+      partitionSchema, addFiles, partitionFilters)
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
         files.map(toFileStatus).toArray))
@@ -63,9 +67,9 @@ class DeltaFileIndex(spark: SparkSession, snapshot: Snapshot)
       add.modificationTime, absolutePath(add.path))
 
   override def inputFiles: Array[String] =
-    snapshot.allFiles.map(f => absolutePath(f.path).toString).toArray
+    addFiles.map(f => absolutePath(f.path).toString).toArray
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = math.max(snapshot.sizeInBytes, 1L)
+  override def sizeInBytes: Long = math.max(addFiles.map(_.size).sum, 1L)
 }

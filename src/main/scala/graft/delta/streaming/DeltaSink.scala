@@ -1,0 +1,66 @@
+package graft.delta.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.delta._
+import graft.delta.write.DeltaWriter
+
+/** Exactly-once streaming sink (SURVEY §2.4 F7/F8: the Flink two-phase
+  * writer/global-committer collapsed into one transactional `addBatch`).
+  *
+  * Idempotence is the reference's SetTransaction scheme
+  * (DeltaGlobalCommitter.java:554-568): each committed batch records
+  * `SetTransaction(appId, batchId)`; a replayed batch (failure/restart
+  * re-execution) sees `txnVersion(appId) >= batchId` and skips — so the
+  * log sees each micro-batch exactly once even though Spark may run it
+  * twice. appId = the streaming query id (stable across restarts from
+  * the same checkpoint), overridable with option `txnAppId`.
+  */
+class DeltaSink(
+    sqlContext: SQLContext,
+    path: String,
+    partitionColumns: Seq[String],
+    outputMode: OutputMode,
+    options: Map[String, String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = sqlContext.sparkSession
+    val deltaLog = DeltaLog.forTable(spark, path)
+    val appId = options.getOrElse("txnAppId",
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+        .getOrElse(path))
+
+    deltaLog.deltaLogLock.synchronized {
+      val txn = deltaLog.startTransaction()
+      if (txn.txnVersion(appId) >= batchId) {
+        return // this batch already committed — exactly-once replay skip
+      }
+      val batch = Shims.materializeBatch(data)
+      if (!deltaLog.tableExists) {
+        txn.updateMetadata(Metadata(
+          schemaString = Some(batch.schema.json),
+          partitionColumns = partitionColumns))
+      }
+      val adds = DeltaWriter.writeFiles(batch, deltaLog, effectivePartitions(txn))
+      val removes: Seq[Action] =
+        if (outputMode == OutputMode.Complete()) {
+          txn.readWholeTable()
+          txn.snapshot.allFiles.map(_.remove(deltaLog.clock()))
+        } else Nil
+      txn.commit(
+        SetTransaction(appId, batchId, Some(deltaLog.clock())) +:
+          (adds ++ removes),
+        DeltaOperations.StreamingUpdate)
+    }
+  }
+
+  private def effectivePartitions(
+      t: graft.delta.txn.OptimisticTransaction): Seq[String] =
+    if (t.readVersion >= 0) t.snapshot.metadata.partitionColumns
+    else partitionColumns
+
+  override def toString: String = s"GraftDeltaSink[$path]"
+}

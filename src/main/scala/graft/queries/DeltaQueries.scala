@@ -145,6 +145,38 @@ object DeltaQueries {
         FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7
         GROUP BY l_linenumber""")),
 
+    // Full streaming pipeline (F1-F8): delta source → filter/transform →
+    // exactly-once delta sink, then aggregate the sink table.
+    QueryDef(
+      "delta_streaming_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val src = tmp("stream_src")
+        val dst = tmp("stream_dst")
+        val ckpt = tmp("stream_ckpt")
+        val orders = t(s, dir, "orders")
+        // three commits → the stream sees snapshot + subsequent versions
+        DeltaTable.write(orders.filter($"o_orderstatus" === "F"), src, SaveMode.Overwrite)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "O"), src)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "P"), src)
+        val q = s.readStream.format("graft-delta").load(src)
+          .filter($"o_totalprice" > 50000.0)
+          .writeStream.format("graft-delta")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination(300000)
+        DeltaTable.forPath(s, dst).toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double").as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_totalprice > 50000.0
+        GROUP BY o_orderpriority""")),
+
     // Commit history as data (M12) — deterministic operation sequence.
     QueryDef(
       "delta_history_ops",

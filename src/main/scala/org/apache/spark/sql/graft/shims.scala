@@ -14,4 +14,24 @@ object Shims {
   /** Catalyst Expression → Column. */
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Wrap a BaseRelation as a (optionally streaming-tagged) DataFrame —
+    * what Source.getBatch must return for the micro-batch executor. */
+  def relationToDataFrame(spark: org.apache.spark.sql.SparkSession,
+                          relation: org.apache.spark.sql.sources.BaseRelation,
+                          isStreaming: Boolean): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        relation, isStreaming))
+  }
+
+  /** Rebind a sink-side streaming micro-batch as a writable batch
+    * DataFrame (the incoming frame is tagged streaming and cannot be
+    * written directly — the standard V1 sink pattern). */
+  def materializeBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

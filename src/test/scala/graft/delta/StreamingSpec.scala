@@ -1,0 +1,152 @@
+package graft.delta
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sink writes exactly-once with SetTransaction idempotence") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      val checkpoint = s"$base/ckpt"
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Int]
+      input.addData(1 to 10: _*)
+      val q = input.toDF().withColumn("doubled", $"value" * 2)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start(table)
+      q.awaitTermination(60000)
+
+      val t = DeltaTable.forPath(spark, table)
+      assert(t.toDF.count() == 10)
+      assert(t.toDF.agg(sum($"doubled")).as[Long].head() == 110)
+      // the commit is marked as a streaming update with a txn action
+      val log = DeltaLog.forTable(spark, table)
+      assert(log.snapshot.setTransactions.nonEmpty)
+
+      // restart from same checkpoint with more data → appends once
+      input.addData(11 to 15: _*)
+      val q2 = input.toDF().withColumn("doubled", $"value" * 2)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start(table)
+      q2.awaitTermination(60000)
+      assert(DeltaTable.forPath(spark, table).toDF.count() == 15)
+    }
+  }
+
+  test("sink replay of an already-committed batch is a no-op") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      val df = (1 to 5).toDF("value")
+      val sink = new streaming.DeltaSink(spark.sqlContext, table, Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        Map("txnAppId" -> "test-app"))
+      sink.addBatch(0, df)
+      sink.addBatch(0, df) // replay after simulated failure
+      assert(DeltaTable.forPath(spark, table).toDF.count() == 5)
+      sink.addBatch(1, df)
+      assert(DeltaTable.forPath(spark, table).toDF.count() == 10)
+    }
+  }
+
+  test("streaming source feeds appended versions as micro-batches") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write((1 to 10).toDF("value"), table)
+      val q = spark.readStream.format("graft-delta").load(table)
+        .groupBy().agg(count(lit(1)).as("n"), sum($"value").as("s"))
+        .writeStream.format("memory").queryName("src_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val r1 = spark.table("src_sink").as[(Long, Long)].head()
+      assert(r1 == ((10L, 55L)))
+
+      // new commits are picked up from the recorded offset
+      DeltaTable.write((11 to 20).toDF("value"), table)
+      val q2 = spark.readStream.format("graft-delta").load(table)
+        .writeStream.format("memory").queryName("src_sink2")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination(60000)
+      assert(spark.table("src_sink2").count() == 20) // fresh stream: snapshot
+    }
+  }
+
+  test("source fails on delete unless ignoreDeletes") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write((1 to 10).map(i => (i, s"g${i % 2}")).toDF("value", "grp"),
+        table, partitionBy = Seq("grp"))
+      val ckpt1 = s"$base/c1"
+      val dst = s"$base/dst"
+      // stream the initial snapshot, then a delete arrives
+      val q = spark.readStream.format("graft-delta").load(table)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt1)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(60000)
+      assert(DeltaTable.forPath(spark, dst).toDF.count() == 10)
+      DeltaTable.forPath(spark, table).deleteWhere($"grp" === "g0")
+
+      val qFail = spark.readStream.format("graft-delta").load(table)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt1)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qFail.awaitTermination()
+      }
+      assert(failed.getMessage.contains("ignoreDeletes") ||
+        Option(failed.cause).exists(_.getMessage.contains("ignoreDeletes")))
+
+      val qOk = spark.readStream.format("graft-delta")
+        .option("ignoreDeletes", "true").load(table)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt1)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      qOk.awaitTermination(60000)
+      // the delete-only commit was skipped: nothing new landed downstream
+      assert(DeltaTable.forPath(spark, dst).toDF.count() == 10)
+    }
+  }
+
+  test("end to end: delta source -> transform -> delta sink") {
+    withTempDir { base =>
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      DeltaTable.write((1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "bucket"), src)
+      val q = spark.readStream.format("graft-delta").load(src)
+        .filter($"bucket" =!= 0)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(60000)
+      val out = DeltaTable.forPath(spark, dst).toDF
+      assert(out.count() == (1 to 100).count(_ % 7 != 0))
+    }
+  }
+
+  test("batch read via format with time travel options") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write((1 to 5).toDF("value"), table)
+      DeltaTable.write((6 to 9).toDF("value"), table)
+      assert(spark.read.format("graft-delta").load(table).count() == 9)
+      assert(spark.read.format("graft-delta").option("versionAsOf", 0)
+        .load(table).count() == 5)
+      val df = (10 to 12).toDF("value")
+      df.write.format("graft-delta").mode("append").save(table)
+      assert(spark.read.format("graft-delta").load(table).count() == 12)
+    }
+  }
+}
