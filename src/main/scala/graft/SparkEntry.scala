@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All query modules, each contributing (name, fn, oracle) triples. */
   private def allDefs: Seq[QueryDef] =
-    Relational.defs ++ DeltaQueries.defs
+    Relational.defs ++ DeltaQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

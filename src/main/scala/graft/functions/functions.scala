@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks for the data-pipeline operators
+  * (dedup, similarity, text analysis).
+  *
+  * Everything here composes Spark's codegen'd `functions._` — no Scala
+  * UDFs — so the expressions stay inside whole-stage codegen and push into
+  * the columnar scan. Cross-engine determinism notes (for the DuckDB
+  * oracle) are on each function: higher-order folds run left-to-right in
+  * array order in both engines, so double arithmetic produces bit-identical
+  * results.
+  */
+package object functions {
+
+  /** Whitespace tokens of trimmed text; empty string → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** First 8 hex chars of md5 as a non-negative long — the deterministic
+    * 32-bit hash family used by minhash (seeded via prefix). */
+  def md5Hash32(c: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long (fits a
+    * signed 64-bit int in both engines). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles (distinct), the unit of minhash/jaccard. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      when(length(text) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
+
+  /** MinHash signature: for each seed j in [0, k), the minimum
+    * `md5Hash32(shingle, j)` over the shingle set. Returns array<long>
+    * of length k (null-free; empty shingles → array of Long.MaxValue). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      coalesce(array_min(transform(shingles, s => md5Hash32(s, j))),
+        lit(Long.MaxValue)))
+
+  /** SimHash over the token multiset, `bits` wide (≤ 60): sign of the
+    * per-bit vote of each token's 60-bit md5 hash, folded MSB-first into
+    * a long. */
+  def simhash(text: Column, bits: Int): Column = {
+    require(bits <= 60, "simhash width must fit the 60-bit hash")
+    val toks = tokens(text)
+    val hashes = transform(toks, t => md5Hash60(t))
+    val bitsArr = transform(sequence(lit(0), lit(bits - 1)), i =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftrightCol(h, i).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(bitsArr, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  /** shiftright with a Column shift amount (the Scala `shiftright` helper
+    * only accepts a literal Int; the SQL function accepts any expression). */
+  def shiftrightCol(v: Column, amount: Column): Column =
+    call_function("shiftright", v, amount)
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two pre-distinct shingle arrays, as the exact
+    * ratio of intersection to union sizes (integer division → double,
+    * bit-identical across engines). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Dot product of two float vectors, accumulated in doubles in element
+    * order (matches a left-fold in any engine). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two float vectors. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+
+  /** Polynomial rolling hash of the text's characters mod 1e9+7 — a
+    * compact content fingerprint with a trivially mirrorable definition. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => length(c) > 0),
+        c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Stopword-ratio style quality features; `stopwords` must be lowercase. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords: _*)))
+}

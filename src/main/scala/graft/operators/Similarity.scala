@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers, matching the brief:
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) query
+  *    set against the corpus, one pass, no corpus shuffle. At 100 TB the
+  *    corpus side stays partition-parallel; only the query side must be
+  *    broadcast-sized.
+  *  - [[lshTopK]] — the scale path: corpus and queries are bucketed by
+  *    random-hyperplane sign bits (deterministic integer-pattern planes, so
+  *    results are reproducible across engines and runs); candidates are
+  *    ranked only within the query's bucket. Shuffle volume is
+  *    O(corpus) once for bucketing, and the ranking join is co-partitioned
+  *    on the bucket key. Recall is tuned by `planes` (fewer planes → bigger
+  *    buckets → higher recall, more compute).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector by cosine similarity.
+    * `queries` must be broadcast-small; ties break by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic "random" hyperplane coefficient for (plane j, dim i):
+    * a small integer in [-3, 3] from a fixed congruential pattern — public
+    * LSH needs random signs, reproducibility needs a fixed seed. */
+  private def planeCoef(j: Int, i: Column): Column =
+    (i * 31 + lit(j * 17 + 7)) % 7 - 3
+
+  /** Sign-bucket id from `planes` hyperplanes (bit j = sign of <h_j, v>). */
+  def lshBucket(vecCol: Column, dim: Int, planes: Int): Column = {
+    // unroll planes explicitly: each plane needs its own coefficient pattern
+    (0 until planes).map { j =>
+      val dot = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeCoef(j, i).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k within the query's LSH bucket. Same output shape as
+    * [[bruteForceTopK]]; neighbors outside the bucket are unreachable
+    * (that's the approximation). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, dim: Int,
+              k: Int, planes: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

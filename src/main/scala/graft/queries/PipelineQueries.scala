@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+
+/** The large-scale training-data-pipeline operators (builder brief §extras):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force and LSH ANN), text
+  * analysis (token stats, quality, language-ID, fingerprints), and the
+  * multimodal binary plumbing — each verified against a DuckDB mirror of
+  * the same algorithm.
+  *
+  * Oracle-determinism rules used throughout: integer-derived doubles
+  * (count ratios) and left-fold float math are bit-identical across
+  * engines; sums of doubles across rows go through DECIMAL; integer SUMs
+  * get CAST(... AS BIGINT) (DuckDB widens to HUGEINT).
+  */
+object PipelineQueries {
+  import Tables.t
+
+  /** DuckDB fragment: first 8 hex chars of md5(expr) as BIGINT (mirror of
+    * [[graft.functions.md5Hash32]]). */
+  private def duckHash32(expr: String): String =
+    s"list_reduce(list_transform(string_split(substr(md5($expr), 1, 8), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** DuckDB fragment: first 15 hex chars of md5(expr) as BIGINT (60-bit,
+    * mirror of [[graft.functions.md5Hash60]]). */
+  private def duckHash60(expr: String): String =
+    s"list_reduce(list_transform(string_split(substr(md5($expr), 1, 15), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** DuckDB fragment: dot product of two DOUBLE[] lists, left-fold in
+    * element order (mirror of [[graft.functions.dotProduct]]). */
+  private def duckDot(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), " +
+      "(x, y) -> x + y)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------- text analysis
+    QueryDef(
+      "text_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", tokenCount($"text").as("toks"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"toks".cast("long")).as("sum_tokens"),
+               min($"toks").as("min_tokens"),
+               max($"toks").as("max_tokens"))
+      },
+      Some(raw"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+               MIN(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens,
+               MAX(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens
+        FROM documents GROUP BY lang""")),
+
+    QueryDef(
+      "text_quality_scores",
+      (s, dir) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val nTok = size(toks).cast("double")
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val stopRatio = stopwordCount($"text", Seq("the", "a")).cast("double") / nTok
+        val charsPerTok = length(trim($"text")).cast("double") / nTok
+        val score = distinctRatio * 0.5 + (lit(1.0) - stopRatio) * 0.25 +
+          least(charsPerTok / 6.0, lit(1.0)) * 0.25
+        t(s, dir, "documents")
+          .select($"lang", score.as("score"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               count(when($"score" < 0.75, 1)).as("n_low_quality"),
+               sum($"score".cast(DecimalType(18, 9))).cast("double").as("sum_score"))
+      },
+      Some(raw"""
+        WITH scored AS (
+          SELECT lang,
+                 len(list_distinct(toks))::DOUBLE / len(toks) * 0.5
+                 + (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a'))::DOUBLE / len(toks)) * 0.25
+                 + LEAST(length(trim(text))::DOUBLE / len(toks) / 6.0, 1.0) * 0.25 AS score
+          FROM (SELECT lang, text,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents)
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN score < 0.75 THEN 1 END) AS n_low_quality,
+               CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE) AS sum_score
+        FROM scored GROUP BY lang""")),
+
+    QueryDef(
+      "text_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        val en = stopwordCount($"text", Seq("the", "a"))
+        val de = stopwordCount($"text", Seq("der", "die", "und"))
+        val es = stopwordCount($"text", Seq("el", "la", "y"))
+        val fr = stopwordCount($"text", Seq("le", "les", "et"))
+        val predicted =
+          when(en >= de && en >= es && en >= fr, "en")
+            .when(de >= es && de >= fr, "de")
+            .when(es >= fr, "es")
+            .otherwise("fr")
+        t(s, dir, "documents")
+          .select($"lang", predicted.as("predicted"))
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(raw"""
+        WITH counts AS (
+          SELECT lang,
+                 len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS en,
+                 len(list_filter(toks, x -> x = 'der' OR x = 'die' OR x = 'und')) AS de,
+                 len(list_filter(toks, x -> x = 'el' OR x = 'la' OR x = 'y')) AS es,
+                 len(list_filter(toks, x -> x = 'le' OR x = 'les' OR x = 'et')) AS fr
+          FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents)
+        )
+        SELECT lang,
+               CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                    WHEN de >= es AND de >= fr THEN 'de'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS predicted,
+               COUNT(*) AS n
+        FROM counts GROUP BY 1, 2""")),
+
+    QueryDef(
+      "text_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"source", rollingFingerprint($"text").as("fp"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct($"fp").as("n_distinct_fp"),
+               min($"fp").as("min_fp"))
+      },
+      Some("""
+        WITH fp AS (
+          SELECT source,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+          FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_fp,
+               MIN(fp) AS min_fp
+        FROM fp GROUP BY source""")),
+
+    // ------------------------------------------------------------- dedup
+    QueryDef(
+      "dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exact(t(s, dir, "documents"), "doc_id", substring($"text", 1, 40))
+      },
+      Some("""
+        SELECT md5(substr(text, 1, 40)) AS key, COUNT(*) AS group_size,
+               MIN(doc_id) AS representative
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1""")),
+
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, k = 12, bands = 4, threshold = 0.7),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id AS id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS shingles
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ), mh AS (
+          SELECT id, j, min(${HASH32}) AS m
+          FROM (SELECT id, unnest(shingles) AS s FROM docs), range(0, 12) t(j)
+          GROUP BY id, j
+        ), bands AS (
+          SELECT id, j // 3 AS band, string_agg(m, ',' ORDER BY j) AS key
+          FROM mh GROUP BY id, j // 3
+        ), cand AS (
+          SELECT DISTINCT a.id AS i, b.id AS j
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        )
+        SELECT c.i, c.j,
+               len(list_intersect(di.shingles, dj.shingles))::DOUBLE /
+               (len(di.shingles) + len(dj.shingles)
+                - len(list_intersect(di.shingles, dj.shingles))) AS jaccard
+        FROM cand c JOIN docs di ON di.id = c.i JOIN docs dj ON dj.id = c.j
+        WHERE len(list_intersect(di.shingles, dj.shingles))::DOUBLE /
+              (len(di.shingles) + len(dj.shingles)
+               - len(list_intersect(di.shingles, dj.shingles))) >= 0.7"""
+        .replace("${HASH32}", duckHash32("j::VARCHAR || ':' || s")))),
+
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 60, bands = 4, maxDistance = 8),
+      Some("""
+        WITH th AS (
+          SELECT doc_id AS id, ${HASH60} AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+                FROM documents)
+        ), bits AS (
+          SELECT id, i,
+                 CASE WHEN SUM(2 * ((h >> i) & 1) - 1) > 0
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM th, range(0, 60) t(i) GROUP BY id, i
+        ), sim AS (
+          SELECT id, CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(59 - i AS INT))) AS BIGINT) AS h
+          FROM bits GROUP BY id
+        ), banded AS (
+          SELECT id, h, b, (h >> (b * 15)) & 32767 AS key
+          FROM sim, range(0, 4) t(b)
+        ), cand AS (
+          SELECT DISTINCT a.id AS i, a.h AS h_i, b.id AS j, b.h AS h_j
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.key = b.key AND a.id < b.id
+        )
+        SELECT i, j, CAST(bit_count(xor(h_i, h_j)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(h_i, h_j)) <= 8"""
+        .replace("${HASH60}", duckHash60("tk")))),
+
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, lengthBucket = 32),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id AS id,
+                 list_distinct([substr(text, i, 3)
+                                for i in range(1, length(text) - 1)]) AS grams,
+                 CAST(floor(length(text) / 32.0) AS INT) AS bucket
+          FROM documents WHERE length(text) >= 3
+        ), blocked AS (
+          SELECT id, grams, unnest([bucket, bucket + 1]) AS blk FROM docs
+        ), cand AS (
+          SELECT DISTINCT a.id AS i, b.id AS j
+          FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+        )
+        SELECT c.i, c.j,
+               len(list_intersect(di.grams, dj.grams))::DOUBLE /
+               (len(di.grams) + len(dj.grams)
+                - len(list_intersect(di.grams, dj.grams))) AS jaccard
+        FROM cand c JOIN docs di ON di.id = c.i JOIN docs dj ON dj.id = c.j
+        WHERE len(list_intersect(di.grams, dj.grams))::DOUBLE /
+              (len(di.grams) + len(dj.grams)
+               - len(list_intersect(di.grams, dj.grams))) >= 0.8""")),
+
+    QueryDef(
+      "dedup_embedding_cosine",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", blockCol = $"label", threshold = 0.35)
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(${duckDot("a.embedding", "b.embedding")} /
+                     (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+                      sqrt(${duckDot("b.embedding", "b.embedding")})), 6) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(${duckDot("a.embedding", "b.embedding")} /
+                    (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+                     sqrt(${duckDot("b.embedding", "b.embedding")})), 6) >= 0.35""")),
+
+    // -------------------------------------------------- similarity search
+    QueryDef(
+      "ann_bruteforce_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(${duckDot("q.qv", "c.embedding")} /
+                       (sqrt(${duckDot("q.qv", "q.qv")}) *
+                        sqrt(${duckDot("c.embedding", "c.embedding")})), 6) AS cosine
+          FROM embeddings c, q WHERE c.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 5""")),
+
+    QueryDef(
+      "ann_lsh_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", dim = 64, k = 3, planes = 4)
+      },
+      Some(s"""
+        WITH dots AS (
+          SELECT vec_id, embedding, j,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i ->
+                     embedding[i]::DOUBLE *
+                     CAST(((i - 1) * 31 + j * 17 + 7) % 7 - 3 AS DOUBLE))),
+                   (x, y) -> x + y) AS dot
+          FROM embeddings, range(0, 4) t(j)
+        ), buckets AS (
+          SELECT vec_id, any_value(embedding) AS embedding,
+                 CAST(SUM(CASE WHEN dot >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                   ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id
+        ), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                 FROM buckets WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(${duckDot("q.qv", "c.embedding")} /
+                       (sqrt(${duckDot("q.qv", "q.qv")}) *
+                        sqrt(${duckDot("c.embedding", "c.embedding")})), 6) AS cosine
+          FROM buckets c JOIN q ON c.bucket = q.bucket
+          WHERE c.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 3""")),
+
+    // ---------------------------------------------------------- multimodal
+    QueryDef(
+      "multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+        val features = Multimodal.extractFeatures(media)
+        media
+          .withColumn("byte_sum", Multimodal.byteSum($"media"))
+          .join(features, Seq("id"))
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_bytes").as("total_bytes"),
+               sum($"byte_sum").as("total_byte_sum"),
+               sum(size($"features").cast("long")).as("total_features"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+               CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> a + b)) AS BIGINT) AS total_byte_sum,
+               CAST(SUM(LEAST(16, length(text))) AS BIGINT) AS total_features
+        FROM documents GROUP BY lang"""))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines and logs"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical keys") {
+    val groups = Dedup.exact(docs, "doc_id", col("text")).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("group_size") == 2)
+    assert(groups.head.getAs[Long]("representative") == 1L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleWidth = 3, k = 12, bands = 6, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      s"near-dup pair not found in $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical docs is identical; near-dups are close") {
+    val hs = docs.select($"doc_id",
+      graft.functions.simhash($"text", 60).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(4L))
+    val nearDist = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    val farDist = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    assert(nearDist < farDist, s"near=$nearDist far=$farDist")
+  }
+
+  test("ngram jaccard pairs exceed threshold only for near-dups") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      n = 3, threshold = 0.6, lengthBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(pairs.forall(p => Set(1L, 2L, 4L).contains(p._1)))
+  }
+
+  test("brute-force top-k ranks the exact duplicate first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 2).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 2L))
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("LSH top-k returns neighbors from the query's bucket only") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 13) % 17 - 8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 3),
+      "vec_id", "embedding", dim = 8, k = 3, planes = 2)
+    val byQuery = res.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).toSeq.sorted == (1 to rows.length))
+    }
+  }
+
+  test("multimodal: byte-sum expression and feature extraction stub") {
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    assert(media.schema("media").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val sums = media.select($"id", Multimodal.byteSum($"media").as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums(5L) == "tiny".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+    val feats = Multimodal.extractFeatures(media)
+    val row5 = feats.filter($"id" === 5L).head()
+    assert(row5.getSeq[Float](row5.fieldIndex("features")).length == 4)
+    assert(row5.getAs[Long]("n_bytes") == 4L)
+  }
+
+  test("rolling fingerprint matches a reference implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val got = docs.select($"doc_id",
+      graft.functions.rollingFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) == ref("tiny"))
+    assert(got(1L) == ref("the quick brown fox jumps over the lazy dog"))
+  }
+}
