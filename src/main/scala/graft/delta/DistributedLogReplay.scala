@@ -1,0 +1,67 @@
+package graft.delta
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** State reconstruction as a Spark job — the distributed variant of
+  * [[InMemoryLogReplay]] (SURVEY §2.1 M3: "Dataset[SingleAction] →
+  * version column → newest-wins window → anti-join tombstones").
+  *
+  * The driver-side fold holds every live AddFile in memory; at 100 TB a
+  * table can carry millions of files, so this variant reads the checkpoint
+  * parquet and the JSON commits after it as a distributed
+  * Dataset[SingleAction] (versions parsed from commit file names), keeps
+  * the newest file action per canonicalized path with one window, and
+  * returns the survivors that are adds. One shuffle, partitioned by path —
+  * no driver materialization until the caller asks for it.
+  *
+  * Tie-break note: the protocol forbids an add and a remove of the same
+  * path within one commit, so (path, version) is unique per action kind;
+  * we still order removes after adds at equal version (remove wins) to
+  * fail safe on non-conforming logs.
+  */
+object DistributedLogReplay {
+
+  def activeFiles(spark: SparkSession, segment: LogSegment): Dataset[AddFile] = {
+    implicit val saEnc = Encoders.product[SingleAction]
+    implicit val addEnc = Encoders.product[AddFile]
+
+    val commitPaths = segment.deltas.map(_.getPath.toString)
+    val commits =
+      if (commitPaths.isEmpty) spark.emptyDataset[SingleAction].toDF()
+      else spark.read.schema(saEnc.schema).json(commitPaths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), """(\d+)\.json""", 1).cast("long"))
+
+    val checkpoint = segment.checkpointVersion match {
+      case Some(cpV) =>
+        spark.read.schema(saEnc.schema)
+          .parquet(segment.checkpoint.map(_.getPath.toString): _*)
+          .withColumn("version", lit(cpV))
+      case None => spark.emptyDataset[SingleAction].toDF()
+        .withColumn("version", lit(-1L))
+    }
+
+    val all = checkpoint.unionByName(commits, allowMissingColumns = true)
+    val fileActions = all
+      .select(col("version"), col("add"), col("remove"),
+        coalesce(col("add.path"), col("remove.path")).as("path"))
+      .filter(col("path").isNotNull)
+      // canonicalize: percent-decode so "a b" and "a%20b" collapse
+      .withColumn("pathKey", url_decode(col("path")))
+
+    val newestFirst = Window.partitionBy(col("pathKey"))
+      .orderBy(col("version").desc, col("remove").isNotNull.desc)
+    fileActions
+      .withColumn("rn", row_number().over(newestFirst))
+      .filter(col("rn") === 1 && col("add").isNotNull)
+      .select(col("add.*"))
+      .withColumn("dataChange", lit(false))
+      .as[AddFile]
+  }
+
+  /** Distributed active-file list for a snapshot's log segment. */
+  def activeFiles(snapshot: Snapshot): Dataset[AddFile] =
+    activeFiles(snapshot.spark, snapshot.logSegment)
+}

@@ -76,6 +76,11 @@ class Snapshot(
     spark.createDataset(state.activeFiles)
   }
 
+  /** Active files via the distributed replay (M3) — same answer as
+    * [[allFiles]], computed as a Spark job for beyond-driver-memory logs. */
+  def allFilesDistributed: Dataset[AddFile] =
+    DistributedLogReplay.activeFiles(this)
+
   /** Assemble the DataFrame for this snapshot (scan path, SURVEY §2.3). */
   def toDF: org.apache.spark.sql.DataFrame =
     new read.DeltaScanBuilder(this).buildDF(None)
