@@ -48,8 +48,12 @@ class DeltaFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val files = PartitionUtils.filterFileList(
+    val partitionPruned = PartitionUtils.filterFileList(
       partitionSchema, addFiles, partitionFilters)
+    // file-level data skipping from AddFile.stats min/max (conservative;
+    // Spark re-applies every data filter to the rows it does read)
+    val files = DataSkipping.filterFiles(
+      partitionPruned, dataFilters, metadata.dataSchema)
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
         files.map(toFileStatus).toArray))

@@ -118,7 +118,9 @@ object DeltaWriter {
         .parquet(staging.toString)
 
       val files = listParquetFiles(fs, staging)
-      files.map { st =>
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(f => partCols.contains(f.name)))
+      val promoted = files.map { st =>
         val rel = st.getPath.toUri.getPath
           .stripPrefix(staging.toUri.getPath + "/")
         val partitionValues = parsePartitionValues(rel, partCols)
@@ -130,6 +132,11 @@ object DeltaWriter {
         if (!fs.rename(st.getPath, dest)) {
           throw new java.io.IOException(s"Failed to promote ${st.getPath} -> $dest")
         }
+        (rel, partitionValues, dest)
+      }
+      val stats = StatsCollector.collectAll(
+        promoted.map(_._3), dataSchema, conf)
+      promoted.map { case (rel, partitionValues, dest) =>
         val destStatus = fs.getFileStatus(dest)
         AddFile(
           // the protocol stores paths as percent-encoded relative URIs
@@ -138,7 +145,8 @@ object DeltaWriter {
           partitionValues = partitionValues,
           size = destStatus.getLen,
           modificationTime = destStatus.getModificationTime,
-          dataChange = true)
+          dataChange = true,
+          stats = stats.getOrElse(dest, None))
       }
     } finally {
       fs.delete(staging, true)

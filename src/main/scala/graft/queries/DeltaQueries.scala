@@ -177,6 +177,29 @@ object DeltaQueries {
         FROM orders WHERE o_totalprice > 50000.0
         GROUP BY o_orderpriority""")),
 
+    // Range-sorted write + date-range scan: file-level data skipping from
+    // AddFile.stats min/max prunes most files before the parquet read (the
+    // 100 TB scale path — see write.StatsCollector / read.DataSkipping).
+    QueryDef(
+      "delta_data_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("skipping")
+        DeltaTable.write(
+          t(s, dir, "lineitem").repartitionByRange(16, $"l_shipdate"),
+          path, SaveMode.Overwrite)
+        DeltaTable.forPath(s, path).toDF
+          .filter($"l_shipdate".between("1994-01-01", "1994-03-31"))
+          .groupBy($"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+               sum($"l_extendedprice".cast(DecimalType(14, 2))).cast("double").as("rev"))
+      },
+      Some("""
+        SELECT l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+        FROM lineitem WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-03-31'
+        GROUP BY l_linestatus""")),
+
     // Commit history as data (M12) — deterministic operation sequence.
     QueryDef(
       "delta_history_ops",

@@ -1,0 +1,118 @@
+package graft.delta
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Files selected by the plan's parquet scan after pruning + skipping. */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }
+    scan.map(s => s.relation.location
+      .listFiles(s.partitionFilters, s.dataFilters)
+      .map(_.files.length.toLong).sum).getOrElse(-1L)
+  }
+
+  test("writes populate AddFile.stats with numRecords and min/max") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 100).map(i => (i, s"name$i", i * 1.0)).toDF("id", "name", "score"),
+        dir)
+      val files = DeltaLog.forTable(spark, dir).update().allFiles
+      assert(files.forall(_.stats.isDefined))
+      val total = files.flatMap(_.stats).map { s =>
+        JsonCodec.mapper.readTree(s).get("numRecords").asLong
+      }.sum
+      assert(total == 100)
+      val anyStats = JsonCodec.mapper.readTree(files.head.stats.get)
+      assert(anyStats.get("minValues").has("id"))
+      assert(anyStats.get("maxValues").has("name"))
+      assert(anyStats.get("nullCount").has("score"))
+    }
+  }
+
+  test("range predicate skips files whose min/max cannot match") {
+    withTempDir { dir =>
+      // 8 range-partitioned files over id → disjoint id ranges per file
+      val df = spark.range(0, 8000).toDF("id")
+        .withColumn("val", $"id" * 2)
+        .repartitionByRange(8, $"id")
+      DeltaTable.write(df, dir)
+      val table = DeltaTable.forPath(spark, dir)
+      assert(DeltaLog.forTable(spark, dir).update().allFiles.size == 8)
+
+      val narrow = table.toDF.filter($"id" >= 7200L)
+      assert(narrow.count() == 800)
+      assert(filesRead(narrow) == 1, "range filter should touch one file")
+
+      val all = table.toDF
+      assert(filesRead(all) == 8)
+
+      // equality off the range → zero files
+      val none = table.toDF.filter($"id" === 99999L)
+      assert(none.count() == 0)
+      assert(filesRead(none) == 0)
+    }
+  }
+
+  test("string and null predicates skip conservatively and correctly") {
+    withTempDir { dir =>
+      val rows = (0 until 1000).map { i =>
+        val grp = ('a' + i / 250).toChar.toString // a,b,c,d
+        (i, s"$grp-key$i", if (i % 500 == 0) null else s"v$i")
+      }
+      DeltaTable.write(
+        rows.toDF("id", "key", "opt").repartitionByRange(4, $"key"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+
+      val b = table.toDF.filter($"key".startsWith("b-"))
+      assert(b.count() == 250)
+      assert(filesRead(b) < 4, "prefix filter should skip non-b files")
+
+      // correctness under skipping: filtered result equals full-scan filter
+      val viaSkip = table.toDF.filter($"key" >= "c-").select("id")
+        .as[Int].collect().sorted
+      val full = rows.filter(_._2 >= "c-").map(_._1).sorted
+      assert(viaSkip.toSeq == full.toSeq)
+
+      // IS NULL keeps only files that actually contain nulls
+      val nulls = table.toDF.filter($"opt".isNull)
+      assert(nulls.count() == 2)
+    }
+  }
+
+  test("date range predicates prune on date-typed min/max") {
+    withTempDir { dir =>
+      val df = spark.range(0, 365).toDF("d")
+        .select(date_add(lit(java.sql.Date.valueOf("2023-01-01")), $"d".cast("int")).as("day"),
+          ($"d" % 10).as("v"))
+        .repartitionByRange(12, $"day")
+      DeltaTable.write(df, dir)
+      val q = DeltaTable.forPath(spark, dir).toDF
+        .filter($"day" >= "2023-12-01")
+      assert(q.count() == 31)
+      assert(filesRead(q) <= 2, "December filter should read ~1 of 12 files")
+    }
+  }
+
+  test("skipping never loses rows when stats are absent") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 50).toDF("x"), dir)
+      // simulate a foreign writer with no stats: strip them via a rewrite
+      val log = DeltaLog.forTable(spark, dir)
+      val snapshot = log.update()
+      val txn = log.startTransaction()
+      val stripped = snapshot.allFiles.map(f =>
+        f.copy(stats = None, dataChange = false))
+      txn.commit(stripped, DeltaOperations.ManualUpdate)
+      DeltaLog.clearCache()
+      val q = DeltaTable.forPath(spark, dir).toDF.filter($"x" > 25)
+      assert(q.count() == 25)
+    }
+  }
+}
