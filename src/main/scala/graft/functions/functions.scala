@@ -29,19 +29,42 @@ package object functions {
     conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 8), 16, 10)
       .cast("long")
 
+  /** Unseeded 32-bit md5 hash. The minhash family derives its k hash
+    * functions from this ONE digest via affine transforms
+    * `(a_j·h + b_j) mod p` — k times cheaper than k seeded digests, and
+    * the classic universal-hashing construction. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Prime modulus for the affine minhash family (smallest prime > 2^32,
+    * so a_j·h + b_j stays far below Long overflow). */
+  val MinhashPrime = 4294967311L
+  def minhashA(j: Int): Long = 2L * j + 1
+  def minhashB(j: Int): Long = j * 1000003L
+
   /** First 15 hex chars of md5 as a 60-bit non-negative long (fits a
     * signed 64-bit int in both engines). */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles (distinct), the unit of minhash/jaccard. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles (distinct), the unit of minhash/jaccard.
+    *
+    * PERFORMANCE: higher-order lambdas evaluate interpreted with no
+    * common-subexpression reuse, so every element access re-evaluates its
+    * argument subtree. Pass a MATERIALIZED tokens column (an alias from a
+    * previous select), never `tokens(text)` inline — otherwise the split
+    * re-runs once per shingle element. */
+  def wordShinglesOf(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
-  }
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** Word n-gram shingles straight from text — convenient for small data;
+    * prefer `tokens(...).as("toks")` + [[wordShinglesOf]] on large corpora
+    * (see the performance note there). */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(tokens(text), n)
 
   /** Character n-gram shingles (distinct). */
   def charShingles(text: Column, n: Int): Column =
@@ -83,10 +106,16 @@ package object functions {
 
   /** Jaccard similarity of two pre-distinct shingle arrays, as the exact
     * ratio of intersection to union sizes (integer division → double,
-    * bit-identical across engines). */
+    * bit-identical across engines). The intersection is built once and
+    * shared between numerator and denominator. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    val df = org.apache.spark.sql.functions
+    val expr = (i: Column) =>
+      i.cast("double") / (size(a) + size(b) - i).cast("double")
+    // route the shared subexpression through a lambda variable so it is
+    // evaluated a single time even without codegen CSE
+    df.aggregate(df.array(size(array_intersect(a, b))), lit(0.0),
+      (_, i) => expr(i))
   }
 
   /** Dot product of two float vectors, accumulated in doubles in element

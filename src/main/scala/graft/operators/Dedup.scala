@@ -12,8 +12,12 @@ import graft.functions._
   *    CANDIDATE pairs through a bucketing key (LSH band, simhash band,
   *    length bucket) and only verifies candidates — the shuffle volume is
   *    O(docs × bands), not O(docs²);
-  *  - all similarity math is codegen'd column expressions (no UDFs), so
-  *    it runs inside whole-stage codegen next to the parquet scan;
+  *  - candidate generation joins carry ONLY (block key, id): the wide
+  *    shingle/vector payloads never ride through the pair-producing
+  *    shuffle and are re-attached to the surviving pairs afterwards;
+  *  - the per-doc signatures (minhash, simhash) are computed relationally
+  *    — explode + codegen'd aggregate — because Spark's higher-order
+  *    array lambdas evaluate interpreted, which dominates at corpus scale;
   *  - per-band self-joins shuffle both sides by the band key — exactly
   *    the co-partitioned equi-join Spark distributes well; skewed buckets
   *    (a degenerate shingle) can be salted by widening the band index.
@@ -32,105 +36,151 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline: shingle → k-minhash signature → split into `bands` bands of
-    * k/bands rows → self-join on (band index, band key) → exact jaccard
-    * verification at `threshold`. Classic banding probability: a pair with
-    * jaccard j is a candidate with p = 1-(1-j^r)^b.
+    * Pipeline: shingle → k-minhash signature (one md5 per shingle, k
+    * affine transforms, k codegen'd MIN aggregates over the exploded
+    * shingles) → split into `bands` bands of k/bands rows → self-join on
+    * (band index, band key) over (id, key) only → distinct pairs → exact
+    * jaccard verification at `threshold`. Classic banding probability: a
+    * pair with jaccard j is a candidate with p = 1-(1-j^r)^b.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleWidth: Int = 3, k: Int = 12, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "k must divide evenly into bands")
     val rows = k / bands
-    val docs = df.select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleWidth).as("shingles"))
+    // tokens materialized as a column first: inline, every interpreted
+    // shingle-lambda element would re-run the split (see wordShinglesOf)
+    val docs = df.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("id"), wordShinglesOf(col("toks"), shingleWidth).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), k))
 
-    val banded = docs.select(col("id"), col("shingles"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
-              x => x.cast("string"))).as("key"))))
-          .as("bk"))
-      .select(col("id"), col("shingles"), col("bk.band"), col("bk.key"))
+    // signature: min_j over shingles of (a_j·md5_32(s) + b_j) mod p
+    val hashed = docs.select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), md5Hash32(col("s")).as("h"))
+    val sigCols = (0 until k).map { j =>
+      min((col("h") * minhashA(j) + minhashB(j)) % MinhashPrime).as(s"m$j")
+    }
+    val sigs = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
 
-    val l = banded.select(col("band"), col("key"), col("id").as("i"),
-      col("shingles").as("sh_i"))
-    val r = banded.select(col("band"), col("key"), col("id").as("j"),
-      col("shingles").as("sh_j"))
-    l.join(r, Seq("band", "key"))
+    // band keys from the k signature columns; join carries (band, key, id)
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+
+    val l = banded.select(col("band"), col("key"), col("id").as("i"))
+    val r = banded.select(col("band"), col("key"), col("id").as("j"))
+    val candidates = l.join(r, Seq("band", "key"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jaccard"))
+      .select(col("i"), col("j"))
       .distinct()
+
+    // verification: re-attach shingles to the surviving pairs only
+    val gi = docs.select(col("id").as("i"), col("shingles").as("sh_i"))
+    val gj = docs.select(col("id").as("j"), col("shingles").as("sh_j"))
+    candidates.join(gi, Seq("i")).join(gj, Seq("j"))
+      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs: `bits`-wide simhash, banded into
     * `bands` contiguous bit slices; pairs sharing any band are verified by
-    * full hamming distance ≤ `maxDistance`. */
+    * full hamming distance ≤ `maxDistance`.
+    *
+    * The simhash itself is computed relationally — explode tokens, one
+    * codegen'd signed vote SUM per bit, fold the votes into a long — the
+    * same shape as one map-side-combined aggregation. Documents with no
+    * tokens produce no hash (and so no pairs). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 60, bands: Int = 4,
                    maxDistance: Int = 8): DataFrame = {
     require(bits % bands == 0)
     val width = bits / bands
     val mask = (1L << width) - 1
-    val hashed = df.select(col(idCol).as("id"),
-      graft.functions.simhash(col(textCol), bits).as("h"))
+
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tk"))
+      .select(col("id"), md5Hash60(col("tk")).as("h"))
+    val voteCols = (0 until bits).map { i =>
+      sum(shiftrightCol(col("h"), lit(i)).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i")
+    }
+    val votes = toks.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    // fold votes MSB-first: bit i of the text lands at position bits-1-i
+    val hash = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc * 2 + when(col(s"v$i") > 0, 1L).otherwise(0L)
+    }
+    val hashed = votes.select(col("id"), hash.as("h"))
+
     val banded = hashed.select(col("id"), col("h"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          graft.functions.shiftrightCol(col("h"), b * width)
-            .bitwiseAND(lit(mask)).as("key"))))
-        .as("bk"))
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightCol(col("h"), lit(b * width)).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.band"), col("bk.key"))
     val l = banded.select(col("band"), col("key"), col("id").as("i"), col("h").as("h_i"))
     val r = banded.select(col("band"), col("key"), col("id").as("j"), col("h").as("h_j"))
     l.join(r, Seq("band", "key"))
       .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("h_i"), col("h_j"))
+      .distinct()
       .select(col("i"), col("j"),
         hammingDistance(col("h_i"), col("h_j")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDistance)
   }
 
   /** Character-n-gram jaccard near-dup pairs, blocked by a coarse length
     * bucket (near-dups have near-equal lengths; candidates only form
-    * within a bucket and its neighbor). */
+    * within a bucket and its neighbor — a recall heuristic, like all
+    * length blocking). Same-bucket and adjacent-bucket joins are disjoint,
+    * so no pair is generated twice and no distinct pass is needed; the
+    * gram arrays are attached after the pair join. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   lengthBucket: Int = 32): DataFrame = {
+                   lengthBucket: Int = 8): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
         charShingles(col(textCol), n).as("grams"),
         floor(length(col(textCol)) / lengthBucket).cast("int").as("bucket"))
-    // neighbor buckets: each doc lands in its own and the next bucket, so
-    // pairs straddling a boundary still meet (standard blocking trick)
-    val blocked = docs.select(col("id"), col("grams"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("blk"))
-    val l = blocked.select(col("blk"), col("id").as("i"), col("grams").as("g_i"))
-    val r = blocked.select(col("blk"), col("id").as("j"), col("grams").as("g_j"))
-    l.join(r, Seq("blk"))
+
+    val meta = docs.select(col("id"), col("bucket"))
+    val same = meta.select(col("bucket"), col("id").as("i"))
+      .join(meta.select(col("bucket"), col("id").as("j")), Seq("bucket"))
       .filter(col("i") < col("j"))
+    val adjacent = meta.select((col("bucket") + 1).as("bucket"), col("id").as("a"))
+      .join(meta.select(col("bucket"), col("id").as("b")), Seq("bucket"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+    val candidates = same.select(col("i"), col("j"))
+      .union(adjacent.select(col("i"), col("j")))
+
+    val gi = docs.select(col("id").as("i"), col("grams").as("g_i"))
+    val gj = docs.select(col("id").as("j"), col("grams").as("g_j"))
+    candidates.join(gi, Seq("i")).join(gj, Seq("j"))
       .select(col("i"), col("j"), jaccard(col("g_i"), col("g_j")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
     * shared coarse key (e.g. an LSH sign-bucket or cluster id) to avoid the
-    * all-pairs product at scale. */
+    * all-pairs product at scale. Pairs join on (block, id) alone; vectors
+    * are attached to the candidate pairs afterwards. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: Column, threshold: Double): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       blockCol.as("blk"))
-    val l = vecs.select(col("blk"), col("id").as("i"), col("v").as("v_i"))
-    val r = vecs.select(col("blk"), col("id").as("j"), col("v").as("v_j"))
-    l.join(r, Seq("blk"))
+    val meta = vecs.select(col("blk"), col("id"))
+    val candidates = meta.select(col("blk"), col("id").as("i"))
+      .join(meta.select(col("blk"), col("id").as("j")), Seq("blk"))
       .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+    val vi = vecs.select(col("id").as("i"), col("v").as("v_i"))
+    val vj = vecs.select(col("id").as("j"), col("v").as("v_j"))
+    candidates.join(vi, Seq("i")).join(vj, Seq("j"))
       .select(col("i"), col("j"),
         round(cosineSimilarity(col("v_i"), col("v_j")), 6).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }

@@ -180,7 +180,7 @@ object PipelineQueries {
                 FROM documents)
           WHERE len(toks) >= 3
         ), mh AS (
-          SELECT id, j, min(${HASH32}) AS m
+          SELECT id, j, min(((2*j+1) * ${HASH32} + j*1000003) % 4294967311) AS m
           FROM (SELECT id, unnest(shingles) AS s FROM docs), range(0, 12) t(j)
           GROUP BY id, j
         ), bands AS (
@@ -199,7 +199,7 @@ object PipelineQueries {
         WHERE len(list_intersect(di.shingles, dj.shingles))::DOUBLE /
               (len(di.shingles) + len(dj.shingles)
                - len(list_intersect(di.shingles, dj.shingles))) >= 0.7"""
-        .replace("${HASH32}", duckHash32("j::VARCHAR || ':' || s")))),
+        .replace("${HASH32}", duckHash32("s")))),
 
     QueryDef(
       "dedup_simhash",
@@ -233,13 +233,13 @@ object PipelineQueries {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8, lengthBucket = 32),
+        n = 3, threshold = 0.8, lengthBucket = 8),
       Some("""
         WITH docs AS (
           SELECT doc_id AS id,
                  list_distinct([substr(text, i, 3)
                                 for i in range(1, length(text) - 1)]) AS grams,
-                 CAST(floor(length(text) / 32.0) AS INT) AS bucket
+                 CAST(floor(length(text) / 8.0) AS INT) AS bucket
           FROM documents WHERE length(text) >= 3
         ), blocked AS (
           SELECT id, grams, unnest([bucket, bucket + 1]) AS blk FROM docs
