@@ -19,7 +19,12 @@ case class LastCheckpoint(version: Long, size: Long, parts: Option[Int] = None)
   */
 object Checkpoints {
 
-  def writeCheckpoint(snapshot: Snapshot): Unit = {
+  /** Write the snapshot's checkpoint; `parts > 1` produces the protocol's
+    * multi-part form `V.checkpoint.i.n.parquet` (one Spark output
+    * partition per part — at very large file counts no single writer task
+    * or reader task handles the whole state). */
+  def writeCheckpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
     val log = snapshot.deltaLog
     val spark = snapshot.spark
     val fs = log.logPath.getFileSystem(log.hadoopConf)
@@ -33,18 +38,29 @@ object Checkpoints {
     implicit val enc = Encoders.product[SingleAction]
     val tempDir = new Path(log.logPath,
       s".checkpoint_tmp_${java.util.UUID.randomUUID()}")
-    spark.createDataset(actions).repartition(1)
+    spark.createDataset(actions).repartition(parts)
       .write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
     try {
-      val part = fs.listStatus(tempDir)
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-      val dest = FileNames.checkpointFileSingular(log.logPath, snapshot.version)
-      fs.delete(dest, false) // idempotent re-checkpoint
-      if (!fs.rename(part, dest)) {
-        throw new java.io.IOException(s"rename $part -> $dest failed")
+      val written = fs.listStatus(tempDir)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      require(written.nonEmpty, "checkpoint write produced no parquet")
+      val dests =
+        if (parts == 1) {
+          Seq(FileNames.checkpointFileSingular(log.logPath, snapshot.version))
+        } else {
+          // a near-empty state can yield fewer Spark partitions than parts
+          FileNames.checkpointFileWithParts(
+            log.logPath, snapshot.version, written.length)
+        }
+      written.zip(dests).foreach { case (part, dest) =>
+        fs.delete(dest, false) // idempotent re-checkpoint
+        if (!fs.rename(part, dest)) {
+          throw new java.io.IOException(s"rename $part -> $dest failed")
+        }
       }
-      val lc = LastCheckpoint(snapshot.version, actions.size.toLong)
+      val lc = LastCheckpoint(snapshot.version, actions.size.toLong,
+        parts = Some(written.length).filter(_ > 1))
       log.store.write(FileNames.lastCheckpointFile(log.logPath),
         Iterator(JsonCodec.mapper.writeValueAsString(lc)),
         overwrite = true, log.hadoopConf)

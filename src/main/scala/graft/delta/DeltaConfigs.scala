@@ -54,4 +54,10 @@ object DeltaConfigs {
 
   val IS_APPEND_ONLY: DeltaConfig[Boolean] = DeltaConfig(
     "delta.appendOnly", "false", _.toBoolean)
+
+  /** Number of parts for checkpoint parquet (the reference reads
+    * multi-part checkpoints; writing them bounds per-task state size at
+    * very large file counts). */
+  val CHECKPOINT_PARTS: DeltaConfig[Int] = DeltaConfig(
+    "delta.checkpointParts", "1", _.toInt, (_: Int) >= 1)
 }

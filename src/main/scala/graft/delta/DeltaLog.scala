@@ -23,7 +23,7 @@ class DeltaLog private (
     val dataPath: Path) {
 
   val hadoopConf: Configuration = spark.sessionState.newHadoopConf()
-  val store: LogStore = LogStore.forPath(logPath)
+  val store: LogStore = LogStore.forPath(logPath, hadoopConf)
 
   /** Commit mutual exclusion within this JVM (cross-process exclusion is
     * the LogStore's atomic rename). Ref: DeltaLogImpl.scala:78,190-197. */
@@ -113,8 +113,26 @@ class DeltaLog private (
     val deltas = files.filter(f => FileNames.isDeltaFile(f.getPath))
       .filter(f => versionToLoad.forall(FileNames.deltaVersion(f.getPath) <= _))
 
-    val latestCheckpoint = checkpoints
-      .map(f => FileNames.checkpointVersion(f.getPath)).sorted.lastOption
+    // latest COMPLETE checkpoint: group by (version, totalParts); a group
+    // counts only with all its parts present (ref Checkpoints.scala
+    // getLatestCompleteCheckpointFromList / CheckpointInstance ordering) —
+    // an in-flight or partially-deleted multi-part checkpoint is ignored
+    val completeGroups = checkpoints
+      .groupBy(f => (FileNames.checkpointVersion(f.getPath),
+        FileNames.checkpointParts(f.getPath).map(_._2)))
+      .collect {
+        case ((v, None), fs) if fs.size == 1 => (v, fs)
+        case ((v, Some(n)), fs)
+            if fs.map(f => FileNames.checkpointParts(f.getPath).get._1)
+              .toSet == (1 to n).toSet => (v, fs)
+      }
+    val latestCheckpoint = completeGroups.keys.toSeq.sorted.lastOption
+    // the hinted checkpoint is incomplete (e.g. a lost multi-part file):
+    // recover by relisting the whole log (ref Checkpoints.scala
+    // findLastCompleteCheckpoint backward search)
+    if (latestCheckpoint.isEmpty && startCheckpoint.isDefined) {
+      return getLogSegmentForVersion(None, versionToLoad)
+    }
     val newestFirstDeltas = latestCheckpoint match {
       case Some(cp) => deltas.filter(f => FileNames.deltaVersion(f.getPath) > cp)
       case None => deltas
@@ -140,10 +158,9 @@ class DeltaLog private (
       require(version == v,
         s"Cannot time travel to version $v; latest reconstructable is $version")
     }
-    val cpFiles = latestCheckpoint.map { cp =>
-      files.filter(f => FileNames.isCheckpointFile(f.getPath) &&
-        FileNames.checkpointVersion(f.getPath) == cp)
-    }.getOrElse(Nil)
+    val cpFiles = latestCheckpoint
+      .map(cp => completeGroups(cp).sortBy(_.getPath.getName))
+      .getOrElse(Nil)
     LogSegment(logPath, version, newestFirstDeltas, cpFiles, latestCheckpoint,
       newestFirstDeltas.lastOption.map(_.getModificationTime)
         .orElse(cpFiles.headOption.map(_.getModificationTime)).getOrElse(0L))

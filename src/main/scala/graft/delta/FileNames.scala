@@ -13,6 +13,19 @@ object FileNames {
   def checkpointFileSingular(logPath: Path, version: Long): Path =
     new Path(logPath, f"$version%020d.checkpoint.parquet")
 
+  /** Multi-part checkpoint file names: `V.checkpoint.i.n.parquet` for
+    * i in 1..n (ref: util/FileNames.scala checkpointFileWithParts). */
+  def checkpointFileWithParts(logPath: Path, version: Long, parts: Int): Seq[Path] =
+    (1 to parts).map(i =>
+      new Path(logPath, f"$version%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+
+  /** (part, totalParts) of a multi-part checkpoint file; None if singular. */
+  def checkpointParts(path: Path): Option[(Int, Int)] = {
+    val segments = path.getName.split('.')
+    if (segments.length == 5) Some((segments(2).toInt, segments(3).toInt))
+    else None
+  }
+
   def isDeltaFile(path: Path): Boolean =
     deltaFileRegex.pattern.matcher(path.getName).matches()
 

@@ -91,9 +91,99 @@ class HadoopFileSystemLogStore extends LogStore {
   }
 }
 
+/** Put-if-absent emulation for object stores whose rename is
+  * copy-then-delete and whose listings are eventually consistent (ref
+  * S3SingleDriverLogStore.scala:33-246): correctness holds for a SINGLE
+  * writer JVM, which serializes its own writes through an in-JVM cache of
+  * recently written paths and merges that cache into listings so a
+  * just-written commit is visible to the next `listFrom` even before the
+  * store's listing catches up.
+  *
+  * The existence check (cache ∪ store) happens under a global lock, then
+  * the object is written directly — no rename, object-store writes are
+  * all-or-nothing on close. */
+class ObjectStoreLogStore extends LogStore {
+  import java.util.concurrent.ConcurrentHashMap
+
+  override def read(path: Path, conf: Configuration): Seq[String] = {
+    val fs = path.getFileSystem(conf)
+    val stream = fs.open(path)
+    try Source.fromInputStream(stream)(Codec.UTF8).getLines().toVector
+    finally stream.close()
+  }
+
+  override def write(path: Path, lines: Iterator[String], overwrite: Boolean,
+                     conf: Configuration): Unit = {
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path.getParent)) fs.mkdirs(path.getParent)
+    ObjectStoreLogStore.lock.synchronized {
+      if (!overwrite &&
+          (ObjectStoreLogStore.writtenPaths.containsKey(path.toUri.toString) ||
+            fs.exists(path))) {
+        throw new FileAlreadyExistsException(path.toString)
+      }
+      val out = fs.create(path, overwrite)
+      try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
+      finally out.close()
+      ObjectStoreLogStore.writtenPaths.put(
+        path.toUri.toString, java.lang.Long.valueOf(System.currentTimeMillis()))
+    }
+  }
+
+  override def listFrom(path: Path, conf: Configuration): Iterator[FileStatus] = {
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path.getParent)) {
+      throw new FileNotFoundException(s"No such directory: ${path.getParent}")
+    }
+    // merge the listing with the write-cache (resolving just-written
+    // paths through getFileStatus) so our own commits are always visible;
+    // the merge de-duplicates by FILE NAME (unique within the directory —
+    // immune to scheme/authority spelling differences between the two)
+    val listed = fs.listStatus(path.getParent)
+      .filter(_.getPath.getName >= path.getName)
+    val parent = path.getParent.toUri.toString
+    val cached = ObjectStoreLogStore.writtenPaths.keySet().iterator()
+    val extra = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    while (cached.hasNext) {
+      val p = cached.next()
+      if (p.startsWith(parent)) {
+        val hp = new Path(new java.net.URI(p))
+        if (hp.getParent.toUri.toString == parent &&
+            hp.getName >= path.getName && fs.exists(hp)) {
+          extra += fs.getFileStatus(hp)
+        }
+      }
+    }
+    (listed ++ extra).groupBy(_.getPath.getName).toSeq
+      .sortBy(_._1).iterator.map(_._2.head)
+  }
+
+  override def isPartialWriteVisible(path: Path, conf: Configuration): Boolean =
+    false
+}
+
+object ObjectStoreLogStore {
+  private[storage] val lock = new Object
+  private[storage] val writtenPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+}
+
 object LogStore {
-  /** Scheme-based selection (ref DelegatingLogStore.scala:33-135). Local
-    * and HDFS share the rename-based store; object-store variants would
-    * plug in here. */
-  def forPath(path: Path): LogStore = new HadoopFileSystemLogStore
+  /** Scheme-based selection (ref DelegatingLogStore.scala:33-135,
+    * LogStoreProvider.scala): rename-atomic filesystems (local, HDFS,
+    * abfs[s] — Azure rename is atomic) use the rename store; S3-style
+    * object stores get the put-if-absent emulation. A per-scheme override
+    * (`graft.logStore.<scheme>.impl` in the Hadoop conf) wins. */
+  def forPath(path: Path, conf: Configuration = new Configuration()): LogStore = {
+    val scheme = Option(path.toUri.getScheme).getOrElse("file").toLowerCase
+    Option(conf.get(s"graft.logStore.$scheme.impl")) match {
+      case Some(cls) =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[LogStore]
+      case None => scheme match {
+        case "s3" | "s3a" | "s3n" | "gs" | "oss" => new ObjectStoreLogStore
+        case _ => new HadoopFileSystemLogStore
+      }
+    }
+  }
 }

@@ -265,7 +265,8 @@ class OptimisticTransaction(
   /** Checkpoint cadence + log cleanup (ref :393-405, Checkpoints.scala:122-135). */
   private def postCommit(version: Long): Unit = {
     if (version != 0 && version % deltaLog.checkpointInterval == 0) {
-      Checkpoints.writeCheckpoint(deltaLog.update())
+      Checkpoints.writeCheckpoint(deltaLog.update(),
+        DeltaConfigs.CHECKPOINT_PARTS.fromMetadata(deltaLog.metadata))
       if (deltaLog.enableExpiredLogCleanup) deltaLog.cleanUpExpiredLogs()
     }
   }
