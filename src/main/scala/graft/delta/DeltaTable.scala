@@ -40,9 +40,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     spark.createDataset(deltaLog.history().map { ci =>
       (ci.version.getOrElse(-1L), ci.timestamp.getOrElse(0L),
         ci.operation.getOrElse(""), ci.isBlindAppend.getOrElse(false),
-        ci.isolationLevel.getOrElse(""), ci.engineInfo.getOrElse(""))
+        ci.isolationLevel.getOrElse(""), ci.engineInfo.getOrElse(""),
+        ci.operationMetrics.getOrElse(Map.empty))
     }).toDF("version", "timestamp", "operation", "isBlindAppend",
-      "isolationLevel", "engineInfo")
+      "isolationLevel", "engineInfo", "operationMetrics")
   }
 
   def version: Long = deltaLog.update().version
@@ -58,7 +59,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(residual.isEmpty,
       s"deleteWhere only supports partition-column predicates; residual: $residual")
     val matched = txn.markFilesAsRead(partitionFilter)
-    txn.commit(matched.map(_.remove(deltaLog.clock())), DeltaOperations.Delete)
+    txn.commit(matched.map(_.remove(deltaLog.clock())), DeltaOperations.Delete,
+      operationMetrics = Map(
+        "numRemovedFiles" -> matched.size.toString,
+        "numRemovedBytes" -> matched.map(_.size).sum.toString))
   }
 }
 

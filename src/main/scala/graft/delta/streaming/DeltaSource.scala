@@ -45,9 +45,19 @@ class DeltaSource(
   // version at which this stream started; metadata changes at or before
   // this version are part of the initial snapshot, not "mid-stream"
   private val initialSnapshot: Snapshot = deltaLog.update()
-  private val startingVersion: Option[Long] = options.get("startingVersion").map {
-    case "latest" => initialSnapshot.version + 1
-    case v => v.toLong
+  private val startingVersion: Option[Long] = {
+    require(!(options.contains("startingVersion") &&
+        options.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive " +
+        "(ref DeltaSourceOptions validation)")
+    options.get("startingVersion").map {
+      case "latest" => initialSnapshot.version + 1
+      case v => v.toLong
+    }.orElse(options.get("startingTimestamp").map { ts =>
+      // first version whose commit timestamp is at or after ts (F4)
+      deltaLog.getVersionAtOrAfterTimestamp(
+        java.sql.Timestamp.valueOf(ts).getTime)
+    })
   }
 
   override val schema: StructType = initialSnapshot.metadata.schema

@@ -136,7 +136,8 @@ class OptimisticTransaction(
 
   // ------------------------------------------------------------ commit (T2)
   def commit(actions: Seq[Action], op: String,
-             engineInfo: String = "graft-spark/0.1.0"): Long = {
+             engineInfo: String = "graft-spark/0.1.0",
+             operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "Transaction already committed")
     // extract a Metadata action if the caller passed one inline
     val metadataActions = actions.collect { case m: Metadata => m }
@@ -165,6 +166,7 @@ class OptimisticTransaction(
       readVersion = Some(readVersion).filter(_ >= 0),
       isolationLevel = Some(isolation.name),
       isBlindAppend = Some(isBlindAppend),
+      operationMetrics = Some(operationMetrics).filter(_.nonEmpty),
       engineInfo = Some(engineInfo))
 
     val version = doCommitRetryIteratively(

@@ -72,10 +72,21 @@ object DeltaWriter {
         txn.snapshot.allFiles.map(_.remove(deltaLog.clock()))
       } else Nil
 
+    // operation metrics (ref Operation.java:110-338 metric name constants)
+    val numOutputRows = adds.flatMap(_.stats).map(s =>
+      JsonCodec.mapper.readTree(s).path("numRecords").asLong(0L)).sum
+    val metrics = Map(
+      "numFiles" -> adds.size.toString,
+      "numOutputBytes" -> adds.map(_.size).sum.toString,
+      "numOutputRows" -> numOutputRows.toString) ++
+      (if (removes.nonEmpty)
+        Map("numRemovedFiles" -> removes.size.toString) else Map.empty)
+
     txn.commit(adds ++ removes,
       if (!exists) DeltaOperations.CreateTable
       else if (mode == SaveMode.Overwrite) DeltaOperations.ReplaceTable
-      else operation)
+      else operation,
+      operationMetrics = metrics)
   }
 
   /** Existing columns keep their position and type (the incoming schema
