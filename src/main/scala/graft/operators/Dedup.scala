@@ -52,7 +52,8 @@ object Dedup {
     // shingle-lambda element would re-run the split (see wordShinglesOf)
     val docs = df.select(col(idCol).as("id"),
         tokens(col(textCol)).as("toks"))
-      .select(col("id"), wordShinglesOf(col("toks"), shingleWidth).as("shingles"))
+      .select(col("id"),
+        array_sort(wordShinglesOf(col("toks"), shingleWidth)).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
     // signature: min_j over shingles of (a_j·md5_32(s) + b_j) mod p
@@ -83,7 +84,8 @@ object Dedup {
     val gi = docs.select(col("id").as("i"), col("shingles").as("sh_i"))
     val gj = docs.select(col("id").as("j"), col("shingles").as("sh_j"))
     candidates.join(gi, Seq("i")).join(gj, Seq("j"))
-      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jaccard"))
+      .select(col("i"), col("j"),
+        SortedArrayJaccard(col("sh_i"), col("sh_j")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -142,7 +144,7 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.8,
                    lengthBucket: Int = 8): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-        charShingles(col(textCol), n).as("grams"),
+        array_sort(charShingles(col(textCol), n)).as("grams"),
         floor(length(col(textCol)) / lengthBucket).cast("int").as("bucket"))
 
     val meta = docs.select(col("id"), col("bucket"))
@@ -159,7 +161,8 @@ object Dedup {
     val gi = docs.select(col("id").as("i"), col("grams").as("g_i"))
     val gj = docs.select(col("id").as("j"), col("grams").as("g_j"))
     candidates.join(gi, Seq("i")).join(gj, Seq("j"))
-      .select(col("i"), col("j"), jaccard(col("g_i"), col("g_j")).as("jaccard"))
+      .select(col("i"), col("j"),
+        SortedArrayJaccard(col("g_i"), col("g_j")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
