@@ -179,11 +179,14 @@ object Dedup {
       .join(meta.select(col("blk"), col("id").as("j")), Seq("blk"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"))
-    val vi = vecs.select(col("id").as("i"), col("v").as("v_i"))
-    val vj = vecs.select(col("id").as("j"), col("v").as("v_j"))
+    val vi = vecs.select(col("id").as("i"), col("v").as("v_i"),
+      sqrt(VectorDot(col("v"), col("v"))).as("n_i"))
+    val vj = vecs.select(col("id").as("j"), col("v").as("v_j"),
+      sqrt(VectorDot(col("v"), col("v"))).as("n_j"))
     candidates.join(vi, Seq("i")).join(vj, Seq("j"))
       .select(col("i"), col("j"),
-        round(cosineSimilarity(col("v_i"), col("v_j")), 6).as("cosine"))
+        round(VectorDot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

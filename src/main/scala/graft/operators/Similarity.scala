@@ -28,12 +28,17 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // norms precomputed per row (not per pair); the dot is a codegen'd
+    // VectorDot — the pairwise hot loop never hits the interpreted path
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
+        round(VectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -66,13 +71,16 @@ object Similarity {
               idCol: String, vecCol: String, dim: Int,
               k: Int, planes: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      lshBucket(col(vecCol), dim, planes).as("bucket"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      lshBucket(col(vecCol), dim, planes).as("bucket"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
+        round(VectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
