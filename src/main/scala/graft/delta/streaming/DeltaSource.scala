@@ -62,17 +62,51 @@ class DeltaSource(
 
   override val schema: StructType = initialSnapshot.metadata.schema
 
+  /** Rate limit: cap each micro-batch at this many data AddFiles (always
+    * at least one version per batch). After a restart the first batch is
+    * uncapped — the V1 Source API doesn't hand back the committed offset
+    * before the first getOffset, and correctness (exactly-once by version
+    * range) never depends on the cap. */
+  private val maxFilesPerTrigger: Option[Int] =
+    options.get("maxFilesPerTrigger").map(_.toInt)
+  private var lastReported: Option[Long] = None
+
   override def getOffset: Option[Offset] = {
-    val v = deltaLog.update().version
-    if (v < 0) None
-    else startingVersion match {
-      case Some(sv) if v < sv => None // nothing at or after the start yet
-      case _ => Some(LongOffset(v))
+    val head = deltaLog.update().version
+    if (head < 0) return None
+    val base = lastReported.orElse(startingVersion.map(_ - 1))
+    val end = (base, maxFilesPerTrigger) match {
+      case (Some(b), Some(budget)) if head > b =>
+        var endV = b
+        var files = 0
+        val it = deltaLog.getChanges(b + 1).takeWhile(_._1 <= head)
+        var done = false
+        while (!done && it.hasNext) {
+          val (v, actions) = it.next()
+          val n = actions.count {
+            case a: AddFile => a.dataChange
+            case _ => false
+          }
+          // the first version always fits (a batch must make progress)
+          if (endV > b && files + n > budget) done = true
+          else { endV = v; files += n }
+        }
+        endV
+      case _ => head
+    }
+    startingVersion match {
+      case Some(sv) if end < sv => None // nothing at or after the start yet
+      case _ =>
+        lastReported = Some(end)
+        Some(LongOffset(end))
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = asVersion(end)
+    // keep the rate-limit base correct across restart recovery, where the
+    // engine re-plays a pending batch before calling getOffset
+    lastReported = Some(lastReported.fold(endV)(math.max(_, endV)))
     val files = start match {
       case Some(s) =>
         changedFiles(asVersion(s) + 1, endV)

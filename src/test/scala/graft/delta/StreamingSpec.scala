@@ -82,6 +82,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maxFilesPerTrigger splits catch-up into multiple micro-batches") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write(Seq(1).toDF("value"), table)
+      (2 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("value"), table))
+
+      // start from version 0 explicitly so every version flows as changes
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .load(table)
+        .writeStream.format("memory").queryName("ratelimited")
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("ratelimited").as[Int].collect().sorted.toSeq ==
+          Seq(1, 2, 3, 4))
+        // 4 versions x 1 file with a 1-file budget => at least 4 batches
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        assert(batches >= 4, s"expected >=4 rate-limited batches, got $batches")
+      } finally q.stop()
+    }
+  }
+
   test("source fails on delete unless ignoreDeletes") {
     withTempDir { base =>
       val table = s"$base/table"
