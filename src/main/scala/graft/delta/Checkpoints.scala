@@ -24,21 +24,44 @@ object Checkpoints {
     * partition per part — at very large file counts no single writer task
     * or reader task handles the whole state). */
   def writeCheckpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
-    require(parts >= 1, s"parts must be >= 1, got $parts")
-    val log = snapshot.deltaLog
-    val spark = snapshot.spark
-    val fs = log.logPath.getFileSystem(log.hadoopConf)
-
+    implicit val enc = Encoders.product[SingleAction]
     val actions: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
         snapshot.setTransactions.map(_.wrap)) ++
         snapshot.allFiles.map(_.wrap) ++
         snapshot.tombstones.map(_.wrap)
+    writeCheckpointDS(snapshot,
+      snapshot.spark.createDataset(actions), actions.size.toLong, parts)
+  }
 
+  /** Fully distributed variant: the AddFile set comes from the
+    * distributed log replay (M3) and flows into the checkpoint parquet as
+    * a Spark job — the table's file list never materializes on the
+    * driver. Protocol/metadata/txns/tombstones are driver-small by
+    * construction. */
+  def writeCheckpointDistributed(snapshot: Snapshot, parts: Int = 1): Unit = {
     implicit val enc = Encoders.product[SingleAction]
+    val small: Seq[SingleAction] =
+      (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
+        snapshot.setTransactions.map(_.wrap)) ++
+        snapshot.tombstones.map(_.wrap)
+    val ds = snapshot.spark.createDataset(small)
+      .unionByName(snapshot.allFilesDistributed.map(_.wrap))
+    writeCheckpointDS(snapshot, ds, -1L, parts)
+  }
+
+  private def writeCheckpointDS(
+      snapshot: Snapshot,
+      actionsDS: org.apache.spark.sql.Dataset[SingleAction],
+      knownSize: Long,
+      parts: Int): Unit = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    val log = snapshot.deltaLog
+    val fs = log.logPath.getFileSystem(log.hadoopConf)
+
     val tempDir = new Path(log.logPath,
       s".checkpoint_tmp_${java.util.UUID.randomUUID()}")
-    spark.createDataset(actions).repartition(parts)
+    actionsDS.repartition(parts)
       .write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
     try {
       val written = fs.listStatus(tempDir)
@@ -59,7 +82,7 @@ object Checkpoints {
           throw new java.io.IOException(s"rename $part -> $dest failed")
         }
       }
-      val lc = LastCheckpoint(snapshot.version, actions.size.toLong,
+      val lc = LastCheckpoint(snapshot.version, knownSize,
         parts = Some(written.length).filter(_ > 1))
       log.store.write(FileNames.lastCheckpointFile(log.logPath),
         Iterator(JsonCodec.mapper.writeValueAsString(lc)),

@@ -136,6 +136,12 @@ package object functions {
         c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
 
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the GPT-2-ish pre-merge
+    * segmentation, minus byte-level details). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0)))
+
   /** Stopword-ratio style quality features; `stopwords` must be lowercase. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(lower(text)), t => t.isin(stopwords: _*)))

@@ -64,6 +64,23 @@ object PipelineQueries {
         FROM documents GROUP BY lang""")),
 
     QueryDef(
+      "text_bpe_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", bpeTokenCount($"text").as("toks"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"toks".cast("long")).as("sum_bpe_tokens"),
+               max($"toks").as("max_bpe_tokens"))
+      },
+      Some(raw"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
+               MAX(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS max_bpe_tokens
+        FROM documents GROUP BY lang""")),
+
+    QueryDef(
       "text_quality_scores",
       (s, dir) => {
         import s.implicits._

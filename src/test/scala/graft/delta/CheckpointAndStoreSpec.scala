@@ -36,6 +36,26 @@ class CheckpointAndStoreSpec extends SparkSpec {
     }
   }
 
+  test("distributed checkpoint write reconstructs the same state") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 30).map(i => (i, s"g${i % 3}")).toDF("v", "grp"),
+        dir, partitionBy = Seq("grp"))
+      DeltaTable.forPath(spark, dir).deleteWhere($"grp" === "g2")
+      DeltaTable.write(Seq((99, "g2")).toDF("v", "grp"), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update()
+      Checkpoints.writeCheckpointDistributed(before, parts = 2)
+
+      DeltaLog.clearCache()
+      val after = DeltaLog.forTable(spark, dir).update()
+      assert(after.version == before.version)
+      assert(after.allFiles.map(f => (f.path, f.size)).toSet ==
+        before.allFiles.map(f => (f.path, f.size)).toSet)
+      assert(after.metadata.id == before.metadata.id)
+      assert(after.toDF.count() == before.toDF.count())
+    }
+  }
+
   test("an incomplete multi-part checkpoint is ignored") {
     withTempDir { dir =>
       DeltaTable.write((1 to 10).toDF("v"), dir)
