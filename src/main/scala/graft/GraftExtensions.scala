@@ -23,10 +23,12 @@ import graft.functions.{SortedArrayJaccard, VectorDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaInserts)
+  }
 }
 
 object GraftExtensions {
@@ -53,4 +55,47 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+
+  /** Claims INSERT INTO/OVERWRITE over a Delta relation during the
+    * RESOLUTION batch, before the built-in post-hoc rules
+    * (PreprocessTableInsertion → DataSourceAnalysis) can turn it into the
+    * raw file-write command — which would bypass the transaction log
+    * (and is hard-blocked by GuardedParquetFileFormat as a second line of
+    * defense). The insert becomes [[graft.delta.read.GraftInsertCommand]]:
+    * positional column alignment with casts, then the transactional
+    * InsertableRelation.insert. Overwrite replaces the whole table (the
+    * engine's REPLACE semantics). Static PARTITION values are rejected —
+    * partition columns travel as ordinary data in Delta writes. */
+  object RouteDeltaInserts
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+    import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case InsertIntoStatement(lr: LogicalRelation, parts, userCols, query,
+              overwrite, _, byName)
+            if query.resolved &&
+              lr.relation.isInstanceOf[graft.delta.read.InsertableDeltaRelation] =>
+          require(parts.values.forall(_.isEmpty),
+            "static PARTITION values are not supported for Delta inserts; " +
+              "include the partition columns in the inserted data instead")
+          require(userCols.isEmpty && !byName,
+            "Delta SQL inserts are positional; a column list / BY NAME is " +
+              "not supported")
+          require(query.output.size == lr.output.size,
+            s"INSERT has ${query.output.size} columns but the table has " +
+              s"${lr.output.size}")
+          val aligned = query.output.zip(lr.output).map { case (in, out) =>
+            if (in.dataType == out.dataType && in.name == out.name) in
+            else Alias(Cast(in, out.dataType, Some(conf.sessionLocalTimeZone)),
+              out.name)()
+          }
+          graft.delta.read.GraftInsertCommand(
+            lr.relation.asInstanceOf[graft.delta.read.InsertableDeltaRelation],
+            Project(aligned, query), overwrite)
+      }
+  }
 }

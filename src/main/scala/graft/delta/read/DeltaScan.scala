@@ -3,7 +3,6 @@ package graft.delta.read
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 
 import graft.delta.{AddFile, Snapshot}
 
@@ -51,7 +50,7 @@ class DeltaScanBuilder(snapshot: Snapshot) {
       partitionSchema = snapshot.metadata.partitionSchema,
       dataSchema = snapshot.metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat,
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
     // present columns in the table-schema order (partition columns are

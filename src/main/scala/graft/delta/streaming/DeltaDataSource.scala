@@ -51,13 +51,8 @@ class DeltaDataSource
         "Cannot specify both versionAsOf and timestampAsOf")
     }
     snapshot.assertReadable()
-    HadoopFsRelation(
-      location = new DeltaFileIndex(spark, snapshot),
-      partitionSchema = snapshot.metadata.partitionSchema,
-      dataSchema = snapshot.metadata.dataSchema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
+    new read.InsertableDeltaRelation(
+      new DeltaFileIndex(spark, snapshot), snapshot, pathOf(parameters), spark)
   }
 
   // ----------------------------------------------------------- batch write

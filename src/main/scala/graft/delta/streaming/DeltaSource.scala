@@ -2,7 +2,6 @@ package graft.delta.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.Shims
@@ -160,7 +159,7 @@ class DeltaSource(
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat,
       options = Map.empty)(spark)
     val df = Shims.relationToDataFrame(spark, relation, isStreaming = true)
     df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)

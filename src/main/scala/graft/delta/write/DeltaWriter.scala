@@ -53,8 +53,14 @@ object DeltaWriter {
         configuration = configuration))
     } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson &&
                mode == SaveMode.Overwrite) {
-      txn.updateMetadata(txn.snapshot.metadata.copy(
-        schemaString = Some(schemaJson), partitionColumns = partCols))
+      // a stricter (non-nullable) incoming batch must not narrow the table
+      // schema; only a genuine shape change replaces it — stored nullable,
+      // since later appends may carry nulls
+      if (relaxed(txn.snapshot.metadata.schema).json != relaxed(df.schema).json) {
+        txn.updateMetadata(txn.snapshot.metadata.copy(
+          schemaString = Some(relaxed(df.schema).json),
+          partitionColumns = partCols))
+      }
     } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson) {
       // append-time schema evolution (T7 / F8 mergeSchema semantics): the
       // incoming frame must cover every existing column with the same type;
@@ -88,6 +94,25 @@ object DeltaWriter {
       else operation,
       operationMetrics = metrics)
   }
+
+  /** Everything-nullable view of a schema (Spark's asNullable is
+    * private): used to compare schemas modulo nullability and to store
+    * replaced schemas relaxed, since later appends may carry nulls. */
+  private[delta] def relaxed(dt: org.apache.spark.sql.types.DataType)
+    : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = relaxed(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = relaxed(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = relaxed(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+  private[delta] def relaxed(s: org.apache.spark.sql.types.StructType)
+    : org.apache.spark.sql.types.StructType =
+    relaxed(s: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Existing columns keep their position and type (the incoming schema
     * must contain each of them with an equal type); columns the table has

@@ -15,6 +15,13 @@ object Shims {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** LogicalPlan → DataFrame (private[sql] Dataset.ofRows). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Wrap a BaseRelation as a (optionally streaming-tagged) DataFrame —
     * what Source.getBatch must return for the micro-batch executor. */
   def relationToDataFrame(spark: org.apache.spark.sql.SparkSession,
