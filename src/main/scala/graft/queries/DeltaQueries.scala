@@ -200,6 +200,36 @@ object DeltaQueries {
         FROM lineitem WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-03-31'
         GROUP BY l_linestatus""")),
 
+    // SQL surface (F9): CREATE VIEW over the delta format, transactional
+    // INSERT INTO through the GraftExtensions analyzer rule, read back.
+    QueryDef(
+      "delta_sql_insert",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("sqlins")
+        val n = t(s, dir, "nation")
+        DeltaTable.write(n.filter($"n_regionkey" =!= 0), path, SaveMode.Overwrite)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW nation_delta
+                  USING `graft-delta` OPTIONS (path '$path')""")
+        s.sql("""INSERT INTO nation_delta
+                 SELECT n_nationkey + 100, n_name, n_regionkey
+                 FROM nation_delta WHERE n_regionkey = 1""")
+        s.catalog.dropTempView("nation_delta")
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey").as("sum_key"))
+      },
+      Some("""
+        WITH base AS (SELECT * FROM nation WHERE n_regionkey <> 0),
+        ins AS (SELECT n_nationkey + 100 AS n_nationkey, n_regionkey
+                FROM base WHERE n_regionkey = 1),
+        unioned AS (SELECT n_nationkey, n_regionkey FROM base
+                    UNION ALL SELECT n_nationkey, n_regionkey FROM ins)
+        SELECT n_regionkey, COUNT(*) AS n,
+               CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        FROM unioned GROUP BY n_regionkey""")),
+
     // Commit history as data (M12) — deterministic operation sequence.
     QueryDef(
       "delta_history_ops",
