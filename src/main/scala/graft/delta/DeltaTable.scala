@@ -64,6 +64,92 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "numRemovedFiles" -> matched.size.toString,
         "numRemovedBytes" -> matched.map(_.size).sum.toString))
   }
+
+  /** Physically delete data files no longer referenced by the latest
+    * snapshot, once their tombstones have aged past `retentionMillis`
+    * (default: the table's deletedFileRetentionDuration). Files still
+    * named by a younger tombstone are kept so time travel within the
+    * retention window — and any reader pinned to an old snapshot — stays
+    * intact. Returns the number of deleted files. */
+  def vacuum(retentionMillis: Option[Long] = None): Int = {
+    val snapshot = deltaLog.update()
+    val retention = retentionMillis.getOrElse(
+      DeltaConfigs.TOMBSTONE_RETENTION.fromMetadata(snapshot.metadata))
+    val cutoff = deltaLog.clock() - retention
+    val conf = deltaLog.hadoopConf
+    val fs = deltaLog.dataPath.getFileSystem(conf)
+    val root = deltaLog.dataPath.toUri.getPath
+
+    def decode(child: String): String =
+      new org.apache.hadoop.fs.Path(new java.net.URI(child)).toUri.getPath
+    val active = snapshot.allFiles.map(f => decode(f.path)).toSet
+    // a tombstone younger than the cutoff still protects its file; an
+    // expired one no longer appears in state, so protection comes from
+    // re-reading the RECENT log (bounded by the same retention window)
+    val protectedPaths = snapshot.tombstones
+      .filter(_.delTimestamp >= cutoff).map(r => decode(r.path)).toSet
+
+    var deleted = 0
+    val it = fs.listFiles(deltaLog.dataPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = p.toUri.getPath.stripPrefix(root + "/")
+      val topLevel = rel.split('/').head
+      val isData = st.isFile && !topLevel.startsWith("_") &&
+        !topLevel.startsWith(".") && !p.getName.startsWith(".") &&
+        !p.getName.startsWith("_")
+      if (isData && !active.contains(rel) && !protectedPaths.contains(rel) &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(p, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
+  /** Bin-pack the table's files into ~`targetFileBytes` outputs — the
+    * answer to the small-file problem that kills 100 TB scans (every file
+    * is a task; metadata and open() overhead dominate under ~100 MB).
+    * Rewrites data without changing it: the commit carries
+    * `dataChange=false` adds and removes, so streams reading the table
+    * don't re-emit rows, and a conflict check protects against concurrent
+    * writers. Optionally restricted to partitions matching `where`. */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+              where: Option[Column] = None): Long = {
+    val txn = deltaLog.startTransaction()
+    val snapshot = txn.snapshot
+    val candidates = where match {
+      case Some(pred) => txn.markFilesAsRead(pred)
+      case None => txn.readWholeTable(); snapshot.allFiles
+    }
+    val small = candidates.filter(_.size < targetFileBytes)
+    if (small.size < 2) return snapshot.version // nothing to gain
+
+    val metadata = snapshot.metadata
+    val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, small)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = metadata.partitionSchema,
+      dataSchema = metadata.dataSchema,
+      bucketSpec = None,
+      fileFormat = new read.GuardedParquetFileFormat,
+      options = Map.empty)(spark)
+    val df = spark.baseRelationToDataFrame(relation)
+      .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    val numOutput = math.max(1,
+      math.ceil(small.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val compacted = df.repartition(numOutput)
+
+    val adds = write.DeltaWriter.writeFiles(compacted, deltaLog,
+      metadata.partitionColumns).map(_.copy(dataChange = false))
+    val removes = small.map(_.remove(deltaLog.clock(), dataChange = false))
+    txn.commit(adds ++ removes, "OPTIMIZE",
+      operationMetrics = Map(
+        "numRemovedFiles" -> small.size.toString,
+        "numAddedFiles" -> adds.size.toString,
+        "numAddedBytes" -> adds.map(_.size).sum.toString))
+  }
 }
 
 object DeltaTable {

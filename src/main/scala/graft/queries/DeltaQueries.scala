@@ -200,6 +200,32 @@ object DeltaQueries {
         FROM lineitem WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-03-31'
         GROUP BY l_linestatus""")),
 
+    // OPTIMIZE: bin-pack a deliberately fragmented table, then prove the
+    // data is byte-identical and the file count collapsed (the small-file
+    // problem is the canonical 100 TB scan killer).
+    QueryDef(
+      "delta_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("compact")
+        DeltaTable.write(t(s, dir, "orders").repartition(40), path,
+          SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        table.compact()
+        val nFiles = graft.delta.DeltaLog.forTable(s, path)
+          .update().allFiles.size
+        table.toDF
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(14, 2))).cast("double").as("total"),
+               lit(if (nFiles <= 4) 1 else 0).as("compacted_ok"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+               CAST(1 AS INT) AS compacted_ok
+        FROM orders GROUP BY o_orderstatus""")),
+
     // SQL surface (F9): CREATE VIEW over the delta format, transactional
     // INSERT INTO through the GraftExtensions analyzer rule, read back.
     QueryDef(
