@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // near-dup verification joins attach ~15-60 MB shingle/vector maps
+      // to candidate pairs; at bench scale those belong on the broadcast
+      // side (AQE still picks shuffle joins when a side outgrows this)
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -53,7 +53,8 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         tokens(col(textCol)).as("toks"))
       .select(col("id"),
-        array_sort(wordShinglesOf(col("toks"), shingleWidth)).as("shingles"))
+        ShingleExpressions.wordShinglesSorted(col("toks"), shingleWidth)
+          .as("shingles"))
       .filter(size(col("shingles")) > 0)
 
     // signature: min_j over shingles of (a_j·md5_32(s) + b_j) mod p
@@ -144,7 +145,7 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.8,
                    lengthBucket: Int = 8): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-        array_sort(charShingles(col(textCol), n)).as("grams"),
+        ShingleExpressions.charShinglesSorted(col(textCol), n).as("grams"),
         floor(length(col(textCol)) / lengthBucket).cast("int").as("bucket"))
 
     val meta = docs.select(col("id"), col("bucket"))
