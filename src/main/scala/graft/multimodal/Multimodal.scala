@@ -79,6 +79,63 @@ object Multimodal {
     out
   }
 
+  /** STUBBED resize: a real build would decode, scale to (w, h) and
+    * re-encode; the stub deterministically subsamples the blob to the
+    * target "pixel budget" so output sizes follow the real contract
+    * (output length = min(input length, w·h/256)). */
+  private[multimodal] def resizeStub(media: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val budget = math.max(1, w * h / 256)
+    if (media.length <= budget) return media
+    val out = new Array[Byte](budget)
+    var i = 0
+    while (i < budget) {
+      out(i) = media((i.toLong * media.length / budget).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every blob per partition; schema (id, media, n_bytes). */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType),
+      StructField("n_bytes", LongType)))
+    val rdd = media.select(col("id"), col("media")).rdd.mapPartitions { it =>
+      it.map { row =>
+        val resized = resizeStub(row.getAs[Array[Byte]](1), width, height)
+        Row(row.getLong(0), resized, resized.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling for video-shaped blobs: treat the blob as contiguous
+    * `frameBytes`-sized frames, keep every `everyN`-th frame (from the
+    * first). Output one row per sampled frame with its index — the
+    * explode-shaped plumbing a real frame extractor needs. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val rdd = media.select(col("id"), col("media")).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val frames = bytes.length / frameBytes
+        (0 until frames by everyN).map { f =>
+          Row(id, f,
+            java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Per-partition feature extraction over blobs: decode (stub) →
     * fixed-width feature vector. Runs as one iterator pass per partition —
     * the executor never materializes more than one blob batch. */

@@ -148,12 +148,23 @@ object Dedup {
         ShingleExpressions.charShinglesSorted(col(textCol), n).as("grams"),
         floor(length(col(textCol)) / lengthBucket).cast("int").as("bucket"))
 
-    val meta = docs.select(col("id"), col("bucket"))
-    val same = meta.select(col("bucket"), col("id").as("i"))
-      .join(meta.select(col("bucket"), col("id").as("j")), Seq("bucket"))
-      .filter(col("i") < col("j"))
-    val adjacent = meta.select((col("bucket") + 1).as("bucket"), col("id").as("a"))
-      .join(meta.select(col("bucket"), col("id").as("b")), Seq("bucket"))
+    // candidate pruning is sound: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    // so a pair whose distinct-gram counts are further apart than the
+    // threshold can never verify — filtered on two ints before any array
+    // is attached
+    val meta = docs.select(col("id"), col("bucket"),
+      size(col("grams")).as("nG"))
+    val sizeOk = least(col("nG_i"), col("nG_j")).cast("double") /
+      greatest(col("nG_i"), col("nG_j")) >= threshold
+    val same = meta.select(col("bucket"), col("id").as("i"), col("nG").as("nG_i"))
+      .join(meta.select(col("bucket"), col("id").as("j"), col("nG").as("nG_j")),
+        Seq("bucket"))
+      .filter(col("i") < col("j") && sizeOk)
+    val adjacent = meta.select((col("bucket") + 1).as("bucket"),
+        col("id").as("a"), col("nG").as("nG_i"))
+      .join(meta.select(col("bucket"), col("id").as("b"), col("nG").as("nG_j")),
+        Seq("bucket"))
+      .filter(sizeOk)
       .select(least(col("a"), col("b")).as("i"),
         greatest(col("a"), col("b")).as("j"))
     val candidates = same.select(col("i"), col("j"))

@@ -360,6 +360,30 @@ object PipelineQueries {
 
     // ---------------------------------------------------------- multimodal
     QueryDef(
+      "multimodal_transform",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+        val resized = Multimodal.resize(media, 64, 64) // byte budget 16
+        val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyN = 2)
+        val frameCounts = frames.groupBy($"id")
+          .agg(count(lit(1)).as("n_frames"))
+        resized
+          .join(frameCounts, Seq("id"), "left")
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_bytes").as("resized_bytes"),
+               sum(coalesce($"n_frames", lit(0L))).as("sampled_frames"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(LEAST(strlen(text), 16)) AS BIGINT) AS resized_bytes,
+               CAST(SUM(CAST(ceil((strlen(text) // 32) / 2.0) AS BIGINT)) AS BIGINT) AS sampled_frames
+        FROM documents GROUP BY lang""")),
+
+    QueryDef(
       "multimodal_features",
       (s, dir) => {
         import s.implicits._

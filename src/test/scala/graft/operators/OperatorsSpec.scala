@@ -90,6 +90,25 @@ class OperatorsSpec extends SparkSpec {
     assert(row5.getAs[Long]("n_bytes") == 4L)
   }
 
+  test("multimodal resize and frame sampling follow the stub contracts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 10), (3L, "c" * 70))
+      .toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.mediaFromText(docs, "doc_id", "text")
+    val resized = graft.multimodal.Multimodal.resize(media, 64, 64) // budget 16
+    val sizes = resized.select($"id", $"n_bytes").as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 16L, 2L -> 10L, 3L -> 16L))
+
+    val frames = graft.multimodal.Multimodal
+      .sampleFrames(media, frameBytes = 32, everyN = 2)
+    val perDoc = frames.groupBy($"id").count().as[(Long, Long)].collect().toMap
+    // 100/32=3 frames -> idx 0,2 = 2 kept; 10/32=0; 70/32=2 -> idx 0 = 1
+    assert(perDoc == Map(1L -> 2L, 3L -> 1L))
+    val f0 = frames.filter($"id" === 1L && $"frame_idx" === 0)
+      .select($"frame").as[Array[Byte]].head()
+    assert(f0.length == 32 && f0.forall(_ == 'a'.toByte))
+  }
+
   test("rolling fingerprint matches a reference implementation") {
     def ref(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
