@@ -65,6 +65,94 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "numRemovedBytes" -> matched.map(_.size).sum.toString))
   }
 
+  /** DML DELETE with arbitrary predicates. Partition-only predicates stay
+    * metadata-only (same as [[deleteWhere]]); data predicates rewrite ONLY
+    * the files that may contain matches — partition pruning plus
+    * stats-based data skipping bound the rewrite set, so a selective
+    * delete on a range-sorted table touches few files. */
+  def delete(condition: Column): Long = {
+    val txn = deltaLog.startTransaction()
+    val resolved = read.PartitionUtils.resolveFilter(
+      spark, txn.snapshot.metadata.schema, condition)
+    if (new read.DeltaScan(txn.snapshot, Some(resolved)).residualPredicate.isEmpty) {
+      return deleteWhere(condition) // metadata-only fast path
+    }
+    rewriteMatchedFiles(txn, condition, DeltaOperations.Delete,
+      // keep rows where the condition is false OR null (SQL DELETE
+      // removes only rows where it is TRUE)
+      df => df.filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.coalesce(
+          condition, org.apache.spark.sql.functions.lit(false)))))
+  }
+
+  /** DML UPDATE: rewrite the files that may contain rows matching
+    * `condition`, applying `set` (column name → new value expression) to
+    * the matching rows and carrying all others unchanged. */
+  def update(condition: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "UPDATE requires at least one SET column")
+    val txn = deltaLog.startTransaction()
+    val schema = txn.snapshot.metadata.schema
+    set.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
+      require(!txn.snapshot.metadata.partitionColumns.contains(c),
+        s"Updating partition column $c is not supported")
+    }
+    rewriteMatchedFiles(txn, condition, DeltaOperations.Update, { df =>
+      set.foldLeft(df) { case (acc, (name, value)) =>
+        acc.withColumn(name,
+          org.apache.spark.sql.functions.when(condition,
+            value.cast(schema(name).dataType))
+            .otherwise(org.apache.spark.sql.functions.col(name)))
+      }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    })
+  }
+
+  /** Shared rewrite-DML machinery: select the files whose partition
+    * values or stats admit rows matching `condition`, apply `transform`
+    * to their contents, write replacements and commit adds+removes as one
+    * data-changing transaction (Serializable — conflicts with concurrent
+    * writers are detected through the read predicate). */
+  private def rewriteMatchedFiles(
+      transaction: graft.delta.txn.OptimisticTransaction,
+      condition: Column,
+      operation: String,
+      transform: DataFrame => DataFrame): Long = {
+    val snapshot = transaction.snapshot
+    val metadata = snapshot.metadata
+    val resolved = read.PartitionUtils.resolveFilter(spark, metadata.schema, condition)
+    val (metaPreds, dataPreds) = read.PartitionUtils
+      .splitMetadataAndDataPredicates(resolved, metadata.partitionColumns)
+    val partitionPruned = read.PartitionUtils.filterFileList(
+      metadata.partitionSchema, snapshot.allFiles, metaPreds)
+    val matched = read.DataSkipping.filterFiles(
+      partitionPruned, dataPreds, metadata.dataSchema)
+    transaction.markFilesAsRead(condition)
+    if (matched.isEmpty) return snapshot.version
+
+    val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, matched)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = metadata.partitionSchema,
+      dataSchema = metadata.dataSchema,
+      bucketSpec = None,
+      fileFormat = new read.GuardedParquetFileFormat,
+      options = Map.empty)(spark)
+    val current = spark.baseRelationToDataFrame(relation)
+      .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    val rewritten = transform(current)
+
+    val adds = write.DeltaWriter.writeFiles(rewritten, deltaLog,
+      metadata.partitionColumns)
+    val removes = matched.map(_.remove(deltaLog.clock()))
+    transaction.commit(adds ++ removes, operation,
+      operationMetrics = Map(
+        "numRemovedFiles" -> removes.size.toString,
+        "numAddedFiles" -> adds.size.toString,
+        "numAddedBytes" -> adds.map(_.size).sum.toString))
+  }
+
   /** Physically delete data files no longer referenced by the latest
     * snapshot, once their tombstones have aged past `retentionMillis`
     * (default: the table's deletedFileRetentionDuration). Files still

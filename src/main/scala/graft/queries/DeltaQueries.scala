@@ -200,6 +200,34 @@ object DeltaQueries {
         FROM lineitem WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-03-31'
         GROUP BY l_linestatus""")),
 
+    // Rewrite DML: UPDATE and DELETE with data predicates (file selection
+    // via partition pruning + stats skipping, matched files rewritten).
+    QueryDef(
+      "delta_dml_update_delete",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("dml")
+        DeltaTable.write(
+          t(s, dir, "orders").repartitionByRange(8, $"o_orderkey"),
+          path, SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        table.update(
+          $"o_orderstatus" === "F" && $"o_totalprice" < 50000.0,
+          Map("o_orderpriority" -> lit("9-REPRICED")))
+        table.delete($"o_totalprice" >= 400000.0)
+        table.toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(14, 2))).cast("double").as("total"))
+      },
+      Some("""
+        SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000.0
+                    THEN '9-REPRICED' ELSE o_orderpriority END AS o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_totalprice < 400000.0
+        GROUP BY 1""")),
+
     // OPTIMIZE: bin-pack a deliberately fragmented table, then prove the
     // data is byte-identical and the file count collapsed (the small-file
     // problem is the canonical 100 TB scan killer).

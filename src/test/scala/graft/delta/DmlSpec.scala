@@ -1,0 +1,89 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rewrite delete removes only matching rows and touches few files") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        spark.range(0, 1000).toDF("id").withColumn("flag", $"id" % 10 === 0)
+          .repartitionByRange(8, $"id"),
+        dir)
+      val table = DeltaTable.forPath(spark, dir)
+      table.delete($"id" >= 900L)
+      assert(table.toDF.count() == 900)
+      assert(table.toDF.agg(max($"id")).as[Long].head() == 899L)
+      // stats-based skipping: only the file(s) covering [900, 1000) were
+      // rewritten, the other 7 survived untouched
+      val hist = table.history().filter($"operation" === "DELETE")
+        .select($"operationMetrics").as[Map[String, String]].head()
+      assert(hist("numRemovedFiles").toInt <= 2, hist.toString)
+    }
+  }
+
+  test("delete with a null-producing condition keeps null rows") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        Seq((1, Some(5)), (2, None), (3, Some(50))).toDF("id", "v"), dir)
+      DeltaTable.forPath(spark, dir).delete($"v" > 10)
+      // row 3 deleted; row 2 (null condition) kept — SQL semantics
+      assert(DeltaTable.forPath(spark, dir).toDF.select($"id")
+        .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    }
+  }
+
+  test("update rewrites matching rows and records UPDATE in history") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 100).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "score"),
+        dir, partitionBy = Seq("grp"))
+      val table = DeltaTable.forPath(spark, dir)
+      val g0Before = DeltaLog.forTable(spark, dir).update().allFiles
+        .filter(_.partitionValues("grp") == "g0").map(_.path).toSet
+      table.update($"grp" === "g1" && $"id" < 10,
+        Map("score" -> lit(-1.0)))
+      val out = table.toDF
+      assert(out.filter($"score" === -1.0).count() == 5) // ids 1,3,5,7,9
+      assert(out.filter($"score" > 0).count() == 95)
+      assert(out.count() == 100)
+      assert(table.history().filter($"operation" === "UPDATE").count() == 1)
+      // the g0 partition was never rewritten — same files before and after
+      val g0After = DeltaLog.forTable(spark, dir).update().allFiles
+        .filter(_.partitionValues("grp") == "g0").map(_.path).toSet
+      assert(g0After == g0Before)
+    }
+  }
+
+  test("update rejects partition columns and unknown columns") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a")).toDF("id", "part"), dir,
+        partitionBy = Seq("part"))
+      val table = DeltaTable.forPath(spark, dir)
+      intercept[IllegalArgumentException] {
+        table.update($"id" === 1, Map("part" -> lit("b")))
+      }
+      intercept[IllegalArgumentException] {
+        table.update($"id" === 1, Map("nope" -> lit(1)))
+      }
+    }
+  }
+
+  test("partition-only delete stays metadata-only") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 20).map(i => (i, s"g${i % 2}")).toDF("v", "grp"),
+        dir, partitionBy = Seq("grp"))
+      val table = DeltaTable.forPath(spark, dir)
+      val filesBefore = DeltaLog.forTable(spark, dir).update().allFiles
+        .map(_.path).toSet
+      table.delete($"grp" === "g0")
+      val after = DeltaLog.forTable(spark, dir).update().allFiles.map(_.path).toSet
+      // no new files were written — pure tombstoning
+      assert(after.subsetOf(filesBefore))
+      assert(table.toDF.count() == 10)
+    }
+  }
+}
