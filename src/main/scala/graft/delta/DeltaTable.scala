@@ -108,6 +108,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     })
   }
 
+  /** MERGE INTO builder: the target joins as alias `t`, `source` as `s`.
+    * See [[write.MergeBuilder]] for semantics and scale notes. */
+  def merge(source: DataFrame, condition: Column): write.MergeBuilder =
+    new write.MergeBuilder(this, source, condition)
+
   /** Shared rewrite-DML machinery: select the files whose partition
     * values or stats admit rows matching `condition`, apply `transform`
     * to their contents, write replacements and commit adds+removes as one

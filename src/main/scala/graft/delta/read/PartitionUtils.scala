@@ -49,6 +49,13 @@ object PartitionUtils {
     case other => Seq(other)
   }
 
+  /** Absolute file-name string for an AddFile path, exactly as the
+    * scan's fabricated FileStatus (and so `input_file_name()`) spells it. */
+  def absoluteFileName(dataPath: org.apache.hadoop.fs.Path, child: String): String = {
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(child))
+    (if (p.isAbsolute) p else new org.apache.hadoop.fs.Path(dataPath, p)).toString
+  }
+
   /** Deserialize one partition-value string to the column's type. */
   def decodePartitionValue(raw: String, dt: DataType): Any = {
     if (raw == null) null

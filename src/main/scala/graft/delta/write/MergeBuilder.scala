@@ -1,0 +1,156 @@
+package graft.delta.write
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.delta._
+
+/** MERGE INTO (upsert) as one transactional rewrite.
+  *
+  * {{{
+  * table.merge(source, col("t.id") === col("s.id"))   // aliases t / s
+  *   .whenMatchedUpdate(Map("price" -> col("s.price")))
+  *   .whenNotMatchedInsertAll()
+  *   .execute()
+  * }}}
+  *
+  * Execution (scale notes inline):
+  *  1. the TARGET side joins as `t`, the source as `s`; only files that
+  *     can contain a match are rewritten — found with an inner join that
+  *     carries nothing but the file name, so the shuffle is (join keys,
+  *     file) wide, not row-wide;
+  *  2. matched files are re-read and LEFT-joined against the source:
+  *     matched rows take the UPDATE set (or drop, for DELETE), unmatched
+  *     rows carry unchanged. Like Delta, a target row with MORE THAN ONE
+  *     source match is an error (the result would be nondeterministic);
+  *  3. NOT-MATCHED source rows (left-anti against the WHOLE target, not
+  *     just matched files) insert, schema-aligned by name;
+  *  4. one commit: removes(matched files) + adds(rewrite ∪ inserts),
+  *     operation MERGE, Serializable isolation.
+  */
+final class MergeBuilder private[delta] (
+    table: DeltaTable,
+    source: DataFrame,
+    condition: Column) {
+
+  private var updateSet: Option[Map[String, Column]] = None
+  private var matchedDelete = false
+  private var insertAll = false
+
+  def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder = {
+    require(!matchedDelete, "whenMatchedUpdate and whenMatchedDelete are exclusive")
+    updateSet = Some(set); this
+  }
+
+  def whenMatchedDelete(): MergeBuilder = {
+    require(updateSet.isEmpty, "whenMatchedUpdate and whenMatchedDelete are exclusive")
+    matchedDelete = true; this
+  }
+
+  /** Insert unmatched source rows; source columns are matched to the
+    * target schema by name (missing target columns become null). */
+  def whenNotMatchedInsertAll(): MergeBuilder = { insertAll = true; this }
+
+  def execute(): Long = {
+    require(updateSet.isDefined || matchedDelete || insertAll,
+      "MERGE needs at least one WHEN clause")
+    val spark = table.spark
+    val deltaLog = table.deltaLog
+    val txn = deltaLog.startTransaction()
+    val snapshot = txn.snapshot
+    val metadata = snapshot.metadata
+    val schema = metadata.schema
+    updateSet.foreach(_.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
+      require(!metadata.partitionColumns.contains(c),
+        s"Updating partition column $c is not supported")
+    })
+
+    txn.readWholeTable() // merge reads target rows by data condition
+    val target = snapshot.toDF.alias("t")
+    val src = source.alias("s")
+
+    // 1. which target files can contain a match (file name only)
+    val matchedFileNames = target
+      .withColumn("__file", input_file_name())
+      .join(src, condition)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val matchedFiles = snapshot.allFiles.filter { f =>
+      val abs = read.PartitionUtils.absoluteFileName(deltaLog.dataPath, f.path)
+      matchedFileNames.contains(abs)
+    }
+
+    // 2. rewrite matched files with the source joined in
+    val rewritten: Option[DataFrame] =
+      if (matchedFiles.isEmpty || (updateSet.isEmpty && !matchedDelete)) None
+      else {
+        val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, matchedFiles)
+        val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          location = index,
+          partitionSchema = metadata.partitionSchema,
+          dataSchema = metadata.dataSchema,
+          bucketSpec = None,
+          fileFormat = new read.GuardedParquetFileFormat,
+          options = Map.empty)(spark)
+        val rows = spark.baseRelationToDataFrame(relation)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("__row", monotonically_increasing_id())
+          .alias("t")
+        val joined = rows.join(
+          src.withColumn("__match", lit(1)), condition, "left")
+        // nondeterminism guard: a target row with >1 source match
+        val dups = joined.groupBy(col("__row")).count().filter(col("count") > 1).count()
+        if (dups > 0) {
+          throw new IllegalStateException(
+            s"MERGE: $dups target row(s) matched by more than one source row")
+        }
+        // project straight to the target schema (never withColumn — the
+        // joined frame carries ambiguous names from both sides)
+        val out = updateSet match {
+          case Some(set) =>
+            joined.select(schema.fieldNames.map { name =>
+              set.get(name) match {
+                case Some(value) =>
+                  when(col("__match").isNotNull, value.cast(schema(name).dataType))
+                    .otherwise(col(s"t.$name")).as(name)
+                case None => col(s"t.$name").as(name)
+              }
+            }.toIndexedSeq: _*)
+          case None => // matchedDelete
+            joined.filter(col("__match").isNull)
+              .select(schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
+        }
+        Some(out)
+      }
+
+    // 3. inserts: source rows matching NO target row, aligned by name
+    val inserts: Option[DataFrame] =
+      if (!insertAll) None
+      else {
+        val unmatched = src.join(target, condition, "left_anti")
+        val aligned = unmatched.select(schema.fields.map { f =>
+          if (unmatched.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        Some(aligned)
+      }
+
+    val toWrite = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (r, i) => r.orElse(i)
+    }
+    val adds = toWrite.map(df =>
+      DeltaWriter.writeFiles(df, deltaLog, metadata.partitionColumns))
+      .getOrElse(Nil)
+    val removes =
+      if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))
+      else Nil
+
+    if (adds.isEmpty && removes.isEmpty) return snapshot.version
+    txn.commit(adds ++ removes, DeltaOperations.Merge,
+      operationMetrics = Map(
+        "numTargetFilesRemoved" -> removes.size.toString,
+        "numTargetFilesAdded" -> adds.size.toString))
+  }
+}

@@ -200,6 +200,48 @@ object DeltaQueries {
         FROM lineitem WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-03-31'
         GROUP BY l_linestatus""")),
 
+    // MERGE INTO: matched rows update, unmatched rows insert (one txn).
+    QueryDef(
+      "delta_merge_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("merge")
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(
+          orders.filter($"o_orderstatus" === "F")
+            .repartitionByRange(4, $"o_orderkey"),
+          path, SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        val sourceUpd = orders
+          .filter($"o_orderstatus" === "F" && $"o_totalprice" > 200000.0)
+          .withColumn("o_orderpriority", lit("X-MERGED"))
+        val sourceIns = orders
+          .filter($"o_orderstatus" === "O" && $"o_totalprice" > 300000.0)
+        table.merge(sourceUpd.unionByName(sourceIns),
+            col("t.o_orderkey") === col("s.o_orderkey"))
+          .whenMatchedUpdate(Map("o_orderpriority" -> col("s.o_orderpriority")))
+          .whenNotMatchedInsertAll()
+          .execute()
+        table.toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(14, 2))).cast("double").as("total"))
+      },
+      Some("""
+        WITH target AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+        merged AS (
+          SELECT CASE WHEN o_totalprice > 200000.0 THEN 'X-MERGED'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_totalprice
+          FROM target
+          UNION ALL
+          SELECT o_orderpriority, o_totalprice FROM orders
+          WHERE o_orderstatus = 'O' AND o_totalprice > 300000.0
+        )
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY o_orderpriority""")),
+
     // Rewrite DML: UPDATE and DELETE with data predicates (file selection
     // via partition pruning + stats skipping, matched files rewritten).
     QueryDef(
