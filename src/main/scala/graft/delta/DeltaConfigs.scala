@@ -55,6 +55,11 @@ object DeltaConfigs {
   val IS_APPEND_ONLY: DeltaConfig[Boolean] = DeltaConfig(
     "delta.appendOnly", "false", _.toBoolean)
 
+  /** Write change-data files (AddCDCFile) on DML so `changes()` can serve
+    * row-level diffs without reconstructing them from data files. */
+  val ENABLE_CHANGE_DATA_FEED: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.enableChangeDataFeed", "false", _.toBoolean)
+
   /** Number of parts for checkpoint parquet (the reference reads
     * multi-part checkpoints; writing them bounds per-task state size at
     * very large file counts). */

@@ -77,12 +77,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     if (new read.DeltaScan(txn.snapshot, Some(resolved)).residualPredicate.isEmpty) {
       return deleteWhere(condition) // metadata-only fast path
     }
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     rewriteMatchedFiles(txn, condition, DeltaOperations.Delete,
       // keep rows where the condition is false OR null (SQL DELETE
       // removes only rows where it is TRUE)
-      df => df.filter(org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.coalesce(
-          condition, org.apache.spark.sql.functions.lit(false)))))
+      df => df.filter(not(coalesce(condition, lit(false)))),
+      changes = df => df.filter(coalesce(condition, lit(false)))
+        .withColumn(write.CdcWriter.ChangeTypeCol, lit("delete")))
   }
 
   /** DML UPDATE: rewrite the files that may contain rows matching
@@ -97,7 +98,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       require(!txn.snapshot.metadata.partitionColumns.contains(c),
         s"Updating partition column $c is not supported")
     }
-    rewriteMatchedFiles(txn, condition, DeltaOperations.Update, { df =>
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    def applySet(df: DataFrame): DataFrame =
       set.foldLeft(df) { case (acc, (name, value)) =>
         acc.withColumn(name,
           org.apache.spark.sql.functions.when(condition,
@@ -105,13 +107,92 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             .otherwise(org.apache.spark.sql.functions.col(name)))
       }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
-    })
+    rewriteMatchedFiles(txn, condition, DeltaOperations.Update, applySet,
+      changes = { df =>
+        val matched = df.filter(coalesce(condition, lit(false)))
+        matched.withColumn(write.CdcWriter.ChangeTypeCol, lit("update_preimage"))
+          .unionByName(applySet(matched)
+            .withColumn(write.CdcWriter.ChangeTypeCol, lit("update_postimage")))
+      })
   }
 
   /** MERGE INTO builder: the target joins as alias `t`, `source` as `s`.
     * See [[write.MergeBuilder]] for semantics and scale notes. */
   def merge(source: DataFrame, condition: Column): write.MergeBuilder =
     new write.MergeBuilder(this, source, condition)
+
+  /** Change data feed for versions [startVersion, endVersion]: the table
+    * schema plus `_change_type` (insert / delete / update_preimage /
+    * update_postimage) and `_commit_version`.
+    *
+    * Rewrite commits (UPDATE/DELETE/MERGE) serve their recorded
+    * AddCDCFiles; append commits derive inserts from their added files
+    * and metadata-only deletes derive full-row deletes from the removed
+    * files (still on disk until VACUUM). A rewrite commit WITHOUT change
+    * files — CDF was off when it ran — cannot be reconstructed and
+    * errors, like Delta's own CDF read. */
+  def changes(startVersion: Long, endVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val metadata = deltaLog.update().metadata
+    val typeCol = write.CdcWriter.ChangeTypeCol
+
+    def filesToDF(files: Seq[AddFile]): DataFrame = {
+      val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, files)
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        location = index,
+        partitionSchema = metadata.partitionSchema,
+        dataSchema = metadata.dataSchema,
+        bucketSpec = None,
+        fileFormat = new read.GuardedParquetFileFormat,
+        options = Map.empty)(spark)
+      spark.baseRelationToDataFrame(relation)
+        .select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
+    val perVersion = deltaLog.getChanges(startVersion)
+      .takeWhile(_._1 <= endVersion).flatMap { case (v, actions) =>
+        val cdcFiles = actions.collect { case c: AddCDCFile => c }
+        val frame =
+          if (cdcFiles.nonEmpty) {
+            val paths = cdcFiles.map(c =>
+              read.PartitionUtils.absoluteFileName(deltaLog.dataPath, c.path))
+            Some(spark.read.parquet(paths: _*)
+              .select((metadata.schema.fieldNames :+ typeCol).map(col)
+                .toIndexedSeq: _*))
+          } else {
+            val adds = actions.collect { case a: AddFile if a.dataChange => a }
+            val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+            if (adds.nonEmpty && removes.nonEmpty) {
+              throw new UnsupportedOperationException(
+                s"Version $v rewrote data without change files; enable " +
+                  "delta.enableChangeDataFeed before running DML to read " +
+                  "changes across it")
+            }
+            val inserts =
+              if (adds.isEmpty) None
+              else Some(filesToDF(adds).withColumn(typeCol, lit("insert")))
+            val deletes =
+              if (removes.isEmpty) None
+              else Some(filesToDF(removes.map(r => AddFile(
+                path = r.path,
+                partitionValues = r.partitionValues.getOrElse(Map.empty),
+                size = r.size.getOrElse(0L))))
+                .withColumn(typeCol, lit("delete")))
+            (inserts, deletes) match {
+              case (Some(i), Some(d)) => Some(i.unionByName(d))
+              case (i, d) => i.orElse(d)
+            }
+          }
+        frame.map(_.withColumn("_commit_version", lit(v)))
+      }.toVector
+
+    perVersion.reduceOption(_.unionByName(_)).getOrElse {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        metadata.schema
+          .add(typeCol, org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType))
+    }
+  }
 
   /** Shared rewrite-DML machinery: select the files whose partition
     * values or stats admit rows matching `condition`, apply `transform`
@@ -122,7 +203,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       transaction: graft.delta.txn.OptimisticTransaction,
       condition: Column,
       operation: String,
-      transform: DataFrame => DataFrame): Long = {
+      transform: DataFrame => DataFrame,
+      changes: DataFrame => DataFrame = null): Long = {
     val snapshot = transaction.snapshot
     val metadata = snapshot.metadata
     val resolved = read.PartitionUtils.resolveFilter(spark, metadata.schema, condition)
@@ -151,7 +233,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val adds = write.DeltaWriter.writeFiles(rewritten, deltaLog,
       metadata.partitionColumns)
     val removes = matched.map(_.remove(deltaLog.clock()))
-    transaction.commit(adds ++ removes, operation,
+    val cdc: Seq[Action] =
+      if (changes != null && write.CdcWriter.enabled(metadata)) {
+        write.CdcWriter.writeChangeFiles(changes(current), deltaLog)
+      } else Nil
+    transaction.commit(cdc ++ adds ++ removes, operation,
       operationMetrics = Map(
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString,

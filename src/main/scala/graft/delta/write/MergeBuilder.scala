@@ -81,6 +81,9 @@ final class MergeBuilder private[delta] (
       matchedFileNames.contains(abs)
     }
 
+    val cdcEnabled = CdcWriter.enabled(metadata)
+    var changeFrames = Vector.empty[DataFrame]
+
     // 2. rewrite matched files with the source joined in
     val rewritten: Option[DataFrame] =
       if (matchedFiles.isEmpty || (updateSet.isEmpty && !matchedDelete)) None
@@ -105,10 +108,23 @@ final class MergeBuilder private[delta] (
           throw new IllegalStateException(
             s"MERGE: $dups target row(s) matched by more than one source row")
         }
+        val matchedRows = joined.filter(col("__match").isNotNull)
+          .select(schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
         // project straight to the target schema (never withColumn — the
         // joined frame carries ambiguous names from both sides)
         val out = updateSet match {
           case Some(set) =>
+            if (cdcEnabled) {
+              val post = joined.filter(col("__match").isNotNull)
+                .select(schema.fieldNames.map { name =>
+                  set.get(name).map(_.cast(schema(name).dataType).as(name))
+                    .getOrElse(col(s"t.$name").as(name))
+                }.toIndexedSeq: _*)
+              changeFrames :+=
+                matchedRows.withColumn(CdcWriter.ChangeTypeCol, lit("update_preimage"))
+                  .unionByName(post.withColumn(CdcWriter.ChangeTypeCol,
+                    lit("update_postimage")))
+            }
             joined.select(schema.fieldNames.map { name =>
               set.get(name) match {
                 case Some(value) =>
@@ -118,6 +134,10 @@ final class MergeBuilder private[delta] (
               }
             }.toIndexedSeq: _*)
           case None => // matchedDelete
+            if (cdcEnabled) {
+              changeFrames :+=
+                matchedRows.withColumn(CdcWriter.ChangeTypeCol, lit("delete"))
+            }
             joined.filter(col("__match").isNull)
               .select(schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
         }
@@ -148,7 +168,13 @@ final class MergeBuilder private[delta] (
       else Nil
 
     if (adds.isEmpty && removes.isEmpty) return snapshot.version
-    txn.commit(adds ++ removes, DeltaOperations.Merge,
+    if (cdcEnabled) {
+      inserts.foreach(i => changeFrames :+=
+        i.withColumn(CdcWriter.ChangeTypeCol, lit("insert")))
+    }
+    val cdc: Seq[Action] = changeFrames.reduceOption(_.unionByName(_))
+      .map(CdcWriter.writeChangeFiles(_, deltaLog)).getOrElse(Nil)
+    txn.commit(cdc ++ adds ++ removes, DeltaOperations.Merge,
       operationMetrics = Map(
         "numTargetFilesRemoved" -> removes.size.toString,
         "numTargetFilesAdded" -> adds.size.toString))
