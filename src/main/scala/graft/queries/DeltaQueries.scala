@@ -200,6 +200,40 @@ object DeltaQueries {
         FROM lineitem WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-03-31'
         GROUP BY l_linestatus""")),
 
+    // Change data feed: row-level diffs for an update + delete sequence,
+    // aggregated by change type and mirrored arithmetically in DuckDB.
+    QueryDef(
+      "delta_cdf",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("cdf")
+        DeltaTable.write(
+          t(s, dir, "customer").repartitionByRange(4, $"c_custkey"), path,
+          SaveMode.Overwrite,
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        val table = DeltaTable.forPath(s, path)
+        table.update($"c_acctbal" < 0.0, Map("c_mktsegment" -> lit("NEGBAL")))
+        table.delete($"c_acctbal" > 9000.0)
+        table.changes(1, 2)
+          .groupBy(col("_change_type"), col("_commit_version").as("v"))
+          .agg(count(lit(1)).as("n"),
+               sum($"c_custkey").as("sum_key"))
+      },
+      Some("""
+        WITH upd AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0),
+        del AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+        SELECT * FROM (
+          SELECT 'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS v,
+                 COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS sum_key FROM upd
+          UNION ALL
+          SELECT 'update_postimage', CAST(1 AS BIGINT),
+                 COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM upd
+          UNION ALL
+          SELECT 'delete', CAST(2 AS BIGINT),
+                 COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM del
+        ) t"""))
+      ,
+
     // MERGE INTO: matched rows update, unmatched rows insert (one txn).
     QueryDef(
       "delta_merge_upsert",
