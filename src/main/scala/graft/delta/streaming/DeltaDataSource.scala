@@ -71,7 +71,14 @@ class DeltaDataSource
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val log = DeltaLog.forTable(sqlContext.sparkSession, pathOf(parameters))
-    (shortName(), log.update().metadata.schema)
+    val base = log.update().metadata.schema
+    val out =
+      if (parameters.getOrElse("readChangeFeed", "false").toBoolean) {
+        base.add(graft.delta.write.CdcWriter.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
+      } else base
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

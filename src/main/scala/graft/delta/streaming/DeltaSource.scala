@@ -40,6 +40,11 @@ class DeltaSource(
     options.getOrElse("ignoreDeletes", "false").toBoolean
   private val ignoreChanges =
     options.getOrElse("ignoreChanges", "false").toBoolean
+  /** Stream the change data feed instead of table rows: each batch emits
+    * schema + _change_type + _commit_version, serving recorded CDC files
+    * for rewrite commits and deriving inserts/deletes for plain ones. */
+  private val readChangeFeed =
+    options.getOrElse("readChangeFeed", "false").toBoolean
 
   // version at which this stream started; metadata changes at or before
   // this version are part of the initial snapshot, not "mid-stream"
@@ -59,7 +64,12 @@ class DeltaSource(
     })
   }
 
-  override val schema: StructType = initialSnapshot.metadata.schema
+  override val schema: StructType =
+    if (!readChangeFeed) initialSnapshot.metadata.schema
+    else initialSnapshot.metadata.schema
+      .add(graft.delta.write.CdcWriter.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
 
   /** Rate limit: cap each micro-batch at this many data AddFiles (always
     * at least one version per batch). After a restart the first batch is
@@ -106,17 +116,85 @@ class DeltaSource(
     // keep the rate-limit base correct across restart recovery, where the
     // engine re-plays a pending batch before calling getOffset
     lastReported = Some(lastReported.fold(endV)(math.max(_, endV)))
-    val files = start match {
-      case Some(s) =>
-        changedFiles(asVersion(s) + 1, endV)
-      case None => startingVersion match {
-        case Some(sv) => changedFiles(sv, endV)
-        case None =>
-          // F1: initial snapshot — the table's full state at endV
-          deltaLog.getSnapshotForVersionAsOf(endV).allFiles
-      }
-    }
+    val fromV = start.map(asVersion(_) + 1)
+      .orElse(startingVersion).getOrElse(-1L)
+    if (readChangeFeed) return cdfBatch(fromV, endV)
+    val files =
+      if (fromV >= 0) changedFiles(fromV, endV)
+      else deltaLog.getSnapshotForVersionAsOf(endV).allFiles // F1 snapshot
     buildBatchDF(files)
+  }
+
+  /** One CDF micro-batch for versions [fromV, endV] (fromV < 0 → initial
+    * snapshot served as inserts at endV). */
+  private def cdfBatch(fromV: Long, endV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val typeCol = graft.delta.write.CdcWriter.ChangeTypeCol
+    if (fromV < 0) {
+      val snap = deltaLog.getSnapshotForVersionAsOf(endV)
+      return buildBatchDF(snap.allFiles)
+        .withColumn(typeCol, lit("insert"))
+        .withColumn("_commit_version", lit(endV))
+    }
+    val frames = deltaLog.getChanges(fromV).takeWhile(_._1 <= endV)
+      .flatMap { case (v, actions) =>
+        val cdcFiles = actions.collect { case c: AddCDCFile => c }
+        val frame =
+          if (cdcFiles.nonEmpty) {
+            Some(buildCdcDF(cdcFiles))
+          } else {
+            val adds = actions.collect { case a: AddFile if a.dataChange => a }
+            val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+            if (adds.nonEmpty && removes.nonEmpty) {
+              throw new UnsupportedOperationException(
+                s"Version $v rewrote data without change files; enable " +
+                  "delta.enableChangeDataFeed before DML to stream changes")
+            }
+            val inserts = if (adds.isEmpty) None
+              else Some(buildBatchDF(adds).withColumn(typeCol, lit("insert")))
+            val deletes = if (removes.isEmpty) None
+              else Some(buildBatchDF(removes.map(r => AddFile(
+                  path = r.path,
+                  partitionValues = r.partitionValues.getOrElse(Map.empty),
+                  size = r.size.getOrElse(0L))))
+                .withColumn(typeCol, lit("delete")))
+            (inserts, deletes) match {
+              case (Some(i), Some(d)) => Some(i.unionByName(d))
+              case (i, d) => i.orElse(d)
+            }
+          }
+        frame.map(_.withColumn("_commit_version", lit(v)))
+      }.toVector
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      // empty range: an empty streaming frame with the CDF schema
+      buildBatchDF(Nil)
+        .withColumn(typeCol, lit("insert"))
+        .withColumn("_commit_version", lit(endV))
+        .filter(lit(false))
+    }
+  }
+
+  /** Streaming frame over recorded CDC parquet (schema + _change_type). */
+  private def buildCdcDF(files: Seq[AddCDCFile]): DataFrame = {
+    val metadata = initialSnapshot.metadata
+    val typeCol = graft.delta.write.CdcWriter.ChangeTypeCol
+    val asAdds = files.map(c => AddFile(path = c.path, size = c.size))
+    val index = new DeltaFileIndex(spark, deltaLog.dataPath,
+      metadata.copy(partitionColumns = Nil,
+        schemaString = Some(metadata.schema
+          .add(typeCol, org.apache.spark.sql.types.StringType).json)),
+      asAdds)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = metadata.schema
+        .add(typeCol, org.apache.spark.sql.types.StringType),
+      bucketSpec = None,
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat,
+      options = Map.empty)(spark)
+    Shims.relationToDataFrame(spark, relation, isStreaming = true)
+      .select((metadata.schema.fieldNames :+ typeCol)
+        .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   /** F3 change sanitation for versions [fromV, toV]. */
@@ -162,7 +240,10 @@ class DeltaSource(
       fileFormat = new graft.delta.read.GuardedParquetFileFormat,
       options = Map.empty)(spark)
     val df = Shims.relationToDataFrame(spark, relation, isStreaming = true)
-    df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    // project the TABLE schema (the source schema may carry CDF columns
+    // that only exist after cdfBatch appends them)
+    df.select(metadata.schema.fieldNames
+      .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   private def asVersion(o: Offset): Long = o match {

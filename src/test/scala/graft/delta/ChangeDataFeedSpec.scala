@@ -64,6 +64,47 @@ class ChangeDataFeedSpec extends SparkSpec {
     }
   }
 
+  test("streaming readChangeFeed emits typed changes per micro-batch") {
+    withTempDir { base =>
+      val dir = s"$base/table"
+      DeltaTable.write((1 to 3).map(i => (i, i * 1.0)).toDF("id", "v"), dir,
+        configuration = cdf)                                  // v0
+      val table = DeltaTable.forPath(spark, dir)
+      table.update($"id" === 1, Map("v" -> lit(-1.0)))        // v1
+      table.delete($"v" > 2.5)                                // v2 (deletes id 3)
+
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(dir)
+        .writeStream.format("memory").queryName("cdf_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val feed = spark.table("cdf_stream")
+        .select($"id", $"v", col("_change_type"), col("_commit_version"))
+        .as[(Int, Double, String, Long)].collect().toSet
+      assert(feed.count(_._3 == "insert") == 3)
+      assert(feed.contains((1, 1.0, "update_preimage", 1L)))
+      assert(feed.contains((1, -1.0, "update_postimage", 1L)))
+      assert(feed.contains((3, 3.0, "delete", 2L)))
+
+      // appends after the stream started flow as inserts
+      DeltaTable.write(Seq((9, 9.0)).toDF("id", "v"), dir)    // v3
+      val q2 = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "3")
+        .load(dir)
+        .writeStream.format("memory").queryName("cdf_stream2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination(120000)
+      assert(spark.table("cdf_stream2")
+        .select($"id", col("_change_type")).as[(Int, String)].collect().toSet ==
+        Set((9, "insert")))
+    }
+  }
+
   test("rewrite commits without change files refuse a CDF read") {
     withTempDir { dir =>
       DeltaTable.write((1 to 10).map(i => (i, i * 1.0)).toDF("id", "v"), dir)
