@@ -250,9 +250,19 @@ class DeltaLog private (
       .getOrElse(CommitInfo(version = Some(version)))
   }
 
+  /** Newest-first commit infos for the commit files that still EXIST —
+    * after log cleanup (M14) the early tail is gone, so we list rather
+    * than iterate 0..latest (the reference computes the earliest
+    * reproducible version first, DeltaHistoryManager.scala:40-66). */
   def history(): Seq[CommitInfo] = {
-    val latest = snapshot.version
-    (0L to latest).reverseIterator.map(getCommitInfoAt).toVector
+    val versions =
+      try {
+        store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf)
+          .filter(f => FileNames.isDeltaFile(f.getPath))
+          .map(f => FileNames.deltaVersion(f.getPath))
+          .toVector.sorted
+      } catch { case _: FileNotFoundException => Vector.empty }
+    versions.reverseIterator.map(getCommitInfoAt).toVector
   }
 
   // ------------------------------------------------------------- cleanup (M14)

@@ -49,12 +49,23 @@ object PartitionUtils {
     case other => Seq(other)
   }
 
-  /** Absolute file-name string for an AddFile path, exactly as the
-    * scan's fabricated FileStatus (and so `input_file_name()`) spells it. */
-  def absoluteFileName(dataPath: org.apache.hadoop.fs.Path, child: String): String = {
+  /** Absolute file-name string for an AddFile path (decoded `Path`
+    * spelling — suitable for handing to `spark.read`). */
+  def absoluteFileName(dataPath: org.apache.hadoop.fs.Path, child: String): String =
+    absolutePath(dataPath, child).toString
+
+  def absolutePath(dataPath: org.apache.hadoop.fs.Path, child: String): org.apache.hadoop.fs.Path = {
     val p = new org.apache.hadoop.fs.Path(new java.net.URI(child))
-    (if (p.isAbsolute) p else new org.apache.hadoop.fs.Path(dataPath, p)).toString
+    if (p.isAbsolute) p else new org.apache.hadoop.fs.Path(dataPath, p)
   }
+
+  /** Absolute file name in `input_file_name()`'s spelling: Spark sets the
+    * input-file holder from `SparkPath.fromPath(status.getPath)`, whose
+    * string form is `path.toUri.toString` (URI-encoded). `Path.toString`
+    * differs for paths with spaces/non-ASCII, so comparisons against
+    * `input_file_name()` MUST use this spelling on the AddFile side. */
+  def inputFileName(dataPath: org.apache.hadoop.fs.Path, child: String): String =
+    absolutePath(dataPath, child).toUri.toString
 
   /** Deserialize one partition-value string to the column's type. */
   def decodePartitionValue(raw: String, dt: DataType): Any = {

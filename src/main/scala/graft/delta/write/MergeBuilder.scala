@@ -15,14 +15,14 @@ import graft.delta._
   * }}}
   *
   * Execution (scale notes inline):
-  *  1. the TARGET side joins as `t`, the source as `s`; only files that
-  *     can contain a match are rewritten — found with an inner join that
-  *     carries nothing but the file name, so the shuffle is (join keys,
-  *     file) wide, not row-wide;
-  *  2. matched files are re-read and LEFT-joined against the source:
+  *  1. the TARGET side joins as `t`, the source as `s`; ONE job finds the
+  *     files that can contain a match — an inner join carrying nothing but
+  *     (file name, row id), aggregated per file so the multi-match guard
+  *     (a target row with >1 source match is an error, like Delta) is
+  *     answered by the same shuffle;
+  *  2. matched files are re-read and LEFT-joined against the source once:
   *     matched rows take the UPDATE set (or drop, for DELETE), unmatched
-  *     rows carry unchanged. Like Delta, a target row with MORE THAN ONE
-  *     source match is an error (the result would be nondeterministic);
+  *     rows carry unchanged;
   *  3. NOT-MATCHED source rows (left-anti against the WHOLE target, not
   *     just matched files) insert, schema-aligned by name;
   *  4. one commit: removes(matched files) + adds(rewrite ∪ inserts),
@@ -70,15 +70,29 @@ final class MergeBuilder private[delta] (
     val target = snapshot.toDF.alias("t")
     val src = source.alias("s")
 
-    // 1. which target files can contain a match (file name only)
-    val matchedFileNames = target
+    // 1. ONE touched-file job: inner join carrying only (file, row-id),
+    //    aggregated so the multi-match guard rides along — no second pass.
+    //    The collect is file-count bounded (same order as the commit's
+    //    RemoveFile list, which is driver-side by construction).
+    val needGuard = updateSet.isDefined || matchedDelete
+    val touched = target
       .withColumn("__file", input_file_name())
+      .withColumn("__row", monotonically_increasing_id())
       .join(src, condition)
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .groupBy(col("__file"), col("__row")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__file")).agg(max(col("__n")).as("__maxn"))
+      .collect()
+    if (needGuard && touched.exists(_.getAs[Long]("__maxn") > 1)) {
+      throw new IllegalStateException(
+        "MERGE: target row(s) matched by more than one source row " +
+          "(result would be nondeterministic)")
+    }
+    // input_file_name() spells paths as SparkPath/URI strings; build the
+    // AddFile side the same way or encoded paths silently never match.
+    val matchedFileNames = touched.map(_.getAs[String]("__file")).toSet
     val matchedFiles = snapshot.allFiles.filter { f =>
-      val abs = read.PartitionUtils.absoluteFileName(deltaLog.dataPath, f.path)
-      matchedFileNames.contains(abs)
+      matchedFileNames.contains(
+        read.PartitionUtils.inputFileName(deltaLog.dataPath, f.path))
     }
 
     val cdcEnabled = CdcWriter.enabled(metadata)
@@ -98,16 +112,11 @@ final class MergeBuilder private[delta] (
           options = Map.empty)(spark)
         val rows = spark.baseRelationToDataFrame(relation)
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-          .withColumn("__row", monotonically_increasing_id())
           .alias("t")
+        // multi-match already rejected by the touched-file job above, so
+        // the rewrite is a single left join — no second guard pass
         val joined = rows.join(
           src.withColumn("__match", lit(1)), condition, "left")
-        // nondeterminism guard: a target row with >1 source match
-        val dups = joined.groupBy(col("__row")).count().filter(col("count") > 1).count()
-        if (dups > 0) {
-          throw new IllegalStateException(
-            s"MERGE: $dups target row(s) matched by more than one source row")
-        }
         val matchedRows = joined.filter(col("__match").isNotNull)
           .select(schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
         // project straight to the target schema (never withColumn — the

@@ -74,6 +74,30 @@ class PartitionValueEdgeSpec extends SparkSpec {
     }
   }
 
+  test("MERGE updates rows in partitions whose paths need URI encoding") {
+    withTempDir { dir =>
+      // 'with space' makes the data-file path differ between Path.toString
+      // (decoded) and input_file_name()'s URI spelling — a mismatch here
+      // silently skips the file and the update is lost
+      val df = Seq((1, "with space", 10.0), (2, "plain", 20.0), (3, "täst ü", 30.0))
+        .toDF("id", "part", "price")
+      DeltaTable.write(df, dir, partitionBy = Seq("part"))
+      val source = Seq((1, 99.0), (3, 77.0), (4, 44.0)).toDF("id", "new_price")
+      DeltaTable.forPath(spark, dir)
+        .merge(source, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("price" -> col("s.new_price")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val back = DeltaTable.forPath(spark, dir).toDF
+        .select($"id", $"price").collect()
+        .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+      assert(back.keySet == Set(1, 2, 3, 4))
+      assert(back(1).contains(99.0) && back(3).contains(77.0),
+        "updates in URI-encoded partitions lost")
+      assert(back(2).contains(20.0))
+    }
+  }
+
   test("percent-encoded file paths in the log resolve to the right files") {
     withTempDir { dir =>
       // partition dirs with characters hive escapes (%xx in the path)

@@ -61,6 +61,13 @@ class ReplayAndRetentionSpec extends SparkSpec {
       intercept[Exception] {
         DeltaTable.forPath(spark, dir).asOfVersion(0).count()
       }
+      // history() survives cleanup: it returns the commits that still
+      // exist instead of throwing FileNotFoundException on the deleted tail
+      val hist = DeltaLog.forTable(spark, dir).history()
+      assert(hist.nonEmpty)
+      val versions = hist.flatMap(_.version)
+      assert(versions == versions.sorted.reverse)
+      assert(versions.min > 0) // the expired tail is absent, not erroring
     }
   }
 
