@@ -210,10 +210,19 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val resolved = read.PartitionUtils.resolveFilter(spark, metadata.schema, condition)
     val (metaPreds, dataPreds) = read.PartitionUtils
       .splitMetadataAndDataPredicates(resolved, metadata.partitionColumns)
-    val partitionPruned = read.PartitionUtils.filterFileList(
-      metadata.partitionSchema, snapshot.allFiles, metaPreds)
-    val matched = read.DataSkipping.filterFiles(
-      partitionPruned, dataPreds, metadata.dataSchema)
+    val matched =
+      if (snapshot.distributedState) {
+        // candidate selection as a Spark job: only files whose partition
+        // values / stats admit a match are ever driver-materialized
+        read.FilePruning.prune(snapshot.allFilesDistributed,
+          metadata.partitionSchema, metaPreds, dataPreds,
+          metadata.dataSchema).collect().toSeq
+      } else {
+        val partitionPruned = read.PartitionUtils.filterFileList(
+          metadata.partitionSchema, snapshot.allFiles, metaPreds)
+        read.DataSkipping.filterFiles(partitionPruned, dataPreds,
+          metadata.dataSchema)
+      }
     transaction.markFilesAsRead(condition)
     if (matched.isEmpty) return snapshot.version
 

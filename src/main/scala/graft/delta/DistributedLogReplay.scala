@@ -44,12 +44,16 @@ object DistributedLogReplay {
     }
 
     val all = checkpoint.unionByName(commits, allowMissingColumns = true)
+    // The SAME canonicalization as InMemoryLogReplay.canonical
+    // (URI.normalize — does NOT percent-decode, and '+' stays '+'):
+    // url_decode here would collapse 'a+b' and 'a b' into one key and
+    // silently drop a file, and the two replays could disagree.
+    val canonicalKey = udf((p: String) => new java.net.URI(p).normalize().toString)
     val fileActions = all
       .select(col("version"), col("add"), col("remove"),
         coalesce(col("add.path"), col("remove.path")).as("path"))
       .filter(col("path").isNotNull)
-      // canonicalize: percent-decode so "a b" and "a%20b" collapse
-      .withColumn("pathKey", url_decode(col("path")))
+      .withColumn("pathKey", canonicalKey(col("path")))
 
     val newestFirst = Window.partitionBy(col("pathKey"))
       .orderBy(col("version").desc, col("remove").isNotNull.desc)

@@ -21,10 +21,25 @@ object LogSegment {
 
 /** Immutable table state at one version (ref: SnapshotImpl.scala:67-346).
   *
-  * Log replay reads the checkpoint (parquet, via Spark — already
-  * distributed) and the JSON commits after it (driver-side: there are at
-  * most `checkpointInterval` of them, bounded-size by construction — see
-  * BASELINE.md "snapshot refresh cost bound").
+  * State is reconstructed in two tiers so the driver never has to hold
+  * what it doesn't need:
+  *
+  *  - '''light state''' — protocol, metadata, set-transactions and
+  *    tombstones. The checkpoint parquet is read selecting only the
+  *    `protocol`/`metaData`/`txn`/`remove` columns, so the `add` column
+  *    (>99% of a large checkpoint's bytes) is never decoded. This is the
+  *    columnar equivalent of the reference's P&M short-circuit
+  *    (SnapshotImpl.scala:161-246): metadata-only callers — `history()`,
+  *    config lookups, schema reads — touch no AddFile.
+  *  - '''file state''' — the active-file list. Below
+  *    `spark.graft.snapshot.driverStateMaxBytes` of checkpoint (default
+  *    128 MB ≈ low millions of files) it is folded on the driver; above
+  *    it, [[DistributedLogReplay]] computes it as a Spark job and scans
+  *    prune distributively, collecting only surviving files
+  *    (see [[read.DeltaFileIndex]]).
+  *
+  * JSON commits after the checkpoint are driver-side: there are at most
+  * `checkpointInterval` of them, bounded-size by construction.
   */
 class Snapshot(
     val spark: SparkSession,
@@ -34,7 +49,49 @@ class Snapshot(
     val minFileRetentionTimestamp: Long,
     val timestamp: Long) {
 
-  lazy val state: State = {
+  /** Commits after the checkpoint, parsed once (≤ checkpointInterval). */
+  private lazy val commitActions: Seq[(Long, Seq[Action])] =
+    logSegment.deltas.map(fs =>
+      (FileNames.deltaVersion(fs.getPath), readCommit(fs).toVector))
+
+  /** Above this many checkpoint bytes the file list stays distributed. */
+  private[delta] lazy val distributedState: Boolean = {
+    val max = spark.conf.getOption(Snapshot.DriverStateMaxBytesKey)
+      .map(_.toLong).getOrElse(Snapshot.DriverStateMaxBytesDefault)
+    logSegment.checkpoint.map(_.getLen).sum > max
+  }
+
+  // -------------------------------------------------------- light state
+  /** Replay of everything EXCEPT the checkpoint's AddFiles (M5). */
+  private lazy val lightState: State = {
+    val replay = new InMemoryLogReplay(minFileRetentionTimestamp)
+    logSegment.checkpointVersion.foreach { cpVersion =>
+      replay.append(cpVersion, readCheckpointLightActions())
+    }
+    commitActions.foreach { case (v, as) => replay.append(v, as.iterator) }
+    replay.state
+  }
+
+  /** Checkpoint actions with the `add` column pruned at the parquet layer. */
+  private def readCheckpointLightActions(): Iterator[Action] = {
+    implicit val enc = Encoders.product[Snapshot.LightAction]
+    val paths = logSegment.checkpoint.map(_.getPath.toString)
+    spark.read.schema(Encoders.product[SingleAction].schema)
+      .parquet(paths: _*)
+      .selectExpr("txn", "remove", "metaData", "protocol")
+      .where("txn IS NOT NULL OR remove IS NOT NULL OR " +
+        "metaData IS NOT NULL OR protocol IS NOT NULL")
+      .as[Snapshot.LightAction]
+      .collect().iterator.map(_.unwrap).filter(_ != null)
+  }
+
+  // --------------------------------------------------------- file state
+  /** Whether the full driver-side fold ran (observable so specs can prove
+    * metadata-only access never materializes the file list). */
+  @volatile private[delta] var fullStateComputed = false
+
+  private lazy val inMemoryState: State = {
+    fullStateComputed = true
     val replay = new InMemoryLogReplay(minFileRetentionTimestamp)
     // Checkpoint first — it IS the folded state at checkpointVersion.
     logSegment.checkpointVersion.foreach { cpVersion =>
@@ -44,10 +101,7 @@ class Snapshot(
         .as[SingleAction].collect().iterator.map(_.unwrap).filter(_ != null)
       replay.append(cpVersion, cpActions)
     }
-    // ...then the JSON commits after it, in ascending version order.
-    logSegment.deltas.foreach { fs =>
-      replay.append(FileNames.deltaVersion(fs.getPath), readCommit(fs))
-    }
+    commitActions.foreach { case (v, as) => replay.append(v, as.iterator) }
     replay.state
   }
 
@@ -57,23 +111,45 @@ class Snapshot(
       .map(JsonCodec.actionFromJson)
       .filter(_ != null)
 
-  def protocol: Protocol = state.protocol
-  def metadata: Metadata = state.metadata
-  def allFiles: Seq[AddFile] = state.activeFiles
-  def tombstones: Seq[RemoveFile] = state.tombstones
-  def setTransactions: Seq[SetTransaction] = state.setTransactions
-  def numOfFiles: Long = state.numOfFiles
-  def sizeInBytes: Long = state.sizeInBytes
+  def protocol: Protocol = lightState.protocol
+  def metadata: Metadata = lightState.metadata
+  def tombstones: Seq[RemoveFile] = lightState.tombstones
+  def setTransactions: Seq[SetTransaction] = lightState.setTransactions
+
+  /** Whether the full file list was ever collected to the driver
+    * (observable so specs can prove scans stay distributed). */
+  @volatile private[delta] var filesMaterialized = false
+
+  /** The active files, materialized on the driver. In distributed mode
+    * this collects the DISTRIBUTED replay's result — callers that can
+    * stay distributed (scans) should use [[allFilesDistributed]]. */
+  lazy val allFiles: Seq[AddFile] = {
+    filesMaterialized = true
+    if (distributedState) allFilesDistributed.collect().toVector
+    else inMemoryState.activeFiles
+  }
+
+  private lazy val filesCountAndBytes: (Long, Long) =
+    if (distributedState) {
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+      val row = allFilesDistributed
+        .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    } else {
+      (inMemoryState.numOfFiles, inMemoryState.sizeInBytes)
+    }
+  def numOfFiles: Long = filesCountAndBytes._1
+  def sizeInBytes: Long = filesCountAndBytes._2
 
   /** Stream-idempotence lookup (ref: SnapshotImpl.scala txn map). */
   def transactionVersion(appId: String): Option[Long] =
-    state.setTransactions.find(_.appId == appId).map(_.version)
+    lightState.setTransactions.find(_.appId == appId).map(_.version)
 
   /** Active files as a Dataset — the distributed face of the state, used
     * for metadata queries and checkpoint writing at large file counts. */
   def allFilesDS: Dataset[AddFile] = {
     implicit val enc = Encoders.product[AddFile]
-    spark.createDataset(state.activeFiles)
+    spark.createDataset(allFiles)
   }
 
   /** Active files via the distributed replay (M3) — same answer as
@@ -90,5 +166,22 @@ class Snapshot(
     require(protocol.minReaderVersion <= 1,
       s"Unsupported reader protocol version ${protocol.minReaderVersion}; " +
         "this engine implements reader version 1")
+  }
+}
+
+object Snapshot {
+  val DriverStateMaxBytesKey = "spark.graft.snapshot.driverStateMaxBytes"
+  val DriverStateMaxBytesDefault: Long = 128L * 1024 * 1024
+
+  /** Projection of [[SingleAction]] without the `add` column — reading
+    * a checkpoint through this schema skips the AddFile bytes entirely
+    * (columnar analogue of the reference's backward P&M scan). */
+  private[delta] case class LightAction(
+      txn: Option[SetTransaction] = None,
+      remove: Option[RemoveFile] = None,
+      metaData: Option[Metadata] = None,
+      protocol: Option[Protocol] = None) {
+    def unwrap: Action =
+      txn.orElse(remove).orElse(metaData).orElse(protocol).orNull
   }
 }

@@ -38,14 +38,21 @@ object DataSkipping {
   def filterFiles(files: Seq[AddFile], dataFilters: Seq[Expression],
                   dataSchema: StructType): Seq[AddFile] = {
     if (dataFilters.isEmpty) return files
-    val types = dataSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-    files.filter { f =>
-      parse(f) match {
-        case None => true
-        case Some(stats) => dataFilters.forall(c => mayMatch(c, stats, types))
-      }
-    }
+    val types = columnTypes(dataSchema)
+    files.filter(f => mayKeep(f, dataFilters, types))
   }
+
+  def columnTypes(dataSchema: StructType): Map[String, DataType] =
+    dataSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+
+  /** Single-file form — usable inside a distributed `Dataset.filter`
+    * (everything it touches is serializable and driver-free). */
+  def mayKeep(f: AddFile, dataFilters: Seq[Expression],
+              types: Map[String, DataType]): Boolean =
+    parse(f) match {
+      case None => true
+      case Some(stats) => dataFilters.forall(c => mayMatch(c, stats, types))
+    }
 
   private def parse(f: AddFile): Option[FileStats] = f.stats.flatMap { raw =>
     try {

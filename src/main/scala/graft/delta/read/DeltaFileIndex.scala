@@ -1,12 +1,12 @@
 package graft.delta.read
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
-import graft.delta.Snapshot
+import graft.delta.{AddFile, Snapshot}
 
 /** A Catalyst [[FileIndex]] over one Delta snapshot.
   *
@@ -17,6 +17,7 @@ import graft.delta.Snapshot
   *  - partition pruning happens here in `listFiles` — Catalyst's
   *    PruneFileSourcePartitions pushes partition filters to us and we
   *    evaluate them per distinct partition tuple (S2/H3 semantics);
+  *  - file-level data skipping from AddFile stats runs in the same pass;
   *  - file sizes come from AddFile metadata, so planning makes zero
   *    per-file filesystem RPCs (the reference fabricates block locations
   *    for the same reason, DeltaHelper.scala:170-186);
@@ -24,36 +25,58 @@ import graft.delta.Snapshot
   *    directory names — Delta semantics require log-supplied values
   *    (hive/DeltaInputFormat.scala:43-45).
   *
+  * The file list is either a driver-side `Seq[AddFile]` (small logs, DML
+  * rewrites over known files) or a `Dataset[AddFile]` from the
+  * distributed log replay — then pruning itself runs as a Spark job via
+  * [[FilePruning]] and only SURVIVING files are collected, so a scan of
+  * a million-file table with a selective partition predicate never
+  * materializes the full file list on the driver.
+  *
   * Split sizing stays with Spark (`spark.sql.files.maxPartitionBytes`,
   * default 128MB — matching the reference's `parquet.block.size` choice).
   */
-class DeltaFileIndex(
+class DeltaFileIndex private (
     spark: SparkSession,
     dataPath: Path,
     metadata: graft.delta.Metadata,
-    addFiles: Seq[graft.delta.AddFile]) extends FileIndex {
+    source: Either[Seq[graft.delta.AddFile], Dataset[AddFile]],
+    knownSizeInBytes: Option[() => Long]) extends FileIndex {
+
+  def this(spark: SparkSession, dataPath: Path, metadata: graft.delta.Metadata,
+           addFiles: Seq[graft.delta.AddFile]) =
+    this(spark, dataPath, metadata, Left(addFiles), None)
 
   def this(spark: SparkSession, snapshot: Snapshot) =
-    this(spark, snapshot.deltaLog.dataPath, snapshot.metadata, snapshot.allFiles)
+    this(spark, snapshot.deltaLog.dataPath, snapshot.metadata,
+      if (snapshot.distributedState) Right(snapshot.allFilesDistributed)
+      else Left(snapshot.allFiles),
+      Some(() => snapshot.sizeInBytes))
 
   override def rootPaths: Seq[Path] = Seq(dataPath)
 
   override def partitionSchema: StructType = metadata.partitionSchema
 
-  private def absolutePath(child: String): Path = {
-    val p = new Path(new java.net.URI(child))
-    if (p.isAbsolute) p else new Path(dataPath, p)
+  private def absolutePath(child: String): Path =
+    PartitionUtils.absolutePath(dataPath, child)
+
+  /** Prune to the files any of whose rows can match; distributed source →
+    * the pruning runs as a Spark job and collects survivors only. */
+  private def prunedFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[graft.delta.AddFile] = source match {
+    case Left(files) =>
+      val partitionPruned = PartitionUtils.filterFileList(
+        partitionSchema, files, partitionFilters)
+      DataSkipping.filterFiles(partitionPruned, dataFilters, metadata.dataSchema)
+    case Right(ds) =>
+      FilePruning.prune(ds, partitionSchema, partitionFilters, dataFilters,
+        metadata.dataSchema).collect().toSeq
   }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val partitionPruned = PartitionUtils.filterFileList(
-      partitionSchema, addFiles, partitionFilters)
-    // file-level data skipping from AddFile.stats min/max (conservative;
-    // Spark re-applies every data filter to the rows it does read)
-    val files = DataSkipping.filterFiles(
-      partitionPruned, dataFilters, metadata.dataSchema)
+    val files = prunedFiles(partitionFilters, dataFilters)
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
         files.map(toFileStatus).toArray))
@@ -70,10 +93,20 @@ class DeltaFileIndex(
     new FileStatus(add.size, false, 1, 128L * 1024 * 1024,
       add.modificationTime, absolutePath(add.path))
 
-  override def inputFiles: Array[String] =
-    addFiles.map(f => absolutePath(f.path).toString).toArray
+  override def inputFiles: Array[String] = source match {
+    case Left(files) => files.map(f => absolutePath(f.path).toString).toArray
+    case Right(ds) =>
+      import org.apache.spark.sql.functions.col
+      val dp = dataPath.toString
+      ds.select(col("path")).collect()
+        .map(r => PartitionUtils.absoluteFileName(new Path(dp), r.getString(0)))
+  }
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = math.max(addFiles.map(_.size).sum, 1L)
+  override def sizeInBytes: Long = knownSizeInBytes.map(_.apply()).getOrElse(
+    source match {
+      case Left(files) => math.max(files.map(_.size).sum, 1L)
+      case Right(_) => Long.MaxValue // unknown: never broadcast blindly
+    })
 }

@@ -28,10 +28,20 @@ class DeltaScan(snapshot: Snapshot, filter: Option[Expression]) {
   def pushedPredicate: Option[Expression] = pushedPredicates.reduceOption(And)
   def residualPredicate: Option[Expression] = residualPredicates.reduceOption(And)
 
-  /** The active files surviving partition pruning. */
+  /** The active files surviving partition pruning. In distributed-state
+    * mode the pruning runs as a Spark job and only survivors are
+    * collected (never the full file list). */
   def getFiles: Seq[AddFile] =
-    PartitionUtils.filterFileList(
-      snapshot.metadata.partitionSchema, snapshot.allFiles, pushedPredicates)
+    if (snapshot.distributedState) {
+      // dataFilters = Nil: getFiles' contract is partition pruning only
+      // (the caller re-applies the residual), same as the driver path
+      FilePruning.prune(snapshot.allFilesDistributed,
+        snapshot.metadata.partitionSchema, pushedPredicates,
+        Nil, snapshot.metadata.dataSchema).collect().toSeq
+    } else {
+      PartitionUtils.filterFileList(
+        snapshot.metadata.partitionSchema, snapshot.allFiles, pushedPredicates)
+    }
 }
 
 /** Assembles the snapshot's DataFrame through a [[DeltaFileIndex]]-backed

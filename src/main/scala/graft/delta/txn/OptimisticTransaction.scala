@@ -63,8 +63,16 @@ class OptimisticTransaction(
     // a data-column conjunct can match rows in ANY file — without per-file
     // stats we must be conservative and treat it as a whole-table read
     if (data.nonEmpty && meta.isEmpty) readTheWholeTable = true
-    val matched = PartitionUtils.filterFileList(
-      snapshot.metadata.partitionSchema, snapshot.allFiles, meta)
+    val matched =
+      if (snapshot.distributedState) {
+        // prune as a Spark job; only the read set reaches the driver
+        graft.delta.read.FilePruning.prune(snapshot.allFilesDistributed,
+          snapshot.metadata.partitionSchema, meta, Nil,
+          snapshot.metadata.dataSchema).collect().toSeq
+      } else {
+        PartitionUtils.filterFileList(
+          snapshot.metadata.partitionSchema, snapshot.allFiles, meta)
+      }
     readPredicates ++= meta
     readFiles ++= matched.map(_.path)
     matched
@@ -109,9 +117,11 @@ class OptimisticTransaction(
     }
     require(m.partitionColumns.size < schema.size || schema.isEmpty,
       "Cannot use all columns for partition columns")
-    // schema write-compat vs the existing table (ref SchemaUtils.scala:90-145)
+    // schema write-compat vs the existing table (ref SchemaUtils.scala:90-145);
+    // numOfFiles (an aggregation in distributed mode) — NOT allFiles, which
+    // would materialize the whole file list just to test emptiness
     if (readVersion >= 0 && snapshot.metadata.schemaString.isDefined &&
-        snapshot.allFiles.nonEmpty) {
+        snapshot.numOfFiles > 0) {
       require(isWriteCompatible(snapshot.metadata.schema, schema),
         "New schema is not write-compatible with the table's existing schema; " +
           s"existing: ${snapshot.metadata.schema.simpleString}, new: ${schema.simpleString}")
@@ -267,8 +277,12 @@ class OptimisticTransaction(
   /** Checkpoint cadence + log cleanup (ref :393-405, Checkpoints.scala:122-135). */
   private def postCommit(version: Long): Unit = {
     if (version != 0 && version % deltaLog.checkpointInterval == 0) {
-      Checkpoints.writeCheckpoint(deltaLog.update(),
-        DeltaConfigs.CHECKPOINT_PARTS.fromMetadata(deltaLog.metadata))
+      val snap = deltaLog.update()
+      val parts = DeltaConfigs.CHECKPOINT_PARTS.fromMetadata(deltaLog.metadata)
+      // beyond the driver-state bound the file list must flow checkpoint →
+      // checkpoint as a Spark job, never through the driver
+      if (snap.distributedState) Checkpoints.writeCheckpointDistributed(snap, parts)
+      else Checkpoints.writeCheckpoint(snap, parts)
       if (deltaLog.enableExpiredLogCleanup) deltaLog.cleanUpExpiredLogs()
     }
   }
