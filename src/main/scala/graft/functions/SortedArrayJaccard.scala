@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shims
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
-/** Exact jaccard of two SORTED string arrays as one codegen'd merge walk.
+/** Exact jaccard of two SORTED arrays as one codegen'd merge walk.
   *
   * `array_intersect` (like all set expressions over arrays) evaluates on
   * the interpreted path with per-call hash-set builds and boxing; at
@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   * pre-sorted arrays is O(|a|+|b|) with zero allocation, and
   * whole-stage-codegen keeps it jit-compiled next to the join.
   *
-  * Contract: both inputs ascending in UTF8String binary order (what
-  * `array_sort` produces for strings) with no duplicates (what
-  * `array_distinct` + sort produces). Value equals
+  * Contract: both inputs ascending (UTF8String binary order for strings,
+  * numeric order for int/long arrays — the compact-id form near-dup
+  * verification prefers, since interned int arrays shuffle ~6x smaller
+  * than gram strings) with no duplicates. Value equals
   * `|a ∩ b| / (|a| + |b| - |a ∩ b|)` — identical to the
   * array_intersect-based formulation on distinct inputs.
   *
@@ -32,23 +33,34 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"sorted_array_jaccard requires two array<string> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def elemType: Option[DataType] = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => Some(StringType)
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => Some(IntegerType)
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => Some(LongType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemType.isDefined) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_array_jaccard requires two array<string>/array<int>/array<long> " +
+          s"arguments of the same element type, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (nx, ny) = (x.numElements(), y.numElements())
+    val t = elemType.get
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val c = t match {
+        case StringType => x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        case IntegerType => java.lang.Integer.compare(x.getInt(i), y.getInt(j))
+        case LongType => java.lang.Long.compare(x.getLong(i), y.getLong(j))
+      }
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -62,12 +74,17 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
       val inter = ctx.freshName("inter")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val c = ctx.freshName("cmp")
+      val cmpExpr = elemType.get match {
+        case StringType => s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        case IntegerType => s"java.lang.Integer.compare($a.getInt($i), $b.getInt($j))"
+        case LongType => s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+      }
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $inter = 0;
          |while ($i < $nx && $j < $ny) {
-         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  final int $c = $cmpExpr;
          |  if ($c == 0) { $inter++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

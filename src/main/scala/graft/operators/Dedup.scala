@@ -9,9 +9,9 @@ import graft.functions._
   *
   * Scale design (the 100 TB story):
   *  - nothing here compares all pairs: every near-dup variant generates
-  *    CANDIDATE pairs through a bucketing key (LSH band, simhash band,
-  *    length bucket) and only verifies candidates — the shuffle volume is
-  *    O(docs × bands), not O(docs²);
+  *    CANDIDATE pairs through a blocking key (LSH band, simhash band,
+  *    rarest-prefix gram) and only verifies candidates — the shuffle
+  *    volume tracks actual similarity, not O(docs²);
   *  - candidate generation joins carry ONLY (block key, id): the wide
   *    shingle/vector payloads never ride through the pair-producing
   *    shuffle and are re-attached to the surviving pairs afterwards;
@@ -46,8 +46,6 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleWidth: Int = 3, k: Int = 12, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
-    require(k % bands == 0, "k must divide evenly into bands")
-    val rows = k / bands
     // tokens materialized as a column first: inline, every interpreted
     // shingle-lambda element would re-run the split (see wordShinglesOf)
     val docs = df.select(col(idCol).as("id"),
@@ -57,15 +55,35 @@ object Dedup {
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-    // signature: min_j over shingles of (a_j·md5_32(s) + b_j) mod p
-    val hashed = docs.select(col("id"), explode(col("shingles")).as("s"))
+    val candidates = minhashBandCandidates(
+      docs.select(col("id"), col("shingles").as("items")), k, bands)
+
+    // verification: re-attach shingles to the surviving pairs only
+    val gi = docs.select(col("id").as("i"), col("shingles").as("sh_i"))
+    val gj = docs.select(col("id").as("j"), col("shingles").as("sh_j"))
+    candidates.join(gi, Seq("i")).join(gj, Seq("j"))
+      .select(col("i"), col("j"),
+        SortedArrayJaccard(col("sh_i"), col("sh_j")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Banded-MinHash candidate pairs over any item-set column: k minhashes
+    * (one md5 per item, k affine transforms, k codegen'd MINs over the
+    * exploded items) split into `bands` bands; docs sharing any band key
+    * become a candidate pair. The pair-producing join carries only
+    * (band, key, id) — payloads re-attach downstream. Classic banding: a
+    * pair with jaccard j is a candidate with p = 1-(1-j^(k/bands))^bands. */
+  private def minhashBandCandidates(docs: DataFrame, k: Int,
+                                    bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide evenly into bands")
+    val rows = k / bands
+    val hashed = docs.select(col("id"), explode(col("items")).as("s"))
       .select(col("id"), md5Hash32(col("s")).as("h"))
     val sigCols = (0 until k).map { j =>
       min((col("h") * minhashA(j) + minhashB(j)) % MinhashPrime).as(s"m$j")
     }
     val sigs = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
 
-    // band keys from the k signature columns; join carries (band, key, id)
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -76,18 +94,10 @@ object Dedup {
 
     val l = banded.select(col("band"), col("key"), col("id").as("i"))
     val r = banded.select(col("band"), col("key"), col("id").as("j"))
-    val candidates = l.join(r, Seq("band", "key"))
+    l.join(r, Seq("band", "key"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"))
       .distinct()
-
-    // verification: re-attach shingles to the surviving pairs only
-    val gi = docs.select(col("id").as("i"), col("shingles").as("sh_i"))
-    val gj = docs.select(col("id").as("j"), col("shingles").as("sh_j"))
-    candidates.join(gi, Seq("i")).join(gj, Seq("j"))
-      .select(col("i"), col("j"),
-        SortedArrayJaccard(col("sh_i"), col("sh_j")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs: `bits`-wide simhash, banded into
@@ -135,43 +145,83 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
-  /** Character-n-gram jaccard near-dup pairs, blocked by a coarse length
-    * bucket (near-dups have near-equal lengths; candidates only form
-    * within a bucket and its neighbor — a recall heuristic, like all
-    * length blocking). Same-bucket and adjacent-bucket joins are disjoint,
-    * so no pair is generated twice and no distinct pass is needed; the
-    * gram arrays are attached after the pair join. */
+  /** Character-n-gram jaccard near-dup pairs via PREFIX FILTERING
+    * (AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): with grams ordered rarest-first by global document
+    * frequency, two sets with jaccard ≥ t MUST share a gram within each
+    * set's first `|G| - ⌈t·|G|⌉ + 1` grams, so candidates form only on
+    * prefix grams — which the rarity order makes the LEAST common ones.
+    * The filter is EXACT (100% recall): the output is every pair with
+    * jaccard ≥ t, independent of blocking.
+    *
+    * Why not LSH banding here: char-n-gram sets of UNRELATED documents
+    * overlap heavily (jaccard 0.3–0.5 is normal prose-vs-prose), so any
+    * banding sharp enough to keep recall at t=0.8 admits a large share
+    * of all pairs. Round 1's length buckets degenerated the same way
+    * (most docs share a few popular length buckets → O(bucket²)).
+    *
+    * Shuffles: one groupBy over exploded grams (doc frequency), one
+    * window by doc (rank grams), the prefix self-join keyed by gram, and
+    * the verify joins. The size-ratio prune — jaccard(A,B) ≤
+    * min(|A|,|B|)/max(|A|,|B|) — runs inside the candidate join on two
+    * ints, before any gram array is attached; the verifier is the
+    * codegen'd [[SortedArrayJaccard]]. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8,
-                   lengthBucket: Int = 8): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-        ShingleExpressions.charShinglesSorted(col(textCol), n).as("grams"),
-        floor(length(col(textCol)) / lengthBucket).cast("int").as("bucket"))
+        ShingleExpressions.charShinglesSorted(col(textCol), n).as("grams"))
+      .filter(size(col("grams")) > 0)
 
-    // candidate pruning is sound: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-    // so a pair whose distinct-gram counts are further apart than the
-    // threshold can never verify — filtered on two ints before any array
-    // is attached
-    val meta = docs.select(col("id"), col("bucket"),
-      size(col("grams")).as("nG"))
+    val exploded = docs.select(col("id"), explode(col("grams")).as("s"))
+    // Intern grams to dense int ids ranked rarest-first: the id IS the
+    // global prefix order, so the per-doc rarity sort collapses into the
+    // sort_array aggregate, and every downstream structure (prefix rows,
+    // verify payloads) carries 4-byte ints instead of gram strings.
+    // n-grams come from a bounded alphabet, so the id table is small by
+    // construction (broadcast; the one-task ranking window is over
+    // DISTINCT grams, not docs).
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val gid = freq.select(col("s"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("s")))
+      .as("gid"))
+    val intDocs = exploded.join(broadcast(gid), Seq("s"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      .withColumn("nG", size(col("gids")))
+
+    // prefix = the (nG - ceil(t*nG) + 1) globally-rarest grams: a leading
+    // slice, because gids is sorted in the global rarity order
+    val prefix = intDocs.select(col("id"), col("nG"),
+      posexplode(slice(col("gids"), lit(1),
+        (col("nG") - ceil(col("nG") * threshold) + 1).cast("int"))))
+
+    // two EXACT per-pair prunes on ints, inside the candidate join:
+    //  - size ratio: jaccard(A,B) <= min|..|/max|..|
+    //  - PPJoin positional filter: at a shared prefix gram with ranks
+    //    (rk_i, rk_j), overlap <= min(nG_i-rk_i, nG_j-rk_j)+1, which must
+    //    reach ceil(t/(1+t)·(nG_i+nG_j)); the FIRST common gram of a
+    //    qualifying pair always passes, so keeping pairs with ANY
+    //    passing match loses nothing
     val sizeOk = least(col("nG_i"), col("nG_j")).cast("double") /
       greatest(col("nG_i"), col("nG_j")) >= threshold
-    val same = meta.select(col("bucket"), col("id").as("i"), col("nG").as("nG_i"))
-      .join(meta.select(col("bucket"), col("id").as("j"), col("nG").as("nG_j")),
-        Seq("bucket"))
-      .filter(col("i") < col("j") && sizeOk)
-    val adjacent = meta.select((col("bucket") + 1).as("bucket"),
-        col("id").as("a"), col("nG").as("nG_i"))
-      .join(meta.select(col("bucket"), col("id").as("b"), col("nG").as("nG_j")),
-        Seq("bucket"))
-      .filter(sizeOk)
-      .select(least(col("a"), col("b")).as("i"),
-        greatest(col("a"), col("b")).as("j"))
-    val candidates = same.select(col("i"), col("j"))
-      .union(adjacent.select(col("i"), col("j")))
+    val requiredOverlap =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("nG_i") + col("nG_j")))
+    val positionOk =
+      (least(col("nG_i") - col("rk_i"), col("nG_j") - col("rk_j")) + 1) >=
+        requiredOverlap
+    val candidates = prefix
+      .select(col("col").as("g"), col("id").as("i"),
+        col("nG").as("nG_i"), (col("pos") + 1).as("rk_i"))
+      .join(prefix.select(col("col").as("g"), col("id").as("j"),
+        col("nG").as("nG_j"), (col("pos") + 1).as("rk_j")), Seq("g"))
+      .filter(col("i") < col("j") && sizeOk && positionOk)
+      .select(col("i"), col("j"))
+      .distinct()
 
-    val gi = docs.select(col("id").as("i"), col("grams").as("g_i"))
-    val gj = docs.select(col("id").as("j"), col("grams").as("g_j"))
+    // verification on the compact int arrays: bijective with the gram
+    // sets, so the jaccard value is exactly the gram-set jaccard
+    val gi = intDocs.select(col("id").as("i"), col("gids").as("g_i"))
+    val gj = intDocs.select(col("id").as("j"), col("gids").as("g_j"))
     candidates.join(gi, Seq("i")).join(gj, Seq("j"))
       .select(col("i"), col("j"),
         SortedArrayJaccard(col("g_i"), col("g_j")).as("jaccard"))

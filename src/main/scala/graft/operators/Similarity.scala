@@ -46,23 +46,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic "random" hyperplane coefficient for (plane j, dim i):
-    * a small integer in [-3, 3] from a fixed congruential pattern — public
-    * LSH needs random signs, reproducibility needs a fixed seed. */
-  private def planeCoef(j: Int, i: Column): Column =
-    (i * 31 + lit(j * 17 + 7)) % 7 - 3
-
-  /** Sign-bucket id from `planes` hyperplanes (bit j = sign of <h_j, v>). */
-  def lshBucket(vecCol: Column, dim: Int, planes: Int): Column = {
-    // unroll planes explicitly: each plane needs its own coefficient pattern
-    (0 until planes).map { j =>
-      val dot = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeCoef(j, i).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Sign-bucket id from `planes` deterministic hyperplanes (bit j =
+    * sign of <h_j, v>; coefficient for (plane j, dim i) is the fixed
+    * congruential pattern `((i*31 + j*17 + 7) % 7) - 3` — public LSH
+    * needs random signs, reproducibility needs a fixed seed).
+    *
+    * One codegen'd pass over the vector ([[LshSignBucket]]) — the
+    * interpreted `aggregate(zip_with(...))` formulation it replaces
+    * cost O(planes × dim) interpreted lambda evals per corpus row. */
+  def lshBucket(vecCol: Column, dim: Int, planes: Int): Column =
+    LshSignBucket(vecCol, dim, planes)
 
   /** ANN top-k within the query's LSH bucket. Same output shape as
     * [[bruteForceTopK]]; neighbors outside the bucket are unreachable

@@ -249,20 +249,36 @@ object PipelineQueries {
 
     QueryDef(
       "dedup_ngram_jaccard",
+      // prefix filtering is EXACT, so Spark and the oracle agree on the
+      // final pair set even though each mirrors the blocker only for
+      // its own runtime's sake (any global gram order yields the same
+      // output: every pair with jaccard >= 0.8)
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8, lengthBucket = 8),
+        n = 3, threshold = 0.8),
       Some("""
         WITH docs AS (
           SELECT doc_id AS id,
                  list_distinct([substr(text, i, 3)
-                                for i in range(1, length(text) - 1)]) AS grams,
-                 CAST(floor(length(text) / 8.0) AS INT) AS bucket
+                                for i in range(1, length(text) - 1)]) AS grams
           FROM documents WHERE length(text) >= 3
-        ), blocked AS (
-          SELECT id, grams, unnest([bucket, bucket + 1]) AS blk FROM docs
+        ), ex AS (
+          SELECT id, unnest(grams) AS s FROM docs
+        ), freq AS (
+          SELECT s, count(*) AS df FROM ex GROUP BY s
+        ), ranked AS (
+          SELECT e.id, e.s,
+                 row_number() OVER (PARTITION BY e.id ORDER BY f.df, e.s) AS rk
+          FROM ex e JOIN freq f ON e.s = f.s
+        ), ng AS (
+          SELECT id, len(grams) AS n FROM docs
+        ), pref AS (
+          SELECT r.id, r.s, g.n
+          FROM ranked r JOIN ng g ON r.id = g.id
+          WHERE r.rk <= g.n - ceil(0.8 * g.n) + 1
         ), cand AS (
           SELECT DISTINCT a.id AS i, b.id AS j
-          FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+          FROM pref a JOIN pref b ON a.s = b.s AND a.id < b.id
+          WHERE least(a.n, b.n)::DOUBLE / greatest(a.n, b.n) >= 0.8
         )
         SELECT c.i, c.j,
                len(list_intersect(di.grams, dj.grams))::DOUBLE /

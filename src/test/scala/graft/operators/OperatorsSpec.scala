@@ -45,7 +45,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("ngram jaccard pairs exceed threshold only for near-dups") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-      n = 3, threshold = 0.6, lengthBucket = 16)
+      n = 3, threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
     assert(pairs.forall(p => Set(1L, 2L, 4L).contains(p._1)))
