@@ -1,6 +1,7 @@
 package graft.delta.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -33,7 +34,8 @@ import graft.delta.read.DeltaFileIndex
 class DeltaSource(
     sqlContext: SQLContext,
     deltaLog: DeltaLog,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val ignoreDeletes =
@@ -72,44 +74,85 @@ class DeltaSource(
       .add("_commit_version", org.apache.spark.sql.types.LongType)
 
   /** Rate limit: cap each micro-batch at this many data AddFiles (always
-    * at least one version per batch). After a restart the first batch is
-    * uncapped — the V1 Source API doesn't hand back the committed offset
-    * before the first getOffset, and correctness (exactly-once by version
-    * range) never depends on the cap. */
+    * at least one version per batch — a batch must make progress). With
+    * [[SupportsAdmissionControl]] the engine hands the committed start
+    * offset to [[latestOffset]], so the cap holds across restarts too
+    * (the reference's bounded/continuous split, DeltaSource.java:121-150,
+    * maps onto ReadLimit-driven admission). */
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
   private var lastReported: Option[Long] = None
 
-  override def getOffset: Option[Offset] = {
-    val head = deltaLog.update().version
-    if (head < 0) return None
-    val base = lastReported.orElse(startingVersion.map(_ - 1))
-    val end = (base, maxFilesPerTrigger) match {
-      case (Some(b), Some(budget)) if head > b =>
-        var endV = b
-        var files = 0
-        val it = deltaLog.getChanges(b + 1).takeWhile(_._1 <= head)
-        var done = false
-        while (!done && it.hasNext) {
-          val (v, actions) = it.next()
-          val n = actions.count {
-            case a: AddFile => a.dataChange
-            case _ => false
-          }
-          // the first version always fits (a batch must make progress)
-          if (endV > b && files + n > budget) done = true
-          else { endV = v; files += n }
-        }
-        endV
+  /** Trigger.AvailableNow: pin the head version at stream start; batches
+    * (still rate-limited) drain up to it, then the query stops. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = Some(deltaLog.update().version)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles(_))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** The engine-facing offset resolution (V2 admission control over the
+    * V1 Source, the FileStreamSource pattern). */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head0 = deltaLog.update().version
+    val head = availableNowTarget.fold(head0)(math.min(head0, _))
+    if (head < 0) return null
+    val base: Option[Long] = Option(startOffset).map(versionOf)
+      .orElse(lastReported)
+      .orElse(startingVersion.map(_ - 1))
+    val end = (base, fileBudget(limit)) match {
+      case (Some(b), Some(budget)) if head > b => cappedEnd(b, head, budget)
       case _ => head
     }
     startingVersion match {
-      case Some(sv) if end < sv => None // nothing at or after the start yet
+      case Some(sv) if end < sv => null // nothing at or after the start yet
       case _ =>
         lastReported = Some(end)
-        Some(LongOffset(end))
+        LongOffset(end)
     }
   }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val head = deltaLog.update().version
+    if (head < 0) null else LongOffset(head)
+  }
+
+  private def fileBudget(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+    case _: ReadAllAvailable => None
+    case _ => maxFilesPerTrigger
+  }
+
+  /** Walk versions (base, head] until the data-file budget is exhausted. */
+  private def cappedEnd(base: Long, head: Long, budget: Int): Long = {
+    var endV = base
+    var files = 0
+    val it = deltaLog.getChanges(base + 1).takeWhile(_._1 <= head)
+    var done = false
+    while (!done && it.hasNext) {
+      val (v, actions) = it.next()
+      val n = actions.count {
+        case a: AddFile => a.dataChange
+        case _ => false
+      }
+      // the first version always fits (a batch must make progress)
+      if (endV > base && files + n > budget) done = true
+      else { endV = v; files += n }
+    }
+    endV
+  }
+
+  /** Legacy V1 entry point; the engine calls [[latestOffset]] instead
+    * once a source implements SupportsAdmissionControl. */
+  override def getOffset: Option[Offset] =
+    Option(latestOffset(null, getDefaultReadLimit))
+      .map(o => LongOffset(versionOf(o)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = asVersion(end)
@@ -247,6 +290,12 @@ class DeltaSource(
   }
 
   private def asVersion(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
+  /** V2 offsets arrive as LongOffset or (from the offset log) serialized. */
+  private def versionOf(o: OffsetV2): Long = o match {
     case LongOffset(v) => v
     case other => other.json.toLong
   }

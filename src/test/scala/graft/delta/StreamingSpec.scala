@@ -106,6 +106,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains rate-limited batches then terminates") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write(Seq(1).toDF("value"), table)
+      (2 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("value"), table))
+
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .load(table)
+        .writeStream.format("memory").queryName("availnow")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // the source implements SupportsTriggerAvailableNow: the query must
+      // drain all four versions in capped batches and stop BY ITSELF
+      assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+      assert(spark.table("availnow").as[Int].collect().sorted.toSeq ==
+        Seq(1, 2, 3, 4))
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 4,
+        s"expected >=4 rate-limited batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 1))
+    }
+  }
+
+  test("maxFilesPerTrigger caps the first batch after a restart") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      val ckpt = s"$base/ckpt"
+      DeltaTable.write(Seq(1).toDF("value"), table)
+      val dst = s"$base/dst"
+      val q1 = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .load(table)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      assert(q1.awaitTermination(60000))
+
+      // three more single-file commits arrive while the stream is DOWN
+      (2 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("value"), table))
+      val q2 = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .load(table)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      assert(q2.awaitTermination(60000))
+      assert(DeltaTable.forPath(spark, dst).toDF
+        .as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+      // admission control receives the committed offset, so the catch-up
+      // respects the cap: one single-row file per batch, three batches
+      val catchUp = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(catchUp.length >= 3,
+        s"expected >=3 capped catch-up batches, got ${catchUp.length}")
+      assert(catchUp.forall(_.numInputRows <= 1),
+        "a post-restart batch exceeded maxFilesPerTrigger")
+    }
+  }
+
   test("source fails on delete unless ignoreDeletes") {
     withTempDir { base =>
       val table = s"$base/table"
