@@ -95,20 +95,32 @@ object Multimodal {
     out
   }
 
-  /** Resize every blob per partition; schema (id, media, n_bytes). */
+  /** Input row shape for the per-partition codec passes. */
+  private[multimodal] case class MediaRow(id: Long, media: Array[Byte])
+  private[multimodal] case class ResizedRow(id: Long, media: Array[Byte], n_bytes: Long)
+  private[multimodal] case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
+  private[multimodal] case class FeatureRow(id: Long, features: Array[Float], n_bytes: Long)
+
+  private def asMedia(media: DataFrame): org.apache.spark.sql.Dataset[MediaRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    media.select(col("id"), col("media")).as[MediaRow]
+  }
+
+  /** Resize every blob per partition; schema (id, media, n_bytes).
+    *
+    * Typed `Dataset.mapPartitions` (not an RDD hop): the codec pass stays
+    * a node INSIDE the Catalyst plan — codegen spans the surrounding
+    * operators and AQE still re-plans across it, where a
+    * DataFrame→rdd→createDataFrame round-trip severs both. The iterator
+    * shape is what a real decode (mapInPandas / Arrow batch) needs. */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
-    val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("media", BinaryType),
-      StructField("n_bytes", LongType)))
-    val rdd = media.select(col("id"), col("media")).rdd.mapPartitions { it =>
-      it.map { row =>
-        val resized = resizeStub(row.getAs[Array[Byte]](1), width, height)
-        Row(row.getLong(0), resized, resized.length.toLong)
+    implicit val enc = org.apache.spark.sql.Encoders.product[ResizedRow]
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        val resized = resizeStub(m.media, width, height)
+        ResizedRow(m.id, resized, resized.length.toLong)
       }
-    }
-    spark.createDataFrame(rdd, schema)
+    }.toDF()
   }
 
   /** Frame sampling for video-shaped blobs: treat the blob as contiguous
@@ -117,41 +129,25 @@ object Multimodal {
     * explode-shaped plumbing a real frame extractor needs. */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
     require(frameBytes > 0 && everyN > 0)
-    val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("frame_idx", IntegerType),
-      StructField("frame", BinaryType)))
-    val rdd = media.select(col("id"), col("media")).rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        val id = row.getLong(0)
-        val bytes = row.getAs[Array[Byte]](1)
-        val frames = bytes.length / frameBytes
-        (0 until frames by everyN).map { f =>
-          Row(id, f,
-            java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+    implicit val enc = org.apache.spark.sql.Encoders.product[FrameRow]
+    asMedia(media).mapPartitions { it =>
+      it.flatMap { m =>
+        val frames = m.media.length / frameBytes
+        (0 until frames by everyN).iterator.map { f =>
+          FrameRow(m.id, f, java.util.Arrays.copyOfRange(
+            m.media, f * frameBytes, (f + 1) * frameBytes))
         }
       }
-    }
-    spark.createDataFrame(rdd, schema)
+    }.toDF()
   }
 
   /** Per-partition feature extraction over blobs: decode (stub) →
     * fixed-width feature vector. Runs as one iterator pass per partition —
     * the executor never materializes more than one blob batch. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("features", ArrayType(FloatType, containsNull = false)),
-      StructField("n_bytes", LongType)))
-    val rdd = media.select(col("id"), col("media")).rdd.mapPartitions { it =>
-      it.map { row =>
-        val id = row.getLong(0)
-        val bytes = row.getAs[Array[Byte]](1)
-        Row(id, decodeStub(bytes).toSeq, bytes.length.toLong)
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    implicit val enc = org.apache.spark.sql.Encoders.product[FeatureRow]
+    asMedia(media).mapPartitions { it =>
+      it.map(m => FeatureRow(m.id, decodeStub(m.media), m.media.length.toLong))
+    }.toDF()
   }
 }
