@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.definitions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (ident, info, builder) =>
+      ext.injectTableFunction((ident, info, builder))
+    }
     ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaInserts)
   }
 }
@@ -50,11 +53,87 @@ object GraftExtensions {
 
   /** Register the functions on an already-running session (the
     * `spark.sql.extensions` config only applies at session build time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     definitions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(ident, info, builder)
+    }
+  }
+
+  // --------------------------------------------------- table functions
+  /** The SQL face of the table-level operators (F9's SELECT surface — the
+    * reference's Flink catalog exposes the same capabilities as DDL;
+    * Spark-native, they are table-valued functions, mirroring Delta
+    * Lake's own `table_changes` TVF shape):
+    *
+    *  - `graft_table('/path'[, version])` — snapshot or time-travel read
+    *    (M9; `SELECT * FROM graft_table(p, 3)` ≡ `VERSION AS OF 3`);
+    *  - `graft_history('/path')` — DESCRIBE HISTORY as rows (M12);
+    *  - `graft_table_changes('/path', start, end)` — the change feed
+    *    (M13/CDF) with `_change_type` and `_commit_version`.
+    */
+  private[graft] val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+    def lit(e: Expression, what: String): Any = {
+      require(e.foldable, s"$what must be a literal")
+      val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      require(v != null, s"$what must not be null")
+      v
+    }
+    def str(e: Expression, what: String): String = lit(e, what).toString
+    def long(e: Expression, what: String): Long = lit(e, what) match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+    def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+      df.queryExecution.analyzed
+
+    val table: Seq[Expression] => LogicalPlan = { args =>
+      require(args.size == 1 || args.size == 2,
+        "graft_table(path[, version]) takes 1 or 2 arguments")
+      val t = graft.delta.DeltaTable.forPath(SparkSession.active,
+        str(args(0), "path"))
+      analyzed(
+        if (args.size == 2) t.asOfVersion(long(args(1), "version")) else t.toDF)
+    }
+    val history: Seq[Expression] => LogicalPlan = { args =>
+      require(args.size == 1, "graft_history(path) takes 1 argument")
+      val spark = SparkSession.active
+      val log = graft.delta.DeltaLog.forTable(spark, str(args(0), "path"))
+      import spark.implicits._
+      analyzed(log.history().map(ci => (
+        ci.version.getOrElse(-1L),
+        new java.sql.Timestamp(ci.timestamp.getOrElse(0L)),
+        ci.operation.orNull,
+        ci.readVersion.getOrElse(-1L),
+        ci.isolationLevel.orNull,
+        ci.isBlindAppend.getOrElse(false)))
+        .toDF("version", "timestamp", "operation", "read_version",
+          "isolation_level", "is_blind_append"))
+    }
+    val changes: Seq[Expression] => LogicalPlan = { args =>
+      require(args.size == 3,
+        "graft_table_changes(path, startVersion, endVersion) takes 3 arguments")
+      val t = graft.delta.DeltaTable.forPath(SparkSession.active,
+        str(args(0), "path"))
+      analyzed(t.changes(long(args(1), "startVersion"), long(args(2), "endVersion")))
+    }
+
+    Seq(
+      (new FunctionIdentifier("graft_table"),
+        new ExpressionInfo("graft.delta.DeltaTable", "graft_table"), table),
+      (new FunctionIdentifier("graft_history"),
+        new ExpressionInfo("graft.delta.DeltaLog", "graft_history"), history),
+      (new FunctionIdentifier("graft_table_changes"),
+        new ExpressionInfo("graft.delta.DeltaTable", "graft_table_changes"), changes))
+  }
 
   /** Claims INSERT INTO/OVERWRITE over a Delta relation during the
     * RESOLUTION batch, before the built-in post-hoc rules

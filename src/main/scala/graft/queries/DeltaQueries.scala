@@ -80,6 +80,30 @@ object DeltaQueries {
         FROM orders WHERE o_orderstatus IN ('F', 'O')
         GROUP BY o_orderstatus""")),
 
+    // Pure-SQL time travel + history through the table-valued functions
+    // (the F9 SELECT surface: VERSION AS OF ≡ graft_table(path, v),
+    // DESCRIBE HISTORY ≡ graft_history(path)).
+    QueryDef(
+      "delta_sql_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("sqltt")
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(orders.filter($"o_orderstatus" === "F"), path, SaveMode.Overwrite)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "O"), path)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "P"), path)
+        s.sql(s"""
+          SELECT t.o_orderstatus, COUNT(*) AS n, MAX(h.n_commits) AS n_commits
+          FROM graft_table('$path', 1) t
+          CROSS JOIN (SELECT COUNT(*) AS n_commits
+                      FROM graft_history('$path')) h
+          GROUP BY t.o_orderstatus""")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n, CAST(3 AS BIGINT) AS n_commits
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus""")),
+
     // Metadata-only partition delete (tombstones, M15 path).
     QueryDef(
       "delta_partition_delete",

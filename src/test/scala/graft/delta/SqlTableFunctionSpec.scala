@@ -1,0 +1,66 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The table-valued SQL surface (F9 SELECT remainder): time travel,
+  * DESCRIBE HISTORY and the change feed reachable from pure SQL. */
+class SqlTableFunctionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_table serves latest and time-travel versions from SQL") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+      DeltaTable.write(Seq((3, "c")).toDF("id", "v"), dir)
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft_table('$dir')")
+        .as[Long].head() == 3L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft_table('$dir', 0)")
+        .as[Long].head() == 2L)
+      // predicates over the TVF still prune/push down through the relation
+      val ids = spark.sql(
+        s"SELECT id FROM graft_table('$dir') WHERE v = 'c'").as[Int].collect()
+      assert(ids.toSeq == Seq(3))
+    }
+  }
+
+  test("graft_history lists commits newest-first with operations") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq(1).toDF("v"), dir)
+      DeltaTable.write(Seq(2).toDF("v"), dir)
+      DeltaTable.forPath(spark, dir).delete($"v" === 1)
+      val rows = spark.sql(
+        s"""SELECT version, operation, is_blind_append
+            FROM graft_history('$dir')""").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+      assert(rows.map(_.getString(1)).toSeq ==
+        Seq("DELETE", "WRITE", "CREATE TABLE"))
+      assert(rows.head.getBoolean(2) == false) // DELETE reads the table
+      assert(rows.last.getBoolean(2) == true) // creation reads nothing
+    }
+  }
+
+  test("graft_table_changes streams the CDF columns from SQL") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+      DeltaTable.write(Seq((3, "c")).toDF("id", "v"), dir)
+      val changed = spark.sql(
+        s"""SELECT id, _change_type, _commit_version
+            FROM graft_table_changes('$dir', 1, 1)""").collect()
+      assert(changed.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .toSeq == Seq((3, "insert", 1L)))
+    }
+  }
+
+  test("non-literal and mis-typed arguments fail at analysis") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq(1).toDF("v"), dir)
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graft_table('/nope/missing')").collect()
+      }
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_table('$dir', 0, 1, 2)").collect()
+      }
+    }
+  }
+}
