@@ -258,8 +258,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * (default: the table's deletedFileRetentionDuration). Files still
     * named by a younger tombstone are kept so time travel within the
     * retention window — and any reader pinned to an old snapshot — stays
-    * intact. Returns the number of deleted files. */
+    * intact. Returns the number of deleted files.
+    *
+    * Scale shape: the recursive table listing runs as a Spark job (one
+    * task per top-level directory — on a 100 TB table a driver loop over
+    * `fs.listFiles(recursive)` takes hours), candidates anti-join against
+    * the (possibly distributed) active-file set, and the deletes
+    * themselves run in tasks. */
   def vacuum(retentionMillis: Option[Long] = None): Int = {
+    import org.apache.spark.sql.functions.col
     val snapshot = deltaLog.update()
     val retention = retentionMillis.getOrElse(
       DeltaConfigs.TOMBSTONE_RETENTION.fromMetadata(snapshot.metadata))
@@ -270,29 +277,78 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
     def decode(child: String): String =
       new org.apache.hadoop.fs.Path(new java.net.URI(child)).toUri.getPath
-    val active = snapshot.allFiles.map(f => decode(f.path)).toSet
-    // a tombstone younger than the cutoff still protects its file; an
-    // expired one no longer appears in state, so protection comes from
-    // re-reading the RECENT log (bounded by the same retention window)
-    val protectedPaths = snapshot.tombstones
-      .filter(_.delTimestamp >= cutoff).map(r => decode(r.path)).toSet
+    // A tombstone younger than the cutoff protects its file. The snapshot's
+    // own tombstone list is pre-filtered by the TABLE retention, so a
+    // vacuum asked to preserve a LONGER window must re-replay the log with
+    // the requested cutoff — otherwise files removed recently but written
+    // long ago get deleted inside the window the caller asked to keep.
+    // (Bounded by what the log/checkpoints still record: checkpoints drop
+    // tombstones expired at write time.)
+    val tombstones =
+      if (cutoff < snapshot.minFileRetentionTimestamp) {
+        new Snapshot(spark, deltaLog, snapshot.version, snapshot.logSegment,
+          cutoff, snapshot.timestamp).tombstones
+      } else snapshot.tombstones
+    val protectedPaths = tombstones
+      .filter(_.delTimestamp >= cutoff).map(r => decode(r.path))
 
-    var deleted = 0
-    val it = fs.listFiles(deltaLog.dataPath, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      val rel = p.toUri.getPath.stripPrefix(root + "/")
-      val topLevel = rel.split('/').head
-      val isData = st.isFile && !topLevel.startsWith("_") &&
-        !topLevel.startsWith(".") && !p.getName.startsWith(".") &&
-        !p.getName.startsWith("_")
-      if (isData && !active.contains(rel) && !protectedPaths.contains(rel) &&
-          st.getModificationTime < cutoff) {
-        if (fs.delete(p, false)) deleted += 1
+    // distributed recursive listing: top level on the driver, one task
+    // per subdirectory on the executors
+    import spark.implicits._
+    val top = fs.listStatus(deltaLog.dataPath)
+      .filter(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val topFiles = top.filter(_.isFile)
+      .map(st => (st.getPath.toUri.getPath.stripPrefix(root + "/"),
+        st.getModificationTime)).toSeq
+    val dirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val sconf = new SerializableHadoopConf(conf)
+    val rootPrefix = root + "/"
+    val fromDirs = spark.createDataset(dirs)
+      .repartition(math.max(1, math.min(dirs.size, 64)))
+      .mapPartitions { ds =>
+        ds.flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val dfs = p.getFileSystem(sconf.value)
+          val it = dfs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            if (st.isFile && !name.startsWith(".") && !name.startsWith("_")) {
+              buf += ((st.getPath.toUri.getPath.stripPrefix(rootPrefix),
+                st.getModificationTime))
+            }
+          }
+          buf
+        }
       }
-    }
-    deleted
+    val listing = spark.createDataset(topFiles).unionByName(fromDirs)
+      .toDF("rel", "mtime")
+
+    val activeDF =
+      (if (snapshot.distributedState) {
+        snapshot.allFilesDistributed.map(f => decode(f.path))
+      } else {
+        spark.createDataset(snapshot.allFiles.map(f => decode(f.path)))
+      }).toDF("rel")
+    val protectedDF = spark.createDataset(protectedPaths).toDF("rel")
+
+    val deletable = listing.filter(col("mtime") < cutoff)
+      .join(activeDF, Seq("rel"), "left_anti")
+      .join(protectedDF, Seq("rel"), "left_anti")
+      .select(col("rel")).as[String]
+
+    // delete in tasks; count via the returned partial sums
+    val rootStr = deltaLog.dataPath.toString
+    deletable.mapPartitions { paths =>
+      val dfs = new org.apache.hadoop.fs.Path(rootStr).getFileSystem(sconf.value)
+      var n = 0
+      paths.foreach { rel =>
+        if (dfs.delete(new org.apache.hadoop.fs.Path(s"$rootStr/$rel"), false)) n += 1
+      }
+      Iterator.single(n)
+    }.collect().sum
   }
 
   /** Bin-pack the table's files into ~`targetFileBytes` outputs — the

@@ -117,6 +117,7 @@ class ObjectStoreLogStore extends LogStore {
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path.getParent)) fs.mkdirs(path.getParent)
     ObjectStoreLogStore.lock.synchronized {
+      ObjectStoreLogStore.pruneExpired()
       if (!overwrite &&
           (ObjectStoreLogStore.writtenPaths.containsKey(path.toUri.toString) ||
             fs.exists(path))) {
@@ -142,6 +143,7 @@ class ObjectStoreLogStore extends LogStore {
     val listed = fs.listStatus(path.getParent)
       .filter(_.getPath.getName >= path.getName)
     val parent = path.getParent.toUri.toString
+    ObjectStoreLogStore.pruneExpired()
     val cached = ObjectStoreLogStore.writtenPaths.keySet().iterator()
     val extra = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
     while (cached.hasNext) {
@@ -164,8 +166,22 @@ class ObjectStoreLogStore extends LogStore {
 
 object ObjectStoreLogStore {
   private[storage] val lock = new Object
-  private[storage] val writtenPaths =
+  private[delta] val writtenPaths =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** Entries only matter while the store's own listing may still be
+    * stale; the reference expires its write cache the same way
+    * (S3SingleDriverLogStore's timestamp-pruned cache). Without a TTL a
+    * long-lived writer JVM grows the map with every commit and listFrom
+    * degrades linearly with total commits across all tables. */
+  private[delta] val cacheTtlMillis: Long = 2L * 60 * 60 * 1000
+  private[delta] def pruneExpired(
+      now: Long = System.currentTimeMillis()): Unit = {
+    val it = writtenPaths.entrySet().iterator()
+    while (it.hasNext) {
+      if (now - it.next().getValue > cacheTtlMillis) it.remove()
+    }
+  }
 }
 
 object LogStore {

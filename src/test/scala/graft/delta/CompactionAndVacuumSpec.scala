@@ -58,6 +58,56 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("vacuum with a retention longer than the table's window re-protects " +
+      "files whose tombstones expired from state") {
+    withTempDir { dir =>
+      val day = 24L * 3600 * 1000
+      val start = 3000000000000L
+      DeltaTable.write((1 to 8).map(i => (i, s"g${i % 2}")).toDF("v", "grp"),
+        dir, partitionBy = Seq("grp"),
+        configuration = Map("delta.deletedFileRetentionDuration" -> "interval 1 days"))
+      val log = DeltaLog.forTable(spark, dir)
+      val table = DeltaTable.forPath(spark, dir)
+
+      // metadata-only delete at T+30d: files stay on disk, tombstoned
+      log.clock = () => start + 30 * day
+      table.deleteWhere($"grp" === "g0")
+
+      // at T+32d the tombstones have EXPIRED from state (1-day table
+      // window; the append bumps the version so the snapshot refreshes)
+      log.clock = () => start + 32 * day
+      DeltaTable.write(Seq((99, "g1")).toDF("v", "grp"), dir)
+      assert(log.update().tombstones.isEmpty)
+
+      // ...but a vacuum preserving 5 days must still protect them: the
+      // files were removed at T+30d, inside the requested window
+      val deleted = table.vacuum(Some(5 * day))
+      assert(deleted == 0,
+        s"vacuum deleted $deleted file(s) inside the requested retention window")
+      // time travel to the pre-delete version still reads all 8 rows
+      assert(table.asOfVersion(0).count() == 8)
+
+      // a window that ends AFTER the delete may collect them
+      val deleted2 = table.vacuum(Some(1 * day))
+      assert(deleted2 > 0)
+    }
+  }
+
+  test("object-store write cache prunes entries past the TTL") {
+    val old = System.currentTimeMillis() -
+      storage.ObjectStoreLogStore.cacheTtlMillis - 1000
+    storage.ObjectStoreLogStore.writtenPaths.put("file:/tmp/ttl-test/0.json",
+      java.lang.Long.valueOf(old))
+    storage.ObjectStoreLogStore.writtenPaths.put("file:/tmp/ttl-test/1.json",
+      java.lang.Long.valueOf(System.currentTimeMillis()))
+    storage.ObjectStoreLogStore.pruneExpired()
+    assert(!storage.ObjectStoreLogStore.writtenPaths
+      .containsKey("file:/tmp/ttl-test/0.json"))
+    assert(storage.ObjectStoreLogStore.writtenPaths
+      .containsKey("file:/tmp/ttl-test/1.json"))
+    storage.ObjectStoreLogStore.writtenPaths.remove("file:/tmp/ttl-test/1.json")
+  }
+
   test("vacuum deletes unreferenced files after the retention window") {
     withTempDir { dir =>
       (1 to 6).foreach(i => DeltaTable.write(Seq(i).toDF("v"), dir))
