@@ -23,23 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object DistributedLogReplay {
 
+  /** (add, remove) slice of the action envelope — the only columns the
+    * file-state fold reads; foreign checkpoints may carry extra columns
+    * with types outside our model (e.g. commitInfo.timestamp). */
+  private case class FileSlice(
+      add: Option[AddFile] = None, remove: Option[RemoveFile] = None)
+
   def activeFiles(spark: SparkSession, segment: LogSegment): Dataset[AddFile] = {
-    implicit val saEnc = Encoders.product[SingleAction]
+    implicit val sliceEnc = Encoders.product[FileSlice]
     implicit val addEnc = Encoders.product[AddFile]
 
     val commitPaths = segment.deltas.map(_.getPath.toString)
     val commits =
-      if (commitPaths.isEmpty) spark.emptyDataset[SingleAction].toDF()
-      else spark.read.schema(saEnc.schema).json(commitPaths: _*)
+      if (commitPaths.isEmpty) spark.emptyDataset[FileSlice].toDF()
+      else spark.read.schema(sliceEnc.schema).json(commitPaths: _*)
         .withColumn("version",
           regexp_extract(input_file_name(), """(\d+)\.json""", 1).cast("long"))
 
     val checkpoint = segment.checkpointVersion match {
       case Some(cpV) =>
-        spark.read.schema(saEnc.schema)
+        spark.read.schema(sliceEnc.schema)
           .parquet(segment.checkpoint.map(_.getPath.toString): _*)
           .withColumn("version", lit(cpV))
-      case None => spark.emptyDataset[SingleAction].toDF()
+      case None => spark.emptyDataset[FileSlice].toDF()
         .withColumn("version", lit(-1L))
     }
 

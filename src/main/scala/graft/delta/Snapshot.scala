@@ -94,11 +94,16 @@ class Snapshot(
     fullStateComputed = true
     val replay = new InMemoryLogReplay(minFileRetentionTimestamp)
     // Checkpoint first — it IS the folded state at checkpointVersion.
+    // Read ONLY the state-bearing columns: checkpoints written by other
+    // Delta implementations carry extra fields with incompatible types
+    // (e.g. commitInfo.timestamp as a parquet TIMESTAMP where the JSON
+    // model uses millis) that state reconstruction must never touch.
     logSegment.checkpointVersion.foreach { cpVersion =>
+      implicit val enc = Encoders.product[Snapshot.StateAction]
       val paths = logSegment.checkpoint.map(_.getPath.toString)
-      implicit val enc = Encoders.product[SingleAction]
       val cpActions = spark.read.schema(enc.schema).parquet(paths: _*)
-        .as[SingleAction].collect().iterator.map(_.unwrap).filter(_ != null)
+        .as[Snapshot.StateAction]
+        .collect().iterator.map(_.unwrap).filter(_ != null)
       replay.append(cpVersion, cpActions)
     }
     commitActions.foreach { case (v, as) => replay.append(v, as.iterator) }
@@ -183,5 +188,18 @@ object Snapshot {
       protocol: Option[Protocol] = None) {
     def unwrap: Action =
       txn.orElse(remove).orElse(metaData).orElse(protocol).orNull
+  }
+
+  /** The five state-bearing [[SingleAction]] columns (everything except
+    * commitInfo/cdc, which never participate in state reconstruction and
+    * whose foreign-written checkpoint types may not match ours). */
+  private[delta] case class StateAction(
+      txn: Option[SetTransaction] = None,
+      add: Option[AddFile] = None,
+      remove: Option[RemoveFile] = None,
+      metaData: Option[Metadata] = None,
+      protocol: Option[Protocol] = None) {
+    def unwrap: Action =
+      txn.orElse(add).orElse(remove).orElse(metaData).orElse(protocol).orNull
   }
 }
