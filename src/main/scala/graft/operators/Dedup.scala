@@ -229,9 +229,20 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
-    * shared coarse key (e.g. an LSH sign-bucket or cluster id) to avoid the
-    * all-pairs product at scale. Pairs join on (block, id) alone; vectors
-    * are attached to the candidate pairs afterwards. */
+    * shared coarse key to avoid the all-pairs product at scale. Pairs join
+    * on (block, id) alone; vectors are attached to the candidate pairs
+    * afterwards.
+    *
+    * `blockCol` defaults to the engine's own LSH sign-bucket
+    * ([[Similarity.lshBucket]], codegen'd) — callers without a natural
+    * cluster key are NOT handed an all-pairs join; a caller-supplied key
+    * (e.g. a label or IVF cell) overrides it. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int,
+                           planes: Int): DataFrame =
+    embeddingCosinePairs(df, idCol, vecCol,
+      Similarity.lshBucket(col(vecCol), dim, planes), threshold)
+
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: Column, threshold: Double): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),

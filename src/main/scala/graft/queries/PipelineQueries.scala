@@ -307,6 +307,39 @@ object PipelineQueries {
                     (sqrt(${duckDot("a.embedding", "a.embedding")}) *
                      sqrt(${duckDot("b.embedding", "b.embedding")})), 6) >= 0.35""")),
 
+    QueryDef(
+      "dedup_embedding_lsh",
+      // the DEFAULT blocker: no caller-supplied block column — the engine
+      // buckets by its own codegen'd LSH sign-bucket, so near-dup search
+      // without a natural cluster key is never an all-pairs join
+      (s, dir) => Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, dim = 64, planes = 2),
+      Some(s"""
+        WITH dots AS (
+          SELECT vec_id, embedding, j,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i ->
+                     embedding[i]::DOUBLE *
+                     CAST(((i - 1) * 31 + j * 17 + 7) % 7 - 3 AS DOUBLE))),
+                   (x, y) -> x + y) AS dot
+          FROM embeddings, range(0, 2) t(j)
+        ), buckets AS (
+          SELECT vec_id, any_value(embedding) AS embedding,
+                 CAST(SUM(CASE WHEN dot >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                   ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id
+        )
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(${duckDot("a.embedding", "b.embedding")} /
+                     (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+                      sqrt(${duckDot("b.embedding", "b.embedding")})), 6) AS cosine
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(${duckDot("a.embedding", "b.embedding")} /
+                    (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+                     sqrt(${duckDot("b.embedding", "b.embedding")})), 6) >= 0.3""")),
+
     // -------------------------------------------------- similarity search
     QueryDef(
       "ann_bruteforce_topk",
