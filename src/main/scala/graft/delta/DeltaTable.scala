@@ -359,18 +359,29 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * don't re-emit rows, and a conflict check protects against concurrent
     * writers. Optionally restricted to partitions matching `where`. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
-              where: Option[Column] = None): Long = {
+              where: Option[Column] = None,
+              zOrderBy: Seq[String] = Nil): Long = {
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
     val candidates = where match {
       case Some(pred) => txn.markFilesAsRead(pred)
       case None => txn.readWholeTable(); snapshot.allFiles
     }
-    val small = candidates.filter(_.size < targetFileBytes)
-    if (small.size < 2) return snapshot.version // nothing to gain
+    // plain compaction rewrites only sub-target files; Z-order rewrites
+    // every candidate — its purpose is re-CLUSTERING, not just bin-packing
+    val rewrite =
+      if (zOrderBy.isEmpty) candidates.filter(_.size < targetFileBytes)
+      else candidates
+    if (zOrderBy.isEmpty && rewrite.size < 2) return snapshot.version
+    if (rewrite.isEmpty) return snapshot.version
 
     val metadata = snapshot.metadata
-    val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, small)
+    zOrderBy.foreach { c =>
+      require(metadata.schema.fieldNames.contains(c), s"Unknown z-order column $c")
+      require(!metadata.partitionColumns.contains(c),
+        s"Z-order column $c is a partition column (already clustered by dir)")
+    }
+    val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, rewrite)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = index,
       partitionSchema = metadata.partitionSchema,
@@ -382,17 +393,30 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
     val numOutput = math.max(1,
-      math.ceil(small.map(_.size).sum.toDouble / targetFileBytes).toInt)
-    val compacted = df.repartition(numOutput)
+      math.ceil(rewrite.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val compacted =
+      if (zOrderBy.isEmpty) df.repartition(numOutput)
+      else {
+        // range-partition + sort by the interleaved z-value: each output
+        // file covers a small hyper-rectangle of the clustering columns,
+        // so its min/max stats prune under MULTI-column predicates
+        val z = write.ZOrder.zValue(df, zOrderBy)
+        import org.apache.spark.sql.functions.col
+        df.withColumn("__zorder", z)
+          .repartitionByRange(numOutput, col("__zorder"))
+          .sortWithinPartitions(col("__zorder"))
+          .drop("__zorder")
+      }
 
     val adds = write.DeltaWriter.writeFiles(compacted, deltaLog,
       metadata.partitionColumns).map(_.copy(dataChange = false))
-    val removes = small.map(_.remove(deltaLog.clock(), dataChange = false))
+    val removes = rewrite.map(_.remove(deltaLog.clock(), dataChange = false))
     txn.commit(adds ++ removes, "OPTIMIZE",
       operationMetrics = Map(
-        "numRemovedFiles" -> small.size.toString,
+        "numRemovedFiles" -> rewrite.size.toString,
         "numAddedFiles" -> adds.size.toString,
-        "numAddedBytes" -> adds.map(_.size).sum.toString))
+        "numAddedBytes" -> adds.map(_.size).sum.toString) ++
+        (if (zOrderBy.nonEmpty) Map("zOrderBy" -> zOrderBy.mkString(",")) else Map.empty))
   }
 }
 

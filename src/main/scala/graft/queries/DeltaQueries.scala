@@ -354,6 +354,41 @@ object DeltaQueries {
                CAST(1 AS INT) AS compacted_ok
         FROM orders GROUP BY o_orderstatus""")),
 
+    // OPTIMIZE ZORDER: re-cluster by two independent columns, then prove
+    // data unchanged AND that the multi-column predicate's scan touches a
+    // strict subset of the files (stats-based skipping now bites).
+    QueryDef(
+      "delta_zorder",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("zorder")
+        DeltaTable.write(t(s, dir, "lineitem").repartition(20), path,
+          SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        val total = graft.delta.DeltaLog.forTable(s, path).update().sizeInBytes
+        table.compact(targetFileBytes = total / 16 + 1,
+          zOrderBy = Seq("l_orderkey", "l_partkey"))
+        val log = graft.delta.DeltaLog.forTable(s, path)
+        val snap = log.update()
+        val pruned = new graft.delta.read.DeltaFileIndex(s, snap).listFiles(
+          Nil,
+          Seq(graft.delta.read.PartitionUtils.resolveFilter(s,
+            snap.metadata.schema,
+            $"l_orderkey" <= 1000L && $"l_partkey" <= 2000L)))
+          .map(_.files.length).sum
+        val skippingBites = pruned < snap.numOfFiles
+        table.toDF
+          .filter($"l_orderkey" <= 1000L && $"l_partkey" <= 2000L)
+          .agg(count(lit(1)).as("n"),
+               sum($"l_quantity".cast(DecimalType(12, 2))).cast("double").as("qty"),
+               lit(if (skippingBites) 1 else 0).as("zorder_skips"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+               CAST(1 AS INT) AS zorder_skips
+        FROM lineitem WHERE l_orderkey <= 1000 AND l_partkey <= 2000""")),
+
     // SQL surface (F9): CREATE VIEW over the delta format, transactional
     // INSERT INTO through the GraftExtensions analyzer rule, read back.
     QueryDef(
