@@ -57,6 +57,70 @@ object Similarity {
   def lshBucket(vecCol: Column, dim: Int, planes: Int): Column =
     LshSignBucket(vecCol, dim, planes)
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nCells`
+    * cells by nearest centroid; each query probes its `nProbe` closest
+    * cells and ranks only those cells' members — the classic
+    * coarse-quantizer recall/compute dial (FAISS IVF shape).
+    *
+    * Centroids are the `nCells` lowest-id corpus vectors — deterministic
+    * "sampled training" (public IVF practice trains on a subset; taking
+    * the first ids keeps runs and engines reproducible; swap in k-means
+    * centroids for better cell balance without touching the plan shape).
+    *
+    * Scale shape: centroids broadcast (small by construction), cell
+    * assignment is one map-side-combinable aggregation over
+    * corpus × nCells affinities (no window over the corpus), the
+    * candidate join is keyed by cell id, and only probed cells' members
+    * are scored. Affinities round to 6 decimals before the
+    * (affinity, id) tie-break so rankings are reproducible across
+    * engines. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
+
+    // nearest centroid per corpus vector: max of (aff, -cid) structs —
+    // a map-side-combinable agg, not a window over corpus × nCells rows
+    val aff = c.crossJoin(broadcast(cents))
+      .select(col("neighbor_id"),
+        round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
+          .as("aff"),
+        col("cid"))
+    val assignment = aff.groupBy(col("neighbor_id"))
+      .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"))
+      .select(col("neighbor_id"), col("best.cid").as("cell"))
+    val members = c.join(assignment, Seq("neighbor_id"))
+
+    // per query: the nProbe closest cells (queries are broadcast-small,
+    // so a window here is over |queries| × nCells rows only)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
+    val qAff = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        round(VectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("aff"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("aff").desc, col("cid").asc)
+    val qCells = qAff.withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("cell"))
+
+    val scored = members.join(broadcast(qCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorDot(col("qv"), col("cv0")) / (col("qn") * col("cn0")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** ANN top-k within the query's LSH bucket. Same output shape as
     * [[bruteForceTopK]]; neighbors outside the bucket are unreachable
     * (that's the approximation). */

@@ -407,6 +407,61 @@ object PipelineQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         FROM ranked WHERE rank <= 3""")),
 
+    QueryDef(
+      "ann_ivf_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), aff AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents c
+        ), assign AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff) t WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10
+        ), qaff AS (
+          SELECT q.query_id, q.qv, c.cid,
+                 round(${duckDot("q.qv", "c.cv")} /
+                       (sqrt(${duckDot("q.qv", "q.qv")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM q, cents c
+        ), qcells AS (
+          SELECT query_id, qv, cid AS cell FROM (
+            SELECT query_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM qaff) t WHERE rn <= 4
+        ), scored AS (
+          SELECT qc.query_id, e.vec_id AS neighbor_id,
+                 round(${duckDot("qc.qv", "e.embedding")} /
+                       (sqrt(${duckDot("qc.qv", "qc.qv")}) *
+                        sqrt(${duckDot("e.embedding", "e.embedding")})), 6) AS cosine
+          FROM qcells qc
+          JOIN assign a ON a.cell = qc.cell
+          JOIN embeddings e ON e.vec_id = a.nid
+          WHERE e.vec_id <> qc.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 3""")),
+
     // ---------------------------------------------------------- multimodal
     QueryDef(
       "multimodal_transform",

@@ -77,6 +77,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k probes nearest cells and ranks within them") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 11 + d * 7) % 19 - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 4),
+      "vec_id", "embedding", k = 3, nCells = 8, nProbe = 8)
+    val byQuery = res.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).toSeq.sorted == (1 to rows.length))
+      // never returns the query itself
+      assert(!rows.exists(r => r.getAs[Long]("neighbor_id") ==
+        r.getAs[Long]("query_id")))
+    }
+    // probing EVERY cell makes IVF exact: it must agree with brute force
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 4),
+      "vec_id", "embedding", k = 3)
+    assert(res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet ==
+      brute.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
   test("multimodal: byte-sum expression and feature extraction stub") {
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
     assert(media.schema("media").dataType ==
