@@ -162,10 +162,12 @@ class DeltaSource(
     val fromV = start.map(asVersion(_) + 1)
       .orElse(startingVersion).getOrElse(-1L)
     if (readChangeFeed) return cdfBatch(fromV, endV)
-    val files =
-      if (fromV >= 0) changedFiles(fromV, endV)
-      else deltaLog.getSnapshotForVersionAsOf(endV).allFiles // F1 snapshot
-    buildBatchDF(files)
+    if (fromV < 0) {
+      // F1 initial snapshot: plan through the snapshot-backed index so
+      // distributed-state tables never collect their file list here
+      return buildSnapshotDF(deltaLog.getSnapshotForVersionAsOf(endV))
+    }
+    buildBatchDF(changedFiles(fromV, endV))
   }
 
   /** One CDF micro-batch for versions [fromV, endV] (fromV < 0 → initial
@@ -174,8 +176,7 @@ class DeltaSource(
     import org.apache.spark.sql.functions.lit
     val typeCol = graft.delta.write.CdcWriter.ChangeTypeCol
     if (fromV < 0) {
-      val snap = deltaLog.getSnapshotForVersionAsOf(endV)
-      return buildBatchDF(snap.allFiles)
+      return buildSnapshotDF(deltaLog.getSnapshotForVersionAsOf(endV))
         .withColumn(typeCol, lit("insert"))
         .withColumn("_commit_version", lit(endV))
     }
@@ -270,6 +271,23 @@ class DeltaSource(
         }
         adds
     }.toVector
+  }
+
+  /** Whole-snapshot streaming frame via the snapshot-backed index:
+    * in distributed-state mode pruning runs as a Spark job and the file
+    * list never materializes on the driver. */
+  private def buildSnapshotDF(snap: Snapshot): DataFrame = {
+    val metadata = initialSnapshot.metadata
+    val relation = HadoopFsRelation(
+      location = new DeltaFileIndex(spark, snap),
+      partitionSchema = metadata.partitionSchema,
+      dataSchema = metadata.dataSchema,
+      bucketSpec = None,
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat,
+      options = Map.empty)(spark)
+    Shims.relationToDataFrame(spark, relation, isStreaming = true)
+      .select(metadata.schema.fieldNames
+        .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   private def buildBatchDF(files: Seq[AddFile]): DataFrame = {
