@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectTableFunction((ident, info, builder))
     }
     ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaInserts)
+    ext.injectResolutionRule(spark => new GraftExtensions.ResolveGraftCatalogReads(spark))
   }
 }
 
@@ -133,6 +134,30 @@ object GraftExtensions {
         new ExpressionInfo("graft.delta.DeltaLog", "graft_history"), history),
       (new FunctionIdentifier("graft_table_changes"),
         new ExpressionInfo("graft.delta.DeltaTable", "graft_table_changes"), changes))
+  }
+
+  /** Batch reads of catalog tables: stock Spark consults
+    * V2TableWithV1Fallback only for STREAMING relations, so (like
+    * Delta-on-Spark's own analysis rule) convert the resolved
+    * DataSourceV2Relation over a [[graft.sql.GraftTable]] into the V1
+    * LogicalRelation — same DeltaFileIndex pruning as path-based reads —
+    * reusing the V2 relation's output attributes so references upstream
+    * stay bound. Writes stay on the V2 path (V1_BATCH_WRITE fallback). */
+  class ResolveGraftCatalogReads(spark: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case dsv2: DataSourceV2Relation
+            if dsv2.table.isInstanceOf[graft.sql.GraftTable] =>
+          val t = dsv2.table.asInstanceOf[graft.sql.GraftTable]
+          LogicalRelation(t.v1Relation(spark), dsv2.output, None,
+            isStreaming = false, stream = None)
+      }
   }
 
   /** Claims INSERT INTO/OVERWRITE over a Delta relation during the

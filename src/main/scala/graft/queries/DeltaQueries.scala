@@ -354,6 +354,37 @@ object DeltaQueries {
                CAST(1 AS INT) AS compacted_ok
         FROM orders GROUP BY o_orderstatus""")),
 
+    // Full DDL lifecycle through the DSv2 catalog (F9): CREATE TABLE,
+    // INSERT, ALTER TABLE ADD COLUMNS, evolved INSERT, read back.
+    QueryDef(
+      "delta_sql_ddl",
+      (s, dir) => {
+        import s.implicits._
+        val wh = tmp("warehouse")
+        s.conf.set("spark.sql.catalog.graftc",
+          classOf[graft.sql.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftc.warehouse", wh)
+        t(s, dir, "nation").createOrReplaceTempView("nation_src")
+        s.sql("DROP TABLE IF EXISTS graftc.db.nation_ddl")
+        s.sql("""CREATE TABLE graftc.db.nation_ddl
+                 (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+        s.sql("""INSERT INTO graftc.db.nation_ddl
+                 SELECT n_nationkey, n_name, n_regionkey FROM nation_src""")
+        s.sql("ALTER TABLE graftc.db.nation_ddl ADD COLUMNS (zone STRING)")
+        s.sql("""INSERT INTO graftc.db.nation_ddl
+                 SELECT n_nationkey + 100, n_name, n_regionkey, 'x'
+                 FROM nation_src WHERE n_regionkey = 0""")
+        s.sql("""SELECT n_regionkey, COUNT(*) AS n, COUNT(zone) AS n_zoned
+                 FROM graftc.db.nation_ddl GROUP BY n_regionkey""")
+      },
+      Some("""
+        SELECT n_regionkey,
+               CAST(COUNT(*) + COUNT(CASE WHEN n_regionkey = 0 THEN 1 END)
+                 AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN n_regionkey = 0 THEN 1 END) AS BIGINT)
+                 AS n_zoned
+        FROM nation GROUP BY n_regionkey""")),
+
     // OPTIMIZE ZORDER: re-cluster by two independent columns, then prove
     // data unchanged AND that the multi-column predicate's scan touches a
     // strict subset of the files (stats-based skipping now bites).

@@ -1,0 +1,253 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.delta.{DeltaLog, DeltaOperations, Metadata}
+
+/** DSv2 `TableCatalog` over Delta tables — the F9 DDL surface the
+  * reference exposes through its Flink catalog (`DeltaCatalog.java:75-257`),
+  * Spark-native:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sql.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  * CREATE TABLE graft.db.events (id BIGINT, ts TIMESTAMP) PARTITIONED BY (...)
+  * INSERT INTO graft.db.events ...
+  * SELECT * FROM graft.db.events VERSION AS OF 3
+  * ALTER TABLE graft.db.events ADD COLUMNS (tag STRING)
+  * ALTER TABLE graft.db.events SET TBLPROPERTIES (...)
+  * DROP TABLE graft.db.events
+  * }}}
+  *
+  * The `_delta_log` is the single source of truth (same stance as the
+  * reference's catalog): the warehouse directory IS the metastore —
+  * `db/table` paths with a `_delta_log` are tables; schema and
+  * partitioning always come from the log, never from stored DDL.
+  *
+  * Reads and writes resolve through [[V2TableWithV1Fallback]] into the
+  * `graft-delta` V1 relation, so scans get the [[graft.delta.read.DeltaFileIndex]]
+  * pruning path and INSERTs get the transactional route — one engine,
+  * two SQL front doors.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must point at the warehouse dir"))
+    warehouse = new Path(wh)
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(ident.namespace().foldLeft(warehouse)(new Path(_, _)), ident.name())
+
+  private def fs = warehouse.getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = namespace.foldLeft(warehouse)(new Path(_, _))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath).filter(_.isDirectory)
+      .filter(st => fs.exists(new Path(st.getPath, "_delta_log")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(new Path(tablePath(ident), "_delta_log"))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(catalogName, ident, tablePath(ident).toString, Map.empty)
+  }
+
+  /** `VERSION AS OF` — DSv2 hands the version string here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(catalogName, ident, tablePath(ident).toString,
+      Map("versionAsOf" -> version))
+  }
+
+  /** `TIMESTAMP AS OF` — DSv2 hands microseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val ts = new java.sql.Timestamp(timestampMicros / 1000L)
+    new GraftTable(catalogName, ident, tablePath(ident).toString,
+      Map("timestampAsOf" -> ts.toString))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references().head.fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"Only identity partitioning is supported, got $other")
+    }
+    val config = properties.asScala.toMap
+      .filter { case (k, _) => k.startsWith("delta.") || k.startsWith("graft.") }
+    val path = tablePath(ident).toString
+    val log = DeltaLog.forTable(spark, path)
+    val txn = log.startTransaction()
+    txn.updateMetadata(Metadata(
+      name = Some(ident.name()),
+      schemaString = Some(schema.json),
+      partitionColumns = partitionCols,
+      configuration = config))
+    txn.commit(Nil, DeltaOperations.CreateTable)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val log = DeltaLog.forTable(spark, tablePath(ident).toString)
+    val txn = log.startTransaction()
+    val before = txn.snapshot.metadata
+    var schema = before.schema
+    var config = before.configuration
+    var ops = Vector.empty[String]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "Only top-level ADD COLUMNS is supported")
+        require(add.isNullable,
+          "New columns must be nullable (existing rows have no value)")
+        schema = schema.add(add.fieldNames().head, add.dataType(),
+          nullable = true)
+        ops :+= "ADD COLUMNS"
+      case set: TableChange.SetProperty =>
+        config += set.property() -> set.value()
+        ops :+= "SET TBLPROPERTIES"
+      case rm: TableChange.RemoveProperty =>
+        config -= rm.property()
+        ops :+= "UNSET TBLPROPERTIES"
+      case other => throw new UnsupportedOperationException(
+        s"Unsupported ALTER TABLE change: $other")
+    }
+    txn.updateMetadata(before.copy(
+      schemaString = Some(schema.json),
+      configuration = config))
+    txn.commit(Nil, ops.distinct.mkString(" + "))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    DeltaLog.clearCache()
+    fs.delete(tablePath(ident), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val dest = tablePath(newIdent)
+    if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+    DeltaLog.clearCache()
+    if (!fs.rename(tablePath(oldIdent), dest)) {
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+    }
+  }
+}
+
+/** The catalog's table handle: schema/partitioning come from the LIVE
+  * snapshot; reads and writes fall back to the `graft-delta` V1 relation
+  * (the same integration shape Delta-on-Spark uses). */
+class GraftTable(
+    catalogName: String,
+    ident: Identifier,
+    path: String,
+    readOptions: Map[String, String])
+  extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private lazy val snapshot = readOptions.get("versionAsOf") match {
+    case Some(v) =>
+      DeltaLog.forTable(spark, path).getSnapshotForVersionAsOf(v.toLong)
+    case None => readOptions.get("timestampAsOf") match {
+      case Some(ts) => DeltaLog.forTable(spark, path)
+        .getSnapshotForTimestampAsOf(java.sql.Timestamp.valueOf(ts).getTime)
+      case None => DeltaLog.forTable(spark, path).update()
+    }
+  }
+
+  override def name(): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  override def schema(): StructType = snapshot.metadata.schema
+
+  override def partitioning(): Array[Transform] =
+    snapshot.metadata.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    (snapshot.metadata.configuration ++ Map(
+      TableCatalog.PROP_PROVIDER -> "graft-delta",
+      TableCatalog.PROP_LOCATION -> path)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** INSERT INTO / INSERT OVERWRITE via the V1 write fallback into the
+    * transactional writer (never a raw file write into the table dir). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwriteParam: Boolean): Unit = {
+              val ow = overwrite || overwriteParam
+              graft.delta.write.DeltaWriter.write(data, path,
+                if (ow) org.apache.spark.sql.SaveMode.Overwrite
+                else org.apache.spark.sql.SaveMode.Append,
+                partitionBy =
+                  if (ow) snapshot.metadata.partitionColumns else Nil)
+            }
+          }
+      }
+    }
+
+  /** The V1 relation batch reads resolve to (DeltaFileIndex pruning,
+    * transactional inserts) — wired by GraftExtensions' conversion rule. */
+  private[graft] def v1Relation(
+      spark: org.apache.spark.sql.SparkSession): graft.delta.read.InsertableDeltaRelation =
+    new graft.delta.read.InsertableDeltaRelation(
+      new graft.delta.read.DeltaFileIndex(spark, snapshot),
+      snapshot, path, spark)
+
+  override def v1Table: CatalogTable = CatalogTable(
+    identifier = TableIdentifier(ident.name(),
+      ident.namespace().lastOption, Some(catalogName)),
+    tableType = CatalogTableType.EXTERNAL,
+    storage = CatalogStorageFormat.empty.copy(
+      locationUri = Some(new java.net.URI(path)),
+      properties = Map("path" -> path) ++ readOptions),
+    schema = snapshot.metadata.schema,
+    provider = Some("graft-delta"),
+    partitionColumnNames = snapshot.metadata.partitionColumns)
+}

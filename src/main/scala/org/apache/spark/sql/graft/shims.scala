@@ -6,6 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 /** Bridge to `private[sql]` helpers — the established connector pattern
   * for APIs Spark keeps semi-public (the reference's Flink connector does
   * the same for Flink internals). */
+/** Public face of the `private[sql]` V2TableWithV1Fallback trait (the
+  * integration shape Delta-on-Spark's own catalog uses). */
+trait V1FallbackTable extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 object Shims {
   /** Column → Catalyst Expression (Spark 4 removed the public `.expr`). */
   def expression(c: Column): Expression =
