@@ -50,11 +50,15 @@ object DistributedLogReplay {
     }
 
     val all = checkpoint.unionByName(commits, allowMissingColumns = true)
-    // The SAME canonicalization as InMemoryLogReplay.canonical
-    // (URI.normalize — does NOT percent-decode, and '+' stays '+'):
-    // url_decode here would collapse 'a+b' and 'a b' into one key and
-    // silently drop a file, and the two replays could disagree.
-    val canonicalKey = udf((p: String) => new java.net.URI(p).normalize().toString)
+    // The SAME canonicalization as the driver replay (LogReplay
+    // .canonicalizer: fs-qualify bare absolute paths, URI-normalize the
+    // rest). url_decode would collapse 'a+b' and 'a b' into one key and
+    // silently drop a file; URI.normalize alone would KEEP '/x' and
+    // 'file:/x' apart and fail to cancel an add with its remove.
+    val fsUri = segment.logPath.getFileSystem(
+      spark.sessionState.newHadoopConf()).getUri
+    val canonicalFn = LogReplay.canonicalizer(fsUri)
+    val canonicalKey = udf(canonicalFn)
     val fileActions = all
       .select(col("version"), col("add"), col("remove"),
         coalesce(col("add.path"), col("remove.path")).as("path"))

@@ -13,6 +13,34 @@ case class State(
     sizeInBytes: Long,
     numOfFiles: Long)
 
+object LogReplay {
+  /** Fallback canonicalization (tables whose filesystem is unknown). */
+  val uriNormalize: String => String =
+    p => new java.net.URI(p).normalize().toString
+
+  /** Reference path canonicalization (SnapshotImpl.scala:349-362 /
+    * DeltaFileOperations): a bare absolute path qualifies against the
+    * TABLE's filesystem, so `/x`, `file:/x` and `file:///x` — spellings
+    * real writers mix (golden `canonicalized-paths-*`) — fold to ONE
+    * key. The key is the normalized (scheme, authority, decoded path)
+    * triple, never a URI string: `file:/x` vs `file:///x` differ only in
+    * null-vs-empty authority, and the DECODED path is the true file name
+    * (the log stores percent-encoded URIs; '+' is untouched by URI
+    * decoding, so `a+b` and `a b` stay distinct). Internal identity
+    * only — never written anywhere. Serializable, executor-safe. */
+  def canonicalizer(fsUri: java.net.URI): String => String = { p =>
+    val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+    val q =
+      if (hp.isAbsoluteAndSchemeAuthorityNull) {
+        hp.makeQualified(fsUri, new org.apache.hadoop.fs.Path("/"))
+      } else hp
+    val u = q.toUri.normalize()
+    val scheme = Option(u.getScheme).getOrElse("")
+    val auth = Option(u.getAuthority).getOrElse("")
+    scheme + "\u0000" + auth + "\u0000" + u.getPath
+  }
+}
+
 /** In-memory log replay with reference semantics
   * (ref: actions/InMemoryLogReplay.scala:38-94):
   *
@@ -27,16 +55,15 @@ case class State(
   * up to millions of files; [[DistributedLogReplay]] performs the same fold
   * as a Spark job for beyond-driver-memory logs (SURVEY.md §2.1 M3).
   */
-class InMemoryLogReplay(minFileRetentionTimestamp: Long) {
+class InMemoryLogReplay(
+    minFileRetentionTimestamp: Long,
+    canonical: String => String = LogReplay.uriNormalize) {
   private var currentProtocol: Protocol = _
   private var currentMetadata: Metadata = _
   private var currentVersion: Long = -1
   private val transactions = mutable.HashMap.empty[String, SetTransaction]
   private val activeFiles = mutable.LinkedHashMap.empty[String, AddFile]
   private val tombstones = mutable.HashMap.empty[String, RemoveFile]
-
-  private def canonical(path: String): String =
-    new java.net.URI(path).normalize().toString
 
   def append(version: Long, actions: Iterator[Action]): Unit = {
     require(currentVersion == -1 || version == currentVersion + 1,

@@ -61,10 +61,15 @@ class Snapshot(
     logSegment.checkpoint.map(_.getLen).sum > max
   }
 
+  /** Reference path canonicalization bound to this table's filesystem. */
+  private[delta] lazy val canonicalPath: String => String =
+    LogReplay.canonicalizer(
+      deltaLog.logPath.getFileSystem(deltaLog.hadoopConf).getUri)
+
   // -------------------------------------------------------- light state
   /** Replay of everything EXCEPT the checkpoint's AddFiles (M5). */
   private lazy val lightState: State = {
-    val replay = new InMemoryLogReplay(minFileRetentionTimestamp)
+    val replay = new InMemoryLogReplay(minFileRetentionTimestamp, canonicalPath)
     logSegment.checkpointVersion.foreach { cpVersion =>
       replay.append(cpVersion, readCheckpointLightActions())
     }
@@ -92,7 +97,7 @@ class Snapshot(
 
   private lazy val inMemoryState: State = {
     fullStateComputed = true
-    val replay = new InMemoryLogReplay(minFileRetentionTimestamp)
+    val replay = new InMemoryLogReplay(minFileRetentionTimestamp, canonicalPath)
     // Checkpoint first — it IS the folded state at checkpointVersion.
     // Read ONLY the state-bearing columns: checkpoints written by other
     // Delta implementations carry extra fields with incompatible types
