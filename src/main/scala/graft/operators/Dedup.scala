@@ -189,33 +189,47 @@ object Dedup {
       .agg(sort_array(collect_list(col("gid"))).as("gids"))
       .withColumn("nG", size(col("gids")))
 
-    // prefix = the (nG - ceil(t*nG) + 1) globally-rarest grams: a leading
-    // slice, because gids is sorted in the global rarity order
-    val prefix = intDocs.select(col("id"), col("nG"),
-      posexplode(slice(col("gids"), lit(1),
-        (col("nG") - ceil(col("nG") * threshold) + 1).cast("int"))))
+    // Asymmetric prefixes (AllPairs/PPJoin indexing-prefix optimization,
+    // still EXACT): every doc PROBES with its (nG - ceil(t·nG) + 1)
+    // rarest grams, but is INDEXED by only (nG - ceil(2t/(1+t)·nG) + 1)
+    // of them — for a qualifying pair with |y| ≤ |x|, the overlap bound
+    // o ≥ 2t/(1+t)·|y| proves the FIRST common gram sits inside the
+    // smaller side's SHORT prefix, so joining probe(larger) × index
+    // (smaller) loses nothing and nearly halves one join side at t=0.8.
+    // Leading slices, because gids is sorted in the global rarity order.
+    def prefixRows(len: org.apache.spark.sql.Column) =
+      intDocs.select(col("id"), col("nG"),
+        posexplode(slice(col("gids"), lit(1), len.cast("int"))))
+    val probe = prefixRows(col("nG") - ceil(col("nG") * threshold) + 1)
+    val index = prefixRows(col("nG") -
+      ceil(col("nG") * (2.0 * threshold / (1.0 + threshold))) + 1)
 
-    // two EXACT per-pair prunes on ints, inside the candidate join:
-    //  - size ratio: jaccard(A,B) <= min|..|/max|..|
+    // three EXACT per-pair prunes on ints, inside the candidate join:
+    //  - pair ordering: the indexed side is the smaller set (ties by id),
+    //    so each unordered pair forms exactly once;
+    //  - size ratio: jaccard(A,B) <= min|..|/max|..|;
     //  - PPJoin positional filter: at a shared prefix gram with ranks
-    //    (rk_i, rk_j), overlap <= min(nG_i-rk_i, nG_j-rk_j)+1, which must
-    //    reach ceil(t/(1+t)·(nG_i+nG_j)); the FIRST common gram of a
+    //    (rk_x, rk_y), overlap <= min(nG_x-rk_x, nG_y-rk_y)+1, which must
+    //    reach ceil(t/(1+t)·(nG_x+nG_y)); the FIRST common gram of a
     //    qualifying pair always passes, so keeping pairs with ANY
-    //    passing match loses nothing
-    val sizeOk = least(col("nG_i"), col("nG_j")).cast("double") /
-      greatest(col("nG_i"), col("nG_j")) >= threshold
+    //    passing match loses nothing.
+    val smallerIndexed = (col("nG_y") < col("nG_x")) ||
+      (col("nG_y") === col("nG_x") && col("y") < col("x"))
+    val sizeOk = least(col("nG_x"), col("nG_y")).cast("double") /
+      greatest(col("nG_x"), col("nG_y")) >= threshold
     val requiredOverlap =
-      ceil(lit(threshold / (1.0 + threshold)) * (col("nG_i") + col("nG_j")))
+      ceil(lit(threshold / (1.0 + threshold)) * (col("nG_x") + col("nG_y")))
     val positionOk =
-      (least(col("nG_i") - col("rk_i"), col("nG_j") - col("rk_j")) + 1) >=
+      (least(col("nG_x") - col("rk_x"), col("nG_y") - col("rk_y")) + 1) >=
         requiredOverlap
-    val candidates = prefix
-      .select(col("col").as("g"), col("id").as("i"),
-        col("nG").as("nG_i"), (col("pos") + 1).as("rk_i"))
-      .join(prefix.select(col("col").as("g"), col("id").as("j"),
-        col("nG").as("nG_j"), (col("pos") + 1).as("rk_j")), Seq("g"))
-      .filter(col("i") < col("j") && sizeOk && positionOk)
-      .select(col("i"), col("j"))
+    val candidates = probe
+      .select(col("col").as("g"), col("id").as("x"),
+        col("nG").as("nG_x"), (col("pos") + 1).as("rk_x"))
+      .join(index.select(col("col").as("g"), col("id").as("y"),
+        col("nG").as("nG_y"), (col("pos") + 1).as("rk_y")), Seq("g"))
+      .filter(smallerIndexed && sizeOk && positionOk)
+      .select(least(col("x"), col("y")).as("i"),
+        greatest(col("x"), col("y")).as("j"))
       .distinct()
 
     // verification on the compact int arrays: bijective with the gram
