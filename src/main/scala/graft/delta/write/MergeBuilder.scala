@@ -97,6 +97,7 @@ final class MergeBuilder private[delta] (
 
     val cdcEnabled = CdcWriter.enabled(metadata)
     var changeFrames = Vector.empty[DataFrame]
+    var cached: Option[DataFrame] = None
 
     // 2. rewrite matched files with the source joined in
     val rewritten: Option[DataFrame] =
@@ -114,9 +115,17 @@ final class MergeBuilder private[delta] (
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .alias("t")
         // multi-match already rejected by the touched-file job above, so
-        // the rewrite is a single left join — no second guard pass
-        val joined = rows.join(
+        // the rewrite is a single left join — no second guard pass.
+        // With CDF on, the join feeds BOTH the rewrite and the pre/post
+        // change images: persist it for the duration of the writes so the
+        // join executes once, not once per consumer.
+        var joined = rows.join(
           src.withColumn("__match", lit(1)), condition, "left")
+        if (cdcEnabled) {
+          joined = joined.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached = Some(joined)
+        }
         val matchedRows = joined.filter(col("__match").isNotNull)
           .select(schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
         // project straight to the target schema (never withColumn — the
@@ -176,13 +185,17 @@ final class MergeBuilder private[delta] (
       if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))
       else Nil
 
-    if (adds.isEmpty && removes.isEmpty) return snapshot.version
+    if (adds.isEmpty && removes.isEmpty) {
+      cached.foreach(_.unpersist())
+      return snapshot.version
+    }
     if (cdcEnabled) {
       inserts.foreach(i => changeFrames :+=
         i.withColumn(CdcWriter.ChangeTypeCol, lit("insert")))
     }
     val cdc: Seq[Action] = changeFrames.reduceOption(_.unionByName(_))
       .map(CdcWriter.writeChangeFiles(_, deltaLog)).getOrElse(Nil)
+    cached.foreach(_.unpersist())
     txn.commit(cdc ++ adds ++ removes, DeltaOperations.Merge,
       operationMetrics = Map(
         "numTargetFilesRemoved" -> removes.size.toString,

@@ -94,6 +94,16 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { spark.sql("SELECT * FROM graft.db2.two").collect() }
   }
 
+  test("CREATE TABLE AS SELECT creates then appends transactionally") {
+    spark.sql("""CREATE TABLE graft.db.ctas AS
+                 SELECT id, id * 2 AS dbl FROM range(0, 10)""")
+    assert(spark.sql("SELECT SUM(dbl) FROM graft.db.ctas").head().getLong(0) == 90)
+    // both the create and the data are log commits
+    val hist = DeltaLog.forTable(spark, s"$warehouse/db/ctas").history()
+    assert(hist.nonEmpty)
+    assert(DeltaTable.isDeltaTable(spark, s"$warehouse/db/ctas"))
+  }
+
   test("DESCRIBE shows log-derived schema; unsupported ALTER rejected") {
     spark.sql("CREATE TABLE graft.db.desc_t (a INT, b STRING)")
     val cols = spark.sql("DESCRIBE TABLE graft.db.desc_t").collect()
