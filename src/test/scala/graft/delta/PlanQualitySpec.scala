@@ -71,4 +71,54 @@ class PlanQualitySpec extends SparkSpec {
     assert(out.getDouble(0) == 11.0)
     assert(math.abs(out.getDouble(1) - 1.0 / 3.0) < 1e-12)
   }
+  test("IVF plan broadcasts centroids and probed queries; corpus never shuffles wide") {
+    import graft.operators.Similarity
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 7 + d * 13) % 23 - 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 4),
+      "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts >= 2,
+      s"expected centroid + probed-query broadcasts, got $broadcasts in:\n$plan")
+    // the pair-scoring dot products are the codegen'd native, not a lambda
+    assert(plan.contains("vectordot") || plan.contains("VectorDot"),
+      "pair scoring should use the native VectorDot expression")
+  }
+
+  test("ngram prefix-filter verification joins run on int arrays, not strings") {
+    import graft.operators.Dedup
+    val docs = (1 to 40).map(i => (i.toLong, s"document number $i with shared text payload"))
+      .toDF("doc_id", "text")
+    val res = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.6)
+    val analyzed = res.queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("sortedarrayjaccard") ||
+      analyzed.contains("SortedArrayJaccard") || analyzed.contains("jaccard"),
+      s"verification must be the native merge-walk expression:\n$analyzed")
+    // executes correctly end-to-end through the optimized plan
+    assert(res.collect() != null)
+  }
+
+  test("z-ordered writes keep per-file stats that admit skipping") {
+    withTempDir { dir =>
+      val df = spark.range(0, 1024).select(
+        (col("id") % 32).as("a"),
+        ((col("id") / 32).cast("long") % 32).as("b"))
+      DeltaTable.write(df.repartition(8), dir)
+      DeltaTable.forPath(spark, dir).compact(
+        targetFileBytes = DeltaLog.forTable(spark, dir).update().sizeInBytes / 8 + 1,
+        zOrderBy = Seq("a", "b"))
+      DeltaLog.clearCache()
+      val files = DeltaLog.forTable(spark, dir).update().allFiles
+      assert(files.size >= 4)
+      // every z-ordered file carries min/max for both clustering columns
+      files.foreach { f =>
+        val stats = JsonCodec.mapper.readTree(f.stats.get)
+        assert(stats.get("minValues").has("a") && stats.get("maxValues").has("b"),
+          s"missing clustering stats in ${f.stats.get}")
+      }
+    }
+  }
+
 }
