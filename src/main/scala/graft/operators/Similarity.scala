@@ -121,18 +121,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** ANN top-k within the query's LSH bucket. Same output shape as
-    * [[bruteForceTopK]]; neighbors outside the bucket are unreachable
-    * (that's the approximation). */
+  /** ANN top-k within the query's LSH bucket(s). Same output shape as
+    * [[bruteForceTopK]]; neighbors outside the probed buckets are
+    * unreachable (that's the approximation).
+    *
+    * `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's (flip each hyperplane sign) — the
+    * classic multi-probe LSH recall dial (Lv et al., VLDB'07): a near
+    * neighbor that fell just across ONE hyperplane is recovered without
+    * growing the corpus-side index at all. The corpus still carries one
+    * bucket per vector; only the broadcast-small query side fans out
+    * (planes+1 probe rows per query). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, dim: Int,
-              k: Int, planes: Int = 4): DataFrame = {
+              k: Int, planes: Int = 4,
+              multiProbe: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), dim, planes).as("bucket"),
       sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"),
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket0"),
       sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
+    val probes: Column =
+      if (!multiProbe) array(col("bucket0"))
+      else array(col("bucket0") +:
+        (0 until planes).map(j => col("bucket0").bitwiseXOR(lit(1L << j))): _*)
+    val q = qBase
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(probes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

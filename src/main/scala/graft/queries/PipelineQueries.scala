@@ -408,6 +408,55 @@ object PipelineQueries {
         FROM ranked WHERE rank <= 3""")),
 
     QueryDef(
+      "ann_lsh_multiprobe_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", dim = 64, k = 3, planes = 4,
+          multiProbe = true)
+      },
+      Some(s"""
+        WITH dots AS (
+          SELECT vec_id, embedding, j,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i ->
+                     embedding[i]::DOUBLE *
+                     CAST(((i - 1) * 31 + j * 17 + 7) % 7 - 3 AS DOUBLE))),
+                   (x, y) -> x + y) AS dot
+          FROM embeddings, range(0, 4) t(j)
+        ), buckets AS (
+          SELECT vec_id, any_value(embedding) AS embedding,
+                 CAST(SUM(CASE WHEN dot >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                   ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM buckets WHERE vec_id < 10
+        ), probes AS (
+          SELECT query_id, qv,
+                 unnest(list_prepend(bucket,
+                   [xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INT))
+                    for j in range(0, 4)])) AS bucket
+          FROM q
+        ), scored AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+                 round(${duckDot("p.qv", "c.embedding")} /
+                       (sqrt(${duckDot("p.qv", "p.qv")}) *
+                        sqrt(${duckDot("c.embedding", "c.embedding")})), 6) AS cosine
+          FROM buckets c JOIN probes p ON c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 3""")),
+
+    QueryDef(
       "ann_ivf_topk",
       (s, dir) => {
         import s.implicits._

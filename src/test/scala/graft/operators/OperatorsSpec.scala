@@ -77,6 +77,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH reaches neighbors across one hyperplane boundary") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 13 + d * 5) % 21 - 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(mp: Boolean) = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 5),
+      "vec_id", "embedding", dim = 8, k = 5, planes = 3, multiProbe = mp)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = run(false)
+    val multi = run(true)
+    // more probes can only widen the candidate pool
+    assert(multi.size >= single.size,
+      s"multi-probe returned fewer results: single=$single multi=$multi")
+    val res = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 5),
+      "vec_id", "embedding", dim = 8, k = 5, planes = 3, multiProbe = true)
+    res.collect().groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).toSeq.sorted == (1 to rows.length))
+      // a neighbor never appears twice for one query (one bucket per row)
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == rows.length)
+    }
+  }
+
   test("IVF top-k probes nearest cells and ranks within them") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 11 + d * 7) % 19 - 9).toFloat))
