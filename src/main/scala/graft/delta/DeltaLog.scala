@@ -59,6 +59,8 @@ class DeltaLog private (
     currentSnapshot
   }
 
+  private[delta] def snapshotOrNull: Snapshot = currentSnapshot
+
   /** Refresh to the latest version (M6). Thread-safe; snapshots immutable.
     * A missing/empty log yields the initial version=-1 snapshot so that a
     * first transaction can create the table. */
@@ -69,8 +71,10 @@ class DeltaLog private (
           Checkpoints.lastCheckpoint(this).map(_.version), None)
       } catch { case _: FileNotFoundException => LogSegment.empty(logPath) }
     if (currentSnapshot == null || segment.version != currentSnapshot.version) {
+      if (currentSnapshot != null) currentSnapshot.uncache()
       currentSnapshot = new Snapshot(spark, this, segment.version, segment,
-        minFileRetentionTimestamp, segment.lastCommitTimestamp)
+        minFileRetentionTimestamp, segment.lastCommitTimestamp,
+        cacheable = true)
     }
     currentSnapshot
   }
@@ -309,5 +313,8 @@ object DeltaLog {
       new DeltaLog(spark, new Path(qualified, "_delta_log"), qualified))
   }
 
-  private[graft] def clearCache(): Unit = synchronized(cache.clear())
+  private[graft] def clearCache(): Unit = synchronized {
+    cache.values.foreach(log => Option(log.snapshotOrNull).foreach(_.uncache()))
+    cache.clear()
+  }
 }

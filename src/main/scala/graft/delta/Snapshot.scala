@@ -47,7 +47,11 @@ class Snapshot(
     val version: Long,
     val logSegment: LogSegment,
     val minFileRetentionTimestamp: Long,
-    val timestamp: Long) {
+    val timestamp: Long,
+    /** Only the log's MAIN snapshot may cache its distributed file state
+      * (update() uncaches the snapshot it replaces; nobody manages the
+      * lifetime of time-travel snapshots, so they never cache). */
+    private[delta] val cacheable: Boolean = false) {
 
   /** Commits after the checkpoint, parsed once (≤ checkpointInterval). */
   private lazy val commitActions: Seq[(Long, Seq[Action])] =
@@ -162,10 +166,28 @@ class Snapshot(
     spark.createDataset(allFiles)
   }
 
+  private var cachedFilesDS: Option[Dataset[AddFile]] = None
+
   /** Active files via the distributed replay (M3) — same answer as
-    * [[allFiles]], computed as a Spark job for beyond-driver-memory logs. */
-  def allFilesDistributed: Dataset[AddFile] =
-    DistributedLogReplay.activeFiles(this)
+    * [[allFiles]], computed as a Spark job for beyond-driver-memory logs.
+    * In distributed-state mode the main-line snapshot persists the folded
+    * Dataset so repeated scans don't re-replay the checkpoint; update()
+    * unpersists it when the snapshot is superseded. */
+  def allFilesDistributed: Dataset[AddFile] = synchronized {
+    if (!(cacheable && distributedState)) DistributedLogReplay.activeFiles(this)
+    else cachedFilesDS.getOrElse {
+      val ds = DistributedLogReplay.activeFiles(this)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cachedFilesDS = Some(ds)
+      ds
+    }
+  }
+
+  /** Release the persisted file state (called when superseded). */
+  private[delta] def uncache(): Unit = synchronized {
+    cachedFilesDS.foreach(_.unpersist())
+    cachedFilesDS = None
+  }
 
   /** Assemble the DataFrame for this snapshot (scan path, SURVEY §2.3). */
   def toDF: org.apache.spark.sql.DataFrame =

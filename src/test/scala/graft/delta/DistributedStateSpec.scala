@@ -91,6 +91,35 @@ class DistributedStateSpec extends SparkSpec {
     }
   }
 
+  test("distributed file state caches per main snapshot, released on update") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        DeltaTable.write((1 to 10).toDF("v"), dir,
+          configuration = Map("delta.checkpointInterval" -> "1"))
+        DeltaTable.write(Seq(11).toDF("v"), dir)
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val snap = log.update()
+        assert(snap.distributedState)
+        // the main snapshot hands out ONE persisted dataset
+        val ds1 = snap.allFilesDistributed
+        assert(ds1 eq snap.allFilesDistributed)
+        assert(ds1.storageLevel.useMemory || ds1.storageLevel.useDisk)
+        // a time-travel snapshot never caches (nobody manages its lifetime)
+        val tt = log.getSnapshotForVersionAsOf(1)
+        assert(!(tt.allFilesDistributed eq tt.allFilesDistributed))
+        // superseding the snapshot releases the persisted state
+        DeltaTable.write(Seq(12).toDF("v"), dir)
+        log.update()
+        assert(ds1.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
   test("driver and distributed modes produce identical scans and checkpoints") {
     withTempDir { dir =>
       DeltaTable.write((1 to 40).map(i => (i, s"g${i % 4}")).toDF("v", "g"),
