@@ -8,18 +8,19 @@ import graft.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two tiers, matching the brief:
+  * Three tiers, matching the brief:
   *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) query
   *    set against the corpus, one pass, no corpus shuffle. At 100 TB the
   *    corpus side stays partition-parallel; only the query side must be
   *    broadcast-sized.
-  *  - [[lshTopK]] — the scale path: corpus and queries are bucketed by
-  *    random-hyperplane sign bits (deterministic integer-pattern planes, so
-  *    results are reproducible across engines and runs); candidates are
-  *    ranked only within the query's bucket. Shuffle volume is
-  *    O(corpus) once for bucketing, and the ranking join is co-partitioned
-  *    on the bucket key. Recall is tuned by `planes` (fewer planes → bigger
-  *    buckets → higher recall, more compute).
+  *  - [[lshTopK]] — corpus and queries are bucketed by random-hyperplane
+  *    sign bits (deterministic integer-pattern planes, so results are
+  *    reproducible across engines and runs; codegen'd [[LshSignBucket]]);
+  *    candidates rank only within the query's bucket(s). Recall dials:
+  *    `planes` (fewer → bigger buckets) and `multiProbe` (also search
+  *    buckets one hyperplane flip away — query-side fan-out only).
+  *  - [[ivfTopK]] — inverted-file cells by nearest centroid with an
+  *    `nProbe` recall dial; the candidate join is keyed by cell id.
   */
 object Similarity {
 
