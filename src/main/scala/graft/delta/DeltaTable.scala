@@ -272,7 +272,6 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       DeltaConfigs.TOMBSTONE_RETENTION.fromMetadata(snapshot.metadata))
     val cutoff = deltaLog.clock() - retention
     val conf = deltaLog.hadoopConf
-    val fs = deltaLog.dataPath.getFileSystem(conf)
     val root = deltaLog.dataPath.toUri.getPath
 
     def decode(child: String): String =
@@ -292,18 +291,30 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val protectedPaths = tombstones
       .filter(_.delTimestamp >= cutoff).map(r => decode(r.path))
 
-    // distributed recursive listing: top level on the driver, one task
-    // per subdirectory on the executors
+    // distributed recursive listing: the ROOT level lists in one executor
+    // task too (an unpartitioned million-file table would otherwise
+    // allocate every FileStatus on the driver); only DIRECTORY paths are
+    // collected — bounded by partition count — while root-level files stay
+    // a Dataset end to end.
     import spark.implicits._
-    val top = fs.listStatus(deltaLog.dataPath)
-      .filter(st => !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-    val topFiles = top.filter(_.isFile)
-      .map(st => (st.getPath.toUri.getPath.stripPrefix(root + "/"),
-        st.getModificationTime)).toSeq
-    val dirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
     val sconf = new SerializableHadoopConf(conf)
     val rootPrefix = root + "/"
+    val rootStr0 = deltaLog.dataPath.toString
+    val rootEntries = spark.range(1).mapPartitions { _ =>
+      val p = new org.apache.hadoop.fs.Path(rootStr0)
+      val dfs = p.getFileSystem(sconf.value)
+      dfs.listStatus(p).iterator
+        .filter(st => !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => (st.getPath.toString,
+          st.getPath.toUri.getPath.stripPrefix(rootPrefix),
+          st.getModificationTime, st.isDirectory))
+    }.toDF("abs", "rel", "mtime", "isDir")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val topFiles = rootEntries.filter(!col("isDir"))
+      .select(col("rel"), col("mtime")).as[(String, Long)]
+    val dirs = rootEntries.filter(col("isDir"))
+      .select(col("abs")).as[String].collect().toSeq
     val fromDirs = spark.createDataset(dirs)
       .repartition(math.max(1, math.min(dirs.size, 64)))
       .mapPartitions { ds =>
@@ -323,8 +334,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           buf
         }
       }
-    val listing = spark.createDataset(topFiles).unionByName(fromDirs)
-      .toDF("rel", "mtime")
+    val listing = topFiles.toDF("rel", "mtime")
+      .unionByName(fromDirs.toDF("rel", "mtime"))
 
     val activeDF =
       (if (snapshot.distributedState) {
@@ -341,7 +352,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
     // delete in tasks; count via the returned partial sums
     val rootStr = deltaLog.dataPath.toString
-    deletable.mapPartitions { paths =>
+    val deleted = deletable.mapPartitions { paths =>
       val dfs = new org.apache.hadoop.fs.Path(rootStr).getFileSystem(sconf.value)
       var n = 0
       paths.foreach { rel =>
@@ -349,6 +360,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
       Iterator.single(n)
     }.collect().sum
+    rootEntries.unpersist()
+    deleted
   }
 
   /** Bin-pack the table's files into ~`targetFileBytes` outputs — the
@@ -360,18 +373,41 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * writers. Optionally restricted to partitions matching `where`. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
               where: Option[Column] = None,
-              zOrderBy: Seq[String] = Nil): Long = {
+              zOrderBy: Seq[String] = Nil,
+              maxFilesPerCommit: Int = 10000): Long = {
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
-    val candidates = where match {
-      case Some(pred) => txn.markFilesAsRead(pred)
-      case None => txn.readWholeTable(); snapshot.allFiles
-    }
+    // Candidate SELECTION runs where the file list lives: in
+    // distributed-state mode the sub-target-size filter is a Spark job
+    // over allFilesDistributed and only the files that will actually be
+    // rewritten reach the driver (they must — they become RemoveFiles in
+    // the commit). `maxFilesPerCommit` bounds each commit so a
+    // billion-small-file table bin-packs incrementally (call compact in a
+    // loop) instead of staging one giant transaction.
     // plain compaction rewrites only sub-target files; Z-order rewrites
     // every candidate — its purpose is re-CLUSTERING, not just bin-packing
-    val rewrite =
-      if (zOrderBy.isEmpty) candidates.filter(_.size < targetFileBytes)
-      else candidates
+    val rewrite: Seq[AddFile] = where match {
+      case Some(pred) =>
+        val matched = txn.markFilesAsRead(pred)
+        val filtered =
+          if (zOrderBy.isEmpty) matched.filter(_.size < targetFileBytes)
+          else matched
+        filtered.take(maxFilesPerCommit)
+      case None =>
+        txn.readWholeTable()
+        if (snapshot.distributedState) {
+          val target = targetFileBytes
+          val ds =
+            if (zOrderBy.isEmpty) snapshot.allFilesDistributed.filter(_.size < target)
+            else snapshot.allFilesDistributed
+          ds.limit(maxFilesPerCommit).collect().toSeq
+        } else {
+          val filtered =
+            if (zOrderBy.isEmpty) snapshot.allFiles.filter(_.size < targetFileBytes)
+            else snapshot.allFiles
+          filtered.take(maxFilesPerCommit)
+        }
+    }
     if (zOrderBy.isEmpty && rewrite.size < 2) return snapshot.version
     if (rewrite.isEmpty) return snapshot.version
 

@@ -90,10 +90,24 @@ final class MergeBuilder private[delta] (
     // input_file_name() spells paths as SparkPath/URI strings; build the
     // AddFile side the same way or encoded paths silently never match.
     val matchedFileNames = touched.map(_.getAs[String]("__file")).toSet
-    val matchedFiles = snapshot.allFiles.filter { f =>
-      matchedFileNames.contains(
-        read.PartitionUtils.inputFileName(deltaLog.dataPath, f.path))
-    }
+    // Resolve the (file-count-bounded) touched-name set against the file
+    // list WHERE IT LIVES: in distributed-state mode that's a Dataset
+    // filter collecting only the touched files — a 3-file merge on a
+    // million-file table never materializes the full state on the driver.
+    val matchedFiles: Seq[AddFile] =
+      if (snapshot.distributedState) {
+        val names = matchedFileNames
+        val dataPathStr = deltaLog.dataPath.toString
+        snapshot.allFilesDistributed.filter { f =>
+          names.contains(read.PartitionUtils.inputFileName(
+            new org.apache.hadoop.fs.Path(dataPathStr), f.path))
+        }.collect().toSeq
+      } else {
+        snapshot.allFiles.filter { f =>
+          matchedFileNames.contains(
+            read.PartitionUtils.inputFileName(deltaLog.dataPath, f.path))
+        }
+      }
 
     val cdcEnabled = CdcWriter.enabled(metadata)
     var changeFrames = Vector.empty[DataFrame]

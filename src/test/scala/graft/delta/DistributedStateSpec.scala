@@ -18,13 +18,14 @@ class DistributedStateSpec extends SparkSpec {
   /** Commit `n` synthetic AddFiles (log-only; no parquet behind them) in
     * partitions other than the real one — if a scan ever touches them,
     * the read fails loudly on the missing files. */
-  private def commitSyntheticFiles(dir: String, n: Int, salt: String = ""): Unit = {
+  private def commitSyntheticFiles(dir: String, n: Int, salt: String = "",
+                                   size: Long = 1024L): Unit = {
     val log = DeltaLog.forTable(spark, dir)
     val adds = (1 to n).map { i =>
       AddFile(
         path = s"p=ghost${i % 50}/part-$salt$i.parquet",
         partitionValues = Map("p" -> s"ghost${i % 50}"),
-        size = 1024L, modificationTime = 1L, dataChange = true,
+        size = size, modificationTime = 1L, dataChange = true,
         stats = Some(s"""{"numRecords":10,"minValues":{"v":$i},"maxValues":{"v":$i},"nullCount":{"v":0}}"""))
     }
     log.startTransaction().commit(adds, DeltaOperations.ManualUpdate)
@@ -85,6 +86,130 @@ class DistributedStateSpec extends SparkSpec {
         // file-count metadata comes from an aggregation, not a collect
         assert(snap.numOfFiles == scanned.size + 4000)
         assert(!snap.filesMaterialized)
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
+  test("distributed mode: compact selects candidates without materializing " +
+      "the file list") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1") // force distributed
+      try {
+        // several small REAL files in p=real...
+        (1 to 6).foreach(i =>
+          DeltaTable.write(Seq((i, "real")).toDF("v", "p"), dir,
+            partitionBy = if (i == 1) Seq("p") else Nil,
+            configuration =
+              if (i == 1) Map("delta.checkpointInterval" -> "2") else Map.empty))
+        // ...plus 3000 ghost files ABOVE the size target: candidate
+        // selection must exclude them in the Spark job, never reading or
+        // driver-materializing them (they don't exist on disk)
+        commitSyntheticFiles(dir, 3000, "big", size = 10L * 1024 * 1024 * 1024)
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val snap = log.update()
+        assert(snap.distributedState, "byte bound should force distributed state")
+
+        val v = DeltaTable.forPath(spark, dir).compact()
+        assert(v == snap.version + 1)
+        assert(!snap.fullStateComputed)
+        assert(!snap.filesMaterialized,
+          "compact candidate selection collected the full file list")
+
+        // the real partition compacted to one file; data intact
+        val after = log.update()
+        val scanned = DeltaTable.forPath(spark, dir).scan($"p" === "real").getFiles
+        assert(scanned.size == 1, s"expected 1 compacted file, got ${scanned.size}")
+        assert(after.toDF.filter($"p" === "real")
+          .agg(sum($"v")).as[Long].head() == (1 to 6).sum)
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
+  test("distributed mode: compact caps files per commit") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        (1 to 6).foreach(i =>
+          DeltaTable.write(Seq(i).toDF("v"), dir,
+            configuration =
+              if (i == 1) Map("delta.checkpointInterval" -> "2") else Map.empty))
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        assert(log.update().distributedState)
+        // an incremental pass rewrites at most maxFilesPerCommit files
+        DeltaTable.forPath(spark, dir).compact(maxFilesPerCommit = 3)
+        val hist = DeltaTable.forPath(spark, dir).history()
+          .filter($"operation" === "OPTIMIZE").collect()
+        assert(hist.length == 1)
+        val removed = hist.head.getAs[Map[String, String]]("operationMetrics")(
+          "numRemovedFiles").toInt
+        assert(removed == 3, s"cap not applied: removed $removed files")
+        assert(log.update().toDF.as[Int].collect().sorted.toSeq == (1 to 6))
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
+  test("distributed mode: merge resolves matched files without " +
+      "materializing the file list") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        (1 to 8).foreach(i =>
+          DeltaTable.write(Seq((i, i * 10)).toDF("id", "price"), dir,
+            configuration =
+              if (i == 1) Map("delta.checkpointInterval" -> "2") else Map.empty))
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val snap = log.update()
+        assert(snap.distributedState)
+
+        val source = Seq((3, 999), (100, 555)).toDF("id", "price")
+        DeltaTable.forPath(spark, dir)
+          .merge(source.alias("s"), $"t.id" === $"s.id")
+          .whenMatchedUpdate(Map("price" -> $"s.price"))
+          .whenNotMatchedInsertAll()
+          .execute()
+        assert(!snap.filesMaterialized,
+          "merge matched-file resolution collected the full file list")
+        val rows = log.update().toDF.as[(Int, Int)].collect().toMap
+        assert(rows(3) == 999 && rows(100) == 555 && rows(5) == 50)
+        assert(rows.size == 9)
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
+  test("distributed mode: vacuum never materializes the file list") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        // FLAT table: root-level files exercise the in-task root listing
+        (1 to 6).foreach(i =>
+          DeltaTable.write(Seq(i).toDF("v"), dir,
+            configuration =
+              if (i == 1) Map("delta.checkpointInterval" -> "2") else Map.empty))
+        val log = DeltaLog.forTable(spark, dir)
+        val start = 3000000000000L
+        log.clock = () => start
+        DeltaTable.forPath(spark, dir).compact()
+        DeltaLog.clearCache()
+        val log2 = DeltaLog.forTable(spark, dir)
+        log2.clock = () => start + 8L * 24 * 3600 * 1000
+        val snap = log2.update()
+        assert(snap.distributedState)
+        val deleted = DeltaTable.forPath(spark, dir).vacuum()
+        assert(deleted >= 6, s"deleted only $deleted")
+        assert(!snap.filesMaterialized,
+          "vacuum collected the full file list on the driver")
+        assert(log2.update().toDF.as[Int].collect().sorted.toSeq == (1 to 6))
       } finally {
         spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
       }
