@@ -30,8 +30,8 @@ object Checkpoints {
         snapshot.setTransactions.map(_.wrap)) ++
         snapshot.allFiles.map(_.wrap) ++
         snapshot.tombstones.map(_.wrap)
-    writeCheckpointDS(snapshot,
-      snapshot.spark.createDataset(actions), actions.size.toLong, parts)
+    writeCheckpointDS(snapshot, snapshot.spark.createDataset(actions),
+      actions.size.toLong, autoParts(snapshot, parts, actions.size.toLong))
   }
 
   /** Fully distributed variant: the AddFile set comes from the
@@ -47,7 +47,23 @@ object Checkpoints {
         snapshot.tombstones.map(_.wrap)
     val ds = snapshot.spark.createDataset(small)
       .unionByName(snapshot.allFilesDistributed.map(_.wrap))
-    writeCheckpointDS(snapshot, ds, -1L, parts)
+    // the action count is an aggregation over the (persisted) distributed
+    // state — the file list itself never touches the driver
+    writeCheckpointDS(snapshot, ds, -1L,
+      autoParts(snapshot, parts, small.size.toLong + snapshot.numOfFiles))
+  }
+
+  /** The larger of the caller/config-requested part count and the
+    * SIZE-derived one: states beyond `delta.checkpoint.partSize` actions
+    * split automatically so no single writer or reader task owns the
+    * whole state (M7 auto-sizing, the `checkpointParts` semantics of the
+    * reference generalized to derive from state size). */
+  private def autoParts(snapshot: Snapshot, requested: Int,
+                        actionCount: Long): Int = {
+    val partSize =
+      DeltaConfigs.CHECKPOINT_PART_SIZE.fromMetadata(snapshot.metadata)
+    math.max(requested,
+      math.ceil(actionCount.toDouble / partSize.toDouble).toInt.max(1))
   }
 
   private def writeCheckpointDS(

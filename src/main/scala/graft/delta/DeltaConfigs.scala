@@ -65,4 +65,12 @@ object DeltaConfigs {
     * very large file counts). */
   val CHECKPOINT_PARTS: DeltaConfig[Int] = DeltaConfig(
     "delta.checkpointParts", "1", _.toInt, (_: Int) >= 1)
+
+  /** Actions per checkpoint part when AUTO-sizing: a checkpoint holding
+    * more actions than this splits into ceil(n / partSize) parts even
+    * without an explicit `delta.checkpointParts` (delta-spark's
+    * `delta.checkpoint.partSize` semantics) — at billion-file states no
+    * single writer or reader task should own the whole state. */
+  val CHECKPOINT_PART_SIZE: DeltaConfig[Long] = DeltaConfig(
+    "delta.checkpoint.partSize", "1000000", _.toLong, (_: Long) >= 1L)
 }

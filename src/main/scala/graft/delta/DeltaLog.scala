@@ -317,4 +317,15 @@ object DeltaLog {
     cache.values.foreach(log => Option(log.snapshotOrNull).foreach(_.uncache()))
     cache.clear()
   }
+
+  /** Evict ONE table's cached DeltaLog (and release its persisted file
+    * state). DDL that invalidates a single path — DROP/RENAME — must not
+    * cost every other table its cached snapshot. */
+  private[graft] def invalidate(spark: SparkSession, path: String): Unit = synchronized {
+    val dataPath = new Path(path)
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(dataPath).toString
+    cache.remove(qualified)
+      .foreach(log => Option(log.snapshotOrNull).foreach(_.uncache()))
+  }
 }

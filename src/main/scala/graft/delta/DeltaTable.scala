@@ -143,7 +143,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         partitionSchema = metadata.partitionSchema,
         dataSchema = metadata.dataSchema,
         bucketSpec = None,
-        fileFormat = new read.GuardedParquetFileFormat,
+        fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
         options = Map.empty)(spark)
       spark.baseRelationToDataFrame(relation)
         .select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -156,8 +156,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           if (cdcFiles.nonEmpty) {
             val paths = cdcFiles.map(c =>
               read.PartitionUtils.absoluteFileName(deltaLog.dataPath, c.path))
+            // change files carry PHYSICAL names; alias back to logical
+            val m = metadata.columnMapping
             Some(spark.read.parquet(paths: _*)
-              .select((metadata.schema.fieldNames :+ typeCol).map(col)
+              .select((metadata.schema.fieldNames.map(n =>
+                col(s"`${m.getOrElse(n, n)}`").as(n)) :+ col(typeCol))
                 .toIndexedSeq: _*))
           } else {
             val adds = actions.collect { case a: AddFile if a.dataChange => a }
@@ -232,7 +235,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new read.GuardedParquetFileFormat,
+      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
       options = Map.empty)(spark)
     val current = spark.baseRelationToDataFrame(relation)
       .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
@@ -240,11 +243,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val rewritten = transform(current)
 
     val adds = write.DeltaWriter.writeFiles(rewritten, deltaLog,
-      metadata.partitionColumns)
+      metadata.partitionColumns, metadata.columnMapping)
     val removes = matched.map(_.remove(deltaLog.clock()))
     val cdc: Seq[Action] =
       if (changes != null && write.CdcWriter.enabled(metadata)) {
-        write.CdcWriter.writeChangeFiles(changes(current), deltaLog)
+        write.CdcWriter.writeChangeFiles(changes(current), deltaLog,
+          metadata.columnMapping)
       } else Nil
     transaction.commit(cdc ++ adds ++ removes, operation,
       operationMetrics = Map(
@@ -349,6 +353,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .join(activeDF, Seq("rel"), "left_anti")
       .join(protectedDF, Seq("rel"), "left_anti")
       .select(col("rel")).as[String]
+      // BARRIER: materialize the survivor set before any delete runs — a
+      // broadcast anti-join would otherwise pipeline listing and deleting
+      // into ONE stage, and a task deleting files races the tasks still
+      // iterating listFiles() over the same directories
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deletable.count()
 
     // delete in tasks; count via the returned partial sums
     val rootStr = deltaLog.dataPath.toString
@@ -360,6 +370,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
       Iterator.single(n)
     }.collect().sum
+    deletable.unpersist()
     rootEntries.unpersist()
     deleted
   }
@@ -423,7 +434,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new read.GuardedParquetFileFormat,
+      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
       .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
@@ -445,7 +456,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
 
     val adds = write.DeltaWriter.writeFiles(compacted, deltaLog,
-      metadata.partitionColumns).map(_.copy(dataChange = false))
+      metadata.partitionColumns, metadata.columnMapping)
+      .map(_.copy(dataChange = false))
     val removes = rewrite.map(_.remove(deltaLog.clock(), dataChange = false))
     txn.commit(adds ++ removes, "OPTIMIZE",
       operationMetrics = Map(

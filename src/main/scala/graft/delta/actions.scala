@@ -52,7 +52,34 @@ case class Metadata(
     new StructType(schema.filterNot(f => partitions.contains(f.name)).toArray)
   }
 
+  /** Logical column name → the PHYSICAL name stored in parquet files, for
+    * columns renamed after data was written (only entries that differ).
+    * See [[ColumnMapping]]. */
+  @transient lazy val columnMapping: Map[String, String] =
+    ColumnMapping.mapping(schema)
+
   def wrap: SingleAction = SingleAction(metaData = Some(this))
+}
+
+/** Rename support without rewriting data (a lightweight form of Delta's
+  * `columnMapping.mode = name`): a renamed column keeps writing and reading
+  * its ORIGINAL parquet name, recorded in the field metadata. The read
+  * path substitutes physical names into the parquet reader's schemas —
+  * positionally transparent to the engine — and the write path renames
+  * DataFrame columns just before the file write. */
+object ColumnMapping {
+  val PhysicalNameKey = "graft.physicalName"
+
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** Only the columns whose physical name differs (top-level; nested
+    * renames are not supported). */
+  def mapping(schema: StructType): Map[String, String] =
+    schema.fields.iterator
+      .filter(f => physicalName(f) != f.name)
+      .map(f => f.name -> physicalName(f)).toMap
 }
 
 /** Protocol versioning — we implement reader 1 / writer 2 like the

@@ -2,11 +2,15 @@ package graft.delta.read
 
 import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{OutputWriterFactory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
-/** ParquetFileFormat whose WRITE path is disabled.
+/** ParquetFileFormat whose WRITE path is disabled, with optional
+  * logical→physical column-name mapping for renamed columns.
   *
   * Every relation this engine serves reads through the normal vectorized
   * parquet reader (inherited untouched), but a write planned THROUGH the
@@ -18,8 +22,18 @@ import org.apache.spark.sql.types.StructType
   * supported route is [[graft.GraftExtensions]], whose analyzer rule
   * re-plans such inserts through the transactional
   * [[InsertableDeltaRelation.insert]].
+  *
+  * `nameMapping` (logical → physical, from
+  * [[graft.delta.ColumnMapping]]) makes ALTER TABLE RENAME COLUMN
+  * metadata-only: the reader is handed schemas and pushed filters spelled
+  * with the PHYSICAL names the parquet files actually contain; the rows it
+  * returns are positional, so the engine above keeps seeing the logical
+  * schema. Empty mapping (the common case) short-circuits to the stock
+  * reader.
   */
-class GuardedParquetFileFormat extends ParquetFileFormat {
+class GuardedParquetFileFormat(
+    nameMapping: Map[String, String] = Map.empty) extends ParquetFileFormat {
+
   override def prepareWrite(
       sparkSession: SparkSession,
       job: Job,
@@ -31,5 +45,59 @@ class GuardedParquetFileFormat extends ParquetFileFormat {
         "session with graft.GraftExtensions " +
         "(spark.sql.extensions=graft.GraftExtensions) or use " +
         "DeltaTable.write / df.write.format(\"graft-delta\").")
+  }
+
+  private def physical(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      f.copy(name = nameMapping.getOrElse(f.name, f.name))))
+
+  /** Rename the TOP path segment of a pushed attribute (only top-level
+    * columns can be renamed; nested fields ride along with their parent). */
+  private def physicalAttr(attr: String): String = {
+    val dot = attr.indexOf('.')
+    if (dot < 0) nameMapping.getOrElse(attr, attr)
+    else nameMapping.get(attr.substring(0, dot))
+      .map(_ + attr.substring(dot)).getOrElse(attr)
+  }
+
+  private def translate(filter: Filter): Filter = filter match {
+    case sources.EqualTo(a, v) => sources.EqualTo(physicalAttr(a), v)
+    case sources.EqualNullSafe(a, v) => sources.EqualNullSafe(physicalAttr(a), v)
+    case sources.GreaterThan(a, v) => sources.GreaterThan(physicalAttr(a), v)
+    case sources.GreaterThanOrEqual(a, v) =>
+      sources.GreaterThanOrEqual(physicalAttr(a), v)
+    case sources.LessThan(a, v) => sources.LessThan(physicalAttr(a), v)
+    case sources.LessThanOrEqual(a, v) =>
+      sources.LessThanOrEqual(physicalAttr(a), v)
+    case sources.In(a, vs) => sources.In(physicalAttr(a), vs)
+    case sources.IsNull(a) => sources.IsNull(physicalAttr(a))
+    case sources.IsNotNull(a) => sources.IsNotNull(physicalAttr(a))
+    case sources.StringStartsWith(a, v) =>
+      sources.StringStartsWith(physicalAttr(a), v)
+    case sources.StringEndsWith(a, v) => sources.StringEndsWith(physicalAttr(a), v)
+    case sources.StringContains(a, v) => sources.StringContains(physicalAttr(a), v)
+    case sources.And(l, r) => sources.And(translate(l), translate(r))
+    case sources.Or(l, r) => sources.Or(translate(l), translate(r))
+    case sources.Not(c) => sources.Not(translate(c))
+    case other => other // AlwaysTrue / AlwaysFalse / future filters: no attrs
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+    : PartitionedFile => Iterator[InternalRow] = {
+    if (nameMapping.isEmpty) {
+      super.buildReaderWithPartitionValues(sparkSession, dataSchema,
+        partitionSchema, requiredSchema, filters, options, hadoopConf)
+    } else {
+      super.buildReaderWithPartitionValues(sparkSession, physical(dataSchema),
+        partitionSchema, physical(requiredSchema), filters.map(translate),
+        options, hadoopConf)
+    }
   }
 }

@@ -29,7 +29,7 @@ class InsertableDeltaRelation(
     partitionSchema = snapshot.metadata.partitionSchema,
     dataSchema = snapshot.metadata.dataSchema,
     bucketSpec = None,
-    fileFormat = new GuardedParquetFileFormat,
+    fileFormat = new GuardedParquetFileFormat(snapshot.metadata.columnMapping),
     options = Map.empty)(spark)
   with InsertableRelation {
 

@@ -44,7 +44,8 @@ class DeltaSink(
           schemaString = Some(batch.schema.json),
           partitionColumns = partitionColumns))
       }
-      val adds = DeltaWriter.writeFiles(batch, deltaLog, effectivePartitions(txn))
+      val adds = DeltaWriter.writeFiles(batch, deltaLog, effectivePartitions(txn),
+        txn.metadata.columnMapping)
       val removes: Seq[Action] =
         if (outputMode == OutputMode.Complete()) {
           txn.readWholeTable()

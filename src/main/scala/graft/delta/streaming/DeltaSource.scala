@@ -234,7 +234,7 @@ class DeltaSource(
       dataSchema = metadata.schema
         .add(typeCol, org.apache.spark.sql.types.StringType),
       bucketSpec = None,
-      fileFormat = new graft.delta.read.GuardedParquetFileFormat,
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping),
       options = Map.empty)(spark)
     Shims.relationToDataFrame(spark, relation, isStreaming = true)
       .select((metadata.schema.fieldNames :+ typeCol)
@@ -283,7 +283,7 @@ class DeltaSource(
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new graft.delta.read.GuardedParquetFileFormat,
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping),
       options = Map.empty)(spark)
     Shims.relationToDataFrame(spark, relation, isStreaming = true)
       .select(metadata.schema.fieldNames
@@ -298,7 +298,7 @@ class DeltaSource(
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new graft.delta.read.GuardedParquetFileFormat,
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping),
       options = Map.empty)(spark)
     val df = Shims.relationToDataFrame(spark, relation, isStreaming = true)
     // project the TABLE schema (the source schema may carry CDF columns

@@ -44,6 +44,10 @@ class OptimisticTransaction(
   def readVersion: Long = snapshot.version
 
   private var newMetadata: Option[Metadata] = None
+
+  /** The metadata this transaction will commit against: the in-flight
+    * update if one was made, else the read snapshot's. */
+  def metadata: Metadata = newMetadata.getOrElse(snapshot.metadata)
   private var readTheWholeTable = false
   private val readPredicates = ArrayBuffer.empty[Expression]
   private val readFiles = scala.collection.mutable.HashSet.empty[String]
@@ -108,6 +112,12 @@ class OptimisticTransaction(
     val names = schema.fields.map(_.name.toLowerCase)
     require(names.distinct.length == names.length,
       s"Found duplicate column(s) in schema: ${names.diff(names.distinct).mkString(", ")}")
+    // PHYSICAL names must be distinct too: adding a column named like a
+    // renamed column's original name would collide inside the parquet files
+    val phys = schema.fields.map(f => ColumnMapping.physicalName(f).toLowerCase)
+    require(phys.distinct.length == phys.length,
+      s"Physical column name collision: ${phys.diff(phys.distinct).mkString(", ")} " +
+        "(a renamed column keeps its original parquet name)")
     // partition columns ⊆ schema and at least one data column
     // (ref SchemaUtils.scala:31-88)
     val fieldNames = schema.fieldNames.toSet
@@ -129,19 +139,43 @@ class OptimisticTransaction(
   }
 
   /** New schema must keep every existing column with the same type; it may
-    * add nullable columns or relax nullability (ref SchemaUtils.isWriteCompatible). */
+    * add nullable columns, relax nullability, RENAME a column (identity is
+    * the PHYSICAL name, [[ColumnMapping]]), or add nullable NESTED fields
+    * to a struct (ref SchemaUtils.isWriteCompatible). */
   private[delta] def isWriteCompatible(
       existing: org.apache.spark.sql.types.StructType,
       newSchema: org.apache.spark.sql.types.StructType): Boolean = {
-    val newFields = newSchema.fields.map(f => f.name -> f).toMap
+    // top-level identity = physical name, so a metadata-only rename keeps
+    // "the same column"; nested fields have no mapping (no nested renames)
+    val newByPhys = newSchema.fields.map(f => ColumnMapping.physicalName(f) -> f).toMap
     existing.fields.forall { old =>
-      newFields.get(old.name).exists { nf =>
-        // same type, and nullability may only relax (nullable stays nullable)
-        nf.dataType == old.dataType && (!old.nullable || nf.nullable)
+      newByPhys.get(ColumnMapping.physicalName(old)).exists { nf =>
+        compatibleType(old.dataType, nf.dataType) && (!old.nullable || nf.nullable)
       }
     } && newSchema.fields.forall { nf =>
-      existing.fields.exists(_.name == nf.name) || nf.nullable
+      existing.fields.exists(of =>
+        ColumnMapping.physicalName(of) == ColumnMapping.physicalName(nf)) || nf.nullable
     }
+  }
+
+  /** Types are compatible when equal, or when both are structs and the new
+    * struct keeps every old field (recursively compatible, nullability
+    * only relaxing) while any NEW nested field is nullable — old files
+    * decode it as null. */
+  private def compatibleType(
+      oldT: org.apache.spark.sql.types.DataType,
+      newT: org.apache.spark.sql.types.DataType): Boolean = (oldT, newT) match {
+    case (o: org.apache.spark.sql.types.StructType,
+          n: org.apache.spark.sql.types.StructType) =>
+      val nByName = n.fields.map(f => f.name -> f).toMap
+      o.fields.forall { of =>
+        nByName.get(of.name).exists(nf =>
+          compatibleType(of.dataType, nf.dataType) && (!of.nullable || nf.nullable))
+      } && {
+        val oldNames = o.fieldNames.toSet
+        n.fields.filterNot(f => oldNames.contains(f.name)).forall(_.nullable)
+      }
+    case (o, n) => o == n
   }
 
   // ------------------------------------------------------------ commit (T2)

@@ -20,13 +20,20 @@ object CdcWriter {
   val ChangeDir = "_change_data"
 
   /** Write `changes` (table columns + _change_type) and return the
-    * AddCDCFile actions for the commit. */
-  def writeChangeFiles(changes: DataFrame, deltaLog: DeltaLog): Seq[AddCDCFile] = {
+    * AddCDCFile actions for the commit. Renamed columns write their
+    * PHYSICAL name ([[ColumnMapping]]) so change files decode like data
+    * files. */
+  def writeChangeFiles(changes: DataFrame, deltaLog: DeltaLog,
+                       mapping: Map[String, String] = Map.empty): Seq[AddCDCFile] = {
     val fs = deltaLog.dataPath.getFileSystem(deltaLog.hadoopConf)
     val staging = new Path(deltaLog.dataPath,
       s"_staging_cdc_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      changes.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val phys =
+        if (mapping.isEmpty) changes
+        else changes.select(changes.columns.map(c => org.apache.spark.sql
+          .functions.col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+      phys.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val files = fs.listStatus(staging)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val destDir = new Path(deltaLog.dataPath, ChangeDir)

@@ -71,7 +71,7 @@ object DeltaWriter {
       }
     }
 
-    val adds = writeFiles(df, deltaLog, partCols)
+    val adds = writeFiles(df, deltaLog, partCols, txn.metadata.columnMapping)
     val removes: Seq[Action] =
       if (exists && mode == SaveMode.Overwrite) {
         txn.readWholeTable()
@@ -114,9 +114,28 @@ object DeltaWriter {
     relaxed(s: org.apache.spark.sql.types.DataType)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
+  /** Type comparison key: nullability relaxed everywhere and field
+    * metadata (comments, [[ColumnMapping]] physical names) erased — a
+    * batch with stricter nullability or without the table's field
+    * annotations is still "the same type". */
+  private[delta] def typeShape(dt: org.apache.spark.sql.types.DataType)
+    : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, typeShape(f.dataType),
+          nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = typeShape(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = typeShape(m.keyType),
+        valueType = typeShape(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Existing columns keep their position and type (the incoming schema
-    * must contain each of them with an equal type); columns the table has
-    * never seen are appended, forced nullable so old files read as null. */
+    * must contain each of them with an equal type SHAPE — nullability may
+    * be stricter, annotations may be absent); columns the table has never
+    * seen are appended, forced nullable so old files read as null. */
   private[delta] def mergeSchemas(
       existing: org.apache.spark.sql.types.StructType,
       incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
@@ -125,7 +144,7 @@ object DeltaWriter {
       incomingByName.get(old.name) match {
         case None => throw new IllegalArgumentException(
           s"Append is missing column ${old.name} present in the table schema")
-        case Some(nf) if nf.dataType != old.dataType =>
+        case Some(nf) if typeShape(nf.dataType) != typeShape(old.dataType) =>
           throw new IllegalArgumentException(
             s"Column ${old.name}: type ${nf.dataType.simpleString} does not " +
               s"match the table's ${old.dataType.simpleString}")
@@ -141,15 +160,26 @@ object DeltaWriter {
   /** Distributed parquet write into `_staging_*`, then per-file promotion
     * to the table root. Returns the AddFiles (paths relative to the root,
     * partition values parsed from the hive-style staging layout with the
-    * protocol's escaping rules). */
+    * protocol's escaping rules).
+    *
+    * `mapping` (logical → physical, [[ColumnMapping]]): renamed columns
+    * keep writing their ORIGINAL parquet name so old and new files decode
+    * identically; stats stay keyed by the LOGICAL name data skipping
+    * consults. Partition columns cannot be renamed, so `partCols` is
+    * unaffected. */
   private[delta] def writeFiles(df: DataFrame, deltaLog: DeltaLog,
-                                partCols: Seq[String]): Seq[AddFile] = {
+                                partCols: Seq[String],
+                                mapping: Map[String, String] = Map.empty): Seq[AddFile] = {
     val conf = deltaLog.hadoopConf
     val fs = deltaLog.dataPath.getFileSystem(conf)
     val staging = new Path(deltaLog.dataPath,
       s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val writer = df.write.mode(SaveMode.Overwrite)
+      val physDf =
+        if (mapping.isEmpty) df
+        else df.select(df.columns.map(c => org.apache.spark.sql.functions
+          .col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+      val writer = physDf.write.mode(SaveMode.Overwrite)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(staging.toString)
 
@@ -171,7 +201,8 @@ object DeltaWriter {
         (rel, partitionValues, dest)
       }
       val stats = StatsCollector.collectAll(
-        promoted.map(_._3), dataSchema, conf)
+        promoted.map(_._3), dataSchema, conf,
+        n => mapping.getOrElse(n, n))
       promoted.map { case (rel, partitionValues, dest) =>
         val destStatus = fs.getFileStatus(dest)
         AddFile(

@@ -123,7 +123,7 @@ final class MergeBuilder private[delta] (
           partitionSchema = metadata.partitionSchema,
           dataSchema = metadata.dataSchema,
           bucketSpec = None,
-          fileFormat = new read.GuardedParquetFileFormat,
+          fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
           options = Map.empty)(spark)
         val rows = spark.baseRelationToDataFrame(relation)
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -193,7 +193,8 @@ final class MergeBuilder private[delta] (
       case (r, i) => r.orElse(i)
     }
     val adds = toWrite.map(df =>
-      DeltaWriter.writeFiles(df, deltaLog, metadata.partitionColumns))
+      DeltaWriter.writeFiles(df, deltaLog, metadata.partitionColumns,
+        metadata.columnMapping))
       .getOrElse(Nil)
     val removes =
       if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))
@@ -208,7 +209,8 @@ final class MergeBuilder private[delta] (
         i.withColumn(CdcWriter.ChangeTypeCol, lit("insert")))
     }
     val cdc: Seq[Action] = changeFrames.reduceOption(_.unionByName(_))
-      .map(CdcWriter.writeChangeFiles(_, deltaLog)).getOrElse(Nil)
+      .map(CdcWriter.writeChangeFiles(_, deltaLog, metadata.columnMapping))
+      .getOrElse(Nil)
     cached.foreach(_.unpersist())
     txn.commit(cdc ++ adds ++ removes, DeltaOperations.Merge,
       operationMetrics = Map(

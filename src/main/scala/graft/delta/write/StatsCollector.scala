@@ -35,11 +35,14 @@ object StatsCollector {
     * (mirrors delta.dataSkippingNumIndexedCols' default of 32). */
   val NumIndexedCols = 32
 
-  /** Stats JSON for one written file, or None if the footer is unreadable. */
-  def collect(path: Path, dataSchema: StructType, conf: Configuration): Option[String] =
+  /** Stats JSON for one written file, or None if the footer is unreadable.
+    * `phys` maps a logical field name to the parquet column name (identity
+    * unless the column was renamed) — stats keys stay LOGICAL. */
+  def collect(path: Path, dataSchema: StructType, conf: Configuration,
+              phys: String => String = identity): Option[String] =
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-      try Some(fromFooter(reader, dataSchema))
+      try Some(fromFooter(reader, dataSchema, phys))
       finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -47,10 +50,12 @@ object StatsCollector {
     * (each is one small metadata request — the same driver-side fan-out the
     * reference uses for parallel segment loading, SnapshotImpl.scala:248-293). */
   def collectAll(paths: Seq[Path], dataSchema: StructType,
-                 conf: Configuration): Map[Path, Option[String]] =
-    paths.par.map(p => p -> collect(p, dataSchema, conf)).toList.toMap
+                 conf: Configuration,
+                 phys: String => String = identity): Map[Path, Option[String]] =
+    paths.par.map(p => p -> collect(p, dataSchema, conf, phys)).toList.toMap
 
-  private def fromFooter(reader: ParquetFileReader, dataSchema: StructType): String = {
+  private def fromFooter(reader: ParquetFileReader, dataSchema: StructType,
+                         phys: String => String): String = {
     val blocks = reader.getFooter.getBlocks
     val numRecords = {
       var n = 0L
@@ -69,8 +74,9 @@ object StatsCollector {
       var usable = true
       blocks.forEach { block =>
         if (usable) {
+          val physName = phys(field.name)
           val chunk = block.getColumns.stream()
-            .filter(c => c.getPath.size() == 1 && c.getPath.toDotString == field.name)
+            .filter(c => c.getPath.size() == 1 && c.getPath.toDotString == physName)
             .findFirst().orElse(null)
           if (chunk == null) usable = false
           else {

@@ -181,9 +181,25 @@ object Dedup {
     // construction (broadcast; the one-task ranking window is over
     // DISTINCT grams, not docs).
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val gid = freq.select(col("s"), row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("s")))
-      .as("gid"))
+    // Rank grams rarest-first WITHOUT a global window: a partition-less
+    // row_number would sort every distinct gram in ONE executor task (the
+    // round-2 bench's "No Partition Defined" warning). The gid table is
+    // about to be BROADCAST — it is driver-materialized by definition —
+    // so collect the (gram, df) pairs once, sort on the driver, and
+    // re-parallelize with ranks assigned. One job computes the frequency
+    // aggregation exactly once; no task ever holds more than its share of
+    // the exploded grams. (If the gram alphabet ever outgrew the driver,
+    // the broadcast join below would have to become a shuffle join anyway
+    // — the two limits fall together.)
+    val session = df.sparkSession
+    val ranked = freq.select(col("s"), col("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, d) => (d, s) }
+    import session.implicits._
+    val gid = session.createDataset(
+        ranked.iterator.zipWithIndex
+          .map { case ((s, _), i) => (s, i + 1) }.toSeq)
+      .toDF("s", "gid")
     val intDocs = exploded.join(broadcast(gid), Seq("s"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("gid"))).as("gids"))

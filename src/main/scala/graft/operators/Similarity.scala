@@ -77,12 +77,14 @@ object Similarity {
     * engines. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+              nCells: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
+    val init = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
       sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
+    val cents = if (trainIters <= 0) init else trainCentroids(c, init, trainIters)
 
     // nearest centroid per corpus vector: max of (aff, -cid) structs —
     // a map-side-combinable agg, not a window over corpus × nCells rows
@@ -120,6 +122,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Seeded Lloyd refinement of the IVF coarse quantizer: assign every
+    * corpus vector to its nearest centroid (cosine, same rounded
+    * tie-broken argmax as the query path), replace each non-empty cell's
+    * centroid with the element-wise MEAN of its members (rounded to 6
+    * decimals so independent engines agree bit-for-bit), repeat. Empty
+    * cells drop — the remaining centroids are what the data supports.
+    *
+    * Scale shape per iteration: one broadcast cross-join (corpus ×
+    * centroids — centroids are broadcast-small by construction), one
+    * map-side-combinable argmax, and one (cell, dim)-keyed mean whose
+    * row count is corpus × dim but whose aggregate is partial — no
+    * window, no driver loop over vectors. Determinism: initial centroids
+    * are the lowest-id vectors, every affinity and every mean component
+    * is rounded before comparison. */
+  private[operators] def trainCentroids(c: DataFrame, init: DataFrame,
+                                        iters: Int): DataFrame = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val aff = c.crossJoin(broadcast(cents))
+        .select(col("neighbor_id"), col("cv0"),
+          round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
+            .as("aff"),
+          col("cid"))
+      val assigned = aff.groupBy(col("neighbor_id"))
+        .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"),
+             first(col("cv0")).as("cv0"))
+        .select(col("best.cid").as("cell"), col("cv0"))
+      // element-wise mean per cell: (cell, dim)-keyed partial aggregation,
+      // re-assembled into an ordered array — never a per-cell collect
+      cents = assigned
+        .select(col("cell"), posexplode(col("cv0")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("v"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"),
+          sqrt(VectorDot(col("cv"), col("cv"))).as("cn"))
+    }
+    cents
   }
 
   /** ANN top-k within the query's LSH bucket(s). Same output shape as

@@ -511,6 +511,98 @@ object PipelineQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         FROM ranked WHERE rank <= 3""")),
 
+    QueryDef(
+      "ann_ivf_kmeans_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4,
+          trainIters = 2)
+      },
+      Some(s"""
+        WITH cents0 AS (
+          SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), aff0 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents0 c
+        ), assign0 AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff0) t WHERE rn = 1
+        ), cents1 AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[i]::DOUBLE), 6) AS v
+            FROM assign0 a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, i) s
+          GROUP BY cell
+        ), aff1 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents1 c
+        ), assign1 AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff1) t WHERE rn = 1
+        ), cents2 AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[i]::DOUBLE), 6) AS v
+            FROM assign1 a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, i) s
+          GROUP BY cell
+        ), aff2 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents2 c
+        ), assign AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff2) t WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10
+        ), qaff AS (
+          SELECT q.query_id, q.qv, c.cid,
+                 round(${duckDot("q.qv", "c.cv")} /
+                       (sqrt(${duckDot("q.qv", "q.qv")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM q, cents2 c
+        ), qcells AS (
+          SELECT query_id, qv, cid AS cell FROM (
+            SELECT query_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM qaff) t WHERE rn <= 4
+        ), scored AS (
+          SELECT qc.query_id, e.vec_id AS neighbor_id,
+                 round(${duckDot("qc.qv", "e.embedding")} /
+                       (sqrt(${duckDot("qc.qv", "qc.qv")}) *
+                        sqrt(${duckDot("e.embedding", "e.embedding")})), 6) AS cosine
+          FROM qcells qc
+          JOIN assign a ON a.cell = qc.cell
+          JOIN embeddings e ON e.vec_id = a.nid
+          WHERE e.vec_id <> qc.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 3""")),
+
     // ---------------------------------------------------------- multimodal
     QueryDef(
       "multimodal_transform",

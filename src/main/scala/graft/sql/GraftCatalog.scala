@@ -44,7 +44,7 @@ import graft.delta.{DeltaLog, DeltaOperations, Metadata}
   * pruning path and INSERTs get the transactional route — one engine,
   * two SQL front doors.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -102,6 +102,15 @@ class GraftCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    commitCreate(tablePath(ident).toString, ident, schema, partitions, properties)
+    loadTable(ident)
+  }
+
+  /** Write the table-creating commit (protocol + metadata, no data) at
+    * `path` — shared by direct CREATE TABLE and the staged (CTAS) path. */
+  private def commitCreate(path: String, ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Unit = {
     val partitionCols = partitions.toSeq.map {
       case t if t.name() == "identity" && t.references().length == 1 =>
         t.references().head.fieldNames().mkString(".")
@@ -110,7 +119,6 @@ class GraftCatalog extends TableCatalog {
     }
     val config = properties.asScala.toMap
       .filter { case (k, _) => k.startsWith("delta.") || k.startsWith("graft.") }
-    val path = tablePath(ident).toString
     val log = DeltaLog.forTable(spark, path)
     val txn = log.startTransaction()
     txn.updateMetadata(Metadata(
@@ -119,7 +127,45 @@ class GraftCatalog extends TableCatalog {
       partitionColumns = partitionCols,
       configuration = config))
     txn.commit(Nil, DeltaOperations.CreateTable)
-    loadTable(ident)
+  }
+
+  // ------------------------------------------------ atomic CTAS / RTAS (F9)
+  // CREATE TABLE AS SELECT without StagingTableCatalog runs as
+  // create-then-append: a failed SELECT leaves an empty table behind. The
+  // staged variant builds the table in a hidden sibling directory and
+  // RENAMES it into place only after the write commits — a failed CTAS
+  // leaves NO table, a failed RTAS leaves the ORIGINAL (the transactional
+  // DDL stance of the reference's Flink catalog, DeltaCatalog.java:75-257).
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replaceExisting = tableExists(ident))
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    replaceExisting: Boolean): StagedTable = {
+    val finalPath = tablePath(ident)
+    val staging = new Path(finalPath.getParent,
+      s".${ident.name()}.staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!fs.exists(staging.getParent)) fs.mkdirs(staging.getParent)
+    commitCreate(staging.toString, ident, schema, partitions, properties)
+    new GraftStagedTable(catalogName, ident, staging, finalPath, replaceExisting, spark)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -132,13 +178,39 @@ class GraftCatalog extends TableCatalog {
     var ops = Vector.empty[String]
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          "Only top-level ADD COLUMNS is supported")
         require(add.isNullable,
           "New columns must be nullable (existing rows have no value)")
-        schema = schema.add(add.fieldNames().head, add.dataType(),
-          nullable = true)
-        ops :+= "ADD COLUMNS"
+        val path = add.fieldNames().init.toSeq
+        val newField = org.apache.spark.sql.types.StructField(
+          add.fieldNames().last, add.dataType(), nullable = true)
+        schema = SchemaAlter.addAt(schema, path, newField)
+        ops :+= "ADD COLUMNS" // ref Operation.java ADD_COLUMNS
+      case rename: TableChange.RenameColumn =>
+        require(rename.fieldNames().length == 1,
+          "Only top-level RENAME COLUMN is supported")
+        val from = rename.fieldNames().head
+        val to = rename.newName()
+        require(schema.fieldNames.contains(from), s"Unknown column $from")
+        require(!before.partitionColumns.contains(from),
+          s"Cannot rename partition column $from (historical commits key " +
+            "partition values by this name)")
+        require(!schema.fieldNames.contains(to), s"Column $to already exists")
+        // metadata-only: the column keeps its ORIGINAL parquet name, read
+        // and write paths substitute it via Metadata.columnMapping
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != from) f
+          else f.copy(name = to, metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(graft.delta.ColumnMapping.PhysicalNameKey,
+                graft.delta.ColumnMapping.physicalName(f))
+              .build())
+        })
+        ops :+= "CHANGE COLUMN" // ref Operation.java CHANGE_COLUMN
+      case comment: TableChange.UpdateColumnComment =>
+        schema = SchemaAlter.updateAt(schema, comment.fieldNames().toSeq,
+          _.withComment(comment.newComment()))
+        ops :+= "CHANGE COLUMN"
       case set: TableChange.SetProperty =>
         config += set.property() -> set.value()
         ops :+= "SET TBLPROPERTIES"
@@ -157,7 +229,8 @@ class GraftCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    DeltaLog.clearCache()
+    // evict ONLY this table — other tables keep their cached snapshots
+    DeltaLog.invalidate(spark, tablePath(ident).toString)
     fs.delete(tablePath(ident), true)
   }
 
@@ -166,7 +239,8 @@ class GraftCatalog extends TableCatalog {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val dest = tablePath(newIdent)
     if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
-    DeltaLog.clearCache()
+    DeltaLog.invalidate(spark, tablePath(oldIdent).toString)
+    DeltaLog.invalidate(spark, dest.toString) // a stale log from a dropped table
     if (!fs.rename(tablePath(oldIdent), dest)) {
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
     }
@@ -250,4 +324,58 @@ class GraftTable(
     schema = snapshot.metadata.schema,
     provider = Some("graft-delta"),
     partitionColumnNames = snapshot.metadata.partitionColumns)
+}
+
+/** A table staged in a hidden sibling directory; `commitStagedChanges`
+  * renames it into place (replacing atomically via a trash-rename when the
+  * target exists), `abortStagedChanges` deletes it. COMPOSES a [[GraftTable]]
+  * rather than extending it so the extension's read-conversion rule (which
+  * matches `GraftTable` relations) never rewrites the staged write target. */
+private[sql] class GraftStagedTable(
+    catalogName: String,
+    ident: Identifier,
+    staging: Path,
+    finalPath: Path,
+    replaceExisting: Boolean,
+    spark: SparkSession)
+  extends StagedTable with SupportsWrite {
+
+  private val inner = new GraftTable(catalogName, ident, staging.toString, Map.empty)
+  private def fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    DeltaLog.invalidate(spark, staging.toString)
+    if (replaceExisting && fs.exists(finalPath)) {
+      // replaced table moves aside first so a failed swap restores it
+      val trash = new Path(finalPath.getParent,
+        s".${finalPath.getName}.replaced-${java.util.UUID.randomUUID().toString.take(8)}")
+      DeltaLog.invalidate(spark, finalPath.toString)
+      if (!fs.rename(finalPath, trash)) {
+        throw new IllegalStateException(s"REPLACE: cannot move aside $finalPath")
+      }
+      if (!fs.rename(staging, finalPath)) {
+        fs.rename(trash, finalPath)
+        throw new IllegalStateException(s"REPLACE: swap into $finalPath failed")
+      }
+      fs.delete(trash, true)
+    } else {
+      DeltaLog.invalidate(spark, finalPath.toString)
+      if (!fs.rename(staging, finalPath)) {
+        throw new IllegalStateException(s"CTAS: rename $staging -> $finalPath failed")
+      }
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    DeltaLog.invalidate(spark, staging.toString)
+    fs.delete(staging, true)
+  }
 }

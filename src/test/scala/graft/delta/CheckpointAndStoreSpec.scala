@@ -36,6 +36,33 @@ class CheckpointAndStoreSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint auto-sizes parts from state size without explicit parts") {
+    withTempDir { dir =>
+      // 25 single-row files; partSize=10 actions → the state (protocol +
+      // metadata + 25 adds) must split into ceil(27/10) = 3 parts even
+      // though the caller never asks for parts
+      DeltaTable.write((1 to 25).map(i => (i, i)).toDF("k", "v").repartition(25),
+        dir, configuration = Map("delta.checkpoint.partSize" -> "10"))
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update()
+      Checkpoints.writeCheckpoint(before)
+
+      val lc = Checkpoints.lastCheckpoint(log)
+      assert(lc.exists(_.parts.exists(_ > 1)),
+        s"expected auto multi-part, got ${lc.flatMap(_.parts)}")
+      DeltaLog.clearCache()
+      val after = DeltaLog.forTable(spark, dir).update()
+      assert(after.allFiles.map(_.path).toSet == before.allFiles.map(_.path).toSet)
+      assert(after.toDF.count() == 25)
+      // and the distributed writer derives the same sizing from a count
+      // aggregation (never a driver materialization)
+      Checkpoints.writeCheckpointDistributed(before)
+      assert(Checkpoints.lastCheckpoint(log).exists(_.parts.exists(_ > 1)))
+      DeltaLog.clearCache()
+      assert(DeltaLog.forTable(spark, dir).update().toDF.count() == 25)
+    }
+  }
+
   test("distributed checkpoint write reconstructs the same state") {
     withTempDir { dir =>
       DeltaTable.write((1 to 30).map(i => (i, s"g${i % 3}")).toDF("v", "grp"),

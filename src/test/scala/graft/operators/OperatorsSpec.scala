@@ -120,6 +120,41 @@ class OperatorsSpec extends SparkSpec {
       brute.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("k-means-trained IVF recall is at least first-ids recall at equal nProbe") {
+    // clustered corpus: 6 latent centers, first-ids centroids all land in
+    // the low-id region so untrained cells are badly unbalanced — exactly
+    // the case Lloyd refinement exists for
+    val vecs = (0 until 120).map { i =>
+      val center = i % 6
+      (i.toLong, Array.tabulate(8)(d =>
+        (center * 13 + (if (d == center) 40 else 0) +
+          ((i * 7 + d * 3) % 5) - 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 6)
+    val truth = Similarity.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    def recall(trainIters: Int): Double = {
+      val got = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+        k = 5, nCells = 6, nProbe = 1, trainIters = trainIters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val untrained = recall(0)
+    val trained = recall(2)
+    assert(trained >= untrained,
+      s"k-means recall $trained < first-ids recall $untrained")
+    // training is deterministic: same input → same centroids → same answer
+    val again = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, nCells = 6, nProbe = 1, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val first = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, nCells = 6, nProbe = 1, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(again.sorted == first.sorted)
+  }
+
   test("multimodal: byte-sum expression and feature extraction stub") {
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
     assert(media.schema("media").dataType ==

@@ -104,6 +104,106 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaTable.isDeltaTable(spark, s"$warehouse/db/ctas"))
   }
 
+  test("ALTER TABLE RENAME COLUMN is metadata-only; old and new files both decode") {
+    spark.sql("CREATE TABLE graft.db.rn (id INT, price DOUBLE)")
+    spark.sql("INSERT INTO graft.db.rn VALUES (1, 10.0), (2, 20.0)")
+    spark.sql("ALTER TABLE graft.db.rn RENAME COLUMN price TO cost")
+    // pre-rename files decode under the new logical name
+    assert(spark.sql("SELECT SUM(cost) FROM graft.db.rn").head().getDouble(0) == 30.0)
+    // post-rename inserts keep writing the ORIGINAL parquet name
+    spark.sql("INSERT INTO graft.db.rn VALUES (3, 30.0)")
+    assert(spark.sql("SELECT SUM(cost) FROM graft.db.rn").head().getDouble(0) == 60.0)
+    // pushed filters on the renamed column translate to the physical name
+    assert(spark.sql("SELECT id FROM graft.db.rn WHERE cost > 15.0 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    val path = s"$warehouse/db/rn"
+    val meta = DeltaLog.forTable(spark, path).update().metadata
+    assert(meta.columnMapping == Map("cost" -> "price"))
+    // the op is recorded with the reference's enum name (Operation.java CHANGE_COLUMN)
+    assert(DeltaLog.forTable(spark, path).history().map(_.operation.getOrElse(""))
+      .contains("CHANGE COLUMN"))
+    // DML through the renamed column rewrites correctly
+    val t = DeltaTable.forPath(spark, path)
+    t.update(org.apache.spark.sql.functions.col("cost") === 10.0,
+      Map("cost" -> org.apache.spark.sql.functions.lit(11.0)))
+    assert(spark.sql("SELECT SUM(cost) FROM graft.db.rn").head().getDouble(0) == 61.0)
+    // renaming a second time composes (mapping still points at the original)
+    spark.sql("ALTER TABLE graft.db.rn RENAME COLUMN cost TO fee")
+    assert(spark.sql("SELECT SUM(fee) FROM graft.db.rn").head().getDouble(0) == 61.0)
+    assert(DeltaLog.forTable(spark, path).update().metadata.columnMapping ==
+      Map("fee" -> "price"))
+    // adding a column that reuses the ORIGINAL name must be rejected —
+    // it would collide with fee's physical name inside the files
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.rn ADD COLUMNS (price DOUBLE)")
+    }
+    // partition columns cannot be renamed (historical commits key them)
+    spark.sql("""CREATE TABLE graft.db.rnp (id INT, day STRING)
+                 PARTITIONED BY (day)""")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.rnp RENAME COLUMN day TO dt")
+    }
+  }
+
+  test("nested ADD COLUMNS and CHANGE COLUMN comment") {
+    spark.sql("CREATE TABLE graft.db.nst (id INT, s STRUCT<a: INT>)")
+    spark.sql("INSERT INTO graft.db.nst VALUES (1, named_struct('a', 7))")
+    spark.sql("ALTER TABLE graft.db.nst ADD COLUMNS (s.b STRING)")
+    // old rows decode the new nested field as null
+    val r = spark.sql("SELECT s.a, s.b FROM graft.db.nst").head()
+    assert(r.getInt(0) == 7 && r.isNullAt(1))
+    spark.sql("INSERT INTO graft.db.nst VALUES (2, named_struct('a', 8, 'b', 'x'))")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.nst WHERE s.b = 'x'")
+      .head().getLong(0) == 1)
+    spark.sql("ALTER TABLE graft.db.nst ALTER COLUMN id COMMENT 'row id'")
+    val meta = DeltaLog.forTable(spark, s"$warehouse/db/nst").update().metadata
+    assert(meta.schema("id").getComment().contains("row id"))
+    assert(meta.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a", "b"))
+    val ops = DeltaLog.forTable(spark, s"$warehouse/db/nst").history()
+      .map(_.operation.getOrElse(""))
+    assert(ops.contains("ADD COLUMNS") && ops.contains("CHANGE COLUMN"))
+  }
+
+  test("a failing CTAS leaves NO table (atomic staging)") {
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.db.ctas_fail AS
+                   SELECT CASE WHEN id > 5 THEN raise_error('boom')
+                          ELSE CAST(id AS STRING) END AS v
+                   FROM range(10)""")
+    }
+    assert(!DeltaTable.isDeltaTable(spark, s"$warehouse/db/ctas_fail"))
+    // no staged residue is left visible as a table either
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("ctas_fail"))
+    // and a successful CTAS after the failure works normally
+    spark.sql("CREATE TABLE graft.db.ctas_ok AS SELECT id FROM range(5)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.ctas_ok").head().getLong(0) == 5)
+  }
+
+  test("a failing REPLACE TABLE AS SELECT keeps the ORIGINAL table") {
+    spark.sql("CREATE TABLE graft.db.rpl AS SELECT id FROM range(3)")
+    intercept[Exception] {
+      spark.sql("""REPLACE TABLE graft.db.rpl AS
+                   SELECT raise_error('nope') AS v FROM range(1)""")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rpl").head().getLong(0) == 3)
+    spark.sql("REPLACE TABLE graft.db.rpl AS SELECT id, id * 3 AS t FROM range(4)")
+    assert(spark.sql("SELECT SUM(t) FROM graft.db.rpl").head().getLong(0) == 18)
+  }
+
+  test("DROP TABLE evicts only the dropped table's cached log") {
+    spark.sql("CREATE TABLE graft.db3.keepme (v INT)")
+    spark.sql("CREATE TABLE graft.db3.dropme (v INT)")
+    spark.sql("INSERT INTO graft.db3.keepme VALUES (1)")
+    val keptLog = DeltaLog.forTable(spark, s"$warehouse/db3/keepme")
+    val keptSnapshot = keptLog.update()
+    spark.sql("DROP TABLE graft.db3.dropme")
+    // same cached DeltaLog instance, same cached snapshot — not re-replayed
+    assert(DeltaLog.forTable(spark, s"$warehouse/db3/keepme") eq keptLog)
+    assert(keptLog.snapshot eq keptSnapshot)
+  }
+
   test("DESCRIBE shows log-derived schema; unsupported ALTER rejected") {
     spark.sql("CREATE TABLE graft.db.desc_t (a INT, b STRING)")
     val cols = spark.sql("DESCRIBE TABLE graft.db.desc_t").collect()
