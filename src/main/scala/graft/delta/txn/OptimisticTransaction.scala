@@ -93,7 +93,15 @@ class OptimisticTransaction(
   }
 
   // --------------------------------------------------- metadata update (T7)
-  def updateMetadata(metadata: Metadata): Unit = {
+  def updateMetadata(metadata: Metadata): Unit =
+    updateMetadata(metadata, allowColumnRemoval = false)
+
+  /** `allowColumnRemoval = true` is reserved for explicit DDL (ALTER TABLE
+    * DROP COLUMN): writes must never lose columns silently, but a drop the
+    * user ASKED for may — the catalog quarantines the dropped physical
+    * name so later adds can't resurrect its bytes. */
+  private[graft] def updateMetadata(metadata: Metadata,
+                                    allowColumnRemoval: Boolean): Unit = {
     require(newMetadata.isEmpty, "Cannot change the metadata more than once in a transaction")
     var m = metadata
     if (readVersion == -1) {
@@ -102,11 +110,12 @@ class OptimisticTransaction(
     } else {
       m = m.copy(id = snapshot.metadata.id)
     }
-    verifyNewMetadata(m)
+    verifyNewMetadata(m, allowColumnRemoval)
     newMetadata = Some(m)
   }
 
-  private def verifyNewMetadata(m: Metadata): Unit = {
+  private def verifyNewMetadata(m: Metadata,
+                                allowColumnRemoval: Boolean = false): Unit = {
     val schema = m.schema
     // duplicate column check, case-insensitive (ref SchemaMergingUtils.scala:38-91)
     val names = schema.fields.map(_.name.toLowerCase)
@@ -132,7 +141,7 @@ class OptimisticTransaction(
     // would materialize the whole file list just to test emptiness
     if (readVersion >= 0 && snapshot.metadata.schemaString.isDefined &&
         snapshot.numOfFiles > 0) {
-      require(isWriteCompatible(snapshot.metadata.schema, schema),
+      require(isWriteCompatible(snapshot.metadata.schema, schema, allowColumnRemoval),
         "New schema is not write-compatible with the table's existing schema; " +
           s"existing: ${snapshot.metadata.schema.simpleString}, new: ${schema.simpleString}")
     }
@@ -144,13 +153,16 @@ class OptimisticTransaction(
     * to a struct (ref SchemaUtils.isWriteCompatible). */
   private[delta] def isWriteCompatible(
       existing: org.apache.spark.sql.types.StructType,
-      newSchema: org.apache.spark.sql.types.StructType): Boolean = {
+      newSchema: org.apache.spark.sql.types.StructType,
+      allowColumnRemoval: Boolean = false): Boolean = {
     // top-level identity = physical name, so a metadata-only rename keeps
     // "the same column"; nested fields have no mapping (no nested renames)
     val newByPhys = newSchema.fields.map(f => ColumnMapping.physicalName(f) -> f).toMap
     existing.fields.forall { old =>
-      newByPhys.get(ColumnMapping.physicalName(old)).exists { nf =>
-        compatibleType(old.dataType, nf.dataType) && (!old.nullable || nf.nullable)
+      newByPhys.get(ColumnMapping.physicalName(old)) match {
+        case None => allowColumnRemoval // DDL drop only, never a write
+        case Some(nf) =>
+          compatibleType(old.dataType, nf.dataType) && (!old.nullable || nf.nullable)
       }
     } && newSchema.fields.forall { nf =>
       existing.fields.exists(of =>

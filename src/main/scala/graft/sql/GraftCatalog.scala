@@ -176,15 +176,48 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     var schema = before.schema
     var config = before.configuration
     var ops = Vector.empty[String]
+    def droppedPhysical: Set[String] =
+      config.get(GraftCatalog.DroppedPhysicalKey)
+        .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.isNullable,
           "New columns must be nullable (existing rows have no value)")
         val path = add.fieldNames().init.toSeq
+        val name = add.fieldNames().last
+        // a column re-added after a DROP must NOT resurrect the dropped
+        // column's bytes from old files: give it a fresh physical name
+        // (Delta's column-mapping stance); reads of old files then decode
+        // it as null, exactly like any other added column
+        val metadata =
+          if (path.isEmpty && droppedPhysical.contains(name)) {
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(graft.delta.ColumnMapping.PhysicalNameKey,
+                s"$name-${java.util.UUID.randomUUID().toString.take(8)}")
+              .build()
+          } else org.apache.spark.sql.types.Metadata.empty
         val newField = org.apache.spark.sql.types.StructField(
-          add.fieldNames().last, add.dataType(), nullable = true)
+          name, add.dataType(), nullable = true, metadata = metadata)
         schema = SchemaAlter.addAt(schema, path, newField)
         ops :+= "ADD COLUMNS" // ref Operation.java ADD_COLUMNS
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "Only top-level DROP COLUMN is supported")
+        val name = del.fieldNames().head
+        if (!schema.fieldNames.contains(name)) {
+          require(del.ifExists(), s"Unknown column $name")
+        } else {
+          require(!before.partitionColumns.contains(name),
+            s"Cannot drop partition column $name")
+          require(schema.size > 1, "Cannot drop the table's only column")
+          // metadata-only: the bytes stay in old files but the PHYSICAL
+          // name is quarantined so no later column can ever read them
+          val phys = graft.delta.ColumnMapping.physicalName(schema(name))
+          config += GraftCatalog.DroppedPhysicalKey ->
+            (droppedPhysical + phys).toSeq.sorted.mkString(",")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          ops :+= "DROP COLUMNS"
+        }
       case rename: TableChange.RenameColumn =>
         require(rename.fieldNames().length == 1,
           "Only top-level RENAME COLUMN is supported")
@@ -222,7 +255,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     }
     txn.updateMetadata(before.copy(
       schemaString = Some(schema.json),
-      configuration = config))
+      configuration = config),
+      allowColumnRemoval = ops.contains("DROP COLUMNS"))
     txn.commit(Nil, ops.distinct.mkString(" + "))
     loadTable(ident)
   }
@@ -245,6 +279,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
     }
   }
+}
+
+object GraftCatalog {
+  /** Table property holding the comma-joined PHYSICAL names of dropped
+    * columns: a later ADD COLUMNS reusing such a name gets a fresh
+    * physical name instead, so old files' bytes never resurface. */
+  val DroppedPhysicalKey = "graft.droppedPhysicalNames"
 }
 
 /** The catalog's table handle: schema/partitioning come from the LIVE

@@ -209,8 +209,39 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cols = spark.sql("DESCRIBE TABLE graft.db.desc_t").collect()
       .map(_.getString(0)).filter(c => c == "a" || c == "b")
     assert(cols.toSet == Set("a", "b"))
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft.db.desc_t DROP COLUMN b")
+    intercept[Exception] { // type changes rewrite data; still unsupported
+      spark.sql("ALTER TABLE graft.db.desc_t ALTER COLUMN a TYPE BIGINT")
     }
+  }
+
+  test("DROP COLUMN is metadata-only and a re-added name reads as null") {
+    spark.sql("CREATE TABLE graft.db.dc (id INT, secret STRING, keep DOUBLE)")
+    spark.sql("INSERT INTO graft.db.dc VALUES (1, 'clas', 1.5), (2, 'sified', 2.5)")
+    spark.sql("ALTER TABLE graft.db.dc DROP COLUMN secret")
+    val path = s"$warehouse/db/dc"
+    val meta = DeltaLog.forTable(spark, path).update().metadata
+    assert(meta.schema.fieldNames.toSeq == Seq("id", "keep"))
+    assert(DeltaLog.forTable(spark, path).history()
+      .map(_.operation.getOrElse("")).contains("DROP COLUMNS"))
+    // surviving columns still read from the old files
+    assert(spark.sql("SELECT SUM(keep) FROM graft.db.dc").head().getDouble(0) == 4.0)
+    // re-adding the SAME name must NOT resurrect the dropped bytes: the
+    // new column gets a fresh physical name and old rows decode as null
+    spark.sql("ALTER TABLE graft.db.dc ADD COLUMNS (secret STRING)")
+    val rows = spark.sql("SELECT id, secret FROM graft.db.dc ORDER BY id").collect()
+    assert(rows.forall(_.isNullAt(1)),
+      s"dropped bytes resurfaced: ${rows.mkString(",")}")
+    // re-added column sits at the END of the schema now: (id, keep, secret)
+    spark.sql("INSERT INTO graft.db.dc VALUES (3, 3.5, 'fresh')")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.dc WHERE secret = 'fresh'")
+      .head().getLong(0) == 1)
+    // dropping a renamed column quarantines its ORIGINAL physical name
+    spark.sql("ALTER TABLE graft.db.dc RENAME COLUMN keep TO kept")
+    spark.sql("ALTER TABLE graft.db.dc DROP COLUMN kept")
+    val m2 = DeltaLog.forTable(spark, path).update().metadata
+    assert(m2.configuration(graft.sql.GraftCatalog.DroppedPhysicalKey)
+      .split(",").toSet == Set("secret", "keep"))
+    spark.sql("ALTER TABLE graft.db.dc ADD COLUMNS (keep DOUBLE)")
+    assert(spark.sql("SELECT keep FROM graft.db.dc WHERE id = 1").head().isNullAt(0))
   }
 }
