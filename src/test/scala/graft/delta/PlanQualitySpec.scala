@@ -29,6 +29,40 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("a RENAMED column's filters stay pushed and its read schema pruned") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 1000).map(i => (i.toLong, i * 1.5, s"pad$i"))
+          .toDF("id", "price", "pad"), dir)
+      // metadata-only rename price -> cost (physical name stays "price")
+      val log = DeltaLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val before = txn.snapshot.metadata
+      val renamed = org.apache.spark.sql.types.StructType(
+        before.schema.fields.map { f =>
+          if (f.name != "price") f
+          else f.copy(name = "cost", metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(ColumnMapping.PhysicalNameKey, "price").build())
+        })
+      txn.updateMetadata(before.copy(schemaString = Some(renamed.json)))
+      txn.commit(Nil, "CHANGE COLUMN")
+
+      val q = DeltaTable.forPath(spark, dir).toDF
+        .filter($"cost" > 600.0).select($"id", $"cost")
+      val scan = scanOf(q)
+      // pushdown is not LOST for mapped tables (the physical-name
+      // substitution happens inside the reader, below this plan node)
+      assert(scan.metadata("PushedFilters").contains("GreaterThan(cost,600.0)"),
+        scan.metadata("PushedFilters"))
+      val readSchema = scan.metadata("ReadSchema")
+      assert(readSchema.contains("cost:double") && !readSchema.contains("pad"),
+        readSchema)
+      // and the translated filter actually filters (old files, old bytes)
+      assert(q.count() == 600)
+    }
+  }
+
   test("projection prunes the parquet read schema") {
     withTempDir { dir =>
       DeltaTable.write(
