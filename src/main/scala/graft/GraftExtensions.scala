@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectTableFunction((ident, info, builder))
     }
     ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaInserts)
+    ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaDeletes)
+    ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaUpdates)
+    ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaMerges)
     ext.injectResolutionRule(spark => new GraftExtensions.ResolveGraftCatalogReads(spark))
   }
 }
@@ -157,6 +160,161 @@ object GraftExtensions {
           val t = dsv2.table.asInstanceOf[graft.sql.GraftTable]
           LogicalRelation(t.v1Relation(spark), dsv2.output, None,
             isStreaming = false, stream = None)
+      }
+  }
+
+  /** SQL `DELETE FROM` over a (converted) Delta relation becomes the
+    * transactional [[graft.delta.read.GraftDeleteCommand]] during
+    * resolution — before checkAnalysis would reject DeleteFromTable on a
+    * V1 relation. Arbitrary predicates are supported (the DML layer
+    * bounds the rewrite by pruning + skipping); subqueries are not. */
+  object RouteDeltaDeletes
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case DeleteFromTable(target, condition) if condition.resolved &&
+            target.collectLeaves().exists {
+              case lr: LogicalRelation =>
+                lr.relation.isInstanceOf[graft.delta.read.InsertableDeltaRelation]
+              case _ => false
+            } =>
+          require(!condition.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+            "DELETE with a subquery condition is not supported")
+          val rel = target.collectLeaves().collectFirst {
+            case lr: LogicalRelation
+                if lr.relation.isInstanceOf[graft.delta.read.InsertableDeltaRelation] =>
+              lr.relation.asInstanceOf[graft.delta.read.InsertableDeltaRelation]
+          }.get
+          graft.delta.read.GraftDeleteCommand(rel.tablePath, condition)
+      }
+  }
+
+  /** SQL `UPDATE ... SET` over a (converted) Delta relation becomes the
+    * transactional [[graft.delta.read.GraftUpdateCommand]]. Top-level
+    * SET targets only (nested fields and subqueries are rejected); the
+    * DML layer rewrites only files whose partitions/stats admit matches. */
+  object RouteDeltaUpdates
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UpdateTable}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case UpdateTable(target, assignments, condition)
+            if assignments.forall(_.resolved) && condition.forall(_.resolved) &&
+              target.collectLeaves().exists {
+                case lr: LogicalRelation =>
+                  lr.relation.isInstanceOf[graft.delta.read.InsertableDeltaRelation]
+                case _ => false
+              } =>
+          val everything = assignments.map(_.value) ++ condition.toSeq
+          require(!everything.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
+            "UPDATE with a subquery is not supported")
+          val set = assignments.map { a =>
+            a.key match {
+              case ref: AttributeReference => ref.name -> a.value
+              case other => throw new UnsupportedOperationException(
+                s"Only top-level columns can be SET, got $other")
+            }
+          }
+          val rel = target.collectLeaves().collectFirst {
+            case lr: LogicalRelation
+                if lr.relation.isInstanceOf[graft.delta.read.InsertableDeltaRelation] =>
+              lr.relation.asInstanceOf[graft.delta.read.InsertableDeltaRelation]
+          }.get
+          graft.delta.read.GraftUpdateCommand(rel.tablePath, set,
+            condition.getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
+      }
+  }
+
+  /** SQL `MERGE INTO` over a (converted) Delta relation becomes the
+    * engine's MergeBuilder via [[graft.delta.read.GraftMergeCommand]].
+    * Admitted shape = the builder's: at most one UNCONDITIONAL matched
+    * clause (UPDATE SET / UPDATE * / DELETE) and an unconditional
+    * NOT MATCHED INSERT * (or by-name column list covering the source);
+    * conditional clauses, NOT MATCHED BY SOURCE and schema evolution are
+    * rejected loudly. */
+  object RouteDeltaMerges
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    private def deltaLeaf(plan: LogicalPlan) =
+      plan.collectLeaves().collectFirst {
+        case lr: LogicalRelation
+            if lr.relation.isInstanceOf[graft.delta.read.InsertableDeltaRelation] =>
+          lr.relation.asInstanceOf[graft.delta.read.InsertableDeltaRelation]
+      }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case m: MergeIntoTable
+            if m.childrenResolved && m.mergeCondition.resolved &&
+              (m.matchedActions ++ m.notMatchedActions).forall {
+                case a: UpdateAction => a.condition.forall(_.resolved) &&
+                  a.assignments.forall(_.resolved)
+                case a: InsertAction => a.condition.forall(_.resolved) &&
+                  a.assignments.forall(_.resolved)
+                case a: DeleteAction => a.condition.forall(_.resolved)
+                case _ => true
+              } && deltaLeaf(m.targetTable).isDefined =>
+          require(!m.withSchemaEvolution,
+            "MERGE WITH SCHEMA EVOLUTION is not supported")
+          require(m.notMatchedBySourceActions.isEmpty,
+            "WHEN NOT MATCHED BY SOURCE is not supported")
+          def keyName(key: Expression): String = key match {
+            case ref: AttributeReference => ref.name
+            case other => throw new UnsupportedOperationException(
+              s"Only top-level columns can be assigned, got $other")
+          }
+          var updateSet: Option[Seq[(String, Expression)]] = None
+          var updateAll = false
+          var delete = false
+          m.matchedActions match {
+            case Nil =>
+            case Seq(UpdateAction(None, assigns, fromStar)) =>
+              if (fromStar) updateAll = true
+              else updateSet = Some(assigns.map(a =>
+                keyName(a.key) -> a.value))
+            case Seq(_: UpdateStarAction) => updateAll = true
+            case Seq(DeleteAction(None)) => delete = true
+            case other => throw new UnsupportedOperationException(
+              s"Unsupported MERGE matched clause(s): $other (one " +
+                "unconditional UPDATE or DELETE)")
+          }
+          val insertAll = m.notMatchedActions match {
+            case Nil => false
+            case Seq(_: InsertStarAction) => true
+            case Seq(InsertAction(None, assigns))
+                // the star/by-name form resolved: every value is a plain
+                // source attribute of the SAME name — the builder aligns
+                // by name, so renaming inserts must be rejected
+                if assigns.forall(a => a.value match {
+                  case r: AttributeReference => r.name == keyName(a.key)
+                  case _ => false
+                }) =>
+              true
+            case other => throw new UnsupportedOperationException(
+              s"Unsupported MERGE not-matched clause(s): $other (one " +
+                "unconditional INSERT * / by-name insert)")
+          }
+          graft.delta.read.GraftMergeCommand(
+            deltaLeaf(m.targetTable).get.tablePath, m.sourceTable,
+            m.mergeCondition, updateSet, updateAll, delete, insertAll,
+            m.targetTable.output.map(_.exprId),
+            m.sourceTable.output.map(_.exprId))
       }
   }
 

@@ -22,7 +22,7 @@ import graft.delta.Snapshot
 class InsertableDeltaRelation(
     index: DeltaFileIndex,
     snapshot: Snapshot,
-    tablePath: String,
+    val tablePath: String,
     spark: SparkSession)
   extends HadoopFsRelation(
     location = index,

@@ -296,7 +296,8 @@ class GraftTable(
     ident: Identifier,
     path: String,
     readOptions: Map[String, String])
-  extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite {
+  extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite
+  with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
   private lazy val snapshot = readOptions.get("versionAsOf") match {
@@ -346,6 +347,21 @@ class GraftTable(
           }
       }
     }
+
+  /** SQL `DELETE FROM` (and `TRUNCATE TABLE` via the AlwaysTrue default):
+    * the pushed WHERE becomes a Column for the engine's DML layer, which
+    * keeps partition-only deletes metadata-only and bounds rewrite
+    * deletes by pruning + stats skipping. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+    : Boolean = filters.forall(f => FilterToColumn.convert(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+    : Unit = {
+    val cond = filters.toSeq.flatMap(FilterToColumn.convert)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.delta.DeltaTable.forPath(spark, path).delete(cond)
+  }
 
   /** The V1 relation batch reads resolve to (DeltaFileIndex pruning,
     * transactional inserts) — wired by GraftExtensions' conversion rule. */

@@ -214,6 +214,79 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQL DELETE FROM: metadata-only on partition predicates, rewrite on data") {
+    spark.sql("""CREATE TABLE graft.db.del (id INT, grp STRING)
+                 PARTITIONED BY (grp)""")
+    spark.sql("""INSERT INTO graft.db.del
+                 SELECT CAST(id AS INT), concat('g', CAST(id % 3 AS STRING))
+                 FROM range(0, 30)""")
+    val path = s"$warehouse/db/del"
+    // partition-only predicate: files drop, nothing rewrites
+    spark.sql("DELETE FROM graft.db.del WHERE grp = 'g0'")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.del").head().getLong(0) == 20)
+    val ops1 = DeltaLog.forTable(spark, path).history().head
+    assert(ops1.operation.contains("DELETE"))
+    assert(!ops1.operationMetrics.exists(_.contains("numAddedFiles")),
+      s"partition delete must not rewrite: ${ops1.operationMetrics}")
+    // data predicate: only matching files rewrite
+    spark.sql("DELETE FROM graft.db.del WHERE id >= 20 AND grp = 'g1'")
+    // g1 holds ids 1,4,...,28; three of them (22,25,28) are >= 20
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.del").head().getLong(0) == 17)
+    assert(spark.sql("SELECT MAX(id) FROM graft.db.del WHERE grp = 'g1'")
+      .head().getInt(0) == 19)
+    // TRUNCATE drops everything, metadata-only
+    spark.sql("TRUNCATE TABLE graft.db.del")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.del").head().getLong(0) == 0)
+  }
+
+  test("SQL UPDATE applies SET to matching rows transactionally") {
+    spark.sql("CREATE TABLE graft.db.upd (id INT, amount DOUBLE, tag STRING)")
+    spark.sql("""INSERT INTO graft.db.upd
+                 SELECT CAST(id AS INT), id * 1.0, 'keep' FROM range(0, 10)""")
+    spark.sql("UPDATE graft.db.upd SET amount = amount * 2, tag = 'bumped' " +
+      "WHERE id >= 7")
+    val rows = spark.sql(
+      "SELECT id, amount, tag FROM graft.db.upd ORDER BY id").collect()
+    assert(rows.map(_.getDouble(1)).toSeq ==
+      (0 until 7).map(_.toDouble) ++ Seq(14.0, 16.0, 18.0))
+    assert(rows.count(_.getString(2) == "bumped") == 3)
+    // the commit is a logged UPDATE, visible in history
+    assert(DeltaLog.forTable(spark, s"$warehouse/db/upd").history()
+      .head.operation.contains("UPDATE"))
+    // unconditional UPDATE touches every row
+    spark.sql("UPDATE graft.db.upd SET tag = 'all'")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.upd WHERE tag = 'all'")
+      .head().getLong(0) == 10)
+  }
+
+  test("SQL MERGE INTO routes to the transactional merge") {
+    spark.sql("CREATE TABLE graft.db.mrg (id INT, price DOUBLE)")
+    spark.sql("INSERT INTO graft.db.mrg VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    spark.sql("CREATE TABLE graft.db.mrg_src (id INT, price DOUBLE)")
+    spark.sql("INSERT INTO graft.db.mrg_src VALUES (2, 99.0), (4, 40.0)")
+    spark.sql("""MERGE INTO graft.db.mrg AS tgt
+                 USING graft.db.mrg_src AS src ON tgt.id = src.id
+                 WHEN MATCHED THEN UPDATE SET price = src.price
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id, price FROM graft.db.mrg ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)))
+    assert(DeltaLog.forTable(spark, s"$warehouse/db/mrg").history()
+      .head.operation.contains("MERGE"))
+    // WHEN MATCHED DELETE
+    spark.sql("""MERGE INTO graft.db.mrg AS tgt
+                 USING graft.db.mrg_src AS src ON tgt.id = src.id
+                 WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM graft.db.mrg ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // conditional clauses are rejected loudly, never silently misapplied
+    intercept[Exception] {
+      spark.sql("""MERGE INTO graft.db.mrg AS tgt
+                   USING graft.db.mrg_src AS src ON tgt.id = src.id
+                   WHEN MATCHED AND src.price > 50 THEN DELETE""")
+    }
+  }
+
   test("DROP COLUMN is metadata-only and a re-added name reads as null") {
     spark.sql("CREATE TABLE graft.db.dc (id INT, secret STRING, keep DOUBLE)")
     spark.sql("INSERT INTO graft.db.dc VALUES (1, 'clas', 1.5), (2, 'sified', 2.5)")
