@@ -30,7 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // contain non-ASCII characters, so pin the file-path codec to UTF-8
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced multi-second GC pauses during the sf0.1 bench (local[32]
+  // keeps 32 partitions of shuffle/broadcast state live at once) and made
+  // per-query timings swing 2-3x run to run; 24g removes the stalls on
+  // the 128 GiB container. SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 Test / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")
 run / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")

@@ -168,9 +168,14 @@ object Dedup {
     * codegen'd [[SortedArrayJaccard]]. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // the shingled corpus feeds TWO passes (gram frequencies, then the
+    // interning join) — persist it so the parquet scan + shingling run
+    // once, not twice; the frequency pass collects eagerly below, which
+    // also materializes the cache before the second pass plans against it
     val docs = df.select(col(idCol).as("id"),
         ShingleExpressions.charShinglesSorted(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val exploded = docs.select(col("id"), explode(col("grams")).as("s"))
     // Intern grams to dense int ids ranked rarest-first: the id IS the
