@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Interns a string array against a DRIVER-BUILT dictionary, returning the
+  * ascending-sorted `array<int>` of ids; strings absent from the
+  * dictionary are dropped.
+  *
+  * This is the shuffle-elimination half of gram interning: the dictionary
+  * comes from the one global frequency aggregation the near-dup operators
+  * already run (and collect, because the id table must be totally ordered
+  * by rarity). Re-attaching ids by `explode → broadcast join → groupBy
+  * collect_list` would shuffle every gram occurrence of the corpus a
+  * SECOND time just to rebuild per-doc arrays; a per-row lookup against
+  * the same driver-resident dictionary produces identical arrays with no
+  * shuffle at all. The dictionary travels in the expression (task-closure
+  * broadcast) — valid in exactly the regime the collect is: the distinct
+  * universe fits the driver, which bounds both designs together.
+  *
+  * CodegenFallback is fine here: evaluation is per DOCUMENT (hash lookups
+  * + one int sort), the same cost profile as [[CharShinglesSorted]].
+  */
+case class InternSortedIds(child: Expression, dict: Map[String, Int])
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"intern_sorted_ids requires an array<string> argument, got ${other.simpleString}")
+    }
+
+  // binary-comparable lookup keys, built once per task deserialization
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](dict.size * 2)
+    dict.foreach { case (s, i) => m.put(UTF8String.fromString(s), Integer.valueOf(i)) }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val ids = new Array[Int](n)
+    var i = 0; var k = 0
+    while (i < n) {
+      val id = lookup.get(a.getUTF8String(i))
+      if (id != null) { ids(k) = id.intValue(); k += 1 }
+      i += 1
+    }
+    val out = if (k == n) ids else java.util.Arrays.copyOf(ids, k)
+    java.util.Arrays.sort(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): InternSortedIds =
+    copy(child = newChild)
+}
+
+object InternSortedIds {
+  def apply(a: Column, dict: Map[String, Int]): Column =
+    Shims.column(InternSortedIds(Shims.expression(a), dict))
+}

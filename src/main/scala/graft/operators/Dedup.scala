@@ -177,53 +177,35 @@ object Dedup {
       .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val exploded = docs.select(col("id"), explode(col("grams")).as("s"))
     // Intern grams to dense int ids ranked rarest-first: the id IS the
-    // global prefix order, so the per-doc rarity sort collapses into the
-    // sort_array aggregate, and every downstream structure (prefix rows,
-    // verify payloads) carries 4-byte ints instead of gram strings.
-    // n-grams come from a bounded alphabet, so the id table is small by
-    // construction (broadcast; the one-task ranking window is over
-    // DISTINCT grams, not docs).
-    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // global prefix order, so the per-doc rarity sort collapses into one
+    // int sort, and every downstream structure (prefix rows, verify
+    // payloads) carries 4-byte ints instead of gram strings. n-grams come
+    // from a bounded alphabet, so the id table is small by construction.
+    val freq = docs.select(explode(col("grams")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
     // Rank grams rarest-first WITHOUT a global window: a partition-less
     // row_number would sort every distinct gram in ONE executor task (the
-    // round-2 bench's "No Partition Defined" warning). The gid table is
-    // about to be BROADCAST — it is driver-materialized by definition —
-    // so collect the (gram, df) pairs once, sort on the driver, and
-    // re-parallelize with ranks assigned. One job computes the frequency
-    // aggregation exactly once; no task ever holds more than its share of
-    // the exploded grams. (If the gram alphabet ever outgrew the driver,
-    // the broadcast join below would have to become a shuffle join anyway
-    // — the two limits fall together.)
-    val session = df.sparkSession
+    // round-2 bench's "No Partition Defined" warning). The id table must
+    // be totally ordered by global rarity — inherently driver-sized — so
+    // collect the (gram, df) pairs once and sort on the driver. One job
+    // computes the frequency aggregation exactly once; no task ever holds
+    // more than its share of the exploded grams.
     val ranked = freq.select(col("s"), col("df")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (s, d) => (d, s) }
-    import session.implicits._
-    val gid = session.createDataset(
-        ranked.iterator.zipWithIndex
-          .map { case ((s, _), i) => (s, i + 1) }.toSeq)
-      .toDF("s", "gid")
-    val intDocs = exploded.join(broadcast(gid), Seq("s"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+    val dict = ranked.iterator.zipWithIndex
+      .map { case ((s, _), i) => (s, i + 1) }.toMap
+    val maxGid = ranked.length
+    // Per-doc interning is a LOOKUP against that same driver dictionary
+    // ([[InternSortedIds]], shipped in the task closure) — not an
+    // explode → broadcast-join → re-group round trip, which would shuffle
+    // every gram occurrence of the corpus a second time just to rebuild
+    // the per-doc arrays. The cached shingles feed both passes; the only
+    // corpus-wide shuffle in this operator is the frequency aggregation.
+    val intDocs = docs.select(col("id"),
+        InternSortedIds(col("grams"), dict).as("gids"))
       .withColumn("nG", size(col("gids")))
-
-    // Asymmetric prefixes (AllPairs/PPJoin indexing-prefix optimization,
-    // still EXACT): every doc PROBES with its (nG - ceil(t·nG) + 1)
-    // rarest grams, but is INDEXED by only (nG - ceil(2t/(1+t)·nG) + 1)
-    // of them — for a qualifying pair with |y| ≤ |x|, the overlap bound
-    // o ≥ 2t/(1+t)·|y| proves the FIRST common gram sits inside the
-    // smaller side's SHORT prefix, so joining probe(larger) × index
-    // (smaller) loses nothing and nearly halves one join side at t=0.8.
-    // Leading slices, because gids is sorted in the global rarity order.
-    def prefixRows(len: org.apache.spark.sql.Column) =
-      intDocs.select(col("id"), col("nG"),
-        posexplode(slice(col("gids"), lit(1), len.cast("int"))))
-    val probe = prefixRows(col("nG") - ceil(col("nG") * threshold) + 1)
-    val index = prefixRows(col("nG") -
-      ceil(col("nG") * (2.0 * threshold / (1.0 + threshold))) + 1)
 
     // three EXACT per-pair prunes on ints, inside the candidate join:
     //  - pair ordering: the indexed side is the smaller set (ties by id),
@@ -243,25 +225,81 @@ object Dedup {
     val positionOk =
       (least(col("nG_x") - col("rk_x"), col("nG_y") - col("rk_y")) + 1) >=
         requiredOverlap
-    val candidates = probe
-      .select(col("col").as("g"), col("id").as("x"),
-        col("nG").as("nG_x"), (col("pos") + 1).as("rk_x"))
-      .join(index.select(col("col").as("g"), col("id").as("y"),
-        col("nG").as("nG_y"), (col("pos") + 1).as("rk_y")), Seq("g"))
-      .filter(smallerIndexed && sizeOk && positionOk)
-      .select(least(col("x"), col("y")).as("i"),
-        greatest(col("x"), col("y")).as("j"))
-      .distinct()
 
-    // verification on the compact int arrays: bijective with the gram
-    // sets, so the jaccard value is exactly the gram-set jaccard
-    val gi = intDocs.select(col("id").as("i"), col("gids").as("g_i"))
-    val gj = intDocs.select(col("id").as("j"), col("gids").as("g_j"))
-    candidates.join(gi, Seq("i")).join(gj, Seq("j"))
-      .select(col("i"), col("j"),
-        SortedArrayJaccard(col("g_i"), col("g_j")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // Asymmetric prefixes (AllPairs/PPJoin indexing-prefix optimization,
+    // still EXACT): every doc PROBES with its (nG - ceil(t·nG) + 1)
+    // rarest grams, but is INDEXED by only (nG - ceil(2t/(1+t)·nG) + 1)
+    // of them — for a qualifying pair with |y| ≤ |x|, the overlap bound
+    // o ≥ 2t/(1+t)·|y| proves the FIRST common gram sits inside the
+    // smaller side's SHORT prefix, so joining probe(larger) × index
+    // (smaller) loses nothing and nearly halves one join side at t=0.8.
+    // Leading slices, because gids is sorted in the global rarity order.
+    val probeLen = col("nG") - ceil(col("nG") * threshold) + 1
+    val indexLen = col("nG") -
+      ceil(col("nG") * (2.0 * threshold / (1.0 + threshold))) + 1
+
+    if (maxGid <= BitsetGramUniverseMax) {
+      // Small-universe representation: every gram set fits in a fixed
+      // (maxGid>>6)+1-long bitset, so jaccard is popcount(AND)/popcount
+      // (OR) — the same double [[SortedArrayJaccard]] produces on the id
+      // arrays. Because the payload is UNIVERSE-bounded (not document-
+      // bounded) it rides through the prefix join itself: verification
+      // happens inside the candidate join and the survivor stream needs
+      // no distinct-then-re-attach round trip. A tiny gram alphabet is
+      // exactly the regime where prefix filtering degenerates toward
+      // all-pairs (candidate volume ~ every pair several times over), so
+      // the per-candidate savings apply at the worst possible volume.
+      val words = (maxGid >> 6) + 1
+      val bitDocs = intDocs.withColumn("bits",
+        IntArrayBitset(col("gids"), words))
+      def prefixRows(len: org.apache.spark.sql.Column) =
+        bitDocs.select(col("id"), col("nG"), col("bits"),
+          posexplode(slice(col("gids"), lit(1), len.cast("int"))))
+      prefixRows(probeLen)
+        .select(col("col").as("g"), col("id").as("x"),
+          col("nG").as("nG_x"), (col("pos") + 1).as("rk_x"),
+          col("bits").as("b_x"))
+        .join(prefixRows(indexLen)
+          .select(col("col").as("g"), col("id").as("y"),
+            col("nG").as("nG_y"), (col("pos") + 1).as("rk_y"),
+            col("bits").as("b_y")), Seq("g"))
+        .filter(smallerIndexed && sizeOk && positionOk)
+        .select(least(col("x"), col("y")).as("i"),
+          greatest(col("x"), col("y")).as("j"),
+          BitsetJaccard(col("b_x"), col("b_y")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .distinct()
+    } else {
+      def prefixRows(len: org.apache.spark.sql.Column) =
+        intDocs.select(col("id"), col("nG"),
+          posexplode(slice(col("gids"), lit(1), len.cast("int"))))
+      val candidates = prefixRows(probeLen)
+        .select(col("col").as("g"), col("id").as("x"),
+          col("nG").as("nG_x"), (col("pos") + 1).as("rk_x"))
+        .join(prefixRows(indexLen)
+          .select(col("col").as("g"), col("id").as("y"),
+            col("nG").as("nG_y"), (col("pos") + 1).as("rk_y")), Seq("g"))
+        .filter(smallerIndexed && sizeOk && positionOk)
+        .select(least(col("x"), col("y")).as("i"),
+          greatest(col("x"), col("y")).as("j"))
+        .distinct()
+
+      // verification on the compact int arrays: bijective with the gram
+      // sets, so the jaccard value is exactly the gram-set jaccard
+      val gi = intDocs.select(col("id").as("i"), col("gids").as("g_i"))
+      val gj = intDocs.select(col("id").as("j"), col("gids").as("g_j"))
+      candidates.join(gi, Seq("i")).join(gj, Seq("j"))
+        .select(col("i"), col("j"),
+          SortedArrayJaccard(col("g_i"), col("g_j")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
+
+  /** Gram-universe bound for the bitset verification representation of
+    * [[ngramJaccard]]: 4096 interned ids → at most 65 longs (520 B) of
+    * payload per prefix row. Above this, document int arrays are the
+    * smaller representation and the distinct-then-attach plan wins. */
+  private val BitsetGramUniverseMax = 4096
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
     * shared coarse key to avoid the all-pairs product at scale. Pairs join
