@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * splits and samples, sequence packing, scrubbing, and mixture sampling.
+  *
+  * Scale design (the 100 TB story):
+  *  - every assignment is a PURE FUNCTION of the row (hash of a stable
+  *    id) — no global state, no sampling service, no driver round trip;
+  *    re-running the pipeline on a grown corpus keeps every previously
+  *    assigned row in the same split/sample, which is what makes
+  *    train/test contamination auditable;
+  *  - the only shuffles are the final aggregations callers add and the
+  *    per-bucket window in [[packSequences]], whose partition count is
+  *    caller-chosen (buckets ≫ executors → no single-task window, state
+  *    per task bounded by corpus/buckets);
+  *  - [[domainMix]] attaches per-domain rates through a BROADCAST join
+  *    (domain tables are small by definition), so mixing adds no shuffle
+  *    of the corpus itself.
+  */
+object Curation {
+
+  private val Denom = 1000000L
+
+  /** Deterministic split assignment: hash of the id modulo 100, cut by
+    * cumulative `weights` (name → percent, summing to ≤ 100; rows past
+    * the last cut get the final name). Adds a `split` column. */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      "split weights must sum to 100")
+    val bucket = md5Hash32(col(idCol).cast("string")) % 100
+    val cuts = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val split = weights.init.zip(cuts.init)
+      .foldLeft(when(lit(false), lit(null: String))) {
+        case (acc, ((name, _), cut)) => acc.when(bucket < cut, name)
+      }
+      .otherwise(weights.last._1)
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic salted sample: keeps a row iff
+    * `hash(salt:id) mod 1e6 < rate·1e6`. Different salts draw
+    * independent samples; the same salt always draws the same one. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String): DataFrame = {
+    require(rate >= 0 && rate <= 1, "sample rate must be in [0,1]")
+    df.filter(
+      md5Hash32(col(idCol).cast("string"), lit(salt)) % Denom
+        < (rate * Denom).toLong)
+  }
+
+  /** Concat-then-chunk sequence packing (the standard LLM pre-training
+    * layout): within each of `buckets` hash buckets, documents are laid
+    * end-to-end in id order and the token stream is cut into fixed
+    * `ctxLen` chunks; a document may straddle a chunk boundary. Returns
+    * one row per document with its bucket and the first/last chunk index
+    * it lands in.
+    *
+    * The running offset is a window over the BUCKET, not the corpus —
+    * choose `buckets` ≫ executor count and each task holds one bucket's
+    * documents only. */
+  def packSequences(df: DataFrame, idCol: String, tokCountCol: Column,
+                    ctxLen: Int, buckets: Int): DataFrame = {
+    require(ctxLen > 0 && buckets > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokCountCol.cast("long").as("toks"),
+        pmod(md5Hash32(col(idCol).cast("string")), lit(buckets)).as("bucket"))
+      .filter(col("toks") > 0)
+      .withColumn("offset", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .select(col(idCol), col("bucket"), col("toks"),
+        floor(col("offset") / ctxLen).as("first_chunk"),
+        floor((col("offset") + col("toks") - 1) / ctxLen).as("last_chunk"))
+  }
+
+  /** Scrub a regex from the text (PII patterns, denylist terms),
+    * replacing every match with `replacement`. Adds `<out>` (scrubbed
+    * text) and `<out>_hits` (match count) — pure per-row codegen'd
+    * expressions, no shuffle. */
+  def scrub(df: DataFrame, textCol: String, pattern: String,
+            replacement: String, out: String): DataFrame =
+    df.withColumn(out, regexp_replace(col(textCol), pattern, replacement))
+      .withColumn(s"${out}_hits", size(regexp_extract_all(col(textCol),
+        lit(pattern), lit(0))))
+
+  /** Mixture sampling: per-domain keep rates (domain → rate in [0,1],
+    * `defaultRate` otherwise) applied as a deterministic salted sample.
+    * Rates attach via a broadcast join — the corpus itself is neither
+    * shuffled nor collected. */
+  def domainMix(df: DataFrame, idCol: String, domainCol: String,
+                rates: Map[String, Double], defaultRate: Double,
+                salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF(domainCol, "keep_rate")
+    df.join(broadcast(rateDf), Seq(domainCol), "left")
+      .withColumn("keep_rate", coalesce(col("keep_rate"), lit(defaultRate)))
+      .filter(
+        md5Hash32(col(idCol).cast("string"), lit(salt)) % Denom
+          < (col("keep_rate") * Denom).cast("long"))
+      .drop("keep_rate")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import graft.multimodal.Multimodal
 
 /** The large-scale training-data-pipeline operators (builder brief §extras):
@@ -652,6 +652,117 @@ object PipelineQueries {
                  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                  (a, b) -> a + b)) AS BIGINT) AS total_byte_sum,
                CAST(SUM(LEAST(16, length(text))) AS BIGINT) AS total_features
-        FROM documents GROUP BY lang"""))
+        FROM documents GROUP BY lang""")),
+
+    // ------------------------------------------------------------ curation
+    QueryDef(
+      "curate_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Curation.hashSplit(docs, "doc_id",
+            Seq("train" -> 90, "val" -> 5, "test" -> 5))
+          .select($"split", $"lang", tokenCount($"text").as("toks"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"toks".cast("long")).as("sum_tokens"))
+      },
+      Some(raw"""
+        WITH b AS (
+          SELECT lang, text,
+                 ${duckHash32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+               lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
+        FROM b GROUP BY 1, 2""")),
+
+    QueryDef(
+      "curate_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        Curation.hashSample(t(s, dir, "documents"), "doc_id", 0.2, "s1")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_chars".cast("long")).as("sum_chars"))
+      },
+      Some(s"""
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE ${duckHash32("'s1' || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 < 200000
+        GROUP BY lang""")),
+
+    QueryDef(
+      "curate_pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Curation.packSequences(docs, "doc_id", tokenCount($"text"),
+            ctxLen = 512, buckets = 8)
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"toks").as("total_tokens"),
+               (max($"last_chunk") + 1).as("n_chunks"),
+               count(when($"first_chunk" =!= $"last_chunk", 1)).as("n_straddling"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 ${duckHash32("CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS toks
+          FROM documents),
+        off AS (
+          SELECT bucket, toks,
+                 COALESCE(SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM toks WHERE toks > 0)
+        SELECT bucket, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(MAX((o + toks - 1) // 512) + 1 AS BIGINT) AS n_chunks,
+               COUNT(CASE WHEN o // 512 <> (o + toks - 1) // 512 THEN 1 END) AS n_straddling
+        FROM off GROUP BY bucket""")),
+
+    QueryDef(
+      "curate_scrub",
+      (s, dir) => {
+        import s.implicits._
+        Curation.scrub(t(s, dir, "documents"), "text",
+            raw"\bcustomer\b", "[REDACTED]", "clean")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               count(when($"clean_hits" > 0, 1)).as("docs_hit"),
+               sum($"clean_hits".cast("long")).as("total_hits"),
+               sum(length($"clean").cast("long")).as("clean_chars"))
+      },
+      Some(raw"""
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN len(regexp_extract_all(text, '\bcustomer\b')) > 0 THEN 1 END) AS docs_hit,
+               CAST(SUM(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT) AS total_hits,
+               CAST(SUM(length(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g'))) AS BIGINT) AS clean_chars
+        FROM documents GROUP BY lang""")),
+
+    QueryDef(
+      "curate_domain_mix",
+      (s, dir) => {
+        import s.implicits._
+        Curation.domainMix(t(s, dir, "documents"), "doc_id", "source",
+            rates = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0,
+              "src3" -> 1.0),
+            defaultRate = 0.25, salt = "mix")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_chars".cast("long")).as("sum_chars"))
+      },
+      // default rate 0.25 is EXACT in binary — both engines' rate*1e6
+      // land on the same integer cut (never cut on a fraction that
+      // rounds differently under truncation vs rounding casts)
+      Some(s"""
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE ${duckHash32("'mix' || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+              CAST((CASE WHEN source IN ('src0','src1','src2','src3')
+                         THEN 1.0 ELSE 0.25 END) * 1000000 AS BIGINT)
+        GROUP BY source"""))
   )
 }

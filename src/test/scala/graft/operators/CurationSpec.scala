@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 400L)
+    .map(i => (i, s"doc $i body " + ("w " * (i % 7).toInt).trim, s"src${i % 4}"))
+    .toDF("doc_id", "text", "source")
+
+  test("hashSplit covers every row, is deterministic, and honors weights") {
+    val split = Curation.hashSplit(docs, "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 400)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // same assignment on re-run (pure function of the id)
+    val again = Curation.hashSplit(docs, "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("hashSample is a deterministic subset; salts draw different samples") {
+    val s1 = Curation.hashSample(docs, "doc_id", 0.3, "a")
+      .select("doc_id").as[Long].collect().toSet
+    val s1b = Curation.hashSample(docs, "doc_id", 0.3, "a")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Curation.hashSample(docs, "doc_id", 0.3, "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s1b)
+    assert(s1 != s2)
+    assert(s1.size > 400 * 0.15 && s1.size < 400 * 0.45) // loose hash bound
+    // monotone: a smaller rate with the same salt is a subset
+    val smaller = Curation.hashSample(docs, "doc_id", 0.1, "a")
+      .select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(s1))
+  }
+
+  test("packSequences lays buckets end-to-end with straddling spans") {
+    val packed = Curation.packSequences(
+      docs, "doc_id", lit(100L), ctxLen = 250, buckets = 2)
+    val rows = packed.orderBy("bucket", "doc_id")
+      .select("doc_id", "bucket", "first_chunk", "last_chunk")
+      .collect()
+    // within each bucket, chunks advance by 100 tokens per doc over a
+    // 250-token context: offsets 0,100,200,300,... -> first chunk
+    // floor(off/250), last floor((off+99)/250)
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, i) =>
+        val off = i * 100L
+        assert(r.getLong(2) == off / 250, s"first_chunk at offset $off")
+        assert(r.getLong(3) == (off + 99) / 250, s"last_chunk at offset $off")
+      }
+    }
+    // the window is per BUCKET — the plan must not contain a
+    // partition-less (single-task) window
+    val planStr = packed.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Window [") ||
+      planStr.contains("partitionBy") || !planStr.contains("No Partition"),
+      "window must be partitioned by bucket")
+  }
+
+  test("scrub replaces every match and counts hits") {
+    val scrubbed = Curation.scrub(
+      Seq((1L, "call me maybe, call often"), (2L, "no matches here"))
+        .toDF("id", "text"),
+      "text", raw"\bcall\b", "[X]", "clean")
+    val byId = scrubbed.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean"), r.getAs[Int]("clean_hits"))).toMap
+    assert(byId(1L) == (("[X] me maybe, [X] often", 2)))
+    assert(byId(2L) == (("no matches here", 0)))
+  }
+
+  test("domainMix keeps rate-1 domains fully and samples the rest") {
+    val mixed = Curation.domainMix(docs, "doc_id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5,
+      salt = "m")
+    val counts = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("src0") == 100) // rate 1.0: everything kept
+    assert(!counts.contains("src1")) // rate 0.0: nothing kept
+    // defaulted domains sampled around half
+    assert(counts("src2") > 20 && counts("src2") < 80)
+    assert(counts("src3") > 20 && counts("src3") < 80)
+    // schema passes through (no helper columns leak)
+    assert(mixed.columns.toSet == docs.columns.toSet)
+  }
+}
