@@ -20,33 +20,34 @@ object CdcWriter {
   val ChangeDir = "_change_data"
 
   /** Write `changes` (table columns + _change_type) and return the
-    * AddCDCFile actions for the commit. Renamed columns write their
-    * PHYSICAL name ([[ColumnMapping]]) so change files decode like data
-    * files. */
+    * AddCDCFile actions for the commit. The per-commit
+    * `_change_data/batch-<uuid>/` directory is the files' FINAL location
+    * — no per-file promotion renames (object-store renames are copies);
+    * visibility comes from the AddCDCFile actions, not the layout.
+    * Renamed columns write their PHYSICAL name ([[ColumnMapping]]) so
+    * change files decode like data files. */
   def writeChangeFiles(changes: DataFrame, deltaLog: DeltaLog,
                        mapping: Map[String, String] = Map.empty): Seq[AddCDCFile] = {
     val fs = deltaLog.dataPath.getFileSystem(deltaLog.hadoopConf)
-    val staging = new Path(deltaLog.dataPath,
-      s"_staging_cdc_${java.util.UUID.randomUUID().toString.take(8)}")
+    val batchName = s"batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    val batchDir = new Path(new Path(deltaLog.dataPath, ChangeDir), batchName)
     try {
       val phys =
         if (mapping.isEmpty) changes
         else changes.select(changes.columns.map(c => org.apache.spark.sql
           .functions.col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
-      phys.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val files = fs.listStatus(staging)
+      phys.write.mode(SaveMode.Overwrite).parquet(batchDir.toString)
+      fs.listStatus(batchDir)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val destDir = new Path(deltaLog.dataPath, ChangeDir)
-      if (!fs.exists(destDir)) fs.mkdirs(destDir)
-      files.toSeq.map { st =>
-        val rel = s"$ChangeDir/${st.getPath.getName}"
-        val dest = new Path(deltaLog.dataPath, rel)
-        if (!fs.rename(st.getPath, dest)) {
-          throw new java.io.IOException(s"Failed to move CDC file to $dest")
+        .toSeq.map { st =>
+          AddCDCFile(path = s"$ChangeDir/$batchName/${st.getPath.getName}",
+            size = st.getLen)
         }
-        AddCDCFile(path = rel, size = st.getLen)
-      }
-    } finally fs.delete(staging, true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        fs.delete(batchDir, true)
+        throw e
+    }
   }
 
   /** Is change-data capture enabled for this table? */

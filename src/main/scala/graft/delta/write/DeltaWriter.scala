@@ -157,10 +157,22 @@ object DeltaWriter {
     org.apache.spark.sql.types.StructType(existing.fields ++ appended)
   }
 
-  /** Distributed parquet write into `_staging_*`, then per-file promotion
-    * to the table root. Returns the AddFiles (paths relative to the root,
-    * partition values parsed from the hive-style staging layout with the
-    * protocol's escaping rules).
+  /** Distributed parquet write into a per-commit `batch-<uuid>/`
+    * subdirectory that IS the files' final location. Returns the AddFiles
+    * (paths relative to the root, partition values parsed from the
+    * hive-style layout inside the batch directory with the protocol's
+    * escaping rules).
+    *
+    * No promotion step: the protocol stores relative URIs that may carry
+    * directories (partitioned tables always do), and visibility is
+    * defined by the LOG, not the directory layout — so moving files to
+    * the table root would buy nothing and cost a driver-side
+    * rename + getFileStatus round trip PER FILE (and object-store
+    * "renames" are full copies). Size and mtime come from the one
+    * recursive listing of the batch directory. Uncommitted batch
+    * directories are invisible to readers (not in the log) and safe from
+    * vacuum (younger than any retention cutoff); on failure the batch
+    * directory is deleted.
     *
     * `mapping` (logical → physical, [[ColumnMapping]]): renamed columns
     * keep writing their ORIGINAL parquet name so old and new files decode
@@ -172,8 +184,8 @@ object DeltaWriter {
                                 mapping: Map[String, String] = Map.empty): Seq[AddFile] = {
     val conf = deltaLog.hadoopConf
     val fs = deltaLog.dataPath.getFileSystem(conf)
-    val staging = new Path(deltaLog.dataPath,
-      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    val batchName = s"batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    val batchDir = new Path(deltaLog.dataPath, batchName)
     try {
       val physDf =
         if (mapping.isEmpty) df
@@ -181,42 +193,32 @@ object DeltaWriter {
           .col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
       val writer = physDf.write.mode(SaveMode.Overwrite)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .parquet(staging.toString)
+        .parquet(batchDir.toString)
 
-      val files = listParquetFiles(fs, staging)
+      val files = listParquetFiles(fs, batchDir)
       val dataSchema = org.apache.spark.sql.types.StructType(
         df.schema.filterNot(f => partCols.contains(f.name)))
-      val promoted = files.map { st =>
-        val rel = st.getPath.toUri.getPath
-          .stripPrefix(staging.toUri.getPath + "/")
-        val partitionValues = parsePartitionValues(rel, partCols)
-        // keep the partition directory layout in the promoted path — not
-        // required by the protocol (values come from the log) but friendly
-        // to humans and external tools
-        val dest = new Path(deltaLog.dataPath, rel)
-        if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest)) {
-          throw new java.io.IOException(s"Failed to promote ${st.getPath} -> $dest")
-        }
-        (rel, partitionValues, dest)
-      }
       val stats = StatsCollector.collectAll(
-        promoted.map(_._3), dataSchema, conf,
+        files.map(_.getPath), dataSchema, conf,
         n => mapping.getOrElse(n, n))
-      promoted.map { case (rel, partitionValues, dest) =>
-        val destStatus = fs.getFileStatus(dest)
+      files.map { st =>
+        val relInBatch = st.getPath.toUri.getPath
+          .stripPrefix(batchDir.toUri.getPath + "/")
+        val rel = s"$batchName/$relInBatch"
         AddFile(
           // the protocol stores paths as percent-encoded relative URIs
           // (canonicalization ref: SnapshotImpl.scala:349-362)
           path = new java.net.URI(null, null, rel, null).toString,
-          partitionValues = partitionValues,
-          size = destStatus.getLen,
-          modificationTime = destStatus.getModificationTime,
+          partitionValues = parsePartitionValues(relInBatch, partCols),
+          size = st.getLen,
+          modificationTime = st.getModificationTime,
           dataChange = true,
-          stats = stats.getOrElse(dest, None))
+          stats = stats.getOrElse(st.getPath, None))
       }
-    } finally {
-      fs.delete(staging, true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        fs.delete(batchDir, true)
+        throw e
     }
   }
 
