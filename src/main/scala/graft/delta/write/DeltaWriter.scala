@@ -199,7 +199,7 @@ object DeltaWriter {
       val dataSchema = org.apache.spark.sql.types.StructType(
         df.schema.filterNot(f => partCols.contains(f.name)))
       val stats = StatsCollector.collectAll(
-        files.map(_.getPath), dataSchema, conf,
+        df.sparkSession, files.map(_.getPath), dataSchema, conf,
         n => mapping.getOrElse(n, n))
       files.map { st =>
         val relInBatch = st.getPath.toUri.getPath

@@ -46,13 +46,35 @@ object StatsCollector {
       finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Stats for many files; footer reads fan out on a parallel collection
-    * (each is one small metadata request — the same driver-side fan-out the
-    * reference uses for parallel segment loading, SnapshotImpl.scala:248-293). */
-  def collectAll(paths: Seq[Path], dataSchema: StructType,
+  /** Above this many files, footer reads run as a Spark job instead of a
+    * driver-side parallel collection (a 1000-executor commit can write
+    * thousands of files; O(files) driver round trips is the same
+    * anti-pattern the distributed-state invariant bans elsewhere). */
+  val DriverStatsMaxFiles = 64
+
+  /** Stats for many files. Small commits fan footer reads out on a
+    * driver-side parallel collection (each is one small metadata request —
+    * the same driver-side fan-out the reference uses for parallel segment
+    * loading, SnapshotImpl.scala:248-293); large commits read footers in
+    * executor tasks and collect only the stats JSONs — the same bytes the
+    * commit is about to write to the log anyway. */
+  def collectAll(spark: org.apache.spark.sql.SparkSession,
+                 paths: Seq[Path], dataSchema: StructType,
                  conf: Configuration,
                  phys: String => String = identity): Map[Path, Option[String]] =
-    paths.par.map(p => p -> collect(p, dataSchema, conf, phys)).toList.toMap
+    if (paths.size <= DriverStatsMaxFiles) {
+      paths.par.map(p => p -> collect(p, dataSchema, conf, phys)).toList.toMap
+    } else {
+      import spark.implicits._
+      val sconf = new graft.delta.SerializableHadoopConf(conf)
+      val strs = paths.map(_.toString)
+      spark.createDataset(strs)
+        .repartition(math.max(1, math.min(strs.size / 8, 256)))
+        .mapPartitions { it =>
+          it.map(p => p -> collect(new Path(p), dataSchema, sconf.value, phys))
+        }
+        .collect().iterator.map { case (p, s) => new Path(p) -> s }.toMap
+    }
 
   private def fromFooter(reader: ParquetFileReader, dataSchema: StructType,
                          phys: String => String): String = {

@@ -36,6 +36,29 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("large commits collect stats through the distributed path") {
+    withTempDir { dir =>
+      // > StatsCollector.DriverStatsMaxFiles files in one commit → footer
+      // reads run as a Spark job; stats must be indistinguishable
+      val nFiles = write.StatsCollector.DriverStatsMaxFiles + 8
+      DeltaTable.write(
+        (1 to 1000).map(i => (i, i * 2.0)).toDF("id", "score")
+          .repartition(nFiles),
+        dir)
+      val files = DeltaLog.forTable(spark, dir).update().allFiles
+      assert(files.size == nFiles)
+      assert(files.forall(_.stats.isDefined))
+      val total = files.flatMap(_.stats).map { s =>
+        JsonCodec.mapper.readTree(s).get("numRecords").asLong
+      }.sum
+      assert(total == 1000)
+      val mins = files.flatMap(_.stats).map { s =>
+        JsonCodec.mapper.readTree(s).get("minValues").get("id").asInt
+      }
+      assert(mins.min == 1)
+    }
+  }
+
   test("range predicate skips files whose min/max cannot match") {
     withTempDir { dir =>
       // 8 range-partitioned files over id → disjoint id ranges per file
