@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaUpdates)
     ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaMerges)
     ext.injectResolutionRule(spark => new GraftExtensions.ResolveGraftCatalogReads(spark))
+    // extension grammar: OPTIMIZE [ZORDER BY] / VACUUM statements
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
 

@@ -385,6 +385,42 @@ object DeltaQueries {
                  AS n_zoned
         FROM nation GROUP BY n_regionkey""")),
 
+    // SQL maintenance surface: OPTIMIZE and VACUUM statements (extension
+    // grammar) compact a multi-commit table and prove data unchanged and
+    // the file count reduced.
+    QueryDef(
+      "delta_sql_maintenance",
+      (s, dir) => {
+        import s.implicits._
+        val wh = tmp("warehouse_maint")
+        s.conf.set("spark.sql.catalog.graftm",
+          classOf[graft.sql.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftm.warehouse", wh)
+        t(s, dir, "supplier").createOrReplaceTempView("supplier_src")
+        s.sql("DROP TABLE IF EXISTS graftm.db.supp_maint")
+        s.sql("""CREATE TABLE graftm.db.supp_maint
+                 (s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)""")
+        (0 until 4).foreach { i =>
+          s.sql(s"""INSERT INTO graftm.db.supp_maint
+                    SELECT s_suppkey, s_nationkey, s_acctbal
+                    FROM supplier_src WHERE s_suppkey % 4 = $i""")
+        }
+        val path = s"$wh/db/supp_maint"
+        val before = graft.delta.DeltaLog.forTable(s, path).update().numOfFiles
+        s.sql("OPTIMIZE graftm.db.supp_maint")
+        s.sql(s"VACUUM '$path' RETAIN 168 HOURS")
+        val after = graft.delta.DeltaLog.forTable(s, path).update().numOfFiles
+        s.sql("""SELECT s_nationkey, COUNT(*) AS n,
+                 CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
+                 FROM graftm.db.supp_maint GROUP BY s_nationkey""")
+          .withColumn("compacted", lit(if (after < before) 1 else 0))
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal,
+               CAST(1 AS INT) AS compacted
+        FROM supplier GROUP BY s_nationkey""")),
+
     // OPTIMIZE ZORDER: re-cluster by two independent columns, then prove
     // data unchanged AND that the multi-column predicate's scan touches a
     // strict subset of the files (stats-based skipping now bites).

@@ -294,7 +294,7 @@ object GraftCatalog {
 class GraftTable(
     catalogName: String,
     ident: Identifier,
-    path: String,
+    private[sql] val path: String,
     readOptions: Map[String, String])
   extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite
   with SupportsDelete {

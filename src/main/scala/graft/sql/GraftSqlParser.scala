@@ -1,0 +1,155 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** SQL surface for the table-maintenance operators (the SQL face of
+  * [[graft.delta.DeltaTable.compact]] and `vacuum` — Delta Lake exposes
+  * the same statements, and a user of the reference who runs OPTIMIZE /
+  * VACUUM from SQL should not need the Scala API):
+  *
+  * {{{
+  * OPTIMIZE '/path/to/table'
+  * OPTIMIZE graft.db.tbl ZORDER BY (c1, c2)
+  * VACUUM '/path/to/table'
+  * VACUUM graft.db.tbl RETAIN 168 HOURS
+  * }}}
+  *
+  * Implemented as a delegating parser (the standard extension-grammar
+  * pattern): two statement shapes are recognized up front, everything
+  * else — including every other parser entry point — goes to Spark's
+  * parser untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  private def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(target, zorder) =>
+      Some(GraftOptimizeCommand(parseTarget(target),
+        Option(zorder).toSeq.flatMap(_.split(",").map(cleanIdent))))
+    case VacuumRe(target, hours) =>
+      Some(GraftVacuumCommand(parseTarget(target),
+        Option(hours).map(_.toDouble)))
+    case _ => None
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseGraft(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  /** A quoted literal is a path; anything else is a (possibly
+    * multi-part, possibly backquoted) catalog identifier. */
+  private def parseTarget(target: String): Either[String, Seq[String]] = {
+    val t = target.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\""))) {
+      Left(t.substring(1, t.length - 1))
+    } else Right(delegate.parseMultipartIdentifier(t))
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  /** Spark 4's `spark.sql(...)` enters here (parameterized-query path) —
+    * the extension statements carry no parameter markers, so they parse
+    * the same way on both entry points. */
+  override def parsePlanWithParameters(
+      sqlText: String, ctx: ParameterContext): LogicalPlan =
+    parseGraft(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+}
+
+object GraftSqlParser {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
+
+  private def cleanIdent(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Resolve a statement target to a table path: quoted paths pass
+    * through; identifiers load through the (current or named) catalog and
+    * must land on a [[GraftTable]]. */
+  private[sql] def resolvePath(spark: SparkSession,
+                               target: Either[String, Seq[String]]): String =
+    target match {
+      case Left(path) => path
+      case Right(parts) =>
+        val cm = spark.sessionState.catalogManager
+        val (catalog, ident) = parts match {
+          case Seq(tbl) =>
+            (cm.currentCatalog, Identifier.of(cm.currentNamespace, tbl))
+          case head +: rest if cm.isCatalogRegistered(head) =>
+            (cm.catalog(head),
+              Identifier.of(rest.init.toArray, rest.last))
+          case _ =>
+            (cm.currentCatalog,
+              Identifier.of(parts.init.toArray, parts.last))
+        }
+        catalog match {
+          case tc: TableCatalog => tc.loadTable(ident) match {
+            case g: GraftTable => g.path
+            case other => throw new UnsupportedOperationException(
+              s"${parts.mkString(".")} is not a graft table " +
+                s"(got ${other.getClass.getSimpleName})")
+          }
+          case other => throw new UnsupportedOperationException(
+            s"Catalog ${other.name()} does not support tables")
+        }
+    }
+}
+
+/** `OPTIMIZE <table> [ZORDER BY (cols)]` → [[graft.delta.DeltaTable.compact]]. */
+case class GraftOptimizeCommand(
+    target: Either[String, Seq[String]],
+    zOrderBy: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val version = graft.delta.DeltaTable.forPath(session, path)
+      .compact(zOrderBy = zOrderBy)
+    Seq(Row(path, version))
+  }
+}
+
+/** `VACUUM <table> [RETAIN n HOURS]` → [[graft.delta.DeltaTable.vacuum]]. */
+case class GraftVacuumCommand(
+    target: Either[String, Seq[String]],
+    retainHours: Option[Double]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("deleted_files", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val deleted = graft.delta.DeltaTable.forPath(session, path)
+      .vacuum(retainHours.map(h => (h * 3600 * 1000).toLong))
+    Seq(Row(path, deleted.toLong))
+  }
+}

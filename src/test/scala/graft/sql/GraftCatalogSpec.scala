@@ -317,4 +317,39 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("ALTER TABLE graft.db.dc ADD COLUMNS (keep DOUBLE)")
     assert(spark.sql("SELECT keep FROM graft.db.dc WHERE id = 1").head().isNullAt(0))
   }
+
+  test("SQL OPTIMIZE compacts small files; ZORDER BY re-clusters") {
+    spark.sql("CREATE TABLE graft.db.opt (id BIGINT, k BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.db.opt SELECT id, id * 7 FROM " +
+        s"range(${i * 100}, ${i * 100 + 100})")
+    }
+    val path = s"$warehouse/db/opt"
+    val before = DeltaLog.forTable(spark, path).update().numOfFiles
+    assert(before >= 4)
+    val res = spark.sql("OPTIMIZE graft.db.opt").collect()
+    assert(res.head.getString(0) == path)
+    graft.delta.DeltaLog.clearCache()
+    val after = DeltaLog.forTable(spark, path).update()
+    assert(after.numOfFiles < before)
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM graft.db.opt").head()
+      .getLong(0) == 400)
+    // ZORDER form parses and rewrites; history records OPTIMIZE
+    spark.sql("OPTIMIZE graft.db.opt ZORDER BY (id, k)")
+    val ops = DeltaTable.forPath(spark, path).history()
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "OPTIMIZE") >= 2, s"history: $ops")
+  }
+
+  test("SQL VACUUM on a quoted path returns the deletable count") {
+    val dir = Files.createTempDirectory("graft-vacuum-sql-").toString
+    import spark.implicits._
+    DeltaTable.write((1 to 10).toDF("id"), dir)
+    // no expired tombstones yet → nothing deleted, statement still runs
+    val res = spark.sql(s"VACUUM '$dir' RETAIN 168 HOURS").collect()
+    assert(res.head.getString(0) == dir)
+    assert(res.head.getLong(1) == 0L)
+    // non-graft targets are rejected loudly
+    intercept[Exception] { spark.sql("VACUUM not_a_table").collect() }
+  }
 }
