@@ -24,17 +24,17 @@ package object functions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** First 8 hex chars of md5 as a non-negative long — the deterministic
-    * 32-bit hash family used by minhash (seeded via prefix). */
+    * 32-bit hash family used by minhash (seeded via prefix). Computed by
+    * the digest-direct [[Md5Prefix]] (≡ `conv(substring(md5(x),1,8),16,10)`,
+    * the form the DuckDB oracles mirror). */
   def md5Hash32(c: Column, seed: Column): Column =
-    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 8), 16, 10)
-      .cast("long")
+    Md5Prefix(concat(seed.cast("string"), lit(":"), c), 8)
 
   /** Unseeded 32-bit md5 hash. The minhash family derives its k hash
     * functions from this ONE digest via affine transforms
     * `(a_j·h + b_j) mod p` — k times cheaper than k seeded digests, and
     * the classic universal-hashing construction. */
-  def md5Hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def md5Hash32(c: Column): Column = Md5Prefix(c, 8)
 
   /** Prime modulus for the affine minhash family (smallest prime > 2^32,
     * so a_j·h + b_j stays far below Long overflow). */
@@ -44,8 +44,7 @@ package object functions {
 
   /** First 15 hex chars of md5 as a 60-bit non-negative long (fits a
     * signed 64-bit int in both engines). */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Hash60(c: Column): Column = Md5Prefix(c, 15)
 
   /** Word n-gram shingles (distinct), the unit of minhash/jaccard.
     *
