@@ -135,4 +135,34 @@ class CompactionAndVacuumSpec extends SparkSpec {
       }
     }
   }
+
+  test("a crashed writer's orphan batch dir is vacuumed after retention") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq(1, 2, 3).toDF("v"), dir)
+      // simulate a writer that died after its distributed write but before
+      // the commit: a batch dir with a parquet file the log never recorded
+      val orphanDir = new java.io.File(dir, "batch-orphaned00")
+      Seq(9).toDF("v").write.parquet(orphanDir.toString)
+      val orphanParquets =
+        orphanDir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(orphanParquets >= 1)
+
+      val log = DeltaLog.forTable(spark, dir)
+      val table = DeltaTable.forPath(spark, dir)
+      // fresh orphans are protected by their mtime (an in-flight writer's
+      // files look exactly like this)
+      assert(table.vacuum() == 0)
+
+      // after the retention window the orphan is garbage and gets removed
+      log.clock = () => System.currentTimeMillis() + 8L * 24 * 3600 * 1000
+      val deleted = table.vacuum()
+      assert(deleted == orphanParquets, s"deleted $deleted")
+      assert(!orphanDir.exists() ||
+        orphanDir.listFiles().forall(!_.getName.endsWith(".parquet")))
+      // committed data untouched
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, dir).toDF.as[Int].collect().sorted.toSeq ==
+        Seq(1, 2, 3))
+    }
+  }
 }
