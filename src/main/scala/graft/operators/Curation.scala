@@ -89,6 +89,25 @@ object Curation {
       .withColumn(s"${out}_hits", size(regexp_extract_all(col(textCol),
         lit(pattern), lit(0))))
 
+  /** Exact-size stratified sample: the `n` rows of each stratum with the
+    * smallest salted hash (ties broken by id — fully deterministic).
+    * One shuffle on the stratum key; the rank window partitions by
+    * stratum, so task state is bounded by the largest stratum, never the
+    * corpus. For strata too large for one task, pre-thin with
+    * [[hashSample]] at a rate that keeps ≫ n expected survivors — the
+    * hash ORDER is the same in both, so thinning never changes the
+    * selected set as long as all n survive it. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int, salt: String): DataFrame = {
+    require(n > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5Hash32(col(idCol).cast("string"), lit(salt)), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
+
   /** Mixture sampling: per-domain keep rates (domain → rate in [0,1],
     * `defaultRate` otherwise) applied as a deterministic salted sample.
     * Rates attach via a broadcast join — the corpus itself is neither

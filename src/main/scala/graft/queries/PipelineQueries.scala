@@ -743,6 +743,62 @@ object PipelineQueries {
         FROM documents GROUP BY lang""")),
 
     QueryDef(
+      "curate_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        Curation.stratifiedSample(t(s, dir, "documents"),
+            strataCol = "lang", idCol = "doc_id", n = 10, salt = "st")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"doc_id").as("sum_ids"),
+               sum($"n_chars".cast("long")).as("sum_chars"))
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY ${duckHash32("'st' || ':' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rk
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM ranked WHERE rk <= 10 GROUP BY lang""")),
+
+    QueryDef(
+      "text_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        // exact per-language top-5 tokens: explode -> one shuffle-agg on
+        // (lang, token) with map-side combine, then a rank window over the
+        // DISTINCT-TOKEN counts (task state = one language's vocabulary,
+        // not its corpus)
+        val counts = t(s, dir, "documents")
+          .select($"lang", explode(tokens($"text")).as("tok"))
+          .groupBy($"lang", $"tok")
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang")
+          .orderBy($"cnt".desc, $"tok".asc)
+        counts.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"lang", $"rank", $"tok", $"cnt")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        counts AS (
+          SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok),
+        ranked AS (
+          SELECT lang, tok, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, tok ASC) AS rank
+          FROM counts)
+        SELECT lang, CAST(rank AS INT) AS rank, tok, cnt
+        FROM ranked WHERE rank <= 5""")),
+
+    QueryDef(
       "curate_domain_mix",
       (s, dir) => {
         import s.implicits._

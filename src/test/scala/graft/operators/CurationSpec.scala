@@ -78,6 +78,23 @@ class CurationSpec extends SparkSpec {
     assert(byId(2L) == (("no matches here", 0)))
   }
 
+  test("stratifiedSample returns exactly n deterministic rows per stratum") {
+    val sampled = Curation.stratifiedSample(docs, "source", "doc_id",
+      n = 7, salt = "x")
+    val counts = sampled.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(7L))
+    assert(counts.keySet == Set("src0", "src1", "src2", "src3"))
+    // deterministic across runs
+    val again = Curation.stratifiedSample(docs, "source", "doc_id",
+      n = 7, salt = "x").select("doc_id").as[Long].collect().toSet
+    assert(sampled.select("doc_id").as[Long].collect().toSet == again)
+    // a stratum smaller than n returns all of it
+    val tiny = Curation.stratifiedSample(docs.limit(3), "source", "doc_id",
+      n = 7, salt = "x")
+    assert(tiny.count() == 3)
+  }
+
   test("domainMix keeps rate-1 domains fully and samples the rest") {
     val mixed = Curation.domainMix(docs, "doc_id", "source",
       rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5,
