@@ -153,7 +153,7 @@ object Similarity {
         .select(col("best.cid").as("cell"), col("cv0"))
       // element-wise mean per cell: (cell, dim)-keyed partial aggregation,
       // re-assembled into an ordered array — never a per-cell collect
-      cents = assigned
+      val next = assigned
         .select(col("cell"), posexplode(col("cv0")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("col")), 6).as("v"))
@@ -162,6 +162,16 @@ object Similarity {
           s => s.getField("v")).as("cv"))
         .select(col("cell").as("cid"), col("cv"),
           sqrt(VectorDot(col("cv"), col("cv"))).as("cn"))
+      // MATERIALIZE each iteration: centroids are nCells-small by
+      // construction, but as a lazy plan iteration N's lineage contains
+      // every previous iteration — and each of the (several) broadcasts
+      // downstream would re-execute the whole training chain, re-scanning
+      // the corpus once per iteration per broadcast. Collect the handful
+      // of rows and restart the lineage from a local relation.
+      val session = c.sparkSession
+      cents = session.createDataFrame(
+        session.sparkContext.parallelize(next.collect().toIndexedSeq, 1),
+        next.schema)
     }
     cents
   }
