@@ -171,10 +171,19 @@ object Dedup {
     // the shingled corpus feeds TWO passes (gram frequencies, then the
     // interning join) — persist it so the parquet scan + shingling run
     // once, not twice; the frequency pass collects eagerly below, which
-    // also materializes the cache before the second pass plans against it
-    val docs = df.select(col(idCol).as("id"),
+    // also materializes the cache before the second pass plans against it.
+    // The CANDIDATE side of the prefix join inherits this partitioning
+    // unchanged (broadcast joins add no shuffle), so a narrow input — one
+    // small parquet file ⇒ one scan partition — would run the entire
+    // multi-million-pair probe in ONE task; spread it first when the
+    // input has fewer partitions than the cluster has slots (big corpora
+    // already arrive wide — no extra shuffle at scale).
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val shingled = df.select(col(idCol).as("id"),
         ShingleExpressions.charShinglesSorted(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
+    val docs = (if (df.rdd.getNumPartitions < parallelism)
+        shingled.repartition(parallelism) else shingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Intern grams to dense int ids ranked rarest-first: the id IS the
