@@ -28,7 +28,16 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries are independent (each lifecycle query creates its own
+      // tables): drop engine + dataset caches between them so heap creep
+      // from earlier queries' cached snapshots and persisted corpora
+      // doesn't tax later queries' GC
+      try {
+        graft.delta.DeltaLog.clearCache()
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

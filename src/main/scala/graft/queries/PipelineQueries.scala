@@ -117,17 +117,26 @@ object PipelineQueries {
       "text_lang_id",
       (s, dir) => {
         import s.implicits._
-        val en = stopwordCount($"text", Seq("the", "a"))
-        val de = stopwordCount($"text", Seq("der", "die", "und"))
-        val es = stopwordCount($"text", Seq("el", "la", "y"))
-        val fr = stopwordCount($"text", Seq("le", "les", "et"))
+        // relational reformulation of four stopwordCount() columns: those
+        // re-tokenize the text once PER LANGUAGE and evaluate an
+        // interpreted lambda per token — explode once instead and take
+        // conditional counts in one map-side-combinable, codegen'd agg
+        // keyed by doc (explode_outer keeps token-less docs: all counts
+        // 0 → 'en', exactly the composed form's tie-break)
+        val perDoc = t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            explode_outer(tokens(lower($"text"))).as("tk"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(when($"tk".isin("the", "a"), 1)).as("en"),
+               count(when($"tk".isin("der", "die", "und"), 1)).as("de"),
+               count(when($"tk".isin("el", "la", "y"), 1)).as("es"),
+               count(when($"tk".isin("le", "les", "et"), 1)).as("fr"))
         val predicted =
-          when(en >= de && en >= es && en >= fr, "en")
-            .when(de >= es && de >= fr, "de")
-            .when(es >= fr, "es")
+          when($"en" >= $"de" && $"en" >= $"es" && $"en" >= $"fr", "en")
+            .when($"de" >= $"es" && $"de" >= $"fr", "de")
+            .when($"es" >= $"fr", "es")
             .otherwise("fr")
-        t(s, dir, "documents")
-          .select($"lang", predicted.as("predicted"))
+        perDoc.select($"lang", predicted.as("predicted"))
           .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
       },
