@@ -48,7 +48,7 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     // tokens materialized as a column first: inline, every interpreted
     // shingle-lambda element would re-run the split (see wordShinglesOf)
-    val docs = df.select(col(idCol).as("id"),
+    val docs = InputWidth.widen(df).select(col(idCol).as("id"),
         tokens(col(textCol)).as("toks"))
       .select(col("id"),
         ShingleExpressions.wordShinglesSorted(col("toks"), shingleWidth)
@@ -115,7 +115,7 @@ object Dedup {
     val width = bits / bands
     val mask = (1L << width) - 1
 
-    val toks = df.select(col(idCol).as("id"),
+    val toks = InputWidth.widen(df).select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("tk"))
       .select(col("id"), md5Hash60(col("tk")).as("h"))
     val voteCols = (0 until bits).map { i =>
@@ -173,17 +173,13 @@ object Dedup {
     // once, not twice; the frequency pass collects eagerly below, which
     // also materializes the cache before the second pass plans against it.
     // The CANDIDATE side of the prefix join inherits this partitioning
-    // unchanged (broadcast joins add no shuffle), so a narrow input — one
-    // small parquet file ⇒ one scan partition — would run the entire
-    // multi-million-pair probe in ONE task; spread it first when the
-    // input has fewer partitions than the cluster has slots (big corpora
-    // already arrive wide — no extra shuffle at scale).
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val shingled = df.select(col(idCol).as("id"),
+    // unchanged (broadcast joins add no shuffle), so a narrow input
+    // would run the entire multi-million-pair probe in ONE task
+    // ([[InputWidth.widen]]).
+    val docs = InputWidth.widen(df)
+      .select(col(idCol).as("id"),
         ShingleExpressions.charShinglesSorted(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
-    val docs = (if (df.rdd.getNumPartitions < parallelism)
-        shingled.repartition(parallelism) else shingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Intern grams to dense int ids ranked rarest-first: the id IS the
@@ -327,8 +323,8 @@ object Dedup {
 
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: Column, threshold: Double): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      blockCol.as("blk"))
+    val vecs = InputWidth.widen(df).select(col(idCol).as("id"),
+      col(vecCol).as("v"), blockCol.as("blk"))
     val meta = vecs.select(col("blk"), col("id"))
     val candidates = meta.select(col("blk"), col("id").as("i"))
       .join(meta.select(col("blk"), col("id").as("j")), Seq("blk"))

@@ -31,8 +31,9 @@ object Similarity {
                      excludeSelf: Boolean = true): DataFrame = {
     // norms precomputed per row (not per pair); the dot is a codegen'd
     // VectorDot — the pairwise hot loop never hits the interpreted path
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
+    val c = InputWidth.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
     val scored = c.join(broadcast(q),
@@ -82,8 +83,9 @@ object Similarity {
     val init = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
-      sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
+    val c = InputWidth.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
+        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
     val cents = if (trainIters <= 0) init else trainCentroids(c, init, trainIters)
 
     // nearest centroid per corpus vector: max of (aff, -cid) structs —
@@ -191,9 +193,10 @@ object Similarity {
               idCol: String, vecCol: String, dim: Int,
               k: Int, planes: Int = 4,
               multiProbe: Boolean = false): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"),
-      sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
+    val c = InputWidth.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        lshBucket(col(vecCol), dim, planes).as("bucket"),
+        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), dim, planes).as("bucket0"),
       sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
