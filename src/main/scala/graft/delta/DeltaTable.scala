@@ -375,6 +375,60 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     deleted
   }
 
+  /** RESTORE the table to an earlier `version`: one transactional commit
+    * that re-adds the files of the target snapshot missing from the
+    * current one, removes the files added since, and restores the target
+    * version's metadata (schema, partitioning, configuration). History is
+    * preserved — restore is a new commit on top, so the restored-over
+    * versions remain time-travelable until log cleanup.
+    *
+    * Scale shape: both file sets diff as Spark jobs in distributed-state
+    * mode (an anti-join each way on the canonical path); only the files
+    * that actually change state reach the driver — they must, as they
+    * become the commit's actions. Fails if a needed file was already
+    * VACUUMed (the data is gone; same contract as Delta's RESTORE).
+    *
+    * Returns the committed version. */
+  def restore(version: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val txn = deltaLog.startTransaction()
+    val current = txn.snapshot
+    if (version == current.version) return current.version
+    val target = deltaLog.getSnapshotForVersionAsOf(version)
+
+    def filesDs(s: Snapshot): org.apache.spark.sql.Dataset[AddFile] =
+      if (s.distributedState) s.allFilesDistributed else s.allFilesDS
+    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    val toAdd = filesDs(target)
+      .join(filesDs(current).select(col("path")), Seq("path"), "left_anti")
+      .as[AddFile].collect().toSeq
+    val toRemove = filesDs(current)
+      .join(filesDs(target).select(col("path")), Seq("path"), "left_anti")
+      .as[AddFile].collect().toSeq
+
+    // a restored file must still exist — VACUUM past the target version
+    // breaks restore, like Delta (spark.sql.files.ignoreMissingFiles off)
+    val conf = deltaLog.hadoopConf
+    toAdd.foreach { f =>
+      val p = read.PartitionUtils.absolutePath(deltaLog.dataPath, f.path)
+      require(p.getFileSystem(conf).exists(p),
+        s"Cannot restore to version $version: ${f.path} was removed from " +
+          "disk (VACUUM ran past the target version)")
+    }
+
+    txn.readWholeTable()
+    if (target.metadata != current.metadata) txn.updateMetadata(target.metadata)
+    val now = deltaLog.clock()
+    txn.commit(
+      toAdd.map(_.copy(dataChange = true, modificationTime = now)) ++
+        toRemove.map(_.remove(now)),
+      DeltaOperations.Restore,
+      operationMetrics = Map(
+        "restoredVersion" -> version.toString,
+        "numRestoredFiles" -> toAdd.size.toString,
+        "numRemovedFiles" -> toRemove.size.toString))
+  }
+
   /** Bin-pack the table's files into ~`targetFileBytes` outputs — the
     * answer to the small-file problem that kills 100 TB scans (every file
     * is a task; metadata and open() overhead dominate under ~100 MB).

@@ -194,4 +194,5 @@ object DeltaOperations {
   val CreateTable = "CREATE TABLE"
   val ReplaceTable = "REPLACE TABLE"
   val ManualUpdate = "Manual Update"
+  val Restore = "RESTORE"
 }

@@ -108,6 +108,34 @@ object Curation {
       .drop("__rank")
   }
 
+  /** Benchmark decontamination (the GPT-3/PaLM training-data hygiene
+    * step): flag every corpus document sharing at least one word `n`-gram
+    * with the benchmark set. Adds a boolean `contaminated` column.
+    *
+    * Scale shape: the benchmark is small by definition (eval suites are
+    * thousands of documents, the corpus is billions), so its distinct
+    * gram set BROADCASTS to the corpus-side semi-join — the corpus is
+    * scanned once, never shuffled, and only the (small) contaminated-id
+    * set rides a second broadcast back onto the full rows. Neither join
+    * moves corpus payloads. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(tokens(col(benchTextCol)).as("toks"))
+      .select(explode(wordShinglesOf(col("toks"), n)).as("gram"))
+      .distinct()
+    val contaminatedIds = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(wordShinglesOf(col("toks"), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+      .withColumn("contaminated", lit(true))
+    df.join(broadcast(contaminatedIds), Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
   /** Mixture sampling: per-domain keep rates (domain → rate in [0,1],
     * `defaultRate` otherwise) applied as a deterministic salted sample.
     * Rates attach via a broadcast join — the corpus itself is neither

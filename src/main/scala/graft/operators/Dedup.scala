@@ -306,6 +306,62 @@ object Dedup {
     * smaller representation and the distinct-then-attach plan wins. */
   private val BitsetGramUniverseMax = 4096
 
+  /** Connected components over a near-duplicate pair set: every node gets
+    * the minimum id reachable through the pairs as its `cluster` label —
+    * turning pairwise matches into dedup GROUPS (keep one representative
+    * per cluster, drop the rest).
+    *
+    * Algorithm: iterated min-label propagation. Each round, every node's
+    * label becomes the min of its own and its neighbors' labels — one
+    * broadcast-or-shuffle join + one groupBy per round, converging in
+    * O(cluster diameter) rounds. Near-duplicate graphs are unions of
+    * small dense clusters (diameter 2–4 in practice), so the round count
+    * is tiny and INDEPENDENT of corpus size; each round's shuffle carries
+    * only (id, label) pairs — never document payloads. For adversarial
+    * long-chain graphs, switch to the large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14), which converges in O(log n) rounds with the same
+    * per-round join shape.
+    *
+    * `pairs` must have two id columns `i`, `j`. Returns (id, cluster). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // neighbor labels: edge (a,b) proposes b's current label to a
+      val proposals = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("cluster")).as("nbr"))
+      val next = labels.join(proposals, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // convergence check: any node whose label still shrinks? One count
+      // per round on (id, label)-sized frames — no payloads, no collect
+      // of the label table itself.
+      val changed = next.join(labels.withColumnRenamed("cluster", "prev"),
+          Seq("id"))
+        .filter(col("cluster") < col("prev"))
+        .limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
     * shared coarse key to avoid the all-pairs product at scale. Pairs join
     * on (block, id) alone; vectors are attached to the candidate pairs

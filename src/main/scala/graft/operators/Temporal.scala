@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators: as-of (point-in-time) joins.
+  *
+  * Scale design (the 100 TB story):
+  *  - the as-of join is the UNION-SORT formulation, not a range join:
+  *    both sides shuffle ONCE on the equality keys, one sort per
+  *    partition orders the merged timeline, and a running `last(...,
+  *    ignoreNulls)` window carries the newest right row forward — no
+  *    per-left-row probe, no O(left × right-per-key) intermediate like
+  *    the naive `ts_r <= ts_l` theta-join Spark would otherwise BNLJ;
+  *  - state per task is one key-group's merged timeline (the window
+  *    frame itself is O(1): `last` over an unbounded-preceding frame is
+  *    a running value, not a buffered frame);
+  *  - skewed keys behave like any keyed window — salt by time range if
+  *    one key dominates (split a key's timeline into chunks, carry each
+  *    chunk's last right row into the next chunk's seed).
+  */
+object Temporal {
+
+  /** Backward as-of join: for every left row, attach the single right row
+    * with the greatest `rightTime <= leftTime` within the same `keyCols`
+    * group (SQL:2023 / kdb `aj` / pandas `merge_asof` semantics; ties on
+    * `rightTime` resolve to the greatest `rightTieBreak`).
+    *
+    * `rightPayload` columns must not collide with left column names
+    * (rename on the right side first); they come back nullable — null
+    * where no right row precedes the left row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTime: String, rightTime: String, rightTieBreak: String,
+               rightPayload: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one equality key")
+    require(rightPayload.nonEmpty, "no right payload columns requested")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload collides with left columns: ${collisions.mkString(", ")}")
+
+    val keyExprs = keyCols.map(col)
+    // right rows sort BEFORE left rows at an equal timestamp (side 0 < 1),
+    // so a right row exactly AT the left time is visible — `<=` semantics
+    val rightSide = right.select(
+      keyExprs :+
+        col(rightTime).as("__t") :+
+        lit(0).as("__side") :+
+        col(rightTieBreak).as("__tie") :+
+        struct(rightPayload.map(col): _*).as("__payload"): _*)
+    val leftSide = left.select(
+      keyExprs :+
+        col(leftTime).as("__t") :+
+        lit(1).as("__side") :+
+        lit(null).cast(rightSide.schema("__tie").dataType).as("__tie") :+
+        lit(null).cast(rightSide.schema("__payload").dataType).as("__payload") :+
+        struct(left.columns.map(col): _*).as("__row"): _*)
+
+    val merged = rightSide
+      .withColumn("__row", lit(null).cast(leftSide.schema("__row").dataType))
+      .unionByName(leftSide)
+
+    val timeline = Window.partitionBy(keyExprs: _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = merged
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true)
+        .over(timeline))
+      .filter(col("__side") === 1)
+
+    matched.select(
+      left.columns.map(c => col(s"__row.$c").as(c)) ++
+        rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

@@ -80,6 +80,32 @@ object DeltaQueries {
         FROM orders WHERE o_orderstatus IN ('F', 'O')
         GROUP BY o_orderstatus""")),
 
+    // RESTORE to an earlier version: overwrite discards F+O for P, the
+    // restore commit diffs the two snapshots and brings F+O back (new
+    // commit on top — history keeps all versions). Runs through the SQL
+    // statement so the parser surface is exercised too.
+    QueryDef(
+      "delta_restore",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("restore")
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(orders.filter($"o_orderstatus" === "F"), path, SaveMode.Overwrite)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "O"), path)
+        DeltaTable.write(orders.filter($"o_orderstatus" === "P"), path, SaveMode.Overwrite)
+        s.sql(s"RESTORE TABLE '$path' TO VERSION AS OF 1").collect()
+        val tbl = DeltaTable.forPath(s, path)
+        val nRestoreOps = tbl.history()
+          .filter($"operation" === "RESTORE").count()
+        tbl.toDF
+          .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+          .withColumn("n_restore_ops", lit(nRestoreOps))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n, CAST(1 AS BIGINT) AS n_restore_ops
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus""")),
+
     // Pure-SQL time travel + history through the table-valued functions
     // (the F9 SELECT surface: VERSION AS OF ≡ graft_table(path, v),
     // DESCRIBE HISTORY ≡ graft_history(path)).

@@ -752,6 +752,99 @@ object PipelineQueries {
         FROM documents GROUP BY lang""")),
 
     QueryDef(
+      "curate_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        // benchmark = a deterministic holdout slice; flag corpus docs
+        // sharing any word 5-gram with it (bench grams broadcast; the
+        // corpus is scanned once and never shuffled)
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter($"doc_id" % 100 < 2)
+        val corpus = docs.filter($"doc_id" % 100 >= 2)
+        Curation.decontaminate(corpus, "doc_id", "text", bench, "text", n = 5)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               count(when($"contaminated", 1)).as("n_contaminated"),
+               sum(when($"contaminated", $"doc_id")).as("sum_contaminated_ids"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, [array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)] AS gs
+          FROM toks WHERE len(t) >= 5
+        ), ex AS (
+          SELECT doc_id, unnest(gs) AS g FROM grams
+        ), bench AS (
+          SELECT DISTINCT g FROM ex WHERE doc_id % 100 < 2
+        ), hits AS (
+          SELECT DISTINCT e.doc_id FROM ex e JOIN bench b USING (g)
+          WHERE e.doc_id % 100 >= 2
+        )
+        SELECT d.lang, COUNT(*) AS n_docs,
+               COUNT(h.doc_id) AS n_contaminated,
+               CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.doc_id END) AS BIGINT)
+                 AS sum_contaminated_ids
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 100 >= 2
+        GROUP BY d.lang""")),
+
+    QueryDef(
+      "dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        // pairwise near-dups → dedup GROUPS: connected components by
+        // min-label propagation over the minhash pair set (same params as
+        // dedup_minhash_lsh, so the edge set is that query's output)
+        val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id",
+          "text", shingleWidth = 3, k = 12, bands = 4, threshold = 0.7)
+        Dedup.connectedComponents(pairs.select($"i", $"j"))
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_members"),
+               max($"id").as("max_id"),
+               sum($"id").as("sum_ids"))
+      },
+      Some("""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id AS id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS shingles
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ), mh AS (
+          SELECT id, j, min(((2*j+1) * ${HASH32} + j*1000003) % 4294967311) AS m
+          FROM (SELECT id, unnest(shingles) AS s FROM docs), range(0, 12) t(j)
+          GROUP BY id, j
+        ), bands AS (
+          SELECT id, j // 3 AS band, string_agg(m, ',' ORDER BY j) AS key
+          FROM mh GROUP BY id, j // 3
+        ), cand AS (
+          SELECT DISTINCT a.id AS i, b.id AS j
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ), pairs AS (
+          SELECT c.i, c.j
+          FROM cand c JOIN docs di ON di.id = c.i JOIN docs dj ON dj.id = c.j
+          WHERE len(list_intersect(di.shingles, dj.shingles))::DOUBLE /
+                (len(di.shingles) + len(dj.shingles)
+                 - len(list_intersect(di.shingles, dj.shingles))) >= 0.7
+        ), edges AS (
+          SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs
+        ), reach(id, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+        )
+        SELECT cluster, COUNT(*) AS n_members, MAX(id) AS max_id,
+               CAST(SUM(id) AS BIGINT) AS sum_ids
+        FROM (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) labeled
+        GROUP BY cluster"""
+        .replace("${HASH32}", duckHash32("s")))),
+
+    QueryDef(
       "curate_stratified_sample",
       (s, dir) => {
         import s.implicits._

@@ -278,6 +278,50 @@ object Relational {
         FROM events
         GROUP BY 1, 2""")),
 
+    // ------------------------------------ events: as-of attribution join
+    QueryDef(
+      "q_events_asof_attribution",
+      (s, dir) => {
+        import s.implicits._
+        // for every purchase, the latest preceding click by the same user
+        // (backward as-of join) — classic marketing attribution; the
+        // operator is the union-sort formulation (one shuffle on user_id,
+        // no range join), see graft.operators.Temporal
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+        graft.operators.Temporal
+          .asofJoin(purchases, clicks, Seq("user_id"),
+            leftTime = "ts", rightTime = "click_ts",
+            rightTieBreak = "click_id", rightPayload = Seq("click_ts", "click_id"))
+          .groupBy(date_trunc("day", $"ts").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+               count($"click_id").as("n_attributed"),
+               sum(unix_micros($"ts") - unix_micros($"click_ts")).as("sum_gap_us"))
+      },
+      Some("""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, ts AS click_ts, event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        ), ranked AS (
+          SELECT p.event_id, c.click_ts,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+          FROM purchases p JOIN clicks c
+            ON c.user_id = p.user_id AND c.click_ts <= p.ts
+        ), best AS (
+          SELECT event_id, click_ts FROM ranked WHERE rn = 1
+        )
+        SELECT date_trunc('day', p.ts) AS day, COUNT(*) AS n_purchases,
+               COUNT(b.click_ts) AS n_attributed,
+               CAST(SUM(epoch_us(p.ts) - epoch_us(b.click_ts)) AS BIGINT) AS sum_gap_us
+        FROM purchases p LEFT JOIN best b ON b.event_id = p.event_id
+        GROUP BY 1""")),
+
     // ---------------------------------------- events: sessionization SQL
     QueryDef(
       "q_events_sessions",

@@ -37,6 +37,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VacuumRe(target, hours) =>
       Some(GraftVacuumCommand(parseTarget(target),
         Option(hours).map(_.toDouble)))
+    case RestoreRe(target, version) =>
+      Some(GraftRestoreCommand(parseTarget(target), version.toLong))
     case _ => None
   }
 
@@ -84,6 +86,8 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   private def cleanIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -134,6 +138,25 @@ case class GraftOptimizeCommand(
     val version = graft.delta.DeltaTable.forPath(session, path)
       .compact(zOrderBy = zOrderBy)
     Seq(Row(path, version))
+  }
+}
+
+/** `RESTORE [TABLE] <table> TO VERSION AS OF n` →
+  * [[graft.delta.DeltaTable.restore]]. */
+case class GraftRestoreCommand(
+    target: Either[String, Seq[String]],
+    version: Long) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val committed = graft.delta.DeltaTable.forPath(session, path)
+      .restore(version)
+    Seq(Row(path, version, committed))
   }
 }
 

@@ -95,6 +95,24 @@ class CurationSpec extends SparkSpec {
     assert(tiny.count() == 3)
   }
 
+  test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench gram
+      (2L, "one two three four five six seven"),     // clean
+      (3L, "x y alpha beta gamma delta epsilon tail"), // contains it mid-doc
+      (4L, "too short")                              // < n tokens: clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "PRE alpha beta gamma delta epsilon POST"))
+      .toDF("bid", "btext")
+    val got = Curation.decontaminate(corpus, "doc_id", "text",
+      bench, "btext", n = 5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // schema: original columns + the flag, row count unchanged
+    assert(got.size == 4)
+  }
+
   test("domainMix keeps rate-1 domains fully and samples the rest") {
     val mixed = Curation.domainMix(docs, "doc_id", "source",
       rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5,

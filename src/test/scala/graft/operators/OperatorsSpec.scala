@@ -187,6 +187,28 @@ class OperatorsSpec extends SparkSpec {
     assert(f0.length == 32 && f0.forall(_ == 'a'.toByte))
   }
 
+  test("connected components labels every node with its cluster minimum") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 7-8,
+    // isolated-by-absence 9 (no edges -> not in the output)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("connected components converges on a long path and a cycle") {
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("i", "j")
+    val gotPath = Dedup.connectedComponents(path).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(gotPath.sameElements(Array(1L)))
+    val cycle = (Seq((20L, 21L), (21L, 22L), (22L, 20L))).toDF("i", "j")
+    val gotCycle = Dedup.connectedComponents(cycle).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCycle == Map(20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("rolling fingerprint matches a reference implementation") {
     def ref(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
