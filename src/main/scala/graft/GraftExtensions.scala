@@ -124,6 +124,11 @@ object GraftExtensions {
         .toDF("version", "timestamp", "operation", "read_version",
           "isolation_level", "is_blind_append"))
     }
+    val detail: Seq[Expression] => LogicalPlan = { args =>
+      require(args.size == 1, "graft_detail(path) takes 1 argument")
+      analyzed(graft.delta.DeltaTable.forPath(SparkSession.active,
+        str(args(0), "path")).detail())
+    }
     val changes: Seq[Expression] => LogicalPlan = { args =>
       require(args.size == 3,
         "graft_table_changes(path, startVersion, endVersion) takes 3 arguments")
@@ -138,7 +143,9 @@ object GraftExtensions {
       (new FunctionIdentifier("graft_history"),
         new ExpressionInfo("graft.delta.DeltaLog", "graft_history"), history),
       (new FunctionIdentifier("graft_table_changes"),
-        new ExpressionInfo("graft.delta.DeltaTable", "graft_table_changes"), changes))
+        new ExpressionInfo("graft.delta.DeltaTable", "graft_table_changes"), changes),
+      (new FunctionIdentifier("graft_detail"),
+        new ExpressionInfo("graft.delta.DeltaTable", "graft_detail"), detail))
   }
 
   /** Batch reads of catalog tables: stock Spark consults

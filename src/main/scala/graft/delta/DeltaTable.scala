@@ -242,7 +242,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         .toIndexedSeq: _*)
     val rewritten = transform(current)
 
-    val adds = write.DeltaWriter.writeFiles(rewritten, deltaLog,
+    val adds = write.DeltaWriter.writeFiles(
+      write.Invariants.enforce(rewritten, metadata), deltaLog,
       metadata.partitionColumns, metadata.columnMapping)
     val removes = matched.map(_.remove(deltaLog.clock()))
     val cdc: Seq[Action] =
@@ -269,7 +270,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * `fs.listFiles(recursive)` takes hours), candidates anti-join against
     * the (possibly distributed) active-file set, and the deletes
     * themselves run in tasks. */
-  def vacuum(retentionMillis: Option[Long] = None): Int = {
+  def vacuum(retentionMillis: Option[Long] = None,
+             dryRun: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val snapshot = deltaLog.update()
     val retention = retentionMillis.getOrElse(
@@ -304,7 +306,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val sconf = new SerializableHadoopConf(conf)
     val rootPrefix = root + "/"
     val rootStr0 = deltaLog.dataPath.toString
-    val rootEntries = spark.range(1).mapPartitions { _ =>
+    val rootEntries = spark.range(1).mapPartitions { it =>
+      // guard on the iterator: mapPartitions runs the closure on EVERY
+      // partition of range(1) (one holds the row, the rest are empty) —
+      // listing unconditionally would duplicate every entry
+      // numPartitions× (and so the whole downstream delete set)
+      if (!it.hasNext) Iterator.empty else {
       val p = new org.apache.hadoop.fs.Path(rootStr0)
       val dfs = p.getFileSystem(sconf.value)
       dfs.listStatus(p).iterator
@@ -313,6 +320,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         .map(st => (st.getPath.toString,
           st.getPath.toUri.getPath.stripPrefix(rootPrefix),
           st.getModificationTime, st.isDirectory))
+      }
     }.toDF("abs", "rel", "mtime", "isDir")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topFiles = rootEntries.filter(!col("isDir"))
@@ -358,7 +366,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       // into ONE stage, and a task deleting files races the tasks still
       // iterating listFiles() over the same directories
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    deletable.count()
+    val nDeletable = deletable.count().toInt
+
+    // DRY RUN: report what WOULD be deleted, touch nothing
+    if (dryRun) {
+      deletable.unpersist()
+      rootEntries.unpersist()
+      return nDeletable
+    }
 
     // delete in tasks; count via the returned partial sums
     val rootStr = deltaLog.dataPath.toString
@@ -389,6 +404,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * VACUUMed (the data is gone; same contract as Delta's RESTORE).
     *
     * Returns the committed version. */
+  def restoreToTimestamp(tsMillis: Long): Long =
+    restore(deltaLog.getSnapshotForTimestampAsOf(tsMillis).version)
+
   def restore(version: Long): Long = {
     import org.apache.spark.sql.functions.col
     val txn = deltaLog.startTransaction()
@@ -417,7 +435,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }
 
     txn.readWholeTable()
-    if (target.metadata != current.metadata) txn.updateMetadata(target.metadata)
+    // restoring PAST a column addition removes that column — allowed here
+    // because the user explicitly asked for the old schema (the same
+    // DDL-only carve-out as ALTER TABLE DROP COLUMN)
+    if (target.metadata != current.metadata) {
+      txn.updateMetadata(target.metadata, allowColumnRemoval = true)
+    }
     val now = deltaLog.clock()
     txn.commit(
       toAdd.map(_.copy(dataChange = true, modificationTime = now)) ++
@@ -427,6 +450,135 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "restoredVersion" -> version.toString,
         "numRestoredFiles" -> toAdd.size.toString,
         "numRemovedFiles" -> toRemove.size.toString))
+  }
+
+  /** DESCRIBE DETAIL: one row of table-level metadata. Protocol, schema
+    * and configuration come from light state (no AddFile decode — M5);
+    * numFiles/sizeInBytes aggregate the file list WITHOUT materializing
+    * it on the driver in distributed-state mode (two scalars come back).
+    */
+  def detail(): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    val snap = deltaLog.update()
+    val (numFiles, sizeInBytes) =
+      if (snap.distributedState) {
+        val r = snap.allFilesDistributed
+          .agg(count(lit(1)), sum($"size")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      } else (snap.allFiles.size.toLong, snap.allFiles.map(_.size).sum)
+    val m = snap.metadata
+    Seq((
+      "delta",
+      m.id,
+      m.name.orNull,
+      deltaLog.dataPath.toString,
+      new java.sql.Timestamp(m.createdTime.getOrElse(0L)),
+      new java.sql.Timestamp(snap.timestamp),
+      m.partitionColumns,
+      numFiles,
+      sizeInBytes,
+      m.configuration,
+      snap.protocol.minReaderVersion,
+      snap.protocol.minWriterVersion))
+      .toDF("format", "id", "name", "location", "created_at",
+        "last_modified", "partition_columns", "num_files", "size_in_bytes",
+        "properties", "min_reader_version", "min_writer_version")
+  }
+
+  /** Shallow clone: create a new table at `targetPath` whose first commit
+    * references THIS table's current data files by absolute URI — no data
+    * is copied (the protocol stores AddFile paths as relative-or-absolute
+    * URIs for exactly this). The clone then evolves independently: its
+    * appends land under its own directory, its deletes only tombstone the
+    * referenced files, and OPTIMIZE on the clone rewrites into its own
+    * directory. Same caveat as Delta's shallow CLONE: VACUUM on the
+    * SOURCE can remove files a clone still references (a clone is a
+    * metadata operation, not a backup).
+    *
+    * The file list necessarily reaches the driver here — every AddFile
+    * becomes a JSON line in the clone's first commit, which is a
+    * driver-written log file; this is inherent to clone, not a scan-path
+    * materialization (the clone's own reads stay distributed).
+    *
+    * Returns the clone's committed version (0). */
+  def cloneTo(targetPath: String): Long = {
+    val snapshot = deltaLog.update()
+    val targetLog = DeltaLog.forTable(spark, targetPath)
+    require(!targetLog.tableExists,
+      s"Cannot clone: a Delta table already exists at $targetPath")
+    val txn = targetLog.startTransaction()
+    txn.updateMetadata(snapshot.metadata.copy(
+      id = java.util.UUID.randomUUID().toString,
+      createdTime = Some(targetLog.clock())))
+    val fs = deltaLog.dataPath.getFileSystem(deltaLog.hadoopConf)
+    val qualified = fs.makeQualified(deltaLog.dataPath)
+    val files =
+      if (snapshot.distributedState) snapshot.allFilesDistributed.collect().toSeq
+      else snapshot.allFiles
+    val adds = files.map { f =>
+      f.copy(
+        path = read.PartitionUtils.absolutePath(qualified, f.path).toUri.toString,
+        dataChange = true)
+    }
+    txn.commit(snapshot.protocol +: (adds: Seq[Action]), DeltaOperations.Clone,
+      operationMetrics = Map(
+        "sourcePath" -> deltaLog.dataPath.toString,
+        "sourceVersion" -> snapshot.version.toString,
+        "numCopiedFiles" -> adds.size.toString))
+  }
+
+  /** Record a named CHECK constraint (`delta.constraints.<name>` table
+    * property, the protocol's CHECK-constraint representation) after
+    * verifying EXISTING rows satisfy it — a constraint that the current
+    * data violates must not be added (same contract as Delta's ALTER
+    * TABLE ADD CONSTRAINT). New writes are then guarded row-by-row
+    * inside the write job ([[write.Invariants.enforce]]).
+    *
+    * CHECK constraints are a writer-protocol-3 feature: the commit
+    * upgrades the table's Protocol when needed so third-party writers
+    * that do not enforce constraints refuse to write. */
+  def addConstraint(name: String, sqlExpr: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"Invalid constraint name: $name")
+    val txn = deltaLog.startTransaction()
+    val metadata = txn.snapshot.metadata
+    val key = write.Invariants.ConstraintPrefix +
+      name.toLowerCase(java.util.Locale.ROOT)
+    require(!metadata.configuration.contains(key),
+      s"Constraint $name already exists")
+    // existing data must satisfy the new constraint; the scan prunes to
+    // the constraint's columns and stops at the first violation
+    val violating = toDF.filter(not(coalesce(
+      expr(sqlExpr).cast("boolean"), lit(false)))).limit(1).count()
+    require(violating == 0,
+      s"Cannot add CHECK constraint $name: existing rows violate ($sqlExpr)")
+    txn.updateMetadata(metadata.copy(
+      configuration = metadata.configuration + (key -> sqlExpr)))
+    val protocolUpgrade: Seq[Action] =
+      if (txn.snapshot.protocol.minWriterVersion < 3)
+        Seq(Protocol(txn.snapshot.protocol.minReaderVersion, 3)) else Nil
+    txn.commit(protocolUpgrade, DeltaOperations.AddConstraint,
+      operationMetrics = Map("name" -> name, "expr" -> sqlExpr))
+  }
+
+  /** Remove a named CHECK constraint; `ifExists = false` fails when the
+    * constraint is not present. The protocol version stays — downgrades
+    * are never safe against concurrent readers of old versions. */
+  def dropConstraint(name: String, ifExists: Boolean = false): Long = {
+    val txn = deltaLog.startTransaction()
+    val metadata = txn.snapshot.metadata
+    val key = write.Invariants.ConstraintPrefix +
+      name.toLowerCase(java.util.Locale.ROOT)
+    if (!metadata.configuration.contains(key)) {
+      require(ifExists, s"No such constraint: $name")
+      return txn.snapshot.version
+    }
+    txn.updateMetadata(metadata.copy(
+      configuration = metadata.configuration - key))
+    txn.commit(Nil, DeltaOperations.DropConstraint,
+      operationMetrics = Map("name" -> name))
   }
 
   /** Bin-pack the table's files into ~`targetFileBytes` outputs — the

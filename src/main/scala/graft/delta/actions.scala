@@ -195,4 +195,7 @@ object DeltaOperations {
   val ReplaceTable = "REPLACE TABLE"
   val ManualUpdate = "Manual Update"
   val Restore = "RESTORE"
+  val AddConstraint = "ADD CONSTRAINT"
+  val DropConstraint = "DROP CONSTRAINT"
+  val Clone = "CLONE"
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.delta._
-import graft.delta.write.DeltaWriter
+import graft.delta.write.{DeltaWriter, Invariants}
 
 /** Exactly-once streaming sink (SURVEY §2.4 F7/F8: the Flink two-phase
   * writer/global-committer collapsed into one transactional `addBatch`).
@@ -41,11 +41,11 @@ class DeltaSink(
       val batch = Shims.materializeBatch(data)
       if (!deltaLog.tableExists) {
         txn.updateMetadata(Metadata(
-          schemaString = Some(batch.schema.json),
+          schemaString = Some(DeltaWriter.relaxed(batch.schema).json),
           partitionColumns = partitionColumns))
       }
-      val adds = DeltaWriter.writeFiles(batch, deltaLog, effectivePartitions(txn),
-        txn.metadata.columnMapping)
+      val adds = DeltaWriter.writeFiles(Invariants.enforce(batch, txn.metadata),
+        deltaLog, effectivePartitions(txn), txn.metadata.columnMapping)
       val removes: Seq[Action] =
         if (outputMode == OutputMode.Complete()) {
           txn.readWholeTable()

@@ -1,7 +1,7 @@
 package graft.delta.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -81,6 +81,28 @@ class DeltaSource(
     * maps onto ReadLimit-driven admission). */
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
+
+  /** Byte-based rate limit (`maxBytesPerTrigger`, e.g. "64m"): cap each
+    * micro-batch at versions whose data AddFiles total at most this many
+    * bytes (again always admitting at least one version). File- and
+    * byte-caps compose — the batch ends at whichever budget runs out
+    * first, the reference's soft-limit semantics. */
+  private val maxBytesPerTrigger: Option[Long] =
+    options.get("maxBytesPerTrigger").map(parseBytes)
+
+  private def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case 'b' => (t.dropRight(1), 1L)
+      case _ => (t, 1L)
+    }
+    val v = num.trim.toLong * mult
+    require(v > 0, s"maxBytesPerTrigger must be positive: $s")
+    v
+  }
   private var lastReported: Option[Long] = None
 
   /** Trigger.AvailableNow: pin the head version at stream start; batches
@@ -91,9 +113,16 @@ class DeltaSource(
     availableNowTarget = Some(deltaLog.update().version)
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles(_))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits: Seq[ReadLimit] =
+      maxFilesPerTrigger.map(ReadLimit.maxFiles(_)).toSeq ++
+        maxBytesPerTrigger.map(ReadLimit.maxBytes(_)).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** The engine-facing offset resolution (V2 admission control over the
     * V1 Source, the FileStreamSource pattern). */
@@ -104,8 +133,10 @@ class DeltaSource(
     val base: Option[Long] = Option(startOffset).map(versionOf)
       .orElse(lastReported)
       .orElse(startingVersion.map(_ - 1))
-    val end = (base, fileBudget(limit)) match {
-      case (Some(b), Some(budget)) if head > b => cappedEnd(b, head, budget)
+    val (fileBudget, byteBudget) = budgets(limit)
+    val end = base match {
+      case Some(b) if head > b && (fileBudget.isDefined || byteBudget.isDefined) =>
+        cappedEnd(b, head, fileBudget, byteBudget)
       case _ => head
     }
     startingVersion match {
@@ -121,29 +152,40 @@ class DeltaSource(
     if (head < 0) null else LongOffset(head)
   }
 
-  private def fileBudget(limit: ReadLimit): Option[Int] = limit match {
-    case m: ReadMaxFiles => Some(m.maxFiles())
-    case c: CompositeReadLimit =>
-      c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
-    case _: ReadAllAvailable => None
-    case _ => maxFilesPerTrigger
-  }
+  /** (file budget, byte budget) extracted from the engine's ReadLimit. */
+  private def budgets(limit: ReadLimit): (Option[Int], Option[Long]) =
+    limit match {
+      case m: ReadMaxFiles => (Some(m.maxFiles()), maxBytesPerTrigger)
+      case b: ReadMaxBytes => (maxFilesPerTrigger, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        (c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles() },
+          c.getReadLimits.collectFirst { case b: ReadMaxBytes => b.maxBytes() })
+      case _: ReadAllAvailable => (None, None)
+      case _ => (maxFilesPerTrigger, maxBytesPerTrigger)
+    }
 
-  /** Walk versions (base, head] until the data-file budget is exhausted. */
-  private def cappedEnd(base: Long, head: Long, budget: Int): Long = {
+  /** Walk versions (base, head] until a data-file or byte budget is
+    * exhausted. */
+  private def cappedEnd(base: Long, head: Long,
+                        fileBudget: Option[Int],
+                        byteBudget: Option[Long]): Long = {
     var endV = base
     var files = 0
+    var bytes = 0L
     val it = deltaLog.getChanges(base + 1).takeWhile(_._1 <= head)
     var done = false
     while (!done && it.hasNext) {
       val (v, actions) = it.next()
-      val n = actions.count {
-        case a: AddFile => a.dataChange
-        case _ => false
+      val dataAdds = actions.collect {
+        case a: AddFile if a.dataChange => a
       }
+      val n = dataAdds.size
+      val sz = dataAdds.map(_.size).sum
+      val over = fileBudget.exists(files + n > _) ||
+        byteBudget.exists(bytes + sz > _)
       // the first version always fits (a batch must make progress)
-      if (endV > base && files + n > budget) done = true
-      else { endV = v; files += n }
+      if (endV > base && over) done = true
+      else { endV = v; files += n; bytes += sz }
     }
     endV
   }

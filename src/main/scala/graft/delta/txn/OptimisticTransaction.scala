@@ -195,6 +195,14 @@ class OptimisticTransaction(
              engineInfo: String = "graft-spark/0.1.0",
              operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "Transaction already committed")
+    // writer-protocol gate: refuse to write a table requiring features
+    // this engine does not implement (v3 = CHECK constraints, implemented)
+    if (readVersion >= 0) {
+      val p = snapshot.protocol
+      require(p.minWriterVersion <= 3,
+        s"Cannot write: table requires writer protocol ${p.minWriterVersion}; " +
+          "this engine implements up to 3")
+    }
     // extract a Metadata action if the caller passed one inline
     val metadataActions = actions.collect { case m: Metadata => m }
     require(metadataActions.size <= 1, "Cannot commit multiple Metadata actions")
@@ -263,8 +271,8 @@ class OptimisticTransaction(
         }
         r.copy(path = relativize(r.path))
       case p: Protocol =>
-        require(p.minReaderVersion <= 1 && p.minWriterVersion <= 2,
-          s"Unsupported protocol $p; this engine implements (1, 2)")
+        require(p.minReaderVersion <= 1 && p.minWriterVersion <= 3,
+          s"Unsupported protocol $p; this engine implements up to (1, 3)")
         p
       case other => other
     }

@@ -45,10 +45,15 @@ object DeltaWriter {
       } else partitionBy
 
     // metadata: first commit, overwrite-with-new-schema, or schema evolution
+    // Created schemas store RELAXED (all-nullable): Scala encoders mark
+    // every primitive non-nullable, which would make NOT NULL invariants
+    // fire on ordinary null-filling operations (MERGE insert-all, schema
+    // evolution). NOT NULL is an explicit DDL opt-in (catalog CREATE
+    // TABLE ... NOT NULL keeps it), the Delta Lake stance.
     val schemaJson = df.schema.json
     if (!exists) {
       txn.updateMetadata(Metadata(
-        schemaString = Some(schemaJson),
+        schemaString = Some(relaxed(df.schema).json),
         partitionColumns = partCols,
         configuration = configuration))
     } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson &&
@@ -71,7 +76,8 @@ object DeltaWriter {
       }
     }
 
-    val adds = writeFiles(df, deltaLog, partCols, txn.metadata.columnMapping)
+    val adds = writeFiles(Invariants.enforce(df, txn.metadata), deltaLog,
+      partCols, txn.metadata.columnMapping)
     val removes: Seq[Action] =
       if (exists && mode == SaveMode.Overwrite) {
         txn.readWholeTable()

@@ -193,8 +193,8 @@ final class MergeBuilder private[delta] (
       case (r, i) => r.orElse(i)
     }
     val adds = toWrite.map(df =>
-      DeltaWriter.writeFiles(df, deltaLog, metadata.partitionColumns,
-        metadata.columnMapping))
+      DeltaWriter.writeFiles(Invariants.enforce(df, metadata), deltaLog,
+        metadata.partitionColumns, metadata.columnMapping))
       .getOrElse(Nil)
     val removes =
       if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))

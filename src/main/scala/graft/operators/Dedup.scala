@@ -341,11 +341,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("cluster")).as("nbr"))
+      // localCheckpoint, not persist: persist caches DATA but the logical
+      // plan still nests one join deeper per round — by round ~10 the
+      // plan string alone is gigabytes and every action spends minutes
+      // stringifying it for the UI. Checkpointing truncates both the
+      // plan and the RDD lineage to a leaf; executor-loss recomputation
+      // of an iterative label table is not meaningful anyway (any loss
+      // restarts the algorithm, the GraphFrames trade-off).
       val next = labels.join(proposals, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster")))
             .as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       // convergence check: any node whose label still shrinks? One count
       // per round on (id, label)-sized frames — no payloads, no collect
       // of the label table itself.

@@ -83,9 +83,15 @@ object Similarity {
     val init = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
-    val c = InputWidth.widen(corpus)
+    val cBase = InputWidth.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
         sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
+    // Lloyd training re-scans the corpus once per iteration (plus twice
+    // in the final plan); persist the 3-column projection so iterations
+    // hit the cached columnar batches, not the parquet source each time
+    val c = if (trainIters > 0)
+      cBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cBase
     val cents = if (trainIters <= 0) init else trainCentroids(c, init, trainIters)
 
     // nearest centroid per corpus vector: max of (aff, -cid) structs —

@@ -530,6 +530,78 @@ object DeltaQueries {
           (CAST(2 AS BIGINT), 'DELETE', false),
           (CAST(1 AS BIGINT), 'WRITE', true),
           (CAST(0 AS BIGINT), 'CREATE TABLE', true))
-          AS t(version, operation, isBlindAppend)"""))
+          AS t(version, operation, isBlindAppend)""")),
+
+    // CHECK constraints (writer-protocol-3): a violating append is blocked
+    // atomically while the constraint is active, admitted after DROP
+    // CONSTRAINT; final state proves both enforcement and release.
+    QueryDef(
+      "delta_constraints",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("constraints")
+        val cust = t(s, dir, "customer")
+        DeltaTable.write(cust, path, SaveMode.Overwrite)
+        val tbl = DeltaTable.forPath(s, path)
+        tbl.addConstraint("acctbal_floor", "c_acctbal > -2000")
+        val bad = cust.filter($"c_nationkey" === 1)
+          .withColumn("c_acctbal", -$"c_acctbal" - 10000.0)
+        val good = cust.filter($"c_nationkey" === 2)
+        try {
+          DeltaTable.write(bad, path)
+          throw new IllegalStateException("constraint did not block")
+        } catch {
+          case e: IllegalStateException => throw e
+          case _: Exception => // expected: the violating batch is rejected
+        }
+        DeltaTable.write(good, path)
+        tbl.dropConstraint("acctbal_floor")
+        DeltaTable.write(bad, path)
+        tbl.toDF
+          .groupBy(when($"c_acctbal" < -2000.0, "neg").otherwise("ok")
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"),
+               sum($"c_acctbal".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_bal"))
+      },
+      Some("""
+        WITH final AS (
+          SELECT c_acctbal FROM customer
+          UNION ALL
+          SELECT c_acctbal FROM customer WHERE c_nationkey = 2
+          UNION ALL
+          SELECT -c_acctbal - 10000.0 AS c_acctbal FROM customer
+          WHERE c_nationkey = 1)
+        SELECT CASE WHEN c_acctbal < -2000.0 THEN 'neg' ELSE 'ok' END AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        FROM final GROUP BY 1""")),
+
+    // Shallow CLONE: zero-copy fork, then mutate the clone — the source
+    // must stay intact (asserted in-flight) while the clone's state is
+    // the delete's answer.
+    QueryDef(
+      "delta_clone",
+      (s, dir) => {
+        import s.implicits._
+        val src = tmp("clone_src")
+        val dst = tmp("clone_dst") + "/t"
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(orders, src, SaveMode.Overwrite)
+        DeltaTable.forPath(s, src).cloneTo(dst)
+        val clone = DeltaTable.forPath(s, dst)
+        clone.delete($"o_orderstatus" === "F")
+        require(DeltaTable.forPath(s, src).toDF.count() == orders.count(),
+          "clone mutation leaked into the source table")
+        clone.toDF.groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderstatus"""))
   )
 }

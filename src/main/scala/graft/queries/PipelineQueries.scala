@@ -158,6 +158,111 @@ object PipelineQueries {
                COUNT(*) AS n
         FROM counts GROUP BY 1, 2""")),
 
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate-
+    // word fraction and top-2-gram fraction per document. The Spark side
+    // is one explode + two map-side-combinable aggregations keyed by doc
+    // (no window, no UDF) — at 100 TB the per-(doc,gram) partial counts
+    // combine before the shuffle, and nothing is ever per-corpus global.
+    QueryDef(
+      "text_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", tokens($"text").as("tk"))
+          .select($"doc_id", $"lang",
+            when(size($"tk") > 0,
+              lit(1.0) - size(array_distinct($"tk")).cast("double")
+                / size($"tk").cast("double")).otherwise(0.0).as("dupf"),
+            when(size($"tk") >= 2,
+              transform(sequence(lit(0), size($"tk") - 2),
+                i => concat_ws(" ", slice($"tk", i + 1, lit(2)))))
+              .otherwise(array().cast("array<string>")).as("grams"))
+        val perGram = docs
+          .select($"doc_id", $"lang", $"dupf", explode_outer($"grams").as("g"))
+          .groupBy($"doc_id", $"lang", $"dupf", $"g")
+          .agg(count(when($"g".isNotNull, 1)).as("c"))
+        val perDoc = perGram.groupBy($"doc_id", $"lang", $"dupf")
+          .agg(coalesce(max($"c").cast("double")
+            / sum($"c").cast("double"), lit(0.0)).as("topf"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"dupf".cast(DecimalType(18, 9))).cast("double")
+                 .as("sum_dup_word_frac"),
+               sum($"topf".cast(DecimalType(18, 9))).cast("double")
+                 .as("sum_top2gram_frac"),
+               count(when($"topf" > 0.2, 1)).as("n_repetitive"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang, tk,
+                 CASE WHEN len(tk) >= 2
+                      THEN list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])
+                      ELSE [] END AS grams
+          FROM toks),
+        per AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(tk) > 0
+                      THEN 1.0 - len(list_distinct(tk))::DOUBLE / len(tk)
+                      ELSE 0.0 END AS dupf,
+                 CASE WHEN len(grams) = 0 THEN 0.0
+                      ELSE list_max(list_transform(list_distinct(grams),
+                             x -> len(list_filter(grams, y -> y = x))))::DOUBLE
+                           / len(grams) END AS topf
+          FROM g)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(dupf AS DECIMAL(18,9))) AS DOUBLE) AS sum_dup_word_frac,
+               CAST(SUM(CAST(topf AS DECIMAL(18,9))) AS DOUBLE) AS sum_top2gram_frac,
+               COUNT(CASE WHEN topf > 0.2 THEN 1 END) AS n_repetitive
+        FROM per GROUP BY lang""")),
+
+    // CCNet-style corpus-LM quality proxy, exact-arithmetic variant: a
+    // document's "typicality" is the mean CORPUS frequency of its tokens
+    // (integer counts, one exact division — log-probabilities are not
+    // bit-reproducible across engines, libm differs in the last ulp).
+    // Scale shape: one explode, one (token)-keyed count (map-side
+    // combinable), one token-keyed join back, one (doc)-keyed mean —
+    // every stage partial-aggregates; nothing is per-corpus global but
+    // the vocabulary itself.
+    QueryDef(
+      "text_unigram_typicality",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            explode(tokens(lower($"text"))).as("tk"))
+        val counts = toks.groupBy($"tk").agg(count(lit(1)).as("cnt"))
+        val perDoc = toks.join(counts, Seq("tk"))
+          .groupBy($"doc_id", $"lang")
+          .agg((sum($"cnt").cast("double") / count(lit(1)).cast("double"))
+            .as("typ"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"typ".cast(DecimalType(18, 9))).cast("double")
+                 .as("sum_typicality"),
+               count(when($"typ" < 50.0, 1)).as("n_atypical"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+          FROM documents WHERE length(trim(text)) > 0),
+        counts AS (SELECT tk, COUNT(*) AS cnt FROM toks GROUP BY tk),
+        per AS (
+          SELECT doc_id, t.lang,
+                 SUM(cnt)::DOUBLE / COUNT(*) AS typ
+          FROM toks t JOIN counts USING (tk)
+          GROUP BY doc_id, t.lang)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(typ AS DECIMAL(18,9))) AS DOUBLE) AS sum_typicality,
+               COUNT(CASE WHEN typ < 50.0 THEN 1 END) AS n_atypical
+        FROM per GROUP BY lang""")),
+
     QueryDef(
       "text_fingerprint",
       (s, dir) => {

@@ -34,11 +34,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeRe(target, zorder) =>
       Some(GraftOptimizeCommand(parseTarget(target),
         Option(zorder).toSeq.flatMap(_.split(",").map(cleanIdent))))
-    case VacuumRe(target, hours) =>
+    case VacuumRe(target, hours, dryRun) =>
       Some(GraftVacuumCommand(parseTarget(target),
-        Option(hours).map(_.toDouble)))
+        Option(hours).map(_.toDouble), dryRun != null))
     case RestoreRe(target, version) =>
       Some(GraftRestoreCommand(parseTarget(target), version.toLong))
+    case RestoreTsRe(target, ts) =>
+      Some(GraftRestoreTimestampCommand(parseTarget(target), ts))
+    case CloneRe(target, source) =>
+      Some(GraftCloneCommand(parseTarget(target), parseTarget(source)))
+    case AddConstraintRe(target, name, expr) =>
+      Some(GraftAddConstraintCommand(parseTarget(target), name, expr.trim))
+    case DropConstraintRe(target, ifExists, name) =>
+      Some(GraftDropConstraintCommand(parseTarget(target), name,
+        ifExists != null))
     case _ => None
   }
 
@@ -85,9 +94,17 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s*;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
 
   private def cleanIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -160,10 +177,90 @@ case class GraftRestoreCommand(
   }
 }
 
-/** `VACUUM <table> [RETAIN n HOURS]` → [[graft.delta.DeltaTable.vacuum]]. */
+/** `CREATE TABLE <target> SHALLOW CLONE <source>` →
+  * [[graft.delta.DeltaTable.cloneTo]]. The target is a path ('/p/t') or
+  * an identifier resolving through the catalog; zero data files copy. */
+case class GraftCloneCommand(
+    target: Either[String, Seq[String]],
+    source: Either[String, Seq[String]]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("target", StringType, nullable = false)(),
+    AttributeReference("num_copied_files", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcPath = GraftSqlParser.resolvePath(session, source)
+    val dstPath = target match {
+      case Left(path) => path
+      case Right(_) => GraftSqlParser.resolvePath(session, target)
+    }
+    val src = graft.delta.DeltaTable.forPath(session, srcPath)
+    src.cloneTo(dstPath)
+    val n = graft.delta.DeltaTable.forPath(session, dstPath)
+      .deltaLog.update().allFiles.size.toLong
+    Seq(Row(dstPath, n))
+  }
+}
+
+/** `ALTER TABLE <tbl> ADD CONSTRAINT <name> CHECK (<expr>)` →
+  * [[graft.delta.DeltaTable.addConstraint]]. Spark's own grammar has no
+  * CHECK constraints; Delta Lake adds this exact statement shape. */
+case class GraftAddConstraintCommand(
+    target: Either[String, Seq[String]],
+    name: String,
+    expr: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    graft.delta.DeltaTable.forPath(session, path).addConstraint(name, expr)
+    Nil
+  }
+}
+
+/** `ALTER TABLE <tbl> DROP CONSTRAINT [IF EXISTS] <name>` →
+  * [[graft.delta.DeltaTable.dropConstraint]]. */
+case class GraftDropConstraintCommand(
+    target: Either[String, Seq[String]],
+    name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    graft.delta.DeltaTable.forPath(session, path)
+      .dropConstraint(name, ifExists)
+    Nil
+  }
+}
+
+/** `RESTORE [TABLE] <table> TO TIMESTAMP AS OF 'ts'` →
+  * [[graft.delta.DeltaTable.restoreToTimestamp]]. */
+case class GraftRestoreTimestampCommand(
+    target: Either[String, Seq[String]],
+    timestamp: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val committed = graft.delta.DeltaTable.forPath(session, path)
+      .restoreToTimestamp(java.sql.Timestamp.valueOf(timestamp).getTime)
+    Seq(Row(path, committed))
+  }
+}
+
+/** `VACUUM <table> [RETAIN n HOURS] [DRY RUN]` →
+  * [[graft.delta.DeltaTable.vacuum]]. DRY RUN reports the would-be
+  * deletion count without touching any file. */
 case class GraftVacuumCommand(
     target: Either[String, Seq[String]],
-    retainHours: Option[Double]) extends LeafRunnableCommand {
+    retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -172,7 +269,7 @@ case class GraftVacuumCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, target)
     val deleted = graft.delta.DeltaTable.forPath(session, path)
-      .vacuum(retainHours.map(h => (h * 3600 * 1000).toLong))
+      .vacuum(retainHours.map(h => (h * 3600 * 1000).toLong), dryRun)
     Seq(Row(path, deleted.toLong))
   }
 }

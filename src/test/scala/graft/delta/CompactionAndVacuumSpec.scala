@@ -136,6 +136,30 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("vacuum DRY RUN counts deletable files without deleting") {
+    withTempDir { dir =>
+      (1 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("v"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      val table = DeltaTable.forPath(spark, dir)
+      val start = 3000000000000L
+      log.clock = () => start
+      table.compact()
+      log.clock = () => start + 8L * 24 * 3600 * 1000
+
+      val wouldDelete = table.vacuum(dryRun = true)
+      assert(wouldDelete >= 4, s"dry run reported $wouldDelete")
+      // nothing was touched: pre-compaction time travel still works
+      assert(table.asOfVersion(3).toDF.count() == 4)
+
+      // the SQL face: VACUUM ... DRY RUN returns the same count
+      val viaSql = spark.sql(s"VACUUM '$dir' DRY RUN").collect()
+        .head.getLong(1)
+      assert(viaSql == wouldDelete.toLong)
+      // a real vacuum afterwards actually deletes that many
+      assert(table.vacuum() == wouldDelete)
+    }
+  }
+
   test("a crashed writer's orphan batch dir is vacuumed after retention") {
     withTempDir { dir =>
       DeltaTable.write(Seq(1, 2, 3).toDF("v"), dir)

@@ -67,6 +67,28 @@ class RestoreSpec extends SparkSpec {
     }
   }
 
+  test("restore to timestamp resolves through the commit timeline") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir, SaveMode.Overwrite)
+      DeltaTable.write(Seq((9, "z")).toDF("id", "v"), dir, SaveMode.Overwrite)
+      val log = DeltaLog.forTable(spark, dir)
+      // the commit TIMELINE (monotonized mtimes), not the clock, defines
+      // timestamp resolution — read both versions' effective timestamps
+      val t0 = log.getSnapshotForVersionAsOf(0).timestamp
+      val t1 = log.getSnapshotForVersionAsOf(1).timestamp
+      assert(t1 > t0) // monotonization guarantees strict order
+      val table = DeltaTable.forPath(spark, dir)
+
+      table.restoreToTimestamp(t0) // at-or-before t0 → v0
+      assert(table.toDF.as[(Int, String)].collect().toSet == Set((1, "a")))
+
+      // SQL face with a timestamp literal resolving to v1
+      val ts = new java.sql.Timestamp(t1).toString
+      spark.sql(s"RESTORE TABLE '$dir' TO TIMESTAMP AS OF '$ts'")
+      assert(table.toDF.as[(Int, String)].collect().toSet == Set((9, "z")))
+    }
+  }
+
   test("SQL RESTORE statement routes through the parser") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir, SaveMode.Overwrite)

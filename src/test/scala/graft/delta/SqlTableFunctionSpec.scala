@@ -52,6 +52,29 @@ class SqlTableFunctionSpec extends SparkSpec {
     }
   }
 
+  test("graft_detail reports table metadata, file counts and protocol") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        Seq((1, "x"), (2, "y")).toDF("id", "part"),
+        dir, partitionBy = Seq("part"),
+        configuration = Map("custom.owner" -> "graft"))
+      DeltaTable.forPath(spark, dir).addConstraint("id_pos", "id > 0")
+      val row = spark.sql(s"SELECT * FROM graft_detail('$dir')").collect().head
+      assert(row.getAs[String]("format") == "delta")
+      assert(row.getAs[scala.collection.Seq[String]]("partition_columns")
+        .toSeq == Seq("part"))
+      assert(row.getAs[Long]("num_files") == 2L) // one per partition
+      assert(row.getAs[Long]("size_in_bytes") > 0L)
+      val props = row.getAs[Map[String, String]]("properties")
+      assert(props("custom.owner") == "graft")
+      assert(props("delta.constraints.id_pos") == "id > 0")
+      assert(row.getAs[Int]("min_writer_version") == 3)
+      // detail is metadata + two aggregated scalars — the full file list
+      // was never folded on the driver for THIS call path in
+      // distributed-state mode (covered by DistributedStateSpec's flag)
+    }
+  }
+
   test("non-literal and mis-typed arguments fail at analysis") {
     withTempDir { dir =>
       DeltaTable.write(Seq(1).toDF("v"), dir)

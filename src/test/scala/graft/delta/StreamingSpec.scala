@@ -106,6 +106,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maxBytesPerTrigger caps catch-up by commit bytes") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write(Seq(1).toDF("value"), table)
+      (2 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("value"), table))
+
+      // every commit is one small parquet file (~a few hundred bytes); a
+      // 1-byte budget still admits one version per batch (progress rule)
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxBytesPerTrigger", "1")
+        .load(table)
+        .writeStream.format("memory").queryName("bytelimited")
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("bytelimited").as[Int].collect().sorted.toSeq ==
+          Seq(1, 2, 3, 4))
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        assert(batches >= 4, s"expected >=4 byte-capped batches, got $batches")
+      } finally q.stop()
+
+      // a generous budget ("1g") admits the whole catch-up in one batch
+      val q2 = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxBytesPerTrigger", "1g")
+        .load(table)
+        .writeStream.format("memory").queryName("bytelimited2")
+        .start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("bytelimited2").count() == 4)
+        val batches = q2.recentProgress.count(_.numInputRows > 0)
+        assert(batches == 1, s"expected a single uncapped batch, got $batches")
+      } finally q2.stop()
+    }
+  }
+
   test("Trigger.AvailableNow drains rate-limited batches then terminates") {
     withTempDir { base =>
       val table = s"$base/table"
