@@ -325,10 +325,54 @@ object Dedup {
     *
     * `pairs` must have two id columns `i`, `j`. Returns (id, cluster). */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Driver/executor split, same architecture as the snapshot state
+    // bound: a pair set under ~1M edges is two longs per edge — union-
+    // find on the driver beats N Spark rounds of join+aggregate overhead
+    // by orders of magnitude. Above the bound (the 100 TB regime), the
+    // iterated min-label propagation below keeps everything distributed.
+    val maxDriverEdges = spark.conf.getOption("spark.graft.cc.driverMaxEdges")
+      .map(_.toLong).getOrElse(1L << 20)
+    val edgeCount = edges.count()
+    if (edgeCount <= maxDriverEdges) {
+      val rows = edges.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // attach the larger root under the smaller so every component's
+      // root IS its minimum — the distributed fold's exact contract
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: Long, b: Long) => a < b
+        case (a: Int, b: Int) => a < b
+        case (a: String, b: String) => a < b
+        case _ => x.toString < y.toString
+      }
+      rows.foreach { r =>
+        val (rx, ry) = (find(r.get(0)), find(r.get(1)))
+        if (rx != ry) { if (lt(rx, ry)) parent(ry) = rx else parent(rx) = ry }
+      }
+      val nodes = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+        .toArray.distinct
+      val out = nodes.map(n => org.apache.spark.sql.Row(n, find(n)))
+      val idType = edges.schema("a").dataType
+      edges.unpersist(blocking = false)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("cluster", idType))))
+    }
+
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("cluster", col("id"))

@@ -198,6 +198,25 @@ class OperatorsSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("distributed label propagation agrees with the driver union-find") {
+    // the same graph through both paths: a chain (multi-round), a
+    // triangle, a star, and a 2-clique
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 10L)) ++
+      (21L to 24L).map(i => (20L, i)) ++
+      Seq((30L, 31L))).toDF("i", "j")
+    def run(): Map[Long, Long] = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run()
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try {
+      val viaDistributed = run()
+      assert(viaDriver == viaDistributed)
+      assert(viaDriver(5L) == 1L && viaDriver(12L) == 10L &&
+        viaDriver(24L) == 20L && viaDriver(31L) == 30L)
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+  }
+
   test("connected components converges on a long path and a cycle") {
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("i", "j")
     val gotPath = Dedup.connectedComponents(path).collect()
