@@ -452,6 +452,56 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "numRemovedFiles" -> toRemove.size.toString))
   }
 
+  /** Transactional partition overwrite (Delta's `replaceWhere`): ONE
+    * commit removes every file in the partitions matching `condition`
+    * and adds `df`'s files. The predicate must reference partition
+    * columns only (the classic contract — whole files are dropped, never
+    * rewritten), and every incoming row must satisfy it, enforced inside
+    * the write job like a CHECK constraint (a violating row aborts
+    * before anything commits).
+    *
+    * Scale shape: matched files select via the same partition pruning as
+    * DML (distributed above the state bound); the incoming write is a
+    * normal distributed job. */
+  def replaceWhere(df: DataFrame, condition: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, concat, lit, raise_error, to_json, struct, when, col}
+    val txn = deltaLog.startTransaction()
+    val snapshot = txn.snapshot
+    val metadata = snapshot.metadata
+    val resolved = read.PartitionUtils.resolveFilter(spark, metadata.schema, condition)
+    val (metaPreds, dataPreds) = read.PartitionUtils
+      .splitMetadataAndDataPredicates(resolved, metadata.partitionColumns)
+    require(dataPreds.isEmpty,
+      s"replaceWhere predicate must reference partition columns only, got: $condition")
+    val matched =
+      if (snapshot.distributedState) {
+        read.FilePruning.prune(snapshot.allFilesDistributed,
+          metadata.partitionSchema, metaPreds, Nil, metadata.dataSchema)
+          .collect().toSeq
+      } else {
+        read.PartitionUtils.filterFileList(
+          metadata.partitionSchema, snapshot.allFiles, metaPreds)
+      }
+    txn.markFilesAsRead(condition)
+
+    // every incoming row must fall inside the replaced region
+    val rowJson = to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+    val guarded = df.filter(
+      when(coalesce(condition.cast("boolean"), lit(false)), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"replaceWhere: row outside the replaced region ($condition): "),
+          rowJson)).cast("boolean")))
+    val adds = write.DeltaWriter.writeFiles(
+      write.Invariants.enforce(guarded, metadata), deltaLog,
+      metadata.partitionColumns, metadata.columnMapping)
+    val removes = matched.map(_.remove(deltaLog.clock()))
+    txn.commit(adds ++ removes, DeltaOperations.ReplaceWhere,
+      operationMetrics = Map(
+        "predicate" -> condition.toString,
+        "numRemovedFiles" -> removes.size.toString,
+        "numAddedFiles" -> adds.size.toString))
+  }
+
   /** DESCRIBE DETAIL: one row of table-level metadata. Protocol, schema
     * and configuration come from light state (no AddFile decode — M5);
     * numFiles/sizeInBytes aggregate the file list WITHOUT materializing

@@ -198,4 +198,5 @@ object DeltaOperations {
   val AddConstraint = "ADD CONSTRAINT"
   val DropConstraint = "DROP CONSTRAINT"
   val Clone = "CLONE"
+  val ReplaceWhere = "REPLACE WHERE"
 }

@@ -602,6 +602,38 @@ object DeltaQueries {
         SELECT o_orderstatus, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         FROM orders WHERE o_orderstatus <> 'F'
-        GROUP BY o_orderstatus"""))
+        GROUP BY o_orderstatus""")),
+
+    // replaceWhere: one transactional commit swaps the 1-URGENT partition
+    // for a recomputed frame (price +1000); other partitions' files are
+    // untouched.
+    QueryDef(
+      "delta_replace_where",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("replace_where")
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(orders, path, SaveMode.Overwrite,
+          partitionBy = Seq("o_orderpriority"))
+        val urgent = orders.filter($"o_orderpriority" === "1-URGENT")
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        DeltaTable.forPath(s, path)
+          .replaceWhere(urgent, $"o_orderpriority" === "1-URGENT")
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(14, 2))).cast("double")
+                 .as("sum_price"))
+      },
+      Some("""
+        WITH final AS (
+          SELECT o_orderpriority, o_totalprice FROM orders
+          WHERE o_orderpriority <> '1-URGENT'
+          UNION ALL
+          SELECT o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+          FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        FROM final GROUP BY o_orderpriority"""))
   )
 }

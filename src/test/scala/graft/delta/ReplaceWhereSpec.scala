@@ -1,0 +1,99 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** replaceWhere: transactional partition overwrite. */
+class ReplaceWhereSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(dir: String): DeltaTable = {
+    DeltaTable.write(
+      Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0))
+        .toDF("id", "part", "v")
+        .coalesce(1), // one file per partition dir — deterministic counts
+      dir, partitionBy = Seq("part"))
+    DeltaTable.forPath(spark, dir)
+  }
+
+  test("replaces exactly the matching partitions in one commit") {
+    withTempDir { dir =>
+      val table = mkTable(dir)
+      val v0 = table.version
+      table.replaceWhere(
+        Seq((9, "a", 90.0)).toDF("id", "part", "v"), $"part" === "a")
+      assert(table.version == v0 + 1) // one commit for remove+add
+      assert(table.toDF.select($"id").as[Int].collect().sorted.toSeq ==
+        Seq(3, 4, 9))
+      val hist = table.history().filter($"operation" === "REPLACE WHERE")
+        .select($"operationMetrics").as[Map[String, String]].head()
+      assert(hist("numRemovedFiles").toInt == 1) // only partition a's file
+      // untouched partitions survive as the same physical files
+      assert(table.toDF.filter($"part" === "b").select($"v").as[Double]
+        .head() == 30.0)
+    }
+  }
+
+  test("a row outside the replaced region aborts with nothing committed") {
+    withTempDir { dir =>
+      val table = mkTable(dir)
+      val v0 = table.version
+      intercept[Exception] {
+        table.replaceWhere(
+          Seq((9, "a", 90.0), (10, "b", 100.0)).toDF("id", "part", "v"),
+          $"part" === "a")
+      }
+      assert(table.version == v0)
+      assert(table.toDF.count() == 4)
+    }
+  }
+
+  test("non-partition predicates are rejected up front") {
+    withTempDir { dir =>
+      val table = mkTable(dir)
+      val e = intercept[IllegalArgumentException] {
+        table.replaceWhere(Seq((9, "a", 90.0)).toDF("id", "part", "v"),
+          $"v" > 15.0)
+      }
+      assert(e.getMessage.contains("partition columns only"))
+    }
+  }
+
+  test("replaceWhere into an empty region is a plain scoped insert") {
+    withTempDir { dir =>
+      val table = mkTable(dir)
+      table.replaceWhere(
+        Seq((7, "z", 70.0)).toDF("id", "part", "v"), $"part" === "z")
+      assert(table.toDF.count() == 5)
+      val hist = table.history().filter($"operation" === "REPLACE WHERE")
+        .select($"operationMetrics").as[Map[String, String]].head()
+      assert(hist("numRemovedFiles").toInt == 0)
+    }
+  }
+
+  test("streams across replaceWhere fail without ignoreChanges (F3)") {
+    withTempDir { base =>
+      val dir = s"$base/t"
+      val table = mkTable(dir)
+      table.replaceWhere(
+        Seq((9, "a", 90.0)).toDF("id", "part", "v"), $"part" === "a")
+      // a replaceWhere commit carries adds AND removes with dataChange:
+      // the change-sanitation rules treat it like any rewrite commit
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .load(dir)
+        .writeStream.format("memory").queryName("rw_stream")
+        .start()
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.stop()
+        throw new IllegalStateException("expected the stream to fail")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(err).exists(m => m.contains("ignoreChanges") ||
+        m.contains("data update")), err.toString)
+    }
+  }
+}
