@@ -740,4 +740,38 @@ object DeltaTable {
             partitionBy: Seq[String] = Nil,
             configuration: Map[String, String] = Map.empty): Long =
     graft.delta.write.DeltaWriter.write(df, path, mode, partitionBy, configuration)
+
+  /** Explicit table creation (no data): the place where schema-level
+    * declarations live — NOT NULL survives as given (unlike write(),
+    * which relaxes encoder accidents) and `generatedColumns` maps column
+    * name → generation SQL recorded as the protocol's
+    * `delta.generationExpression` column metadata (writer-protocol-4).
+    * Typical: a `day` partition column generated from an event
+    * timestamp, so appends of raw events land date-partitioned. */
+  def create(spark: SparkSession, path: String,
+             schema: org.apache.spark.sql.types.StructType,
+             partitionBy: Seq[String] = Nil,
+             configuration: Map[String, String] = Map.empty,
+             generatedColumns: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    generatedColumns.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"Generated column $c is not in the schema"))
+    val log = DeltaLog.forTable(spark, path)
+    require(!log.tableExists, s"Delta table already exists at $path")
+    val withGen = StructType(schema.fields.map { f =>
+      generatedColumns.get(f.name).fold(f) { genExpr =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(graft.delta.write.GeneratedColumns.MetadataKey, genExpr)
+          .build())
+      }
+    })
+    val txn = log.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Some(withGen.json),
+      partitionColumns = partitionBy,
+      configuration = configuration))
+    val protocol: Seq[Action] =
+      if (generatedColumns.nonEmpty) Seq(Protocol(1, 4)) else Nil
+    txn.commit(protocol, DeltaOperations.CreateTable)
+  }
 }

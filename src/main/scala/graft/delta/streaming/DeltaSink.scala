@@ -38,7 +38,11 @@ class DeltaSink(
       if (txn.txnVersion(appId) >= batchId) {
         return // this batch already committed — exactly-once replay skip
       }
-      val batch = Shims.materializeBatch(data)
+      val batch0 = Shims.materializeBatch(data)
+      val batch =
+        if (deltaLog.tableExists)
+          graft.delta.write.GeneratedColumns.materialize(batch0, txn.snapshot.metadata)
+        else batch0
       if (!deltaLog.tableExists) {
         txn.updateMetadata(Metadata(
           schemaString = Some(DeltaWriter.relaxed(batch.schema).json),

@@ -196,12 +196,13 @@ class OptimisticTransaction(
              operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "Transaction already committed")
     // writer-protocol gate: refuse to write a table requiring features
-    // this engine does not implement (v3 = CHECK constraints, implemented)
+    // this engine does not implement (v3 = CHECK constraints, v4 = CDF +
+    // generated columns — all implemented here)
     if (readVersion >= 0) {
       val p = snapshot.protocol
-      require(p.minWriterVersion <= 3,
+      require(p.minWriterVersion <= 4,
         s"Cannot write: table requires writer protocol ${p.minWriterVersion}; " +
-          "this engine implements up to 3")
+          "this engine implements up to 4")
     }
     // extract a Metadata action if the caller passed one inline
     val metadataActions = actions.collect { case m: Metadata => m }
@@ -271,8 +272,8 @@ class OptimisticTransaction(
         }
         r.copy(path = relativize(r.path))
       case p: Protocol =>
-        require(p.minReaderVersion <= 1 && p.minWriterVersion <= 3,
-          s"Unsupported protocol $p; this engine implements up to (1, 3)")
+        require(p.minReaderVersion <= 1 && p.minWriterVersion <= 4,
+          s"Unsupported protocol $p; this engine implements up to (1, 4)")
         p
       case other => other
     }

@@ -20,13 +20,13 @@ import graft.delta._
   */
 object DeltaWriter {
 
-  def write(df: DataFrame,
+  def write(df0: DataFrame,
             path: String,
             mode: SaveMode = SaveMode.Append,
             partitionBy: Seq[String] = Nil,
             configuration: Map[String, String] = Map.empty,
             operation: String = DeltaOperations.Write): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val deltaLog = DeltaLog.forTable(spark, path)
     val exists = deltaLog.tableExists
     if (exists && mode == SaveMode.ErrorIfExists) {
@@ -35,6 +35,12 @@ object DeltaWriter {
     if (exists && mode == SaveMode.Ignore) return deltaLog.snapshot.version
 
     val txn = deltaLog.startTransaction()
+
+    // compute generated columns the caller did not provide, BEFORE any
+    // schema comparison (the table schema includes them; the append need
+    // not) — provided values are equality-checked in Invariants.enforce
+    val df = if (exists)
+      GeneratedColumns.materialize(df0, txn.snapshot.metadata) else df0
 
     val partCols =
       if (exists && mode != SaveMode.Overwrite) {

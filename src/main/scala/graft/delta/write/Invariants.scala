@@ -65,7 +65,13 @@ object Invariants {
       constraints(metadata).toSeq.sortBy(_._1).map { case (name, sql) =>
         (s"CHECK constraint $name ($sql) violated",
           coalesce(expr(sql).cast("boolean"), lit(false)))
-      }
+      } ++
+      GeneratedColumns.expressions(metadata.schema)
+        .filter { case (name, _) => df.columns.contains(name) }
+        .map { case (name, genExpr) =>
+          (s"generated column $name does not match its expression ($genExpr)",
+            col(s"`$name`") <=> expr(genExpr))
+        }
     if (checks.isEmpty) df
     else {
       val rowJson = to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))

@@ -634,6 +634,37 @@ object DeltaQueries {
           FROM orders WHERE o_orderpriority = '1-URGENT')
         SELECT o_orderpriority, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
-        FROM final GROUP BY o_orderpriority"""))
+        FROM final GROUP BY o_orderpriority""")),
+
+    // Generated partition column (writer-protocol-4): the table declares
+    // day = date_format(ts, ...); raw events append WITHOUT day and land
+    // date-partitioned; the day-range filter prunes at the file level.
+    QueryDef(
+      "delta_generated_partition",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("genpart")
+        val ev = t(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        DeltaTable.create(s, path,
+          org.apache.spark.sql.types.StructType(ev.schema.fields :+
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.StringType)),
+          partitionBy = Seq("day"),
+          generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+        DeltaTable.write(ev, path) // no day column: the engine computes it
+        DeltaTable.forPath(s, path).toDF
+          .filter($"day" >= "2024-01-10" && $"day" <= "2024-01-12")
+          .groupBy($"day", $"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum($"value".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_value"))
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        GROUP BY 1, 2"""))
   )
 }

@@ -1,0 +1,106 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Generated columns: computed on append, equality-guarded when
+  * provided, usable as partition columns for pruning. */
+class GeneratedColumnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ts", TimestampType),
+    StructField("day", StringType)))
+
+  test("appends without the generated column get it computed and partitioned") {
+    withTempDir { dir =>
+      DeltaTable.create(spark, dir, schema,
+        partitionBy = Seq("day"),
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      assert(DeltaTable.forPath(spark, dir).deltaLog.update()
+        .protocol.minWriterVersion == 4)
+
+      val events = Seq(
+        (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2026-01-01 23:59:59")),
+        (3L, java.sql.Timestamp.valueOf("2026-01-02 00:00:01")))
+        .toDF("id", "ts").coalesce(1)
+      DeltaTable.write(events, dir) // no day column supplied
+
+      val table = DeltaTable.forPath(spark, dir)
+      assert(table.toDF.select($"day").as[String].collect().sorted.toSeq ==
+        Seq("2026-01-01", "2026-01-01", "2026-01-02"))
+      // the generated column IS the partition column: files carry its
+      // value in partitionValues and a day filter prunes to one file
+      val scan = table.scan($"day" === "2026-01-01")
+      assert(scan.getFiles.size == 1, s"expected 1 pruned file")
+    }
+  }
+
+  test("a provided generated-column value must match the expression") {
+    withTempDir { dir =>
+      DeltaTable.create(spark, dir, schema,
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      val bad = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+        "2026-12-31")).toDF("id", "ts", "day")
+      intercept[Exception] { DeltaTable.write(bad, dir) }
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 0)
+
+      val good = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+        "2026-01-01")).toDF("id", "ts", "day")
+      DeltaTable.write(good, dir)
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+    }
+  }
+
+  test("UPDATE that breaks the generation invariant is rejected") {
+    withTempDir { dir =>
+      DeltaTable.create(spark, dir, schema,
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      DeltaTable.write(
+        Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+          .toDF("id", "ts"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      // setting day without ts desynchronizes them → write-job abort
+      intercept[Exception] {
+        table.update($"id" === 1L, Map("day" -> lit("1999-01-01")))
+      }
+      assert(table.toDF.select($"day").as[String].head() == "2026-01-01")
+      // updating ts alone also desynchronizes — and is also rejected
+      // (callers must update both consistently; recomputation on UPDATE
+      // is not implied by the protocol)
+      intercept[Exception] {
+        table.update($"id" === 1L,
+          Map("ts" -> lit(java.sql.Timestamp.valueOf("2027-06-06 00:00:00"))))
+      }
+      // a consistent update of both passes
+      table.update($"id" === 1L, Map(
+        "ts" -> lit(java.sql.Timestamp.valueOf("2027-06-06 00:00:00")),
+        "day" -> lit("2027-06-06")))
+      assert(table.toDF.select($"day").as[String].head() == "2027-06-06")
+    }
+  }
+
+  test("streaming sink computes generated columns too") {
+    withTempDir { base =>
+      val dir = s"$base/t"
+      val ckpt = s"$base/ckpt"
+      DeltaTable.create(spark, dir, schema,
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      val src = s"$base/src"
+      DeltaTable.write(
+        Seq((1L, java.sql.Timestamp.valueOf("2026-03-03 08:00:00")))
+          .toDF("id", "ts"), src)
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .start(dir)
+      try q.processAllAvailable() finally q.stop()
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .select($"day").as[String].head() == "2026-03-03")
+    }
+  }
+}
