@@ -741,6 +741,79 @@ object DeltaTable {
             configuration: Map[String, String] = Map.empty): Long =
     graft.delta.write.DeltaWriter.write(df, path, mode, partitionBy, configuration)
 
+  /** CONVERT TO DELTA: turn a plain parquet directory into a Delta table
+    * IN PLACE — no data moves; one commit records every existing parquet
+    * file as an AddFile (schema from Spark's parquet reader, partition
+    * values parsed from hive-style paths). Partitioned layouts require
+    * the caller to name the partition columns, Delta's own contract.
+    *
+    * Scale shape: the recursive listing runs as a Spark job (one task
+    * per top-level directory); the AddFiles reach the driver only
+    * because they become the commit's JSON lines — same bound as clone. */
+  def convertToDelta(spark: SparkSession, path: String,
+                     partitionColumns: Seq[String] = Nil): Long = {
+    import spark.implicits._
+    val log = DeltaLog.forTable(spark, path)
+    require(!log.tableExists, s"$path is already a Delta table")
+    val df = spark.read.parquet(path)
+    val schema = graft.delta.write.DeltaWriter.relaxed(df.schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    partitionColumns.foreach(c => require(schema.fieldNames.contains(c),
+      s"Partition column $c not found in the inferred schema " +
+        schema.simpleString))
+
+    val conf = new SerializableHadoopConf(log.hadoopConf)
+    val rootPath = log.dataPath
+    val fs = rootPath.getFileSystem(log.hadoopConf)
+    val rootStr = fs.makeQualified(rootPath).toString
+    val rootPrefix = fs.makeQualified(rootPath).toUri.getPath + "/"
+    val top = fs.listStatus(fs.makeQualified(rootPath))
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val (dirs, rootFiles) = top.partition(_.isDirectory)
+    val fromDirs = spark.createDataset(dirs.map(_.getPath.toString).toSeq)
+      .repartition(math.max(1, math.min(dirs.length, 64)))
+      .mapPartitions { ds =>
+        ds.flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val dfs = p.getFileSystem(conf.value)
+          val it = dfs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith(".")) {
+              buf += ((st.getPath.toUri.getPath.stripPrefix(rootPrefix),
+                st.getLen, st.getModificationTime))
+            }
+          }
+          buf
+        }
+      }.collect()
+    val listed = rootFiles.filter(_.isFile).map(st =>
+      (st.getPath.toUri.getPath.stripPrefix(rootPrefix),
+        st.getLen, st.getModificationTime)).toSeq ++ fromDirs
+    val parquet = listed.filter(_._1.endsWith(".parquet"))
+    require(parquet.nonEmpty, s"No parquet files found under $path")
+
+    val adds = parquet.map { case (rel, size, mtime) =>
+      AddFile(
+        path = new java.net.URI(null, null, rel, null).toString,
+        partitionValues = graft.delta.write.DeltaWriter
+          .parsePartitionValues(rel, partitionColumns),
+        size = size,
+        modificationTime = mtime,
+        dataChange = true,
+        stats = None)
+    }
+    val txn = log.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Some(schema.json),
+      partitionColumns = partitionColumns))
+    txn.commit(adds, DeltaOperations.Convert,
+      operationMetrics = Map("numConvertedFiles" -> adds.size.toString))
+  }
+
   /** Explicit table creation (no data): the place where schema-level
     * declarations live — NOT NULL survives as given (unlike write(),
     * which relaxes encoder accidents) and `generatedColumns` maps column

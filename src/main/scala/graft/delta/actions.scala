@@ -199,4 +199,5 @@ object DeltaOperations {
   val DropConstraint = "DROP CONSTRAINT"
   val Clone = "CLONE"
   val ReplaceWhere = "REPLACE WHERE"
+  val Convert = "CONVERT"
 }

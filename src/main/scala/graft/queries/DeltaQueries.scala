@@ -665,6 +665,38 @@ object DeltaQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // CONVERT TO DELTA: adopt a plain partitioned parquet directory in
+    // place (zero copies), then prove it is a LIVE table — transactional
+    // delete + append — and aggregate the result.
+    QueryDef(
+      "delta_convert",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("convert") + "/t"
+        val part = t(s, dir, "part")
+        part.write.partitionBy("p_brand").parquet(path)
+        DeltaTable.convertToDelta(s, path, Seq("p_brand"))
+        val tbl = DeltaTable.forPath(s, path)
+        tbl.deleteWhere($"p_brand" === "Brand#11")
+        DeltaTable.write(
+          part.filter($"p_brand" === "Brand#22")
+            .withColumn("p_partkey", $"p_partkey" + 1000000L),
+          path)
+        tbl.toDF.groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"),
+               sum($"p_retailprice".cast(DecimalType(14, 2))).cast("double")
+                 .as("sum_price"))
+      },
+      Some("""
+        WITH final AS (
+          SELECT p_brand, p_retailprice FROM part
+          WHERE p_brand <> 'Brand#11'
+          UNION ALL
+          SELECT p_brand, p_retailprice FROM part WHERE p_brand = 'Brand#22')
+        SELECT p_brand, COUNT(*) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        FROM final GROUP BY p_brand"""))
   )
 }

@@ -43,6 +43,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftRestoreTimestampCommand(parseTarget(target), ts))
     case CloneRe(target, source) =>
       Some(GraftCloneCommand(parseTarget(target), parseTarget(source)))
+    case ConvertRe(target, partCols) =>
+      Some(GraftConvertCommand(parseTarget(target),
+        Option(partCols).toSeq.flatMap(_.split(",").map(s =>
+          cleanIdent(s.trim.split("\\s+")(0))))))
     case AddConstraintRe(target, name, expr) =>
       Some(GraftAddConstraintCommand(parseTarget(target), name, expr.trim))
     case DropConstraintRe(target, ifExists, name) =>
@@ -99,6 +103,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+DELTA\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s*;?\s*""".r
   private val AddConstraintRe =
@@ -174,6 +180,29 @@ case class GraftRestoreCommand(
     val committed = graft.delta.DeltaTable.forPath(session, path)
       .restore(version)
     Seq(Row(path, version, committed))
+  }
+}
+
+/** `CONVERT TO DELTA '<path>' [PARTITIONED BY (c1, c2 type)]` →
+  * [[graft.delta.DeltaTable.convertToDelta]]. Partition types, if
+  * written, are ignored — the reader's inferred types are stored. */
+case class GraftConvertCommand(
+    target: Either[String, Seq[String]],
+    partitionColumns: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("num_converted_files", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = target match {
+      case Left(p) => p
+      case Right(_) => GraftSqlParser.resolvePath(session, target)
+    }
+    graft.delta.DeltaTable.convertToDelta(session, path, partitionColumns)
+    val n = graft.delta.DeltaTable.forPath(session, path)
+      .deltaLog.update().numOfFiles
+    Seq(Row(path, n))
   }
 }
 
