@@ -244,7 +244,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
     val adds = write.DeltaWriter.writeFiles(
       write.Invariants.enforce(rewritten, metadata), deltaLog,
-      metadata.partitionColumns, metadata.columnMapping)
+      metadata.partitionColumns, metadata.columnMapping, Some(metadata))
     val removes = matched.map(_.remove(deltaLog.clock()))
     val cdc: Seq[Action] =
       if (changes != null && write.CdcWriter.enabled(metadata)) {
@@ -493,7 +493,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           rowJson)).cast("boolean")))
     val adds = write.DeltaWriter.writeFiles(
       write.Invariants.enforce(guarded, metadata), deltaLog,
-      metadata.partitionColumns, metadata.columnMapping)
+      metadata.partitionColumns, metadata.columnMapping, Some(metadata))
     val removes = matched.map(_.remove(deltaLog.clock()))
     txn.commit(adds ++ removes, DeltaOperations.ReplaceWhere,
       operationMetrics = Map(
@@ -712,7 +712,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
 
     val adds = write.DeltaWriter.writeFiles(compacted, deltaLog,
-      metadata.partitionColumns, metadata.columnMapping)
+      metadata.partitionColumns, metadata.columnMapping, Some(metadata))
       .map(_.copy(dataChange = false))
     val removes = rewrite.map(_.remove(deltaLog.clock(), dataChange = false))
     txn.commit(adds ++ removes, "OPTIMIZE",

@@ -32,7 +32,8 @@ object DataSkipping {
   private case class ColStats(
       min: Option[Any], max: Option[Any], nullCount: Option[Long])
   private case class FileStats(
-      numRecords: Option[Long], cols: Map[String, ColStats])
+      numRecords: Option[Long], cols: Map[String, ColStats],
+      blooms: Map[String, String] = Map.empty, bloomBits: Int = 0)
 
   /** Files that may contain rows matching every data conjunct. */
   def filterFiles(files: Seq[AddFile], dataFilters: Seq[Expression],
@@ -54,7 +55,23 @@ object DataSkipping {
       case Some(stats) => dataFilters.forall(c => mayMatch(c, stats, types))
     }
 
-  private def parse(f: AddFile): Option[FileStats] = f.stats.flatMap { raw =>
+  private def parse(f: AddFile): Option[FileStats] = {
+    // per-file Bloom filters ride in the tags (write.BloomFilters)
+    val tags = f.tags.getOrElse(Map.empty)
+    val blooms = tags.collect {
+      case (k, v) if k.startsWith(graft.delta.write.BloomFilters.TagPrefix) &&
+          k != graft.delta.write.BloomFilters.BitsTag =>
+        k.stripPrefix(graft.delta.write.BloomFilters.TagPrefix).toLowerCase -> v
+    }
+    val bloomBits = tags.get(graft.delta.write.BloomFilters.BitsTag)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+    parseStats(f, blooms, bloomBits)
+      .orElse(if (blooms.nonEmpty && bloomBits > 0)
+        Some(FileStats(None, Map.empty, blooms, bloomBits)) else None)
+  }
+
+  private def parseStats(f: AddFile, blooms: Map[String, String],
+                         bloomBits: Int): Option[FileStats] = f.stats.flatMap { raw =>
     try {
       val node = JsonCodec.mapper.readTree(raw)
       def obj(name: String): Map[String, com.fasterxml.jackson.databind.JsonNode] = {
@@ -74,7 +91,8 @@ object DataSkipping {
           nulls.get(c).filter(_.isNumber).map(_.asLong))
       }.toMap
       Some(FileStats(
-        Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong), cols))
+        Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong), cols,
+        blooms, bloomBits))
     } catch { case NonFatal(_) => None }
   }
 
@@ -145,7 +163,7 @@ object DataSkipping {
       hi <- cs.max.flatMap(v => toComparable(v, dt))
       v <- litComparable(lit.value, dt)
     } yield (lo, hi, v)
-    bounds match {
+    val rangeVerdict = bounds match {
       case None => true
       case Some((lo, hi, v)) => op match {
         case "=" => cmp(lo, v) <= 0 && cmp(v, hi) <= 0
@@ -155,6 +173,23 @@ object DataSkipping {
         case ">=" => cmp(v, hi) <= 0
       }
     }
+    // equality can additionally consult the file's Bloom filter — the
+    // pruner for point lookups where every file's [min,max] covers the
+    // key space (unsorted ids/hashes). Conservative on any absence.
+    if (!rangeVerdict || op != "=") rangeVerdict
+    else fs.blooms.get(a.name.toLowerCase) match {
+      case Some(b64) if fs.bloomBits > 0 && bloomStringable(dt) =>
+        graft.delta.write.BloomFilters.mightContain(
+          b64, fs.bloomBits, lit.value.toString)
+      case _ => true
+    }
+  }
+
+  /** Types whose internal-value toString equals Spark's cast-to-string
+    * (what the build side hashed). */
+  private def bloomStringable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
   }
 
   private def prefixMayMatch(a: Attribute, prefix: UTF8String, fs: FileStats,

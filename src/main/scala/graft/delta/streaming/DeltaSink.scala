@@ -49,7 +49,8 @@ class DeltaSink(
           partitionColumns = partitionColumns))
       }
       val adds = DeltaWriter.writeFiles(Invariants.enforce(batch, txn.metadata),
-        deltaLog, effectivePartitions(txn), txn.metadata.columnMapping)
+        deltaLog, effectivePartitions(txn), txn.metadata.columnMapping,
+        Some(txn.metadata))
       val removes: Seq[Action] =
         if (outputMode == OutputMode.Complete()) {
           txn.readWholeTable()

@@ -83,7 +83,7 @@ object DeltaWriter {
     }
 
     val adds = writeFiles(Invariants.enforce(df, txn.metadata), deltaLog,
-      partCols, txn.metadata.columnMapping)
+      partCols, txn.metadata.columnMapping, Some(txn.metadata))
     val removes: Seq[Action] =
       if (exists && mode == SaveMode.Overwrite) {
         txn.readWholeTable()
@@ -193,7 +193,8 @@ object DeltaWriter {
     * unaffected. */
   private[delta] def writeFiles(df: DataFrame, deltaLog: DeltaLog,
                                 partCols: Seq[String],
-                                mapping: Map[String, String] = Map.empty): Seq[AddFile] = {
+                                mapping: Map[String, String] = Map.empty,
+                                bloomMeta: Option[Metadata] = None): Seq[AddFile] = {
     val conf = deltaLog.hadoopConf
     val fs = deltaLog.dataPath.getFileSystem(conf)
     val batchName = s"batch-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -213,10 +214,19 @@ object DeltaWriter {
       val stats = StatsCollector.collectAll(
         df.sparkSession, files.map(_.getPath), dataSchema, conf,
         n => mapping.getOrElse(n, n))
+      // opt-in per-file Bloom filters (delta.bloomFilter.columns): one
+      // extra columnar pass over only the indexed columns
+      val blooms: Map[String, Map[String, String]] = bloomMeta
+        .filter(m => BloomFilters.indexedColumns(m).nonEmpty)
+        .map(m => BloomFilters.build(df.sparkSession, files.map(_.getPath),
+          m, n => mapping.getOrElse(n, n)))
+        .getOrElse(Map.empty)
+      val bloomBits = bloomMeta.map(BloomFilters.bits)
       files.map { st =>
         val relInBatch = st.getPath.toUri.getPath
           .stripPrefix(batchDir.toUri.getPath + "/")
         val rel = s"$batchName/$relInBatch"
+        val fileBlooms = blooms.getOrElse(st.getPath.getName, Map.empty)
         AddFile(
           // the protocol stores paths as percent-encoded relative URIs
           // (canonicalization ref: SnapshotImpl.scala:349-362)
@@ -225,7 +235,11 @@ object DeltaWriter {
           size = st.getLen,
           modificationTime = st.getModificationTime,
           dataChange = true,
-          stats = stats.getOrElse(st.getPath, None))
+          stats = stats.getOrElse(st.getPath, None),
+          tags = if (fileBlooms.isEmpty) None
+            else Some(fileBlooms.map { case (c, v) =>
+              (BloomFilters.TagPrefix + c) -> v
+            } + (BloomFilters.BitsTag -> bloomBits.get.toString)))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -194,7 +194,7 @@ final class MergeBuilder private[delta] (
     }
     val adds = toWrite.map(df =>
       DeltaWriter.writeFiles(Invariants.enforce(df, metadata), deltaLog,
-        metadata.partitionColumns, metadata.columnMapping))
+        metadata.partitionColumns, metadata.columnMapping, Some(metadata)))
       .getOrElse(Nil)
     val removes =
       if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))

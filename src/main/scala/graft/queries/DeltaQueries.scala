@@ -697,6 +697,43 @@ object DeltaQueries {
           SELECT p_brand, p_retailprice FROM part WHERE p_brand = 'Brand#22')
         SELECT p_brand, COUNT(*) AS n,
                CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
-        FROM final GROUP BY p_brand"""))
+        FROM final GROUP BY p_brand""")),
+
+    // Per-file Bloom filters: point lookups on an unsorted hash key,
+    // where min/max stats cannot prune (every file's range spans the key
+    // space). The query PROVES pruning in-flight (requires the scan to
+    // open fewer files than the table holds) and returns the probed rows.
+    QueryDef(
+      "delta_bloom_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("bloom")
+        val cust = t(s, dir, "customer")
+          .withColumn("ckey", md5(concat(lit("c"), $"c_custkey")))
+        DeltaTable.write(cust.repartition(8), path, SaveMode.Overwrite,
+          configuration = Map("delta.bloomFilter.columns" -> "ckey"))
+        val tbl = DeltaTable.forPath(s, path)
+        val probes = (1 to 5).map(i =>
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"c$i"))
+        val q = tbl.toDF.filter($"ckey".isin(probes: _*))
+          .select($"c_custkey", $"c_mktsegment",
+            $"c_acctbal".cast(DecimalType(12, 2)).cast("double").as("bal"))
+        val opened = q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              sc.relation.location
+                .listFiles(sc.partitionFilters, sc.dataFilters)
+                .map(_.files.length).sum
+          }.getOrElse(-1)
+        require(opened >= 0 && opened < 8,
+          s"bloom skipping did not prune: opened $opened of 8 files")
+        q
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+        FROM customer
+        WHERE md5('c' || CAST(c_custkey AS VARCHAR))
+              IN (md5('c1'), md5('c2'), md5('c3'), md5('c4'), md5('c5'))"""))
   )
 }
