@@ -54,6 +54,20 @@ object Curation {
         < (rate * Denom).toLong)
   }
 
+  /** Deterministic importance sampling: keep each row with probability
+    * equal to its weight (clamped to [0,1]) — quality-weighted corpus
+    * selection with re-run-stable, auditable decisions (a pure hash
+    * threshold, no RNG state; same family as [[hashSample]], which is
+    * the constant-weight special case). The comparison threshold uses an
+    * explicit floor so both engines compute the identical integer cut. */
+  def importanceSample(df: DataFrame, idCol: String, weight: Column,
+                       salt: String): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(
+      md5Hash32(col(idCol).cast("string"), lit(salt)) % Denom <
+        floor(w * Denom.toDouble).cast("long"))
+  }
+
   /** Concat-then-chunk sequence packing (the standard LLM pre-training
     * layout): within each of `buckets` hash buckets, documents are laid
     * end-to-end in id order and the token stream is cut into fixed

@@ -856,6 +856,69 @@ object PipelineQueries {
                CAST(SUM(length(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g'))) AS BIGINT) AS clean_chars
         FROM documents GROUP BY lang""")),
 
+    // Quality-weighted (importance) sampling: keep probability = the
+    // doc's length-based quality weight; pure hash threshold, so the
+    // sample is identical on re-run and across engines.
+    QueryDef(
+      "curate_importance_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val weight = least($"n_chars".cast("double") / 400.0, lit(1.0))
+        Curation.importanceSample(docs, "doc_id", weight, "q1")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"),
+               sum($"n_chars".cast("long")).as("sum_chars"),
+               min($"doc_id").as("min_id"))
+      },
+      Some(s"""
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM documents
+        WHERE ${duckHash32("'q1' || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+              < CAST(FLOOR(LEAST(n_chars::DOUBLE / 400.0, 1.0) * 1000000.0) AS BIGINT)
+        GROUP BY lang""")),
+
+    // PII surface statistics (emails / URLs / phone-shaped strings) per
+    // language — the audit pass that runs BEFORE scrubbing decides what
+    // to redact. Pure regexp counts, codegen'd, one aggregation.
+    QueryDef(
+      "text_pii_stats",
+      (s, dir) => {
+        import s.implicits._
+        val email = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        val url = raw"https?://[^\s]+"
+        val phone = raw"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+        def hits(p: String) =
+          size(regexp_extract_all($"text", lit(p), lit(0)))
+        t(s, dir, "documents")
+          .select($"lang",
+            hits(email).as("emails"),
+            hits(url).as("urls"),
+            hits(phone).as("phones"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"emails".cast("long")).as("n_emails"),
+               sum($"urls".cast("long")).as("n_urls"),
+               sum($"phones".cast("long")).as("n_phones"),
+               count(when($"emails" + $"urls" + $"phones" > 0, 1))
+                 .as("docs_with_pii"))
+      },
+      Some(raw"""
+        WITH counts AS (
+          SELECT lang,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+                 len(regexp_extract_all(text, 'https?://[^\s]+')) AS urls,
+                 len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS phones
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(emails) AS BIGINT) AS n_emails,
+               CAST(SUM(urls) AS BIGINT) AS n_urls,
+               CAST(SUM(phones) AS BIGINT) AS n_phones,
+               COUNT(CASE WHEN emails + urls + phones > 0 THEN 1 END) AS docs_with_pii
+        FROM counts GROUP BY lang""")),
+
     QueryDef(
       "curate_decontaminate",
       (s, dir) => {

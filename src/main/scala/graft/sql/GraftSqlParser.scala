@@ -31,9 +31,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   private def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(target, zorder) =>
+    case OptimizeRe(target, where, zorder) =>
       Some(GraftOptimizeCommand(parseTarget(target),
-        Option(zorder).toSeq.flatMap(_.split(",").map(cleanIdent))))
+        Option(zorder).toSeq.flatMap(_.split(",").map(cleanIdent)),
+        Option(where).map(_.trim)))
     case VacuumRe(target, hours, dryRun) =>
       Some(GraftVacuumCommand(parseTarget(target),
         Option(hours).map(_.toDouble), dryRun != null))
@@ -96,7 +97,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val RestoreTsRe =
@@ -147,10 +148,14 @@ object GraftSqlParser {
     }
 }
 
-/** `OPTIMIZE <table> [ZORDER BY (cols)]` → [[graft.delta.DeltaTable.compact]]. */
+/** `OPTIMIZE <table> [WHERE <partition predicate>] [ZORDER BY (cols)]`
+  * → [[graft.delta.DeltaTable.compact]]. WHERE bounds the compaction to
+  * matching partitions — the incremental-maintenance shape for tables
+  * too large to OPTIMIZE whole. */
 case class GraftOptimizeCommand(
     target: Either[String, Seq[String]],
-    zOrderBy: Seq[String]) extends LeafRunnableCommand {
+    zOrderBy: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -159,7 +164,8 @@ case class GraftOptimizeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, target)
     val version = graft.delta.DeltaTable.forPath(session, path)
-      .compact(zOrderBy = zOrderBy)
+      .compact(zOrderBy = zOrderBy,
+        where = where.map(w => org.apache.spark.sql.functions.expr(w)))
     Seq(Row(path, version))
   }
 }

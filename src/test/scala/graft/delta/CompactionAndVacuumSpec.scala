@@ -136,6 +136,27 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    withTempDir { dir =>
+      // two partitions, 3 small files each
+      (1 to 3).foreach { i =>
+        DeltaTable.write(Seq((i, "a"), (i, "b")).toDF("id", "part")
+          .repartition(2), dir, partitionBy = Seq("part"))
+      }
+      val table = DeltaTable.forPath(spark, dir)
+      val before = table.deltaLog.update().allFiles
+        .groupBy(_.partitionValues("part")).view.mapValues(_.size).toMap
+      assert(before("a") == 3 && before("b") == 3)
+
+      spark.sql(s"OPTIMIZE '$dir' WHERE part = 'a'")
+      val after = table.deltaLog.update().allFiles
+        .groupBy(_.partitionValues("part")).view.mapValues(_.size).toMap
+      assert(after("a") == 1, s"partition a not compacted: $after")
+      assert(after("b") == 3, s"partition b was touched: $after")
+      assert(table.toDF.count() == 6)
+    }
+  }
+
   test("vacuum DRY RUN counts deletable files without deleting") {
     withTempDir { dir =>
       (1 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("v"), dir))
