@@ -131,10 +131,24 @@ object GraftExtensions {
     }
     val changes: Seq[Expression] => LogicalPlan = { args =>
       require(args.size == 3,
-        "graft_table_changes(path, startVersion, endVersion) takes 3 arguments")
-      val t = graft.delta.DeltaTable.forPath(SparkSession.active,
-        str(args(0), "path"))
-      analyzed(t.changes(long(args(1), "startVersion"), long(args(2), "endVersion")))
+        "graft_table_changes(path, start, end) takes 3 arguments " +
+          "(versions as numbers, or timestamps as 'yyyy-MM-dd HH:mm:ss')")
+      val spark = SparkSession.active
+      val t = graft.delta.DeltaTable.forPath(spark, str(args(0), "path"))
+      // numeric bounds are versions; string bounds are timestamps,
+      // resolved inclusively (start: first version at/after, end: last
+      // version at/before) — the Delta CDF contract
+      def bound(e: Expression, what: String, start: Boolean): Long =
+        lit(e, what) match {
+          case n: java.lang.Number => n.longValue()
+          case s =>
+            val ts = java.sql.Timestamp.valueOf(s.toString).getTime
+            val log = t.deltaLog
+            if (start) log.getVersionAtOrAfterTimestamp(ts)
+            else log.getVersionBeforeOrAtTimestamp(ts)
+        }
+      analyzed(t.changes(bound(args(1), "start", start = true),
+        bound(args(2), "end", start = false)))
     }
 
     Seq(
@@ -145,7 +159,14 @@ object GraftExtensions {
       (new FunctionIdentifier("graft_table_changes"),
         new ExpressionInfo("graft.delta.DeltaTable", "graft_table_changes"), changes),
       (new FunctionIdentifier("graft_detail"),
-        new ExpressionInfo("graft.delta.DeltaTable", "graft_detail"), detail))
+        new ExpressionInfo("graft.delta.DeltaTable", "graft_detail"), detail),
+      (new FunctionIdentifier("graft_partitions"),
+        new ExpressionInfo("graft.delta.DeltaTable", "graft_partitions"),
+        (args: Seq[Expression]) => {
+          require(args.size == 1, "graft_partitions(path) takes 1 argument")
+          analyzed(graft.delta.DeltaTable.forPath(SparkSession.active,
+            str(args(0), "path")).partitions())
+        }))
   }
 
   /** Batch reads of catalog tables: stock Spark consults

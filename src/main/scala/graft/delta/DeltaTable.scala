@@ -502,6 +502,28 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "numAddedFiles" -> adds.size.toString))
   }
 
+  /** SHOW PARTITIONS with operational stats: one row per partition with
+    * file count, bytes, and (when stats exist) row count. Aggregates the
+    * file list WITHOUT driver materialization in distributed-state mode —
+    * output is partition-count bounded. */
+  def partitions(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = deltaLog.update()
+    val pcols = snap.metadata.partitionColumns
+    require(pcols.nonEmpty, "Table is not partitioned")
+    val files =
+      if (snap.distributedState) snap.allFilesDistributed else snap.allFilesDS
+    files.select(
+        pcols.map(c => element_at(col("partitionValues"), c).as(c)) ++ Seq(
+          col("size"),
+          get_json_object(col("stats"), "$.numRecords").cast("long")
+            .as("__rows")): _*)
+      .groupBy(pcols.map(col): _*)
+      .agg(count(lit(1)).as("num_files"),
+        sum(col("size")).as("size_in_bytes"),
+        sum(col("__rows")).as("num_rows"))
+  }
+
   /** DESCRIBE DETAIL: one row of table-level metadata. Protocol, schema
     * and configuration come from light state (no AddFile decode — M5);
     * numFiles/sizeInBytes aggregate the file list WITHOUT materializing

@@ -47,6 +47,30 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("appends race OPTIMIZE without conflict or data loss") {
+    withTempDir { dir =>
+      (1 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("v"), dir))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        // OPTIMIZE commits dataChange=false under SnapshotIsolation; a
+        // concurrent blind append must not conflict with it (and vice
+        // versa) — both land, possibly after a retry
+        val compactor = pool.submit(new Runnable {
+          def run(): Unit =
+            (1 to 3).foreach(_ => DeltaTable.forPath(spark, dir).compact())
+        })
+        val appender = pool.submit(new Runnable {
+          def run(): Unit = (5 to 10).foreach(i =>
+            DeltaTable.write(Seq(i).toDF("v"), dir))
+        })
+        compactor.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        appender.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      } finally pool.shutdown()
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .as[Int].collect().sorted.toSeq == (1 to 10).toSeq)
+    }
+  }
+
   test("operation metrics are recorded for writes and deletes") {
     withTempDir { dir =>
       DeltaTable.write(

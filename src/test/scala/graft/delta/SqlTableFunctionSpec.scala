@@ -75,6 +75,51 @@ class SqlTableFunctionSpec extends SparkSpec {
     }
   }
 
+  test("graft_partitions lists per-partition files, bytes and rows") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "part").coalesce(1),
+        dir, partitionBy = Seq("part"))
+      val rows = spark.sql(
+        s"""SELECT part, num_files, num_rows FROM graft_partitions('$dir')
+            ORDER BY part""").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 1L))
+      assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+      // unpartitioned tables refuse (same as SHOW PARTITIONS)
+      withTempDir { flat =>
+        DeltaTable.write(Seq(1).toDF("v"), flat)
+        intercept[Exception] {
+          spark.sql(s"SELECT * FROM graft_partitions('$flat')").collect()
+        }
+      }
+    }
+  }
+
+  test("graft_table_changes accepts timestamp bounds") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir)
+      DeltaTable.write(Seq((2, "b")).toDF("id", "v"), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val t0 = new java.sql.Timestamp(
+        log.getSnapshotForVersionAsOf(0).timestamp).toString
+      val t1 = new java.sql.Timestamp(
+        log.getSnapshotForVersionAsOf(1).timestamp).toString
+      val rows = spark.sql(
+        s"""SELECT id, _change_type, _commit_version
+            FROM graft_table_changes('$dir', '$t0', '$t1')
+            ORDER BY id""").collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(rows.forall(_.getString(1) == "insert"))
+      assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L))
+      // half-open in time: starting after v0's commit excludes it
+      val later = spark.sql(
+        s"""SELECT id FROM graft_table_changes('$dir', '$t1', '$t1')""")
+        .collect()
+      assert(later.map(_.getInt(0)).toSeq == Seq(2))
+    }
+  }
+
   test("non-literal and mis-typed arguments fail at analysis") {
     withTempDir { dir =>
       DeltaTable.write(Seq(1).toDF("v"), dir)
