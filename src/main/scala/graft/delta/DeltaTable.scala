@@ -818,6 +818,16 @@ object DeltaTable {
     val parquet = listed.filter(_._1.endsWith(".parquet"))
     require(parquet.nonEmpty, s"No parquet files found under $path")
 
+    // stats from the existing footers (driver-parallel below the bound,
+    // executor tasks above it) — adopted files data-skip from day one
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partitionColumns.contains(f.name)))
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    val statsByPath = graft.delta.write.StatsCollector.collectAll(
+      spark, parquet.map(t => new org.apache.hadoop.fs.Path(qualifiedRoot,
+        new org.apache.hadoop.fs.Path(null, null, t._1))),
+      dataSchema, log.hadoopConf)
+
     val adds = parquet.map { case (rel, size, mtime) =>
       AddFile(
         path = new java.net.URI(null, null, rel, null).toString,
@@ -826,7 +836,8 @@ object DeltaTable {
         size = size,
         modificationTime = mtime,
         dataChange = true,
-        stats = None)
+        stats = statsByPath.getOrElse(new org.apache.hadoop.fs.Path(
+          qualifiedRoot, new org.apache.hadoop.fs.Path(null, null, rel)), None))
     }
     val txn = log.startTransaction()
     txn.updateMetadata(Metadata(

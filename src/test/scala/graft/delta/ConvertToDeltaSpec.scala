@@ -28,6 +28,13 @@ class ConvertToDeltaSpec extends SparkSpec {
         .forall(_.partitionValues("part") == "1"))
       assert(table.toDF.filter($"part" === 1).count() == 25)
       assert(table.history().select($"operation").as[String].head() == "CONVERT")
+      // adopted files carry footer-derived stats: data skipping works
+      // from day one (id is range-partitioned by the original write)
+      val files = table.deltaLog.update().allFiles
+      assert(files.forall(_.stats.isDefined), "converted files lack stats")
+      val total = files.flatMap(_.stats).map(s =>
+        JsonCodec.mapper.readTree(s).get("numRecords").asLong).sum
+      assert(total == 100L)
 
       // the converted table is fully live: appends + time travel
       DeltaTable.write(

@@ -94,6 +94,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("a shallow clone's scan pushes filters and prunes schema like the source") {
+    withTempDir { base =>
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      DeltaTable.write(
+        (1 to 500).map(i => (i.toLong, s"n$i", i * 2.0)).toDF("id", "name", "score"),
+        src)
+      DeltaTable.forPath(spark, src).cloneTo(dst)
+      // absolute-URI AddFiles must plan identically to relative ones
+      val q = DeltaTable.forPath(spark, dst).toDF
+        .filter($"id" > 250L).select($"id", $"name")
+      val scan = scanOf(q)
+      assert(scan.metadata("PushedFilters").contains("GreaterThan(id,250)"))
+      val readSchema = scan.metadata("ReadSchema")
+      assert(readSchema.contains("id") && readSchema.contains("name") &&
+        !readSchema.contains("score"), s"ReadSchema=$readSchema")
+      assert(q.count() == 250)
+    }
+  }
+
   test("SQL functions registered through GraftExtensions evaluate") {
     // a child session so the registration doesn't leak into other suites
     val s2 = spark.newSession()
