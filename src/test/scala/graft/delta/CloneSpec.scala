@@ -109,6 +109,28 @@ class CloneSpec extends SparkSpec {
     }
   }
 
+  test("VACUUM on a clone never deletes the source's files") {
+    withTempDir { src =>
+      withTempDir { dst =>
+        val target = s"$dst/cloned"
+        DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), src)
+        DeltaTable.forPath(spark, src).cloneTo(target)
+        val clone = DeltaTable.forPath(spark, target)
+        // tombstone the (absolute-path) source files in the clone's log,
+        // then vacuum far past retention: the listing is clone-rooted, so
+        // the source files are simply not candidates
+        clone.delete($"id" === 1)
+        val log = DeltaLog.forTable(spark, target)
+        log.clock = () => System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+        clone.vacuum()
+        // the source still reads completely
+        assert(DeltaTable.forPath(spark, src).toDF.count() == 2)
+        // and the clone's own surviving reference still resolves
+        assert(clone.toDF.select($"id").as[Int].collect().toSeq == Seq(2))
+      }
+    }
+  }
+
   test("SQL: CREATE TABLE ... SHALLOW CLONE") {
     withTempDir { src =>
       withTempDir { dst =>

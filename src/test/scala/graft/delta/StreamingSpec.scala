@@ -262,6 +262,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join across two delta sources") {
+    withTempDir { base =>
+      val left = s"$base/impressions"
+      val right = s"$base/clicks"
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      DeltaTable.write(Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(20)))
+        .toDF("ad_id", "imp_ts"), left)
+      DeltaTable.write(Seq((1L, ts(2)), (3L, ts(40)))
+        .toDF("ad_id", "click_ts"), right)
+
+      val imps = spark.readStream.format("graft-delta").load(left)
+        .withWatermark("imp_ts", "1 hour")
+      val clicks = spark.readStream.format("graft-delta").load(right)
+        .withWatermark("click_ts", "1 hour")
+      // clicks attribute to an impression of the same ad within 5 minutes
+      val q = imps.alias("imps").join(clicks.alias("clicks"),
+          expr("""imps.ad_id = clicks.ad_id AND
+                  click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 5 MINUTES"""))
+        .select(col("imps.ad_id"))
+        .writeStream.format("memory").queryName("attributed")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        // ad 1 clicked within window; ad 3's click is 20 min late
+        assert(spark.table("attributed").as[Long].collect().toSeq == Seq(1L))
+      } finally q.stop()
+    }
+  }
+
   test("batch read via format with time travel options") {
     withTempDir { base =>
       val table = s"$base/table"
