@@ -104,6 +104,29 @@ class BloomSkippingSpec extends SparkSpec {
     }
   }
 
+  test("bloom tags survive checkpoint replay") {
+    withTempDir { dir =>
+      // enough commits to cross a checkpoint boundary
+      (0 until 4).foreach { i =>
+        DeltaTable.write(
+          spark.range(i * 10, i * 10 + 10).toDF("id")
+            .withColumn("key", md5(concat(lit("k"), $"id"))),
+          dir, configuration =
+            Map("delta.bloomFilter.columns" -> "key",
+              "delta.checkpointInterval" -> "2"))
+      }
+      DeltaLog.clearCache() // force replay from the checkpoint parquet
+      val table = DeltaTable.forPath(spark, dir)
+      val files = table.deltaLog.update().allFiles
+      assert(files.forall(_.tags.exists(_.contains("bloom.key"))),
+        "tags lost through checkpoint round-trip")
+      val k = spark.range(5, 6).toDF("id")
+        .select(md5(concat(lit("k"), $"id"))).as[String].head()
+      assert(filesRead(table.toDF.filter($"key" === k)) < files.size)
+      assert(table.toDF.filter($"key" === k).count() == 1L)
+    }
+  }
+
   test("build and probe agree on the bit protocol") {
     val bits = 1024
     val pos = BloomFilters.positions("hello", bits)
