@@ -130,6 +130,32 @@ class DistributedStateSpec extends SparkSpec {
     }
   }
 
+  test("distributed mode: replaceWhere prunes candidates without " +
+      "materializing the file list") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        DeltaTable.write(Seq((1, "real"), (2, "real")).toDF("v", "p"), dir,
+          partitionBy = Seq("p"),
+          configuration = Map("delta.checkpointInterval" -> "2"))
+        commitSyntheticFiles(dir, 2000, "rw")
+        commitSyntheticFiles(dir, 10, "rw2") // cross the checkpoint boundary
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val snap = log.update()
+        assert(snap.distributedState)
+
+        DeltaTable.forPath(spark, dir).replaceWhere(
+          Seq((9, "real")).toDF("v", "p"), $"p" === "real")
+        assert(!snap.fullStateComputed)
+        assert(!snap.filesMaterialized,
+          "replaceWhere collected the full file list")
+        assert(log.update().toDF.filter($"p" === "real")
+          .select($"v").as[Int].collect().toSeq == Seq(9))
+      } finally spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+    }
+  }
+
   test("distributed mode: compact caps files per commit") {
     withTempDir { dir =>
       spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
