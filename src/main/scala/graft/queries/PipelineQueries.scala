@@ -768,6 +768,36 @@ object PipelineQueries {
                CAST(SUM(LEAST(16, length(text))) AS BIGINT) AS total_features
         FROM documents GROUP BY lang""")),
 
+    // Content-addressable media dedup: hash the BINARY payload itself
+    // (the standard blob-store dedup for image/audio corpora — identical
+    // bytes collapse regardless of metadata). One hash pass + one
+    // map-side-combinable group; no payload shuffle beyond the 32-char
+    // digest.
+    QueryDef(
+      "multimodal_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        // a re-ingested slice under new ids — the blob-store scenario:
+        // identical bytes arriving twice must collapse by content hash
+        val reingested = docs.filter($"doc_id" % 50 === 0)
+          .withColumn("doc_id", $"doc_id" + 1000000L)
+        val media = Multimodal.mediaFromText(
+          docs.unionByName(reingested), "doc_id", "text")
+        media.select($"id", md5($"media").as("h"))
+          .groupBy($"h")
+          .agg(count(lit(1)).as("n_copies"), min($"id").as("keeper_id"))
+          .filter($"n_copies" > 1)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
+        SELECT md5(text) AS h, COUNT(*) AS n_copies,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+        FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1""")),
+
     // ------------------------------------------------------------ curation
     QueryDef(
       "curate_hash_split",
