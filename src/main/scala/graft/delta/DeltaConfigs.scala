@@ -73,4 +73,16 @@ object DeltaConfigs {
     * single writer or reader task should own the whole state. */
   val CHECKPOINT_PART_SIZE: DeltaConfig[Long] = DeltaConfig(
     "delta.checkpoint.partSize", "1000000", _.toLong, (_: Long) >= 1L)
+
+  /** Repartition incoming batches to ~targetFileSize outputs BEFORE the
+    * write (Delta's optimizeWrite): ingest is where the small-file
+    * problem starts — a 200-task job appending 10 MB otherwise creates
+    * 200 files of 50 KB each commit. */
+  val OPTIMIZE_WRITE: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.autoOptimize.optimizeWrite", "false", _.toBoolean)
+
+  /** Target data-file size for optimizeWrite and OPTIMIZE defaults. */
+  val TARGET_FILE_SIZE: DeltaConfig[Long] = DeltaConfig(
+    "delta.targetFileSize", (128L * 1024 * 1024).toString,
+    _.toLong, (_: Long) > 0)
 }

@@ -194,15 +194,31 @@ object DeltaWriter {
   private[delta] def writeFiles(df: DataFrame, deltaLog: DeltaLog,
                                 partCols: Seq[String],
                                 mapping: Map[String, String] = Map.empty,
-                                bloomMeta: Option[Metadata] = None): Seq[AddFile] = {
+                                meta: Option[Metadata] = None): Seq[AddFile] = {
     val conf = deltaLog.hadoopConf
     val fs = deltaLog.dataPath.getFileSystem(conf)
     val batchName = s"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(deltaLog.dataPath, batchName)
     try {
+      // optimizeWrite: coalesce the batch to ~targetFileSize outputs
+      // before writing, using Catalyst's size estimate — ingest is where
+      // the small-file problem starts, and coalesce (no shuffle) only
+      // ever REDUCES task count, so wide jobs stop emitting confetti
+      // files while narrow jobs are untouched
+      val shaped = meta
+        .filter(DeltaConfigs.OPTIMIZE_WRITE.fromMetadata) match {
+        case Some(m) =>
+          val target = DeltaConfigs.TARGET_FILE_SIZE.fromMetadata(m)
+          val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          val wanted = math.max(1L,
+            (estBytes / BigInt(target)).toLong + 1L)
+          val current = df.rdd.getNumPartitions
+          if (wanted < current) df.coalesce(wanted.toInt) else df
+        case None => df
+      }
       val physDf =
-        if (mapping.isEmpty) df
-        else df.select(df.columns.map(c => org.apache.spark.sql.functions
+        if (mapping.isEmpty) shaped
+        else shaped.select(shaped.columns.map(c => org.apache.spark.sql.functions
           .col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
       val writer = physDf.write.mode(SaveMode.Overwrite)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
@@ -216,12 +232,12 @@ object DeltaWriter {
         n => mapping.getOrElse(n, n))
       // opt-in per-file Bloom filters (delta.bloomFilter.columns): one
       // extra columnar pass over only the indexed columns
-      val blooms: Map[String, Map[String, String]] = bloomMeta
+      val blooms: Map[String, Map[String, String]] = meta
         .filter(m => BloomFilters.indexedColumns(m).nonEmpty)
         .map(m => BloomFilters.build(df.sparkSession, files.map(_.getPath),
           m, n => mapping.getOrElse(n, n)))
         .getOrElse(Map.empty)
-      val bloomBits = bloomMeta.map(BloomFilters.bits)
+      val bloomBits = meta.map(BloomFilters.bits)
       files.map { st =>
         val relInBatch = st.getPath.toUri.getPath
           .stripPrefix(batchDir.toUri.getPath + "/")

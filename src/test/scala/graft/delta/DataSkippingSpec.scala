@@ -18,6 +18,24 @@ class DataSkippingSpec extends SparkSpec {
       .map(_.files.length.toLong).sum).getOrElse(-1L)
   }
 
+  test("optimizeWrite coalesces confetti batches to few files") {
+    withTempDir { dir =>
+      // a 64-partition job writing ~100 KB would emit 64 tiny files
+      val confetti = spark.range(0, 10000).toDF("id").repartition(64)
+      DeltaTable.write(confetti, dir,
+        configuration = Map("delta.autoOptimize.optimizeWrite" -> "true"))
+      val n = DeltaLog.forTable(spark, dir).update().numOfFiles
+      assert(n <= 2, s"optimizeWrite still produced $n files")
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 10000)
+
+      // disabled (default): the job's partitioning dictates file count
+      withTempDir { plain =>
+        DeltaTable.write(confetti, plain)
+        assert(DeltaLog.forTable(spark, plain).update().numOfFiles > 32)
+      }
+    }
+  }
+
   test("writes populate AddFile.stats with numRecords and min/max") {
     withTempDir { dir =>
       DeltaTable.write(
