@@ -74,6 +74,15 @@ object DeltaConfigs {
   val CHECKPOINT_PART_SIZE: DeltaConfig[Long] = DeltaConfig(
     "delta.checkpoint.partSize", "1000000", _.toLong, (_: Long) >= 1L)
 
+  /** Collect per-file min/max/nullCount for only the first N data
+    * columns (Delta's delta.dataSkippingNumIndexedCols): on a 1000-column
+    * table, unbounded stats make every AddFile JSON line — and the
+    * checkpoint — dominated by stats nobody filters on. numRecords is
+    * always collected; skipping stays conservative for unindexed
+    * columns. */
+  val DATA_SKIPPING_NUM_INDEXED_COLS: DeltaConfig[Int] = DeltaConfig(
+    "delta.dataSkippingNumIndexedCols", "32", _.toInt, (_: Int) >= 0)
+
   /** Repartition incoming batches to ~targetFileSize outputs BEFORE the
     * write (Delta's optimizeWrite): ingest is where the small-file
     * problem starts — a 200-task job appending 10 MB otherwise creates

@@ -227,8 +227,13 @@ object DeltaWriter {
       val files = listParquetFiles(fs, batchDir)
       val dataSchema = org.apache.spark.sql.types.StructType(
         df.schema.filterNot(f => partCols.contains(f.name)))
+      // index only the first N data columns (numRecords always rides)
+      val statsSchema = meta.map(m => org.apache.spark.sql.types.StructType(
+          dataSchema.take(
+            DeltaConfigs.DATA_SKIPPING_NUM_INDEXED_COLS.fromMetadata(m))))
+        .getOrElse(dataSchema)
       val stats = StatsCollector.collectAll(
-        df.sparkSession, files.map(_.getPath), dataSchema, conf,
+        df.sparkSession, files.map(_.getPath), statsSchema, conf,
         n => mapping.getOrElse(n, n))
       // opt-in per-file Bloom filters (delta.bloomFilter.columns): one
       // extra columnar pass over only the indexed columns

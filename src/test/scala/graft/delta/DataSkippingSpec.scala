@@ -18,6 +18,27 @@ class DataSkippingSpec extends SparkSpec {
       .map(_.files.length.toLong).sum).getOrElse(-1L)
   }
 
+  test("dataSkippingNumIndexedCols bounds the stats width") {
+    withTempDir { dir =>
+      val wide = spark.range(0, 50).toDF("c0")
+      val df = (1 until 40).foldLeft(wide)((d, i) => d.withColumn(s"c$i", $"c0" + i))
+      DeltaTable.write(df, dir,
+        configuration = Map("delta.dataSkippingNumIndexedCols" -> "4"))
+      val stats = DeltaLog.forTable(spark, dir).update().allFiles.head.stats.get
+      val node = JsonCodec.mapper.readTree(stats)
+      assert(node.get("numRecords").asLong > 0) // always collected
+      val mins = node.get("minValues")
+      assert(mins.has("c0") && mins.has("c3") && !mins.has("c4"),
+        s"stats width not bounded: $stats")
+      // skipping still prunes on an indexed column…
+      assert(filesRead(DeltaTable.forPath(spark, dir).toDF
+        .filter($"c0" === -1L)) == 0L)
+      // …and stays conservative (keeps files) on an unindexed one
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .filter($"c39" === 39L).count() == 1L)
+    }
+  }
+
   test("optimizeWrite coalesces confetti batches to few files") {
     withTempDir { dir =>
       // a 64-partition job writing ~100 KB would emit 64 tiny files
