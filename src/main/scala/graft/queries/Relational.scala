@@ -322,6 +322,38 @@ object Relational {
         FROM purchases p LEFT JOIN best b ON b.event_id = p.event_id
         GROUP BY 1""")),
 
+    // -------------------------------------------- events: skewed-key join
+    // 90% of facts collapse onto one synthetic hot key; the engine joins
+    // through Skew.saltedJoin (deterministic hash scatter × dimension
+    // replication) — results must equal the plain join the oracle runs.
+    QueryDef(
+      "q_skew_join",
+      (s, dir) => {
+        import s.implicits._
+        val facts = t(s, dir, "events")
+          .select($"event_id", $"value",
+            when($"event_id" % 10 =!= 0, lit(7L))
+              .otherwise($"user_id" % 25).as("k"))
+        val dim = t(s, dir, "nation")
+          .select($"n_nationkey".cast("long").as("k"), $"n_name")
+        graft.operators.Skew
+          .saltedJoin(facts, dim, "k", salts = 16, scatterBy = $"event_id")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n"),
+               sum($"value".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_value"))
+      },
+      Some("""
+        WITH facts AS (
+          SELECT event_id, value,
+                 CASE WHEN event_id % 10 <> 0 THEN 7
+                      ELSE user_id % 25 END AS k
+          FROM events)
+        SELECT n_name, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM facts JOIN nation ON n_nationkey = k
+        GROUP BY n_name""")),
+
     // ---------------------------------------- events: sessionization SQL
     QueryDef(
       "q_events_sessions",

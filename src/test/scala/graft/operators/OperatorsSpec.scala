@@ -228,6 +228,27 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCycle == Map(20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("salted join equals the plain join on a pathologically skewed key") {
+    // 90% of facts on one hot key
+    val facts = spark.range(0, 2000).toDF("id")
+      .withColumn("k", when($"id" % 10 =!= 0, 7L).otherwise($"id" % 5))
+      .withColumn("v", $"id" * 3)
+    val dim = spark.range(0, 10).toDF("k").withColumn("label", concat(lit("d"), $"k"))
+    val plain = facts.join(dim, "k")
+      .groupBy($"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(facts, dim, "k", salts = 8, scatterBy = $"id")
+      .groupBy($"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    // the salted plan's fact side actually carries 8 distinct salt values
+    // for the hot key (the scatter happened; it isn't a degenerate 1-salt)
+    val spread = facts.withColumn("__salt",
+        pmod(graft.functions.md5Hash32($"id".cast("string")), lit(8L)))
+      .filter($"k" === 7L).select($"__salt").distinct().count()
+    assert(spread == 8L, s"hot key scattered over only $spread salts")
+  }
+
   test("rolling fingerprint matches a reference implementation") {
     def ref(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
