@@ -756,12 +756,17 @@ object DeltaTable {
   def isDeltaTable(spark: SparkSession, path: String): Boolean =
     DeltaLog.forTable(spark, path).tableExists
 
-  /** Batch write (append / overwrite / create). */
+  /** Batch write (append / overwrite / create). `idempotentTxn =
+    * Some((appId, version))` makes the write exactly-once under retries:
+    * replaying an already-committed version is a no-op (foreachBatch
+    * contract, same SetTransaction machinery as the streaming sink). */
   def write(df: DataFrame, path: String,
             mode: SaveMode = SaveMode.Append,
             partitionBy: Seq[String] = Nil,
-            configuration: Map[String, String] = Map.empty): Long =
-    graft.delta.write.DeltaWriter.write(df, path, mode, partitionBy, configuration)
+            configuration: Map[String, String] = Map.empty,
+            idempotentTxn: Option[(String, Long)] = None): Long =
+    graft.delta.write.DeltaWriter.write(df, path, mode, partitionBy,
+      configuration, idempotentTxn = idempotentTxn)
 
   /** CONVERT TO DELTA: turn a plain parquet directory into a Delta table
     * IN PLACE — no data moves; one commit records every existing parquet

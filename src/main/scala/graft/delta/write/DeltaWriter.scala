@@ -25,7 +25,8 @@ object DeltaWriter {
             mode: SaveMode = SaveMode.Append,
             partitionBy: Seq[String] = Nil,
             configuration: Map[String, String] = Map.empty,
-            operation: String = DeltaOperations.Write): Long = {
+            operation: String = DeltaOperations.Write,
+            idempotentTxn: Option[(String, Long)] = None): Long = {
     val spark = df0.sparkSession
     val deltaLog = DeltaLog.forTable(spark, path)
     val exists = deltaLog.tableExists
@@ -35,6 +36,13 @@ object DeltaWriter {
     if (exists && mode == SaveMode.Ignore) return deltaLog.snapshot.version
 
     val txn = deltaLog.startTransaction()
+
+    // idempotent writer (txnAppId/txnVersion): a foreachBatch retry that
+    // replays an already-committed version is a no-op — the same
+    // SetTransaction contract the streaming sink uses (F7/F8)
+    idempotentTxn.foreach { case (appId, version) =>
+      if (txn.txnVersion(appId) >= version) return txn.snapshot.version
+    }
 
     // compute generated columns the caller did not provide, BEFORE any
     // schema comparison (the table schema includes them; the append need
@@ -100,7 +108,10 @@ object DeltaWriter {
       (if (removes.nonEmpty)
         Map("numRemovedFiles" -> removes.size.toString) else Map.empty)
 
-    txn.commit(adds ++ removes,
+    val txnAction: Seq[Action] = idempotentTxn.toSeq.map { case (appId, v) =>
+      SetTransaction(appId, v, Some(deltaLog.clock()))
+    }
+    txn.commit(txnAction ++ adds ++ removes,
       if (!exists) DeltaOperations.CreateTable
       else if (mode == SaveMode.Overwrite) DeltaOperations.ReplaceTable
       else operation,

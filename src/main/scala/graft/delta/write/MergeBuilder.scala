@@ -36,6 +36,14 @@ final class MergeBuilder private[delta] (
   private var updateSet: Option[Map[String, Column]] = None
   private var matchedDelete = false
   private var insertAll = false
+  private var idempotency: Option[(String, Long)] = None
+
+  /** Make this MERGE idempotent under (appId, version): a re-execution
+    * with a version at or below the recorded one is a no-op — the
+    * foreachBatch-upsert pattern's exactly-once contract. */
+  def withIdempotency(appId: String, version: Long): MergeBuilder = {
+    idempotency = Some((appId, version)); this
+  }
 
   def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder = {
     require(!matchedDelete, "whenMatchedUpdate and whenMatchedDelete are exclusive")
@@ -58,6 +66,9 @@ final class MergeBuilder private[delta] (
     val deltaLog = table.deltaLog
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
+    idempotency.foreach { case (appId, version) =>
+      if (txn.txnVersion(appId) >= version) return snapshot.version
+    }
     val metadata = snapshot.metadata
     val schema = metadata.schema
     updateSet.foreach(_.keys.foreach { c =>
@@ -212,7 +223,10 @@ final class MergeBuilder private[delta] (
       .map(CdcWriter.writeChangeFiles(_, deltaLog, metadata.columnMapping))
       .getOrElse(Nil)
     cached.foreach(_.unpersist())
-    txn.commit(cdc ++ adds ++ removes, DeltaOperations.Merge,
+    val txnAction: Seq[Action] = idempotency.toSeq.map { case (appId, v) =>
+      SetTransaction(appId, v, Some(deltaLog.clock()))
+    }
+    txn.commit(txnAction ++ cdc ++ adds ++ removes, DeltaOperations.Merge,
       operationMetrics = Map(
         "numTargetFilesRemoved" -> removes.size.toString,
         "numTargetFilesAdded" -> adds.size.toString))

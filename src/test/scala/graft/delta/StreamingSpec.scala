@@ -262,6 +262,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch upsert: idempotent MERGE and write under batch replay") {
+    withTempDir { base =>
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      val ckpt = s"$base/ckpt"
+      DeltaTable.write(Seq((1, 10), (2, 20)).toDF("id", "v"), dst)
+      DeltaTable.write(Seq((1, 99), (3, 30)).toDF("id", "v"), src)
+
+      // the canonical streaming-upsert pattern: each micro-batch MERGEs
+      // into the target, keyed by (queryId, batchId) for exactly-once
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                                     batchId: Long) =>
+          DeltaTable.forPath(spark, dst)
+            .merge(batch, col("t.id") === col("s.id"))
+            .whenMatchedUpdate(Map("v" -> col("s.v")))
+            .whenNotMatchedInsertAll()
+            .withIdempotency("upsert-test", batchId)
+            .execute()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(DeltaTable.forPath(spark, dst).toDF.as[(Int, Int)].collect().toSet
+        == Set((1, 99), (2, 20), (3, 30)))
+
+      // a REPLAY of the same batch (simulated retry) is a no-op
+      val before = DeltaTable.forPath(spark, dst).version
+      DeltaTable.forPath(spark, dst)
+        .merge(Seq((1, 1000)).toDF("id", "v"), col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("v" -> col("s.v")))
+        .withIdempotency("upsert-test", 0L)
+        .execute()
+      assert(DeltaTable.forPath(spark, dst).version == before)
+      assert(DeltaTable.forPath(spark, dst).toDF.filter($"id" === 1)
+        .select($"v").as[Int].head() == 99)
+
+      // idempotent plain writes follow the same contract
+      val v1 = DeltaTable.write(Seq((9, 90)).toDF("id", "v"), dst,
+        idempotentTxn = Some(("loader", 5L)))
+      val v2 = DeltaTable.write(Seq((9, 90)).toDF("id", "v"), dst,
+        idempotentTxn = Some(("loader", 5L)))
+      assert(v2 == v1 && DeltaTable.forPath(spark, dst).toDF
+        .filter($"id" === 9).count() == 1)
+    }
+  }
+
   test("stream-stream interval join across two delta sources") {
     withTempDir { base =>
       val left = s"$base/impressions"
