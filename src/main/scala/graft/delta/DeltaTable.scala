@@ -463,7 +463,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * Scale shape: matched files select via the same partition pruning as
     * DML (distributed above the state bound); the incoming write is a
     * normal distributed job. */
-  def replaceWhere(df: DataFrame, condition: Column): Long = {
+  def replaceWhere(df0: DataFrame, condition: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, concat, lit, raise_error, to_json, struct, when, col}
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
@@ -484,6 +484,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
     txn.markFilesAsRead(condition)
 
+    // generated columns compute exactly as on append
+    val df = write.GeneratedColumns.materialize(df0, metadata)
     // every incoming row must fall inside the replaced region
     val rowJson = to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
     val guarded = df.filter(

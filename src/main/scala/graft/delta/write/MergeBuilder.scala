@@ -191,7 +191,11 @@ final class MergeBuilder private[delta] (
     val inserts: Option[DataFrame] =
       if (!insertAll) None
       else {
-        val unmatched = src.join(target, condition, "left_anti")
+        // generated columns the source does not carry COMPUTE (not
+        // null-fill) — a date-partitioned target must place merge-inserts
+        // in the right partition, same as appends
+        val unmatched = GeneratedColumns.materialize(
+          src.join(target, condition, "left_anti"), metadata)
         val aligned = unmatched.select(schema.fields.map { f =>
           if (unmatched.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)

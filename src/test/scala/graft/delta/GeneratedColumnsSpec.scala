@@ -84,6 +84,38 @@ class GeneratedColumnsSpec extends SparkSpec {
     }
   }
 
+  test("MERGE inserts and replaceWhere compute generated columns too") {
+    withTempDir { dir =>
+      DeltaTable.create(spark, dir, schema,
+        partitionBy = Seq("day"),
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      DeltaTable.write(
+        Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+          .toDF("id", "ts"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+
+      // merge-insert WITHOUT the day column: computed, not null-filled
+      table.merge(
+          Seq((2L, java.sql.Timestamp.valueOf("2026-02-02 09:00:00")))
+            .toDF("id", "ts"),
+          col("t.id") === col("s.id"))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val got = table.toDF.select($"id", $"day").as[(Long, String)]
+        .collect().toMap
+      assert(got(2L) == "2026-02-02", s"merge insert day = ${got.get(2L)}")
+
+      // replaceWhere without the generated column: also computed
+      table.replaceWhere(
+        Seq((9L, java.sql.Timestamp.valueOf("2026-01-01 23:00:00")))
+          .toDF("id", "ts"),
+        $"day" === "2026-01-01")
+      val after = table.toDF.select($"id", $"day").as[(Long, String)]
+        .collect().toMap
+      assert(after == Map(9L -> "2026-01-01", 2L -> "2026-02-02"), after.toString)
+    }
+  }
+
   test("streaming sink computes generated columns too") {
     withTempDir { base =>
       val dir = s"$base/t"
