@@ -497,7 +497,30 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       write.Invariants.enforce(guarded, metadata), deltaLog,
       metadata.partitionColumns, metadata.columnMapping, Some(metadata))
     val removes = matched.map(_.remove(deltaLog.clock()))
-    txn.commit(adds ++ removes, DeltaOperations.ReplaceWhere,
+    // CDF: a replaceWhere is deletes(old region rows) + inserts(new
+    // frame) — record both images so changes() can serve the commit
+    // (an add+remove commit without change files is unreconstructable)
+    val cdc: Seq[Action] =
+      if (write.CdcWriter.enabled(metadata) && matched.nonEmpty) {
+        val index = new read.DeltaFileIndex(spark, deltaLog.dataPath,
+          metadata, matched)
+        val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          location = index,
+          partitionSchema = metadata.partitionSchema,
+          dataSchema = metadata.dataSchema,
+          bucketSpec = None,
+          fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
+          options = Map.empty)(spark)
+        val removedRows = spark.baseRelationToDataFrame(relation)
+          .select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn(write.CdcWriter.ChangeTypeCol, lit("delete"))
+        val insertedRows = df
+          .withColumn(write.CdcWriter.ChangeTypeCol, lit("insert"))
+        write.CdcWriter.writeChangeFiles(
+          removedRows.unionByName(insertedRows), deltaLog,
+          metadata.columnMapping)
+      } else Nil
+    txn.commit(cdc ++ adds ++ removes, DeltaOperations.ReplaceWhere,
       operationMetrics = Map(
         "predicate" -> condition.toString,
         "numRemovedFiles" -> removes.size.toString,

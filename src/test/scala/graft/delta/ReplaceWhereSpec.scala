@@ -72,6 +72,25 @@ class ReplaceWhereSpec extends SparkSpec {
     }
   }
 
+  test("CDF-enabled tables record delete+insert images for replaceWhere") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0))
+          .toDF("id", "part", "v").coalesce(1),
+        dir, partitionBy = Seq("part"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val table = DeltaTable.forPath(spark, dir)
+      val v = table.replaceWhere(
+        Seq((9, "a", 90.0)).toDF("id", "part", "v"), $"part" === "a")
+
+      val changes = table.changes(v, v)
+        .select($"id", col(write.CdcWriter.ChangeTypeCol))
+        .as[(Int, String)].collect().toSet
+      assert(changes == Set((1, "delete"), (2, "delete"), (9, "insert")),
+        changes.toString)
+    }
+  }
+
   test("streams across replaceWhere fail without ignoreChanges (F3)") {
     withTempDir { base =>
       val dir = s"$base/t"
