@@ -442,8 +442,43 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       txn.updateMetadata(target.metadata, allowColumnRemoval = true)
     }
     val now = deltaLog.clock()
+    // CDF: restore = inserts(files coming back) + deletes(files leaving);
+    // recorded per-commit like every other rewrite so changes() can
+    // serve it (image schema is the RESTORED metadata's)
+    val cdc: Seq[Action] =
+      if (write.CdcWriter.enabled(target.metadata) &&
+          (toAdd.nonEmpty || toRemove.nonEmpty)) {
+        def rows(files: Seq[AddFile], m: Metadata, changeType: String) =
+          if (files.isEmpty) None
+          else {
+            import org.apache.spark.sql.functions.{col, lit}
+            val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, m, files)
+            val relation = org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation(
+                location = index,
+                partitionSchema = m.partitionSchema,
+                dataSchema = m.dataSchema,
+                bucketSpec = None,
+                fileFormat = new read.GuardedParquetFileFormat(m.columnMapping),
+                options = Map.empty)(spark)
+            // images align to the RESTORED schema; columns the other
+            // version lacks null-fill (forward restore across an add)
+            val base = spark.baseRelationToDataFrame(relation)
+            Some(base.select(target.metadata.schema.fields.map { f =>
+                if (base.columns.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }.toIndexedSeq: _*)
+              .withColumn(write.CdcWriter.ChangeTypeCol, lit(changeType)))
+          }
+        val images = rows(toAdd, target.metadata, "insert").toSeq ++
+          rows(toRemove, current.metadata, "delete").toSeq
+        images.reduceOption(_.unionByName(_))
+          .map(write.CdcWriter.writeChangeFiles(_, deltaLog,
+            target.metadata.columnMapping))
+          .getOrElse(Nil)
+      } else Nil
     txn.commit(
-      toAdd.map(_.copy(dataChange = true, modificationTime = now)) ++
+      cdc ++ toAdd.map(_.copy(dataChange = true, modificationTime = now)) ++
         toRemove.map(_.remove(now)),
       DeltaOperations.Restore,
       operationMetrics = Map(

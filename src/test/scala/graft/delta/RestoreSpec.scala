@@ -67,6 +67,20 @@ class RestoreSpec extends SparkSpec {
     }
   }
 
+  test("restore on a CDF table records delete+insert images") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir, SaveMode.Overwrite,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaTable.write(Seq((9, "z")).toDF("id", "v"), dir, SaveMode.Overwrite)
+      val table = DeltaTable.forPath(spark, dir)
+      val v = table.restore(0)
+      val changes = table.changes(v, v)
+        .select($"id", col(write.CdcWriter.ChangeTypeCol))
+        .as[(Int, String)].collect().toSet
+      assert(changes == Set((1, "insert"), (9, "delete")), changes.toString)
+    }
+  }
+
   test("restore to timestamp resolves through the commit timeline") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir, SaveMode.Overwrite)
