@@ -144,6 +144,32 @@ class OptimisticTransaction(
       require(isWriteCompatible(snapshot.metadata.schema, schema, allowColumnRemoval),
         "New schema is not write-compatible with the table's existing schema; " +
           s"existing: ${snapshot.metadata.schema.simpleString}, new: ${schema.simpleString}")
+      // a DROPPED column must not be referenced by surviving CHECK
+      // constraints or generation expressions (they would dangle and fail
+      // every future write) — drop the constraint / generated column first
+      if (allowColumnRemoval) {
+        val kept = schema.fieldNames.toSet
+        val dropped = snapshot.metadata.schema.fieldNames.filterNot(kept)
+        if (dropped.nonEmpty) {
+          val exprs =
+            m.configuration.collect {
+              case (k, v) if k.startsWith("delta.constraints.") =>
+                s"constraint ${k.stripPrefix("delta.constraints.")}" -> v
+            } ++
+            schema.fields.collect {
+              case f if f.metadata.contains("delta.generationExpression") =>
+                s"generated column ${f.name}" ->
+                  f.metadata.getString("delta.generationExpression")
+            }
+          dropped.foreach { c =>
+            val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+            exprs.foreach { case (what, e) =>
+              require(pat.findFirstIn(e).isEmpty,
+                s"Cannot drop column $c: referenced by $what ($e)")
+            }
+          }
+        }
+      }
     }
   }
 

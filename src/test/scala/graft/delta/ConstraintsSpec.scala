@@ -145,6 +145,32 @@ class ConstraintsSpec extends SparkSpec {
     }
   }
 
+  test("dropping a column referenced by a constraint or generation is refused") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, 10, "x")).toDF("id", "v", "tag"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      table.addConstraint("v_pos", "v > 0")
+
+      def dropColumn(name: String): Unit = {
+        val txn = table.deltaLog.startTransaction()
+        val m = txn.snapshot.metadata
+        txn.updateMetadata(m.copy(schemaString = Some(StructType(
+          m.schema.fields.filterNot(_.name == name)).json)),
+          allowColumnRemoval = true)
+        txn.commit(Nil, "DROP COLUMNS")
+      }
+      val e = intercept[IllegalArgumentException] { dropColumn("v") }
+      assert(e.getMessage.contains("v_pos"), e.getMessage)
+      // an unreferenced column still drops
+      dropColumn("tag")
+      assert(table.toDF.columns.toSeq == Seq("id", "v"))
+      // after dropping the constraint, the column drops too
+      table.dropConstraint("v_pos")
+      dropColumn("v")
+      assert(table.toDF.columns.toSeq == Seq("id"))
+    }
+  }
+
   test("a third-party table requiring writer > 3 is refused") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, 10)).toDF("id", "v"), dir)
