@@ -31,9 +31,14 @@ object Temporal {
     * (rename on the right side first); they come back nullable — null
     * where no right row precedes the left row.
     */
+  /** `tolerance` (an INTERVAL string, e.g. "10 minutes") bounds the
+    * lookback: a preceding right row older than leftTime − tolerance
+    * does not match (pandas merge_asof tolerance semantics) — payload
+    * columns come back null, exactly like no-match. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String, rightTieBreak: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               tolerance: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one equality key")
     require(rightPayload.nonEmpty, "no right payload columns requested")
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
@@ -48,7 +53,10 @@ object Temporal {
         col(rightTime).as("__t") :+
         lit(0).as("__side") :+
         col(rightTieBreak).as("__tie") :+
-        struct(rightPayload.map(col): _*).as("__payload"): _*)
+        // the payload carries its own event time so a tolerance bound
+        // can be applied AFTER the running-last resolves the match
+        struct((rightPayload.map(col) :+ col(rightTime).as("__rt")): _*)
+          .as("__payload"): _*)
     val leftSide = left.select(
       keyExprs :+
         col(leftTime).as("__t") :+
@@ -69,8 +77,14 @@ object Temporal {
         .over(timeline))
       .filter(col("__side") === 1)
 
+    val inRange = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        col("__match.__rt") >= col("__t") - expr(s"INTERVAL $t")
+    }
     matched.select(
       left.columns.map(c => col(s"__row.$c").as(c)) ++
-        rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+        rightPayload.map(c =>
+          when(inRange, col(s"__match.$c")).otherwise(lit(null)).as(c)): _*)
   }
 }

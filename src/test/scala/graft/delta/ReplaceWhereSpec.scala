@@ -91,6 +91,32 @@ class ReplaceWhereSpec extends SparkSpec {
     }
   }
 
+  test("a readChangeFeed stream serves replaceWhere's recorded images") {
+    withTempDir { base =>
+      val dir = s"$base/t"
+      DeltaTable.write(
+        Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "part", "v").coalesce(1),
+        dir, partitionBy = Seq("part"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaTable.forPath(spark, dir).replaceWhere(
+        Seq((9, "a", 90.0)).toDF("id", "part", "v"), $"part" === "a")
+
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(dir)
+        .writeStream.format("memory").queryName("rw_cdf")
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("rw_cdf")
+          .select($"id", col(write.CdcWriter.ChangeTypeCol))
+          .as[(Int, String)].collect().toSet
+        assert(got == Set((1, "delete"), (9, "insert")), got.toString)
+      } finally q.stop()
+    }
+  }
+
   test("streams across replaceWhere fail without ignoreChanges (F3)") {
     withTempDir { base =>
       val dir = s"$base/t"

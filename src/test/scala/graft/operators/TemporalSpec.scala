@@ -55,6 +55,22 @@ class TemporalSpec extends SparkSpec {
     assert(got(2L).contains(105L))
   }
 
+  test("tolerance bounds the lookback window") {
+    val got = Temporal.asofJoin(trades, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightTieBreak = "quote_id",
+        rightPayload = Seq("quote_id", "px"),
+        tolerance = Some("4 seconds"))
+      .collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Long]("quote_id")).map(_.toLong)).toMap
+    assert(got(1L).contains(102L)) // 0s gap: inside tolerance
+    assert(got(2L).contains(103L)) // 3s gap: inside
+    assert(got(3L).isEmpty)
+    assert(got(4L).isEmpty)        // 18s gap: quote 104 too old now
+    // every left row still present
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("payload name collision with the left side is rejected") {
     val e = intercept[IllegalArgumentException] {
       Temporal.asofJoin(trades, quotes.withColumnRenamed("px", "t"),
