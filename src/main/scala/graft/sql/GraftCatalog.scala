@@ -61,7 +61,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   override def name(): String = catalogName
 
-  private def tablePath(ident: Identifier): Path =
+  private[sql] def tablePath(ident: Identifier): Path =
     new Path(ident.namespace().foldLeft(warehouse)(new Path(_, _)), ident.name())
 
   private def fs = warehouse.getFileSystem(

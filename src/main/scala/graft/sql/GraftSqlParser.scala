@@ -116,6 +116,36 @@ object GraftSqlParser {
   private def cleanIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
 
+  private[sql] def resolveCatalogIdent(spark: SparkSession,
+      parts: Seq[String]): (org.apache.spark.sql.connector.catalog.CatalogPlugin,
+      Identifier) = {
+    val cm = spark.sessionState.catalogManager
+    parts match {
+      case Seq(tbl) =>
+        (cm.currentCatalog, Identifier.of(cm.currentNamespace, tbl))
+      case head +: rest if cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), Identifier.of(rest.init.toArray, rest.last))
+      case _ =>
+        (cm.currentCatalog, Identifier.of(parts.init.toArray, parts.last))
+    }
+  }
+
+  /** Resolve a target to the path a NEW table would occupy: quoted paths
+    * pass through; identifiers map into a [[GraftCatalog]]'s warehouse
+    * layout (where the directory IS the metastore entry). */
+  private[sql] def resolveNewTablePath(spark: SparkSession,
+                                       target: Either[String, Seq[String]]): String =
+    target match {
+      case Left(path) => path
+      case Right(parts) =>
+        val (catalog, ident) = resolveCatalogIdent(spark, parts)
+        catalog match {
+          case g: GraftCatalog => g.tablePath(ident).toString
+          case other => throw new UnsupportedOperationException(
+            s"Catalog ${other.name()} cannot place new graft tables")
+        }
+    }
+
   /** Resolve a statement target to a table path: quoted paths pass
     * through; identifiers load through the (current or named) catalog and
     * must land on a [[GraftTable]]. */
@@ -124,17 +154,7 @@ object GraftSqlParser {
     target match {
       case Left(path) => path
       case Right(parts) =>
-        val cm = spark.sessionState.catalogManager
-        val (catalog, ident) = parts match {
-          case Seq(tbl) =>
-            (cm.currentCatalog, Identifier.of(cm.currentNamespace, tbl))
-          case head +: rest if cm.isCatalogRegistered(head) =>
-            (cm.catalog(head),
-              Identifier.of(rest.init.toArray, rest.last))
-          case _ =>
-            (cm.currentCatalog,
-              Identifier.of(parts.init.toArray, parts.last))
-        }
+        val (catalog, ident) = resolveCatalogIdent(spark, parts)
         catalog match {
           case tc: TableCatalog => tc.loadTable(ident) match {
             case g: GraftTable => g.path
@@ -201,10 +221,9 @@ case class GraftConvertCommand(
     AttributeReference("num_converted_files", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    val path = target match {
-      case Left(p) => p
-      case Right(_) => GraftSqlParser.resolvePath(session, target)
-    }
+    // a convert target is not a delta table yet — identifiers resolve to
+    // the warehouse location, not through loadTable
+    val path = GraftSqlParser.resolveNewTablePath(session, target)
     graft.delta.DeltaTable.convertToDelta(session, path, partitionColumns)
     val n = graft.delta.DeltaTable.forPath(session, path)
       .deltaLog.update().numOfFiles
@@ -225,10 +244,9 @@ case class GraftCloneCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val srcPath = GraftSqlParser.resolvePath(session, source)
-    val dstPath = target match {
-      case Left(path) => path
-      case Right(_) => GraftSqlParser.resolvePath(session, target)
-    }
+    // the target table does not exist yet: identifiers resolve to the
+    // warehouse location a new table would occupy
+    val dstPath = GraftSqlParser.resolveNewTablePath(session, target)
     val src = graft.delta.DeltaTable.forPath(session, srcPath)
     src.cloneTo(dstPath)
     val n = graft.delta.DeltaTable.forPath(session, dstPath)

@@ -31,6 +31,20 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     super.afterAll()
   }
 
+  test("SHALLOW CLONE into a catalog identifier lands in the warehouse") {
+    spark.sql("""CREATE TABLE graft.db.clone_src (id BIGINT, v STRING)""")
+    spark.sql("""INSERT INTO graft.db.clone_src VALUES (1, 'a'), (2, 'b')""")
+    spark.sql("CREATE TABLE graft.db.clone_dst SHALLOW CLONE graft.db.clone_src")
+    // the clone is immediately visible as a catalog table
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.clone_dst")
+      .head().getLong(0) == 2L)
+    spark.sql("INSERT INTO graft.db.clone_dst VALUES (3, 'c')")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.clone_dst")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.clone_src")
+      .head().getLong(0) == 2L)
+  }
+
   test("CREATE TABLE + INSERT + SELECT through the catalog") {
     spark.sql("""CREATE TABLE graft.db.events
                  (id BIGINT, category STRING, amount DOUBLE)
