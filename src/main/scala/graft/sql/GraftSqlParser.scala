@@ -97,21 +97,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val RestoreTsRe =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val ConvertRe =
-    """(?is)\s*CONVERT\s+TO\s+DELTA\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*CONVERT\s+TO\s+DELTA\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s*;?\s*""".r
   private val AddConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|[\w.`]+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
 
   private def cleanIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")

@@ -1,0 +1,83 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** Statement-shape coverage for the delegating parser: every extension
+  * statement parses to its command (with the right fields), and
+  * near-miss inputs fall through to Spark's parser untouched. */
+class GraftSqlParserSpec extends SparkSpec {
+
+  private def parse(sql: String) = spark.sessionState.sqlParser.parsePlan(sql)
+
+  test("OPTIMIZE forms") {
+    assert(parse("OPTIMIZE '/p/t'") ==
+      GraftOptimizeCommand(Left("/p/t"), Nil, None))
+    assert(parse("optimize '/p/t' zorder by (a, b)") ==
+      GraftOptimizeCommand(Left("/p/t"), Seq("a", "b"), None))
+    assert(parse("OPTIMIZE '/p/t' WHERE part = 'x'") ==
+      GraftOptimizeCommand(Left("/p/t"), Nil, Some("part = 'x'")))
+    assert(parse("OPTIMIZE '/p/t' WHERE part = 'x' ZORDER BY (c)") ==
+      GraftOptimizeCommand(Left("/p/t"), Seq("c"), Some("part = 'x'")))
+  }
+
+  test("VACUUM forms") {
+    assert(parse("VACUUM '/p/t'") ==
+      GraftVacuumCommand(Left("/p/t"), None, false))
+    assert(parse("VACUUM '/p/t' RETAIN 168 HOURS") ==
+      GraftVacuumCommand(Left("/p/t"), Some(168.0), false))
+    assert(parse("VACUUM '/p/t' DRY RUN") ==
+      GraftVacuumCommand(Left("/p/t"), None, true))
+    assert(parse("VACUUM '/p/t' RETAIN 1.5 HOURS DRY RUN") ==
+      GraftVacuumCommand(Left("/p/t"), Some(1.5), true))
+  }
+
+  test("RESTORE forms") {
+    assert(parse("RESTORE TABLE '/p/t' TO VERSION AS OF 3") ==
+      GraftRestoreCommand(Left("/p/t"), 3L))
+    assert(parse("RESTORE '/p/t' TO VERSION AS OF 0") ==
+      GraftRestoreCommand(Left("/p/t"), 0L))
+    assert(parse("RESTORE '/p/t' TO TIMESTAMP AS OF '2026-01-01 00:00:00'") ==
+      GraftRestoreTimestampCommand(Left("/p/t"), "2026-01-01 00:00:00"))
+  }
+
+  test("CLONE and CONVERT forms") {
+    assert(parse("CREATE TABLE '/p/dst' SHALLOW CLONE '/p/src'") ==
+      GraftCloneCommand(Left("/p/dst"), Left("/p/src")))
+    assert(parse("CONVERT TO DELTA '/p/t'") ==
+      GraftConvertCommand(Left("/p/t"), Nil))
+    assert(parse("CONVERT TO DELTA '/p/t' PARTITIONED BY (day string, h int)") ==
+      GraftConvertCommand(Left("/p/t"), Seq("day", "h")))
+  }
+
+  test("constraint forms, including nested parens") {
+    assert(parse("ALTER TABLE '/p/t' ADD CONSTRAINT c1 CHECK (v > 0)") ==
+      GraftAddConstraintCommand(Left("/p/t"), "c1", "v > 0"))
+    assert(parse(
+      "ALTER TABLE '/p/t' ADD CONSTRAINT c2 CHECK (v > 0 AND (v < 100 OR w = 1))") ==
+      GraftAddConstraintCommand(Left("/p/t"), "c2",
+        "v > 0 AND (v < 100 OR w = 1)"))
+    assert(parse("ALTER TABLE '/p/t' DROP CONSTRAINT c1") ==
+      GraftDropConstraintCommand(Left("/p/t"), "c1", false))
+    assert(parse("ALTER TABLE '/p/t' DROP CONSTRAINT IF EXISTS c1") ==
+      GraftDropConstraintCommand(Left("/p/t"), "c1", true))
+  }
+
+  test("identifier targets parse as multipart identifiers") {
+    assert(parse("OPTIMIZE graft.db.t") ==
+      GraftOptimizeCommand(Right(Seq("graft", "db", "t")), Nil, None))
+    assert(parse("VACUUM `my db`.t DRY RUN") ==
+      GraftVacuumCommand(Right(Seq("my db", "t")), None, true))
+  }
+
+  test("near-misses fall through to Spark's parser") {
+    // plain CREATE TABLE is NOT intercepted
+    assert(!parse("CREATE TABLE t (id INT) USING parquet")
+      .isInstanceOf[GraftCloneCommand])
+    // ALTER ... ADD COLUMNS is Spark's own statement
+    assert(!parse("ALTER TABLE t ADD COLUMNS (x INT)")
+      .isInstanceOf[GraftAddConstraintCommand])
+    // a SELECT mentioning the keywords is untouched
+    assert(!parse("SELECT 'OPTIMIZE t' AS s")
+      .isInstanceOf[GraftOptimizeCommand])
+  }
+}
