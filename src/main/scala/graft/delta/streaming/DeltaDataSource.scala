@@ -42,6 +42,24 @@ class DeltaDataSource
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val log = DeltaLog.forTable(spark, pathOf(parameters))
+    // batch change-feed read: startingVersion/endingVersion bound the
+    // changes() frame (endingVersion defaults to the head), same option
+    // names as Delta's batch CDF
+    if (parameters.getOrElse("readChangeFeed", "false").toBoolean) {
+      val start = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed batch reads require startingVersion")).toLong
+      val end = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(log.update().version)
+      val df = graft.delta.DeltaTable
+        .forPath(spark, pathOf(parameters)).changes(start, end)
+      return new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = spark.sqlContext
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.rdd
+      }
+    }
     val snapshot = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(v), None) => log.getSnapshotForVersionAsOf(v.toLong)
       case (None, Some(ts)) => log.getSnapshotForTimestampAsOf(

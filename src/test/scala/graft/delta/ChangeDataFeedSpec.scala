@@ -7,6 +7,38 @@ import graft.SparkSpec
 class ChangeDataFeedSpec extends SparkSpec {
   import spark.implicits._
 
+  test("batch readChangeFeed via the DataFrame reader") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaTable.write(Seq((2, "b")).toDF("id", "v"), dir)
+      DeltaTable.forPath(spark, dir).delete($"id" === 1)
+
+      val all = spark.read.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(dir)
+        .select($"id", col(write.CdcWriter.ChangeTypeCol), $"_commit_version")
+        .as[(Int, String, Long)].collect().toSet
+      assert(all == Set((1, "insert", 0L), (2, "insert", 1L),
+        (1, "delete", 2L)), all.toString)
+
+      val bounded = spark.read.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "1")
+        .load(dir)
+        .select($"id").as[Int].collect().toSeq
+      assert(bounded == Seq(2))
+
+      intercept[IllegalArgumentException] {
+        spark.read.format("graft-delta")
+          .option("readChangeFeed", "true").load(dir).collect()
+      }
+    }
+  }
+  import spark.implicits._
+
   private val cdf = Map("delta.enableChangeDataFeed" -> "true")
 
   test("inserts, updates and deletes all appear in the change feed") {
