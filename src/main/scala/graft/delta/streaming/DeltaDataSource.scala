@@ -46,10 +46,16 @@ class DeltaDataSource
     // changes() frame (endingVersion defaults to the head), same option
     // names as Delta's batch CDF
     if (parameters.getOrElse("readChangeFeed", "false").toBoolean) {
-      val start = parameters.getOrElse("startingVersion",
-        throw new IllegalArgumentException(
-          "readChangeFeed batch reads require startingVersion")).toLong
+      val start = parameters.get("startingVersion").map(_.toLong)
+        .orElse(parameters.get("startingTimestamp").map(ts =>
+          log.getVersionAtOrAfterTimestamp(
+            java.sql.Timestamp.valueOf(ts).getTime)))
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed batch reads require startingVersion or startingTimestamp"))
       val end = parameters.get("endingVersion").map(_.toLong)
+        .orElse(parameters.get("endingTimestamp").map(ts =>
+          log.getVersionBeforeOrAtTimestamp(
+            java.sql.Timestamp.valueOf(ts).getTime)))
         .getOrElse(log.update().version)
       val df = graft.delta.DeltaTable
         .forPath(spark, pathOf(parameters)).changes(start, end)

@@ -35,6 +35,18 @@ class ChangeDataFeedSpec extends SparkSpec {
         spark.read.format("graft-delta")
           .option("readChangeFeed", "true").load(dir).collect()
       }
+
+      // timestamp bounds resolve through the commit timeline
+      val log = DeltaLog.forTable(spark, dir)
+      val t1 = new java.sql.Timestamp(
+        log.getSnapshotForVersionAsOf(1).timestamp).toString
+      val byTs = spark.read.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", t1)
+        .option("endingTimestamp", t1)
+        .load(dir)
+        .select($"id").as[Int].collect().toSeq
+      assert(byTs == Seq(2))
     }
   }
   import spark.implicits._
