@@ -49,8 +49,8 @@ object Checkpoints {
       .unionByName(snapshot.allFilesDistributed.map(_.wrap))
     // the action count is an aggregation over the (persisted) distributed
     // state — the file list itself never touches the driver
-    writeCheckpointDS(snapshot, ds, -1L,
-      autoParts(snapshot, parts, small.size.toLong + snapshot.numOfFiles))
+    val total = small.size.toLong + snapshot.numOfFiles
+    writeCheckpointDS(snapshot, ds, total, autoParts(snapshot, parts, total))
   }
 
   /** The larger of the caller/config-requested part count and the
