@@ -521,6 +521,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
     // generated columns compute exactly as on append
     val df = write.GeneratedColumns.materialize(df0, metadata)
+    // schema discipline like every other write: incoming columns must
+    // cover the table's with equal type shape, and replaceWhere never
+    // evolves the schema (no new columns smuggled into one region)
+    val mergedSchema = write.DeltaWriter.mergeSchemas(metadata.schema, df.schema)
+    require(mergedSchema.json == metadata.schema.json,
+      "replaceWhere does not evolve the table schema; incoming columns " +
+        s"${df.schema.fieldNames.mkString(", ")} must match " +
+        metadata.schema.fieldNames.mkString(", "))
     // every incoming row must fall inside the replaced region
     val rowJson = to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
     val guarded = df.filter(

@@ -153,6 +153,10 @@ object DataSkipping {
                           types: Map[String, DataType], op: String): Boolean = {
     if (lit.value == null) return false // comparison with null is never true
     val dt = types.get(a.name.toLowerCase).getOrElse(return true)
+    // the Bloom check stands on its own: a column OUTSIDE the indexed-
+    // stats width (or with unparseable stats) may still carry a filter —
+    // consult it before any stats-absence early return
+    if (op == "=" && !bloomMayContain(a, lit, fs, dt)) return false
     val cs = colStats(a, fs).getOrElse(return true)
     // all-null file: no comparison can hold
     if ((for (n <- cs.nullCount; t <- fs.numRecords) yield n >= t).contains(true)) {
@@ -173,17 +177,20 @@ object DataSkipping {
         case ">=" => cmp(v, hi) <= 0
       }
     }
-    // equality can additionally consult the file's Bloom filter — the
-    // pruner for point lookups where every file's [min,max] covers the
-    // key space (unsorted ids/hashes). Conservative on any absence.
-    if (!rangeVerdict || op != "=") rangeVerdict
-    else fs.blooms.get(a.name.toLowerCase) match {
+    rangeVerdict
+  }
+
+  /** The file's Bloom filter verdict for `a = lit` — the pruner for
+    * point lookups where every file's [min,max] covers the key space
+    * (unsorted ids/hashes). Conservative on any absence. */
+  private def bloomMayContain(a: Attribute, lit: Literal, fs: FileStats,
+                              dt: DataType): Boolean =
+    fs.blooms.get(a.name.toLowerCase) match {
       case Some(b64) if fs.bloomBits > 0 && bloomStringable(dt) =>
         graft.delta.write.BloomFilters.mightContain(
           b64, fs.bloomBits, lit.value.toString)
       case _ => true
     }
-  }
 
   /** Types whose internal-value toString equals Spark's cast-to-string
     * (what the build side hashed). */

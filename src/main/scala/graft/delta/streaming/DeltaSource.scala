@@ -91,7 +91,10 @@ class DeltaSource(
     options.get("maxBytesPerTrigger").map(parseBytes)
 
   private def parseBytes(s: String): Long = {
-    val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val t0 = s.trim.toLowerCase(java.util.Locale.ROOT)
+    // accept both "64m" and "64mb" spellings
+    val t = if (t0.length > 1 && t0.endsWith("b") &&
+        "kmg".contains(t0.charAt(t0.length - 2))) t0.dropRight(1) else t0
     val (num, mult) = t.last match {
       case 'k' => (t.dropRight(1), 1L << 10)
       case 'm' => (t.dropRight(1), 1L << 20)

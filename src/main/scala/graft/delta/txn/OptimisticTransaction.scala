@@ -164,7 +164,10 @@ class OptimisticTransaction(
           dropped.foreach { c =>
             val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
             exprs.foreach { case (what, e) =>
-              require(pat.findFirstIn(e).isEmpty,
+              // string literals can't reference columns — strip them so
+              // 'yyyy-MM-dd' doesn't falsely block dropping a column mm
+              val noLiterals = e.replaceAll("'[^']*'", " ")
+              require(pat.findFirstIn(noLiterals).isEmpty,
                 s"Cannot drop column $c: referenced by $what ($e)")
             }
           }

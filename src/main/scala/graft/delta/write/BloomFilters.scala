@@ -31,7 +31,9 @@ object BloomFilters {
   val ColumnsKey = "delta.bloomFilter.columns"
   val BitsKey = "delta.bloomFilter.bits"
   val TagPrefix = "bloom."
-  val BitsTag = "bloom.bits"
+  /** Deliberately OUTSIDE the `bloom.` per-column namespace so a column
+    * literally named "bits" cannot collide with it. */
+  val BitsTag = "bloomBits"
   val NumHashes = 6
   val DefaultBits = 65536 // 8 KiB per file per column
 
@@ -131,7 +133,10 @@ object BloomFilters {
             }
             w += 1
           }
-          physCols(i) -> java.util.Base64.getEncoder.encodeToString(bytes)
+          // tags carry the LOGICAL name: the probe side matches filter
+          // attributes (logical), and physical names were only needed to
+          // read the parquet back
+          cols(i) -> java.util.Base64.getEncoder.encodeToString(bytes)
         }.toMap
       }
   }

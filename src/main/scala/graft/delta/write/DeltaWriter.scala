@@ -46,8 +46,12 @@ object DeltaWriter {
 
     // compute generated columns the caller did not provide, BEFORE any
     // schema comparison (the table schema includes them; the append need
-    // not) — provided values are equality-checked in Invariants.enforce
-    val df = if (exists)
+    // not) — provided values are equality-checked in Invariants.enforce.
+    // Overwrite is exempt: it may REPLACE the schema wholesale (dropping
+    // the generated column is then the user's explicit table
+    // redefinition), and the old generation expression may not even
+    // resolve against the new frame.
+    val df = if (exists && mode != SaveMode.Overwrite)
       GeneratedColumns.materialize(df0, txn.snapshot.metadata) else df0
 
     val partCols =
@@ -73,9 +77,11 @@ object DeltaWriter {
     } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson &&
                mode == SaveMode.Overwrite) {
       // a stricter (non-nullable) incoming batch must not narrow the table
-      // schema; only a genuine shape change replaces it — stored nullable,
-      // since later appends may carry nulls
-      if (relaxed(txn.snapshot.metadata.schema).json != relaxed(df.schema).json) {
+      // schema, and a frame WITHOUT the table's field annotations
+      // (generation expressions, physical names) must not strip them —
+      // only a genuine TYPE-SHAPE change replaces the schema, stored
+      // nullable since later appends may carry nulls
+      if (typeShape(txn.snapshot.metadata.schema) != typeShape(df.schema)) {
         txn.updateMetadata(txn.snapshot.metadata.copy(
           schemaString = Some(relaxed(df.schema).json),
           partitionColumns = partCols))

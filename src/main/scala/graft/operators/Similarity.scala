@@ -86,13 +86,20 @@ object Similarity {
     val cBase = InputWidth.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
         sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
-    // Lloyd training re-scans the corpus once per iteration (plus twice
-    // in the final plan); persist the 3-column projection so iterations
-    // hit the cached columnar batches, not the parquet source each time
-    val c = if (trainIters > 0)
-      cBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else cBase
-    val cents = if (trainIters <= 0) init else trainCentroids(c, init, trainIters)
+    // Lloyd training re-scans the corpus once per iteration; persist the
+    // 3-column projection for the TRAINING phase only and release it
+    // right after (training materializes eagerly each iteration, so the
+    // cache is fully used before the unpersist; holding it longer would
+    // leak cached blocks across queries in a long-lived session)
+    val cents =
+      if (trainIters <= 0) init
+      else {
+        val cTrain = cBase.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try trainCentroids(cTrain, init, trainIters)
+        finally cTrain.unpersist(blocking = false)
+      }
+    val c = cBase
 
     // nearest centroid per corpus vector: max of (aff, -cid) structs —
     // a map-side-combinable agg, not a window over corpus × nCells rows

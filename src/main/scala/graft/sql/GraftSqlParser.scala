@@ -250,7 +250,7 @@ case class GraftCloneCommand(
     val src = graft.delta.DeltaTable.forPath(session, srcPath)
     src.cloneTo(dstPath)
     val n = graft.delta.DeltaTable.forPath(session, dstPath)
-      .deltaLog.update().allFiles.size.toLong
+      .deltaLog.update().numOfFiles
     Seq(Row(dstPath, n))
   }
 }

@@ -127,6 +127,25 @@ class BloomSkippingSpec extends SparkSpec {
     }
   }
 
+  test("blooms prune columns outside the indexed-stats width") {
+    withTempDir { dir =>
+      // stats only for c0; the bloom column c5 has NO min/max entry —
+      // the bloom verdict must stand on its own
+      val df = spark.range(0, 200).toDF("c0")
+      val wide = (1 to 5).foldLeft(df)((d, i) =>
+        d.withColumn(s"c$i", md5(concat(lit(s"x$i"), $"c0"))))
+        .repartition(4)
+      DeltaTable.write(wide, dir, configuration = Map(
+        "delta.dataSkippingNumIndexedCols" -> "1",
+        "delta.bloomFilter.columns" -> "c5"))
+      val table = DeltaTable.forPath(spark, dir)
+      val probe = table.toDF.limit(1).select($"c5").as[String].head()
+      assert(filesRead(table.toDF.filter($"c5" === probe)) < 4)
+      assert(table.toDF.filter($"c5" === probe).count() >= 1)
+      assert(filesRead(table.toDF.filter($"c5" === "absent-key")) == 0)
+    }
+  }
+
   test("build and probe agree on the bit protocol") {
     val bits = 1024
     val pos = BloomFilters.positions("hello", bits)

@@ -116,6 +116,38 @@ class GeneratedColumnsSpec extends SparkSpec {
     }
   }
 
+  test("overwrite of a generated-column table: full schema works, " +
+      "column-dropping rejects, and generation never fires on overwrite") {
+    withTempDir { dir =>
+      DeltaTable.create(spark, dir, schema,
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      DeltaTable.write(
+        Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+          .toDF("id", "ts"), dir)
+
+      // overwrite carrying the FULL consistent schema replaces content
+      // and keeps the generation metadata
+      DeltaTable.write(
+        Seq((2L, java.sql.Timestamp.valueOf("2026-03-03 08:00:00"),
+          "2026-03-03")).toDF("id", "ts", "day"),
+        dir, org.apache.spark.sql.SaveMode.Overwrite)
+      val m = DeltaTable.forPath(spark, dir).deltaLog.update().metadata
+      assert(graft.delta.write.GeneratedColumns.expressions(m.schema)
+        .map(_._1) == Seq("day"))
+
+      // an overwrite whose schema DROPS columns is rejected (columns
+      // never vanish outside explicit DDL) — and critically, generation
+      // does not fire against the incompatible frame first (the old
+      // expression may not even resolve)
+      intercept[IllegalArgumentException] {
+        DeltaTable.write(Seq((1L, "plain")).toDF("id", "label"), dir,
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .select($"day").as[String].head() == "2026-03-03")
+    }
+  }
+
   test("streaming sink computes generated columns too") {
     withTempDir { base =>
       val dir = s"$base/t"

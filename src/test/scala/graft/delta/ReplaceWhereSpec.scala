@@ -49,6 +49,28 @@ class ReplaceWhereSpec extends SparkSpec {
     }
   }
 
+  test("schema discipline: missing, retyped or extra columns are rejected") {
+    withTempDir { dir =>
+      val table = mkTable(dir)
+      // missing column v
+      intercept[IllegalArgumentException] {
+        table.replaceWhere(Seq((9, "a")).toDF("id", "part"), $"part" === "a")
+      }
+      // retyped column v
+      intercept[IllegalArgumentException] {
+        table.replaceWhere(Seq((9, "a", "not-a-double")).toDF("id", "part", "v"),
+          $"part" === "a")
+      }
+      // smuggled extra column
+      intercept[IllegalArgumentException] {
+        table.replaceWhere(
+          Seq((9, "a", 90.0, "extra")).toDF("id", "part", "v", "x"),
+          $"part" === "a")
+      }
+      assert(table.toDF.count() == 4) // untouched through all three
+    }
+  }
+
   test("non-partition predicates are rejected up front") {
     withTempDir { dir =>
       val table = mkTable(dir)
