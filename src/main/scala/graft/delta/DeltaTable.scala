@@ -417,21 +417,45 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     def filesDs(s: Snapshot): org.apache.spark.sql.Dataset[AddFile] =
       if (s.distributedState) s.allFilesDistributed else s.allFilesDS
     implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
-    val toAdd = filesDs(target)
-      .join(filesDs(current).select(col("path")), Seq("path"), "left_anti")
-      .as[AddFile].collect().toSeq
-    val toRemove = filesDs(current)
-      .join(filesDs(target).select(col("path")), Seq("path"), "left_anti")
-      .as[AddFile].collect().toSeq
+    // both sides feed TWO anti-joins; persist so time-travel snapshots
+    // (which never cache their distributed state) replay once, not twice
+    val targetFiles = filesDs(target)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val currentFiles = filesDs(current)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (toAdd, toRemove) =
+      try {
+        (targetFiles
+          .join(currentFiles.select(col("path")), Seq("path"), "left_anti")
+          .as[AddFile].collect().toSeq,
+          currentFiles
+            .join(targetFiles.select(col("path")), Seq("path"), "left_anti")
+            .as[AddFile].collect().toSeq)
+      } finally {
+        targetFiles.unpersist(blocking = false)
+        currentFiles.unpersist(blocking = false)
+      }
 
     // a restored file must still exist — VACUUM past the target version
-    // breaks restore, like Delta (spark.sql.files.ignoreMissingFiles off)
-    val conf = deltaLog.hadoopConf
-    toAdd.foreach { f =>
-      val p = read.PartitionUtils.absolutePath(deltaLog.dataPath, f.path)
-      require(p.getFileSystem(conf).exists(p),
-        s"Cannot restore to version $version: ${f.path} was removed from " +
-          "disk (VACUUM ran past the target version)")
+    // breaks restore, like Delta. Existence checks run in TASKS (a
+    // driver loop of sequential exists() RPCs on an object store would
+    // serialize 100k round trips).
+    if (toAdd.nonEmpty) {
+      import spark.implicits._
+      val sconf = new SerializableHadoopConf(deltaLog.hadoopConf)
+      val rootStr = deltaLog.dataPath.toString
+      val missing = spark
+        .createDataset(toAdd.map(_.path))
+        .repartition(math.max(1, math.min(toAdd.size / 64, 64)))
+        .mapPartitions { paths =>
+          val root = new org.apache.hadoop.fs.Path(rootStr)
+          val dfs = root.getFileSystem(sconf.value)
+          paths.filterNot(p =>
+            dfs.exists(read.PartitionUtils.absolutePath(root, p)))
+        }.take(1)
+      require(missing.isEmpty,
+        s"Cannot restore to version $version: ${missing.headOption.getOrElse("")} " +
+          "was removed from disk (VACUUM ran past the target version)")
     }
 
     txn.readWholeTable()

@@ -146,7 +146,10 @@ object Curation {
       .select(col(idCol))
       .distinct()
       .withColumn("contaminated", lit(true))
-    df.join(broadcast(contaminatedIds), Seq(idCol), "left")
+    // contaminatedIds is (id, flag)-narrow but its ROW COUNT tracks how
+    // contaminated the corpus is — unbounded. No broadcast hint: AQE
+    // broadcasts it when genuinely small and shuffle-joins otherwise.
+    df.join(contaminatedIds, Seq(idCol), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 

@@ -410,6 +410,12 @@ object Dedup {
       round += 1
     }
     edges.unpersist(blocking = false)
+    // silent non-convergence would split one duplicate group into
+    // several "clusters" — fail loudly instead (raise maxRounds, or
+    // switch to large-star/small-star contraction for such graphs)
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the round budget)")
     labels
   }
 

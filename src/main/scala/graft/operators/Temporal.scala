@@ -47,8 +47,11 @@ object Temporal {
 
     val keyExprs = keyCols.map(col)
     // right rows sort BEFORE left rows at an equal timestamp (side 0 < 1),
-    // so a right row exactly AT the left time is visible — `<=` semantics
-    val rightSide = right.select(
+    // so a right row exactly AT the left time is visible — `<=` semantics.
+    // A NULL rightTime can never be "at or before" anything: drop such
+    // rows up front (nulls would sort FIRST under asc and their payload
+    // would fabricate a match for left rows with no genuine predecessor).
+    val rightSide = right.filter(col(rightTime).isNotNull).select(
       keyExprs :+
         col(rightTime).as("__t") :+
         lit(0).as("__side") :+
@@ -63,7 +66,7 @@ object Temporal {
         lit(1).as("__side") :+
         lit(null).cast(rightSide.schema("__tie").dataType).as("__tie") :+
         lit(null).cast(rightSide.schema("__payload").dataType).as("__payload") :+
-        struct(left.columns.map(col): _*).as("__row"): _*)
+        struct(left.columns.map(c => col(s"`$c`")): _*).as("__row"): _*)
 
     val merged = rightSide
       .withColumn("__row", lit(null).cast(leftSide.schema("__row").dataType))
@@ -83,8 +86,8 @@ object Temporal {
         col("__match.__rt") >= col("__t") - expr(s"INTERVAL $t")
     }
     matched.select(
-      left.columns.map(c => col(s"__row.$c").as(c)) ++
+      left.columns.map(c => col(s"__row.`$c`").as(c)) ++
         rightPayload.map(c =>
-          when(inRange, col(s"__match.$c")).otherwise(lit(null)).as(c)): _*)
+          when(inRange, col(s"__match.`$c`")).otherwise(lit(null)).as(c)): _*)
   }
 }

@@ -55,6 +55,22 @@ class TemporalSpec extends SparkSpec {
     assert(got(2L).contains(105L))
   }
 
+  test("a null right timestamp never fabricates a match") {
+    val withNull = quotes.unionByName(
+      Seq((999L, "b", null.asInstanceOf[Timestamp], 99.0))
+        .toDF("quote_id", "sym", "qt", "px"))
+    val got = Temporal.asofJoin(trades, withNull, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightTieBreak = "quote_id",
+        rightPayload = Seq("quote_id", "px"))
+      .collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Long]("quote_id")).map(_.toLong)).toMap
+    // trade 3 has no genuine predecessor; the null-ts quote must NOT
+    // become its match
+    assert(got(3L).isEmpty)
+    assert(got(1L).contains(102L) && got(4L).contains(104L))
+  }
+
   test("tolerance bounds the lookback window") {
     val got = Temporal.asofJoin(trades, quotes, Seq("sym"),
         leftTime = "t", rightTime = "qt", rightTieBreak = "quote_id",
