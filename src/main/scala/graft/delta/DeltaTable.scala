@@ -276,6 +276,22 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val snapshot = deltaLog.update()
     val retention = retentionMillis.getOrElse(
       DeltaConfigs.TOMBSTONE_RETENTION.fromMetadata(snapshot.metadata))
+    // retention guard (Delta's retentionDurationCheck): with the
+    // in-place batch-dir layout, an IN-FLIGHT writer's uncommitted files
+    // are only protected by their mtime being younger than the cutoff —
+    // a sub-retention vacuum could delete files a concurrent commit is
+    // about to reference. Require the table's tombstone retention unless
+    // the operator explicitly opts out.
+    val tableRetention =
+      DeltaConfigs.TOMBSTONE_RETENTION.fromMetadata(snapshot.metadata)
+    val checkEnabled = spark.conf
+      .getOption("spark.graft.vacuum.retentionCheck.enabled")
+      .forall(_.toBoolean)
+    require(!checkEnabled || retention >= tableRetention,
+      s"vacuum retention ${retention}ms is below the table's " +
+        s"deletedFileRetentionDuration (${tableRetention}ms); this risks " +
+        "deleting files of in-flight commits and breaking time travel. " +
+        "Set spark.graft.vacuum.retentionCheck.enabled=false to override.")
     val cutoff = deltaLog.clock() - retention
     val conf = deltaLog.hadoopConf
     val root = deltaLog.dataPath.toUri.getPath
@@ -385,6 +401,29 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
       Iterator.single(n)
     }.collect().sum
+    // sweep now-empty per-commit batch directories (the in-place layout
+    // leaves one dir per historical commit behind once its files vacuum
+    // out): non-recursive delete fails harmlessly on non-empty dirs.
+    // Runs in tasks — the dir count tracks historical commits.
+    deletable
+      .map(_.split('/').head)
+      .filter(_.startsWith("batch-"))
+      .distinct()
+      .mapPartitions { dirsIt =>
+        val dfs = new org.apache.hadoop.fs.Path(rootStr).getFileSystem(sconf.value)
+        dirsIt.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$rootStr/$d")
+          try {
+            // "empty" = only hidden leftovers (checksum/_temporary crumbs)
+            val entries = dfs.listStatus(p)
+            if (entries.forall(st => st.getPath.getName.startsWith(".") ||
+                st.getPath.getName.startsWith("_"))) {
+              dfs.delete(p, true)
+            }
+          } catch { case _: java.io.IOException => /* raced: keep */ }
+        }
+        Iterator.empty[Int]
+      }.count()
     deletable.unpersist()
     rootEntries.unpersist()
     deleted
@@ -773,20 +812,23 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         val filtered =
           if (zOrderBy.isEmpty) matched.filter(_.size < targetFileBytes)
           else matched
-        filtered.take(maxFilesPerCommit)
+        // Z-order must rewrite EVERY candidate in one clustering pass —
+        // a truncated subset would leave the table partially clustered
+        // while claiming success (bound the scope with `where` instead)
+        if (zOrderBy.isEmpty) filtered.take(maxFilesPerCommit) else filtered
       case None =>
         txn.readWholeTable()
         if (snapshot.distributedState) {
           val target = targetFileBytes
-          val ds =
-            if (zOrderBy.isEmpty) snapshot.allFilesDistributed.filter(_.size < target)
-            else snapshot.allFilesDistributed
-          ds.limit(maxFilesPerCommit).collect().toSeq
+          if (zOrderBy.isEmpty) {
+            snapshot.allFilesDistributed.filter(_.size < target)
+              .limit(maxFilesPerCommit).collect().toSeq
+          } else snapshot.allFilesDistributed.collect().toSeq
         } else {
-          val filtered =
-            if (zOrderBy.isEmpty) snapshot.allFiles.filter(_.size < targetFileBytes)
-            else snapshot.allFiles
-          filtered.take(maxFilesPerCommit)
+          if (zOrderBy.isEmpty) {
+            snapshot.allFiles.filter(_.size < targetFileBytes)
+              .take(maxFilesPerCommit)
+          } else snapshot.allFiles
         }
     }
     if (zOrderBy.isEmpty && rewrite.size < 2) return snapshot.version

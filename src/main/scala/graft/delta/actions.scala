@@ -69,6 +69,15 @@ case class Metadata(
   * DataFrame columns just before the file write. */
 object ColumnMapping {
   val PhysicalNameKey = "graft.physicalName"
+  /** Physical names of DROPPED columns (comma-joined table property):
+    * no later column may ever bind to them — old files still hold the
+    * deleted bytes. */
+  val DroppedPhysicalKey = "graft.droppedPhysicalNames"
+
+  def droppedPhysical(configuration: Map[String, String]): Set[String] =
+    configuration.get(DroppedPhysicalKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)

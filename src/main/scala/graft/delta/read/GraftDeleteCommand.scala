@@ -18,7 +18,7 @@ case class GraftDeleteCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val unresolved = condition.transform {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
     }
     graft.delta.DeltaTable.forPath(session, path)
       .delete(org.apache.spark.sql.graft.Shims.column(unresolved))

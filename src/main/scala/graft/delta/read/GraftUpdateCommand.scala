@@ -17,7 +17,7 @@ case class GraftUpdateCommand(
 
   private def unresolve(e: Expression): Expression = e.transform {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
   }
 
   override def run(session: SparkSession): Seq[Row] = {

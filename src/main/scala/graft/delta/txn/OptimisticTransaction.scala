@@ -144,6 +144,24 @@ class OptimisticTransaction(
       require(isWriteCompatible(snapshot.metadata.schema, schema, allowColumnRemoval),
         "New schema is not write-compatible with the table's existing schema; " +
           s"existing: ${snapshot.metadata.schema.simpleString}, new: ${schema.simpleString}")
+      // a NEW column must never bind to a quarantined (dropped) physical
+      // name — old files still hold the deleted bytes, and decoding them
+      // under a new column resurrects data the user deleted. The catalog's
+      // ADD COLUMNS assigns fresh physical names; any other path (append-
+      // time evolution, direct metadata update) is rejected here.
+      val quarantined = ColumnMapping.droppedPhysical(m.configuration)
+      if (quarantined.nonEmpty) {
+        val oldPhys = snapshot.metadata.schema.fields
+          .map(ColumnMapping.physicalName).toSet
+        schema.fields
+          .filterNot(f => oldPhys.contains(ColumnMapping.physicalName(f)))
+          .foreach { f =>
+            require(!quarantined.contains(ColumnMapping.physicalName(f)),
+              s"Column ${f.name} would resurrect dropped physical column " +
+                s"${ColumnMapping.physicalName(f)} from old files; re-add " +
+                "it through ALTER TABLE ADD COLUMNS (fresh physical name)")
+          }
+      }
       // a DROPPED column must not be referenced by surviving CHECK
       // constraints or generation expressions (they would dangle and fail
       // every future write) — drop the constraint / generated column first

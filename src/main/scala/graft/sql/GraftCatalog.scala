@@ -253,11 +253,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case other => throw new UnsupportedOperationException(
         s"Unsupported ALTER TABLE change: $other")
     }
-    txn.updateMetadata(before.copy(
-      schemaString = Some(schema.json),
-      configuration = config),
-      allowColumnRemoval = ops.contains("DROP COLUMNS"))
-    txn.commit(Nil, ops.distinct.mkString(" + "))
+    // a fully no-op ALTER (e.g. DROP COLUMN IF EXISTS on a missing
+    // column) must not commit a junk empty-operation version
+    if (ops.nonEmpty) {
+      txn.updateMetadata(before.copy(
+        schemaString = Some(schema.json),
+        configuration = config),
+        allowColumnRemoval = ops.contains("DROP COLUMNS"))
+      txn.commit(Nil, ops.distinct.mkString(" + "))
+    }
     loadTable(ident)
   }
 

@@ -183,9 +183,21 @@ case class GraftOptimizeCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, target)
-    val version = graft.delta.DeltaTable.forPath(session, path)
-      .compact(zOrderBy = zOrderBy,
-        where = where.map(w => org.apache.spark.sql.functions.expr(w)))
+    val table = graft.delta.DeltaTable.forPath(session, path)
+    val whereCol = where.map(w => org.apache.spark.sql.functions.expr(w))
+    // Z-order is one whole-candidate clustering pass; plain compaction
+    // loops until a pass compacts nothing, so the STATEMENT means "the
+    // table is optimized" even past the per-commit incremental bound
+    var version = table.compact(zOrderBy = zOrderBy, where = whereCol)
+    if (zOrderBy.isEmpty) {
+      var prev = -1L
+      var rounds = 0
+      while (version != prev && rounds < 1000) {
+        prev = version
+        version = table.compact(where = whereCol)
+        rounds += 1
+      }
+    }
     Seq(Row(path, version))
   }
 }

@@ -181,6 +181,38 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("sub-retention vacuum is refused unless explicitly overridden") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq(1).toDF("v"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      // a 0-hour vacuum could race an in-flight writer's uncommitted
+      // batch files — refused by default
+      val e = intercept[IllegalArgumentException] { table.vacuum(Some(0L)) }
+      assert(e.getMessage.contains("retentionCheck"), e.getMessage)
+      spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+      try assert(table.vacuum(Some(0L)) == 0) // nothing unreferenced anyway
+      finally spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+    }
+  }
+
+  test("vacuum sweeps emptied per-commit batch directories") {
+    withTempDir { dir =>
+      (1 to 4).foreach(i => DeltaTable.write(Seq(i).toDF("v"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      val table = DeltaTable.forPath(spark, dir)
+      val start = 3000000000000L
+      log.clock = () => start
+      table.compact()
+      log.clock = () => start + 8L * 24 * 3600 * 1000
+      assert(table.vacuum() >= 4)
+      // the four original batch dirs are now empty and swept; the
+      // compacted file's dir survives
+      val batchDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      assert(batchDirs.length == 1, batchDirs.map(_.getName).mkString(", "))
+    }
+  }
+
   test("a crashed writer's orphan batch dir is vacuumed after retention") {
     withTempDir { dir =>
       DeltaTable.write(Seq(1, 2, 3).toDF("v"), dir)

@@ -171,6 +171,31 @@ class ConstraintsSpec extends SparkSpec {
     }
   }
 
+  test("append-time evolution cannot resurrect a dropped column") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "secret")).toDF("id", "pii"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      // engine-level drop with quarantine, as the catalog's DROP COLUMN does
+      val txn = table.deltaLog.startTransaction()
+      val m = txn.snapshot.metadata
+      txn.updateMetadata(m.copy(
+        schemaString = Some(StructType(
+          m.schema.fields.filterNot(_.name == "pii")).json),
+        configuration = m.configuration +
+          (graft.delta.ColumnMapping.DroppedPhysicalKey -> "pii")),
+        allowColumnRemoval = true)
+      txn.commit(Nil, "DROP COLUMNS")
+
+      // a plain append carrying a column named pii would bind to the old
+      // bytes — the resurrection is refused at the metadata gate
+      val e = intercept[Exception] {
+        DeltaTable.write(Seq((2, "fresh")).toDF("id", "pii"), dir)
+      }
+      assert(e.getMessage.contains("resurrect"), e.getMessage)
+      assert(table.toDF.columns.toSeq == Seq("id"))
+    }
+  }
+
   test("a third-party table requiring writer > 3 is refused") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, 10)).toDF("id", "v"), dir)
