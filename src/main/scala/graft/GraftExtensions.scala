@@ -183,14 +183,23 @@ object GraftExtensions {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-    override def apply(plan: LogicalPlan): LogicalPlan =
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      // a V2 write's TARGET must stay a NamedRelation — converting it
+      // would hand AppendData/OverwriteByExpression a LogicalRelation
+      // child they cannot hold. Only READ instances convert.
+      import org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand
+      val writeTargets = plan.collect {
+        case w: V2WriteCommand => w.table
+      }
       plan.resolveOperators {
         case dsv2: DataSourceV2Relation
-            if dsv2.table.isInstanceOf[graft.sql.GraftTable] =>
+            if dsv2.table.isInstanceOf[graft.sql.GraftTable] &&
+              !writeTargets.exists(_ eq dsv2) =>
           val t = dsv2.table.asInstanceOf[graft.sql.GraftTable]
           LogicalRelation(t.v1Relation(spark), dsv2.output, None,
             isStreaming = false, stream = None)
       }
+    }
   }
 
   /** SQL `DELETE FROM` over a (converted) Delta relation becomes the

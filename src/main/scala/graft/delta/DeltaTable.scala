@@ -797,6 +797,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               maxFilesPerCommit: Int = 10000): Long = {
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
+    // validate BEFORE any early return — a typo'd z-order column must
+    // fail even when there happen to be no candidates right now
+    zOrderBy.foreach { c =>
+      require(snapshot.metadata.schema.fieldNames.contains(c),
+        s"Unknown z-order column $c")
+      require(!snapshot.metadata.partitionColumns.contains(c),
+        s"Z-order column $c is a partition column (already clustered by dir)")
+    }
     // Candidate SELECTION runs where the file list lives: in
     // distributed-state mode the sub-target-size filter is a Spark job
     // over allFilesDistributed and only the files that will actually be
@@ -835,11 +843,6 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     if (rewrite.isEmpty) return snapshot.version
 
     val metadata = snapshot.metadata
-    zOrderBy.foreach { c =>
-      require(metadata.schema.fieldNames.contains(c), s"Unknown z-order column $c")
-      require(!metadata.partitionColumns.contains(c),
-        s"Z-order column $c is a partition column (already clustered by dir)")
-    }
     val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, rewrite)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = index,

@@ -207,32 +207,32 @@ final class MergeBuilder private[delta] (
       case (Some(r), Some(i)) => Some(r.unionByName(i))
       case (r, i) => r.orElse(i)
     }
-    val adds = toWrite.map(df =>
-      DeltaWriter.writeFiles(Invariants.enforce(df, metadata), deltaLog,
-        metadata.partitionColumns, metadata.columnMapping, Some(metadata)))
-      .getOrElse(Nil)
-    val removes =
-      if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))
-      else Nil
+    // the persisted CDF join must be released on EVERY exit — a failing
+    // write job would otherwise leak the cache for the session
+    try {
+      val adds = toWrite.map(df =>
+        DeltaWriter.writeFiles(Invariants.enforce(df, metadata), deltaLog,
+          metadata.partitionColumns, metadata.columnMapping, Some(metadata)))
+        .getOrElse(Nil)
+      val removes =
+        if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))
+        else Nil
 
-    if (adds.isEmpty && removes.isEmpty) {
-      cached.foreach(_.unpersist())
-      return snapshot.version
-    }
-    if (cdcEnabled) {
-      inserts.foreach(i => changeFrames :+=
-        i.withColumn(CdcWriter.ChangeTypeCol, lit("insert")))
-    }
-    val cdc: Seq[Action] = changeFrames.reduceOption(_.unionByName(_))
-      .map(CdcWriter.writeChangeFiles(_, deltaLog, metadata.columnMapping))
-      .getOrElse(Nil)
-    cached.foreach(_.unpersist())
-    val txnAction: Seq[Action] = idempotency.toSeq.map { case (appId, v) =>
-      SetTransaction(appId, v, Some(deltaLog.clock()))
-    }
-    txn.commit(txnAction ++ cdc ++ adds ++ removes, DeltaOperations.Merge,
-      operationMetrics = Map(
-        "numTargetFilesRemoved" -> removes.size.toString,
-        "numTargetFilesAdded" -> adds.size.toString))
+      if (adds.isEmpty && removes.isEmpty) return snapshot.version
+      if (cdcEnabled) {
+        inserts.foreach(i => changeFrames :+=
+          i.withColumn(CdcWriter.ChangeTypeCol, lit("insert")))
+      }
+      val cdc: Seq[Action] = changeFrames.reduceOption(_.unionByName(_))
+        .map(CdcWriter.writeChangeFiles(_, deltaLog, metadata.columnMapping))
+        .getOrElse(Nil)
+      val txnAction: Seq[Action] = idempotency.toSeq.map { case (appId, v) =>
+        SetTransaction(appId, v, Some(deltaLog.clock()))
+      }
+      txn.commit(txnAction ++ cdc ++ adds ++ removes, DeltaOperations.Merge,
+        operationMetrics = Map(
+          "numTargetFilesRemoved" -> removes.size.toString,
+          "numTargetFilesAdded" -> adds.size.toString))
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 }

@@ -117,8 +117,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case other => throw new UnsupportedOperationException(
         s"Only identity partitioning is supported, got $other")
     }
+    // keep USER properties; strip only Spark's reserved/injected keys
+    // (ALTER ... SET TBLPROPERTIES accepts arbitrary keys — CREATE must
+    // not silently behave differently)
+    val reserved = Set(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      "path", "transient_lastDdlTime")
     val config = properties.asScala.toMap
-      .filter { case (k, _) => k.startsWith("delta.") || k.startsWith("graft.") }
+      .filter { case (k, _) =>
+        !reserved.contains(k) && !k.startsWith("option.") }
     val log = DeltaLog.forTable(spark, path)
     val txn = log.startTransaction()
     txn.updateMetadata(Metadata(
@@ -198,7 +207,29 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           } else org.apache.spark.sql.types.Metadata.empty
         val newField = org.apache.spark.sql.types.StructField(
           name, add.dataType(), nullable = true, metadata = metadata)
-        schema = SchemaAlter.addAt(schema, path, newField)
+        // accepted DDL must not be silently reordered: honor FIRST/AFTER
+        // for top-level adds, reject positions we cannot place
+        schema = (add.position(), path) match {
+          case (null, _) => SchemaAlter.addAt(schema, path, newField)
+          case (_, p) if p.nonEmpty =>
+            throw new UnsupportedOperationException(
+              "Column position is only supported for top-level columns")
+          case (pos, _) =>
+            import org.apache.spark.sql.connector.catalog.TableChange._
+            val fields = schema.fields
+            val at = pos match {
+              case _: First => 0
+              case after: After =>
+                val i = fields.indexWhere(_.name == after.column())
+                require(i >= 0, s"AFTER column ${after.column()} not found")
+                i + 1
+              case other => throw new UnsupportedOperationException(
+                s"Unsupported column position $other")
+            }
+            require(!fields.exists(_.name == name),
+              s"Column $name already exists")
+            StructType((fields.take(at) :+ newField) ++ fields.drop(at))
+        }
         ops :+= "ADD COLUMNS" // ref Operation.java ADD_COLUMNS
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,

@@ -45,6 +45,32 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 2L)
   }
 
+  test("user TBLPROPERTIES survive CREATE TABLE; reserved keys do not") {
+    spark.sql("""CREATE TABLE graft.db.props (id INT)
+                 TBLPROPERTIES ('owner.team'='data-eng', 'delta.appendOnly'='false')""")
+    val cfg = graft.delta.DeltaLog
+      .forTable(spark, s"$warehouse/db/props").update().metadata.configuration
+    assert(cfg("owner.team") == "data-eng")
+    assert(cfg("delta.appendOnly") == "false")
+    assert(!cfg.contains("provider") && !cfg.contains("location"))
+  }
+
+  test("ADD COLUMNS honors FIRST and AFTER positions") {
+    spark.sql("CREATE TABLE graft.db.pos (a INT, b INT)")
+    spark.sql("ALTER TABLE graft.db.pos ADD COLUMNS (z INT FIRST)")
+    spark.sql("ALTER TABLE graft.db.pos ADD COLUMNS (m INT AFTER a)")
+    val cols = graft.delta.DeltaLog
+      .forTable(spark, s"$warehouse/db/pos").update().metadata.schema.fieldNames
+    assert(cols.toSeq == Seq("z", "a", "m", "b"), cols.mkString(","))
+  }
+
+  test("writeTo append resolves through the V2 path") {
+    spark.sql("CREATE TABLE graft.db.wt (id BIGINT, v STRING)")
+    spark.range(0, 3).selectExpr("id", "CAST(id AS STRING) AS v")
+      .writeTo("graft.db.wt").append()
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.wt").head().getLong(0) == 3L)
+  }
+
   test("CREATE TABLE + INSERT + SELECT through the catalog") {
     spark.sql("""CREATE TABLE graft.db.events
                  (id BIGINT, category STRING, amount DOUBLE)
