@@ -188,8 +188,11 @@ case class GraftOptimizeCommand(
     // Z-order is one whole-candidate clustering pass; plain compaction
     // loops until a pass compacts nothing, so the STATEMENT means "the
     // table is optimized" even past the per-commit incremental bound
+    val before = table.version
     var version = table.compact(zOrderBy = zOrderBy, where = whereCol)
-    if (zOrderBy.isEmpty) {
+    // a first pass that committed nothing IS the fixpoint — skip the
+    // confirmation passes entirely
+    if (zOrderBy.isEmpty && version != before) {
       var prev = -1L
       var rounds = 0
       while (version != prev && rounds < 1000) {
