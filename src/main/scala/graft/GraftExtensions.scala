@@ -386,10 +386,17 @@ object GraftExtensions {
           require(userCols.isEmpty && !byName,
             "Delta SQL inserts are positional; a column list / BY NAME is " +
               "not supported")
-          require(query.output.size == lr.output.size,
+          // positional VALUES arrive in the table's DECLARED column order;
+          // lr.output is scan order (partition columns last) — zipping
+          // against it would silently swap values into wrong columns for
+          // any table whose partition column is not declared last
+          val declared = lr.relation
+            .asInstanceOf[graft.delta.read.InsertableDeltaRelation]
+            .tableSchema
+          require(query.output.size == declared.size,
             s"INSERT has ${query.output.size} columns but the table has " +
-              s"${lr.output.size}")
-          val aligned = query.output.zip(lr.output).map { case (in, out) =>
+              s"${declared.size}")
+          val aligned = query.output.zip(declared.fields).map { case (in, out) =>
             if (in.dataType == out.dataType && in.name == out.name) in
             else Alias(Cast(in, out.dataType, Some(conf.sessionLocalTimeZone)),
               out.name)()

@@ -99,14 +99,21 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         s"Updating partition column $c is not supported")
     }
     import org.apache.spark.sql.functions.{coalesce, lit}
+    // ONE projection, not sequential withColumn: every SET value and the
+    // condition must evaluate against the PRE-update row (SQL UPDATE
+    // semantics) — chaining withColumn would let a later SET see an
+    // earlier SET's result (and a condition on an updated column would
+    // flip mid-row)
     def applySet(df: DataFrame): DataFrame =
-      set.foldLeft(df) { case (acc, (name, value)) =>
-        acc.withColumn(name,
-          org.apache.spark.sql.functions.when(condition,
-            value.cast(schema(name).dataType))
-            .otherwise(org.apache.spark.sql.functions.col(name)))
-      }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
+      df.select(schema.fieldNames.map { name =>
+        set.get(name) match {
+          case Some(value) =>
+            org.apache.spark.sql.functions.when(condition,
+              value.cast(schema(name).dataType))
+              .otherwise(org.apache.spark.sql.functions.col(name)).as(name)
+          case None => org.apache.spark.sql.functions.col(name)
+        }
+      }.toIndexedSeq: _*)
     rewriteMatchedFiles(txn, condition, DeltaOperations.Update, applySet,
       changes = { df =>
         val matched = df.filter(coalesce(condition, lit(false)))

@@ -33,6 +33,12 @@ class InsertableDeltaRelation(
     options = Map.empty)(spark)
   with InsertableRelation {
 
+  /** The DECLARED column order (metadata schema). HadoopFsRelation's own
+    * output reorders partition columns last — positional SQL inserts
+    * must align against this, not that. */
+  private[graft] def tableSchema: org.apache.spark.sql.types.StructType =
+    snapshot.metadata.schema
+
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     graft.delta.write.DeltaWriter.write(data, tablePath,
       if (overwrite) SaveMode.Overwrite else SaveMode.Append,

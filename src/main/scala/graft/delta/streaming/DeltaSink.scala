@@ -47,6 +47,17 @@ class DeltaSink(
         txn.updateMetadata(Metadata(
           schemaString = Some(DeltaWriter.relaxed(batch.schema).json),
           partitionColumns = partitionColumns))
+      } else {
+        // the same schema discipline as batch appends: a mismatched
+        // batch (missing column, retyped column) must fail, and a
+        // genuinely new column evolves the schema — writing through
+        // writeFiles without this silently commits unreadable columns
+        val existing = txn.snapshot.metadata.schema
+        val merged = DeltaWriter.mergeSchemas(existing, batch.schema)
+        if (merged.json != txn.snapshot.metadata.schemaString.getOrElse("")) {
+          txn.updateMetadata(txn.snapshot.metadata.copy(
+            schemaString = Some(merged.json)))
+        }
       }
       val adds = DeltaWriter.writeFiles(Invariants.enforce(batch, txn.metadata),
         deltaLog, effectivePartitions(txn), txn.metadata.columnMapping,

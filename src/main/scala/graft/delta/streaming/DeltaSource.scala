@@ -227,6 +227,20 @@ class DeltaSource(
     }
     val frames = deltaLog.getChanges(fromV).takeWhile(_._1 <= endV)
       .flatMap { case (v, actions) =>
+        // the same mid-stream sanitation as the non-CDF path: a schema
+        // or protocol change invalidates this stream's pinned schema —
+        // silently serving old-schema change rows drops new columns
+        actions.foreach {
+          case m: Metadata if v > initialSnapshot.version &&
+              m.schemaString != initialSnapshot.metadata.schemaString =>
+            throw new UnsupportedOperationException(
+              s"Detected a schema/metadata change at version $v; " +
+                "restart the stream to pick it up")
+          case _: Protocol if v > initialSnapshot.version =>
+            throw new UnsupportedOperationException(
+              s"Detected a protocol change at version $v; restart the stream")
+          case _ =>
+        }
         val cdcFiles = actions.collect { case c: AddCDCFile => c }
         val frame =
           if (cdcFiles.nonEmpty) {

@@ -60,6 +60,12 @@ object DeltaWriter {
         require(partitionBy.isEmpty || partitionBy == existing,
           s"Partitioning $partitionBy does not match the table's $existing")
         existing
+      } else if (exists && partitionBy.isEmpty) {
+        // plain overwrite keeps the table's partitioning (a caller who
+        // wants to REPARTITION the table must say so) — otherwise the
+        // write lands unpartitioned and the commit fails on partition-
+        // value mismatch after the files are already on disk
+        txn.snapshot.metadata.partitionColumns
       } else partitionBy
 
     // metadata: first commit, overwrite-with-new-schema, or schema evolution

@@ -25,6 +25,34 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE SET expressions see the pre-update row") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, 10), (5, 50)).toDF("a", "b"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      // swap semantics: both RHS must read the ORIGINAL row, and the
+      // condition must not flip after a is rewritten
+      table.update($"a" === 1, Map("a" -> ($"b" + 0), "b" -> ($"a" + 0)))
+      assert(table.toDF.as[(Int, Int)].collect().toSet ==
+        Set((10, 1), (5, 50)))
+    }
+  }
+
+  test("overwrite without partitionBy keeps the table's partitioning") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "x"), (2, "y")).toDF("id", "part"),
+        dir, partitionBy = Seq("part"))
+      // the everyday overwrite: same schema, no partitionBy argument
+      DeltaTable.write(Seq((9, "x")).toDF("id", "part"), dir,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val m = DeltaLog.forTable(spark, dir).update().metadata
+      assert(m.partitionColumns == Seq("part"))
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+      // and partition pruning still works on the overwritten data
+      assert(DeltaTable.forPath(spark, dir).scan($"part" === "x")
+        .getFiles.nonEmpty)
+    }
+  }
+
   test("delete with a null-producing condition keeps null rows") {
     withTempDir { dir =>
       DeltaTable.write(

@@ -53,6 +53,28 @@ class SqlInsertSpec extends SparkSpec {
     }
   }
 
+  test("positional INSERT aligns to the DECLARED order when the " +
+      "partition column is not declared last") {
+    withTempDir { dir =>
+      // declared (id, day, value), partitioned by the MIDDLE column: the
+      // scan relation reorders to (id, value, day) — VALUES must still
+      // map by declared position
+      DeltaTable.write(
+        Seq((1L, "2026-01-01", "a")).toDF("id", "day", "value"),
+        dir, partitionBy = Seq("day"))
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_mid
+                    USING `graft-delta` OPTIONS (path '$dir')""")
+      try {
+        spark.sql("INSERT INTO t_mid VALUES (2, '2026-01-02', 'b')")
+        val got = DeltaTable.forPath(spark, dir).toDF
+          .select($"id", $"day", $"value").as[(Long, String, String)]
+          .collect().toSet
+        assert(got == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")),
+          got.toString)
+      } finally spark.catalog.dropTempView("t_mid")
+    }
+  }
+
   test("INSERT OVERWRITE replaces the table through the log") {
     withTempDir { dir =>
       DeltaTable.write((1 to 10).map(i => (i, s"g${i % 2}")).toDF("v", "grp"),

@@ -262,6 +262,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sink rejects schema-incompatible batches instead of committing them") {
+    withTempDir { base =>
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dst)
+      // source has a RETYPED v (int, not string) — the sink must fail
+      // the stream, not silently commit unreadable columns
+      DeltaTable.write(Seq((2L, 7)).toDF("id", "v"), src)
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start(dst)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.stop()
+        throw new IllegalStateException("expected the stream to fail")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(err).exists(_.contains("does not")), err.toString)
+      assert(DeltaTable.forPath(spark, dst).toDF.count() == 1)
+    }
+  }
+
   test("foreachBatch upsert: idempotent MERGE and write under batch replay") {
     withTempDir { base =>
       val src = s"$base/src"
