@@ -142,7 +142,7 @@ object GraftExtensions {
         lit(e, what) match {
           case n: java.lang.Number => n.longValue()
           case s =>
-            val ts = java.sql.Timestamp.valueOf(s.toString).getTime
+            val ts = graft.delta.TimestampParsing.parseMillis(spark, s.toString)
             val log = t.deltaLog
             if (start) log.getVersionAtOrAfterTimestamp(ts)
             else log.getVersionBeforeOrAtTimestamp(ts)

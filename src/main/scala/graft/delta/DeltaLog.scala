@@ -257,7 +257,13 @@ class DeltaLog private (
   /** Newest-first commit infos for the commit files that still EXIST —
     * after log cleanup (M14) the early tail is gone, so we list rather
     * than iterate 0..latest (the reference computes the earliest
-    * reproducible version first, DeltaHistoryManager.scala:40-66). */
+    * reproducible version first, DeltaHistoryManager.scala:40-66).
+    *
+    * Scale shape: past a handful of commits the per-version reads run as
+    * ONE Spark job (a 30-day log at high commit rates is thousands of
+    * serial object-store round-trips on the driver otherwise); each task
+    * emits only its file's single commitInfo LINE, so the collect is
+    * bounded by the same commit count as the return value. */
   def history(): Seq[CommitInfo] = {
     val versions =
       try {
@@ -266,7 +272,32 @@ class DeltaLog private (
           .map(f => FileNames.deltaVersion(f.getPath))
           .toVector.sorted
       } catch { case _: FileNotFoundException => Vector.empty }
-    versions.reverseIterator.map(getCommitInfoAt).toVector
+    if (versions.size <= DeltaLog.HistoryDriverReadMax)
+      return versions.reverseIterator.map(getCommitInfoAt).toVector
+    import spark.implicits._
+    val sconf = new SerializableHadoopConf(hadoopConf)
+    val pairs = versions.map(v => (v, FileNames.deltaFile(logPath, v).toString))
+    val raw = spark.createDataset(pairs)
+      .repartition(math.max(1, math.min(pairs.size / 4, 64)))
+      .map { case (v, pathStr) =>
+        val p = new Path(pathStr)
+        val fs = p.getFileSystem(sconf.value)
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        val ciLine = lines.filter(_.trim.nonEmpty).find { l =>
+          try JsonCodec.fromJson(l).commitInfo.isDefined
+          catch { case _: Exception => false }
+        }
+        (v, ciLine.getOrElse(""))
+      }.collect()
+    raw.sortBy(-_._1).iterator.map { case (v, line) =>
+      if (line.isEmpty) CommitInfo(version = Some(v))
+      else JsonCodec.fromJson(line).commitInfo
+        .map(_.copy(version = Some(v)))
+        .getOrElse(CommitInfo(version = Some(v)))
+    }.toVector
   }
 
   // ------------------------------------------------------------- cleanup (M14)
@@ -301,6 +332,10 @@ class DeltaLog private (
 }
 
 object DeltaLog {
+  /** history() reads at most this many commit files serially on the
+    * driver; above it the reads batch into one Spark job. */
+  private[delta] val HistoryDriverReadMax = 16
+
   private val cache = mutable.HashMap.empty[String, DeltaLog]
 
   /** M1: locate `_delta_log` under the table path; one cached DeltaLog per

@@ -104,8 +104,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // semantics) — chaining withColumn would let a later SET see an
     // earlier SET's result (and a condition on an updated column would
     // flip mid-row)
-    def applySet(df: DataFrame): DataFrame =
-      df.select(schema.fieldNames.map { name =>
+    def applySet(df: DataFrame): DataFrame = {
+      val applied = df.select(schema.fieldNames.map { name =>
         set.get(name) match {
           case Some(value) =>
             org.apache.spark.sql.functions.when(condition,
@@ -114,6 +114,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           case None => org.apache.spark.sql.functions.col(name)
         }
       }.toIndexedSeq: _*)
+      // generated columns follow their (possibly just-changed) sources —
+      // otherwise SET on a generation source trips the write-time guard
+      write.GeneratedColumns.recompute(applied,
+        txn.snapshot.metadata, set.keySet)
+    }
     rewriteMatchedFiles(txn, condition, DeltaOperations.Update, applySet,
       changes = { df =>
         val matched = df.filter(coalesce(condition, lit(false)))
@@ -759,8 +764,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(!metadata.configuration.contains(key),
       s"Constraint $name already exists")
     // existing data must satisfy the new constraint; the scan prunes to
-    // the constraint's columns and stops at the first violation
-    val violating = toDF.filter(not(coalesce(
+    // the constraint's columns and stops at the first violation. The
+    // validation scan is a TABLE READ of this transaction — without
+    // readWholeTable(), a concurrent append of violating rows committed
+    // between this scan and our commit would pass both conflict checks,
+    // leaving an active CHECK constraint over data that violates it.
+    // Scanning txn.snapshot (not a fresh update()) keeps the validated
+    // state and the conflict-checked read the SAME version.
+    txn.readWholeTable()
+    val violating = txn.snapshot.toDF.filter(not(coalesce(
       expr(sqlExpr).cast("boolean"), lit(false)))).limit(1).count()
     require(violating == 0,
       s"Cannot add CHECK constraint $name: existing rows violate ($sqlExpr)")
@@ -819,34 +831,56 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // the commit). `maxFilesPerCommit` bounds each commit so a
     // billion-small-file table bin-packs incrementally (call compact in a
     // loop) instead of staging one giant transaction.
-    // plain compaction rewrites only sub-target files; Z-order rewrites
-    // every candidate — its purpose is re-CLUSTERING, not just bin-packing
+    //
+    // Plain compaction bin-packs PER PARTITION: candidates group by
+    // partitionValues and a partition is rewritten only when doing so
+    // REDUCES its file count (>= 2 sub-target files AND the packed
+    // output count is below the input count). Without both conditions a
+    // partitioned table of already-as-packed-as-possible partitions
+    // would be rewritten on every OPTIMIZE pass — one small file per
+    // partition in, the same file back out — and the SQL fixpoint loop
+    // would commit full-table no-op rewrites until its round cap
+    // (log bloat, tombstone churn, conflict storms). Z-order rewrites
+    // every candidate — its purpose is re-CLUSTERING, not bin-packing.
     val rewrite: Seq[AddFile] = where match {
       case Some(pred) =>
         val matched = txn.markFilesAsRead(pred)
-        val filtered =
-          if (zOrderBy.isEmpty) matched.filter(_.size < targetFileBytes)
-          else matched
+        if (zOrderBy.isEmpty)
+          DeltaTable.packableGroups(matched.filter(_.size < targetFileBytes),
+            targetFileBytes, maxFilesPerCommit)
         // Z-order must rewrite EVERY candidate in one clustering pass —
         // a truncated subset would leave the table partially clustered
         // while claiming success (bound the scope with `where` instead)
-        if (zOrderBy.isEmpty) filtered.take(maxFilesPerCommit) else filtered
+        else matched
       case None =>
         txn.readWholeTable()
         if (snapshot.distributedState) {
           val target = targetFileBytes
           if (zOrderBy.isEmpty) {
-            snapshot.allFilesDistributed.filter(_.size < target)
+            // group + qualify where the file list lives; only survivors
+            // (files that will become RemoveFiles) reach the driver. The
+            // driver re-qualifies after the limit() truncation so a group
+            // split by the cap is deferred, never half-rewritten.
+            import spark.implicits._
+            val survivors = snapshot.allFilesDistributed
+              .filter(_.size < target)
+              .groupByKey(_.partitionValues.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString("/"))
+              .flatMapGroups { (_, it) =>
+                val fs = it.toSeq
+                if (fs.size >= 2 && DeltaTable.packedFileCount(fs, target) < fs.size) fs
+                else Iterator.empty
+              }
               .limit(maxFilesPerCommit).collect().toSeq
+            DeltaTable.packableGroups(survivors, target, maxFilesPerCommit)
           } else snapshot.allFilesDistributed.collect().toSeq
         } else {
           if (zOrderBy.isEmpty) {
-            snapshot.allFiles.filter(_.size < targetFileBytes)
-              .take(maxFilesPerCommit)
+            DeltaTable.packableGroups(snapshot.allFiles.filter(_.size < targetFileBytes),
+              targetFileBytes, maxFilesPerCommit)
           } else snapshot.allFiles
         }
     }
-    if (zOrderBy.isEmpty && rewrite.size < 2) return snapshot.version
     if (rewrite.isEmpty) return snapshot.version
 
     val metadata = snapshot.metadata
@@ -864,8 +898,49 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val numOutput = math.max(1,
       math.ceil(rewrite.map(_.size).sum.toDouble / targetFileBytes).toInt)
     val compacted =
-      if (zOrderBy.isEmpty) df.repartition(numOutput)
-      else {
+      if (zOrderBy.isEmpty && metadata.partitionColumns.isEmpty)
+        df.repartition(numOutput)
+      else if (zOrderBy.isEmpty) {
+        // Partitioned plain compaction shuffles on (partition, bucket):
+        // each partition packs into its OWN ceil(bytes/target) buckets.
+        // A global repartition(numOutput) would re-smear every partition
+        // across all output tasks and write one small file per
+        // (task, partition) — re-creating the small files the pass was
+        // meant to remove and defeating OPTIMIZE's fixpoint.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+        val partCols = metadata.partitionColumns
+        val binCounts = rewrite.groupBy(_.partitionValues).map {
+          case (pv, fs) => pv -> DeltaTable.packedFileCount(fs, targetFileBytes) }
+        if (binCounts.values.forall(_ == 1)) {
+          // common case — every partition packs to ONE file: hash on the
+          // partition columns so whole partitions co-locate per task
+          df.repartition(math.max(1, binCounts.size), partCols.map(col): _*)
+        } else {
+          // oversized partitions split toward target size: broadcast the
+          // tiny (partitionValues -> bins) map onto the scan, salt rows
+          // within their partition, shuffle on (partition, bucket). An
+          // unmatched join (string round-trip edge) falls back to one
+          // bucket — still a strict file-count reduction.
+          val binSchema = StructType(
+            partCols.map(c => StructField("__pv_" + c, StringType)) :+
+              StructField("__bins", IntegerType))
+          val binRows = binCounts.toSeq.map { case (pv, bins) =>
+            Row.fromSeq(partCols.map(c => pv.getOrElse(c, null)) :+ bins) }
+          val binsDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(binRows, 1), binSchema)
+          val joinCond = partCols.map(c =>
+            df(c).cast("string") <=> binsDf("__pv_" + c)).reduce(_ && _)
+          val dataCols = df.columns.map(col).toIndexedSeq
+          df.join(broadcast(binsDf), joinCond, "left")
+            .withColumn("__bucket",
+              pmod(hash(dataCols: _*), coalesce(col("__bins"), lit(1))))
+            .repartition(binCounts.values.sum,
+              (partCols.map(col) :+ col("__bucket")).toIndexedSeq: _*)
+            .select(dataCols: _*)
+        }
+      } else {
         // range-partition + sort by the interleaved z-value: each output
         // file covers a small hyper-rectangle of the clustering columns,
         // so its min/max stats prune under MULTI-column predicates
@@ -891,6 +966,30 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 }
 
 object DeltaTable {
+
+  /** Number of ~target-sized output files a candidate group packs into. */
+  private[delta] def packedFileCount(files: Seq[AddFile], target: Long): Int =
+    math.max(1, math.ceil(files.map(_.size).sum.toDouble / target).toInt)
+
+  /** Per-partition bin-packing candidate filter: keep only partition
+    * groups whose rewrite REDUCES the file count (the convergence
+    * guarantee for OPTIMIZE's fixpoint loop), taking whole groups until
+    * the per-commit cap — a cap-truncated group is deferred to the next
+    * commit, never rewritten partially. */
+  private[delta] def packableGroups(candidates: Seq[AddFile], target: Long,
+                                    maxFilesPerCommit: Int): Seq[AddFile] = {
+    val groups = candidates.groupBy(_.partitionValues).values.toSeq
+      .filter(fs => fs.size >= 2 && packedFileCount(fs, target) < fs.size)
+      // deterministic order so incremental passes make stable progress
+      .sortBy(_.map(_.path).min)
+    val picked = Seq.newBuilder[AddFile]
+    var n = 0
+    groups.foreach { g =>
+      if (n == 0 || n + g.size <= maxFilesPerCommit) { picked ++= g; n += g.size }
+    }
+    picked.result()
+  }
+
   def forPath(spark: SparkSession, path: String): DeltaTable = {
     val log = DeltaLog.forTable(spark, path)
     require(log.tableExists, s"$path is not a Delta table")

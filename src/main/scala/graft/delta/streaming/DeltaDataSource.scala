@@ -49,13 +49,13 @@ class DeltaDataSource
       val start = parameters.get("startingVersion").map(_.toLong)
         .orElse(parameters.get("startingTimestamp").map(ts =>
           log.getVersionAtOrAfterTimestamp(
-            java.sql.Timestamp.valueOf(ts).getTime)))
+            TimestampParsing.parseMillis(spark, ts))))
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed batch reads require startingVersion or startingTimestamp"))
       val end = parameters.get("endingVersion").map(_.toLong)
         .orElse(parameters.get("endingTimestamp").map(ts =>
           log.getVersionBeforeOrAtTimestamp(
-            java.sql.Timestamp.valueOf(ts).getTime)))
+            TimestampParsing.parseMillis(spark, ts))))
         .getOrElse(log.update().version)
       val df = graft.delta.DeltaTable
         .forPath(spark, pathOf(parameters)).changes(start, end)
@@ -69,7 +69,7 @@ class DeltaDataSource
     val snapshot = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(v), None) => log.getSnapshotForVersionAsOf(v.toLong)
       case (None, Some(ts)) => log.getSnapshotForTimestampAsOf(
-        java.sql.Timestamp.valueOf(ts).getTime)
+        TimestampParsing.parseMillis(spark, ts))
       case (None, None) => log.update()
       case _ => throw new IllegalArgumentException(
         "Cannot specify both versionAsOf and timestampAsOf")

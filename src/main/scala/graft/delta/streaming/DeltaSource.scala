@@ -62,7 +62,7 @@ class DeltaSource(
     }.orElse(options.get("startingTimestamp").map { ts =>
       // first version whose commit timestamp is at or after ts (F4)
       deltaLog.getVersionAtOrAfterTimestamp(
-        java.sql.Timestamp.valueOf(ts).getTime)
+        graft.delta.TimestampParsing.parseMillis(spark, ts))
     })
   }
 

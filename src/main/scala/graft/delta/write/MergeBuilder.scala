@@ -59,6 +59,60 @@ final class MergeBuilder private[delta] (
     * target schema by name (missing target columns become null). */
   def whenNotMatchedInsertAll(): MergeBuilder = { insertAll = true; this }
 
+  /** Conjuncts of the merge condition that constrain the TARGET alone:
+    * every attribute reference is either explicitly `t.`-qualified or an
+    * unqualified name that exists only in the target schema. These are
+    * sound pruning predicates — the full condition implies each of them
+    * — rewritten with the alias stripped so they bind against a bare
+    * target scan. Resolved `AttributeReference`s (a caller passing
+    * `sourceDf("col")`) are skipped: their side cannot be identified
+    * syntactically, and skipping only costs pruning, never correctness. */
+  private def targetOnlyPredicate(
+      schema: org.apache.spark.sql.types.StructType): Option[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, Expression}
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val targetCols = schema.fieldNames.map(lower).toSet
+    val sourceCols = source.columns.map(lower).toSet
+    def targetOnly(e: Expression): Boolean = {
+      var ok = true
+      e.foreach {
+        case a: UnresolvedAttribute => a.nameParts match {
+          case Seq(q, n) if lower(q) == "t" && targetCols.contains(lower(n)) => ()
+          case Seq(n) if targetCols.contains(lower(n)) &&
+            !sourceCols.contains(lower(n)) => ()
+          case _ => ok = false
+        }
+        case _: AttributeReference => ok = false
+        // subquery conjuncts reference plans foreach doesn't traverse —
+        // never treat them as prunable
+        case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => ok = false
+        case _ => ()
+      }
+      ok
+    }
+    def strip(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+        lower(a.nameParts.head) == "t" => UnresolvedAttribute(a.nameParts.tail)
+    }
+    // the Column-API tree spells AND as UnresolvedFunction("and", ...) —
+    // split that form as well as an already-catalyst And
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(lower) == Seq("and") && !f.isDistinct &&
+            f.arguments.size == 2 =>
+        f.arguments.flatMap(conjuncts)
+      case CatalystAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val kept = conjuncts(
+      org.apache.spark.sql.graft.Shims.catalystExpression(condition))
+      .filter(targetOnly(_))
+    if (kept.isEmpty) None
+    else Some(org.apache.spark.sql.graft.Shims.column(
+      kept.map(strip).reduce(CatalystAnd)))
+  }
+
   def execute(): Long = {
     require(updateSet.isDefined || matchedDelete || insertAll,
       "MERGE needs at least one WHEN clause")
@@ -77,8 +131,61 @@ final class MergeBuilder private[delta] (
         s"Updating partition column $c is not supported")
     })
 
-    txn.readWholeTable() // merge reads target rows by data condition
-    val target = snapshot.toDF.alias("t")
+    // Bound the TARGET read by the merge condition's target-only
+    // conjuncts (ref: DeltaScan.java:33-67 pushed-predicate contract).
+    // A per-partition upsert must not scan a 100 TB table: partition
+    // conjuncts narrow BOTH the scan and the transaction's read set
+    // (concurrent appends to untouched partitions no longer conflict);
+    // stats conjuncts additionally skip files by min/max. Rows outside
+    // the candidate files cannot satisfy the merge condition (the
+    // condition IMPLIES its own conjuncts), so the candidate scan is
+    // also sufficient for the not-matched insert anti-join.
+    val targetPred = targetOnlyPredicate(schema)
+    val (metaC, dataC) = targetPred match {
+      case Some(p) =>
+        val resolved = read.PartitionUtils.resolveFilter(spark, schema, p)
+        read.PartitionUtils.splitMetadataAndDataPredicates(
+          resolved, metadata.partitionColumns)
+      case None => (Nil, Nil)
+    }
+    val candidateFiles: Option[Seq[AddFile]] =
+      if (metaC.nonEmpty) {
+        // narrow read tracking + partition pruning; stats skip survivors
+        val matched = txn.markFilesAsRead(targetPred.get)
+        val keep = read.FilePruning.keepFile(
+          metadata.partitionSchema, Nil, dataC, metadata.dataSchema)
+        Some(matched.filter(keep))
+      } else if (dataC.nonEmpty) {
+        // no partition conjunct: conflict tracking stays whole-table
+        // (a concurrent append could add matching rows anywhere), but
+        // stats still bound the SCAN — pruning runs where the file list
+        // lives and only survivors reach the driver
+        txn.readWholeTable()
+        val survivors =
+          if (snapshot.distributedState)
+            read.FilePruning.prune(snapshot.allFilesDistributed,
+              metadata.partitionSchema, Nil, dataC, metadata.dataSchema)
+              .collect().toSeq
+          else snapshot.allFiles.filter(read.FilePruning.keepFile(
+            metadata.partitionSchema, Nil, dataC, metadata.dataSchema))
+        Some(survivors)
+      } else {
+        txn.readWholeTable() // merge reads target rows by data condition
+        None
+      }
+    def scanFiles(files: Seq[AddFile]): DataFrame = {
+      val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, files)
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        location = index,
+        partitionSchema = metadata.partitionSchema,
+        dataSchema = metadata.dataSchema,
+        bucketSpec = None,
+        fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
+        options = Map.empty)(spark)
+      spark.baseRelationToDataFrame(relation)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    val target = candidateFiles.map(scanFiles).getOrElse(snapshot.toDF).alias("t")
     val src = source.alias("s")
 
     // 1. ONE touched-file job: inner join carrying only (file, row-id),
@@ -105,20 +212,25 @@ final class MergeBuilder private[delta] (
     // list WHERE IT LIVES: in distributed-state mode that's a Dataset
     // filter collecting only the touched files — a 3-file merge on a
     // million-file table never materializes the full state on the driver.
-    val matchedFiles: Seq[AddFile] =
-      if (snapshot.distributedState) {
+    val matchedFiles: Seq[AddFile] = candidateFiles match {
+      case Some(cands) =>
+        // the touched set is a subset of the (already driver-resident)
+        // candidate files — no second pass over the state
+        cands.filter(f => matchedFileNames.contains(
+          read.PartitionUtils.inputFileName(deltaLog.dataPath, f.path)))
+      case None if snapshot.distributedState =>
         val names = matchedFileNames
         val dataPathStr = deltaLog.dataPath.toString
         snapshot.allFilesDistributed.filter { f =>
           names.contains(read.PartitionUtils.inputFileName(
             new org.apache.hadoop.fs.Path(dataPathStr), f.path))
         }.collect().toSeq
-      } else {
+      case None =>
         snapshot.allFiles.filter { f =>
           matchedFileNames.contains(
             read.PartitionUtils.inputFileName(deltaLog.dataPath, f.path))
         }
-      }
+    }
 
     val cdcEnabled = CdcWriter.enabled(metadata)
     var changeFrames = Vector.empty[DataFrame]
@@ -128,17 +240,7 @@ final class MergeBuilder private[delta] (
     val rewritten: Option[DataFrame] =
       if (matchedFiles.isEmpty || (updateSet.isEmpty && !matchedDelete)) None
       else {
-        val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, matchedFiles)
-        val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-          location = index,
-          partitionSchema = metadata.partitionSchema,
-          dataSchema = metadata.dataSchema,
-          bucketSpec = None,
-          fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
-          options = Map.empty)(spark)
-        val rows = spark.baseRelationToDataFrame(relation)
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-          .alias("t")
+        val rows = scanFiles(matchedFiles).alias("t")
         // multi-match already rejected by the touched-file job above, so
         // the rewrite is a single left join — no second guard pass.
         // With CDF on, the join feeds BOTH the rewrite and the pre/post
@@ -158,24 +260,31 @@ final class MergeBuilder private[delta] (
         val out = updateSet match {
           case Some(set) =>
             if (cdcEnabled) {
-              val post = joined.filter(col("__match").isNotNull)
-                .select(schema.fieldNames.map { name =>
-                  set.get(name).map(_.cast(schema(name).dataType).as(name))
-                    .getOrElse(col(s"t.$name").as(name))
-                }.toIndexedSeq: _*)
+              val post = GeneratedColumns.recompute(
+                joined.filter(col("__match").isNotNull)
+                  .select(schema.fieldNames.map { name =>
+                    set.get(name).map(_.cast(schema(name).dataType).as(name))
+                      .getOrElse(col(s"t.$name").as(name))
+                  }.toIndexedSeq: _*),
+                metadata, set.keySet)
               changeFrames :+=
                 matchedRows.withColumn(CdcWriter.ChangeTypeCol, lit("update_preimage"))
                   .unionByName(post.withColumn(CdcWriter.ChangeTypeCol,
                     lit("update_postimage")))
             }
-            joined.select(schema.fieldNames.map { name =>
-              set.get(name) match {
-                case Some(value) =>
-                  when(col("__match").isNotNull, value.cast(schema(name).dataType))
-                    .otherwise(col(s"t.$name")).as(name)
-                case None => col(s"t.$name").as(name)
-              }
-            }.toIndexedSeq: _*)
+            // generated columns re-derive from their (possibly just-SET)
+            // sources — without this, SET on a generation source would
+            // trip the write-time equality guard and abort the MERGE
+            GeneratedColumns.recompute(
+              joined.select(schema.fieldNames.map { name =>
+                set.get(name) match {
+                  case Some(value) =>
+                    when(col("__match").isNotNull, value.cast(schema(name).dataType))
+                      .otherwise(col(s"t.$name")).as(name)
+                  case None => col(s"t.$name").as(name)
+                }
+              }.toIndexedSeq: _*),
+              metadata, set.keySet)
           case None => // matchedDelete
             if (cdcEnabled) {
               changeFrames :+=

@@ -18,7 +18,13 @@ import org.apache.spark.sql.DataFrame
 private[operators] object InputWidth {
   def widen(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    // probe width via the cached internal-row RDD — df.rdd would stack a
+    // whole row-deserializer conversion on top just to read a partition
+    // count. (The executed plan's outputPartitioning is NOT usable here:
+    // file scans report UnknownPartitioning(0), which would force a
+    // shuffle on every already-wide input.)
+    val width = df.queryExecution.toRdd.getNumPartitions
+    if (width < parallelism) df.repartition(parallelism)
     else df
   }
 }

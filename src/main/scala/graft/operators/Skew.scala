@@ -33,8 +33,12 @@ object Skew {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "__salt column name is reserved")
+    // A null scatterBy must still land in SOME bucket: md5Hash32(null) is
+    // null, and a null __salt would silently drop the row from the inner
+    // equi-join even when the key matches — breaking the "EXACTLY the
+    // plain inner join" contract. coalesce to bucket 0.
     val saltedFacts = facts.withColumn("__salt",
-      pmod(md5Hash32(scatterBy.cast("string")), lit(salts.toLong)))
+      pmod(coalesce(md5Hash32(scatterBy.cast("string")), lit(0L)), lit(salts.toLong)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFacts.join(saltedDim, Seq(key, "__salt")).drop("__salt")

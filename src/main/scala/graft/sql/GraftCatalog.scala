@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.delta.{DeltaLog, DeltaOperations, Metadata}
+import graft.delta.{DeltaLog, DeltaOperations, Metadata, TimestampParsing}
 
 /** DSv2 `TableCatalog` over Delta tables — the F9 DDL surface the
   * reference exposes through its Flink catalog (`DeltaCatalog.java:75-257`),
@@ -340,7 +340,7 @@ class GraftTable(
       DeltaLog.forTable(spark, path).getSnapshotForVersionAsOf(v.toLong)
     case None => readOptions.get("timestampAsOf") match {
       case Some(ts) => DeltaLog.forTable(spark, path)
-        .getSnapshotForTimestampAsOf(java.sql.Timestamp.valueOf(ts).getTime)
+        .getSnapshotForTimestampAsOf(TimestampParsing.parseMillis(spark, ts))
       case None => DeltaLog.forTable(spark, path).update()
     }
   }

@@ -317,7 +317,7 @@ case class GraftRestoreTimestampCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, target)
     val committed = graft.delta.DeltaTable.forPath(session, path)
-      .restoreToTimestamp(java.sql.Timestamp.valueOf(timestamp).getTime)
+      .restoreToTimestamp(graft.delta.TimestampParsing.parseMillis(session, timestamp))
     Seq(Row(path, committed))
   }
 }

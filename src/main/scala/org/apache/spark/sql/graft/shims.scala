@@ -19,6 +19,13 @@ object Shims {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** Column → EAGERLY converted Catalyst tree. [[expression]] returns a
+    * lazy `ColumnNodeExpression` leaf whose internals are opaque to
+    * Catalyst tree traversal (foreach/transform see ONE node); use this
+    * when the caller needs to inspect or split the actual tree. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** LogicalPlan → DataFrame (private[sql] Dataset.ofRows). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -33,6 +33,60 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("plain OPTIMIZE converges on partitioned tables in one rewrite pass") {
+    withTempDir { dir =>
+      // 3 partitions × 4 small files each
+      (1 to 4).foreach { i =>
+        DeltaTable.write(
+          (0 until 3).map(p => (i * 10 + p, s"p$p")).toDF("v", "grp"),
+          dir, partitionBy = if (i == 1) Seq("grp") else Nil)
+      }
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update()
+      assert(before.allFiles.size == 12, before.allFiles.map(_.path).toString)
+      val expected = before.toDF.as[(Int, String)].collect().toSet
+      val v0 = before.version
+
+      spark.sql(s"OPTIMIZE '$dir'")
+      val after = log.update()
+      // exactly ONE compaction commit; the fixpoint loop detects
+      // convergence WITHOUT committing no-op full-table rewrites (the
+      // old global bin-packer re-produced one small file per partition
+      // every pass and committed until its round cap)
+      assert(after.version == v0 + 1,
+        s"expected one OPTIMIZE commit, table went $v0 -> ${after.version}")
+      assert(after.allFiles.size == 3, after.allFiles.map(_.path).toString)
+      assert(after.toDF.as[(Int, String)].collect().toSet == expected)
+
+      // a second OPTIMIZE finds nothing to do and commits nothing
+      spark.sql(s"OPTIMIZE '$dir'")
+      assert(log.update().version == after.version)
+    }
+  }
+
+  test("compact rewrites only partitions whose file count shrinks") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 3).map(i => (i, "multi")).toDF("v", "grp"), dir,
+        partitionBy = Seq("grp"))
+      DeltaTable.write((10 to 12).map(i => (i, "multi")).toDF("v", "grp"), dir)
+      DeltaTable.write(Seq((99, "single")).toDF("v", "grp"), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update()
+      val singleFile = before.allFiles
+        .filter(_.partitionValues.get("grp").contains("single"))
+      assert(singleFile.size == 1)
+
+      DeltaTable.forPath(spark, dir).compact()
+      val after = log.update()
+      // the lone-file partition is untouched: same AddFile survives
+      assert(after.allFiles.map(_.path).contains(singleFile.head.path),
+        "single-file partition must not be rewritten")
+      assert(after.allFiles
+        .count(_.partitionValues.get("grp").contains("multi")) == 1)
+    }
+  }
+
   test("a stream across a compaction does not re-emit rows") {
     withTempDir { base =>
       val dir = s"$base/table"

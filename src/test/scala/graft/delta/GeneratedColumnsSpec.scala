@@ -69,18 +69,50 @@ class GeneratedColumnsSpec extends SparkSpec {
         table.update($"id" === 1L, Map("day" -> lit("1999-01-01")))
       }
       assert(table.toDF.select($"day").as[String].head() == "2026-01-01")
-      // updating ts alone also desynchronizes — and is also rejected
-      // (callers must update both consistently; recomputation on UPDATE
-      // is not implied by the protocol)
-      intercept[Exception] {
-        table.update($"id" === 1L,
-          Map("ts" -> lit(java.sql.Timestamp.valueOf("2027-06-06 00:00:00"))))
-      }
-      // a consistent update of both passes
-      table.update($"id" === 1L, Map(
-        "ts" -> lit(java.sql.Timestamp.valueOf("2027-06-06 00:00:00")),
-        "day" -> lit("2027-06-06")))
+      // updating ts ALONE recomputes the generated column from its new
+      // source value — the DML must stay possible, not abort on the
+      // stale stored value
+      table.update($"id" === 1L,
+        Map("ts" -> lit(java.sql.Timestamp.valueOf("2027-06-06 00:00:00"))))
       assert(table.toDF.select($"day").as[String].head() == "2027-06-06")
+      // a consistent explicit update of both also passes
+      table.update($"id" === 1L, Map(
+        "ts" -> lit(java.sql.Timestamp.valueOf("2028-03-03 00:00:00")),
+        "day" -> lit("2028-03-03")))
+      assert(table.toDF.select($"day").as[String].head() == "2028-03-03")
+    }
+  }
+
+  test("UPDATE/MERGE on a generation source recomputes a generated " +
+      "PARTITION column and relocates the row") {
+    withTempDir { dir =>
+      DeltaTable.create(spark, dir, schema,
+        partitionBy = Seq("day"),
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      DeltaTable.write(
+        Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+            (2L, java.sql.Timestamp.valueOf("2026-01-02 10:00:00")))
+          .toDF("id", "ts"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      table.update($"id" === 1L,
+        Map("ts" -> lit(java.sql.Timestamp.valueOf("2026-05-05 08:00:00"))))
+      val got = table.toDF.select($"id", $"day").as[(Long, String)]
+        .collect().toMap
+      assert(got == Map(1L -> "2026-05-05", 2L -> "2026-01-02"), got.toString)
+      // the moved row is readable through its new partition value
+      assert(table.toDF.filter($"day" === "2026-05-05")
+        .select($"id").as[Long].collect().toSeq == Seq(1L))
+
+      // MERGE-update on the source column recomputes too
+      table.merge(
+          Seq((2L, java.sql.Timestamp.valueOf("2026-07-07 07:00:00")))
+            .toDF("id", "ts"),
+          col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("ts" -> col("s.ts")))
+        .execute()
+      val after = table.toDF.select($"id", $"day").as[(Long, String)]
+        .collect().toMap
+      assert(after == Map(1L -> "2026-05-05", 2L -> "2026-07-07"), after.toString)
     }
   }
 

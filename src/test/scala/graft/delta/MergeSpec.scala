@@ -51,6 +51,112 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("merge bounded by a partition conjunct never reads other partitions") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0))
+          .toDF("id", "part", "price"),
+        dir, partitionBy = Seq("part"))
+      // physically delete partition b's parquet bytes: if the merge's
+      // touched-file job or its insert anti-join scanned the whole
+      // table, the job would fail with a missing-file error — candidate
+      // pruning from the `t.part = 'a'` conjunct is what saves it
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .forEachRemaining { p =>
+          if (p.toString.contains("part=b") && p.toString.endsWith(".parquet"))
+            java.nio.file.Files.delete(p)
+        }
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge(
+          Seq((2, "a", 200.0), (4, "a", 400.0)).toDF("id", "part", "price"),
+          col("t.part") === lit("a") && col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("price" -> col("s.price")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val a = table.toDF.filter($"part" === "a")
+        .select($"id", $"price").as[(Int, Double)].collect().toMap
+      assert(a == Map(1 -> 10.0, 2 -> 200.0, 4 -> 400.0), a.toString)
+    }
+  }
+
+  test("merge with a data-only target conjunct stats-prunes the scan") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 10).map(i => (i, i * 1.0)).toDF("id", "price"),
+        dir)
+      DeltaTable.write((11 to 20).map(i => (i, i * 100.0)).toDF("id", "price"),
+        dir)
+      // physically delete the low-id file's bytes: the merge condition's
+      // `t.price >= 1000` conjunct must stats-skip it (its max price is
+      // 10), so the touched-file job never opens it
+      val log = DeltaLog.forTable(spark, dir)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .forEachRemaining { p =>
+          val name = p.getFileName.toString
+          if (name.endsWith(".parquet") && !p.toString.contains("_delta_log")) {
+            // identify the low file via the log's stats-pruned scan
+            val lowPaths = graft.delta.read.DataSkipping
+              .filterFiles(log.update().allFiles,
+                Seq(graft.delta.read.PartitionUtils.resolveFilter(
+                  spark, log.update().metadata.schema, $"price" < 50.0)),
+                log.update().metadata.dataSchema)
+              .map(_.path)
+            if (lowPaths.exists(lp => p.toString.endsWith(
+                new java.net.URI(lp).getPath)))
+              java.nio.file.Files.delete(p)
+          }
+        }
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge(
+          Seq((15, 0.0), (16, 0.0)).toDF("id", "price"),
+          col("t.id") === col("s.id") && col("t.price") >= lit(1000.0))
+        .whenMatchedUpdate(Map("price" -> col("s.price")))
+        .execute()
+      // read back skipping the deleted file by id stats
+      val out = table.toDF.filter($"id" >= 11)
+        .as[(Int, Double)].collect().toMap
+      assert(out(15) == 0.0 && out(16) == 0.0, out.toString)
+      assert(out(12) == 1200.0 && out.size == 10, out.toString)
+    }
+  }
+
+  test("partition-bounded merges do not conflict with appends to other " +
+      "partitions") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a", 1.0)).toDF("id", "part", "price"),
+        dir, partitionBy = Seq("part"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      try {
+        val merger = pool.submit(new Runnable {
+          def run(): Unit = try {
+            (1 to 5).foreach { i =>
+              DeltaTable.forPath(spark, dir)
+                .merge(Seq((1, "a", i * 1.0)).toDF("id", "part", "price"),
+                  col("t.part") === lit("a") && col("t.id") === col("s.id"))
+                .whenMatchedUpdate(Map("price" -> col("s.price")))
+                .execute()
+            }
+          } catch { case t: Throwable => failure.set(t) }
+        })
+        val appender = pool.submit(new Runnable {
+          def run(): Unit = try {
+            (1 to 10).foreach(i =>
+              DeltaTable.write(Seq((100 + i, "b", 0.0))
+                .toDF("id", "part", "price"), dir))
+          } catch { case t: Throwable => failure.set(t) }
+        })
+        merger.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        appender.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      } finally pool.shutdown()
+      assert(failure.get() == null,
+        s"concurrent merge/append failed: ${failure.get()}")
+      val out = DeltaTable.forPath(spark, dir).toDF
+        .select($"id", $"price").as[(Int, Double)].collect().toMap
+      assert(out(1) == 5.0, out.toString)
+      assert(out.size == 11)
+    }
+  }
+
   test("insert-only merge appends exactly the unmatched rows") {
     withTempDir { dir =>
       DeltaTable.write((1 to 5).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),

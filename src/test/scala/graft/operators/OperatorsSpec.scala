@@ -249,6 +249,24 @@ class OperatorsSpec extends SparkSpec {
     assert(spread == 8L, s"hot key scattered over only $spread salts")
   }
 
+  test("saltedJoin keeps fact rows whose scatterBy value is null") {
+    // md5Hash32(null) is null; an unguarded salt would silently drop
+    // these rows from the inner equi-join even though the KEY matches
+    val facts = Seq((1L, Some("a")), (1L, None), (2L, None))
+      .toDF("k", "sid")
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "label")
+    val plain = facts.join(dim, "k")
+      .select($"k", $"sid", $"label")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
+    val salted = Skew.saltedJoin(facts, dim, "k", salts = 4, scatterBy = $"sid")
+      .select($"k", $"sid", $"label")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
+    assert(salted == plain, s"salted=$salted plain=$plain")
+    assert(salted.size == 3)
+  }
+
   test("rolling fingerprint matches a reference implementation") {
     def ref(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
