@@ -28,7 +28,9 @@ object Checkpoints {
     val actions: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
         snapshot.setTransactions.map(_.wrap)) ++
-        snapshot.allFiles.map(_.wrap) ++
+        // stats parse ONCE at checkpoint time; every later pruning query
+        // reads the stats_parsed struct instead of re-walking the JSON
+        snapshot.allFiles.map(a => read.DataSkipping.withParsedStats(a).wrap) ++
         snapshot.tombstones.map(_.wrap)
     writeCheckpointDS(snapshot, snapshot.spark.createDataset(actions),
       actions.size.toLong, autoParts(snapshot, parts, actions.size.toLong))
@@ -46,7 +48,9 @@ object Checkpoints {
         snapshot.setTransactions.map(_.wrap)) ++
         snapshot.tombstones.map(_.wrap)
     val ds = snapshot.spark.createDataset(small)
-      .unionByName(snapshot.allFilesDistributed.map(_.wrap))
+      .unionByName(snapshot.allFilesDistributed
+        .map(a => read.DataSkipping.withParsedStats(a).wrap)(
+          Encoders.product[SingleAction]))
     // the action count is an aggregation over the (persisted) distributed
     // state — the file list itself never touches the driver
     val total = small.size.toLong + snapshot.numOfFiles

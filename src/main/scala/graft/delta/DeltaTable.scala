@@ -144,68 +144,22 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * files — CDF was off when it ran — cannot be reconstructed and
     * errors, like Delta's own CDF read. */
   def changes(startVersion: Long, endVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     val metadata = deltaLog.update().metadata
-    val typeCol = write.CdcWriter.ChangeTypeCol
-
-    def filesToDF(files: Seq[AddFile]): DataFrame = {
-      val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, files)
-      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        location = index,
-        partitionSchema = metadata.partitionSchema,
-        dataSchema = metadata.dataSchema,
-        bucketSpec = None,
-        fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
-        options = Map.empty)(spark)
-      spark.baseRelationToDataFrame(relation)
-        .select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
-    }
-
-    val perVersion = deltaLog.getChanges(startVersion)
-      .takeWhile(_._1 <= endVersion).flatMap { case (v, actions) =>
-        val cdcFiles = actions.collect { case c: AddCDCFile => c }
-        val frame =
-          if (cdcFiles.nonEmpty) {
-            val paths = cdcFiles.map(c =>
-              read.PartitionUtils.absoluteFileName(deltaLog.dataPath, c.path))
-            // change files carry PHYSICAL names; alias back to logical
-            val m = metadata.columnMapping
-            Some(spark.read.parquet(paths: _*)
-              .select((metadata.schema.fieldNames.map(n =>
-                col(s"`${m.getOrElse(n, n)}`").as(n)) :+ col(typeCol))
-                .toIndexedSeq: _*))
-          } else {
-            val adds = actions.collect { case a: AddFile if a.dataChange => a }
-            val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
-            if (adds.nonEmpty && removes.nonEmpty) {
-              throw new UnsupportedOperationException(
-                s"Version $v rewrote data without change files; enable " +
-                  "delta.enableChangeDataFeed before running DML to read " +
-                  "changes across it")
-            }
-            val inserts =
-              if (adds.isEmpty) None
-              else Some(filesToDF(adds).withColumn(typeCol, lit("insert")))
-            val deletes =
-              if (removes.isEmpty) None
-              else Some(filesToDF(removes.map(r => AddFile(
-                path = r.path,
-                partitionValues = r.partitionValues.getOrElse(Map.empty),
-                size = r.size.getOrElse(0L))))
-                .withColumn(typeCol, lit("delete")))
-            (inserts, deletes) match {
-              case (Some(i), Some(d)) => Some(i.unionByName(d))
-              case (i, d) => i.orElse(d)
-            }
-          }
-        frame.map(_.withColumn("_commit_version", lit(v)))
-      }.toVector
-
-    perVersion.reduceOption(_.unionByName(_)).getOrElse {
+    // tag the whole range's files with (version, change type) ONCE and
+    // plan them as AT MOST TWO scan relations — a per-version union
+    // would put O(versions) nodes in the plan (see [[read.CdfRelation]])
+    var cdcFiles = Vector.empty[AddFile]
+    var derived = Vector.empty[AddFile]
+    deltaLog.getChanges(startVersion).takeWhile(_._1 <= endVersion)
+      .foreach { case (v, actions) =>
+        val (c, d) = read.CdfRelation.tagFiles(v, actions, "read")
+        cdcFiles ++= c
+        derived ++= d
+      }
+    read.CdfRelation.frame(spark, deltaLog, metadata, cdcFiles, derived,
+      streaming = false).getOrElse {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        metadata.schema
-          .add(typeCol, org.apache.spark.sql.types.StringType)
-          .add("_commit_version", org.apache.spark.sql.types.LongType))
+        read.CdfRelation.cdfSchema(metadata))
     }
   }
 

@@ -98,7 +98,24 @@ case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
   def wrap: SingleAction = SingleAction(protocol = Some(this))
 }
 
-/** A data file that is part of the table. Ref: actions.scala:109-132. */
+/** Pre-parsed per-file stats, written into OUR checkpoints as an extra
+  * `add.stats_parsed` struct column (protocol-compatible: foreign
+  * readers ignore unknown checkpoint columns; Delta's own checkpoints
+  * carry the same column). Values keep their JSON-text rendering —
+  * [[graft.delta.read.DataSkipping]] normalizes strings into each
+  * comparison's domain anyway — and keys are lowercased once at parse
+  * time. The point: at million-file scale the per-query metadata CPU is
+  * dominated by re-parsing every file's stats JSON; a checkpointed
+  * table skips straight past the Jackson tree walk. */
+case class ParsedStats(
+    numRecords: Option[Long] = None,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCount: Map[String, Long] = Map.empty)
+
+/** A data file that is part of the table. Ref: actions.scala:109-132.
+  * `stats_parsed` never serializes into commit JSON (protocol purity) —
+  * it exists only in checkpoint parquet and in-memory state. */
 case class AddFile(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
@@ -106,7 +123,9 @@ case class AddFile(
     modificationTime: Long = 0L,
     dataChange: Boolean = true,
     stats: Option[String] = None,
-    tags: Option[Map[String, String]] = None)
+    tags: Option[Map[String, String]] = None,
+    @com.fasterxml.jackson.annotation.JsonIgnore
+    stats_parsed: Option[ParsedStats] = None)
   extends FileAction {
   def remove(timestamp: Long = System.currentTimeMillis(),
              dataChange: Boolean = true): RemoveFile =

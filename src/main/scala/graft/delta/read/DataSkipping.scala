@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.delta.{AddFile, JsonCodec}
+import graft.delta.{AddFile, JsonCodec, ParsedStats}
 
 /** File-level data skipping from `AddFile.stats` min/max/nullCount.
   *
@@ -55,6 +55,41 @@ object DataSkipping {
       case Some(stats) => dataFilters.forall(c => mayMatch(c, stats, types))
     }
 
+  /** Jackson tree-parses performed on raw stats JSON — observability for
+    * the stats_parsed fast path (specs assert a checkpointed table's
+    * pruning never increments it). */
+  private[graft] val statsJsonParses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Parse raw stats JSON into the checkpoint-persistable form (one
+    * Jackson walk; values keep their JSON-text rendering). */
+  def parseRaw(raw: String): Option[ParsedStats] = try {
+    statsJsonParses.incrementAndGet()
+    val node = JsonCodec.mapper.readTree(raw)
+    def obj(name: String): Map[String, com.fasterxml.jackson.databind.JsonNode] = {
+      val o = node.get(name)
+      if (o == null || !o.isObject) Map.empty
+      else {
+        val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
+        o.fields().forEachRemaining(e => b += e.getKey.toLowerCase -> e.getValue)
+        b.result()
+      }
+    }
+    Some(ParsedStats(
+      numRecords = Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong),
+      minValues = obj("minValues").collect {
+        case (k, v) if !v.isNull && !v.isContainerNode => k -> v.asText },
+      maxValues = obj("maxValues").collect {
+        case (k, v) if !v.isNull && !v.isContainerNode => k -> v.asText },
+      nullCount = obj("nullCount").collect {
+        case (k, v) if v.isNumber => k -> v.asLong }))
+  } catch { case NonFatal(_) => None }
+
+  /** Attach the parsed form once (no-op when already present) — called
+    * on the checkpoint write path so every checkpointed file carries it. */
+  def withParsedStats(f: AddFile): AddFile =
+    if (f.stats_parsed.isDefined || f.stats.isEmpty) f
+    else f.copy(stats_parsed = parseRaw(f.stats.get))
+
   private def parse(f: AddFile): Option[FileStats] = {
     // per-file Bloom filters ride in the tags (write.BloomFilters)
     val tags = f.tags.getOrElse(Map.empty)
@@ -65,7 +100,17 @@ object DataSkipping {
     }
     val bloomBits = tags.get(graft.delta.write.BloomFilters.BitsTag)
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
-    parseStats(f, blooms, bloomBits)
+    // fast path: a checkpoint-supplied parsed struct skips the Jackson
+    // walk entirely — string values normalize per comparison exactly
+    // like JSON-sourced text does
+    val fromParsed = f.stats_parsed.map { p =>
+      val cols = (p.minValues.keySet ++ p.maxValues.keySet ++ p.nullCount.keySet)
+        .map(c => c -> ColStats(
+          p.minValues.get(c), p.maxValues.get(c), p.nullCount.get(c))).toMap
+      FileStats(p.numRecords, cols, blooms, bloomBits)
+    }
+    fromParsed
+      .orElse(parseStats(f, blooms, bloomBits))
       .orElse(if (blooms.nonEmpty && bloomBits > 0)
         Some(FileStats(None, Map.empty, blooms, bloomBits)) else None)
   }
@@ -73,6 +118,7 @@ object DataSkipping {
   private def parseStats(f: AddFile, blooms: Map[String, String],
                          bloomBits: Int): Option[FileStats] = f.stats.flatMap { raw =>
     try {
+      statsJsonParses.incrementAndGet()
       val node = JsonCodec.mapper.readTree(raw)
       def obj(name: String): Map[String, com.fasterxml.jackson.databind.JsonNode] = {
         val o = node.get(name)

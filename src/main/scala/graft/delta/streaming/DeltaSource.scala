@@ -225,8 +225,13 @@ class DeltaSource(
         .withColumn(typeCol, lit("insert"))
         .withColumn("_commit_version", lit(endV))
     }
-    val frames = deltaLog.getChanges(fromV).takeWhile(_._1 <= endV)
-      .flatMap { case (v, actions) =>
+    // tag the whole batch's files once and plan ≤2 scan relations — a
+    // per-version union puts O(versions) nodes in the plan (see
+    // [[graft.delta.read.CdfRelation]])
+    var cdcFiles = Vector.empty[AddFile]
+    var derived = Vector.empty[AddFile]
+    deltaLog.getChanges(fromV).takeWhile(_._1 <= endV)
+      .foreach { case (v, actions) =>
         // the same mid-stream sanitation as the non-CDF path: a schema
         // or protocol change invalidates this stream's pinned schema —
         // silently serving old-schema change rows drops new columns
@@ -241,63 +246,19 @@ class DeltaSource(
               s"Detected a protocol change at version $v; restart the stream")
           case _ =>
         }
-        val cdcFiles = actions.collect { case c: AddCDCFile => c }
-        val frame =
-          if (cdcFiles.nonEmpty) {
-            Some(buildCdcDF(cdcFiles))
-          } else {
-            val adds = actions.collect { case a: AddFile if a.dataChange => a }
-            val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
-            if (adds.nonEmpty && removes.nonEmpty) {
-              throw new UnsupportedOperationException(
-                s"Version $v rewrote data without change files; enable " +
-                  "delta.enableChangeDataFeed before DML to stream changes")
-            }
-            val inserts = if (adds.isEmpty) None
-              else Some(buildBatchDF(adds).withColumn(typeCol, lit("insert")))
-            val deletes = if (removes.isEmpty) None
-              else Some(buildBatchDF(removes.map(r => AddFile(
-                  path = r.path,
-                  partitionValues = r.partitionValues.getOrElse(Map.empty),
-                  size = r.size.getOrElse(0L))))
-                .withColumn(typeCol, lit("delete")))
-            (inserts, deletes) match {
-              case (Some(i), Some(d)) => Some(i.unionByName(d))
-              case (i, d) => i.orElse(d)
-            }
-          }
-        frame.map(_.withColumn("_commit_version", lit(v)))
-      }.toVector
-    frames.reduceOption(_.unionByName(_)).getOrElse {
-      // empty range: an empty streaming frame with the CDF schema
-      buildBatchDF(Nil)
-        .withColumn(typeCol, lit("insert"))
-        .withColumn("_commit_version", lit(endV))
-        .filter(lit(false))
-    }
-  }
-
-  /** Streaming frame over recorded CDC parquet (schema + _change_type). */
-  private def buildCdcDF(files: Seq[AddCDCFile]): DataFrame = {
-    val metadata = initialSnapshot.metadata
-    val typeCol = graft.delta.write.CdcWriter.ChangeTypeCol
-    val asAdds = files.map(c => AddFile(path = c.path, size = c.size))
-    val index = new DeltaFileIndex(spark, deltaLog.dataPath,
-      metadata.copy(partitionColumns = Nil,
-        schemaString = Some(metadata.schema
-          .add(typeCol, org.apache.spark.sql.types.StringType).json)),
-      asAdds)
-    val relation = HadoopFsRelation(
-      location = index,
-      partitionSchema = new StructType(),
-      dataSchema = metadata.schema
-        .add(typeCol, org.apache.spark.sql.types.StringType),
-      bucketSpec = None,
-      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping),
-      options = Map.empty)(spark)
-    Shims.relationToDataFrame(spark, relation, isStreaming = true)
-      .select((metadata.schema.fieldNames :+ typeCol)
-        .map(org.apache.spark.sql.functions.col).toSeq: _*)
+        val (c, d) = graft.delta.read.CdfRelation.tagFiles(v, actions, "stream")
+        cdcFiles ++= c
+        derived ++= d
+      }
+    graft.delta.read.CdfRelation.frame(spark, deltaLog,
+      initialSnapshot.metadata, cdcFiles, derived, streaming = true)
+      .getOrElse {
+        // empty range: an empty streaming frame with the CDF schema
+        buildBatchDF(Nil)
+          .withColumn(typeCol, lit("insert"))
+          .withColumn("_commit_version", lit(endV))
+          .filter(lit(false))
+      }
   }
 
   /** F3 change sanitation for versions [fromV, toV]. */

@@ -149,6 +149,33 @@ class ChangeDataFeedSpec extends SparkSpec {
     }
   }
 
+  test("a wide version range plans at most two scan relations") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      (2 to 40).foreach(i => DeltaTable.write(Seq((i, s"v$i")).toDF("id", "v"), dir))
+      DeltaTable.forPath(spark, dir).delete($"id" === 3) // one rewrite commit
+      val table = DeltaTable.forPath(spark, dir)
+      val endV = table.deltaLog.update().version
+      val df = table.changes(0, endV)
+      // one relation over the change parquet + one over derived files —
+      // NOT one per version (O(versions) plan nodes kill wide backfills)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size <= 2, s"CDF range read planned ${scans.size} scans")
+      // content is intact: 40 inserts + delete pre-rows
+      val byType = df.groupBy($"_change_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(byType("insert") == 40, byType.toString)
+      assert(byType("delete") == 1, byType.toString)
+      // _commit_version attaches per file and is filterable
+      assert(df.filter($"_commit_version" === 1).count() == 1)
+      val versions = df.select($"_commit_version").distinct().count()
+      assert(versions == endV + 1, s"$versions distinct versions")
+    }
+  }
+
   test("rewrite commits without change files refuse a CDF read") {
     withTempDir { dir =>
       DeltaTable.write((1 to 10).map(i => (i, i * 1.0)).toDF("id", "v"), dir)

@@ -162,6 +162,28 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("pruning a checkpointed table reads stats_parsed, not JSON") {
+    withTempDir { dir =>
+      val df = spark.range(0, 8000).toDF("id")
+        .withColumn("val", $"id" * 2)
+        .repartitionByRange(8, $"id")
+      DeltaTable.write(df, dir)
+      Checkpoints.writeCheckpoint(DeltaLog.forTable(spark, dir).update())
+      DeltaLog.clearCache()
+      val table = DeltaTable.forPath(spark, dir)
+      val snap = table.deltaLog.update()
+      // the state must come from the checkpoint (stats_parsed present)
+      assert(snap.allFiles.forall(_.stats_parsed.isDefined),
+        "checkpoint-sourced files must carry stats_parsed")
+      val before = read.DataSkipping.statsJsonParses.get()
+      val narrow = table.toDF.filter($"id" >= 7200L)
+      assert(narrow.count() == 800)
+      assert(filesRead(narrow) == 1, "range filter should touch one file")
+      assert(read.DataSkipping.statsJsonParses.get() == before,
+        "pruning a checkpointed table must not re-parse stats JSON")
+    }
+  }
+
   test("skipping never loses rows when stats are absent") {
     withTempDir { dir =>
       DeltaTable.write((1 to 50).toDF("x"), dir)
