@@ -193,11 +193,25 @@ class Snapshot(
   def toDF: org.apache.spark.sql.DataFrame =
     new read.DeltaScanBuilder(this).buildDF(None)
 
-  /** Validate we can read this table (ref: SnapshotImpl protocol check). */
+  /** Validate we can read this table (ref: SnapshotImpl protocol check).
+    *
+    * Reader 2's single feature is COLUMN MAPPING; in `name` mode (and
+    * trivially `none`) the physical names ride in the schema's field
+    * metadata and our physical-name read machinery (the same one that
+    * serves our own renamed columns) decodes the files — so those
+    * tables are readable. `id` mode requires parquet field-ID
+    * resolution we don't implement; reader ≥3 features are unknown. */
   def assertReadable(): Unit = {
-    require(protocol.minReaderVersion <= 1,
-      s"Unsupported reader protocol version ${protocol.minReaderVersion}; " +
-        "this engine implements reader version 1")
+    val mode = metadata.configuration
+      .getOrElse(ColumnMapping.DeltaModeKey, "none")
+    val ok = protocol.minReaderVersion <= 1 ||
+      (protocol.minReaderVersion == 2 && mode != "id")
+    require(ok,
+      s"Unsupported reader protocol version ${protocol.minReaderVersion}" +
+        (if (mode == "id") " (column mapping mode 'id' requires parquet " +
+          "field-id resolution)" else "") +
+        "; this engine implements reader 1 and reader 2 name-mode " +
+        "column mapping")
   }
 }
 

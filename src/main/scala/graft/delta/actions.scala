@@ -69,6 +69,11 @@ case class Metadata(
   * DataFrame columns just before the file write. */
 object ColumnMapping {
   val PhysicalNameKey = "graft.physicalName"
+  /** Delta's own column-mapping field-metadata key (PROTOCOL.md "Column
+    * Mapping"): honoring it makes FOREIGN reader-2 tables in `name` mode
+    * readable through the same physical-name machinery our renames use. */
+  val DeltaPhysicalNameKey = "delta.columnMapping.physicalName"
+  val DeltaModeKey = "delta.columnMapping.mode"
   /** Physical names of DROPPED columns (comma-joined table property):
     * no later column may ever bind to them — old files still hold the
     * deleted bytes. */
@@ -81,6 +86,8 @@ object ColumnMapping {
 
   def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else if (f.metadata.contains(DeltaPhysicalNameKey))
+      f.metadata.getString(DeltaPhysicalNameKey)
     else f.name
 
   /** Only the columns whose physical name differs (top-level; nested

@@ -74,11 +74,16 @@ object PartitionUtils {
       Some("UTC")).eval(InternalRow.empty)
   }
 
-  /** Build the InternalRow of a file's partition values in schema order. */
+  /** Build the InternalRow of a file's partition values in schema order.
+    * Foreign column-mapped tables (reader 2, `name` mode) key
+    * partitionValues by the PHYSICAL column name (PROTOCOL.md "Column
+    * Mapping") — fall back to it when the logical key is absent. */
   def partitionRow(partitionSchema: StructType,
                    values: Map[String, String]): InternalRow = {
     InternalRow.fromSeq(partitionSchema.fields.map { f =>
-      decodePartitionValue(values.getOrElse(f.name, null), f.dataType)
+      val raw = values.getOrElse(f.name,
+        values.getOrElse(graft.delta.ColumnMapping.physicalName(f), null))
+      decodePartitionValue(raw, f.dataType)
     }.toIndexedSeq)
   }
 
