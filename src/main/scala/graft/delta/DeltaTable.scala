@@ -810,6 +810,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         txn.readWholeTable()
         if (snapshot.distributedState) {
           val target = targetFileBytes
+          val cap = maxFilesPerCommit
           if (zOrderBy.isEmpty) {
             // group + qualify where the file list lives; only survivors
             // (files that will become RemoveFiles) reach the driver. The
@@ -821,8 +822,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               .groupByKey(_.partitionValues.toSeq.sortBy(_._1)
                 .map { case (k, v) => s"$k=$v" }.mkString("/"))
               .flatMapGroups { (_, it) =>
-                val fs = it.toSeq
-                if (fs.size >= 2 && DeltaTable.packedFileCount(fs, target) < fs.size) fs
+                // buffer at most the per-commit cap per group — a
+                // million-small-file partition must not materialize in
+                // one task's memory; past the cap the group is emitted
+                // as-is and the driver re-qualifies the truncation
+                val buf = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+                while (it.hasNext && buf.size <= cap) buf += it.next()
+                val fs = buf.toSeq
+                if (fs.size > cap) fs
+                else if (fs.size >= 2 &&
+                  DeltaTable.packedFileCount(fs, target) < fs.size) fs
                 else Iterator.empty
               }
               .limit(maxFilesPerCommit).collect().toSeq
@@ -878,31 +887,41 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           // unmatched join (string round-trip edge) falls back to one
           // bucket — still a strict file-count reduction.
           val binSchema = StructType(
-            partCols.map(c => StructField("__pv_" + c, StringType)) :+
-              StructField("__bins", IntegerType))
+            partCols.map(c => StructField("__graft_pv_" + c, StringType)) :+
+              StructField("__graft_bins", IntegerType))
           val binRows = binCounts.toSeq.map { case (pv, bins) =>
             Row.fromSeq(partCols.map(c => pv.getOrElse(c, null)) :+ bins) }
           val binsDf = spark.createDataFrame(
             spark.sparkContext.parallelize(binRows, 1), binSchema)
           val joinCond = partCols.map(c =>
-            df(c).cast("string") <=> binsDf("__pv_" + c)).reduce(_ && _)
+            df(c).cast("string") <=> binsDf("__graft_pv_" + c)).reduce(_ && _)
           val dataCols = df.columns.map(col).toIndexedSeq
           df.join(broadcast(binsDf), joinCond, "left")
-            .withColumn("__bucket",
-              pmod(hash(dataCols: _*), coalesce(col("__bins"), lit(1))))
+            .withColumn("__graft_bucket",
+              pmod(hash(dataCols: _*), coalesce(col("__graft_bins"), lit(1))))
             .repartition(binCounts.values.sum,
-              (partCols.map(col) :+ col("__bucket")).toIndexedSeq: _*)
+              (partCols.map(col) :+ col("__graft_bucket")).toIndexedSeq: _*)
             .select(dataCols: _*)
         }
       } else {
         // range-partition + sort by the interleaved z-value: each output
         // file covers a small hyper-rectangle of the clustering columns,
-        // so its min/max stats prune under MULTI-column predicates
+        // so its min/max stats prune under MULTI-column predicates. On a
+        // PARTITIONED table the range keys lead with the partition
+        // columns — a z-only global range would smear every table
+        // partition across all tasks and write one file per
+        // (task, partition); leading with them keeps each task's rows in
+        // at most two table partitions (range boundaries), so the output
+        // file count stays ~numOutput while z-clustering WITHIN each
+        // partition, which is where its scan benefit lives (partition
+        // pruning already handles the partition dimension).
         val z = write.ZOrder.zValue(df, zOrderBy)
         import org.apache.spark.sql.functions.col
+        val rangeKeys = (metadata.partitionColumns.map(col) :+
+          col("__zorder")).toIndexedSeq
         df.withColumn("__zorder", z)
-          .repartitionByRange(numOutput, col("__zorder"))
-          .sortWithinPartitions(col("__zorder"))
+          .repartitionByRange(numOutput, rangeKeys: _*)
+          .sortWithinPartitions(rangeKeys: _*)
           .drop("__zorder")
       }
 

@@ -87,6 +87,36 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("compact splits an oversized partition toward the target size " +
+      "and still converges") {
+    withTempDir { dir =>
+      (1 to 8).foreach { i =>
+        DeltaTable.write(
+          (1 to 50).map(j => (i * 1000 + j, "a")).toDF("v", "grp").coalesce(1),
+          dir, partitionBy = if (i == 1) Seq("grp") else Nil)
+      }
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update()
+      assert(before.allFiles.size == 8)
+      val total = before.allFiles.map(_.size).sum
+      val target = total / 3 // forces >1 bin for the single partition
+      val expected = before.toDF.as[(Int, String)].collect().toSet
+
+      val table = DeltaTable.forPath(spark, dir)
+      table.compact(targetFileBytes = target)
+      val after = log.update()
+      // split into ~3 bins (hash imbalance may merge a bucket), never
+      // one oversized monolith, never the original confetti
+      assert(after.allFiles.size >= 2 && after.allFiles.size < 8,
+        s"got ${after.allFiles.size} files")
+      assert(after.toDF.as[(Int, String)].collect().toSet == expected)
+
+      // converged: a second pass at the same target commits nothing
+      table.compact(targetFileBytes = target)
+      assert(log.update().version == after.version)
+    }
+  }
+
   test("a stream across a compaction does not re-emit rows") {
     withTempDir { base =>
       val dir = s"$base/table"

@@ -157,6 +157,25 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("merge into a not-yet-existing partition inserts all source rows") {
+    withTempDir { dir =>
+      // the partition conjunct prunes the candidate set to ZERO files —
+      // the anti-join runs over an empty scan and everything inserts
+      DeltaTable.write(Seq((1, "a", 1.0)).toDF("id", "part", "price"),
+        dir, partitionBy = Seq("part"))
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge(
+          Seq((10, "z", 10.0), (11, "z", 11.0)).toDF("id", "part", "price"),
+          col("t.part") === lit("z") && col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("price" -> col("s.price")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val out = table.toDF.select($"id", $"part").as[(Int, String)]
+        .collect().toSet
+      assert(out == Set((1, "a"), (10, "z"), (11, "z")), out.toString)
+    }
+  }
+
   test("insert-only merge appends exactly the unmatched rows") {
     withTempDir { dir =>
       DeltaTable.write((1 to 5).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),

@@ -89,4 +89,33 @@ class ZOrderSpec extends SparkSpec {
       assert(opt.get.operationMetrics.exists(_.get("zOrderBy").contains("id")))
     }
   }
+
+  test("z-order on a partitioned table does not multiply files across " +
+      "partitions") {
+    withTempDir { dir =>
+      // 3 partitions × 4 files of a few rows each
+      (1 to 4).foreach { i =>
+        DeltaTable.write(
+          (0 until 30).map(j => (i * 100 + j, s"p${j % 3}")).toDF("id", "grp"),
+          dir, partitionBy = if (i == 1) Seq("grp") else Nil)
+      }
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update()
+      val totalBytes = before.allFiles.map(_.size).sum
+      val target = 4096L
+      val numOut = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+      assert(numOut >= 2, s"test needs >1 range task, got $numOut")
+      val expected = before.toDF.as[(Int, String)].collect().toSet
+
+      DeltaTable.forPath(spark, dir)
+        .compact(targetFileBytes = target, zOrderBy = Seq("id"))
+      val after = log.update()
+      // range keys lead with the partition column, so each range task
+      // holds at most two table partitions: files <= tasks + partitions-1.
+      // A z-only global range would write up to tasks × partitions files.
+      assert(after.allFiles.size <= numOut + 3 - 1,
+        s"${after.allFiles.size} files from $numOut tasks × 3 partitions")
+      assert(after.toDF.as[(Int, String)].collect().toSet == expected)
+    }
+  }
 }
