@@ -33,9 +33,19 @@ final class MergeBuilder private[delta] (
     source: DataFrame,
     condition: Column) {
 
-  private var updateSet: Option[Map[String, Column]] = None
-  private var matchedDelete = false
-  private var insertAll = false
+  /** One WHEN MATCHED clause: `set = None` means DELETE. Clauses are
+    * ORDERED — for each matched (target, source) pair the FIRST clause
+    * whose condition holds applies; a pair no clause accepts carries
+    * unchanged (standard MERGE semantics, same as delta-spark's). */
+  private case class MatchedClause(cond: Option[Column],
+                                   set: Option[Map[String, Column]])
+  /** One WHEN NOT MATCHED clause: `values = None` means INSERT * (align
+    * source columns to the target schema by name). */
+  private case class InsertClause(cond: Option[Column],
+                                  values: Option[Map[String, Column]])
+
+  private var matchedClauses = Vector.empty[MatchedClause]
+  private var insertClauses = Vector.empty[InsertClause]
   private var idempotency: Option[(String, Long)] = None
 
   /** Make this MERGE idempotent under (appId, version): a re-execution
@@ -46,18 +56,43 @@ final class MergeBuilder private[delta] (
   }
 
   def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder = {
-    require(!matchedDelete, "whenMatchedUpdate and whenMatchedDelete are exclusive")
-    updateSet = Some(set); this
+    matchedClauses :+= MatchedClause(None, Some(set)); this
+  }
+
+  /** Conditional update: applies only to matched pairs where `cond`
+    * (may reference `t.` and `s.`) holds and no earlier clause fired. */
+  def whenMatchedUpdate(cond: Column, set: Map[String, Column]): MergeBuilder = {
+    matchedClauses :+= MatchedClause(Some(cond), Some(set)); this
   }
 
   def whenMatchedDelete(): MergeBuilder = {
-    require(updateSet.isEmpty, "whenMatchedUpdate and whenMatchedDelete are exclusive")
-    matchedDelete = true; this
+    matchedClauses :+= MatchedClause(None, None); this
+  }
+
+  def whenMatchedDelete(cond: Column): MergeBuilder = {
+    matchedClauses :+= MatchedClause(Some(cond), None); this
   }
 
   /** Insert unmatched source rows; source columns are matched to the
     * target schema by name (missing target columns become null). */
-  def whenNotMatchedInsertAll(): MergeBuilder = { insertAll = true; this }
+  def whenNotMatchedInsertAll(): MergeBuilder = {
+    insertClauses :+= InsertClause(None, None); this
+  }
+
+  def whenNotMatchedInsertAll(cond: Column): MergeBuilder = {
+    insertClauses :+= InsertClause(Some(cond), None); this
+  }
+
+  /** Insert unmatched source rows with explicit column values (columns
+    * not named become null unless generated). */
+  def whenNotMatchedInsert(values: Map[String, Column]): MergeBuilder = {
+    insertClauses :+= InsertClause(None, Some(values)); this
+  }
+
+  def whenNotMatchedInsert(cond: Column,
+                           values: Map[String, Column]): MergeBuilder = {
+    insertClauses :+= InsertClause(Some(cond), Some(values)); this
+  }
 
   /** Conjuncts of the merge condition that constrain the TARGET alone:
     * every attribute reference is either explicitly `t.`-qualified or an
@@ -114,7 +149,7 @@ final class MergeBuilder private[delta] (
   }
 
   def execute(): Long = {
-    require(updateSet.isDefined || matchedDelete || insertAll,
+    require(matchedClauses.nonEmpty || insertClauses.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val spark = table.spark
     val deltaLog = table.deltaLog
@@ -125,11 +160,27 @@ final class MergeBuilder private[delta] (
     }
     val metadata = snapshot.metadata
     val schema = metadata.schema
-    updateSet.foreach(_.keys.foreach { c =>
+    matchedClauses.flatMap(_.set).foreach(_.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
       require(!metadata.partitionColumns.contains(c),
         s"Updating partition column $c is not supported")
     })
+    insertClauses.flatMap(_.values).foreach(_.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"Unknown column $c in INSERT")
+    })
+    // (index, set) of the UPDATE clauses, in clause order
+    val updateCases = matchedClauses.zipWithIndex.collect {
+      case (cl, i) if cl.set.isDefined => (i, cl.set.get) }
+    val deleteIdx = matchedClauses.zipWithIndex.collect {
+      case (cl, i) if cl.set.isEmpty => i }
+    // first-applicable-clause action per (t, s) pair; -1 = no clause
+    // fires and the row carries unchanged. Clause conditions may
+    // reference both sides; a null condition result does NOT fire.
+    def firstAction(clauses: Seq[Option[Column]]): Column =
+      clauses.zipWithIndex.foldRight(lit(-1)) { case ((cond, i), els) =>
+        when(cond.map(c => coalesce(c.cast("boolean"), lit(false)))
+          .getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
 
     // Bound the TARGET read by the merge condition's target-only
     // conjuncts (ref: DeltaScan.java:33-67 pushed-predicate contract).
@@ -192,7 +243,7 @@ final class MergeBuilder private[delta] (
     //    aggregated so the multi-match guard rides along — no second pass.
     //    The collect is file-count bounded (same order as the commit's
     //    RemoveFile list, which is driver-side by construction).
-    val needGuard = updateSet.isDefined || matchedDelete
+    val needGuard = matchedClauses.nonEmpty
     val touched = target
       .withColumn("__file", input_file_name())
       .withColumn("__row", monotonically_increasing_id())
@@ -238,7 +289,7 @@ final class MergeBuilder private[delta] (
 
     // 2. rewrite matched files with the source joined in
     val rewritten: Option[DataFrame] =
-      if (matchedFiles.isEmpty || (updateSet.isEmpty && !matchedDelete)) None
+      if (matchedFiles.isEmpty || matchedClauses.isEmpty) None
       else {
         val rows = scanFiles(matchedFiles).alias("t")
         // multi-match already rejected by the touched-file job above, so
@@ -253,63 +304,97 @@ final class MergeBuilder private[delta] (
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cached = Some(joined)
         }
-        val matchedRows = joined.filter(col("__match").isNotNull)
-          .select(schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
+        // per-row action: first matched clause whose condition holds;
+        // unmatched target rows always carry (-1)
+        val action = when(col("__match").isNull, lit(-1))
+          .otherwise(firstAction(matchedClauses.map(_.cond)))
+        val tagged = joined.withColumn("__graft_action", action)
+
         // project straight to the target schema (never withColumn — the
-        // joined frame carries ambiguous names from both sides)
-        val out = updateSet match {
-          case Some(set) =>
-            if (cdcEnabled) {
-              val post = GeneratedColumns.recompute(
-                joined.filter(col("__match").isNotNull)
-                  .select(schema.fieldNames.map { name =>
-                    set.get(name).map(_.cast(schema(name).dataType).as(name))
-                      .getOrElse(col(s"t.$name").as(name))
-                  }.toIndexedSeq: _*),
-                metadata, set.keySet)
-              changeFrames :+=
-                matchedRows.withColumn(CdcWriter.ChangeTypeCol, lit("update_preimage"))
-                  .unionByName(post.withColumn(CdcWriter.ChangeTypeCol,
-                    lit("update_postimage")))
-            }
-            // generated columns re-derive from their (possibly just-SET)
-            // sources — without this, SET on a generation source would
-            // trip the write-time equality guard and abort the MERGE
-            GeneratedColumns.recompute(
-              joined.select(schema.fieldNames.map { name =>
-                set.get(name) match {
-                  case Some(value) =>
-                    when(col("__match").isNotNull, value.cast(schema(name).dataType))
-                      .otherwise(col(s"t.$name")).as(name)
-                  case None => col(s"t.$name").as(name)
-                }
-              }.toIndexedSeq: _*),
-              metadata, set.keySet)
-          case None => // matchedDelete
-            if (cdcEnabled) {
-              changeFrames :+=
-                matchedRows.withColumn(CdcWriter.ChangeTypeCol, lit("delete"))
-            }
-            joined.filter(col("__match").isNull)
-              .select(schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
+        // joined frame carries ambiguous names from both sides), the SET
+        // of the row's clause winning per column; then re-derive
+        // generated columns for rows whose clause did not SET them
+        // explicitly (a SET on a generation source must not trip the
+        // write-time guard)
+        def projectUpdated(dfIn: DataFrame): DataFrame = {
+          val base = dfIn.select((schema.fieldNames.map { name =>
+            updateCases.foldRight(col(s"t.$name")) { case ((i, set), els) =>
+              set.get(name) match {
+                case Some(v) =>
+                  when(col("__graft_action") === i,
+                    v.cast(schema(name).dataType)).otherwise(els)
+                case None => els
+              }
+            }.as(name)
+          } :+ col("__graft_action")).toIndexedSeq: _*)
+          GeneratedColumns.expressions(schema).foldLeft(base) {
+            case (acc, (g, genExpr)) =>
+              val setters = updateCases.collect {
+                case (i, set) if set.contains(g) => i }
+              val keep = (col("__graft_action") === -1) ||
+                (if (setters.nonEmpty)
+                  col("__graft_action").isin(setters.map(Int.box): _*)
+                else lit(false))
+              acc.withColumn(g, when(keep, col(s"`$g`"))
+                .otherwise(expr(genExpr).cast(schema(g).dataType)))
+          }
         }
-        Some(out)
+
+        val updIdx = updateCases.map(_._1)
+        if (cdcEnabled) {
+          def tCols(df: DataFrame) = df.select(
+            schema.fieldNames.map(n => col(s"t.$n").as(n)).toIndexedSeq: _*)
+          if (updIdx.nonEmpty) {
+            val updRows = tagged.filter(
+              col("__graft_action").isin(updIdx.map(Int.box): _*))
+            changeFrames :+= tCols(updRows)
+              .withColumn(CdcWriter.ChangeTypeCol, lit("update_preimage"))
+              .unionByName(projectUpdated(updRows).drop("__graft_action")
+                .withColumn(CdcWriter.ChangeTypeCol, lit("update_postimage")))
+          }
+          if (deleteIdx.nonEmpty) {
+            changeFrames :+= tCols(tagged.filter(
+              col("__graft_action").isin(deleteIdx.map(Int.box): _*)))
+              .withColumn(CdcWriter.ChangeTypeCol, lit("delete"))
+          }
+        }
+        val kept =
+          if (deleteIdx.isEmpty) tagged
+          else tagged.filter(!col("__graft_action")
+            .isin(deleteIdx.map(Int.box): _*))
+        Some(projectUpdated(kept).drop("__graft_action"))
       }
 
-    // 3. inserts: source rows matching NO target row, aligned by name
+    // 3. inserts: source rows matching NO target row — the FIRST insert
+    //    clause whose condition holds supplies the values (explicit map,
+    //    or align-by-name for INSERT *); rows no clause accepts drop
     val inserts: Option[DataFrame] =
-      if (!insertAll) None
+      if (insertClauses.isEmpty) None
       else {
-        // generated columns the source does not carry COMPUTE (not
-        // null-fill) — a date-partitioned target must place merge-inserts
-        // in the right partition, same as appends
-        val unmatched = GeneratedColumns.materialize(
-          src.join(target, condition, "left_anti"), metadata)
-        val aligned = unmatched.select(schema.fields.map { f =>
-          if (unmatched.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }.toIndexedSeq: _*)
-        Some(aligned)
+        val unmatched = src.join(target, condition, "left_anti")
+          .withColumn("__graft_action", firstAction(insertClauses.map(_.cond)))
+          .filter(col("__graft_action") =!= -1)
+        val frames = insertClauses.zipWithIndex.map { case (cl, i) =>
+          val rowsI = unmatched.filter(col("__graft_action") === i)
+            .drop("__graft_action")
+          // generated columns the clause does not provide COMPUTE (not
+          // null-fill) — a date-partitioned target must place
+          // merge-inserts in the right partition, same as appends
+          val materialized = cl.values match {
+            case Some(vals) =>
+              GeneratedColumns.materialize(
+                rowsI.select(vals.toSeq.map { case (n, v) =>
+                  v.cast(schema(n).dataType).as(n) }.toIndexedSeq: _*),
+                metadata)
+            case None => GeneratedColumns.materialize(rowsI, metadata)
+          }
+          materialized.select(schema.fields.map { f =>
+            if (materialized.columns.contains(f.name))
+              col(s"`${f.name}`").cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        }
+        Some(frames.reduce(_.unionByName(_)))
       }
 
     val toWrite = (rewritten, inserts) match {

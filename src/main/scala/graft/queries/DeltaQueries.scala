@@ -326,6 +326,58 @@ object DeltaQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
         FROM merged GROUP BY o_orderpriority""")),
 
+    // Multi-clause conditional MERGE: ordered WHEN clauses, first
+    // applicable wins per row — delete cheap matched rows, conditionally
+    // update the expensive ones, insert a conditional slice of the
+    // unmatched source (the full delta-spark clause surface).
+    QueryDef(
+      "delta_merge_conditional",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("mergecond")
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(
+          orders.filter($"o_orderstatus" === "F")
+            .repartitionByRange(4, $"o_orderkey"),
+          path, SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        val source = orders.filter($"o_orderstatus" =!= "P")
+        table.merge(source, col("t.o_orderkey") === col("s.o_orderkey"))
+          .whenMatchedDelete(col("t.o_totalprice") < 50000.0)
+          .whenMatchedUpdate(col("s.o_totalprice") > 250000.0,
+            Map("o_orderpriority" -> lit("X-COND")))
+          .whenNotMatchedInsert(col("s.o_totalprice") > 350000.0,
+            Map("o_orderkey" -> col("s.o_orderkey"),
+              "o_custkey" -> col("s.o_custkey"),
+              "o_orderstatus" -> col("s.o_orderstatus"),
+              "o_totalprice" -> col("s.o_totalprice"),
+              "o_orderpriority" -> lit("X-NEW")))
+          .execute()
+        table.toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(14, 2))).cast("double").as("total"))
+      },
+      Some("""
+        WITH target AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+        kept AS (
+          SELECT CASE WHEN o_totalprice > 250000.0 THEN 'X-COND'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_totalprice
+          FROM target WHERE NOT (o_totalprice < 50000.0)
+        ),
+        inserted AS (
+          SELECT 'X-NEW' AS o_orderpriority, o_totalprice
+          FROM orders
+          WHERE o_orderstatus <> 'P'
+            AND o_totalprice > 350000.0
+            AND o_orderkey NOT IN (SELECT o_orderkey FROM target)
+        ),
+        merged AS (SELECT * FROM kept UNION ALL SELECT * FROM inserted)
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY o_orderpriority""")),
+
     // Rewrite DML: UPDATE and DELETE with data predicates (file selection
     // via partition pruning + stats skipping, matched files rewritten).
     QueryDef(

@@ -176,6 +176,91 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("ordered conditional clauses: first applicable clause wins") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 6).map(i => (i, i * 10.0, "keep")).toDF("id", "price", "status"),
+        dir)
+      val source = (1 to 8).map(i => (i, i * 100.0)).toDF("id", "price")
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge(source, col("t.id") === col("s.id"))
+        // clause 1: delete cheap matched rows
+        .whenMatchedDelete(col("t.price") < 25.0)
+        // clause 2: update the rest
+        .whenMatchedUpdate(col("s.price") > 350.0,
+          Map("price" -> col("s.price"), "status" -> lit("bumped")))
+        // matched rows failing both conditions carry unchanged
+        .whenNotMatchedInsertAll()
+        .execute()
+      val out = table.toDF.as[(Int, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // ids 1,2 deleted (price 10,20 < 25)
+      assert(!out.contains(1) && !out.contains(2), out.toString)
+      // ids 4,5,6 updated (source price 400,500,600 > 350)
+      assert(out(4) == ((400.0, "bumped")) && out(6) == ((600.0, "bumped")))
+      // id 3 matched but NO clause fired (price 30 >= 25, source 300 <= 350)
+      assert(out(3) == ((30.0, "keep")), out.toString)
+      // ids 7,8 inserted with status null
+      assert(out(7)._1 == 700.0 && out(7)._2 == null)
+    }
+  }
+
+  test("conditional and explicit-values insert clauses") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, 1.0, "x")).toDF("id", "price", "status"), dir)
+      val source = (1 to 4).map(i => (i, i * 100.0)).toDF("id", "price")
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge(source, col("t.id") === col("s.id"))
+        // first clause: big rows insert with explicit values
+        .whenNotMatchedInsert(col("s.price") >= 300.0,
+          Map("id" -> col("s.id"), "price" -> col("s.price"),
+            "status" -> lit("big")))
+        // second clause: everything else aligns by name (status null)
+        .whenNotMatchedInsertAll()
+        .execute()
+      val out = table.toDF.as[(Int, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out(1) == ((1.0, "x"))) // matched, no matched clause → carry
+      assert(out(2) == ((200.0, null)), out.toString)
+      assert(out(3) == ((300.0, "big")) && out(4) == ((400.0, "big")))
+    }
+  }
+
+  test("insert clause with a false condition drops unmatched rows") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq(1).toDF("id"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge(Seq(2, 3).toDF("id"), col("t.id") === col("s.id"))
+        .whenNotMatchedInsertAll(col("s.id") > 2)
+        .execute()
+      assert(table.toDF.as[Int].collect().sorted.toSeq == Seq(1, 3))
+    }
+  }
+
+  test("conditional merge clauses emit typed CDF changes") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 4).map(i => (i, i * 10.0)).toDF("id", "price"), dir,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge((1 to 5).map(i => (i, i * 100.0)).toDF("id", "price"),
+          col("t.id") === col("s.id"))
+        .whenMatchedDelete(col("t.id") === 1)
+        .whenMatchedUpdate(col("t.id") === 2, Map("price" -> col("s.price")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val v = table.deltaLog.update().version
+      val ch = table.changes(v, v)
+        .select($"id", $"_change_type").as[(Int, String)].collect().toSet
+      assert(ch.contains((1, "delete")), ch.toString)
+      assert(ch.contains((2, "update_preimage")) &&
+        ch.contains((2, "update_postimage")), ch.toString)
+      assert(ch.contains((5, "insert")), ch.toString)
+      // ids 3,4 matched but no clause fired → no change rows
+      assert(!ch.exists(_._1 == 3) && !ch.exists(_._1 == 4), ch.toString)
+    }
+  }
+
   test("insert-only merge appends exactly the unmatched rows") {
     withTempDir { dir =>
       DeltaTable.write((1 to 5).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
