@@ -46,6 +46,9 @@ final class MergeBuilder private[delta] (
 
   private var matchedClauses = Vector.empty[MatchedClause]
   private var insertClauses = Vector.empty[InsertClause]
+  /** WHEN NOT MATCHED BY SOURCE clauses — target rows with no matching
+    * source row; conditions/values may reference the TARGET only. */
+  private var bySourceClauses = Vector.empty[MatchedClause]
   private var idempotency: Option[(String, Long)] = None
 
   /** Make this MERGE idempotent under (appId, version): a re-execution
@@ -92,6 +95,26 @@ final class MergeBuilder private[delta] (
   def whenNotMatchedInsert(cond: Column,
                            values: Map[String, Column]): MergeBuilder = {
     insertClauses :+= InsertClause(Some(cond), Some(values)); this
+  }
+
+  /** Update target rows that have NO matching source row (condition and
+    * SET values reference the target only). */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column]): MergeBuilder = {
+    bySourceClauses :+= MatchedClause(None, Some(set)); this
+  }
+
+  def whenNotMatchedBySourceUpdate(cond: Column,
+                                   set: Map[String, Column]): MergeBuilder = {
+    bySourceClauses :+= MatchedClause(Some(cond), Some(set)); this
+  }
+
+  /** Delete target rows that have NO matching source row. */
+  def whenNotMatchedBySourceDelete(): MergeBuilder = {
+    bySourceClauses :+= MatchedClause(None, None); this
+  }
+
+  def whenNotMatchedBySourceDelete(cond: Column): MergeBuilder = {
+    bySourceClauses :+= MatchedClause(Some(cond), None); this
   }
 
   /** Conjuncts of the merge condition that constrain the TARGET alone:
@@ -148,8 +171,21 @@ final class MergeBuilder private[delta] (
       kept.map(strip).reduce(CatalystAnd)))
   }
 
+  /** Rewrite `t.`-qualified references to bare names so a target-only
+    * Column binds against the bare target schema (file pruning). */
+  private def stripTargetAlias(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val e = org.apache.spark.sql.graft.Shims.catalystExpression(c).transform {
+      case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+        a.nameParts.head.toLowerCase(java.util.Locale.ROOT) == "t" =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+    org.apache.spark.sql.graft.Shims.column(e)
+  }
+
   def execute(): Long = {
-    require(matchedClauses.nonEmpty || insertClauses.nonEmpty,
+    require(matchedClauses.nonEmpty || insertClauses.nonEmpty ||
+      bySourceClauses.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val spark = table.spark
     val deltaLog = table.deltaLog
@@ -160,26 +196,29 @@ final class MergeBuilder private[delta] (
     }
     val metadata = snapshot.metadata
     val schema = metadata.schema
-    matchedClauses.flatMap(_.set).foreach(_.keys.foreach { c =>
-      require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
-      require(!metadata.partitionColumns.contains(c),
-        s"Updating partition column $c is not supported")
-    })
+    (matchedClauses ++ bySourceClauses).flatMap(_.set)
+      .foreach(_.keys.foreach { c =>
+        require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
+        require(!metadata.partitionColumns.contains(c),
+          s"Updating partition column $c is not supported")
+      })
     insertClauses.flatMap(_.values).foreach(_.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"Unknown column $c in INSERT")
     })
-    // (index, set) of the UPDATE clauses, in clause order
-    val updateCases = matchedClauses.zipWithIndex.collect {
+    // one combined index space over all row-rewriting clauses: matched
+    // clauses first, then not-matched-by-source clauses
+    val rewriteClauses = matchedClauses ++ bySourceClauses
+    val updateCases = rewriteClauses.zipWithIndex.collect {
       case (cl, i) if cl.set.isDefined => (i, cl.set.get) }
-    val deleteIdx = matchedClauses.zipWithIndex.collect {
+    val deleteIdx = rewriteClauses.zipWithIndex.collect {
       case (cl, i) if cl.set.isEmpty => i }
-    // first-applicable-clause action per (t, s) pair; -1 = no clause
-    // fires and the row carries unchanged. Clause conditions may
-    // reference both sides; a null condition result does NOT fire.
-    def firstAction(clauses: Seq[Option[Column]]): Column =
+    // first-applicable-clause action per row; -1 = no clause fires and
+    // the row carries unchanged. Clause conditions may reference both
+    // sides; a null condition result does NOT fire.
+    def firstAction(clauses: Seq[Option[Column]], offset: Int = 0): Column =
       clauses.zipWithIndex.foldRight(lit(-1)) { case ((cond, i), els) =>
         when(cond.map(c => coalesce(c.cast("boolean"), lit(false)))
-          .getOrElse(lit(true)), lit(i)).otherwise(els)
+          .getOrElse(lit(true)), lit(i + offset)).otherwise(els)
       }
 
     // Bound the TARGET read by the merge condition's target-only
@@ -191,7 +230,12 @@ final class MergeBuilder private[delta] (
     // the candidate files cannot satisfy the merge condition (the
     // condition IMPLIES its own conjuncts), so the candidate scan is
     // also sufficient for the not-matched insert anti-join.
-    val targetPred = targetOnlyPredicate(schema)
+    // NOT MATCHED BY SOURCE clauses reach target rows that FAIL the
+    // merge condition — condition-derived candidate pruning is unsound
+    // for them, so their presence forces the whole-table read path (the
+    // clause conditions themselves still bound the REWRITE set below)
+    val targetPred =
+      if (bySourceClauses.nonEmpty) None else targetOnlyPredicate(schema)
     val (metaC, dataC) = targetPred match {
       case Some(p) =>
         val resolved = read.PartitionUtils.resolveFilter(spark, schema, p)
@@ -283,15 +327,48 @@ final class MergeBuilder private[delta] (
         }
     }
 
+    // files that may hold NOT-MATCHED-BY-SOURCE rows the clauses can
+    // change: pruned by the OR of the clause conditions (stats prove a
+    // file's rows all fail every condition → it cannot change); an
+    // unconditional clause touches every file, like Delta's own plan
+    val bySourceFiles: Seq[AddFile] =
+      if (bySourceClauses.isEmpty) Nil
+      else {
+        val conds = bySourceClauses.map(_.cond)
+        if (conds.exists(_.isEmpty)) {
+          if (snapshot.distributedState)
+            snapshot.allFilesDistributed.collect().toSeq
+          else snapshot.allFiles
+        } else {
+          val resolved = read.PartitionUtils.resolveFilter(spark, schema,
+            stripTargetAlias(conds.flatten.reduce(_ || _)))
+          val (m, d) = read.PartitionUtils.splitMetadataAndDataPredicates(
+            resolved, metadata.partitionColumns)
+          if (snapshot.distributedState)
+            read.FilePruning.prune(snapshot.allFilesDistributed,
+              metadata.partitionSchema, m, d, metadata.dataSchema)
+              .collect().toSeq
+          else snapshot.allFiles.filter(read.FilePruning.keepFile(
+            metadata.partitionSchema, m, d, metadata.dataSchema))
+        }
+      }
+    // the files the rewrite must re-emit: match-touched files (only when
+    // a matched clause can change them) plus the by-source candidates
+    val rewriteFiles: Seq[AddFile] = {
+      val fromMatch = if (matchedClauses.nonEmpty) matchedFiles else Nil
+      val seen = fromMatch.map(_.path).toSet
+      fromMatch ++ bySourceFiles.filterNot(f => seen.contains(f.path))
+    }
+
     val cdcEnabled = CdcWriter.enabled(metadata)
     var changeFrames = Vector.empty[DataFrame]
     var cached: Option[DataFrame] = None
 
-    // 2. rewrite matched files with the source joined in
+    // 2. rewrite the affected files with the source joined in
     val rewritten: Option[DataFrame] =
-      if (matchedFiles.isEmpty || matchedClauses.isEmpty) None
+      if (rewriteFiles.isEmpty || rewriteClauses.isEmpty) None
       else {
-        val rows = scanFiles(matchedFiles).alias("t")
+        val rows = scanFiles(rewriteFiles).alias("t")
         // multi-match already rejected by the touched-file job above, so
         // the rewrite is a single left join — no second guard pass.
         // With CDF on, the join feeds BOTH the rewrite and the pre/post
@@ -304,9 +381,11 @@ final class MergeBuilder private[delta] (
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cached = Some(joined)
         }
-        // per-row action: first matched clause whose condition holds;
-        // unmatched target rows always carry (-1)
-        val action = when(col("__match").isNull, lit(-1))
+        // per-row action: matched rows take the first matched clause
+        // whose condition holds; not-matched-by-source rows take the
+        // first by-source clause (offset into the combined index space)
+        val action = when(col("__match").isNull,
+            firstAction(bySourceClauses.map(_.cond), matchedClauses.size))
           .otherwise(firstAction(matchedClauses.map(_.cond)))
         val tagged = joined.withColumn("__graft_action", action)
 
@@ -409,7 +488,7 @@ final class MergeBuilder private[delta] (
           metadata.partitionColumns, metadata.columnMapping, Some(metadata)))
         .getOrElse(Nil)
       val removes =
-        if (rewritten.isDefined) matchedFiles.map(_.remove(deltaLog.clock()))
+        if (rewritten.isDefined) rewriteFiles.map(_.remove(deltaLog.clock()))
         else Nil
 
       if (adds.isEmpty && removes.isEmpty) return snapshot.version

@@ -378,6 +378,46 @@ object DeltaQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
         FROM merged GROUP BY o_orderpriority""")),
 
+    // WHEN NOT MATCHED BY SOURCE: target rows the source no longer
+    // names either age out (delete) or mark stale (update) — the
+    // source-drives-the-table reconciliation shape.
+    QueryDef(
+      "delta_merge_by_source",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("mergebysrc")
+        val orders = t(s, dir, "orders")
+        DeltaTable.write(
+          orders.filter($"o_orderstatus" === "F")
+            .repartitionByRange(4, $"o_orderkey"),
+          path, SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        val source = orders
+          .filter($"o_orderstatus" === "F" && $"o_totalprice" > 150000.0)
+        table.merge(source, col("t.o_orderkey") === col("s.o_orderkey"))
+          .whenMatchedUpdate(Map("o_orderpriority" -> lit("X-KEPT")))
+          .whenNotMatchedBySourceDelete(col("t.o_totalprice") < 30000.0)
+          .whenNotMatchedBySourceUpdate(
+            Map("o_orderpriority" -> lit("X-STALE")))
+          .execute()
+        table.toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(14, 2))).cast("double").as("total"))
+      },
+      Some("""
+        WITH target AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+        res AS (
+          SELECT CASE WHEN o_totalprice > 150000.0 THEN 'X-KEPT'
+                      ELSE 'X-STALE' END AS o_orderpriority,
+                 o_totalprice
+          FROM target
+          WHERE NOT (o_totalprice <= 150000.0 AND o_totalprice < 30000.0)
+        )
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM res GROUP BY o_orderpriority""")),
+
     // Rewrite DML: UPDATE and DELETE with data predicates (file selection
     // via partition pruning + stats skipping, matched files rewritten).
     QueryDef(

@@ -261,6 +261,59 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("whenNotMatchedBySource updates and deletes unmatched target rows") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 6).map(i => (i, i * 10.0, "live")).toDF("id", "price", "status"),
+        dir)
+      val table = DeltaTable.forPath(spark, dir)
+      // source covers ids 1-3 only; 4-6 are not matched by source
+      table.merge((1 to 3).map(i => (i, i * 100.0)).toDF("id", "price"),
+          col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("price" -> col("s.price")))
+        .whenNotMatchedBySourceDelete(col("t.price") > 55.0)
+        .whenNotMatchedBySourceUpdate(Map("status" -> lit("stale")))
+        .execute()
+      val out = table.toDF.as[(Int, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // matched rows updated
+      assert(out(1) == ((100.0, "live")) && out(3) == ((300.0, "live")))
+      // id 6 (price 60 > 55) deleted by the first by-source clause
+      assert(!out.contains(6), out.toString)
+      // ids 4,5 fall through to the second clause and mark stale
+      assert(out(4) == ((40.0, "stale")) && out(5) == ((50.0, "stale")),
+        out.toString)
+      assert(out.size == 5)
+    }
+  }
+
+  test("by-source clause conditions stats-prune the rewrite set") {
+    withTempDir { dir =>
+      // two files with disjoint id ranges; the by-source condition only
+      // reaches the high range — the low file must survive unrewritten
+      DeltaTable.write((1 to 10).map(i => (i, i * 1.0)).toDF("id", "price")
+        .coalesce(1), dir)
+      DeltaTable.write((11 to 20).map(i => (i, i * 1.0)).toDF("id", "price")
+        .coalesce(1), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val beforePaths = log.update().allFiles.map(_.path).toSet
+      val table = DeltaTable.forPath(spark, dir)
+      table.merge(Seq((15, 0.0)).toDF("id", "price"),
+          col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("price" -> col("s.price")))
+        .whenNotMatchedBySourceDelete(col("t.id") > 18)
+        .execute()
+      val afterPaths = log.update().allFiles.map(_.path).toSet
+      // only the high file rewrote (both the match and the by-source
+      // condition point at it); the low file's AddFile survives
+      assert((beforePaths -- afterPaths).size == 1,
+        s"rewrote ${(beforePaths -- afterPaths).size} files")
+      val out = table.toDF.as[(Int, Double)].collect().toMap
+      assert(out(15) == 0.0 && !out.contains(19) && !out.contains(20))
+      assert(out.contains(5) && out.size == 18, out.size.toString)
+    }
+  }
+
   test("insert-only merge appends exactly the unmatched rows") {
     withTempDir { dir =>
       DeltaTable.write((1 to 5).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
