@@ -311,47 +311,44 @@ object GraftExtensions {
               } && deltaLeaf(m.targetTable).isDefined =>
           require(!m.withSchemaEvolution,
             "MERGE WITH SCHEMA EVOLUTION is not supported")
-          require(m.notMatchedBySourceActions.isEmpty,
-            "WHEN NOT MATCHED BY SOURCE is not supported")
           def keyName(key: Expression): String = key match {
             case ref: AttributeReference => ref.name
             case other => throw new UnsupportedOperationException(
               s"Only top-level columns can be assigned, got $other")
           }
-          var updateSet: Option[Seq[(String, Expression)]] = None
-          var updateAll = false
-          var delete = false
-          m.matchedActions match {
-            case Nil =>
-            case Seq(UpdateAction(None, assigns, fromStar)) =>
-              if (fromStar) updateAll = true
-              else updateSet = Some(assigns.map(a =>
-                keyName(a.key) -> a.value))
-            case Seq(_: UpdateStarAction) => updateAll = true
-            case Seq(DeleteAction(None)) => delete = true
+          import graft.delta.read.GraftMergeCommand.{BySourceSpec, InsertSpec, MatchedSpec}
+          val matched = m.matchedActions.map {
+            case UpdateAction(cond, assigns, fromStar) =>
+              if (fromStar) MatchedSpec(cond, None, updateAll = true)
+              else MatchedSpec(cond,
+                Some(assigns.map(a => keyName(a.key) -> a.value)),
+                updateAll = false)
+            case u: UpdateStarAction =>
+              MatchedSpec(u.condition, None, updateAll = true)
+            case DeleteAction(cond) =>
+              MatchedSpec(cond, None, updateAll = false)
             case other => throw new UnsupportedOperationException(
-              s"Unsupported MERGE matched clause(s): $other (one " +
-                "unconditional UPDATE or DELETE)")
+              s"Unsupported MERGE matched clause: $other")
           }
-          val insertAll = m.notMatchedActions match {
-            case Nil => false
-            case Seq(_: InsertStarAction) => true
-            case Seq(InsertAction(None, assigns))
-                // the star/by-name form resolved: every value is a plain
-                // source attribute of the SAME name — the builder aligns
-                // by name, so renaming inserts must be rejected
-                if assigns.forall(a => a.value match {
-                  case r: AttributeReference => r.name == keyName(a.key)
-                  case _ => false
-                }) =>
-              true
+          val notMatched = m.notMatchedActions.map {
+            case i: InsertStarAction => InsertSpec(i.condition, None)
+            case InsertAction(cond, assigns) =>
+              InsertSpec(cond,
+                Some(assigns.map(a => keyName(a.key) -> a.value)))
             case other => throw new UnsupportedOperationException(
-              s"Unsupported MERGE not-matched clause(s): $other (one " +
-                "unconditional INSERT * / by-name insert)")
+              s"Unsupported MERGE not-matched clause: $other")
+          }
+          val bySource = m.notMatchedBySourceActions.map {
+            case UpdateAction(cond, assigns, _) =>
+              BySourceSpec(cond,
+                Some(assigns.map(a => keyName(a.key) -> a.value)))
+            case DeleteAction(cond) => BySourceSpec(cond, None)
+            case other => throw new UnsupportedOperationException(
+              s"Unsupported MERGE not-matched-by-source clause: $other")
           }
           graft.delta.read.GraftMergeCommand(
             deltaLeaf(m.targetTable).get.tablePath, m.sourceTable,
-            m.mergeCondition, updateSet, updateAll, delete, insertAll,
+            m.mergeCondition, matched, notMatched, bySource,
             m.targetTable.output.map(_.exprId),
             m.sourceTable.output.map(_.exprId))
       }

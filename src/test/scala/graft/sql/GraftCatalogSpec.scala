@@ -319,12 +319,29 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
                  WHEN MATCHED THEN DELETE""")
     assert(spark.sql("SELECT id FROM graft.db.mrg ORDER BY id").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 3))
-    // conditional clauses are rejected loudly, never silently misapplied
-    intercept[Exception] {
-      spark.sql("""MERGE INTO graft.db.mrg AS tgt
-                   USING graft.db.mrg_src AS src ON tgt.id = src.id
-                   WHEN MATCHED AND src.price > 50 THEN DELETE""")
-    }
+  }
+
+  test("SQL MERGE INTO supports the full ordered-clause surface") {
+    spark.sql("CREATE TABLE graft.db.mrgc (id INT, price DOUBLE)")
+    spark.sql(
+      "INSERT INTO graft.db.mrgc VALUES (1, 10.0), (2, 20.0), (3, 30.0), (9, 90.0)")
+    spark.sql("CREATE TABLE graft.db.mrgc_src (id INT, price DOUBLE)")
+    spark.sql(
+      "INSERT INTO graft.db.mrgc_src VALUES (1, 100.0), (2, 5.0), (3, 300.0), (4, 40.0), (5, 1.0)")
+    spark.sql("""MERGE INTO graft.db.mrgc AS tgt
+                 USING graft.db.mrgc_src AS src ON tgt.id = src.id
+                 WHEN MATCHED AND src.price < 10 THEN DELETE
+                 WHEN MATCHED AND src.price > 150 THEN UPDATE SET price = src.price
+                 WHEN NOT MATCHED AND src.price > 20 THEN INSERT (id, price) VALUES (src.id, src.price)
+                 WHEN NOT MATCHED BY SOURCE AND tgt.price > 50 THEN DELETE""")
+    val rows = spark.sql("SELECT id, price FROM graft.db.mrgc ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    // 1: matched, neither condition fires (100 in [10,150]) → carries
+    // 2: matched, src.price 5 < 10 → deleted
+    // 3: matched, src.price 300 > 150 → updated
+    // 4: unmatched, price 40 > 20 → inserted; 5: unmatched, 1 <= 20 → dropped
+    // 9: not matched by source, tgt.price 90 > 50 → deleted
+    assert(rows == Seq((1, 10.0), (3, 300.0), (4, 40.0)), rows.toString)
   }
 
   test("DROP COLUMN is metadata-only and a re-added name reads as null") {
