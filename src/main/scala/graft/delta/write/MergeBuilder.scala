@@ -369,25 +369,40 @@ final class MergeBuilder private[delta] (
       if (rewriteFiles.isEmpty || rewriteClauses.isEmpty) None
       else {
         val rows = scanFiles(rewriteFiles).alias("t")
-        // multi-match already rejected by the touched-file job above, so
-        // the rewrite is a single left join — no second guard pass.
-        // With CDF on, the join feeds BOTH the rewrite and the pre/post
-        // change images: persist it for the duration of the writes so the
+        // One output row PER TARGET ROW is the rewrite invariant. With
+        // matched clauses the touched-file job's multi-match guard makes
+        // the left join 1:1; with ONLY by-source clauses the guard does
+        // not run (duplicate source keys are legal then), so the source
+        // must never join INTO the row set — matched rows carry via a
+        // semi join (one row regardless of match count), not-matched
+        // rows come from the anti join. With CDF on, the frame feeds
+        // BOTH the rewrite and the change images: persist it so the
         // join executes once, not once per consumer.
-        var joined = rows.join(
-          src.withColumn("__match", lit(1)), condition, "left")
+        var tagged =
+          if (matchedClauses.isEmpty) {
+            val offset = matchedClauses.size
+            rows.join(src, condition, "left_semi")
+              .withColumn("__graft_action", lit(-1))
+              .unionByName(rows.join(src, condition, "left_anti")
+                .withColumn("__graft_action",
+                  firstAction(bySourceClauses.map(_.cond), offset)))
+          } else {
+            val joined = rows.join(
+              src.withColumn("__match", lit(1)), condition, "left")
+            // per-row action: matched rows take the first matched clause
+            // whose condition holds; not-matched-by-source rows take the
+            // first by-source clause (offset into the combined index
+            // space)
+            joined.withColumn("__graft_action",
+              when(col("__match").isNull,
+                firstAction(bySourceClauses.map(_.cond), matchedClauses.size))
+                .otherwise(firstAction(matchedClauses.map(_.cond))))
+          }
         if (cdcEnabled) {
-          joined = joined.persist(
+          tagged = tagged.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          cached = Some(joined)
+          cached = Some(tagged)
         }
-        // per-row action: matched rows take the first matched clause
-        // whose condition holds; not-matched-by-source rows take the
-        // first by-source clause (offset into the combined index space)
-        val action = when(col("__match").isNull,
-            firstAction(bySourceClauses.map(_.cond), matchedClauses.size))
-          .otherwise(firstAction(matchedClauses.map(_.cond)))
-        val tagged = joined.withColumn("__graft_action", action)
 
         // project straight to the target schema (never withColumn — the
         // joined frame carries ambiguous names from both sides), the SET

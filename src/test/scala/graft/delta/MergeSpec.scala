@@ -314,6 +314,23 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("by-source-only merge never duplicates a target row matched by " +
+      "several source rows") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        Seq((1, "live"), (2, "live")).toDF("id", "status"), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      // duplicate source keys are LEGAL here: no matched clause reads
+      // source values, so there is nothing nondeterministic — but a
+      // naive left join would write id=1 twice
+      table.merge(Seq(1, 1, 1).toDF("id"), col("t.id") === col("s.id"))
+        .whenNotMatchedBySourceUpdate(Map("status" -> lit("stale")))
+        .execute()
+      val out = table.toDF.as[(Int, String)].collect().sorted.toSeq
+      assert(out == Seq((1, "live"), (2, "stale")), out.toString)
+    }
+  }
+
   test("insert-only merge appends exactly the unmatched rows") {
     withTempDir { dir =>
       DeltaTable.write((1 to 5).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
