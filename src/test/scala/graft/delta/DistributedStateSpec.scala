@@ -213,6 +213,42 @@ class DistributedStateSpec extends SparkSpec {
     }
   }
 
+  test("distributed mode: partition-bounded merge collects only the " +
+      "candidate partition's files") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        (1 to 8).foreach(i =>
+          DeltaTable.write(
+            Seq((i, s"p${i % 4}", i * 10.0)).toDF("id", "part", "price"),
+            dir,
+            partitionBy = if (i == 1) Seq("part") else Nil,
+            configuration =
+              if (i == 1) Map("delta.checkpointInterval" -> "2") else Map.empty))
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val snap = log.update()
+        assert(snap.distributedState)
+
+        DeltaTable.forPath(spark, dir)
+          .merge(Seq((1, "p1", 999.0)).toDF("id", "part", "price"),
+            $"t.part" === lit("p1") && $"t.id" === $"s.id")
+          .whenMatchedUpdate(Map("price" -> $"s.price"))
+          .whenNotMatchedInsertAll()
+          .execute()
+        // candidate selection ran as a pruning job over the distributed
+        // state — the full file list never reached the driver
+        assert(!snap.filesMaterialized,
+          "partition-bounded merge materialized the full file list")
+        val rows = log.update().toDF
+          .select($"id", $"price").as[(Int, Double)].collect().toMap
+        assert(rows(1) == 999.0 && rows(2) == 20.0 && rows.size == 8)
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
   test("distributed mode: vacuum never materializes the file list") {
     withTempDir { dir =>
       spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
