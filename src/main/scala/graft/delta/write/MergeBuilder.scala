@@ -49,7 +49,14 @@ final class MergeBuilder private[delta] (
   /** WHEN NOT MATCHED BY SOURCE clauses — target rows with no matching
     * source row; conditions/values may reference the TARGET only. */
   private var bySourceClauses = Vector.empty[MatchedClause]
+  private var schemaEvolution = false
   private var idempotency: Option[(String, Long)] = None
+
+  /** Source columns absent from the target schema extend it (nullable)
+    * as part of this merge's commit — existing rows read the new
+    * columns as null, inserts/updates may reference them. Delta's
+    * automatic schema evolution for MERGE. */
+  def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
 
   /** Make this MERGE idempotent under (appId, version): a re-execution
     * with a version at or below the recorded one is a no-op — the
@@ -194,7 +201,24 @@ final class MergeBuilder private[delta] (
     idempotency.foreach { case (appId, version) =>
       if (txn.txnVersion(appId) >= version) return snapshot.version
     }
-    val metadata = snapshot.metadata
+    // schema evolution: source-only columns append to the target schema
+    // (nullable — old files decode them as null), committed with this
+    // merge's own Metadata action
+    val metadata = {
+      val base = snapshot.metadata
+      if (!schemaEvolution) base
+      else {
+        val existing = base.schema.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val extra = source.schema.fields.filterNot(f =>
+          existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+        if (extra.isEmpty) base
+        else base.copy(schemaString = Some(
+          org.apache.spark.sql.types.StructType(
+            base.schema.fields ++ extra.map(_.copy(nullable = true))).json))
+      }
+    }
+    if (metadata ne snapshot.metadata) txn.updateMetadata(metadata)
     val schema = metadata.schema
     (matchedClauses ++ bySourceClauses).flatMap(_.set)
       .foreach(_.keys.foreach { c =>

@@ -331,6 +331,38 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("withSchemaEvolution extends the target schema from the source") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 3).map(i => (i, i * 10.0)).toDF("id", "price"),
+        dir)
+      val table = DeltaTable.forPath(spark, dir)
+      val source = Seq((2, 200.0, "beta"), (4, 400.0, "new"))
+        .toDF("id", "price", "tag")
+      table.merge(source, col("t.id") === col("s.id"))
+        .withSchemaEvolution()
+        .whenMatchedUpdate(Map("price" -> col("s.price"),
+          "tag" -> col("s.tag")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val snap = table.deltaLog.update()
+      assert(snap.metadata.schema.fieldNames.toSeq == Seq("id", "price", "tag"))
+      val out = table.toDF.as[(Int, Double, Option[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // untouched rows read the new column as null
+      assert(out(1) == ((10.0, None)) && out(3) == ((30.0, None)))
+      assert(out(2) == ((200.0, Some("beta"))))
+      assert(out(4) == ((400.0, Some("new"))))
+      // without evolution, extra source columns do NOT appear: the
+      // by-name insert aligns to the target schema
+      table.merge(Seq((5, 500.0, "x", true)).toDF("id", "price", "tag", "extra"),
+          col("t.id") === col("s.id"))
+        .whenNotMatchedInsertAll()
+        .execute()
+      assert(table.deltaLog.update().metadata.schema.fieldNames.toSeq ==
+        Seq("id", "price", "tag"))
+    }
+  }
+
   test("insert-only merge appends exactly the unmatched rows") {
     withTempDir { dir =>
       DeltaTable.write((1 to 5).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
