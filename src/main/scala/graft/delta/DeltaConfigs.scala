@@ -90,6 +90,13 @@ object DeltaConfigs {
   val OPTIMIZE_WRITE: DeltaConfig[Boolean] = DeltaConfig(
     "delta.autoOptimize.optimizeWrite", "false", _.toBoolean)
 
+  /** Bin-pack small files automatically after each batch write commit
+    * (best-effort; conflicts never fail the triggering write). Where
+    * optimizeWrite shapes ONE batch's output, autoCompact folds the
+    * accumulated small files of MANY commits back toward target size. */
+  val AUTO_COMPACT: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.autoOptimize.autoCompact", "false", _.toBoolean)
+
   /** Target data-file size for optimizeWrite and OPTIMIZE defaults. */
   val TARGET_FILE_SIZE: DeltaConfig[Long] = DeltaConfig(
     "delta.targetFileSize", (128L * 1024 * 1024).toString,

@@ -42,6 +42,13 @@ class DeltaSource(
     options.getOrElse("ignoreDeletes", "false").toBoolean
   private val ignoreChanges =
     options.getOrElse("ignoreChanges", "false").toBoolean
+
+  /** Skip rewrite/delete commits entirely (their rows are neither
+    * re-emitted nor failed on) — the modern replacement for
+    * ignoreChanges/ignoreDeletes, which either re-emit rewritten rows
+    * (duplicates downstream) or only tolerate delete-only commits. */
+  private val skipChangeCommits =
+    options.getOrElse("skipChangeCommits", "false").toBoolean
   /** Stream the change data feed instead of table rows: each batch emits
     * schema + _change_type + _commit_version, serving recorded CDC files
     * for rewrite commits and deriving inserts/deletes for plain ones. */
@@ -278,18 +285,25 @@ class DeltaSource(
               s"Unsupported protocol change at version $v: $p")
           case _ =>
         }
-        if (removes.nonEmpty && adds.nonEmpty && !ignoreChanges) {
-          throw new UnsupportedOperationException(
-            s"Detected a data update at version $v (files rewritten). " +
-              "Set ignoreChanges=true to re-emit rewritten files, or restart " +
-              "from a fresh snapshot")
+        if (skipChangeCommits && removes.nonEmpty) {
+          // change commits (rewrites AND plain deletes) contribute
+          // nothing to the stream — appends-only consumption
+          Nil
+        } else {
+          if (removes.nonEmpty && adds.nonEmpty && !ignoreChanges) {
+            throw new UnsupportedOperationException(
+              s"Detected a data update at version $v (files rewritten). " +
+                "Set ignoreChanges=true to re-emit rewritten files, " +
+                "skipChangeCommits=true to skip them, or restart " +
+                "from a fresh snapshot")
+          }
+          if (removes.nonEmpty && adds.isEmpty && !ignoreDeletes && !ignoreChanges) {
+            throw new UnsupportedOperationException(
+              s"Detected deleted data at version $v. Set ignoreDeletes=true " +
+                "to skip delete-only commits")
+          }
+          adds
         }
-        if (removes.nonEmpty && adds.isEmpty && !ignoreDeletes && !ignoreChanges) {
-          throw new UnsupportedOperationException(
-            s"Detected deleted data at version $v. Set ignoreDeletes=true " +
-              "to skip delete-only commits")
-        }
-        adds
     }.toVector
   }
 

@@ -123,11 +123,25 @@ object DeltaWriter {
     val txnAction: Seq[Action] = idempotentTxn.toSeq.map { case (appId, v) =>
       SetTransaction(appId, v, Some(deltaLog.clock()))
     }
-    txn.commit(txnAction ++ adds ++ removes,
+    val committed = txn.commit(txnAction ++ adds ++ removes,
       if (!exists) DeltaOperations.CreateTable
       else if (mode == SaveMode.Overwrite) DeltaOperations.ReplaceTable
       else operation,
       operationMetrics = metrics)
+
+    // delta.autoOptimize.autoCompact: bin-pack AFTER the commit lands —
+    // the ingest's answer to the small-file problem without a separate
+    // maintenance job. Best-effort by design: the write above is already
+    // durable, and a compaction conflict with a concurrent writer must
+    // never fail the caller's write (compact commits dataChange=false,
+    // so streams are unaffected). compact() is per-partition and
+    // file-count-reducing, so auto-compaction converges instead of
+    // rewriting the table on every append.
+    if (DeltaConfigs.AUTO_COMPACT.fromMetadata(txn.metadata)) {
+      try DeltaTable.forPath(spark, path).compact()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    committed
   }
 
   /** Everything-nullable view of a schema (Spark's asNullable is

@@ -87,6 +87,27 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("autoCompact bin-packs after writes without failing them") {
+    withTempDir { dir =>
+      (1 to 6).foreach { i =>
+        DeltaTable.write(Seq((i, "a")).toDF("v", "grp").coalesce(1), dir,
+          partitionBy = if (i == 1) Seq("grp") else Nil,
+          configuration = if (i == 1)
+            Map("delta.autoOptimize.autoCompact" -> "true") else Map.empty)
+      }
+      val log = DeltaLog.forTable(spark, dir)
+      val snap = log.update()
+      // every append landed AND the confetti folded as it accumulated
+      assert(snap.toDF.as[(Int, String)].collect().map(_._1).sorted.toSeq ==
+        (1 to 6).toSeq)
+      assert(snap.allFiles.size <= 2,
+        s"autoCompact left ${snap.allFiles.size} files")
+      val ops = DeltaTable.forPath(spark, dir).history()
+        .select($"operation").as[String].collect()
+      assert(ops.contains("OPTIMIZE"), ops.mkString(", "))
+    }
+  }
+
   test("compact splits an oversized partition toward the target size " +
       "and still converges") {
     withTempDir { dir =>

@@ -245,6 +245,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("skipChangeCommits skips rewrite AND delete commits") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write((1 to 10).map(i => (i, i * 1.0)).toDF("id", "price"),
+        table)
+      val ckpt = s"$base/c"
+      val dst = s"$base/dst"
+      val q1 = spark.readStream.format("graft-delta")
+        .option("skipChangeCommits", "true").load(table)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q1.awaitTermination(60000)
+      assert(DeltaTable.forPath(spark, dst).toDF.count() == 10)
+
+      // a rewrite (UPDATE), a delete, then a fresh append
+      DeltaTable.forPath(spark, table)
+        .update($"id" === 3, Map("price" -> lit(999.0)))
+      DeltaTable.forPath(spark, table).delete($"id" === 4)
+      DeltaTable.write(Seq((11, 11.0)).toDF("id", "price"), table)
+
+      val q2 = spark.readStream.format("graft-delta")
+        .option("skipChangeCommits", "true").load(table)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q2.awaitTermination(60000)
+      val out = DeltaTable.forPath(spark, dst).toDF
+        .as[(Int, Double)].collect().toMap
+      // only the append landed; neither the rewrite's re-emission nor a
+      // failure — and id 3 keeps its ORIGINAL downstream value
+      assert(out.size == 11 && out(11) == 11.0, out.toString)
+      assert(out(3) == 3.0, "rewrite commit must be skipped, not re-emitted")
+    }
+  }
+
   test("end to end: delta source -> transform -> delta sink") {
     withTempDir { base =>
       val src = s"$base/src"
