@@ -93,10 +93,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(set.nonEmpty, "UPDATE requires at least one SET column")
     val txn = deltaLog.startTransaction()
     val schema = txn.snapshot.metadata.schema
+    // partition columns MAY be set: the rewrite's dynamic partitioning
+    // places moved rows in their new directories and the commit's
+    // add/remove pair relocates them atomically (the same machinery that
+    // moves rows when a generated partition column's source changes);
+    // generated-column consistency is enforced inside the write job
     set.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
-      require(!txn.snapshot.metadata.partitionColumns.contains(c),
-        s"Updating partition column $c is not supported")
     }
     import org.apache.spark.sql.functions.{coalesce, lit}
     // ONE projection, not sequential withColumn: every SET value and the

@@ -220,11 +220,11 @@ final class MergeBuilder private[delta] (
     }
     if (metadata ne snapshot.metadata) txn.updateMetadata(metadata)
     val schema = metadata.schema
+    // partition columns may be SET — moved rows land in their new
+    // directories through the rewrite's dynamic partitioning
     (matchedClauses ++ bySourceClauses).flatMap(_.set)
       .foreach(_.keys.foreach { c =>
         require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
-        require(!metadata.partitionColumns.contains(c),
-          s"Updating partition column $c is not supported")
       })
     insertClauses.flatMap(_.values).foreach(_.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"Unknown column $c in INSERT")

@@ -86,14 +86,11 @@ class DmlSpec extends SparkSpec {
     }
   }
 
-  test("update rejects partition columns and unknown columns") {
+  test("update rejects unknown columns") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, "a")).toDF("id", "part"), dir,
         partitionBy = Seq("part"))
       val table = DeltaTable.forPath(spark, dir)
-      intercept[IllegalArgumentException] {
-        table.update($"id" === 1, Map("part" -> lit("b")))
-      }
       intercept[IllegalArgumentException] {
         table.update($"id" === 1, Map("nope" -> lit(1)))
       }
@@ -112,6 +109,32 @@ class DmlSpec extends SparkSpec {
       // no new files were written — pure tombstoning
       assert(after.subsetOf(filesBefore))
       assert(table.toDF.count() == 10)
+    }
+  }
+
+  test("UPDATE on a partition column relocates rows across partitions") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        Seq((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0))
+          .toDF("id", "part", "price"),
+        dir, partitionBy = Seq("part"))
+      val table = DeltaTable.forPath(spark, dir)
+      table.update($"id" === 1, Map("part" -> lit("c")))
+      val out = table.toDF.select($"id", $"part").as[(Int, String)]
+        .collect().toMap
+      assert(out == Map(1 -> "c", 2 -> "a", 3 -> "b"), out.toString)
+      // the moved row reads through its NEW partition value (pruned scan)
+      assert(table.toDF.filter($"part" === "c").select($"id").as[Int]
+        .collect().toSeq == Seq(1))
+      assert(table.toDF.filter($"part" === "a").select($"id").as[Int]
+        .collect().toSeq == Seq(2))
+      // MERGE SET on the partition column moves rows too
+      table.merge(Seq((2, "z")).toDF("id", "p2"),
+          col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("part" -> col("s.p2")))
+        .execute()
+      assert(table.toDF.filter($"part" === "z").select($"id").as[Int]
+        .collect().toSeq == Seq(2))
     }
   }
 }
