@@ -244,12 +244,13 @@ class OptimisticTransaction(
     require(!committed, "Transaction already committed")
     // writer-protocol gate: refuse to write a table requiring features
     // this engine does not implement (v3 = CHECK constraints, v4 = CDF +
-    // generated columns — all implemented here)
+    // generated columns, v5 = column mapping — all implemented here; the
+    // write path substitutes physical names from Metadata.columnMapping)
     if (readVersion >= 0) {
       val p = snapshot.protocol
-      require(p.minWriterVersion <= 4,
+      require(p.minWriterVersion <= 5,
         s"Cannot write: table requires writer protocol ${p.minWriterVersion}; " +
-          "this engine implements up to 4")
+          "this engine implements up to 5")
     }
     // extract a Metadata action if the caller passed one inline
     val metadataActions = actions.collect { case m: Metadata => m }
@@ -319,8 +320,8 @@ class OptimisticTransaction(
         }
         r.copy(path = relativize(r.path))
       case p: Protocol =>
-        require(p.minReaderVersion <= 1 && p.minWriterVersion <= 4,
-          s"Unsupported protocol $p; this engine implements up to (1, 4)")
+        require(p.minReaderVersion <= 2 && p.minWriterVersion <= 5,
+          s"Unsupported protocol $p; this engine implements up to (2, 5)")
         p
       case other => other
     }

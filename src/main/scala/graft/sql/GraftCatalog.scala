@@ -284,6 +284,37 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case other => throw new UnsupportedOperationException(
         s"Unsupported ALTER TABLE change: $other")
     }
+    // Once ANY column carries a physical-name mapping, annotate the
+    // WHOLE schema with Delta's column-mapping metadata (stable field
+    // ids + physicalName per field), set mode=name, and upgrade the
+    // protocol to (2, 5) — exactly what delta-spark does on upgrade, so
+    // a FOREIGN Delta reader decodes our renamed/re-added columns
+    // instead of choking on a private metadata key. Idempotent: ids are
+    // assigned once and kept.
+    val hasMapping = schema.fields.exists(f =>
+      f.metadata.contains(graft.delta.ColumnMapping.PhysicalNameKey) ||
+        f.metadata.contains(graft.delta.ColumnMapping.DeltaPhysicalNameKey))
+    var protocolUpgrade: Seq[graft.delta.Action] = Nil
+    if (hasMapping) {
+      val IdKey = "delta.columnMapping.id"
+      var maxId = config.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(0L)
+      schema = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (!f.metadata.contains(IdKey)) { maxId += 1; b.putLong(IdKey, maxId) }
+        b.putString(graft.delta.ColumnMapping.DeltaPhysicalNameKey,
+          graft.delta.ColumnMapping.physicalName(f))
+        f.copy(metadata = b.build())
+      })
+      config += graft.delta.ColumnMapping.DeltaModeKey -> "name"
+      config += "delta.columnMapping.maxColumnId" -> maxId.toString
+      val p = txn.snapshot.protocol
+      if (p.minReaderVersion < 2 || p.minWriterVersion < 5) {
+        protocolUpgrade = Seq(graft.delta.Protocol(
+          math.max(p.minReaderVersion, 2), math.max(p.minWriterVersion, 5)))
+      }
+    }
     // a fully no-op ALTER (e.g. DROP COLUMN IF EXISTS on a missing
     // column) must not commit a junk empty-operation version
     if (ops.nonEmpty) {
@@ -291,7 +322,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         schemaString = Some(schema.json),
         configuration = config),
         allowColumnRemoval = ops.contains("DROP COLUMNS"))
-      txn.commit(Nil, ops.distinct.mkString(" + "))
+      txn.commit(protocolUpgrade, ops.distinct.mkString(" + "))
     }
     loadTable(ident)
   }

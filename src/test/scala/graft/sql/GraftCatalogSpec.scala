@@ -344,6 +344,41 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((1, 10.0), (3, 300.0), (4, 40.0)), rows.toString)
   }
 
+  test("RENAME COLUMN upgrades to protocol-conformant column mapping") {
+    spark.sql("CREATE TABLE graft.db.cmup (id INT, v STRING)")
+    spark.sql("INSERT INTO graft.db.cmup VALUES (1, 'x')")
+    spark.sql("ALTER TABLE graft.db.cmup RENAME COLUMN v TO val")
+    val path = s"$warehouse/db/cmup"
+    val snap = DeltaLog.forTable(spark, path).update()
+    // the table is now a REAL Delta column-mapped table: name mode,
+    // reader 2 / writer 5, every field carrying delta.columnMapping.id
+    // and physicalName — a foreign Delta reader decodes it
+    assert(snap.metadata.configuration
+      .get("delta.columnMapping.mode").contains("name"))
+    assert(snap.protocol.minReaderVersion == 2 &&
+      snap.protocol.minWriterVersion == 5, snap.protocol.toString)
+    snap.metadata.schema.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"), f.name)
+      assert(f.metadata.contains("delta.columnMapping.physicalName"), f.name)
+    }
+    // the renamed column keeps its ORIGINAL physical name
+    assert(snap.metadata.schema("val").metadata
+      .getString("delta.columnMapping.physicalName") == "v")
+    // our own engine still reads AND writes it (writer 5 gate)
+    spark.sql("INSERT INTO graft.db.cmup VALUES (2, 'y')")
+    val rows = spark.sql("SELECT id, val FROM graft.db.cmup ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "x"), (2, "y")))
+    // ids stay stable across further alters
+    spark.sql("ALTER TABLE graft.db.cmup RENAME COLUMN val TO value")
+    val snap2 = DeltaLog.forTable(spark, path).update()
+    assert(snap2.metadata.schema("value").metadata
+      .getLong("delta.columnMapping.id") ==
+      snap.metadata.schema("val").metadata.getLong("delta.columnMapping.id"))
+    assert(snap2.metadata.schema("value").metadata
+      .getString("delta.columnMapping.physicalName") == "v")
+  }
+
   test("DROP COLUMN is metadata-only and a re-added name reads as null") {
     spark.sql("CREATE TABLE graft.db.dc (id INT, secret STRING, keep DOUBLE)")
     spark.sql("INSERT INTO graft.db.dc VALUES (1, 'clas', 1.5), (2, 'sified', 2.5)")
