@@ -176,7 +176,12 @@ class Snapshot(
   def allFilesDistributed: Dataset[AddFile] = synchronized {
     if (!(cacheable && distributedState)) DistributedLogReplay.activeFiles(this)
     else cachedFilesDS.getOrElse {
+      // parse stats ONCE while the state is being persisted: files from
+      // commits AFTER the last checkpoint carry raw JSON only, and every
+      // pruning query against the cached state would re-walk it
+      implicit val enc = Encoders.product[AddFile]
       val ds = DistributedLogReplay.activeFiles(this)
+        .map(read.DataSkipping.withParsedStats(_))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cachedFilesDS = Some(ds)
       ds

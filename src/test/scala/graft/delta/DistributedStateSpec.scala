@@ -249,6 +249,34 @@ class DistributedStateSpec extends SparkSpec {
     }
   }
 
+  test("distributed mode: persisted state carries parsed stats even for " +
+      "post-checkpoint commits") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        // checkpoint lands at version 3 (interval 2); versions 4-5 are
+        // JSON-only commits whose stats would otherwise re-parse per query
+        (1 to 6).foreach(i =>
+          DeltaTable.write(spark.range(i * 100, i * 100 + 10).toDF("id"), dir,
+            configuration =
+              if (i == 1) Map("delta.checkpointInterval" -> "2") else Map.empty))
+        DeltaLog.clearCache()
+        val snap = DeltaLog.forTable(spark, dir).update()
+        assert(snap.distributedState)
+        val files = snap.allFilesDistributed.collect()
+        assert(files.forall(_.stats_parsed.isDefined),
+          "persisted state must carry stats_parsed for ALL files")
+        // pruning against the persisted state walks no JSON
+        val before = read.DataSkipping.statsJsonParses.get()
+        assert(snap.toDF.filter($"id" >= 600).count() == 10)
+        assert(read.DataSkipping.statsJsonParses.get() == before,
+          "pruning the persisted state must not re-parse stats JSON")
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
   test("distributed mode: vacuum never materializes the file list") {
     withTempDir { dir =>
       spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
