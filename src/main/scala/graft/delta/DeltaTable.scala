@@ -100,6 +100,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // generated-column consistency is enforced inside the write job
     set.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
+      require(!write.IdentityColumns.specs(schema)
+        .exists(s => s.name == c && !s.allowExplicit),
+        s"Cannot UPDATE GENERATED ALWAYS AS IDENTITY column $c")
     }
     import org.apache.spark.sql.functions.{coalesce, lit}
     // ONE projection, not sequential withColumn: every SET value and the
@@ -551,8 +554,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
     txn.markFilesAsRead(condition)
 
-    // generated columns compute exactly as on append
-    val df = write.GeneratedColumns.materialize(df0, metadata)
+    // generated and identity columns compute exactly as on append
+    val (df, assignedIdentity) = write.IdentityColumns.assign(
+      write.GeneratedColumns.materialize(df0, metadata), metadata)
     // schema discipline like every other write: incoming columns must
     // cover the table's with equal type shape, and replaceWhere never
     // evolves the schema (no new columns smuggled into one region)
@@ -595,6 +599,21 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           removedRows.unionByName(insertedRows), deltaLog,
           metadata.columnMapping)
       } else Nil
+    if (assignedIdentity.nonEmpty) {
+      val newSchema = org.apache.spark.sql.types.StructType(
+        metadata.schema.fields.map { f =>
+          if (!assignedIdentity.contains(f.name)) f
+          else write.IdentityColumns.specs(metadata.schema)
+            .find(_.name == f.name)
+            .flatMap(s => write.IdentityColumns
+              .writtenWaterMark(spark, deltaLog, adds, s))
+            .fold(f)(hwm => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong(write.IdentityColumns.HighWaterMarkKey, hwm).build()))
+        })
+      txn.amendMetadata(metadata.copy(schemaString = Some(newSchema.json)))
+    }
     txn.commit(cdc ++ adds ++ removes, DeltaOperations.ReplaceWhere,
       operationMetrics = Map(
         "predicate" -> condition.toString,
@@ -1078,20 +1097,39 @@ object DeltaTable {
     * `delta.generationExpression` column metadata (writer-protocol-4).
     * Typical: a `day` partition column generated from an event
     * timestamp, so appends of raw events land date-partitioned. */
+  /** `identityColumns`: column → (start, step) for GENERATED ALWAYS AS
+    * IDENTITY (writer-protocol-6; values machine-assigned on append,
+    * unique and step-monotonic, gaps allowed). */
   def create(spark: SparkSession, path: String,
              schema: org.apache.spark.sql.types.StructType,
              partitionBy: Seq[String] = Nil,
              configuration: Map[String, String] = Map.empty,
-             generatedColumns: Map[String, String] = Map.empty): Long = {
-    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+             generatedColumns: Map[String, String] = Map.empty,
+             identityColumns: Map[String, (Long, Long)] = Map.empty): Long = {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructType}
     generatedColumns.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"Generated column $c is not in the schema"))
+    identityColumns.foreach { case (c, (_, step)) =>
+      require(schema.fieldNames.contains(c),
+        s"Identity column $c is not in the schema")
+      require(schema(c).dataType == LongType,
+        s"Identity column $c must be BIGINT")
+      require(step != 0, s"Identity column $c: step must not be 0")
+      require(!generatedColumns.contains(c),
+        s"Column $c cannot be both generated and identity")
+    }
     val log = DeltaLog.forTable(spark, path)
     require(!log.tableExists, s"Delta table already exists at $path")
     val withGen = StructType(schema.fields.map { f =>
-      generatedColumns.get(f.name).fold(f) { genExpr =>
+      val gen = generatedColumns.get(f.name).fold(f) { genExpr =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
           .putString(graft.delta.write.GeneratedColumns.MetadataKey, genExpr)
+          .build())
+      }
+      identityColumns.get(gen.name).fold(gen) { case (start, step) =>
+        gen.copy(metadata = new MetadataBuilder().withMetadata(gen.metadata)
+          .putLong(graft.delta.write.IdentityColumns.StartKey, start)
+          .putLong(graft.delta.write.IdentityColumns.StepKey, step)
           .build())
       }
     })
@@ -1101,7 +1139,9 @@ object DeltaTable {
       partitionColumns = partitionBy,
       configuration = configuration))
     val protocol: Seq[Action] =
-      if (generatedColumns.nonEmpty) Seq(Protocol(1, 4)) else Nil
+      if (identityColumns.nonEmpty) Seq(Protocol(1, 6))
+      else if (generatedColumns.nonEmpty) Seq(Protocol(1, 4))
+      else Nil
     txn.commit(protocol, DeltaOperations.CreateTable)
   }
 }

@@ -39,10 +39,13 @@ class DeltaSink(
         return // this batch already committed — exactly-once replay skip
       }
       val batch0 = Shims.materializeBatch(data)
-      val batch =
-        if (deltaLog.tableExists)
-          graft.delta.write.GeneratedColumns.materialize(batch0, txn.snapshot.metadata)
-        else batch0
+      val (batch, assignedIdentity) =
+        if (deltaLog.tableExists) {
+          graft.delta.write.IdentityColumns.assign(
+            graft.delta.write.GeneratedColumns
+              .materialize(batch0, txn.snapshot.metadata),
+            txn.snapshot.metadata)
+        } else (batch0, Nil)
       if (!deltaLog.tableExists) {
         txn.updateMetadata(Metadata(
           schemaString = Some(DeltaWriter.relaxed(batch.schema).json),
@@ -62,6 +65,24 @@ class DeltaSink(
       val adds = DeltaWriter.writeFiles(Invariants.enforce(batch, txn.metadata),
         deltaLog, effectivePartitions(txn), txn.metadata.columnMapping,
         Some(txn.metadata))
+      // identity marks advance with the batch's commit, same as appends
+      if (assignedIdentity.nonEmpty) {
+        val cur = txn.metadata
+        val newSchema = org.apache.spark.sql.types.StructType(
+          cur.schema.fields.map { f =>
+            if (!assignedIdentity.contains(f.name)) f
+            else graft.delta.write.IdentityColumns
+              .specs(cur.schema).find(_.name == f.name)
+              .flatMap(s => graft.delta.write.IdentityColumns
+                .writtenWaterMark(spark, deltaLog, adds, s))
+              .fold(f)(hwm => f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(graft.delta.write.IdentityColumns.HighWaterMarkKey,
+                    hwm).build()))
+          })
+        txn.amendMetadata(cur.copy(schemaString = Some(newSchema.json)))
+      }
       val removes: Seq[Action] =
         if (outputMode == OutputMode.Complete()) {
           txn.readWholeTable()

@@ -84,6 +84,22 @@ class OptimisticTransaction(
 
   def readWholeTable(): Unit = readTheWholeTable = true
 
+  /** Replace the pending metadata AFTER [[updateMetadata]] was (possibly)
+    * already called — identity high-water marks advance once the write
+    * job reports the values it actually produced, which is necessarily
+    * later than any schema-evolution metadata update. Re-verified like
+    * any metadata change. */
+  private[graft] def amendMetadata(metadata: Metadata): Unit = {
+    var m = metadata
+    if (readVersion == -1) {
+      m = if (m.createdTime.isEmpty) m.copy(createdTime = Some(deltaLog.clock())) else m
+    } else {
+      m = m.copy(id = snapshot.metadata.id)
+    }
+    verifyNewMetadata(m, allowColumnRemoval = false)
+    newMetadata = Some(m)
+  }
+
   /** Streaming idempotence: latest committed version for `appId`; records
     * the read so a concurrent commit of the same appId conflicts. */
   def txnVersion(appId: String): Long = {
@@ -248,9 +264,9 @@ class OptimisticTransaction(
     // write path substitutes physical names from Metadata.columnMapping)
     if (readVersion >= 0) {
       val p = snapshot.protocol
-      require(p.minWriterVersion <= 5,
+      require(p.minWriterVersion <= 6,
         s"Cannot write: table requires writer protocol ${p.minWriterVersion}; " +
-          "this engine implements up to 5")
+          "this engine implements up to 6")
     }
     // extract a Metadata action if the caller passed one inline
     val metadataActions = actions.collect { case m: Metadata => m }
@@ -320,8 +336,8 @@ class OptimisticTransaction(
         }
         r.copy(path = relativize(r.path))
       case p: Protocol =>
-        require(p.minReaderVersion <= 2 && p.minWriterVersion <= 5,
-          s"Unsupported protocol $p; this engine implements up to (2, 5)")
+        require(p.minReaderVersion <= 2 && p.minWriterVersion <= 6,
+          s"Unsupported protocol $p; this engine implements up to (2, 6)")
         p
       case other => other
     }

@@ -51,8 +51,14 @@ object DeltaWriter {
     // the generated column is then the user's explicit table
     // redefinition), and the old generation expression may not even
     // resolve against the new frame.
-    val df = if (exists && mode != SaveMode.Overwrite)
+    val df1 = if (exists && mode != SaveMode.Overwrite)
       GeneratedColumns.materialize(df0, txn.snapshot.metadata) else df0
+    // identity columns the caller did not provide get machine-assigned
+    // values (GENERATED ALWAYS rejects provided ones); the high-water
+    // mark advances after the write job reports what it produced
+    val (df, assignedIdentity) =
+      if (exists) IdentityColumns.assign(df1, txn.snapshot.metadata)
+      else (df1, Nil)
 
     val partCols =
       if (exists && mode != SaveMode.Overwrite) {
@@ -104,6 +110,28 @@ object DeltaWriter {
 
     val adds = writeFiles(Invariants.enforce(df, txn.metadata), deltaLog,
       partCols, txn.metadata.columnMapping, Some(txn.metadata))
+
+    // advance identity high-water marks to the values actually written —
+    // in THIS commit's metadata, so concurrent identity appends conflict
+    // on the metadata change and retry with fresh marks (uniqueness
+    // across writers)
+    if (assignedIdentity.nonEmpty) {
+      val cur = txn.metadata
+      val newSchema = org.apache.spark.sql.types.StructType(
+        cur.schema.fields.map { f =>
+          if (!assignedIdentity.contains(f.name)) f
+          else {
+            val spec = IdentityColumns.specs(cur.schema)
+              .find(_.name == f.name).get
+            IdentityColumns.writtenWaterMark(spark, deltaLog, adds, spec)
+              .fold(f)(hwm => f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(IdentityColumns.HighWaterMarkKey, hwm).build()))
+          }
+        })
+      txn.amendMetadata(cur.copy(schemaString = Some(newSchema.json)))
+    }
     val removes: Seq[Action] =
       if (exists && mode == SaveMode.Overwrite) {
         txn.readWholeTable()

@@ -222,10 +222,20 @@ final class MergeBuilder private[delta] (
     val schema = metadata.schema
     // partition columns may be SET — moved rows land in their new
     // directories through the rewrite's dynamic partitioning
+    val identityAlways = IdentityColumns.specs(schema)
+      .filterNot(_.allowExplicit).map(_.name).toSet
     (matchedClauses ++ bySourceClauses).flatMap(_.set)
       .foreach(_.keys.foreach { c =>
         require(schema.fieldNames.contains(c), s"Unknown column $c in SET")
+        require(!identityAlways.contains(c),
+          s"Cannot UPDATE GENERATED ALWAYS AS IDENTITY column $c")
       })
+    // merge-inserts would null-fill (or require explicit values for) a
+    // machine-assigned column — identity generation lives on the append
+    // path only, the Delta restriction
+    require(insertClauses.isEmpty || identityAlways.isEmpty,
+      "MERGE INSERT into a table with GENERATED ALWAYS AS IDENTITY " +
+        "columns is not supported; append through the write path instead")
     insertClauses.flatMap(_.values).foreach(_.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"Unknown column $c in INSERT")
     })

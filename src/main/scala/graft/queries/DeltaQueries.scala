@@ -418,6 +418,35 @@ object DeltaQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
         FROM res GROUP BY o_orderpriority""")),
 
+    // Identity columns (writer 6): machine-assigned, unique, at-or-above
+    // start — the VALUES are engine-chosen (gaps allowed by protocol), so
+    // the oracle checks the invariants, not the sequence.
+    QueryDef(
+      "delta_identity",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val path = tmp("identity")
+        val docs = t(s, dir, "documents").select($"text", $"lang")
+        DeltaTable.create(s, path, StructType(Seq(
+            StructField("row_id", LongType),
+            StructField("text", StringType),
+            StructField("lang", StringType))),
+          identityColumns = Map("row_id" -> ((1L, 1L))))
+        DeltaTable.write(docs, path)
+        DeltaTable.write(docs.filter($"lang" === "en"), path)
+        DeltaTable.forPath(s, path).toDF.agg(
+          count(lit(1)).as("n"),
+          countDistinct($"row_id").as("distinct_ids"),
+          sum(when($"row_id" < 1L, 1L).otherwise(0L)).as("below_start"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, COUNT(*) AS distinct_ids,
+               CAST(0 AS BIGINT) AS below_start
+        FROM (SELECT text FROM documents
+              UNION ALL
+              SELECT text FROM documents WHERE lang = 'en')""")),
+
     // Rewrite DML: UPDATE and DELETE with data predicates (file selection
     // via partition pruning + stats skipping, matched files rewritten).
     QueryDef(
