@@ -170,4 +170,29 @@ object Curation {
           < (col("keep_rate") * Denom).cast("long"))
       .drop("keep_rate")
   }
+
+  /** Split documents into fixed-size TOKEN windows with overlap — the
+    * long-document answer to a bounded context length (a 100k-token doc
+    * becomes ~2k training rows; neighboring chunks share `overlap`
+    * tokens so no boundary context is lost). Whitespace tokens, chunk
+    * starts every `chunkTokens - overlap`, the tail chunk may be short.
+    * Pure per-row expansion: no shuffle, no window, row-order free —
+    * the 100 TB shape. Output: the input columns minus `textCol`, plus
+    * (chunk_index, chunk_tokens, chunk_text). */
+  def chunkWithOverlap(df: DataFrame, textCol: String,
+                       chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__start", explode(sequence(lit(0),
+        greatest(size(col("__toks")) - 1, lit(0)), lit(step))))
+      .withColumn("chunk_index", (col("__start") / step).cast("int"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens))))
+      .withColumn("chunk_tokens",
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkTokens))))
+      .drop(textCol, "__toks", "__start")
+  }
 }

@@ -868,6 +868,38 @@ object PipelineQueries {
         FROM off GROUP BY bucket""")),
 
     QueryDef(
+      "curate_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        Curation.chunkWithOverlap(docs, "text", chunkTokens = 64, overlap = 16)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_chunks"),
+               sum($"chunk_tokens".cast("long")).as("sum_chunk_tokens"),
+               countDistinct($"doc_id").as("n_docs"),
+               sum(graft.functions.md5Hash32($"chunk_text")).as("chunk_sig"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        starts AS (
+          SELECT doc_id, lang, t,
+                 unnest(range(0, len(t), 48)) AS s
+          FROM toks),
+        chunks AS (
+          SELECT doc_id, lang,
+                 array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text,
+                 len(list_slice(t, s + 1, s + 64)) AS chunk_tokens
+          FROM starts)
+        SELECT lang, COUNT(*) AS n_chunks,
+               CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               CAST(SUM(${duckHash32("chunk_text")}) AS BIGINT) AS chunk_sig
+        FROM chunks GROUP BY lang""")),
+
+    QueryDef(
       "curate_scrub",
       (s, dir) => {
         import s.implicits._

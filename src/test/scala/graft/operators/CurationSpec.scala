@@ -127,4 +127,25 @@ class CurationSpec extends SparkSpec {
     // schema passes through (no helper columns leak)
     assert(mixed.columns.toSet == docs.columns.toSet)
   }
+
+  test("chunkWithOverlap windows tokens with the declared overlap") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "single")).toDF("doc_id", "text")
+    val chunks = Curation.chunkWithOverlap(df, "text",
+        chunkTokens = 4, overlap = 2)
+      .orderBy($"doc_id", $"chunk_index")
+      .select($"doc_id", $"chunk_index", $"chunk_text", $"chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 0,2,4,6,8 → 5 chunks; neighbors share 2 tokens
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10", "w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4, 4, 4, 4, 2)) // short tail kept
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3, 4))
+    // a document shorter than one chunk yields exactly itself
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, "single", 1)))
+    // every token appears in at least one chunk (no token lost)
+    assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"w$i").toSet)
+  }
 }
