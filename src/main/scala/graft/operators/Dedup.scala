@@ -75,6 +75,20 @@ object Dedup {
     * pair with jaccard j is a candidate with p = 1-(1-j^(k/bands))^bands. */
   private def minhashBandCandidates(docs: DataFrame, k: Int,
                                     bands: Int): DataFrame = {
+    val banded = minhashBandKeys(docs, k, bands)
+    val l = banded.select(col("band"), col("key"), col("id").as("i"))
+    val r = banded.select(col("band"), col("key"), col("id").as("j"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+  }
+
+  /** (id, band, key) band-bucket rows of the banded-MinHash signature —
+    * the probe-able face of the LSH index (store these to make a corpus
+    * incrementally probeable). */
+  private def minhashBandKeys(docs: DataFrame, k: Int,
+                              bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide evenly into bands")
     val rows = k / bands
     val hashed = docs.select(col("id"), explode(col("items")).as("s"))
@@ -83,21 +97,54 @@ object Dedup {
       min((col("h") * minhashA(j) + minhashB(j)) % MinhashPrime).as(s"m$j")
     }
     val sigs = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
             .as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+  }
 
-    val l = banded.select(col("band"), col("key"), col("id").as("i"))
-    val r = banded.select(col("band"), col("key"), col("id").as("j"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("i") < col("j"))
-      .select(col("i"), col("j"))
+  /** Near-duplicates of a NEW batch against an EXISTING corpus — the
+    * incremental-ingest shape. A nightly batch must not re-run the
+    * corpus × corpus dedup: only the batch's band keys probe the
+    * corpus's band buckets (in production the corpus side's
+    * [[minhashBandKeys]] output is persisted once and appended to), the
+    * corpus never self-joins, and verification touches candidate pairs
+    * only. Same-id pairs are excluded — re-ingesting a known document
+    * is an exact match, not a near-dup discovery. Output:
+    * (batch_id, corpus_id, jaccard ≥ threshold), DIRECTIONAL from the
+    * batch's perspective. */
+  def incrementalMinhashLsh(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleWidth: Int = 3, k: Int = 12,
+                            bands: Int = 4,
+                            threshold: Double = 0.7): DataFrame = {
+    def prep(df: DataFrame) = InputWidth.widen(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        ShingleExpressions.wordShinglesSorted(col("toks"), shingleWidth)
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val c = prep(corpus)
+    val b = prep(batch)
+    val corpusBuckets = minhashBandKeys(
+      c.select(col("id"), col("shingles").as("items")), k, bands)
+      .select(col("band"), col("key"), col("id").as("corpus_id"))
+    val batchKeys = minhashBandKeys(
+      b.select(col("id"), col("shingles").as("items")), k, bands)
+      .select(col("band"), col("key"), col("id").as("batch_id"))
+    val candidates = batchKeys.join(corpusBuckets, Seq("band", "key"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
       .distinct()
+    val gi = b.select(col("id").as("batch_id"), col("shingles").as("sh_i"))
+    val gj = c.select(col("id").as("corpus_id"), col("shingles").as("sh_j"))
+    candidates.join(gi, Seq("batch_id")).join(gj, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        SortedArrayJaccard(col("sh_i"), col("sh_j")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs: `bits`-wide simhash, banded into

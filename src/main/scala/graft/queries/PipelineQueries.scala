@@ -333,6 +333,49 @@ object PipelineQueries {
         .replace("${HASH32}", duckHash32("s")))),
 
     QueryDef(
+      "dedup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = t(s, dir, "documents")
+        // the nightly batch: a slice of documents probing the corpus
+        val batch = corpus.filter($"doc_id" % 7 === 0)
+        Dedup.incrementalMinhashLsh(corpus, batch, "doc_id", "text",
+          shingleWidth = 3, k = 12, bands = 4, threshold = 0.7)
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id AS id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS shingles
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ), mh AS (
+          SELECT id, j, min(((2*j+1) * ${HASH32} + j*1000003) % 4294967311) AS m
+          FROM (SELECT id, unnest(shingles) AS s FROM docs), range(0, 12) t(j)
+          GROUP BY id, j
+        ), bands AS (
+          SELECT id, j // 3 AS band, string_agg(m, ',' ORDER BY j) AS key
+          FROM mh GROUP BY id, j // 3
+        ), cand AS (
+          SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+          WHERE a.id % 7 = 0
+        )
+        SELECT c.batch_id, c.corpus_id,
+               len(list_intersect(di.shingles, dj.shingles))::DOUBLE /
+               (len(di.shingles) + len(dj.shingles)
+                - len(list_intersect(di.shingles, dj.shingles))) AS jaccard
+        FROM cand c
+        JOIN docs di ON di.id = c.batch_id
+        JOIN docs dj ON dj.id = c.corpus_id
+        WHERE len(list_intersect(di.shingles, dj.shingles))::DOUBLE /
+              (len(di.shingles) + len(dj.shingles)
+               - len(list_intersect(di.shingles, dj.shingles))) >= 0.7"""
+        .replace("${HASH32}", duckHash32("s")))),
+
+    QueryDef(
       "dedup_simhash",
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         bits = 60, bands = 4, maxDistance = 8),

@@ -33,6 +33,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental minhash dedup equals the batch-restricted full dedup") {
+    val batch = docs.filter($"doc_id".isin(1L, 5L))
+    val inc = Dedup.incrementalMinhashLsh(docs, batch, "doc_id", "text",
+        shingleWidth = 3, k = 12, bands = 6, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // directional, batch-endpoint pairs of the full dedup, same-id excluded
+    val full = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleWidth = 3, k = 12, bands = 6, threshold = 0.5)
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val expected = full.filter(p => Set(1L, 5L).contains(p._1))
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    assert(inc.contains((1L, 4L))) // batch doc 1 duplicates corpus doc 4
+    assert(!inc.exists(_._1 == 5L)) // "tiny" has no shingles, no matches
+  }
+
   test("simhash of identical docs is identical; near-dups are close") {
     val hs = docs.select($"doc_id",
       graft.functions.simhash($"text", 60).as("h"))
