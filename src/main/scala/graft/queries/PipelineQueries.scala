@@ -1205,6 +1205,41 @@ object PipelineQueries {
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM ranked WHERE rk <= 10 GROUP BY lang""")),
 
+    // Out-of-vocabulary rate against the corpus's own top-N vocabulary —
+    // the tokenizer-coverage check run before committing to a vocab. The
+    // vocabulary is top-k-bounded (driver-small by construction) and
+    // broadcast; the corpus-side token stream joins against it without
+    // shuffling the corpus.
+    QueryDef(
+      "text_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"lang", explode(tokens($"text")).as("tok"))
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"tok".asc).limit(10)
+          .select($"tok", lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("total_tokens"),
+               count(when($"in_vocab".isNull, 1)).as("oov_tokens"),
+               (count(when($"in_vocab".isNull, 1)) * 10000L
+                 / count(lit(1))).cast("long").as("oov_bps"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+          ORDER BY cnt DESC, tok ASC LIMIT 10)
+        SELECT lang, COUNT(*) AS total_tokens,
+               COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS oov_tokens,
+               CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) * 10000
+                 // COUNT(*) AS BIGINT) AS oov_bps
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY lang""")),
+
     QueryDef(
       "text_vocab_topk",
       (s, dir) => {
