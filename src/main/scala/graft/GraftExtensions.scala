@@ -380,9 +380,8 @@ object GraftExtensions {
           require(parts.values.forall(_.isEmpty),
             "static PARTITION values are not supported for Delta inserts; " +
               "include the partition columns in the inserted data instead")
-          require(userCols.isEmpty && !byName,
-            "Delta SQL inserts are positional; a column list / BY NAME is " +
-              "not supported")
+          require(!byName,
+            "Delta SQL inserts are positional; BY NAME is not supported")
           // positional VALUES arrive in the table's DECLARED column order;
           // lr.output is scan order (partition columns last) — zipping
           // against it would silently swap values into wrong columns for
@@ -390,10 +389,21 @@ object GraftExtensions {
           val declared = lr.relation
             .asInstanceOf[graft.delta.read.InsertableDeltaRelation]
             .tableSchema
-          require(query.output.size == declared.size,
-            s"INSERT has ${query.output.size} columns but the table has " +
-              s"${declared.size}")
-          val aligned = query.output.zip(declared.fields).map { case (in, out) =>
+          // an explicit column list may OMIT machine-supplied columns
+          // (identity, generated) — the write path computes them; an
+          // omitted PLAIN column still fails the writer's schema
+          // discipline loudly
+          val targetFields: Seq[org.apache.spark.sql.types.StructField] =
+            if (userCols.isEmpty) declared.fields.toSeq
+            else userCols.map { c =>
+              declared.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"Unknown column $c in INSERT column list"))
+            }
+          require(query.output.size == targetFields.size,
+            s"INSERT has ${query.output.size} columns but names " +
+              s"${targetFields.size}")
+          val aligned = query.output.zip(targetFields).map { case (in, out) =>
             if (in.dataType == out.dataType && in.name == out.name) in
             else Alias(Cast(in, out.dataType, Some(conf.sessionLocalTimeZone)),
               out.name)()

@@ -41,24 +41,37 @@ object IdentityColumns {
           f.metadata.getBoolean(AllowExplicitKey))
   }
 
-  /** Assign values for identity columns ABSENT from the frame; reject
-    * explicit values for GENERATED ALWAYS columns. Returns the frame and
-    * the names whose high-water marks must advance with this commit. */
+  /** Assign values for identity columns the frame does not supply.
+    * An ABSENT column and a NULL value both mean "assign" (SQL
+    * column-list inserts arrive with the omitted column null-PADDED by
+    * the analyzer — indistinguishable from an explicit null, and an
+    * identity column is conceptually NOT NULL anyway). A NON-null value
+    * on a GENERATED ALWAYS column aborts the write job row-wise, the
+    * same failure shape as the CHECK-constraint guard. Returns the
+    * frame and the names whose high-water marks must advance. */
   def assign(df: DataFrame, metadata: Metadata): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, concat, raise_error, when}
     val sp = specs(metadata.schema)
     if (sp.isEmpty) return (df, Nil)
     val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     var out = df
     var assigned = Vector.empty[String]
     sp.foreach { s =>
-      if (present.contains(s.name.toLowerCase(java.util.Locale.ROOT))) {
-        require(s.allowExplicit,
-          s"Column ${s.name} is GENERATED ALWAYS AS IDENTITY; " +
-            "explicit values are not allowed")
+      val base = s.highWaterMark.getOrElse(s.start - s.step)
+      val gen = lit(base) + (monotonically_increasing_id() + 1L) * lit(s.step)
+      if (!present.contains(s.name.toLowerCase(java.util.Locale.ROOT))) {
+        out = out.withColumn(s.name, gen)
+        assigned :+= s.name
       } else {
-        val base = s.highWaterMark.getOrElse(s.start - s.step)
-        out = out.withColumn(s.name,
-          lit(base) + (monotonically_increasing_id() + 1L) * lit(s.step))
+        val user = col(s"`${s.name}`")
+        val value =
+          if (s.allowExplicit) when(user.isNull, gen).otherwise(user)
+          else when(user.isNull, gen).otherwise(
+            raise_error(concat(
+              lit(s"Column ${s.name} is GENERATED ALWAYS AS IDENTITY; " +
+                "explicit values are not allowed; got "),
+              user.cast("string"))).cast("long"))
+        out = out.withColumn(s.name, value)
         assigned :+= s.name
       }
     }

@@ -46,6 +46,14 @@ import graft.delta.{DeltaLog, DeltaOperations, Metadata, TimestampParsing}
   */
 class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
+  /** SQL `GENERATED ALWAYS AS IDENTITY` arrives as `identity.*` field
+    * metadata when this capability is declared; [[commitCreate]]
+    * translates it to the protocol's `delta.identity.*` keys. */
+  override def capabilities()
+    : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -106,6 +114,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     loadTable(ident)
   }
 
+  /** The Column[] overload is the ONLY carrier of SQL identity specs —
+    * the default delegation through v2ColumnsToStructType drops them.
+    * Identity info lands in field metadata as Spark's `identity.*` keys,
+    * which [[commitCreate]] translates to the protocol's. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      require(c.defaultValue() == null,
+        s"Column DEFAULT values are not supported (column ${c.name()})")
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.comment()).foreach(b.putString("comment", _))
+      Option(c.identityColumnSpec()).foreach { spec =>
+        b.putLong("identity.start", spec.getStart)
+        b.putLong("identity.step", spec.getStep)
+        b.putBoolean("identity.allowExplicitInsert", spec.isAllowExplicitInsert)
+      }
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), b.build())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   /** Write the table-creating commit (protocol + metadata, no data) at
     * `path` — shared by direct CREATE TABLE and the staged (CTAS) path. */
   private def commitCreate(path: String, ident: Identifier, schema: StructType,
@@ -128,14 +160,39 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val config = properties.asScala.toMap
       .filter { case (k, _) =>
         !reserved.contains(k) && !k.startsWith("option.") }
+    // SQL identity columns (Spark's `identity.*` field metadata) become
+    // the protocol's delta.identity.* keys + a writer-6 protocol
+    val withIdentity = org.apache.spark.sql.types.StructType(
+      schema.fields.map { f =>
+        if (!f.metadata.contains("identity.start")) f
+        else {
+          require(f.dataType == org.apache.spark.sql.types.LongType,
+            s"Identity column ${f.name} must be BIGINT")
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(graft.delta.write.IdentityColumns.StartKey,
+              f.metadata.getLong("identity.start"))
+            .putLong(graft.delta.write.IdentityColumns.StepKey,
+              f.metadata.getLong("identity.step"))
+          if (f.metadata.contains("identity.allowExplicitInsert") &&
+              f.metadata.getBoolean("identity.allowExplicitInsert"))
+            b.putBoolean(graft.delta.write.IdentityColumns.AllowExplicitKey,
+              true)
+          f.copy(metadata = b.build())
+        }
+      })
+    val hasIdentity = withIdentity.fields.exists(
+      _.metadata.contains(graft.delta.write.IdentityColumns.StartKey))
     val log = DeltaLog.forTable(spark, path)
     val txn = log.startTransaction()
     txn.updateMetadata(Metadata(
       name = Some(ident.name()),
-      schemaString = Some(schema.json),
+      schemaString = Some(withIdentity.json),
       partitionColumns = partitionCols,
       configuration = config))
-    txn.commit(Nil, DeltaOperations.CreateTable)
+    txn.commit(
+      if (hasIdentity) Seq(graft.delta.Protocol(1, 6)) else Nil,
+      DeltaOperations.CreateTable)
   }
 
   // ------------------------------------------------ atomic CTAS / RTAS (F9)

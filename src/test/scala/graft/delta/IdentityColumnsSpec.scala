@@ -57,9 +57,15 @@ class IdentityColumnsSpec extends SparkSpec {
         .filter($"v" === "c").select($"id").as[Long].head()
       assert(third < first.min, s"$third vs ${first.min}")
 
-      intercept[IllegalArgumentException] {
+      // non-null explicit values abort the write job row-wise
+      intercept[Exception] {
         DeltaTable.write(Seq((1L, "x")).toDF("id", "v"), dir)
       }
+      // an explicit NULL means "assign" (the SQL null-padding shape)
+      DeltaTable.write(
+        Seq((Option.empty[java.lang.Long], "n")).toDF("id", "v"), dir)
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .filter($"v" === "n").select($"id").as[Long].head() < 0L)
     }
   }
 
@@ -116,6 +122,32 @@ class IdentityColumnsSpec extends SparkSpec {
         .whenMatchedUpdate(Map("v" -> lit("a2")))
         .execute()
       assert(table.toDF.select($"v").as[String].head() == "a2")
+    }
+  }
+
+  test("SQL DDL: GENERATED ALWAYS AS IDENTITY creates and inserts assign") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-id-").toFile
+    spark.conf.set("spark.sql.catalog.graftid", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftid.warehouse", wh.getAbsolutePath)
+    spark.sql("""CREATE TABLE graftid.db.idt (
+                   id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 7 INCREMENT BY 3),
+                   v STRING)""")
+    val path = s"${wh.getAbsolutePath}/db/idt"
+    val snap = DeltaLog.forTable(spark, path).update()
+    assert(snap.protocol.minWriterVersion == 6)
+    val meta = snap.metadata.schema("id").metadata
+    assert(meta.getLong(graft.delta.write.IdentityColumns.StartKey) == 7L)
+    assert(meta.getLong(graft.delta.write.IdentityColumns.StepKey) == 3L)
+    // the column-list INSERT omits the identity column; values assign
+    spark.sql("INSERT INTO graftid.db.idt (v) VALUES ('a'), ('b')")
+    val rows = spark.sql("SELECT id, v FROM graftid.db.idt")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 2 && rows.map(_._1).distinct.length == 2)
+    assert(rows.forall(r => r._1 >= 7L && (r._1 - 7L) % 3L == 0L),
+      rows.mkString(", "))
+    // explicit values for ALWAYS identity reject
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftid.db.idt VALUES (1, 'x')")
     }
   }
 
