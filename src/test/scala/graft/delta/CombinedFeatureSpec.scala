@@ -78,6 +78,52 @@ class CombinedFeatureSpec extends SparkSpec {
     }
   }
 
+  test("compact splits an oversized NULL partition (salting join on null)") {
+    withTempDir { dir =>
+      // one real partition value and one NULL partition, both oversized
+      // for a tiny target: the broadcast (partitionValues -> bins) join
+      // must match the null partition via null-safe equality
+      (1 to 6).foreach { i =>
+        DeltaTable.write(
+          (1 to 40).map(j => (i * 1000 + j,
+            if (j % 2 == 0) "a" else null)).toDF("v", "grp").coalesce(1),
+          dir, partitionBy = if (i == 1) Seq("grp") else Nil)
+      }
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update()
+      assert(before.allFiles.size == 12) // 6 commits × 2 partitions
+      val expected = before.toDF.as[(Int, Option[String])].collect().toSet
+      val total = before.allFiles.map(_.size).sum
+      DeltaTable.forPath(spark, dir).compact(targetFileBytes = total / 4)
+      val after = log.update()
+      assert(after.allFiles.size < 12, s"${after.allFiles.size} files")
+      assert(after.toDF.as[(Int, Option[String])].collect().toSet == expected)
+      // null-partition rows intact and pruned-readable
+      assert(after.toDF.filter($"grp".isNull).count() == 120)
+    }
+  }
+
+  test("CDF range read on a column-mapped (renamed) table decodes " +
+      "logical names") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-cdf-").toFile
+    spark.conf.set("spark.sql.catalog.graftcdf", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcdf.warehouse", wh.getAbsolutePath)
+    spark.sql("""CREATE TABLE graftcdf.db.c (id INT, amount DOUBLE)
+                 TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""")
+    spark.sql("INSERT INTO graftcdf.db.c VALUES (1, 10.0), (2, 20.0)")
+    spark.sql("ALTER TABLE graftcdf.db.c RENAME COLUMN amount TO price")
+    spark.sql("UPDATE graftcdf.db.c SET price = 99.0 WHERE id = 2")
+    val path = s"${wh.getAbsolutePath}/db/c"
+    val table = DeltaTable.forPath(spark, path)
+    val endV = table.deltaLog.update().version
+    val ch = table.changes(0, endV)
+      .select($"id", $"price", $"_change_type").as[(Int, Double, String)]
+      .collect().toSet
+    assert(ch.contains((1, 10.0, "insert")), ch.toString)
+    assert(ch.contains((2, 20.0, "update_preimage")), ch.toString)
+    assert(ch.contains((2, 99.0, "update_postimage")), ch.toString)
+  }
+
   test("conditional merge on a column-mapped (renamed) table") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh-").toFile
     spark.conf.set("spark.sql.catalog.graftc", "graft.sql.GraftCatalog")
