@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape assertions for the round-4 pipeline operators — the
+  * 100 TB contract is in the PLAN (what shuffles, what broadcasts),
+  * not in small-scale timings. */
+class PipelinePlanQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "en", "alpha beta gamma"),
+    (3L, "de", "eins zwei drei vier")
+  ).toDF("doc_id", "lang", "text")
+
+  test("chunkWithOverlap is a pure per-row expansion — no shuffle") {
+    val chunks = Curation.chunkWithOverlap(docs, "text",
+      chunkTokens = 4, overlap = 1)
+    val shuffles = chunks.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty,
+      s"chunking must not shuffle:\n${chunks.queryExecution.executedPlan}")
+  }
+
+  test("the OOV vocabulary joins as a broadcast, never a sort-merge") {
+    val toks = docs.select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(5)
+      .select($"tok", lit(1).as("in_vocab"))
+    val joined = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"lang").agg(count(when($"in_vocab".isNull, 1)).as("oov"))
+    joined.collect() // finalize the adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the vocab:\n$plan")
+  }
+
+  test("identity assignment is a pure projection — no shuffle, no scan " +
+      "of the existing table") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.types._
+      graft.delta.DeltaTable.create(spark, dir, StructType(Seq(
+          StructField("id", LongType), StructField("v", StringType))),
+        identityColumns = Map("id" -> ((1L, 1L))))
+      val (assigned, cols) = graft.delta.write.IdentityColumns.assign(
+        Seq("a", "b").toDF("v"),
+        graft.delta.DeltaLog.forTable(spark, dir).update().metadata)
+      assert(cols == Seq("id"))
+      val shuffles = assigned.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty,
+        s"identity assignment must not shuffle:\n${assigned.queryExecution.executedPlan}")
+    }
+  }
+}
