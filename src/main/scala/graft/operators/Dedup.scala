@@ -84,11 +84,13 @@ object Dedup {
       .distinct()
   }
 
-  /** (id, band, key) band-bucket rows of the banded-MinHash signature —
-    * the probe-able face of the LSH index (store these to make a corpus
-    * incrementally probeable). */
-  private def minhashBandKeys(docs: DataFrame, k: Int,
-                              bands: Int): DataFrame = {
+  /** (id, bands: array<struct<band,key>>) — one row per doc, the banded
+    * MinHash signature as a COLUMN (k minhashes over the exploded items,
+    * folded into `bands` band keys). The exploded probe face
+    * ([[minhashBandKeys]]) and the persisted index ([[buildMinhashIndex]])
+    * both derive from this. */
+  private def minhashBandArray(docs: DataFrame, k: Int,
+                               bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide evenly into bands")
     val rows = k / bands
     val hashed = docs.select(col("id"), explode(col("items")).as("s"))
@@ -98,53 +100,124 @@ object Dedup {
     }
     val sigs = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
     sigs.select(col("id"),
-      explode(array((0 until bands).map { b =>
+      array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
             .as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
+      }: _*).as("bands"))
   }
 
-  /** Near-duplicates of a NEW batch against an EXISTING corpus — the
-    * incremental-ingest shape. A nightly batch must not re-run the
-    * corpus × corpus dedup: only the batch's band keys probe the
-    * corpus's band buckets (in production the corpus side's
-    * [[minhashBandKeys]] output is persisted once and appended to), the
-    * corpus never self-joins, and verification touches candidate pairs
-    * only. Same-id pairs are excluded — re-ingesting a known document
-    * is an exact match, not a near-dup discovery. Output:
-    * (batch_id, corpus_id, jaccard ≥ threshold), DIRECTIONAL from the
-    * batch's perspective. */
-  def incrementalMinhashLsh(corpus: DataFrame, batch: DataFrame,
-                            idCol: String, textCol: String,
-                            shingleWidth: Int = 3, k: Int = 12,
-                            bands: Int = 4,
-                            threshold: Double = 0.7): DataFrame = {
-    def prep(df: DataFrame) = InputWidth.widen(df)
+  /** (id, band, key) band-bucket rows of the banded-MinHash signature —
+    * the probe-able face of the LSH index. */
+  private def minhashBandKeys(docs: DataFrame, k: Int,
+                              bands: Int): DataFrame =
+    minhashBandArray(docs, k, bands)
+      .select(col("id"), explode(col("bands")).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+
+  /** Build the PERSISTABLE MinHash-LSH index of a corpus: one row per
+    * document, `(id, shingles, bands: array<struct<band:int, key:string>>)`.
+    * Written as a Delta table (see [[incrementalMinhashLshPersisted]])
+    * this is the artifact that makes a 100 TB corpus incrementally
+    * probeable — a nightly batch joins the STORED band keys and verifies
+    * against the STORED shingle sets; the corpus text is never re-read,
+    * re-tokenized or re-minhashed. One row per doc (not per band bucket)
+    * so the wide shingle payload is stored once, and parquet column
+    * pruning keeps it out of the candidate-producing probe scan — the
+    * probe reads (id, bands), verification reads (id, shingles). */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        shingleWidth: Int = 3, k: Int = 12,
+                        bands: Int = 4): DataFrame = {
+    val docs = InputWidth.widen(df)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
         ShingleExpressions.wordShinglesSorted(col("toks"), shingleWidth)
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val c = prep(corpus)
-    val b = prep(batch)
-    val corpusBuckets = minhashBandKeys(
-      c.select(col("id"), col("shingles").as("items")), k, bands)
-      .select(col("band"), col("key"), col("id").as("corpus_id"))
-    val batchKeys = minhashBandKeys(
-      b.select(col("id"), col("shingles").as("items")), k, bands)
-      .select(col("band"), col("key"), col("id").as("batch_id"))
+    val banded = minhashBandArray(
+      docs.select(col("id"), col("shingles").as("items")), k, bands)
+    // equi-join on id re-attaches the shingle payload to the signature —
+    // the signatures travel the aggregation shuffle WITHOUT the payload
+    docs.join(banded, Seq("id"))
+  }
+
+  /** Probe a corpus MinHash index ([[buildMinhashIndex]] rows, typically
+    * read back from a persisted Delta table) with a batch's index rows:
+    * band-key equi-join over (band, key, id) for candidates, exact
+    * jaccard verification from the two frames' own stored shingle sets.
+    * Nothing touches document text. Same-id pairs are excluded —
+    * re-ingesting a known document is an exact match, not a near-dup
+    * discovery. Output: (batch_id, corpus_id, jaccard ≥ threshold),
+    * DIRECTIONAL from the batch's perspective. */
+  def probeMinhashIndex(corpusIndex: DataFrame, batchIndex: DataFrame,
+                        threshold: Double = 0.7): DataFrame = {
+    val corpusBuckets = corpusIndex
+      .select(col("id").as("corpus_id"), explode(col("bands")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("corpus_id"))
+    val batchKeys = batchIndex
+      .select(col("id").as("batch_id"), explode(col("bands")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("batch_id"))
     val candidates = batchKeys.join(corpusBuckets, Seq("band", "key"))
       .filter(col("batch_id") =!= col("corpus_id"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
-    val gi = b.select(col("id").as("batch_id"), col("shingles").as("sh_i"))
-    val gj = c.select(col("id").as("corpus_id"), col("shingles").as("sh_j"))
+    val gi = batchIndex.select(col("id").as("batch_id"),
+      col("shingles").as("sh_i"))
+    val gj = corpusIndex.select(col("id").as("corpus_id"),
+      col("shingles").as("sh_j"))
     candidates.join(gi, Seq("batch_id")).join(gj, Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         SortedArrayJaccard(col("sh_i"), col("sh_j")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicates of a NEW batch against an EXISTING corpus — the
+    * one-shot composition of [[buildMinhashIndex]] (both sides) and
+    * [[probeMinhashIndex]]. For the production nightly-ingest shape where
+    * the corpus index is a persisted artifact, use
+    * [[incrementalMinhashLshPersisted]] — this overload re-derives the
+    * corpus index from text and exists for ad-hoc/one-off probes. */
+  def incrementalMinhashLsh(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleWidth: Int = 3, k: Int = 12,
+                            bands: Int = 4,
+                            threshold: Double = 0.7): DataFrame =
+    probeMinhashIndex(
+      buildMinhashIndex(corpus, idCol, textCol, shingleWidth, k, bands),
+      buildMinhashIndex(batch, idCol, textCol, shingleWidth, k, bands),
+      threshold)
+
+  /** The nightly-batch entry point over a PERSISTED index: probes the
+    * Delta index table at `indexPath` with the new batch's documents,
+    * appends the batch's own index rows (one atomic Delta commit, so the
+    * index is ready for the NEXT batch), and returns the matches. The
+    * probe plans against the pre-append snapshot — Delta snapshots are
+    * immutable file lists, so the append cannot leak the batch into its
+    * own corpus side even though the returned frame is lazy.
+    *
+    * Scale: the only inputs are the batch text (small) and the index
+    * table's (id, bands) / (id, shingles) column groups; cost tracks the
+    * batch and its candidates, never the corpus. `idempotentTxn` makes
+    * the append exactly-once under orchestrator retries (same
+    * SetTransaction machinery as the streaming sink). */
+  def incrementalMinhashLshPersisted(spark: org.apache.spark.sql.SparkSession,
+                                     indexPath: String, batch: DataFrame,
+                                     idCol: String, textCol: String,
+                                     shingleWidth: Int = 3, k: Int = 12,
+                                     bands: Int = 4, threshold: Double = 0.7,
+                                     idempotentTxn: Option[(String, Long)] = None): DataFrame = {
+    val batchIndex =
+      buildMinhashIndex(batch, idCol, textCol, shingleWidth, k, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusIndex = graft.delta.DeltaTable.forPath(spark, indexPath).toDF
+    val result = probeMinhashIndex(corpusIndex, batchIndex, threshold)
+    // the append materializes batchIndex into the cache; the lazy result
+    // then reuses the cached rows instead of re-shingling the batch
+    graft.delta.DeltaTable.write(batchIndex, indexPath,
+      org.apache.spark.sql.SaveMode.Append, idempotentTxn = idempotentTxn)
+    result
   }
 
   /** SimHash near-duplicate pairs: `bits`-wide simhash, banded into
@@ -232,32 +305,72 @@ object Dedup {
     // Intern grams to dense int ids ranked rarest-first: the id IS the
     // global prefix order, so the per-doc rarity sort collapses into one
     // int sort, and every downstream structure (prefix rows, verify
-    // payloads) carries 4-byte ints instead of gram strings. n-grams come
-    // from a bounded alphabet, so the id table is small by construction.
+    // payloads) carries 4-byte ints instead of gram strings.
     val freq = docs.select(explode(col("grams")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // Rank grams rarest-first WITHOUT a global window: a partition-less
-    // row_number would sort every distinct gram in ONE executor task (the
-    // round-2 bench's "No Partition Defined" warning). The id table must
-    // be totally ordered by global rarity — inherently driver-sized — so
-    // collect the (gram, df) pairs once and sort on the driver. One job
-    // computes the frequency aggregation exactly once; no task ever holds
-    // more than its share of the exploded grams.
-    val ranked = freq.select(col("s"), col("df")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (s, d) => (d, s) }
-    val dict = ranked.iterator.zipWithIndex
-      .map { case ((s, _), i) => (s, i + 1) }.toMap
-    val maxGid = ranked.length
-    // Per-doc interning is a LOOKUP against that same driver dictionary
-    // ([[InternSortedIds]], shipped in the task closure) — not an
-    // explode → broadcast-join → re-group round trip, which would shuffle
-    // every gram occurrence of the corpus a second time just to rebuild
-    // the per-doc arrays. The cached shingles feed both passes; the only
-    // corpus-wide shuffle in this operator is the frequency aggregation.
-    val intDocs = docs.select(col("id"),
-        InternSortedIds(col("grams"), dict).as("gids"))
-      .withColumn("nG", size(col("gids")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = freq.count()
+    // Char-n-grams come from a bounded alphabet, so the id table is
+    // usually driver-sized — but that is an assumption about the CALLER's
+    // gram regime, not a property of this operator. A word-5-gram corpus
+    // has billions of distinct grams; collecting them would OOM the
+    // driver and ship the dictionary inside every task closure. Guard
+    // with an explicit bound (same architecture as cc.driverMaxEdges):
+    // under it, the fast driver-dictionary interning; over it, a fully
+    // distributed sort + per-partition-offset ranking.
+    val dictBound = docs.sparkSession.conf
+      .getOption("spark.graft.dedup.maxGramDict").map(_.toLong)
+      .getOrElse(DefaultMaxGramDict)
+    val (intDocs0, maxGid) = if (nGrams <= dictBound) {
+      // Rank grams rarest-first WITHOUT a global window: a partition-less
+      // row_number would sort every distinct gram in ONE executor task
+      // (the round-2 bench's "No Partition Defined" warning). Collect the
+      // (gram, df) pairs once and sort on the driver; per-doc interning
+      // is then a LOOKUP against the driver dictionary
+      // ([[InternSortedIds]], shipped in the task closure) — not an
+      // explode → join → re-group round trip that would shuffle every
+      // gram occurrence a second time just to rebuild the per-doc arrays.
+      Dedup.lastGramInterning = "driver"
+      val ranked = freq.select(col("s"), col("df")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (s, d) => (d, s) }
+      freq.unpersist(blocking = false)
+      val dict = ranked.iterator.zipWithIndex
+        .map { case ((s, _), i) => (s, i + 1) }.toMap
+      (docs.select(col("id"), InternSortedIds(col("grams"), dict).as("gids")),
+        ranked.length)
+    } else {
+      // Distributed fallback: the driver never sees a gram. The total
+      // rarest-first order comes from a RANGE-PARTITIONED sort on
+      // (df, gram) — the distributed TeraSort shape, no single-task
+      // global window — and contiguous dense ids from per-partition
+      // offsets (zipWithIndex: one small job for partition sizes).
+      // Interning then joins the exploded grams with the id table and
+      // regroups per doc — one extra shuffle of the gram occurrences,
+      // the price of not materializing the dictionary anywhere. The
+      // prefix filter stays EXACT: correctness needs only a consistent
+      // total order of the gram universe; rarest-first remains the
+      // candidate-minimizing heuristic.
+      Dedup.lastGramInterning = "distributed"
+      require(nGrams <= Int.MaxValue,
+        s"gram universe ($nGrams) exceeds the int id space")
+      val spark = docs.sparkSession
+      val idRows = freq.sort(col("df"), col("s")).select(col("s")).rdd
+        .zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), (i + 1).toInt) }
+      val gramIds = spark.createDataFrame(idRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("gid",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val interned = docs.select(col("id"), explode(col("grams")).as("s"))
+        .join(gramIds, Seq("s"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      (interned, nGrams.toInt)
+    }
+    val intDocs = intDocs0.withColumn("nG", size(col("gids")))
 
     // three EXACT per-pair prunes on ints, inside the candidate join:
     //  - pair ordering: the indexed side is the smaller set (ties by id),
@@ -352,6 +465,18 @@ object Dedup {
     * payload per prefix row. Above this, document int arrays are the
     * smaller representation and the distinct-then-attach plan wins. */
   private val BitsetGramUniverseMax = 4096
+
+  /** Default for `spark.graft.dedup.maxGramDict`: the largest gram
+    * universe interned via a driver-collected dictionary (4M entries ≈
+    * low hundreds of MB with map overhead — char-gram regimes sit far
+    * under it, word-gram corpora far over). */
+  private val DefaultMaxGramDict = 4L << 20
+
+  /** Observability for specs (cf. Snapshot.filesMaterialized): which
+    * interning strategy the last [[ngramJaccard]] call chose —
+    * "driver" (bounded dictionary collect) or "distributed" (sorted
+    * zipWithIndex ranking, dictionary never materialized). */
+  @volatile private[graft] var lastGramInterning: String = ""
 
   /** Connected components over a near-duplicate pair set: every node gets
     * the minimum id reachable through the pairs as its `cluster` label —

@@ -339,7 +339,16 @@ object PipelineQueries {
         val corpus = t(s, dir, "documents")
         // the nightly batch: a slice of documents probing the corpus
         val batch = corpus.filter($"doc_id" % 7 === 0)
-        Dedup.incrementalMinhashLsh(corpus, batch, "doc_id", "text",
+        // the production shape: the corpus LSH index is a PERSISTED Delta
+        // artifact (built once, here), and the batch probes the stored
+        // index — zero re-reads of the corpus text — then appends its own
+        // keys so the index is current for the next batch
+        val idx = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+        graft.delta.DeltaTable.write(
+          Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+            shingleWidth = 3, k = 12, bands = 4),
+          idx, org.apache.spark.sql.SaveMode.Overwrite)
+        Dedup.incrementalMinhashLshPersisted(s, idx, batch, "doc_id", "text",
           shingleWidth = 3, k = 12, bands = 4, threshold = 0.7)
       },
       Some("""
