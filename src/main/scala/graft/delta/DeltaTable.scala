@@ -207,7 +207,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
+      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
     val current = spark.baseRelationToDataFrame(relation)
       .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
@@ -494,7 +494,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
                 partitionSchema = m.partitionSchema,
                 dataSchema = m.dataSchema,
                 bucketSpec = None,
-                fileFormat = new read.GuardedParquetFileFormat(m.columnMapping),
+                fileFormat = new read.GuardedParquetFileFormat(m.columnMapping, m.fieldIdMapping),
                 options = Map.empty)(spark)
             // images align to the RESTORED schema; columns the other
             // version lacks null-fill (forward restore across an add)
@@ -588,7 +588,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           partitionSchema = metadata.partitionSchema,
           dataSchema = metadata.dataSchema,
           bucketSpec = None,
-          fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
+          fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
           options = Map.empty)(spark)
         val removedRows = spark.baseRelationToDataFrame(relation)
           .select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -875,7 +875,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
+      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
       .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)

@@ -200,23 +200,28 @@ class Snapshot(
 
   /** Validate we can read this table (ref: SnapshotImpl protocol check).
     *
-    * Reader 2's single feature is COLUMN MAPPING; in `name` mode (and
-    * trivially `none`) the physical names ride in the schema's field
-    * metadata and our physical-name read machinery (the same one that
-    * serves our own renamed columns) decodes the files — so those
-    * tables are readable. `id` mode requires parquet field-ID
-    * resolution we don't implement; reader ≥3 features are unknown. */
+    * Reader 2's single feature is COLUMN MAPPING, and both its modes are
+    * in: `name` mode (and trivially `none`) reads through the
+    * physical-name machinery that serves our own renamed columns; `id`
+    * mode reads resolve parquet columns by the field-id attribute
+    * ([[read.GuardedParquetFileFormat]]), which requires every mapped
+    * field to actually declare an id. Reader ≥3 features are unknown. */
   def assertReadable(): Unit = {
     val mode = metadata.configuration
       .getOrElse(ColumnMapping.DeltaModeKey, "none")
-    val ok = protocol.minReaderVersion <= 1 ||
-      (protocol.minReaderVersion == 2 && mode != "id")
-    require(ok,
-      s"Unsupported reader protocol version ${protocol.minReaderVersion}" +
-        (if (mode == "id") " (column mapping mode 'id' requires parquet " +
-          "field-id resolution)" else "") +
-        "; this engine implements reader 1 and reader 2 name-mode " +
-        "column mapping")
+    if (protocol.minReaderVersion == 2 && mode == "id") {
+      val missing = metadata.schema.fields
+        .filterNot(_.metadata.contains(ColumnMapping.DeltaFieldIdKey))
+        .map(_.name)
+      require(missing.isEmpty,
+        s"Column mapping mode 'id' but columns ${missing.mkString(", ")} " +
+          "declare no delta.columnMapping.id — the table metadata is " +
+          "corrupt or from a future protocol")
+    }
+    require(protocol.minReaderVersion <= 2,
+      s"Unsupported reader protocol version ${protocol.minReaderVersion}; " +
+        "this engine implements reader 1 and reader 2 (column mapping, " +
+        "name and id modes)")
   }
 }
 

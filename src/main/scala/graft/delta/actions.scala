@@ -58,6 +58,15 @@ case class Metadata(
   @transient lazy val columnMapping: Map[String, String] =
     ColumnMapping.mapping(schema)
 
+  /** Logical column name → parquet field id, NON-EMPTY only for foreign
+    * tables in column-mapping `id` mode (where files must be resolved by
+    * the parquet field-id attribute, not by name — the Iceberg-convert
+    * regime, where a column's name in old footers is arbitrary). */
+  @transient lazy val fieldIdMapping: Map[String, Int] =
+    if (configuration.getOrElse(ColumnMapping.DeltaModeKey, "none") == "id")
+      ColumnMapping.fieldIds(schema)
+    else Map.empty
+
   def wrap: SingleAction = SingleAction(metaData = Some(this))
 }
 
@@ -96,6 +105,18 @@ object ColumnMapping {
     schema.fields.iterator
       .filter(f => physicalName(f) != f.name)
       .map(f => f.name -> physicalName(f)).toMap
+
+  /** Delta's column-mapping field-id key (PROTOCOL.md "Column Mapping"):
+    * in `id` mode every field carries a stable integer id that parquet
+    * footers repeat as the field-id attribute — the resolution key that
+    * survives arbitrary renames of the physical columns. */
+  val DeltaFieldIdKey = "delta.columnMapping.id"
+
+  /** Logical name → field id for every field that declares one. */
+  def fieldIds(schema: StructType): Map[String, Int] =
+    schema.fields.iterator
+      .filter(_.metadata.contains(DeltaFieldIdKey))
+      .map(f => f.name -> f.metadata.getLong(DeltaFieldIdKey).toInt).toMap
 }
 
 /** Protocol versioning — we implement reader 1 / writer 2 like the

@@ -88,7 +88,7 @@ object CdfRelation {
         bucketSpec = None,
         // the ORIGINAL mapping: synthetic columns are never read from
         // parquet, data columns decode by their physical names
-        fileFormat = new GuardedParquetFileFormat(metadata.columnMapping),
+        fileFormat = new GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
         options = Map.empty)(spark)
       val df =
         if (streaming) org.apache.spark.sql.graft.Shims

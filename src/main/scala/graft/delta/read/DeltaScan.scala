@@ -60,7 +60,7 @@ class DeltaScanBuilder(snapshot: Snapshot) {
       partitionSchema = snapshot.metadata.partitionSchema,
       dataSchema = snapshot.metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new graft.delta.read.GuardedParquetFileFormat(snapshot.metadata.columnMapping),
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat(snapshot.metadata.columnMapping, snapshot.metadata.fieldIdMapping),
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
     // present columns in the table-schema order (partition columns are

@@ -30,9 +30,19 @@ import org.apache.spark.sql.types.StructType
   * returns are positional, so the engine above keeps seeing the logical
   * schema. Empty mapping (the common case) short-circuits to the stock
   * reader.
-  */
+  *
+  * `fieldIds` (logical → parquet field id, non-empty only for foreign
+  * column-mapping `id`-mode tables) switches parquet column RESOLUTION
+  * from names to the field-id attribute: the requested schema's fields
+  * carry `parquet.field.id` metadata and the task-side reader conf turns
+  * on Spark's field-id matching — so a file whose footer names a column
+  * anything at all (the Iceberg-convert case) still binds by id. Spark's
+  * own `ParquetFileFormat` never writes that conf key (only
+  * `ParquetReadSupport` consults it from the task conf), so setting it
+  * here before building the reader is authoritative for this scan. */
 class GuardedParquetFileFormat(
-    nameMapping: Map[String, String] = Map.empty) extends ParquetFileFormat {
+    nameMapping: Map[String, String] = Map.empty,
+    fieldIds: Map[String, Int] = Map.empty) extends ParquetFileFormat {
 
   override def prepareWrite(
       sparkSession: SparkSession,
@@ -48,8 +58,16 @@ class GuardedParquetFileFormat(
   }
 
   private def physical(schema: StructType): StructType =
-    StructType(schema.fields.map(f =>
-      f.copy(name = nameMapping.getOrElse(f.name, f.name))))
+    StructType(schema.fields.map { f =>
+      val renamed = f.copy(name = nameMapping.getOrElse(f.name, f.name))
+      fieldIds.get(f.name).fold(renamed) { id =>
+        renamed.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(renamed.metadata)
+            .putLong(GuardedParquetFileFormat.ParquetFieldIdKey, id.toLong)
+            .build())
+      }
+    })
 
   /** Rename the TOP path segment of a pushed attribute (only top-level
     * columns can be renamed; nested fields ride along with their parent). */
@@ -91,13 +109,22 @@ class GuardedParquetFileFormat(
       options: Map[String, String],
       hadoopConf: org.apache.hadoop.conf.Configuration)
     : PartitionedFile => Iterator[InternalRow] = {
-    if (nameMapping.isEmpty) {
+    if (nameMapping.isEmpty && fieldIds.isEmpty) {
       super.buildReaderWithPartitionValues(sparkSession, dataSchema,
         partitionSchema, requiredSchema, filters, options, hadoopConf)
     } else {
+      if (fieldIds.nonEmpty) {
+        hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+      }
       super.buildReaderWithPartitionValues(sparkSession, physical(dataSchema),
         partitionSchema, physical(requiredSchema), filters.map(translate),
         options, hadoopConf)
     }
   }
+}
+
+object GuardedParquetFileFormat {
+  /** Spark's field-id metadata key on read-schema fields (the public
+    * contract `ParquetReadSupport` matches file columns against). */
+  val ParquetFieldIdKey = "parquet.field.id"
 }

@@ -29,7 +29,7 @@ class InsertableDeltaRelation(
     partitionSchema = snapshot.metadata.partitionSchema,
     dataSchema = snapshot.metadata.dataSchema,
     bucketSpec = None,
-    fileFormat = new GuardedParquetFileFormat(snapshot.metadata.columnMapping),
+    fileFormat = new GuardedParquetFileFormat(snapshot.metadata.columnMapping, snapshot.metadata.fieldIdMapping),
     options = Map.empty)(spark)
   with InsertableRelation {
 

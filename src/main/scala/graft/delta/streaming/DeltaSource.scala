@@ -317,7 +317,7 @@ class DeltaSource(
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping),
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
     Shims.relationToDataFrame(spark, relation, isStreaming = true)
       .select(metadata.schema.fieldNames
@@ -332,7 +332,7 @@ class DeltaSource(
       partitionSchema = metadata.partitionSchema,
       dataSchema = metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping),
+      fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
     val df = Shims.relationToDataFrame(spark, relation, isStreaming = true)
     // project the TABLE schema (the source schema may carry CDF columns

@@ -281,10 +281,24 @@ object DeltaWriter {
           if (wanted < current) df.coalesce(wanted.toInt) else df
         case None => df
       }
+      // id-mode tables additionally stamp parquet.field.id metadata so
+      // the files we write resolve BY ID for foreign id-mode readers
+      // (Spark's parquet writer emits the field-id attribute for schema
+      // fields carrying that key; write conf defaults on)
+      val fieldIds = meta.map(_.fieldIdMapping).getOrElse(Map.empty)
       val physDf =
-        if (mapping.isEmpty) shaped
-        else shaped.select(shaped.columns.map(c => org.apache.spark.sql.functions
-          .col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+        if (mapping.isEmpty && fieldIds.isEmpty) shaped
+        else shaped.select(shaped.columns.map { c =>
+          val aliased = org.apache.spark.sql.functions.col(s"`$c`")
+          val physName = mapping.getOrElse(c, c)
+          fieldIds.get(c) match {
+            case Some(id) => aliased.as(physName,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(graft.delta.read.GuardedParquetFileFormat
+                  .ParquetFieldIdKey, id.toLong).build())
+            case None => aliased.as(physName)
+          }
+        }.toIndexedSeq: _*)
       val writer = physDf.write.mode(SaveMode.Overwrite)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(batchDir.toString)

@@ -309,7 +309,7 @@ final class MergeBuilder private[delta] (
         partitionSchema = metadata.partitionSchema,
         dataSchema = metadata.dataSchema,
         bucketSpec = None,
-        fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping),
+        fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
         options = Map.empty)(spark)
       spark.baseRelationToDataFrame(relation)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
