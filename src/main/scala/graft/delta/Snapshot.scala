@@ -209,7 +209,7 @@ class Snapshot(
   def assertReadable(): Unit = {
     val mode = metadata.configuration
       .getOrElse(ColumnMapping.DeltaModeKey, "none")
-    if (protocol.minReaderVersion == 2 && mode == "id") {
+    if (protocol.minReaderVersion <= 3 && mode == "id") {
       val missing = metadata.schema.fields
         .filterNot(_.metadata.contains(ColumnMapping.DeltaFieldIdKey))
         .map(_.name)
@@ -218,10 +218,19 @@ class Snapshot(
           "declare no delta.columnMapping.id — the table metadata is " +
           "corrupt or from a future protocol")
     }
-    require(protocol.minReaderVersion <= 2,
+    // reader 3 = table features: readable exactly when every advertised
+    // reader feature is implemented — refusals NAME what is missing
+    // (e.g. deletionVectors), not just a version number
+    if (protocol.minReaderVersion == 3) {
+      val missing = TableFeatures.unsupportedReader(protocol)
+      require(missing.isEmpty,
+        s"Cannot read: table requires reader table feature(s) " +
+          s"${missing.mkString(", ")} this engine does not implement " +
+          s"(supported: ${TableFeatures.supportedReader.toSeq.sorted.mkString(", ")})")
+    } else require(protocol.minReaderVersion <= 2,
       s"Unsupported reader protocol version ${protocol.minReaderVersion}; " +
-        "this engine implements reader 1 and reader 2 (column mapping, " +
-        "name and id modes)")
+        "this engine implements reader 1, reader 2 (column mapping, name " +
+        "and id modes) and reader 3 tables whose features it supports")
   }
 }
 

@@ -121,9 +121,31 @@ object ColumnMapping {
 
 /** Protocol versioning — we implement reader 1 / writer 2 like the
   * reference (actions.scala:63-82). */
-case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
+case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+                    readerFeatures: Option[Seq[String]] = None,
+                    writerFeatures: Option[Seq[String]] = None)
   extends Action {
   def wrap: SingleAction = SingleAction(protocol = Some(this))
+}
+
+/** Table-features vocabulary (PROTOCOL.md "Table Features", reader 3 /
+  * writer 7): a features table is readable/writable exactly when every
+  * listed feature is implemented — so refusals can NAME what is missing
+  * instead of hiding behind a bare version number. */
+object TableFeatures {
+  /** Reader features this engine implements (column mapping in both
+    * modes; timestampNtz decodes natively through Spark's reader). */
+  val supportedReader: Set[String] = Set("columnMapping", "timestampNtz")
+  /** Writer features this engine implements — the feature names of
+    * legacy writer versions 2-6 plus their reader-side twins. */
+  val supportedWriter: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns", "timestampNtz")
+
+  def unsupportedReader(p: Protocol): Seq[String] =
+    p.readerFeatures.getOrElse(Nil).filterNot(supportedReader)
+  def unsupportedWriter(p: Protocol): Seq[String] =
+    p.writerFeatures.getOrElse(Nil).filterNot(supportedWriter)
 }
 
 /** Pre-parsed per-file stats, written into OUR checkpoints as an extra

@@ -264,9 +264,19 @@ class OptimisticTransaction(
     // write path substitutes physical names from Metadata.columnMapping)
     if (readVersion >= 0) {
       val p = snapshot.protocol
-      require(p.minWriterVersion <= 6,
+      if (p.minWriterVersion == 7) {
+        // writer 7 = table features: writable exactly when every
+        // advertised writer feature is implemented; the refusal names
+        // the missing feature (e.g. deletionVectors) so the user knows
+        // WHAT the table needs, not just a version number
+        val missing = TableFeatures.unsupportedWriter(p)
+        require(missing.isEmpty,
+          s"Cannot write: table requires writer table feature(s) " +
+            s"${missing.mkString(", ")} this engine does not implement")
+      } else require(p.minWriterVersion <= 6,
         s"Cannot write: table requires writer protocol ${p.minWriterVersion}; " +
-          "this engine implements up to 6")
+          "this engine implements up to 6 and writer-7 tables whose " +
+          "features it supports")
     }
     // extract a Metadata action if the caller passed one inline
     val metadataActions = actions.collect { case m: Metadata => m }
