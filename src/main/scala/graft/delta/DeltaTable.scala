@@ -41,9 +41,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       (ci.version.getOrElse(-1L), ci.timestamp.getOrElse(0L),
         ci.operation.getOrElse(""), ci.isBlindAppend.getOrElse(false),
         ci.isolationLevel.getOrElse(""), ci.engineInfo.getOrElse(""),
+        ci.operationParameters.getOrElse(Map.empty),
         ci.operationMetrics.getOrElse(Map.empty))
     }).toDF("version", "timestamp", "operation", "isBlindAppend",
-      "isolationLevel", "engineInfo", "operationMetrics")
+      "isolationLevel", "engineInfo", "operationParameters",
+      "operationMetrics")
   }
 
   def version: Long = deltaLog.update().version
@@ -62,7 +64,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     txn.commit(matched.map(_.remove(deltaLog.clock())), DeltaOperations.Delete,
       operationMetrics = Map(
         "numRemovedFiles" -> matched.size.toString,
-        "numRemovedBytes" -> matched.map(_.size).sum.toString))
+        "numRemovedBytes" -> matched.map(_.size).sum.toString),
+      operationParameters = Map("predicate" -> resolved.sql))
   }
 
   /** DML DELETE with arbitrary predicates. Partition-only predicates stay
@@ -227,7 +230,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationMetrics = Map(
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString,
-        "numAddedBytes" -> adds.map(_.size).sum.toString))
+        "numAddedBytes" -> adds.map(_.size).sum.toString),
+      operationParameters = Map("predicate" -> resolved.sql))
   }
 
   /** Physically delete data files no longer referenced by the latest
@@ -517,9 +521,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         toRemove.map(_.remove(now)),
       DeltaOperations.Restore,
       operationMetrics = Map(
-        "restoredVersion" -> version.toString,
         "numRestoredFiles" -> toAdd.size.toString,
-        "numRemovedFiles" -> toRemove.size.toString))
+        "numRemovedFiles" -> toRemove.size.toString),
+      operationParameters = Map("version" -> version))
   }
 
   /** Transactional partition overwrite (Delta's `replaceWhere`): ONE
@@ -616,9 +620,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }
     txn.commit(cdc ++ adds ++ removes, DeltaOperations.ReplaceWhere,
       operationMetrics = Map(
-        "predicate" -> condition.toString,
         "numRemovedFiles" -> removes.size.toString,
-        "numAddedFiles" -> adds.size.toString))
+        "numAddedFiles" -> adds.size.toString),
+      operationParameters = Map("predicate" -> condition.toString))
   }
 
   /** SHOW PARTITIONS with operational stats: one row per partition with
@@ -713,10 +717,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         dataChange = true)
     }
     txn.commit(snapshot.protocol +: (adds: Seq[Action]), DeltaOperations.Clone,
-      operationMetrics = Map(
-        "sourcePath" -> deltaLog.dataPath.toString,
-        "sourceVersion" -> snapshot.version.toString,
-        "numCopiedFiles" -> adds.size.toString))
+      operationMetrics = Map("numCopiedFiles" -> adds.size.toString),
+      operationParameters = Map(
+        "source" -> deltaLog.dataPath.toString,
+        "sourceVersion" -> snapshot.version))
   }
 
   /** Record a named CHECK constraint (`delta.constraints.<name>` table
@@ -758,7 +762,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       if (txn.snapshot.protocol.minWriterVersion < 3)
         Seq(Protocol(txn.snapshot.protocol.minReaderVersion, 3)) else Nil
     txn.commit(protocolUpgrade, DeltaOperations.AddConstraint,
-      operationMetrics = Map("name" -> name, "expr" -> sqlExpr))
+      operationParameters = Map("name" -> name, "expr" -> sqlExpr))
   }
 
   /** Remove a named CHECK constraint; `ifExists = false` fails when the
@@ -776,7 +780,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     txn.updateMetadata(metadata.copy(
       configuration = metadata.configuration - key))
     txn.commit(Nil, DeltaOperations.DropConstraint,
-      operationMetrics = Map("name" -> name))
+      operationParameters = Map("name" -> name, "existed" -> true))
   }
 
   /** Bin-pack the table's files into ~`targetFileBytes` outputs — the
@@ -955,8 +959,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationMetrics = Map(
         "numRemovedFiles" -> rewrite.size.toString,
         "numAddedFiles" -> adds.size.toString,
-        "numAddedBytes" -> adds.map(_.size).sum.toString) ++
-        (if (zOrderBy.nonEmpty) Map("zOrderBy" -> zOrderBy.mkString(",")) else Map.empty))
+        "numAddedBytes" -> adds.map(_.size).sum.toString),
+      operationParameters =
+        if (zOrderBy.nonEmpty) Map("zOrderBy" -> zOrderBy) else Map.empty)
   }
 }
 
@@ -1087,7 +1092,8 @@ object DeltaTable {
       schemaString = Some(schema.json),
       partitionColumns = partitionColumns))
     txn.commit(adds, DeltaOperations.Convert,
-      operationMetrics = Map("numConvertedFiles" -> adds.size.toString))
+      operationMetrics = Map("numConvertedFiles" -> adds.size.toString),
+      operationParameters = Map("partitionedBy" -> partitionColumns))
   }
 
   /** Explicit table creation (no data): the place where schema-level

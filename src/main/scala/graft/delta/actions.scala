@@ -142,10 +142,15 @@ object TableFeatures {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz")
 
+  /** Features the engine cannot honor; a features-version protocol that
+    * LISTS NO features is unknown territory (the spec requires the list)
+    * and is refused as such rather than silently admitted. */
   def unsupportedReader(p: Protocol): Seq[String] =
-    p.readerFeatures.getOrElse(Nil).filterNot(supportedReader)
+    p.readerFeatures.map(_.filterNot(supportedReader))
+      .getOrElse(Seq("(readerFeatures unspecified)"))
   def unsupportedWriter(p: Protocol): Seq[String] =
-    p.writerFeatures.getOrElse(Nil).filterNot(supportedWriter)
+    p.writerFeatures.map(_.filterNot(supportedWriter))
+      .getOrElse(Seq("(writerFeatures unspecified)"))
 }
 
 /** Pre-parsed per-file stats, written into OUR checkpoints as an extra

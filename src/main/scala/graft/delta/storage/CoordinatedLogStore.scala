@@ -49,17 +49,24 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
     coordinator.pending(dir.toUri.toString).foreach { case (name, temp) =>
       val dest = new Path(dir, name)
       val tempPath = new Path(temp)
-      if (!fs.exists(dest) && fs.exists(tempPath)) {
-        val in = fs.open(tempPath)
-        val bytes = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-          bos.toByteArray
-        } finally in.close()
-        val out = fs.create(dest, true)
-        try out.write(bytes) finally out.close()
+      try {
+        if (!fs.exists(dest) && fs.exists(tempPath)) {
+          val in = fs.open(tempPath)
+          val bytes = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+            bos.toByteArray
+          } finally in.close()
+          val out = fs.create(dest, true)
+          try out.write(bytes) finally out.close()
+        }
+        coordinator.commitComplete(dir.toUri.toString, name)
+      } catch {
+        // the OWNER may publish and delete its temp while we heal; the
+        // entry is then completed (or will be) by the owner — healing is
+        // best-effort by design, never a reader failure
+        case scala.util.control.NonFatal(_) =>
       }
-      coordinator.commitComplete(dir.toUri.toString, name)
     }
   }
 

@@ -91,7 +91,11 @@ class DeltaSink(
       txn.commit(
         SetTransaction(appId, batchId, Some(deltaLog.clock())) +:
           (adds ++ removes),
-        DeltaOperations.StreamingUpdate)
+        DeltaOperations.StreamingUpdate,
+        operationParameters = Map(
+          "outputMode" -> outputMode.toString,
+          "queryId" -> appId,
+          "epochId" -> batchId))
     }
   }
 

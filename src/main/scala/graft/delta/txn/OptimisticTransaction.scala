@@ -254,9 +254,16 @@ class OptimisticTransaction(
   }
 
   // ------------------------------------------------------------ commit (T2)
+  /** `operationParameters` are the operation's INPUTS (predicate, mode,
+    * partitionBy, …) as DESCRIBE HISTORY renders them; values are
+    * JSON-encoded per the protocol (strings quoted, lists as arrays —
+    * delta-spark's own convention). `operationMetrics` are its OUTPUTS
+    * (file/byte/row counts), names from the reference's
+    * Operation.java:110-338 vocabulary. */
   def commit(actions: Seq[Action], op: String,
              engineInfo: String = "graft-spark/0.1.0",
-             operationMetrics: Map[String, String] = Map.empty): Long = {
+             operationMetrics: Map[String, String] = Map.empty,
+             operationParameters: Map[String, Any] = Map.empty): Long = {
     require(!committed, "Transaction already committed")
     // writer-protocol gate: refuse to write a table requiring features
     // this engine does not implement (v3 = CHECK constraints, v4 = CDF +
@@ -305,6 +312,9 @@ class OptimisticTransaction(
       readVersion = Some(readVersion).filter(_ >= 0),
       isolationLevel = Some(isolation.name),
       isBlindAppend = Some(isBlindAppend),
+      operationParameters = Some(operationParameters.map { case (k, v) =>
+        k -> JsonCodec.mapper.writeValueAsString(v)
+      }).filter(_.nonEmpty),
       operationMetrics = Some(operationMetrics).filter(_.nonEmpty),
       engineInfo = Some(engineInfo))
 
@@ -346,8 +356,16 @@ class OptimisticTransaction(
         }
         r.copy(path = relativize(r.path))
       case p: Protocol =>
-        require(p.minReaderVersion <= 2 && p.minWriterVersion <= 6,
-          s"Unsupported protocol $p; this engine implements up to (2, 6)")
+        // legacy versions up to (2, 6), or features protocols whose
+        // advertised features are all implemented (e.g. CLONE of a
+        // supported reader-3/writer-7 table re-commits its protocol)
+        val rOk = p.minReaderVersion <= 2 ||
+          (p.minReaderVersion == 3 && TableFeatures.unsupportedReader(p).isEmpty)
+        val wOk = p.minWriterVersion <= 6 ||
+          (p.minWriterVersion == 7 && TableFeatures.unsupportedWriter(p).isEmpty)
+        require(rOk && wOk,
+          s"Unsupported protocol $p; this engine implements up to (2, 6) " +
+            "and features protocols it fully supports")
         p
       case other => other
     }

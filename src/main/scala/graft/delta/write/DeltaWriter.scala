@@ -155,7 +155,12 @@ object DeltaWriter {
       if (!exists) DeltaOperations.CreateTable
       else if (mode == SaveMode.Overwrite) DeltaOperations.ReplaceTable
       else operation,
-      operationMetrics = metrics)
+      operationMetrics = metrics,
+      // the keys DESCRIBE HISTORY renders for writes (delta convention:
+      // mode as a string, partitionBy as a JSON array)
+      operationParameters = Map(
+        "mode" -> mode.name,
+        "partitionBy" -> partCols))
 
     // delta.autoOptimize.autoCompact: bin-pack AFTER the commit lands —
     // the ingest's answer to the small-file problem without a separate
@@ -299,7 +304,11 @@ object DeltaWriter {
             case None => aliased.as(physName)
           }
         }.toIndexedSeq: _*)
-      val writer = physDf.write.mode(SaveMode.Overwrite)
+      val writer0 = physDf.write.mode(SaveMode.Overwrite)
+      // per-write option (merged into the job's hadoopConf) so id-mode
+      // files carry field ids regardless of the session's conf state
+      val writer = if (fieldIds.isEmpty) writer0
+        else writer0.option("spark.sql.parquet.fieldId.write.enabled", "true")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(batchDir.toString)
 

@@ -554,7 +554,8 @@ final class MergeBuilder private[delta] (
       txn.commit(txnAction ++ cdc ++ adds ++ removes, DeltaOperations.Merge,
         operationMetrics = Map(
           "numTargetFilesRemoved" -> removes.size.toString,
-          "numTargetFilesAdded" -> adds.size.toString))
+          "numTargetFilesAdded" -> adds.size.toString),
+        operationParameters = Map("predicate" -> condition.toString))
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 }

@@ -213,7 +213,9 @@ class ConstraintsSpec extends SparkSpec {
       val e = intercept[Exception] {
         DeltaTable.write(Seq((2, 20)).toDF("id", "v"), dir)
       }
-      assert(e.getMessage.contains("writer protocol"), e.getMessage)
+      // writer 7 without a writerFeatures list: refused as unknown
+      // territory (the features vocabulary gate names what is missing)
+      assert(e.getMessage.contains("writerFeatures unspecified"), e.getMessage)
     }
   }
 }

@@ -104,6 +104,77 @@ class GoldenWriteCompatSpec extends SparkSpec {
     }
   }
 
+  test("operationParameters and metric names conform per operation " +
+      "(ref Operation.java:110-338)") {
+    import org.apache.spark.sql.functions._
+    // the reference's Metrics vocabulary plus our documented byte-count
+    // extras (delta-spark records the same numAddedBytes/numRemovedBytes)
+    val metricVocab = Set(
+      "numFiles", "numOutputBytes", "numOutputRows", "numAddedFiles",
+      "numRemovedFiles", "numDeletedRows", "numCopiedRows",
+      "executionTimeMs", "scanTimeMs", "rewriteTimeMs",
+      "numConvertedFiles", "numSourceRows", "numTargetRowsInserted",
+      "numTargetRowsUpdated", "numTargetRowsDeleted", "numTargetRowsCopied",
+      "numTargetFilesAdded", "numTargetFilesRemoved", "numUpdatedRows",
+      "numAddedBytes", "numRemovedBytes", "numCopiedFiles",
+      "numRestoredFiles")
+    withTempDir { dir =>
+      import spark.implicits._
+      val t = s"$dir/t"
+      DeltaTable.write((1 to 20).map(i => (i.toLong, i % 4, s"v$i"))
+        .toDF("id", "part", "v"), t, partitionBy = Seq("part"))
+      val table = DeltaTable.forPath(spark, t)
+      table.delete($"id" === 3L)                                // rewrite DELETE
+      table.update($"id" === 5L, Map("v" -> lit("up")))         // UPDATE
+      table.merge(Seq((5L, 1, "m")).toDF("id", "part", "v"),
+        $"t.id" === $"s.id")
+        .whenMatchedUpdate(Map("v" -> $"s.v"))
+        .whenNotMatchedInsertAll().execute()                    // MERGE
+      table.compact()                                           // OPTIMIZE
+      table.compact(zOrderBy = Seq("id"))                       // OPTIMIZE+z
+      table.restore(1L)                                         // RESTORE
+      table.addConstraint("pos", "id > 0")                      // ADD CONSTRAINT
+      table.dropConstraint("pos")                               // DROP CONSTRAINT
+      table.cloneTo(s"$dir/t2")                                 // CLONE
+
+      val hist = table.history()
+        .select("operation", "operationParameters", "operationMetrics")
+        .collect()
+        .map(r => (r.getString(0), r.getMap[String, String](1),
+          r.getMap[String, String](2)))
+
+      def paramsOf(op: String): Map[String, String] =
+        hist.filter(_._1 == op).map(_._2).headOption
+          .map(m => m.keys.map(k => k -> m(k)).toMap)
+          .getOrElse(fail(s"no $op commit in history"))
+
+      // WRITE family: mode + partitionBy, JSON-encoded per the protocol
+      assert(paramsOf("CREATE TABLE") ==
+        Map("mode" -> "\"Append\"", "partitionBy" -> "[\"part\"]"))
+      assert(paramsOf("DELETE").keySet == Set("predicate"))
+      assert(paramsOf("UPDATE").keySet == Set("predicate"))
+      assert(paramsOf("MERGE").keySet == Set("predicate"))
+      assert(paramsOf("RESTORE") == Map("version" -> "1"))
+      assert(paramsOf("ADD CONSTRAINT") ==
+        Map("name" -> "\"pos\"", "expr" -> "\"id > 0\""))
+      assert(paramsOf("DROP CONSTRAINT").keySet == Set("name", "existed"))
+      val cloneHist = DeltaTable.forPath(spark, s"$dir/t2").history()
+        .select("operation", "operationParameters").collect()
+        .map(r => (r.getString(0), r.getMap[String, String](1)))
+      assert(cloneHist.filter(_._1 == "CLONE").head._2.keySet ==
+        Set("source", "sourceVersion"))
+      val optParams = hist.filter(_._1 == "OPTIMIZE").map(_._2)
+      assert(optParams.exists(_.get("zOrderBy").contains("[\"id\"]")),
+        s"zOrderBy param missing: ${optParams.mkString(";")}")
+
+      // every metric name across every commit comes from the vocabulary
+      hist.foreach { case (op, _, metrics) =>
+        val alien = metrics.keys.filterNot(metricVocab)
+        assert(alien.isEmpty, s"$op records non-vocabulary metrics: $alien")
+      }
+    }
+  }
+
   test("checkpoint parquet round-trips through a foreign reader schema " +
       "and an independent replay reaches the same state") {
     withTempDir { dir =>

@@ -86,7 +86,10 @@ class ZOrderSpec extends SparkSpec {
       val hist = DeltaLog.forTable(spark, dir).history()
       val opt = hist.find(_.operation.contains("OPTIMIZE"))
       assert(opt.isDefined)
-      assert(opt.get.operationMetrics.exists(_.get("zOrderBy").contains("id")))
+      // zOrderBy is an operation INPUT: recorded as a JSON-encoded
+      // operationParameter (DESCRIBE HISTORY convention), not a metric
+      assert(opt.get.operationParameters
+        .exists(_.get("zOrderBy").contains("[\"id\"]")))
     }
   }
 
