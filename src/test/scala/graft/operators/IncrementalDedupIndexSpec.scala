@@ -123,4 +123,56 @@ class IncrementalDedupIndexSpec extends SparkSpec {
         s"idempotent append must commit once: $before -> $after")
     }
   }
+
+  test("streaming ingest dedups each micro-batch against the growing index") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val src = s"$dir/src"
+      val idxPath = s"$dir/idx"
+      val outPath = s"$dir/matches"
+      val ckpt = s"$dir/ckpt"
+
+      DeltaTable.write(
+        Dedup.buildMinhashIndex(corpusRows.toDF("doc_id", "text"),
+          "doc_id", "text", 3, 12, 4),
+        idxPath, SaveMode.Overwrite)
+      // arriving documents stream out of a Delta source table; each
+      // micro-batch probes the PERSISTED index and appends its own keys —
+      // the nightly-ingest shape as a continuous pipeline, exactly-once
+      // under batch replay via per-table SetTransaction keys
+      DeltaTable.write(
+        Seq((401L, "the quick brown fox jumps over the lazy dog near the river bank"))
+          .toDF("doc_id", "text"), src)
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val matches = Dedup.incrementalMinhashLshPersisted(
+              spark, idxPath, batch, "doc_id", "text", 3, 12, 4, 0.7,
+              idempotentTxn = Some(("stream-dedup-idx", batchId)))
+            DeltaTable.write(matches, outPath,
+              idempotentTxn = Some(("stream-dedup-out", batchId)))
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        // batch 2 near-dups the STREAMED doc 401, not the original corpus:
+        // only the index rows appended by batch 1 can produce this match
+        DeltaTable.write(
+          Seq((402L, "the quick brown fox jumps over the lazy dog near the river bank!!"))
+            .toDF("doc_id", "text"), src)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val pairs = DeltaTable.forPath(spark, outPath).toDF
+        .select(col("batch_id"), col("corpus_id")).as[(Long, Long)]
+        .collect().toSet
+      assert(pairs.contains((401L, 1L)) && pairs.contains((401L, 2L)),
+        s"first batch must match the corpus: $pairs")
+      assert(pairs.contains((402L, 401L)),
+        s"second batch must match the first batch through the index: $pairs")
+    }
+  }
 }
