@@ -606,6 +606,45 @@ object Dedup {
     embeddingCosinePairs(df, idCol, vecCol,
       Similarity.lshBucket(col(vecCol), dim, planes), threshold)
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al.,
+    * arXiv:2303.09540): k-means-cluster the embedding space and compare
+    * pairs ONLY within a cluster — the trained cluster is the blocking
+    * key, so the candidate volume tracks cluster sizes instead of
+    * O(docs²), and (unlike the sign-bucket blocker) the blocks adapt to
+    * the data's actual density. Returns (i, j, cosine ≥ threshold)
+    * within-cluster pairs; compose with [[connectedComponents]] to pick
+    * per-group representatives.
+    *
+    * Scale shape: centroids are broadcast-small, training is
+    * [[Similarity.trainedCentroids]]'s bounded Lloyd loop, assignment is
+    * one map-side-combinable aggregation, the pair join carries only
+    * (cell, id), and vectors re-attach to surviving candidates. The
+    * known SemDeDup caveat applies: near-dups straddling a cluster
+    * boundary are not compared (raise nCells quality via `trainIters`,
+    * or lower nCells, to trade recall against candidate volume). */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, trainIters: Int = 2,
+                    threshold: Double = 0.9): DataFrame = {
+    val c = Similarity.corpusFace(df, idCol, vecCol)
+    val cents = Similarity.trainedCentroids(df, c, idCol, vecCol,
+      nCells, trainIters)
+    val cells = Similarity.assignCells(c, cents)
+    val meta = cells.select(col("cell"), col("neighbor_id").as("id"))
+    val candidates = meta.select(col("cell"), col("id").as("i"))
+      .join(meta.select(col("cell"), col("id").as("j")), Seq("cell"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+    val vi = c.select(col("neighbor_id").as("i"), col("cv0").as("v_i"),
+      col("cn0").as("n_i"))
+    val vj = c.select(col("neighbor_id").as("j"), col("cv0").as("v_j"),
+      col("cn0").as("n_j"))
+    candidates.join(vi, Seq("i")).join(vj, Seq("j"))
+      .select(col("i"), col("j"),
+        round(VectorDot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: Column, threshold: Double): DataFrame = {
     val vecs = InputWidth.widen(df).select(col(idCol).as("id"),

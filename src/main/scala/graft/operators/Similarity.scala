@@ -80,37 +80,10 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               trainIters: Int = 0): DataFrame = {
-    val init = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
-    val cBase = InputWidth.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
-        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
-    // Lloyd training re-scans the corpus once per iteration; persist the
-    // 3-column projection for the TRAINING phase only and release it
-    // right after (training materializes eagerly each iteration, so the
-    // cache is fully used before the unpersist; holding it longer would
-    // leak cached blocks across queries in a long-lived session)
-    val cents =
-      if (trainIters <= 0) init
-      else {
-        val cTrain = cBase.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try trainCentroids(cTrain, init, trainIters)
-        finally cTrain.unpersist(blocking = false)
-      }
+    val cBase = corpusFace(corpus, idCol, vecCol)
+    val cents = trainedCentroids(corpus, cBase, idCol, vecCol, nCells, trainIters)
     val c = cBase
-
-    // nearest centroid per corpus vector: max of (aff, -cid) structs —
-    // a map-side-combinable agg, not a window over corpus × nCells rows
-    val aff = c.crossJoin(broadcast(cents))
-      .select(col("neighbor_id"),
-        round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
-          .as("aff"),
-        col("cid"))
-    val assignment = aff.groupBy(col("neighbor_id"))
-      .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"))
-      .select(col("neighbor_id"), col("best.cid").as("cell"))
+    val assignment = assignCells(c, cents)
     val members = c.join(assignment, Seq("neighbor_id"))
 
     // per query: the nProbe closest cells (queries are broadcast-small,
@@ -137,6 +110,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** (neighbor_id, cv0, cn0) — the corpus projected to id + vector +
+    * precomputed norm, width-guarded. */
+  private[operators] def corpusFace(corpus: DataFrame, idCol: String,
+                                    vecCol: String): DataFrame =
+    InputWidth.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"),
+        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn0"))
+
+  /** Coarse-quantizer centroids (cid, cv, cn): the `nCells` lowest-id
+    * corpus vectors, optionally Lloyd-refined for `trainIters`
+    * iterations. Lloyd re-scans the corpus once per iteration; the
+    * 3-column `cBase` projection is persisted for the TRAINING phase only
+    * and released right after (training materializes eagerly each
+    * iteration, so the cache is fully used before the unpersist; holding
+    * it longer would leak cached blocks across queries in a long-lived
+    * session). */
+  private[operators] def trainedCentroids(corpus: DataFrame, cBase: DataFrame,
+                                          idCol: String, vecCol: String,
+                                          nCells: Int,
+                                          trainIters: Int): DataFrame = {
+    val init = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
+    if (trainIters <= 0) init
+    else {
+      val cTrain = cBase.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try trainCentroids(cTrain, init, trainIters)
+      finally cTrain.unpersist(blocking = false)
+    }
+  }
+
+  /** Nearest-centroid cell per corpus vector (neighbor_id, cell): max of
+    * (aff, -cid) structs — a map-side-combinable agg, not a window over
+    * corpus × nCells rows; affinities round to 6 decimals before the
+    * tie-break so assignments reproduce across engines. */
+  private[operators] def assignCells(cBase: DataFrame,
+                                     cents: DataFrame): DataFrame = {
+    val aff = cBase.crossJoin(broadcast(cents))
+      .select(col("neighbor_id"),
+        round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
+          .as("aff"),
+        col("cid"))
+    aff.groupBy(col("neighbor_id"))
+      .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"))
+      .select(col("neighbor_id"), col("best.cid").as("cell"))
   }
 
   /** Seeded Lloyd refinement of the IVF coarse quantizer: assign every
