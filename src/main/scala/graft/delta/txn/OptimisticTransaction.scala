@@ -312,8 +312,14 @@ class OptimisticTransaction(
       readVersion = Some(readVersion).filter(_ >= 0),
       isolationLevel = Some(isolation.name),
       isBlindAppend = Some(isBlindAppend),
+      // delta-spark's rendering convention (see the golden logs'
+      // commitInfo): STRING values verbatim, structured/numeric values
+      // JSON-encoded ("mode":"Append" but "partitionBy":"[\"day\"]")
       operationParameters = Some(operationParameters.map { case (k, v) =>
-        k -> JsonCodec.mapper.writeValueAsString(v)
+        k -> (v match {
+          case s: String => s
+          case other => JsonCodec.mapper.writeValueAsString(other)
+        })
       }).filter(_.nonEmpty),
       operationMetrics = Some(operationMetrics).filter(_.nonEmpty),
       engineInfo = Some(engineInfo))

@@ -171,6 +171,42 @@ object Curation {
       .drop("keep_rate")
   }
 
+  /** Temperature-scaled domain rebalancing (the multilingual-pretraining
+    * sampler, XLM-R §3.1 shape): keep rates DERIVE from the observed
+    * domain sizes instead of being caller-supplied —
+    * `rate_d = (n_min / n_d)^(1 - 1/T)`, so the smallest domain keeps
+    * everything and larger domains downsample toward it; T = 1 keeps the
+    * natural distribution, T → ∞ flattens to uniform counts.
+    *
+    * Scale shape: one map-side-combinable count per domain (domains are
+    * broadcast-small by definition), rates attach via a broadcast join,
+    * and the keep decision is the same deterministic salted hash as
+    * [[domainMix]] — the corpus is never shuffled or collected.
+    *
+    * Determinism note: the T = 2 exponent (0.5) evaluates via `sqrt`,
+    * which IEEE requires correctly rounded — bit-identical across
+    * engines, so the decision boundary replicates exactly. Other
+    * exponents go through `pow`, whose final ulp is platform-dependent:
+    * fine for production sampling, not for bit-exact cross-engine
+    * replication. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     temperature: Double, salt: String): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val exponent = 1.0 - 1.0 / temperature
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val rates = withMin.select(col(domainCol),
+      (if (exponent == 0.5) sqrt(ratio) else pow(ratio, exponent))
+        .as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(
+        md5Hash32(col(idCol).cast("string"), lit(salt)) % Denom
+          < (col("__rate") * Denom).cast("long"))
+      .drop("__rate")
+  }
+
   /** Split documents into fixed-size TOKEN windows with overlap — the
     * long-document answer to a bounded context length (a 100k-token doc
     * becomes ~2k training rows; neighboring chunks share `overlap`

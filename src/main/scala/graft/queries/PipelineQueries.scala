@@ -1354,6 +1354,33 @@ object PipelineQueries {
         FROM ranked WHERE rank <= 5""")),
 
     QueryDef(
+      "curate_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        // T=2 rebalancing over the skewed lang distribution: rates derive
+        // from observed counts (en downsamples toward the smallest lang);
+        // the 0.5 exponent evaluates via IEEE-exact sqrt on both engines
+        Curation.temperatureMix(t(s, dir, "documents"), "doc_id", "lang",
+            temperature = 2.0, salt = "temp")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_chars".cast("long")).as("sum_chars"))
+      },
+      // floor(), not CAST: DuckDB's CAST(double AS BIGINT) rounds while
+      // Spark's .cast("long") truncates — sqrt rates do not land on
+      // integer cuts the way 0.25 does
+      Some(s"""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+             nm AS (SELECT MIN(n) AS nmin FROM counts),
+             rates AS (SELECT lang, sqrt(nmin::DOUBLE / n::DOUBLE) AS rate
+                       FROM counts, nm)
+        SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ${duckHash32("'temp' || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+              CAST(floor(r.rate * 1000000) AS BIGINT)
+        GROUP BY d.lang""")),
+
+    QueryDef(
       "curate_domain_mix",
       (s, dir) => {
         import s.implicits._

@@ -148,15 +148,16 @@ class GoldenWriteCompatSpec extends SparkSpec {
           .map(m => m.keys.map(k => k -> m(k)).toMap)
           .getOrElse(fail(s"no $op commit in history"))
 
-      // WRITE family: mode + partitionBy, JSON-encoded per the protocol
+      // WRITE family: mode + partitionBy — delta-spark's rendering
+      // (string values verbatim, lists JSON-encoded)
       assert(paramsOf("CREATE TABLE") ==
-        Map("mode" -> "\"Append\"", "partitionBy" -> "[\"part\"]"))
+        Map("mode" -> "Append", "partitionBy" -> "[\"part\"]"))
       assert(paramsOf("DELETE").keySet == Set("predicate"))
       assert(paramsOf("UPDATE").keySet == Set("predicate"))
       assert(paramsOf("MERGE").keySet == Set("predicate"))
       assert(paramsOf("RESTORE") == Map("version" -> "1"))
       assert(paramsOf("ADD CONSTRAINT") ==
-        Map("name" -> "\"pos\"", "expr" -> "\"id > 0\""))
+        Map("name" -> "pos", "expr" -> "id > 0"))
       assert(paramsOf("DROP CONSTRAINT").keySet == Set("name", "existed"))
       val cloneHist = DeltaTable.forPath(spark, s"$dir/t2").history()
         .select("operation", "operationParameters").collect()
