@@ -224,7 +224,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val cdc: Seq[Action] =
       if (changes != null && write.CdcWriter.enabled(metadata)) {
         write.CdcWriter.writeChangeFiles(changes(current), deltaLog,
-          metadata.columnMapping)
+          metadata.columnMapping, metadata.fieldIdMapping)
       } else Nil
     transaction.commit(cdc ++ adds ++ removes, operation,
       operationMetrics = Map(
@@ -513,7 +513,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           rows(toRemove, current.metadata, "delete").toSeq
         images.reduceOption(_.unionByName(_))
           .map(write.CdcWriter.writeChangeFiles(_, deltaLog,
-            target.metadata.columnMapping))
+            target.metadata.columnMapping, target.metadata.fieldIdMapping))
           .getOrElse(Nil)
       } else Nil
     txn.commit(
@@ -601,7 +601,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .withColumn(write.CdcWriter.ChangeTypeCol, lit("insert"))
         write.CdcWriter.writeChangeFiles(
           removedRows.unionByName(insertedRows), deltaLog,
-          metadata.columnMapping)
+          metadata.columnMapping, metadata.fieldIdMapping)
       } else Nil
     if (assignedIdentity.nonEmpty) {
       val newSchema = org.apache.spark.sql.types.StructType(

@@ -26,14 +26,19 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, Path}
   *  2. `prepareCommit(dir, name, temp)` — the coordinator's atomic
   *     claim; losing it is the FileAlreadyExistsException that drives
   *     the transaction retry loop;
-  *  3. copy temp → final name (uncontended: the claim made this writer
-  *     the only one publishing that name) and mark the claim complete.
+  *  3. RENAME temp → final name and mark the claim complete. Rename is
+  *     the publish primitive because its visibility is all-or-nothing
+  *     everywhere this store runs: atomic inode swap on local/HDFS, and
+  *     copy-then-delete on object stores whose copy lands as one
+  *     atomic-on-complete PUT — a reader never observes a partially
+  *     written commit file (a plain create-write-close would expose a
+  *     growing file on local/HDFS).
   *
   * A writer crashing between 2 and 3 leaves a claimed-but-unpublished
-  * commit; ANY subsequent reader or writer heals it first
-  * ([[recover]] copies the temp object to its final name) — the same
-  * recovery contract as the DynamoDB log store's incomplete entries. So
-  * the commit is durable the moment the claim succeeds.
+  * commit; ANY subsequent reader or writer heals it first ([[recover]]
+  * renames the temp to its final name) — the same recovery contract as
+  * the DynamoDB log store's incomplete entries. So the commit is durable
+  * the moment the claim succeeds.
   */
 class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
 
@@ -43,27 +48,22 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
 
   private def fsOf(path: Path, conf: Configuration) = path.getFileSystem(conf)
 
-  /** Publish every claimed-but-unpublished commit in `dir`. */
+  /** Publish every claimed-but-unpublished commit in `dir`. The staged
+    * temp IS the durable payload, so healing is one atomic rename; a
+    * racing owner/healer loses the rename harmlessly (dest then exists).
+    * Only an entry whose final object is OBSERVED is marked complete —
+    * never on the strength of a possibly-interleaved filesystem check. */
   private def recover(dir: Path, conf: Configuration): Unit = {
     val fs = fsOf(dir, conf)
     coordinator.pending(dir.toUri.toString).foreach { case (name, temp) =>
       val dest = new Path(dir, name)
       val tempPath = new Path(temp)
       try {
-        if (!fs.exists(dest) && fs.exists(tempPath)) {
-          val in = fs.open(tempPath)
-          val bytes = try {
-            val bos = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-            bos.toByteArray
-          } finally in.close()
-          val out = fs.create(dest, true)
-          try out.write(bytes) finally out.close()
-        }
-        coordinator.commitComplete(dir.toUri.toString, name)
+        if (!fs.exists(dest) && fs.exists(tempPath)) fs.rename(tempPath, dest)
+        if (fs.exists(dest)) coordinator.commitComplete(dir.toUri.toString, name)
       } catch {
-        // the OWNER may publish and delete its temp while we heal; the
-        // entry is then completed (or will be) by the owner — healing is
+        // the OWNER may publish concurrently while we heal; the entry is
+        // then completed (or will be) by the owner — healing is
         // best-effort by design, never a reader failure
         case scala.util.control.NonFatal(_) =>
       }
@@ -103,12 +103,13 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
       fs.delete(temp, false)
       throw new FileAlreadyExistsException(path.toString)
     }
-    // the claim is ours alone: publishing cannot be contended, and a
-    // crash from here on is healed by the next recover()
-    val pub = fs.create(path, true)
-    try pub.write(payload) finally pub.close()
+    // the claim is ours alone; publish by ATOMIC rename of the staged
+    // temp. A false rename is fine only when a concurrent healer already
+    // published our claim; a crash from here on is healed by recover()
+    if (!fs.rename(temp, path) && !fs.exists(path)) {
+      throw new java.io.IOException(s"publish $temp -> $path failed")
+    }
     coordinator.commitComplete(dir.toUri.toString, path.getName)
-    fs.delete(temp, false)
   }
 
   override def listFrom(path: Path, conf: Configuration): Iterator[FileStatus] = {
@@ -147,24 +148,47 @@ trait CommitCoordinator {
 
 /** In-memory coordinator: the contract reference used by tests and the
   * default for conf-driven construction — correct for writers sharing a
-  * JVM and a faithful stand-in for a conditional-put service. */
+  * JVM and a faithful stand-in for a conditional-put service.
+  *
+  * Entries are indexed per directory and the incomplete set is tracked
+  * separately, so the per-log-operation `pending` scan is O(actually
+  * pending), not O(every commit ever made). Completed entries are
+  * RETAINED by design: the claim log is the mutual-exclusion history —
+  * dropping an entry would let a late retry of an old version re-claim
+  * a published name (a real coordinator keeps this in external durable
+  * storage, where retention is a table-history concern, not a memory
+  * one). */
 class InMemoryCommitCoordinator extends CommitCoordinator {
-  private case class Entry(tempPath: String,
-                           @volatile var complete: Boolean = false)
-  private val entries =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]
+  private case class Entry(tempPath: String)
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, Entry]]
+  private val pendingNames = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]
 
   override def prepareCommit(dir: String, name: String,
-                             tempPath: String): Boolean =
-    entries.putIfAbsent((dir, name), Entry(tempPath)) == null
+                             tempPath: String): Boolean = {
+    val claimed = dirs
+      .computeIfAbsent(dir, _ => new java.util.concurrent.ConcurrentHashMap)
+      .putIfAbsent(name, Entry(tempPath)) == null
+    if (claimed) {
+      pendingNames
+        .computeIfAbsent(dir,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        .add(name)
+    }
+    claimed
+  }
 
   override def commitComplete(dir: String, name: String): Unit =
-    Option(entries.get((dir, name))).foreach(_.complete = true)
+    Option(pendingNames.get(dir)).foreach(_.remove(name))
 
   override def pending(dir: String): Seq[(String, String)] = {
+    val names = pendingNames.get(dir)
+    val entries = dirs.get(dir)
+    if (names == null || entries == null) return Nil
     val out = Vector.newBuilder[(String, String)]
-    entries.forEach { (k, e) =>
-      if (k._1 == dir && !e.complete) out += ((k._2, e.tempPath))
+    names.forEach { n =>
+      Option(entries.get(n)).foreach(e => out += ((n, e.tempPath)))
     }
     out.result()
   }

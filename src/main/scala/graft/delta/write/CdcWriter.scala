@@ -25,18 +25,45 @@ object CdcWriter {
     * — no per-file promotion renames (object-store renames are copies);
     * visibility comes from the AddCDCFile actions, not the layout.
     * Renamed columns write their PHYSICAL name ([[ColumnMapping]]) so
-    * change files decode like data files. */
+    * change files decode like data files; on id-mode tables they also
+    * stamp parquet field ids (the CDF scan resolves by id there —
+    * `_change_type` carries no id and falls back to name matching). */
   def writeChangeFiles(changes: DataFrame, deltaLog: DeltaLog,
-                       mapping: Map[String, String] = Map.empty): Seq[AddCDCFile] = {
+                       mapping: Map[String, String] = Map.empty,
+                       fieldIds: Map[String, Int] = Map.empty): Seq[AddCDCFile] = {
     val fs = deltaLog.dataPath.getFileSystem(deltaLog.hadoopConf)
     val batchName = s"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(deltaLog.dataPath, ChangeDir), batchName)
     try {
       val phys =
-        if (mapping.isEmpty) changes
-        else changes.select(changes.columns.map(c => org.apache.spark.sql
-          .functions.col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
-      phys.write.mode(SaveMode.Overwrite).parquet(batchDir.toString)
+        if (mapping.isEmpty && fieldIds.isEmpty) changes
+        else changes.select(changes.columns.map { c =>
+          val aliased = org.apache.spark.sql.functions.col(s"`$c`")
+          val physName = mapping.getOrElse(c, c)
+          fieldIds.get(c) match {
+            case Some(id) => aliased.as(physName,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(graft.delta.read.GuardedParquetFileFormat
+                  .ParquetFieldIdKey, id.toLong).build())
+            case None => aliased.as(physName)
+          }
+        }.toIndexedSeq: _*)
+      // same session-conf override as DeltaWriter.writeFiles: Spark
+      // re-reads the session conf after writer-option merge
+      val fieldIdWriteKey = "spark.sql.parquet.fieldId.write.enabled"
+      val session = phys.sparkSession
+      val prevConf =
+        if (fieldIds.isEmpty) None
+        else {
+          val prev = session.conf.getOption(fieldIdWriteKey)
+          session.conf.set(fieldIdWriteKey, "true")
+          Some(prev)
+        }
+      try phys.write.mode(SaveMode.Overwrite).parquet(batchDir.toString)
+      finally prevConf.foreach {
+        case Some(v) => session.conf.set(fieldIdWriteKey, v)
+        case None => session.conf.unset(fieldIdWriteKey)
+      }
       fs.listStatus(batchDir)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .toSeq.map { st =>

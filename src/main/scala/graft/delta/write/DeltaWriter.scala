@@ -304,13 +304,30 @@ object DeltaWriter {
             case None => aliased.as(physName)
           }
         }.toIndexedSeq: _*)
-      val writer0 = physDf.write.mode(SaveMode.Overwrite)
-      // per-write option (merged into the job's hadoopConf) so id-mode
-      // files carry field ids regardless of the session's conf state
-      val writer = if (fieldIds.isEmpty) writer0
-        else writer0.option("spark.sql.parquet.fieldId.write.enabled", "true")
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .parquet(batchDir.toString)
+      // id-mode files MUST carry field ids whatever the session's conf
+      // says. A DataFrameWriter option is NOT enough: Spark's
+      // ParquetUtils.prepareWrite re-sets the key on the job conf from
+      // the session SQLConf after writer options merge (verified against
+      // the 4.1.2 bytecode) — so flip the SESSION conf around the write
+      // and restore it. Harmless to parallel writers: the flag only
+      // matters for schemas that carry parquet.field.id metadata.
+      val fieldIdWriteKey = "spark.sql.parquet.fieldId.write.enabled"
+      val session = physDf.sparkSession
+      val prevFieldIdWrite =
+        if (fieldIds.isEmpty) None
+        else {
+          val prev = session.conf.getOption(fieldIdWriteKey)
+          session.conf.set(fieldIdWriteKey, "true")
+          Some(prev)
+        }
+      try {
+        val writer = physDf.write.mode(SaveMode.Overwrite)
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+          .parquet(batchDir.toString)
+      } finally prevFieldIdWrite.foreach {
+        case Some(v) => session.conf.set(fieldIdWriteKey, v)
+        case None => session.conf.unset(fieldIdWriteKey)
+      }
 
       val files = listParquetFiles(fs, batchDir)
       val dataSchema = org.apache.spark.sql.types.StructType(

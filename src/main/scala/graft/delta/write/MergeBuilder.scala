@@ -546,7 +546,8 @@ final class MergeBuilder private[delta] (
           i.withColumn(CdcWriter.ChangeTypeCol, lit("insert")))
       }
       val cdc: Seq[Action] = changeFrames.reduceOption(_.unionByName(_))
-        .map(CdcWriter.writeChangeFiles(_, deltaLog, metadata.columnMapping))
+        .map(CdcWriter.writeChangeFiles(_, deltaLog, metadata.columnMapping,
+          metadata.fieldIdMapping))
         .getOrElse(Nil)
       val txnAction: Seq[Action] = idempotency.toSeq.map { case (appId, v) =>
         SetTransaction(appId, v, Some(deltaLog.clock()))

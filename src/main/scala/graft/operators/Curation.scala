@@ -193,18 +193,22 @@ object Curation {
                      temperature: Double, salt: String): DataFrame = {
     require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
     val exponent = 1.0 - 1.0 / temperature
+    // a NULL domain is a domain like any other: it gets its own count,
+    // its own rate, and a null-safe join back — an equi-join would
+    // silently DROP null-domain rows while still letting their count set
+    // n_min (a phantom minimum skewing every real domain's rate)
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
     val withMin = counts.crossJoin(
       broadcast(counts.agg(min(col("__n")).as("__nmin"))))
     val ratio = col("__nmin").cast("double") / col("__n").cast("double")
-    val rates = withMin.select(col(domainCol),
+    val rates = withMin.select(col(domainCol).as("__dom"),
       (if (exponent == 0.5) sqrt(ratio) else pow(ratio, exponent))
         .as("__rate"))
-    df.join(broadcast(rates), Seq(domainCol))
+    df.join(broadcast(rates), col(domainCol) <=> col("__dom"))
       .filter(
         md5Hash32(col(idCol).cast("string"), lit(salt)) % Denom
           < (col("__rate") * Denom).cast("long"))
-      .drop("__rate")
+      .drop("__dom", "__rate")
   }
 
   /** Split documents into fixed-size TOKEN windows with overlap — the

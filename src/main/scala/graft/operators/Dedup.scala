@@ -213,10 +213,15 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusIndex = graft.delta.DeltaTable.forPath(spark, indexPath).toDF
     val result = probeMinhashIndex(corpusIndex, batchIndex, threshold)
-    // the append materializes batchIndex into the cache; the lazy result
-    // then reuses the cached rows instead of re-shingling the batch
+    // the append materializes batchIndex into the cache (its one heavy
+    // use); release it before returning — a streaming ingest calls this
+    // once per micro-batch, and per-call cached leftovers would
+    // accumulate for the life of the session. The lazy result re-derives
+    // the batch side from lineage when consumed: batch-sized work by
+    // definition, and the CORPUS side still reads only the stored index.
     graft.delta.DeltaTable.write(batchIndex, indexPath,
       org.apache.spark.sql.SaveMode.Append, idempotentTxn = idempotentTxn)
+    batchIndex.unpersist(blocking = false)
     result
   }
 
@@ -358,12 +363,19 @@ object Dedup {
       val idRows = freq.sort(col("df"), col("s")).select(col("s")).rdd
         .zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row(r.getString(0), (i + 1).toInt) }
+      // eager checkpoint: the id table materializes once (MEMORY_AND_DISK
+      // blocks, GC-released) and the freq cache can be dropped NOW —
+      // without this the distributed branch would leak the largest
+      // intermediate of the operator for the session's lifetime while the
+      // driver branch carefully unpersists
       val gramIds = spark.createDataFrame(idRows,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("s",
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("gid",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
+        .localCheckpoint(true)
+      freq.unpersist(blocking = false)
       val interned = docs.select(col("id"), explode(col("grams")).as("s"))
         .join(gramIds, Seq("s"))
         .groupBy(col("id"))

@@ -113,6 +113,30 @@ class CurationSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("temperatureMix: min domain keeps all; null domain is a real domain") {
+    import spark.implicits._
+    // en 60, fr 20, null 10 docs: null is the SMALLEST domain — it must
+    // keep everything (rate 1), not vanish through an equi-join, and its
+    // count legitimately sets n_min for the others
+    val rows = (1 to 60).map(i => (i.toLong, Some("en"))) ++
+      (61 to 80).map(i => (i.toLong, Some("fr"))) ++
+      (81 to 90).map(i => (i.toLong, Option.empty[String]))
+    val df = rows.toDF("doc_id", "lang")
+    val mixed = Curation.temperatureMix(df, "doc_id", "lang",
+      temperature = 2.0, salt = "t")
+    val counts = mixed.groupBy("lang").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(counts(None) == 10, s"null domain must keep everything: $counts")
+    // en rate = sqrt(10/60) ≈ 0.41, fr rate = sqrt(10/20) ≈ 0.71:
+    // downsampled but present
+    assert(counts(Some("en")) > 10 && counts(Some("en")) < 45, counts.toString)
+    assert(counts(Some("fr")) > 5 && counts(Some("fr")) < 20, counts.toString)
+    // no helper columns leak; total rows strictly between min and input
+    assert(mixed.columns.toSet == df.columns.toSet)
+    // T=1 keeps the natural distribution untouched
+    assert(Curation.temperatureMix(df, "doc_id", "lang", 1.0, "t").count() == 90)
+  }
+
   test("domainMix keeps rate-1 domains fully and samples the rest") {
     val mixed = Curation.domainMix(docs, "doc_id", "source",
       rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5,
