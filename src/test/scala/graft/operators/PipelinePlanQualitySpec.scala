@@ -60,4 +60,48 @@ class PipelinePlanQualitySpec extends SparkSpec {
         s"identity assignment must not shuffle:\n${assigned.queryExecution.executedPlan}")
     }
   }
+
+  test("temperatureMix rates attach as a broadcast, never a sort-merge of the corpus") {
+    val mixed = Curation.temperatureMix(docs, "doc_id", "lang",
+      temperature = 2.0, salt = "pq")
+    mixed.collect() // finalize the adaptive plan
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastNestedLoopJoin"),
+      s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never sort-merge against the domain-rate table:\n$plan")
+  }
+
+  test("semanticPairs candidate join carries only (cell, id) — vectors attach after") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticPairs(vecs, "vec_id", "embedding",
+      nCells = 2, trainIters = 1, threshold = 0.9)
+    // the pair-producing self-join's inputs must not include the vector
+    // payload: walk the plan, find the join whose output is (i, j)-narrow
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    // every shuffle BEFORE the verification joins moves only small-typed
+    // columns (cell/id/aff) — no shuffle carries the embedding array
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          Seq(s) ++ s.children.flatMap(go)
+        case other => other.children.flatMap(go)
+      }
+    val shufflesWithVectors = go(pairs.queryExecution.executedPlan)
+      .filter(_.output.exists(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType]))
+    // the only array-carrying movement is the final candidate-attach join
+    // (broadcast at this size); candidate GENERATION must never shuffle
+    // the embedding column
+    assert(shufflesWithVectors.isEmpty,
+      s"candidate generation must not shuffle vectors:\n" +
+        pairs.queryExecution.executedPlan.toString)
+  }
 }
