@@ -35,34 +35,11 @@ object CdcWriter {
     val batchName = s"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(deltaLog.dataPath, ChangeDir), batchName)
     try {
-      val phys =
-        if (mapping.isEmpty && fieldIds.isEmpty) changes
-        else changes.select(changes.columns.map { c =>
-          val aliased = org.apache.spark.sql.functions.col(s"`$c`")
-          val physName = mapping.getOrElse(c, c)
-          fieldIds.get(c) match {
-            case Some(id) => aliased.as(physName,
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putLong(graft.delta.read.GuardedParquetFileFormat
-                  .ParquetFieldIdKey, id.toLong).build())
-            case None => aliased.as(physName)
-          }
-        }.toIndexedSeq: _*)
-      // same session-conf override as DeltaWriter.writeFiles: Spark
-      // re-reads the session conf after writer-option merge
-      val fieldIdWriteKey = "spark.sql.parquet.fieldId.write.enabled"
-      val session = phys.sparkSession
-      val prevConf =
-        if (fieldIds.isEmpty) None
-        else {
-          val prev = session.conf.getOption(fieldIdWriteKey)
-          session.conf.set(fieldIdWriteKey, "true")
-          Some(prev)
-        }
-      try phys.write.mode(SaveMode.Overwrite).parquet(batchDir.toString)
-      finally prevConf.foreach {
-        case Some(v) => session.conf.set(fieldIdWriteKey, v)
-        case None => session.conf.unset(fieldIdWriteKey)
+      // shared projection + ref-counted conf flip (DeltaWriter) so the
+      // change-file path cannot diverge from the data-file path
+      val phys = DeltaWriter.physicalProjection(changes, mapping, fieldIds)
+      DeltaWriter.withFieldIdWrite(phys.sparkSession, fieldIds.nonEmpty) {
+        phys.write.mode(SaveMode.Overwrite).parquet(batchDir.toString)
       }
       fs.listStatus(batchDir)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -288,45 +288,12 @@ object DeltaWriter {
       }
       // id-mode tables additionally stamp parquet.field.id metadata so
       // the files we write resolve BY ID for foreign id-mode readers
-      // (Spark's parquet writer emits the field-id attribute for schema
-      // fields carrying that key; write conf defaults on)
       val fieldIds = meta.map(_.fieldIdMapping).getOrElse(Map.empty)
-      val physDf =
-        if (mapping.isEmpty && fieldIds.isEmpty) shaped
-        else shaped.select(shaped.columns.map { c =>
-          val aliased = org.apache.spark.sql.functions.col(s"`$c`")
-          val physName = mapping.getOrElse(c, c)
-          fieldIds.get(c) match {
-            case Some(id) => aliased.as(physName,
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putLong(graft.delta.read.GuardedParquetFileFormat
-                  .ParquetFieldIdKey, id.toLong).build())
-            case None => aliased.as(physName)
-          }
-        }.toIndexedSeq: _*)
-      // id-mode files MUST carry field ids whatever the session's conf
-      // says. A DataFrameWriter option is NOT enough: Spark's
-      // ParquetUtils.prepareWrite re-sets the key on the job conf from
-      // the session SQLConf after writer options merge (verified against
-      // the 4.1.2 bytecode) — so flip the SESSION conf around the write
-      // and restore it. Harmless to parallel writers: the flag only
-      // matters for schemas that carry parquet.field.id metadata.
-      val fieldIdWriteKey = "spark.sql.parquet.fieldId.write.enabled"
-      val session = physDf.sparkSession
-      val prevFieldIdWrite =
-        if (fieldIds.isEmpty) None
-        else {
-          val prev = session.conf.getOption(fieldIdWriteKey)
-          session.conf.set(fieldIdWriteKey, "true")
-          Some(prev)
-        }
-      try {
+      val physDf = physicalProjection(shaped, mapping, fieldIds)
+      withFieldIdWrite(physDf.sparkSession, fieldIds.nonEmpty) {
         val writer = physDf.write.mode(SaveMode.Overwrite)
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
           .parquet(batchDir.toString)
-      } finally prevFieldIdWrite.foreach {
-        case Some(v) => session.conf.set(fieldIdWriteKey, v)
-        case None => session.conf.unset(fieldIdWriteKey)
       }
 
       val files = listParquetFiles(fs, batchDir)
@@ -373,6 +340,64 @@ object DeltaWriter {
         throw e
     }
   }
+
+  /** Rename columns to their physical names and stamp parquet.field.id
+    * metadata for id-mode columns — shared by the data-file and
+    * change-data-file writers so the two paths cannot diverge. */
+  private[write] def physicalProjection(df: DataFrame,
+                                        mapping: Map[String, String],
+                                        fieldIds: Map[String, Int]): DataFrame =
+    if (mapping.isEmpty && fieldIds.isEmpty) df
+    else df.select(df.columns.map { c =>
+      val aliased = org.apache.spark.sql.functions.col(s"`$c`")
+      val physName = mapping.getOrElse(c, c)
+      fieldIds.get(c) match {
+        case Some(id) => aliased.as(physName,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(graft.delta.read.GuardedParquetFileFormat
+              .ParquetFieldIdKey, id.toLong).build())
+        case None => aliased.as(physName)
+      }
+    }.toIndexedSeq: _*)
+
+  /** Run `body` with `spark.sql.parquet.fieldId.write.enabled=true` when
+    * `enable` is set. Id-mode files MUST carry field ids whatever the
+    * session's conf says, and a DataFrameWriter option is NOT enough:
+    * Spark's ParquetUtils.prepareWrite re-reads the session conf after
+    * writer options merge (verified against the 4.1.2 bytecode) — so the
+    * SESSION conf flips around the write. The flip is REF-COUNTED per
+    * session: concurrent id-mode writers share one save/restore, so one
+    * writer's restore can never land in the middle of another's job and
+    * strip its field ids. (Enabling the flag for a concurrent NON-id
+    * write in the same session is harmless — it only affects schemas
+    * carrying parquet.field.id metadata.) */
+  private[write] def withFieldIdWrite[T](session: org.apache.spark.sql.SparkSession,
+                                         enable: Boolean)(body: => T): T = {
+    if (!enable) return body
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    FieldIdWriteLock.synchronized {
+      val (depth, saved) = fieldIdWriteState.getOrElse(session, (0, None))
+      if (depth == 0) {
+        fieldIdWriteState(session) = (1, Some(session.conf.getOption(key)))
+        session.conf.set(key, "true")
+      } else fieldIdWriteState(session) = (depth + 1, saved)
+    }
+    try body
+    finally FieldIdWriteLock.synchronized {
+      val (depth, saved) = fieldIdWriteState(session)
+      if (depth == 1) {
+        saved.flatten match {
+          case Some(v) => session.conf.set(key, v)
+          case None => session.conf.unset(key)
+        }
+        fieldIdWriteState.remove(session)
+      } else fieldIdWriteState(session) = (depth - 1, saved)
+    }
+  }
+  private object FieldIdWriteLock
+  private val fieldIdWriteState =
+    scala.collection.mutable.Map.empty[org.apache.spark.sql.SparkSession,
+      (Int, Option[Option[String]])]
 
   private def listParquetFiles(fs: FileSystem, dir: Path) = {
     val it = fs.listFiles(dir, true)

@@ -360,22 +360,25 @@ object Dedup {
       require(nGrams <= Int.MaxValue,
         s"gram universe ($nGrams) exceeds the int id space")
       val spark = docs.sparkSession
+      // release the freq cache up front: this branch exists for the
+      // cluster regime where executor loss is routine, so the id table
+      // must stay RECOMPUTABLE from lineage (a localCheckpoint would pin
+      // it to executor-local blocks and turn any lost executor into a
+      // failed run; a kept cache would outlive the operator). The price
+      // is re-running the gram aggregation from the cached docs when a
+      // downstream stage pulls the data — determinism holds because the
+      // sort's range boundaries are fixed in the partitioner at creation
+      // and (df, gram) keys are distinct.
+      freq.unpersist(blocking = false)
       val idRows = freq.sort(col("df"), col("s")).select(col("s")).rdd
         .zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row(r.getString(0), (i + 1).toInt) }
-      // eager checkpoint: the id table materializes once (MEMORY_AND_DISK
-      // blocks, GC-released) and the freq cache can be dropped NOW —
-      // without this the distributed branch would leak the largest
-      // intermediate of the operator for the session's lifetime while the
-      // driver branch carefully unpersists
       val gramIds = spark.createDataFrame(idRows,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("s",
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("gid",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
-        .localCheckpoint(true)
-      freq.unpersist(blocking = false)
       val interned = docs.select(col("id"), explode(col("grams")).as("s"))
         .join(gramIds, Seq("s"))
         .groupBy(col("id"))

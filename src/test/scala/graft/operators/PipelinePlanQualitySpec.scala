@@ -86,15 +86,23 @@ class PipelinePlanQualitySpec extends SparkSpec {
     assert(rows.nonEmpty)
     // every shuffle BEFORE the verification joins moves only small-typed
     // columns (cell/id/aff) — no shuffle carries the embedding array
+    // AQE wraps finalized exchanges in QueryStageExec LEAVES — recurse
+    // into their `plan` or the walk finds no shuffles at all and the
+    // assertion is vacuous
     def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
       p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          go(q.plan)
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
           Seq(s) ++ s.children.flatMap(go)
         case other => other.children.flatMap(go)
       }
-    val shufflesWithVectors = go(pairs.queryExecution.executedPlan)
+    val allShuffles = go(pairs.queryExecution.executedPlan)
+    assert(allShuffles.nonEmpty,
+      "walk must actually see the exchanges or this test proves nothing")
+    val shufflesWithVectors = allShuffles
       .filter(_.output.exists(_.dataType.isInstanceOf[
         org.apache.spark.sql.types.ArrayType]))
     // the only array-carrying movement is the final candidate-attach join
