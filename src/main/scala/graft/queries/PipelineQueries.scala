@@ -749,6 +749,91 @@ object PipelineQueries {
         FROM ranked WHERE rank <= 3""")),
 
     QueryDef(
+      "ann_pq_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 3, dim = 64,
+          m = 4, ksub = 8, trainIters = 1)
+      },
+      // per-subspace k-means replayed in SQL (4 subspaces of 16 dims,
+      // 8 centroids, 1 Lloyd iteration), then ADC scoring: DECIMAL-summed
+      // contributions so the fold order cannot perturb the hash
+      Some {
+        val m = 4; val sub = 16; val ksub = 8
+        def lo(s: Int) = s * sub + 1
+        def hi(s: Int) = (s + 1) * sub
+        def sv(expr: String, s: Int) = s"$expr[${lo(s)}:${hi(s)}]"
+        def dotS(a: String, b: String) = duckDot(a, b, sub)
+        val subCtes = (0 until m).map { s =>
+          s"""c0_$s AS (
+          SELECT vec_id AS cid, list_transform(${sv("embedding", s)}, x -> x::DOUBLE) AS cv
+          FROM embeddings ORDER BY vec_id LIMIT $ksub
+        ), a0_$s AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${dotS(sv("e.embedding", s), "c.cv")} /
+                       (sqrt(${dotS(sv("e.embedding", s), sv("e.embedding", s))}) *
+                        sqrt(${dotS("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, c0_$s c
+        ), s0_$s AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM a0_$s) t WHERE rn = 1
+        ), c1_$s AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[${s * sub} + i]::DOUBLE), 6) AS v
+            FROM s0_$s a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, ${sub + 1}) t(i)
+            GROUP BY a.cell, i) q
+          GROUP BY cell
+        ), af_$s AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${dotS(sv("e.embedding", s), "c.cv")} /
+                       (sqrt(${dotS(sv("e.embedding", s), sv("e.embedding", s))}) *
+                        sqrt(${dotS("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, c1_$s c
+        ), code_$s AS (
+          SELECT nid, cid AS code FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM af_$s) t WHERE rn = 1
+        ), lut_$s AS (
+          SELECT q.vec_id AS query_id, c.cid,
+                 CAST(round(${dotS(sv("q.embedding", s), "c.cv")}, 6) AS DECIMAL(18,6)) AS d,
+                 CAST(round(${dotS("c.cv", "c.cv")}, 6) AS DECIMAL(18,6)) AS cc
+          FROM embeddings q, c1_$s c WHERE q.vec_id < 10
+        ), contrib_$s AS (
+          SELECT l.query_id, co.nid AS neighbor_id, l.d, l.cc
+          FROM code_$s co JOIN lut_$s l ON l.cid = co.code
+        )"""
+        }.mkString(", ")
+        s"""
+        WITH $subCtes,
+        qn AS (SELECT vec_id AS query_id,
+                      sqrt(${duckDot("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id < 10),
+        contrib AS (${(0 until m).map(s => s"SELECT * FROM contrib_$s")
+          .mkString(" UNION ALL ")}),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(CAST(SUM(c.d) AS DOUBLE) /
+                       (q.qn * sqrt(CAST(SUM(c.cc) AS DOUBLE))), 6) AS approx_cosine
+          FROM contrib c JOIN qn q ON q.query_id = c.query_id
+          WHERE c.neighbor_id <> c.query_id
+          GROUP BY c.query_id, c.neighbor_id, q.qn
+        ), ranked AS (
+          SELECT query_id, neighbor_id, approx_cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_cosine
+        FROM ranked WHERE rank <= 3"""
+      }),
+
+    QueryDef(
       "ann_ivf_kmeans_topk",
       (s, dir) => {
         import s.implicits._
