@@ -67,6 +67,22 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall(p => Set(1L, 2L, 4L).contains(p._1)))
   }
 
+  test("PQ top-k ranks an exact duplicate first and never moves raw vectors") {
+    import spark.implicits._
+    // 8+ vectors so every subspace has seeds; 101 duplicates 1 exactly
+    val vecs = ((1 to 12).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 10) / 10.0f))
+    } :+ (101L, Array.tabulate(8)(d => ((1 * 7 + d * 3) % 10) / 10.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 101L),
+      "vec_id", "embedding", k = 3, dim = 8, m = 2, ksub = 4, trainIters = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // the exact duplicate codes to the same centroids in every subspace,
+    // so its reconstructed score is the maximum possible — rank 1
+    assert(top.head._2 == 1L, s"duplicate must rank first: ${top.toSeq}")
+    assert(top.head._1 == 1 && top.head._3 > 0.99, top.toSeq.toString)
+  }
+
   test("brute-force top-k ranks the exact duplicate first") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
