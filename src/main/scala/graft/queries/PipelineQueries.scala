@@ -41,6 +41,64 @@ object PipelineQueries {
       s"list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), " +
       "(x, y) -> x + y)"
 
+  /** DuckDB CTE chain replaying the per-subspace PQ training + encoding
+    * (m subspaces of `sub` dims, `ksub` centroids, 1 Lloyd iteration —
+    * the [[Similarity.buildPqIndexFrames]] parameters): per subspace s it
+    * defines `c1_$s` (trained codebook), `code_$s` (nid → code),
+    * `lut_$s` (query ADC lookup) and `contrib_$s` (query × doc DECIMAL
+    * contributions). Callers compose these with their own ranking or
+    * summary tail. */
+  private def pqOracleSubCtes(m: Int = 4, sub: Int = 16,
+                              ksub: Int = 8): String = {
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    def sv(expr: String, s: Int) = s"$expr[${lo(s)}:${hi(s)}]"
+    def dotS(a: String, b: String) = duckDot(a, b, sub)
+    (0 until m).map { s =>
+      s"""c0_$s AS (
+          SELECT vec_id AS cid, list_transform(${sv("embedding", s)}, x -> x::DOUBLE) AS cv
+          FROM embeddings ORDER BY vec_id LIMIT $ksub
+        ), a0_$s AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${dotS(sv("e.embedding", s), "c.cv")} /
+                       (sqrt(${dotS(sv("e.embedding", s), sv("e.embedding", s))}) *
+                        sqrt(${dotS("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, c0_$s c
+        ), s0_$s AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM a0_$s) t WHERE rn = 1
+        ), c1_$s AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[${s * sub} + i]::DOUBLE), 6) AS v
+            FROM s0_$s a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, ${sub + 1}) t(i)
+            GROUP BY a.cell, i) q
+          GROUP BY cell
+        ), af_$s AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${dotS(sv("e.embedding", s), "c.cv")} /
+                       (sqrt(${dotS(sv("e.embedding", s), sv("e.embedding", s))}) *
+                        sqrt(${dotS("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, c1_$s c
+        ), code_$s AS (
+          SELECT nid, cid AS code FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM af_$s) t WHERE rn = 1
+        ), lut_$s AS (
+          SELECT q.vec_id AS query_id, c.cid,
+                 CAST(round(${dotS(sv("q.embedding", s), "c.cv")}, 6) AS DECIMAL(18,6)) AS d,
+                 CAST(round(${dotS("c.cv", "c.cv")}, 6) AS DECIMAL(18,6)) AS cc
+          FROM embeddings q, c1_$s c WHERE q.vec_id < 10
+        ), contrib_$s AS (
+          SELECT l.query_id, co.nid AS neighbor_id, l.d, l.cc
+          FROM code_$s co JOIN lut_$s l ON l.cid = co.code
+        )"""
+    }.mkString(", ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------- text analysis
@@ -332,6 +390,47 @@ object PipelineQueries {
                - len(list_intersect(di.shingles, dj.shingles))) >= 0.7"""
         .replace("${HASH32}", duckHash32("s")))),
 
+    // The one-time cost of the nightly-dedup artifact, timed and oracled
+    // on its own (always builds FRESH — the shared IndexCache copy is
+    // warmed outside Bench's timed region, so this entry is the build
+    // number and dedup_incremental below is the pure probe number). The
+    // summary reads the STORED table back, proving the artifact
+    // round-trips through Delta.
+    QueryDef(
+      "dedup_index_build",
+      (s, dir) => {
+        import s.implicits._
+        val idx = java.nio.file.Files.createTempDirectory("graft_lshb").toString
+        graft.delta.DeltaTable.write(
+          Dedup.buildMinhashIndex(t(s, dir, "documents"), "doc_id", "text",
+            shingleWidth = 3, k = 12, bands = 4),
+          idx, org.apache.spark.sql.SaveMode.Overwrite)
+        graft.delta.DeltaTable.forPath(s, idx).toDF
+          .select(explode($"bands").as("bk"))
+          .groupBy($"bk.band".as("band"))
+          .agg(count(lit(1)).as("n_rows"), countDistinct($"bk.key").as("n_keys"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id AS id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS shingles
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ), mh AS (
+          SELECT id, j, min(((2*j+1) * ${HASH32} + j*1000003) % 4294967311) AS m
+          FROM (SELECT id, unnest(shingles) AS s FROM docs), range(0, 12) t(j)
+          GROUP BY id, j
+        ), bands AS (
+          SELECT id, j // 3 AS band, string_agg(m, ',' ORDER BY j) AS key
+          FROM mh GROUP BY id, j // 3
+        )
+        SELECT CAST(band AS INT) AS band, COUNT(*) AS n_rows,
+               COUNT(DISTINCT key) AS n_keys
+        FROM bands GROUP BY band"""
+        .replace("${HASH32}", duckHash32("s")))),
+
     QueryDef(
       "dedup_incremental",
       (s, dir) => {
@@ -339,17 +438,19 @@ object PipelineQueries {
         val corpus = t(s, dir, "documents")
         // the nightly batch: a slice of documents probing the corpus
         val batch = corpus.filter($"doc_id" % 7 === 0)
-        // the production shape: the corpus LSH index is a PERSISTED Delta
-        // artifact (built once, here), and the batch probes the stored
-        // index — zero re-reads of the corpus text — then appends its own
-        // keys so the index is current for the next batch
-        val idx = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
-        graft.delta.DeltaTable.write(
-          Dedup.buildMinhashIndex(corpus, "doc_id", "text",
-            shingleWidth = 3, k = 12, bands = 4),
-          idx, org.apache.spark.sql.SaveMode.Overwrite)
-        Dedup.incrementalMinhashLshPersisted(s, idx, batch, "doc_id", "text",
-          shingleWidth = 3, k = 12, bands = 4, threshold = 0.7)
+        // the production recurring shape: the corpus LSH index is a
+        // PERSISTED Delta artifact (built once — IndexCache — and timed
+        // separately as dedup_index_build); the batch probes the stored
+        // index, with zero re-reads of the corpus text. The append half
+        // of the nightly cycle (incrementalMinhashLshPersisted) is
+        // spec-covered in IncrementalDedupIndexSpec; the oracled query
+        // keeps the shared index immutable so no query can observe
+        // another's appends.
+        val corpusIndex = graft.delta.DeltaTable
+          .forPath(s, IndexCache.minhashIndex(s, dir)).toDF
+        val batchIndex = Dedup.buildMinhashIndex(batch, "doc_id", "text",
+          shingleWidth = 3, k = 12, bands = 4)
+        Dedup.probeMinhashIndex(corpusIndex, batchIndex, threshold = 0.7)
       },
       Some("""
         WITH docs AS (
@@ -698,8 +799,11 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
-          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+        // probes the PERSISTED IVF index (centroids + cell-partitioned
+        // members); query time never trains or re-encodes the corpus
+        Similarity.ivfTopKIndexed(s, IndexCache.ivfIndex(s, dir, 0),
+          emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3,
+          nProbe = 4)
       },
       Some(s"""
         WITH cents AS (
@@ -753,68 +857,23 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        Similarity.pqTopK(emb, emb.filter($"vec_id" < 10),
-          "vec_id", "embedding", k = 3, dim = 64,
-          m = 4, ksub = 8, trainIters = 1)
+        // exhaustive ADC over the PERSISTED PQ index: ranking reads the
+        // int code table + broadcast codebooks; raw corpus vectors are
+        // never scanned and the quantizers are never re-trained per call
+        Similarity.pqTopKIndexed(s, IndexCache.pqIndex(s, dir),
+          emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3,
+          dim = 64, m = 4)
       },
       // per-subspace k-means replayed in SQL (4 subspaces of 16 dims,
       // 8 centroids, 1 Lloyd iteration), then ADC scoring: DECIMAL-summed
       // contributions so the fold order cannot perturb the hash
       Some {
-        val m = 4; val sub = 16; val ksub = 8
-        def lo(s: Int) = s * sub + 1
-        def hi(s: Int) = (s + 1) * sub
-        def sv(expr: String, s: Int) = s"$expr[${lo(s)}:${hi(s)}]"
-        def dotS(a: String, b: String) = duckDot(a, b, sub)
-        val subCtes = (0 until m).map { s =>
-          s"""c0_$s AS (
-          SELECT vec_id AS cid, list_transform(${sv("embedding", s)}, x -> x::DOUBLE) AS cv
-          FROM embeddings ORDER BY vec_id LIMIT $ksub
-        ), a0_$s AS (
-          SELECT e.vec_id AS nid, c.cid,
-                 round(${dotS(sv("e.embedding", s), "c.cv")} /
-                       (sqrt(${dotS(sv("e.embedding", s), sv("e.embedding", s))}) *
-                        sqrt(${dotS("c.cv", "c.cv")})), 6) AS aff
-          FROM embeddings e, c0_$s c
-        ), s0_$s AS (
-          SELECT nid, cid AS cell FROM (
-            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
-                     ORDER BY aff DESC, cid ASC) AS rn
-            FROM a0_$s) t WHERE rn = 1
-        ), c1_$s AS (
-          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
-            SELECT a.cell, i, round(AVG(e.embedding[${s * sub} + i]::DOUBLE), 6) AS v
-            FROM s0_$s a JOIN embeddings e ON e.vec_id = a.nid,
-                 range(1, ${sub + 1}) t(i)
-            GROUP BY a.cell, i) q
-          GROUP BY cell
-        ), af_$s AS (
-          SELECT e.vec_id AS nid, c.cid,
-                 round(${dotS(sv("e.embedding", s), "c.cv")} /
-                       (sqrt(${dotS(sv("e.embedding", s), sv("e.embedding", s))}) *
-                        sqrt(${dotS("c.cv", "c.cv")})), 6) AS aff
-          FROM embeddings e, c1_$s c
-        ), code_$s AS (
-          SELECT nid, cid AS code FROM (
-            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
-                     ORDER BY aff DESC, cid ASC) AS rn
-            FROM af_$s) t WHERE rn = 1
-        ), lut_$s AS (
-          SELECT q.vec_id AS query_id, c.cid,
-                 CAST(round(${dotS(sv("q.embedding", s), "c.cv")}, 6) AS DECIMAL(18,6)) AS d,
-                 CAST(round(${dotS("c.cv", "c.cv")}, 6) AS DECIMAL(18,6)) AS cc
-          FROM embeddings q, c1_$s c WHERE q.vec_id < 10
-        ), contrib_$s AS (
-          SELECT l.query_id, co.nid AS neighbor_id, l.d, l.cc
-          FROM code_$s co JOIN lut_$s l ON l.cid = co.code
-        )"""
-        }.mkString(", ")
         s"""
-        WITH $subCtes,
+        WITH ${pqOracleSubCtes()},
         qn AS (SELECT vec_id AS query_id,
                       sqrt(${duckDot("embedding", "embedding")}) AS qn
                FROM embeddings WHERE vec_id < 10),
-        contrib AS (${(0 until m).map(s => s"SELECT * FROM contrib_$s")
+        contrib AS (${(0 until 4).map(s => s"SELECT * FROM contrib_$s")
           .mkString(" UNION ALL ")}),
         scored AS (
           SELECT c.query_id, c.neighbor_id,
@@ -833,14 +892,158 @@ object PipelineQueries {
         FROM ranked WHERE rank <= 3"""
       }),
 
+    // IVFADC — the sub-linear ANN tier (FAISS IndexIVFPQ, no-residual
+    // variant): coarse IVF prunes to nProbe cells, PQ/ADC scores only
+    // those cells' codes. Probes the same persisted artifact as
+    // ann_pq_topk; the oracle composes the coarse 1-iteration k-means
+    // chain with the shared per-subspace PQ chains.
+    QueryDef(
+      "ann_ivfpq_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopKIndexed(s, IndexCache.pqIndex(s, dir),
+          emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3,
+          dim = 64, m = 4, nProbe = 4)
+      },
+      Some {
+        s"""
+        WITH ${pqOracleSubCtes()},
+        co0 AS (
+          SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), ca0 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, co0 c
+        ), cs0 AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM ca0) t WHERE rn = 1
+        ), co1 AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[i]::DOUBLE), 6) AS v
+            FROM cs0 a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, i) s
+          GROUP BY cell
+        ), ca1 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, co1 c
+        ), cassign AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM ca1) t WHERE rn = 1
+        ), qn AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt(${duckDot("embedding", "embedding")}) AS qn
+          FROM embeddings WHERE vec_id < 10
+        ), qaff AS (
+          SELECT q.query_id, c.cid,
+                 round(${duckDot("q.qv", "c.cv")} /
+                       (q.qn * sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM qn q, co1 c
+        ), qcells AS (
+          SELECT query_id, cid AS cell FROM (
+            SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM qaff) t WHERE rn <= 4
+        ), cand AS (
+          SELECT qc.query_id, a.nid AS neighbor_id
+          FROM qcells qc JOIN cassign a ON a.cell = qc.cell
+        ),
+        contrib AS (${(0 until 4).map(s => s"SELECT * FROM contrib_$s")
+          .mkString(" UNION ALL ")}),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(CAST(SUM(c.d) AS DOUBLE) /
+                       (q.qn * sqrt(CAST(SUM(c.cc) AS DOUBLE))), 6) AS approx_cosine
+          FROM contrib c
+          JOIN cand ca ON ca.query_id = c.query_id
+                      AND ca.neighbor_id = c.neighbor_id
+          JOIN qn q ON q.query_id = c.query_id
+          WHERE c.neighbor_id <> c.query_id
+          GROUP BY c.query_id, c.neighbor_id, q.qn
+        ), ranked AS (
+          SELECT query_id, neighbor_id, approx_cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_cosine
+        FROM ranked WHERE rank <= 3"""
+      }),
+
+    // The ANN index-build numbers, timed and oracled on their own (fresh
+    // build each call; probes above use the warmed IndexCache copy). The
+    // summaries read the STORED tables back — the artifact round-trips.
+    QueryDef(
+      "ann_pq_index_build",
+      (s, dir) => {
+        import s.implicits._
+        val p = java.nio.file.Files.createTempDirectory("graft_pqb").toString
+        Similarity.writePqIndex(s, p, t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, m = 4, ksub = 8, trainIters = 1,
+          coarseCells = 16, coarseIters = 1)
+        graft.delta.DeltaTable.forPath(s, s"$p/codes").toDF
+          .select(posexplode(array((0 until 4).map(i => col(s"code_$i")): _*)))
+          .groupBy($"pos".as("s"))
+          .agg(count(lit(1)).as("n_docs"), countDistinct($"col").as("n_codes"))
+      },
+      Some {
+        s"""
+        WITH ${pqOracleSubCtes()}
+        ${(0 until 4).map(s =>
+          s"SELECT CAST($s AS INT) AS s, COUNT(*) AS n_docs, " +
+            s"COUNT(DISTINCT code) AS n_codes FROM code_$s")
+          .mkString(" UNION ALL ")}"""
+      }),
+
+    QueryDef(
+      "ann_ivf_index_build",
+      (s, dir) => {
+        import s.implicits._
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
+        Similarity.writeIvfIndex(s, p, t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16, trainIters = 0)
+        graft.delta.DeltaTable.forPath(s, s"$p/members").toDF
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n_members"))
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), aff AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents c
+        ), assign AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff) t WHERE rn = 1
+        )
+        SELECT cell, COUNT(*) AS n_members FROM assign GROUP BY cell""")),
+
     QueryDef(
       "ann_ivf_kmeans_topk",
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
-          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4,
-          trainIters = 2)
+        // same persisted-index path, 2-iteration k-means quantizer
+        Similarity.ivfTopKIndexed(s, IndexCache.ivfIndex(s, dir, 2),
+          emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3,
+          nProbe = 4)
       },
       Some(s"""
         WITH cents0 AS (

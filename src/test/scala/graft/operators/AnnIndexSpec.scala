@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.types.ArrayType
+
+import graft.SparkSpec
+
+/** The persisted-ANN-index contract (the round-5 LSH-index pattern, one
+  * tier up): train+encode once, written as Delta tables; every search
+  * reads the stored artifact only. Correctness of the rankings is
+  * oracled (`ann_pq_topk`, `ann_ivfpq_topk`, `ann_ivf_topk`); these
+  * specs prove the 100 TB properties — query-time plans never scan the
+  * corpus vectors, PQ ranking carries int codes only, and the indexed
+  * paths are bit-identical to the ad-hoc operators they factor. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val dim = 8
+
+  /** 12 deterministic vectors in two clearly separated half-spaces. */
+  private def corpusRows: Seq[(Long, Array[Double])] =
+    (0L until 12L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i, Array.tabulate(dim)(d => base * (1.0 + (i * 7 + d * 3) % 5)))
+    }
+
+  private def queryRows: Seq[(Long, Array[Double])] =
+    corpusRows.take(3)
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.inputPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(go)
+      }
+    go(df.queryExecution.executedPlan)
+  }
+
+  private def scanPaths(s: FileSourceScanExec): String =
+    s.relation.location.rootPaths.mkString(",")
+
+  test("pq: indexed search is bit-identical to the ad-hoc operator") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      val queries = queryRows.toDF("vec_id", "embedding")
+      val adHoc = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, dim = dim, m = 2, ksub = 2, trainIters = 1)
+        .collect().map(_.toSeq).toSet
+
+      val idx = s"$dir/pq_index"
+      Similarity.writePqIndex(spark, idx, corpus, "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+      val indexed = Similarity.pqTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 3, dim = dim, m = 2)
+        .collect().map(_.toSeq).toSet
+      assert(indexed == adHoc)
+    }
+  }
+
+  test("pq query plans zero scans of the corpus vectors; codes carry no arrays") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpusDir = s"$dir/corpus_vectors"
+      corpusRows.toDF("vec_id", "embedding").write.parquet(corpusDir)
+      val corpus = spark.read.parquet(corpusDir)
+
+      val idx = s"$dir/pq_index"
+      Similarity.writePqIndex(spark, idx, corpus, "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+
+      // queries from memory: every FILE scan below belongs to the
+      // search itself, so "no scan touches the corpus" is non-vacuous
+      val queries = queryRows.toDF("vec_id", "embedding")
+      for (result <- Seq(
+        Similarity.pqTopKIndexed(spark, idx, queries,
+          "vec_id", "embedding", k = 3, dim = dim, m = 2),
+        Similarity.ivfPqTopKIndexed(spark, idx, queries,
+          "vec_id", "embedding", k = 3, dim = dim, m = 2, nProbe = 2))) {
+        val scans = fileScans(result)
+        assert(scans.nonEmpty, "expected file scans of the index tables")
+        assert(!scans.exists(s => scanPaths(s).contains("corpus_vectors")),
+          s"search plan must not scan the corpus vectors: " +
+            scans.map(scanPaths).mkString("; "))
+        assert(scans.forall(s => scanPaths(s).contains("pq_index")),
+          "every file scan must read the persisted index")
+        // ADC ranking reads int codes only — the one per-document scan
+        // carries no array column (vectors live in the ksub×m-row
+        // broadcast codebooks, never in the per-document stream)
+        val codeScans = scans.filter(s => scanPaths(s).contains("codes"))
+        assert(codeScans.nonEmpty, "expected a scan of the code table")
+        assert(codeScans.forall(_.requiredSchema.fields
+            .forall(!_.dataType.isInstanceOf[ArrayType])),
+          s"code-table scan must be array-free: " + codeScans
+            .map(_.requiredSchema.fieldNames.mkString("(", ",", ")"))
+            .mkString("; "))
+      }
+    }
+  }
+
+  test("ivf: indexed search is bit-identical; members are cell-partitioned") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      val queries = queryRows.toDF("vec_id", "embedding")
+      val adHoc = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, nCells = 4, nProbe = 2, trainIters = 2)
+        .collect().map(_.toSeq).toSet
+
+      val idx = s"$dir/ivf_index"
+      Similarity.writeIvfIndex(spark, idx, corpus, "vec_id", "embedding",
+        nCells = 4, trainIters = 2)
+      val indexed = Similarity.ivfTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(indexed == adHoc)
+
+      // cell is a PARTITION column of the stored members table: a
+      // probe's candidate read prunes to its probed cells' directories
+      val memberLog = graft.delta.DeltaLog.forTable(spark, s"$idx/members")
+      assert(memberLog.snapshot.metadata.partitionColumns == Seq("cell"))
+    }
+  }
+
+  test("ivfpq with every cell probed equals exhaustive ADC") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      val queries = queryRows.toDF("vec_id", "embedding")
+      val idx = s"$dir/pq_index"
+      Similarity.writePqIndex(spark, idx, corpus, "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+      val full = Similarity.pqTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 3, dim = dim, m = 2)
+        .collect().map(_.toSeq).toSet
+      // nProbe = nCells: coarse pruning admits everything, so IVFADC
+      // must reduce exactly to the exhaustive ADC ranking
+      val allProbed = Similarity.ivfPqTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 3, dim = dim, m = 2, nProbe = 4)
+        .collect().map(_.toSeq).toSet
+      assert(allProbed == full)
+    }
+  }
+}
