@@ -65,7 +65,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationMetrics = Map(
         "numRemovedFiles" -> matched.size.toString,
         "numRemovedBytes" -> matched.map(_.size).sum.toString),
-      operationParameters = Map("predicate" -> resolved.sql))
+      // delta-spark renders DML predicates as a JSON array of strings
+      operationParameters = Map("predicate" -> Seq(resolved.sql)))
   }
 
   /** DML DELETE with arbitrary predicates. Partition-only predicates stay
@@ -231,7 +232,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString,
         "numAddedBytes" -> adds.map(_.size).sum.toString),
-      operationParameters = Map("predicate" -> resolved.sql))
+      // delta-spark renders DML predicates as a JSON array of strings
+      operationParameters = Map("predicate" -> Seq(resolved.sql)))
   }
 
   /** Physically delete data files no longer referenced by the latest

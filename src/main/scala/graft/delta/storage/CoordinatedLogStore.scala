@@ -87,9 +87,29 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
       lines.foreach(l => sb.append(l).append('\n'))
       sb.toString.getBytes(UTF_8)
     }
-    if (overwrite) { // only _last_checkpoint: no exclusivity needed
-      val out = fs.create(path, true)
+    if (overwrite) { // only _last_checkpoint: no exclusivity needed, but
+      // partial-write visibility still matters: this store declares
+      // isPartialWriteVisible=false, so the overwrite must also publish
+      // all-or-nothing — stage to a temp object and rename-with-replace
+      // (FileContext OVERWRITE on local/HDFS; the delete+rename fallback
+      // leaves a brief ABSENCE window, never a truncated object, and
+      // _last_checkpoint readers already tolerate absence by re-listing)
+      val temp = new Path(dir,
+        s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(temp, false)
       try out.write(payload) finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          path.toUri, conf)
+        fc.rename(temp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException
+            if fs.exists(temp) =>
+          fs.delete(path, false)
+          if (!fs.rename(temp, path)) {
+            throw new java.io.IOException(s"overwrite $temp -> $path failed")
+          }
+      }
       return
     }
     recover(dir, conf)
@@ -152,23 +172,29 @@ trait CommitCoordinator {
   *
   * Entries are indexed per directory and the incomplete set is tracked
   * separately, so the per-log-operation `pending` scan is O(actually
-  * pending), not O(every commit ever made). Completed entries are
-  * RETAINED by design: the claim log is the mutual-exclusion history —
-  * dropping an entry would let a late retry of an old version re-claim
-  * a published name (a real coordinator keeps this in external durable
-  * storage, where retention is a table-history concern, not a memory
-  * one). */
-class InMemoryCommitCoordinator extends CommitCoordinator {
+  * pending), not O(every commit ever made). COMPLETED entries are
+  * retained only up to `retainCompleted` per directory (names sort as
+  * versions — zero-padded file names — so the lowest completed names are
+  * pruned first): a long-lived session no longer accumulates one entry
+  * per commit per table forever. Dropping a completed claim is safe
+  * because publish cannot clobber: a late retry that re-claims a
+  * published name stages a temp whose rename onto the EXISTING final
+  * object fails (commit objects are immutable-once-published on every
+  * supported store), so mutual exclusion for live races never depends on
+  * the pruned history. Pending (claimed-but-unpublished) entries are
+  * never pruned. */
+class InMemoryCommitCoordinator(retainCompleted: Int = 1024)
+  extends CommitCoordinator {
   private case class Entry(tempPath: String)
   private val dirs = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[String, Entry]]
+    String, java.util.concurrent.ConcurrentSkipListMap[String, Entry]]
   private val pendingNames = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]
 
   override def prepareCommit(dir: String, name: String,
                              tempPath: String): Boolean = {
     val claimed = dirs
-      .computeIfAbsent(dir, _ => new java.util.concurrent.ConcurrentHashMap)
+      .computeIfAbsent(dir, _ => new java.util.concurrent.ConcurrentSkipListMap)
       .putIfAbsent(name, Entry(tempPath)) == null
     if (claimed) {
       pendingNames
@@ -179,8 +205,21 @@ class InMemoryCommitCoordinator extends CommitCoordinator {
     claimed
   }
 
-  override def commitComplete(dir: String, name: String): Unit =
+  override def commitComplete(dir: String, name: String): Unit = {
     Option(pendingNames.get(dir)).foreach(_.remove(name))
+    // bound the completed-claim history: prune lowest-named completed
+    // entries beyond the retention window (skip-list iteration ascends)
+    val entries = dirs.get(dir)
+    if (entries != null && entries.size > retainCompleted) {
+      val pend = pendingNames.get(dir)
+      val it = entries.keySet.iterator
+      var excess = entries.size - retainCompleted
+      while (excess > 0 && it.hasNext) {
+        val n = it.next()
+        if (pend == null || !pend.contains(n)) { it.remove(); excess -= 1 }
+      }
+    }
+  }
 
   override def pending(dir: String): Seq[(String, String)] = {
     val names = pendingNames.get(dir)

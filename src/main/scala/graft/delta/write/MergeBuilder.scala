@@ -556,7 +556,8 @@ final class MergeBuilder private[delta] (
         operationMetrics = Map(
           "numTargetFilesRemoved" -> removes.size.toString,
           "numTargetFilesAdded" -> adds.size.toString),
-        operationParameters = Map("predicate" -> condition.toString))
+        // delta-spark renders DML predicates as a JSON array of strings
+        operationParameters = Map("predicate" -> Seq(condition.toString)))
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 }

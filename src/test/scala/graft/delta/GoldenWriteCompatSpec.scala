@@ -152,9 +152,14 @@ class GoldenWriteCompatSpec extends SparkSpec {
       // (string values verbatim, lists JSON-encoded)
       assert(paramsOf("CREATE TABLE") ==
         Map("mode" -> "Append", "partitionBy" -> "[\"part\"]"))
-      assert(paramsOf("DELETE").keySet == Set("predicate"))
-      assert(paramsOf("UPDATE").keySet == Set("predicate"))
-      assert(paramsOf("MERGE").keySet == Set("predicate"))
+      // DML predicates render as a JSON-encoded ARRAY of strings
+      // (delta-spark's DESCRIBE HISTORY convention: ["(id > 5)"])
+      Seq("DELETE", "UPDATE", "MERGE").foreach { op =>
+        assert(paramsOf(op).keySet == Set("predicate"))
+        val rendered = paramsOf(op)("predicate")
+        assert(rendered.startsWith("[\"") && rendered.endsWith("\"]"),
+          s"$op predicate not a JSON string array: $rendered")
+      }
       assert(paramsOf("RESTORE") == Map("version" -> "1"))
       assert(paramsOf("ADD CONSTRAINT") ==
         Map("name" -> "pos", "expr" -> "id > 0"))
