@@ -210,9 +210,10 @@ class Snapshot(
     val mode = metadata.configuration
       .getOrElse(ColumnMapping.DeltaModeKey, "none")
     if (protocol.minReaderVersion <= 3 && mode == "id") {
-      val missing = metadata.schema.fields
-        .filterNot(_.metadata.contains(ColumnMapping.DeltaFieldIdKey))
-        .map(_.name)
+      // recursive: nested fields must carry ids too, or their parquet
+      // columns would silently resolve by NAME against arbitrary foreign
+      // physical names (the Iceberg-convert regime) and misbind
+      val missing = ColumnMapping.missingFieldIdPaths(metadata.schema)
       require(missing.isEmpty,
         s"Column mapping mode 'id' but columns ${missing.mkString(", ")} " +
           "declare no delta.columnMapping.id — the table metadata is " +

@@ -112,11 +112,86 @@ object ColumnMapping {
     * survives arbitrary renames of the physical columns. */
   val DeltaFieldIdKey = "delta.columnMapping.id"
 
-  /** Logical name → field id for every field that declares one. */
-  def fieldIds(schema: StructType): Map[String, Int] =
-    schema.fields.iterator
-      .filter(_.metadata.contains(DeltaFieldIdKey))
-      .map(f => f.name -> f.metadata.getLong(DeltaFieldIdKey).toInt).toMap
+  /** Spark's parquet field-id metadata key — what `ParquetReadSupport`
+    * matches file columns against (read) and
+    * `SparkToParquetSchemaConverter` writes into footers (write). */
+  val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Walk every StructField in the schema RECURSIVELY (through structs,
+    * array elements and map keys/values), yielding its dotted logical
+    * path. Array/map crossings use the synthetic segments
+    * `element`/`key`/`value` — ids attach to StructFields only, so the
+    * segments can never collide with a real id-bearing path unless a
+    * struct names a field identically AND nests at the same spot, which
+    * id-mode writers (delta-spark, Iceberg convert) never produce. */
+  private def walkFields(schema: org.apache.spark.sql.types.StructType)(
+      f: (String, org.apache.spark.sql.types.StructField) => Unit): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    def walk(dt: DataType, prefix: String): Unit = dt match {
+      case st: StructType => st.fields.foreach { fld =>
+        val p = if (prefix.isEmpty) fld.name else s"$prefix.${fld.name}"
+        f(p, fld)
+        walk(fld.dataType, p)
+      }
+      case at: ArrayType => walk(at.elementType, s"$prefix.element")
+      case mt: MapType =>
+        walk(mt.keyType, s"$prefix.key")
+        walk(mt.valueType, s"$prefix.value")
+      case _ =>
+    }
+    walk(schema, "")
+  }
+
+  /** Dotted logical path → field id for every (nested) field that
+    * declares one. */
+  def fieldIds(schema: StructType): Map[String, Int] = {
+    val b = Map.newBuilder[String, Int]
+    walkFields(schema) { (path, fld) =>
+      if (fld.metadata.contains(DeltaFieldIdKey))
+        b += path -> fld.metadata.getLong(DeltaFieldIdKey).toInt
+    }
+    b.result()
+  }
+
+  /** Dotted paths of (nested) fields DECLARING NO id — in `id` mode the
+    * protocol requires every field to carry one, so a non-empty result
+    * means corrupt/future metadata and the table must be refused rather
+    * than silently resolved by name against foreign physical names. */
+  def missingFieldIdPaths(schema: StructType): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    walkFields(schema) { (path, fld) =>
+      if (!fld.metadata.contains(DeltaFieldIdKey)) b += path
+    }
+    b.result()
+  }
+
+  /** Stamp `parquet.field.id` metadata onto the fields of `schema` named
+    * by `ids` (dotted paths, recursing through structs/arrays/maps) —
+    * everything else (names, types, nullability, other metadata) is
+    * preserved, so the result reconciles 1:1 with the input. Used by the
+    * read path (requested schemas resolve parquet columns by id) and the
+    * write path (our files must carry ids foreign id-readers can bind). */
+  def stampFieldIds(schema: StructType, ids: Map[String, Int]): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder}
+    def stamp(dt: DataType, prefix: String): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { fld =>
+        val p = if (prefix.isEmpty) fld.name else s"$prefix.${fld.name}"
+        val withId = ids.get(p).fold(fld) { id =>
+          fld.copy(metadata = new MetadataBuilder()
+            .withMetadata(fld.metadata)
+            .putLong(ParquetFieldIdKey, id.toLong).build())
+        }
+        withId.copy(dataType = stamp(withId.dataType, p))
+      })
+      case at: ArrayType => at.copy(elementType =
+        stamp(at.elementType, s"$prefix.element"))
+      case mt: MapType => mt.copy(
+        keyType = stamp(mt.keyType, s"$prefix.key"),
+        valueType = stamp(mt.valueType, s"$prefix.value"))
+      case other => other
+    }
+    stamp(schema, "").asInstanceOf[StructType]
+  }
 }
 
 /** Protocol versioning — we implement reader 1 / writer 2 like the

@@ -57,17 +57,16 @@ class GuardedParquetFileFormat(
         "DeltaTable.write / df.write.format(\"graft-delta\").")
   }
 
-  private def physical(schema: StructType): StructType =
-    StructType(schema.fields.map { f =>
-      val renamed = f.copy(name = nameMapping.getOrElse(f.name, f.name))
-      fieldIds.get(f.name).fold(renamed) { id =>
-        renamed.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(renamed.metadata)
-            .putLong(GuardedParquetFileFormat.ParquetFieldIdKey, id.toLong)
-            .build())
-      }
-    })
+  private def physical(schema: StructType): StructType = {
+    // stamp ids FIRST (fieldIds is keyed by dotted LOGICAL paths and
+    // recurses into nested structs/arrays/maps), then rename the top
+    // level — renames never reach below the top segment
+    val stamped =
+      if (fieldIds.isEmpty) schema
+      else graft.delta.ColumnMapping.stampFieldIds(schema, fieldIds)
+    StructType(stamped.fields.map(f =>
+      f.copy(name = nameMapping.getOrElse(f.name, f.name))))
+  }
 
   /** Rename the TOP path segment of a pushed attribute (only top-level
     * columns can be renamed; nested fields ride along with their parent). */

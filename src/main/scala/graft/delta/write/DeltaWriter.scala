@@ -348,17 +348,29 @@ object DeltaWriter {
                                         mapping: Map[String, String],
                                         fieldIds: Map[String, Int]): DataFrame =
     if (mapping.isEmpty && fieldIds.isEmpty) df
-    else df.select(df.columns.map { c =>
-      val aliased = org.apache.spark.sql.functions.col(s"`$c`")
-      val physName = mapping.getOrElse(c, c)
-      fieldIds.get(c) match {
-        case Some(id) => aliased.as(physName,
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong(graft.delta.read.GuardedParquetFileFormat
-              .ParquetFieldIdKey, id.toLong).build())
-        case None => aliased.as(physName)
-      }
-    }.toIndexedSeq: _*)
+    else {
+      // NESTED ids (dotted paths) cannot ride on a Column alias —
+      // metadata below the top level lives in the DataFrame's schema, so
+      // reconcile the frame to its own schema with parquet.field.id
+      // stamped recursively (Dataset.to carries the specified schema's
+      // metadata through; names/types/nullability are unchanged so the
+      // reconciliation is a pure metadata projection)
+      val hasNested = fieldIds.keysIterator.exists(_.contains('.'))
+      val stamped =
+        if (!hasNested) df
+        else df.to(graft.delta.ColumnMapping.stampFieldIds(df.schema, fieldIds))
+      stamped.select(stamped.columns.map { c =>
+        val aliased = org.apache.spark.sql.functions.col(s"`$c`")
+        val physName = mapping.getOrElse(c, c)
+        (if (hasNested) None else fieldIds.get(c)) match {
+          case Some(id) => aliased.as(physName,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(graft.delta.read.GuardedParquetFileFormat
+                .ParquetFieldIdKey, id.toLong).build())
+          case None => aliased.as(physName)
+        }
+      }.toIndexedSeq: _*)
+    }
 
   /** Run `body` with `spark.sql.parquet.fieldId.write.enabled=true` when
     * `enable` is set. Id-mode files MUST carry field ids whatever the
@@ -376,27 +388,32 @@ object DeltaWriter {
     if (!enable) return body
     val key = "spark.sql.parquet.fieldId.write.enabled"
     FieldIdWriteLock.synchronized {
-      val (depth, saved) = fieldIdWriteState.getOrElse(session, (0, None))
+      val (depth, saved) =
+        Option(fieldIdWriteState.get(session)).getOrElse((0, None))
       if (depth == 0) {
-        fieldIdWriteState(session) = (1, Some(session.conf.getOption(key)))
+        fieldIdWriteState.put(session, (1, Some(session.conf.getOption(key))))
         session.conf.set(key, "true")
-      } else fieldIdWriteState(session) = (depth + 1, saved)
+      } else fieldIdWriteState.put(session, (depth + 1, saved))
     }
     try body
     finally FieldIdWriteLock.synchronized {
-      val (depth, saved) = fieldIdWriteState(session)
+      val (depth, saved) = fieldIdWriteState.get(session)
       if (depth == 1) {
         saved.flatten match {
           case Some(v) => session.conf.set(key, v)
           case None => session.conf.unset(key)
         }
         fieldIdWriteState.remove(session)
-      } else fieldIdWriteState(session) = (depth - 1, saved)
+      } else fieldIdWriteState.put(session, (depth - 1, saved))
     }
   }
   private object FieldIdWriteLock
+  /** Keyed WEAKLY on the session: a churned-and-dropped session's entry
+    * must not pin the whole SparkSession graph (an active write always
+    * holds its own strong session reference, so a live entry can never be
+    * collected mid-flight). All access is under [[FieldIdWriteLock]]. */
   private val fieldIdWriteState =
-    scala.collection.mutable.Map.empty[org.apache.spark.sql.SparkSession,
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       (Int, Option[Option[String]])]
 
   private def listParquetFiles(fs: FileSystem, dir: Path) = {
