@@ -641,10 +641,7 @@ object Dedup {
                     nCells: Int = 16, trainIters: Int = 2,
                     threshold: Double = 0.9): DataFrame = {
     val c = Similarity.corpusFace(df, idCol, vecCol)
-    val cents = Similarity.trainedCentroids(df, c, idCol, vecCol,
-      nCells, trainIters)
-    val cells = Similarity.assignCells(c, cents)
-    val meta = cells.select(col("cell"), col("neighbor_id").as("id"))
+    val meta = semanticAssignments(df, c, idCol, vecCol, nCells, trainIters)
     val candidates = meta.select(col("cell"), col("id").as("i"))
       .join(meta.select(col("cell"), col("id").as("j")), Seq("cell"))
       .filter(col("i") < col("j"))
@@ -659,6 +656,160 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** The (id, cell) blocking assignment behind [[semanticPairs]]: one
+    * trained k-means partition of the corpus, then — because candidate
+    * volume is Σ cell_size² and one degenerate giant cluster
+    * (boilerplate-heavy corpora put 40% of documents in one cell) makes
+    * the within-cell self-join quadratic in it — any cell over
+    * `spark.graft.dedup.maxClusterSize` is recursively RE-CLUSTERED
+    * in place: a grouped k-means runs inside every oversized cell at
+    * once (all cells per pass, one plan), splitting each into up to
+    * `nCells` sub-cells labelled `parent/child`, until every cell fits
+    * or [[MaxSemanticSplitDepth]] is reached.
+    *
+    * Scale shape of a split pass: seeds are the min-id member of each
+    * of `nCells` deterministic hash residue classes — a map-side-
+    * combinable agg, never a per-cell window (an oversized cell is by
+    * definition the thing that must not funnel through one task); Lloyd
+    * iterations are the same broadcast-join + argmax + (cell, dim)-mean
+    * shape as [[Similarity.trainCentroids]], keyed by cell so every
+    * oversized cell trains simultaneously.
+    *
+    * Termination: a cell of IDENTICAL vectors cannot shrink (every
+    * member ties to the same sub-centroid) — a child that keeps its
+    * parent's exact size is frozen rather than re-split, and such cells
+    * stay quadratic by necessity: all their pairs are true duplicates,
+    * so the output itself is quadratic in them. Determinism: hash-class
+    * seeding, 6-decimal rounding before every comparison, id tie-breaks
+    * — re-runs reproduce bit-for-bit. */
+  private[graft] def semanticAssignments(df: DataFrame, c: DataFrame,
+                                         idCol: String, vecCol: String,
+                                         nCells: Int,
+                                         trainIters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val cap = spark.conf.getOption("spark.graft.dedup.maxClusterSize")
+      .map(_.toLong).getOrElse(DefaultMaxClusterSize)
+    val cents = Similarity.trainedCentroids(df, c, idCol, vecCol,
+      nCells, trainIters)
+    var assign = Similarity.assignCells(c, cents)
+      .select(col("neighbor_id").as("id"), col("cell").cast("string").as("cell"))
+    lastSemanticSplitDepth = 0
+    var depth = 0
+    var prevOver = Map.empty[String, Long]
+    var continue = cap > 0
+    while (continue && depth < MaxSemanticSplitDepth) {
+      // bounded collect: at most (#cells over cap) rows, itself bounded
+      // by corpus_size / cap
+      val over = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // freeze children that kept their parent's exact size — the split
+      // moved nothing (identical/tied vectors), so re-splitting would
+      // loop to the depth bound doing no work
+      val splittable = over.filterNot { case (label, n) =>
+        val slash = label.lastIndexOf('/')
+        slash >= 0 && prevOver.get(label.substring(0, slash)).contains(n)
+      }
+      if (splittable.isEmpty) continue = false
+      else {
+        assign = splitOversizedCells(c, assign, splittable.keys.toSeq.sorted,
+          nCells, math.max(trainIters, 1))
+        prevOver = over
+        depth += 1
+        lastSemanticSplitDepth = depth
+      }
+    }
+    assign.select(col("cell"), col("id"))
+  }
+
+  /** One grouped-k-means split pass over `over`-sized cells: every
+    * listed cell re-clusters into up to `nSplit` sub-cells in a single
+    * plan. See [[semanticAssignments]] for the scale rationale. */
+  private def splitOversizedCells(c: DataFrame, assign: DataFrame,
+                                  over: Seq[String], nSplit: Int,
+                                  iters: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val overDf = over.toDF("cell")
+    val members = c.select(col("neighbor_id").as("id"), col("cv0"), col("cn0"))
+      .join(assign, Seq("id"))
+      .join(broadcast(overDf), Seq("cell"))
+    // seeds: the min-id member of each hash residue class — some classes
+    // may be empty in tiny cells (fewer seeds, never zero: a non-empty
+    // cell populates at least one class)
+    val seeded = members
+      .withColumn("scid", pmod(xxhash64(col("id").cast("string")), lit(nSplit))
+        .cast("int"))
+      .groupBy(col("cell"), col("scid"))
+      .agg(min(struct(col("id"), col("cv0"), col("cn0"))).as("m"))
+      .select(col("cell"), col("scid"),
+        col("m.cv0").as("cv"), col("m.cn0").as("cn"))
+    var cents = localizeSmall(seeded)
+    for (_ <- 1 to iters) {
+      val assigned = members.join(broadcast(cents), Seq("cell"))
+        .select(col("cell"), col("id"), col("cv0"),
+          round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
+            .as("aff"),
+          col("scid"))
+        .groupBy(col("cell"), col("id"))
+        .agg(max(struct(col("aff"), (-col("scid")).as("neg"), col("scid")))
+          .as("best"),
+          first(col("cv0")).as("cv0"))
+        .select(col("cell"), col("best.scid").as("scid"), col("cv0"))
+      val next = assigned
+        .select(col("cell"), col("scid"), posexplode(col("cv0")))
+        .groupBy(col("cell"), col("scid"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("v"))
+        .groupBy(col("cell"), col("scid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cv"))
+        .select(col("cell"), col("scid"), col("cv"),
+          sqrt(VectorDot(col("cv"), col("cv"))).as("cn"))
+      cents = localizeSmall(next)
+    }
+    val reassigned = members.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("id"),
+        round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
+          .as("aff"),
+        col("scid"))
+      .groupBy(col("cell"), col("id"))
+      .agg(max(struct(col("aff"), (-col("scid")).as("neg"), col("scid")))
+        .as("best"))
+      .select(col("id"),
+        concat(col("cell"), lit("/"), col("best.scid").cast("string"))
+          .as("cell"))
+    assign.join(broadcast(overDf), Seq("cell"), "left_anti")
+      .unionByName(reassigned.select(col("id"), col("cell")))
+  }
+
+  /** Collect a bounded-small frame (per-cell sub-centroids: #oversized ×
+    * nSplit rows) and restart its lineage from a local relation — the
+    * [[Similarity.trainCentroids]] materialization rationale: each Lloyd
+    * pass otherwise re-executes every previous pass per downstream
+    * broadcast. */
+  private def localizeSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)
+  }
+
+  /** Default for `spark.graft.dedup.maxClusterSize`: with the default
+    * 16-cell quantizer a cell at the bound self-joins into ≤ 10^10
+    * candidate rows of (cell, id, id) — large but shuffle-partitionable;
+    * an UNbounded 40%-of-corpus cell at 10^9 documents would be 1.6×10^17.
+    * 0 disables the cap. */
+  private val DefaultMaxClusterSize = 100000L
+
+  /** Recursive split depth bound: cap^(1/depth) shrink per level makes 6
+    * levels enough for any realistic skew; beyond it the residual cells
+    * are frozen (documented contract: degenerate identical-vector cells
+    * are inherently quadratic — in their OUTPUT, not just their work). */
+  private val MaxSemanticSplitDepth = 6
+
+  /** Observability for specs: how many recursive split passes the last
+    * [[semanticAssignments]] ran. */
+  @volatile private[graft] var lastSemanticSplitDepth: Int = 0
 
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: Column, threshold: Double): DataFrame = {

@@ -17,17 +17,31 @@ object Tables {
 
   /** Load one of the driver-generated tables from an sf directory.
     *
-    * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads via the nanosAsLong legacy conf; convert to a micros timestamp
-    * with integer division (same floor-truncation DuckDB applies), keeping
-    * full precision (nanos since epoch overflow double's 53-bit mantissa,
-    * so no floating-point division here).
+    * `events.ts` has been generated as either parquet TIMESTAMP(NANOS)
+    * (which Spark 4 only reads via the nanosAsLong legacy conf — then a
+    * LongType of nanos since epoch) or plain TIMESTAMP(MICROS), depending
+    * on the driver generation. Handle both: when it loads as a long,
+    * convert to a micros timestamp with integer division (same
+    * floor-truncation DuckDB applies; nanos since epoch overflow double's
+    * 53-bit mantissa, so no floating-point division); when it loads as a
+    * timestamp it is already micros — use it as is.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // naive micros: the mains pin the session timezone to UTC, so
+          // this cast is micros-identity and downstream unix_micros /
+          // window functions see the same instants DuckDB computes on
+          // the naive values
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
