@@ -64,8 +64,21 @@ object DistributedLogReplay {
         coalesce(col("add.path"), col("remove.path")).as("path"))
       .filter(col("path").isNotNull)
       .withColumn("pathKey", canonicalKey(col("path")))
+      // dv-aware state key (see InMemoryLogReplay): a DV update removes
+      // (path, oldDv) and adds (path, newDv) in one version — distinct
+      // keys, so the window must not fold them into one
+      .withColumn("dvKey", coalesce(
+        when(col("add.deletionVector").isNotNull, concat_ws("@",
+          col("add.deletionVector.storageType"),
+          col("add.deletionVector.pathOrInlineDv"),
+          col("add.deletionVector.offset").cast("string"))),
+        when(col("remove.deletionVector").isNotNull, concat_ws("@",
+          col("remove.deletionVector.storageType"),
+          col("remove.deletionVector.pathOrInlineDv"),
+          col("remove.deletionVector.offset").cast("string"))),
+        lit("")))
 
-    val newestFirst = Window.partitionBy(col("pathKey"))
+    val newestFirst = Window.partitionBy(col("pathKey"), col("dvKey"))
       .orderBy(col("version").desc, col("remove").isNotNull.desc)
     fileActions
       .withColumn("rn", row_number().over(newestFirst))

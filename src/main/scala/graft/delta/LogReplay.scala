@@ -45,11 +45,16 @@ object LogReplay {
   * (ref: actions/InMemoryLogReplay.scala:38-94):
   *
   *  - latest Protocol / Metadata / SetTransaction-per-appId wins;
-  *  - an AddFile replaces any previous Add for the same (canonicalized)
-  *    path and cancels a previous tombstone;
-  *  - a RemoveFile drops the path from active files and records a
+  *  - an AddFile replaces any previous Add for the same (canonicalized
+  *    path, deletion-vector id) key and cancels a previous tombstone;
+  *  - a RemoveFile drops the key from active files and records a
   *    tombstone (kept until `minFileRetentionTimestamp` expiry, M15);
   *  - actions must be appended in ascending version order.
+  *
+  * The deletion-vector id participates in the key because a DV update
+  * commits `remove(path, oldDv)` + `add(path, newDv)` in ONE version —
+  * path-only keying would resolve that pair order-dependently (and drop
+  * the file entirely when the remove happens to iterate last).
   *
   * This driver-side fold is O(live files) in memory and is used for logs
   * up to millions of files; [[DistributedLogReplay]] performs the same fold
@@ -74,11 +79,11 @@ class InMemoryLogReplay(
       case m: Metadata => currentMetadata = m
       case t: SetTransaction => transactions(t.appId) = t
       case a: AddFile =>
-        val key = canonical(a.path)
+        val key = canonical(a.path) + "\u0000" + a.dvId
         activeFiles(key) = a.copy(dataChange = false)
         tombstones.remove(key)
       case r: RemoveFile =>
-        val key = canonical(r.path)
+        val key = canonical(r.path) + "\u0000" + r.dvId
         activeFiles.remove(key)
         tombstones(key) = r.copy(dataChange = false)
       case _: AddCDCFile => // never part of table state

@@ -159,6 +159,19 @@ class Snapshot(
   def transactionVersion(appId: String): Option[Long] =
     lightState.setTransactions.find(_.appId == appId).map(_.version)
 
+  /** Total deleted-row count across the active files' deletion vectors,
+    * computed from the DESCRIPTORS alone (no bitmap I/O) — 0 means the
+    * scan path skips DV filtering entirely. */
+  lazy val dvCardinality: Long =
+    if (distributedState) {
+      import org.apache.spark.sql.functions.{coalesce, lit, sum}
+      allFilesDistributed
+        .agg(coalesce(sum("deletionVector.cardinality"), lit(0L)))
+        .head().getLong(0)
+    } else {
+      allFiles.iterator.flatMap(_.deletionVector).map(_.cardinality).sum
+    }
+
   /** Active files as a Dataset — the distributed face of the state, used
     * for metadata queries and checkpoint writing at large file counts. */
   def allFilesDS: Dataset[AddFile] = {

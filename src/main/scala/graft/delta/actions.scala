@@ -209,8 +209,12 @@ case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2,
   * instead of hiding behind a bare version number. */
 object TableFeatures {
   /** Reader features this engine implements (column mapping in both
-    * modes; timestampNtz decodes natively through Spark's reader). */
-  val supportedReader: Set[String] = Set("columnMapping", "timestampNtz")
+    * modes; timestampNtz decodes natively through Spark's reader;
+    * deletionVectors apply as a row-position anti-filter at scan —
+    * READ side only: the matching writer feature stays unsupported, so
+    * DV tables refuse writes by name). */
+  val supportedReader: Set[String] =
+    Set("columnMapping", "timestampNtz", "deletionVectors")
   /** Writer features this engine implements — the feature names of
     * legacy writer versions 2-6 plus their reader-side twins. */
   val supportedWriter: Set[String] = Set(
@@ -226,6 +230,30 @@ object TableFeatures {
   def unsupportedWriter(p: Protocol): Seq[String] =
     p.writerFeatures.map(_.filterNot(supportedWriter))
       .getOrElse(Seq("(writerFeatures unspecified)"))
+}
+
+/** Locator + integrity metadata for a file's deletion vector (PROTOCOL.md
+  * "Deletion Vector Descriptor Schema"): `storageType` "i" carries the
+  * Z85-inlined bitmap in `pathOrInlineDv`, "u" a relative-path UUID,
+  * "p" an absolute path; `offset` is the byte position of the framed
+  * bitmap inside an on-disk file; `cardinality` the number of deleted
+  * rows. Resolution/IO live in [[dv.DeletionVectors]]. */
+case class DeletionVectorDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    offset: Option[Int] = None,
+    sizeInBytes: Int = 0,
+    cardinality: Long = 0L) {
+  /** The protocol's per-descriptor identity — log replay keys file state
+    * by (path, dvId): a DML that re-shades a file commits
+    * `remove(path, oldDv)` + `add(path, newDv)` in ONE version, and only
+    * dv-aware keying folds that to "path active with newDv" regardless of
+    * the two actions' order within the commit. */
+  def uniqueId: String = {
+    val base = s"$storageType$pathOrInlineDv"
+    offset.fold(base)(o => s"$base@$o")
+  }
 }
 
 /** Pre-parsed per-file stats, written into OUR checkpoints as an extra
@@ -254,6 +282,7 @@ case class AddFile(
     dataChange: Boolean = true,
     stats: Option[String] = None,
     tags: Option[Map[String, String]] = None,
+    deletionVector: Option[DeletionVectorDescriptor] = None,
     @com.fasterxml.jackson.annotation.JsonIgnore
     stats_parsed: Option[ParsedStats] = None)
   extends FileAction {
@@ -261,7 +290,10 @@ case class AddFile(
              dataChange: Boolean = true): RemoveFile =
     RemoveFile(path, Some(timestamp), dataChange,
       extendedFileMetadata = Some(true),
-      partitionValues = Some(partitionValues), size = Some(size))
+      partitionValues = Some(partitionValues), size = Some(size),
+      deletionVector = deletionVector)
+  /** Replay/state key under dv-aware keying ("" = no deletion vector). */
+  def dvId: String = deletionVector.fold("")(_.uniqueId)
   def wrap: SingleAction = SingleAction(add = Some(this))
 }
 
@@ -275,9 +307,12 @@ case class RemoveFile(
     partitionValues: Option[Map[String, String]] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     size: Option[Long] = None,
-    tags: Option[Map[String, String]] = None)
+    tags: Option[Map[String, String]] = None,
+    deletionVector: Option[DeletionVectorDescriptor] = None)
   extends FileAction {
   def delTimestamp: Long = deletionTimestamp.getOrElse(0L)
+  /** Replay/state key under dv-aware keying ("" = no deletion vector). */
+  def dvId: String = deletionVector.fold("")(_.uniqueId)
   def wrap: SingleAction = SingleAction(remove = Some(this))
 }
 

@@ -48,7 +48,19 @@ class DeltaScan(snapshot: Snapshot, filter: Option[Expression]) {
   * HadoopFsRelation: Spark's vectorized parquet reader, whole-stage
   * codegen, filter pushdown (`PushedFilters` in explain) and partition
   * pruning all apply natively (S4 via Spark instead of row-at-a-time
-  * parquet4s). */
+  * parquet4s).
+  *
+  * Files carrying a deletion vector get their deleted rows dropped by a
+  * (file, row-position) ANTI-JOIN against the materialized bitmaps:
+  * `_metadata.file_path`/`_metadata.row_index` identify every row's
+  * position (split-correct — Spark computes the index against the file's
+  * row groups, so parallel splits of one parquet file keep absolute
+  * positions), and the bitmap side explodes to one row per deleted
+  * position, read on EXECUTORS from the descriptors. The total deleted
+  * cardinality is known from the log alone (descriptor `cardinality`
+  * sums), so the broadcast decision needs no data read; scans of DV-free
+  * tables — and DV-free snapshots of DV-capable tables — take none of
+  * these steps. */
 class DeltaScanBuilder(snapshot: Snapshot) {
 
   def buildDF(filter: Option[Column]): DataFrame = {
@@ -63,12 +75,49 @@ class DeltaScanBuilder(snapshot: Snapshot) {
       fileFormat = new graft.delta.read.GuardedParquetFileFormat(snapshot.metadata.columnMapping, snapshot.metadata.fieldIdMapping),
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
+    val undeleted =
+      if (snapshot.dvCardinality == 0L) df else antiJoinDeletedRows(df)
     // present columns in the table-schema order (partition columns are
     // appended last by HadoopFsRelation)
     val ordered = snapshot.metadata.schema.fieldNames.toSeq
     val projected =
-      if (ordered.nonEmpty) df.select(ordered.map(org.apache.spark.sql.functions.col): _*)
-      else df
+      if (ordered.nonEmpty)
+        undeleted.select(ordered.map(org.apache.spark.sql.functions.col): _*)
+      else undeleted
     filter.map(projected.filter).getOrElse(projected)
+  }
+
+  /** Positions under ~1M broadcast (a few MB of (path, long) rows); above
+    * that the join shuffles — still linear in deleted rows, never in the
+    * table. */
+  private val BroadcastPositionsMax = 1000000L
+
+  private def antiJoinDeletedRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = snapshot.spark
+    import spark.implicits._
+    implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+    val dvFiles: org.apache.spark.sql.Dataset[AddFile] =
+      if (snapshot.distributedState)
+        snapshot.allFilesDistributed.filter(_.deletionVector.isDefined)
+      else spark.createDataset(snapshot.allFiles.filter(_.deletionVector.isDefined))
+    val dataPathStr = snapshot.deltaLog.dataPath.toString
+    val conf = new graft.delta.SerializableHadoopConf(snapshot.deltaLog.hadoopConf)
+    val deleted = dvFiles.flatMap { add =>
+      val tablePath = new org.apache.hadoop.fs.Path(dataPathStr)
+      val bitmap = graft.delta.dv.DeletionVectors.readBitmap(
+        add.deletionVector.get, tablePath, conf.value)
+      // _metadata.file_path spells files the SparkPath way — match it
+      // (PartitionUtils.inputFileName scaladoc)
+      val file = PartitionUtils.inputFileName(tablePath, add.path)
+      bitmap.values.map(pos => (file, pos))
+    }.toDF("__dv_file", "__dv_pos")
+    val right =
+      if (snapshot.dvCardinality <= BroadcastPositionsMax) broadcast(deleted)
+      else deleted
+    df.join(right,
+        col("_metadata.file_path") === col("__dv_file") &&
+          col("_metadata.row_index") === col("__dv_pos"),
+        "left_anti")
   }
 }

@@ -855,6 +855,68 @@ object DeltaQueries {
                CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
         FROM customer
         WHERE md5('c' || CAST(c_custkey AS VARCHAR))
-              IN (md5('c1'), md5('c2'), md5('c3'), md5('c4'), md5('c5'))"""))
+              IN (md5('c1'), md5('c2'), md5('c3'), md5('c4'), md5('c5'))""")),
+
+    // Deletion-vector READS: two single-file commits (even / odd keys in
+    // key order, so row position == rank within parity), then a
+    // foreign-writer-style commit shades file 0 with an INLINE dv and
+    // file 1 with a uuid-FILE dv; the scan's (file, row_index)
+    // anti-filter must hide exactly those positions. The oracle replays
+    // the position arithmetic with window functions over the raw parquet.
+    QueryDef(
+      "delta_deletion_vectors",
+      (s, dir) => {
+        import s.implicits._
+        import graft.delta.{DeltaLog, FileNames, JsonCodec, Protocol}
+        import graft.delta.dv.{DeletionVectors, RoaringBitmapArray}
+        val path = tmp("dv")
+        val cust = t(s, dir, "customer")
+        DeltaTable.write(
+          cust.filter($"c_custkey" % 2 === 0)
+            .repartition(1).sortWithinPartitions("c_custkey"),
+          path, SaveMode.Overwrite)
+        val log = DeltaLog.forTable(s, path)
+        val f0 = log.update().allFiles.head
+        DeltaTable.write(
+          cust.filter($"c_custkey" % 2 === 1)
+            .repartition(1).sortWithinPartitions("c_custkey"),
+          path)
+        val snap = log.update()
+        val f1 = snap.allFiles.find(_.path != f0.path).get
+        val nEven = cust.filter($"c_custkey" % 2 === 0).count()
+        val nOdd = cust.filter($"c_custkey" % 2 === 1).count()
+        val dvE = DeletionVectors.inline(
+          RoaringBitmapArray((0L until nEven).filter(_ % 5 == 2): _*))
+        val dvO = DeletionVectors.writeDvFile(log.dataPath, log.hadoopConf,
+          Seq(RoaringBitmapArray((0L until nOdd).filter(_ % 7 == 3): _*))).head
+        val actions: Seq[graft.delta.Action] = Seq(
+          Protocol(minReaderVersion = 3, minWriterVersion = 7,
+            readerFeatures = Some(Seq("deletionVectors")),
+            writerFeatures = Some(Seq("deletionVectors"))),
+          f0.copy(deletionVector = Some(dvE), dataChange = true),
+          f0.remove(dataChange = true),
+          f1.copy(deletionVector = Some(dvO), dataChange = true),
+          f1.remove(dataChange = true))
+        log.store.write(FileNames.deltaFile(log.logPath, snap.version + 1),
+          actions.map(JsonCodec.toJson).iterator, overwrite = false,
+          log.hadoopConf)
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+               sum($"c_acctbal".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_bal"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT c_mktsegment, c_acctbal, c_custkey % 2 AS par,
+                 row_number() OVER (PARTITION BY c_custkey % 2
+                                    ORDER BY c_custkey) - 1 AS pos
+          FROM customer)
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        FROM ranked
+        WHERE NOT (par = 0 AND pos % 5 = 2)
+          AND NOT (par = 1 AND pos % 7 = 3)
+        GROUP BY c_mktsegment"""))
   )
 }
