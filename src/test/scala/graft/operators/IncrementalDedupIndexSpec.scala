@@ -124,6 +124,57 @@ class IncrementalDedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("autoCompact bounds the growing index's file count without changing probes") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val compacted = s"$dir/idx_ac"
+      val plain = s"$dir/idx_plain"
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text", 3, 12, 4)
+      // the classic object-store accretion failure: one small file per
+      // nightly/micro batch. delta.autoOptimize.autoCompact is the
+      // in-band answer — each append bin-packs AFTER its commit, so the
+      // artifact converges instead of accreting
+      DeltaTable.write(idx, compacted, SaveMode.Overwrite,
+        configuration = Map("delta.autoOptimize.autoCompact" -> "true"))
+      DeltaTable.write(idx, plain, SaveMode.Overwrite)
+      (0 until 6).foreach { b =>
+        val batch = Seq((500L + b,
+          s"micro batch number $b adds a brand new unique document entry $b"))
+          .toDF("doc_id", "text")
+        val viaCompacted = Dedup.incrementalMinhashLshPersisted(
+          spark, compacted, batch, "doc_id", "text", 3, 12, 4, 0.7)
+          .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+        val viaPlain = Dedup.incrementalMinhashLshPersisted(
+          spark, plain, batch, "doc_id", "text", 3, 12, 4, 0.7)
+          .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+        assert(viaCompacted == viaPlain,
+          s"batch $b diverged under compaction: $viaCompacted vs $viaPlain")
+      }
+      val nCompacted =
+        graft.delta.DeltaLog.forTable(spark, compacted).update().numOfFiles
+      val nPlain =
+        graft.delta.DeltaLog.forTable(spark, plain).update().numOfFiles
+      assert(nPlain >= 7, s"plain index should accrete, saw $nPlain files")
+      assert(nCompacted <= 2,
+        s"autoCompact must bound accretion, saw $nCompacted files")
+      // the bin-packed artifact still answers probes identically,
+      // including against keys appended across the micro-batches
+      val check = Seq((900L,
+        "micro batch number 3 adds a brand new unique document entry 3!!"))
+        .toDF("doc_id", "text")
+      val ac = Dedup.incrementalMinhashLshPersisted(
+        spark, compacted, check, "doc_id", "text", 3, 12, 4, 0.7)
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val pl = Dedup.incrementalMinhashLshPersisted(
+        spark, plain, check, "doc_id", "text", 3, 12, 4, 0.7)
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(ac == pl)
+      assert(ac.contains((900L, 503L)),
+        s"probe must reach the batch-appended keys after compaction: $ac")
+    }
+  }
+
   test("streaming ingest dedups each micro-batch against the growing index") {
     withTempDir { dir =>
       import org.apache.spark.sql.functions.col
