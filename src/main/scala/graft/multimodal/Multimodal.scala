@@ -150,4 +150,64 @@ object Multimodal {
       it.map(m => FeatureRow(m.id, decodeStub(m.media), m.media.length.toLong))
     }.toDF()
   }
+
+  // ------------------------------------------------- real decode faces
+  private[multimodal] case class WavRow(
+      id: Long, sample_rate: Int, n_channels: Int, n_samples: Long,
+      mean_amp: Double, peak_amp: Int)
+  private[multimodal] case class BmpRow(
+      id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** `(id, media)` of spec-compliant PCM WAVE blobs synthesized from the
+    * id column ([[MediaCodecs.synthWav]]; `nSamples = 64 + id mod 64`) —
+    * generated per partition, never on the driver. */
+  def wavMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRow(id, MediaCodecs.synthWav(id, (64 + id % 64).toInt)))
+    }.toDF()
+  }
+
+  /** REAL per-partition WAV decode ([[MediaCodecs.decodeWav]]): RIFF
+    * chunk walk + PCM fold per blob, one iterator pass, schema
+    * `(id, sample_rate, n_channels, n_samples, mean_amp, peak_amp)`. */
+  def wavFeatures(media: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[WavRow]
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        val s = MediaCodecs.decodeWav(m.media)
+        WavRow(m.id, s.sampleRate, s.channels, s.nSamples, s.mean, s.peak)
+      }
+    }.toDF()
+  }
+
+  /** `(id, media)` of 24-bit BMP blobs synthesized from the id column
+    * ([[MediaCodecs.synthBmp]]; `width = 4 + id mod 5`,
+    * `height = 3 + id mod 4` — the mod-5 widths exercise every row
+    * padding remainder). */
+  def bmpMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRow(id,
+        MediaCodecs.synthBmp(id, (4 + id % 5).toInt, (3 + id % 4).toInt)))
+    }.toDF()
+  }
+
+  /** REAL per-partition BMP decode ([[MediaCodecs.decodeBmp]]): header
+    * parse + padded bottom-up pixel walk, schema
+    * `(id, width, height, mean_r, mean_g, mean_b)`. */
+  def bmpFeatures(media: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        val s = MediaCodecs.decodeBmp(m.media)
+        BmpRow(m.id, s.width, s.height, s.meanR, s.meanG, s.meanB)
+      }
+    }.toDF()
+  }
 }

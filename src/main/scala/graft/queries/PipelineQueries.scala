@@ -1179,6 +1179,94 @@ object PipelineQueries {
                CAST(SUM(LEAST(16, length(text))) AS BIGINT) AS total_features
         FROM documents GROUP BY lang""")),
 
+    // REAL WAV decode over distributed binary blobs: spec-compliant
+    // RIFF/PCM containers are synthesized per partition from doc ids
+    // (the container ships no media), then parsed by the real chunk
+    // walker (MediaCodecs.decodeWav) — the oracle replays the decoded
+    // moments from the synthesis tone's closed form with pure SQL
+    // arithmetic, so a hash match proves actual binary parsing (chunk
+    // ids, LE sizes, int16 folds), not fabricated features.
+    QueryDef(
+      "multimodal_wav_decode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.wavMedia(docs.select($"doc_id"), "doc_id")
+        Multimodal.wavFeatures(media)
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_samples").as("total_samples"),
+               sum($"mean_amp".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_amp"),
+               sum($"peak_amp".cast("long")).as("sum_peak"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, 64 + doc_id % 64 AS ns FROM documents),
+        nums AS (SELECT i FROM generate_series(0, 127) AS g(i)),
+        samples AS (
+          SELECT d.doc_id, d.lang, d.ns,
+                 ((d.doc_id * 31 + nums.i * 7) % 251 - 125) * 200 AS v
+          FROM d JOIN nums ON nums.i < d.ns),
+        per AS (
+          SELECT doc_id, lang, ns,
+                 CAST(SUM(v) AS DOUBLE) / ns AS mean_amp,
+                 MAX(ABS(v)) AS peak
+          FROM samples GROUP BY doc_id, lang, ns)
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(ns) AS BIGINT) AS total_samples,
+               CAST(SUM(CAST(mean_amp AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_mean_amp,
+               CAST(SUM(peak) AS BIGINT) AS sum_peak
+        FROM per GROUP BY lang""")),
+
+    // REAL BMP decode: 24-bit BI_RGB bitmaps (bottom-up padded rows)
+    // synthesized per partition, parsed by MediaCodecs.decodeBmp; the
+    // mod-5 widths sweep every 4-byte row-padding remainder, so the
+    // oracle match fails if padding handling is off by even one byte.
+    QueryDef(
+      "multimodal_bmp_decode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.bmpMedia(docs.select($"doc_id"), "doc_id")
+        Multimodal.bmpFeatures(media)
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"width".cast("long") * $"height".cast("long"))
+                 .as("total_px"),
+               sum($"mean_r".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_r"),
+               sum($"mean_g".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_g"),
+               sum($"mean_b".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_b"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, 4 + doc_id % 5 AS w,
+                          3 + doc_id % 4 AS h FROM documents),
+        xs AS (SELECT i FROM generate_series(0, 7) AS g(i)),
+        ys AS (SELECT j FROM generate_series(0, 5) AS g(j)),
+        px AS (
+          SELECT d.doc_id, d.lang, d.w, d.h,
+                 (d.doc_id + 3 * xs.i + 7 * ys.j) % 256 AS r,
+                 (d.doc_id + 5 * xs.i + 11 * ys.j) % 256 AS g,
+                 (d.doc_id + 2 * xs.i + 13 * ys.j) % 256 AS b
+          FROM d JOIN xs ON xs.i < d.w JOIN ys ON ys.j < d.h),
+        per AS (
+          SELECT doc_id, lang, w, h,
+                 CAST(SUM(r) AS DOUBLE) / (w * h) AS mr,
+                 CAST(SUM(g) AS DOUBLE) / (w * h) AS mg,
+                 CAST(SUM(b) AS DOUBLE) / (w * h) AS mb
+          FROM px GROUP BY doc_id, lang, w, h)
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(w * h) AS BIGINT) AS total_px,
+               CAST(SUM(CAST(mr AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_r,
+               CAST(SUM(CAST(mg AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_g,
+               CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
+        FROM per GROUP BY lang""")),
+
     // Content-addressable media dedup: hash the BINARY payload itself
     // (the standard blob-store dedup for image/audio corpora — identical
     // bytes collapse regardless of metadata). One hash pass + one
