@@ -87,22 +87,39 @@ class DeltaScanBuilder(snapshot: Snapshot) {
     filter.map(projected.filter).getOrElse(projected)
   }
 
+  private def antiJoinDeletedRows(df: DataFrame): DataFrame = {
+    implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+    val spark = snapshot.spark
+    val dvFiles: org.apache.spark.sql.Dataset[AddFile] =
+      if (snapshot.distributedState)
+        snapshot.allFilesDistributed.filter(_.deletionVector.isDefined)
+      else spark.createDataset(snapshot.allFiles.filter(_.deletionVector.isDefined))
+    DvFilter(df, dvFiles, snapshot.dvCardinality,
+      snapshot.deltaLog.dataPath, snapshot.deltaLog.hadoopConf)
+  }
+}
+
+/** The deletion-vector row filter shared by the batch scan and the
+  * streaming source: anti-join the frame's `(_metadata.file_path,
+  * _metadata.row_index)` against the exploded deleted positions, read on
+  * EXECUTORS from the descriptors. */
+object DvFilter {
+
   /** Positions under ~1M broadcast (a few MB of (path, long) rows); above
     * that the join shuffles — still linear in deleted rows, never in the
     * table. */
   private val BroadcastPositionsMax = 1000000L
 
-  private def antiJoinDeletedRows(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame,
+            dvFiles: org.apache.spark.sql.Dataset[AddFile],
+            totalCardinality: Long,
+            dataPath: org.apache.hadoop.fs.Path,
+            hadoopConf: org.apache.hadoop.conf.Configuration): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val spark = snapshot.spark
+    val spark = df.sparkSession
     import spark.implicits._
-    implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
-    val dvFiles: org.apache.spark.sql.Dataset[AddFile] =
-      if (snapshot.distributedState)
-        snapshot.allFilesDistributed.filter(_.deletionVector.isDefined)
-      else spark.createDataset(snapshot.allFiles.filter(_.deletionVector.isDefined))
-    val dataPathStr = snapshot.deltaLog.dataPath.toString
-    val conf = new graft.delta.SerializableHadoopConf(snapshot.deltaLog.hadoopConf)
+    val dataPathStr = dataPath.toString
+    val conf = new graft.delta.SerializableHadoopConf(hadoopConf)
     val deleted = dvFiles.flatMap { add =>
       val tablePath = new org.apache.hadoop.fs.Path(dataPathStr)
       val bitmap = graft.delta.dv.DeletionVectors.readBitmap(
@@ -113,11 +130,26 @@ class DeltaScanBuilder(snapshot: Snapshot) {
       bitmap.values.map(pos => (file, pos))
     }.toDF("__dv_file", "__dv_pos")
     val right =
-      if (snapshot.dvCardinality <= BroadcastPositionsMax) broadcast(deleted)
+      if (totalCardinality <= BroadcastPositionsMax) broadcast(deleted)
       else deleted
     df.join(right,
         col("_metadata.file_path") === col("__dv_file") &&
           col("_metadata.row_index") === col("__dv_pos"),
         "left_anti")
+  }
+
+  /** Driver-side-file-list face (streaming micro-batches, DML scans). */
+  def forFiles(df: DataFrame, files: Seq[AddFile],
+               dataPath: org.apache.hadoop.fs.Path,
+               hadoopConf: org.apache.hadoop.conf.Configuration): DataFrame = {
+    val withDv = files.filter(_.deletionVector.isDefined)
+    if (withDv.isEmpty) df
+    else {
+      implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+      val spark = df.sparkSession
+      apply(df, spark.createDataset(withDv),
+        withDv.iterator.flatMap(_.deletionVector).map(_.cardinality).sum,
+        dataPath, hadoopConf)
+    }
   }
 }

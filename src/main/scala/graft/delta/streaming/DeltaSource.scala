@@ -281,7 +281,12 @@ class DeltaSource(
               s"Detected a schema/metadata change at version $v; restart the " +
                 "stream to pick it up")
           case p: Protocol =>
-            require(p.minReaderVersion <= 1,
+            // accept any protocol this engine can READ (mirrors
+            // Snapshot.assertReadable): reader 1-2, or reader 3 with
+            // every advertised feature implemented
+            require(p.minReaderVersion <= 2 ||
+              (p.minReaderVersion == 3 &&
+                graft.delta.TableFeatures.unsupportedReader(p).isEmpty),
               s"Unsupported protocol change at version $v: $p")
           case _ =>
         }
@@ -309,7 +314,10 @@ class DeltaSource(
 
   /** Whole-snapshot streaming frame via the snapshot-backed index:
     * in distributed-state mode pruning runs as a Spark job and the file
-    * list never materializes on the driver. */
+    * list never materializes on the driver. Files shaded by deletion
+    * vectors get the same (file, row_index) anti-filter as batch scans —
+    * without it the initial snapshot of a foreign DV table would
+    * RESURRECT its deleted rows into the stream. */
   private def buildSnapshotDF(snap: Snapshot): DataFrame = {
     val metadata = initialSnapshot.metadata
     val relation = HadoopFsRelation(
@@ -319,9 +327,21 @@ class DeltaSource(
       bucketSpec = None,
       fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
-    Shims.relationToDataFrame(spark, relation, isStreaming = true)
-      .select(metadata.schema.fieldNames
-        .map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val base = Shims.relationToDataFrame(spark, relation, isStreaming = true)
+    val undeleted =
+      if (snap.dvCardinality == 0L) base
+      else {
+        implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+        val dvFiles =
+          if (snap.distributedState)
+            snap.allFilesDistributed.filter(_.deletionVector.isDefined)
+          else spark.createDataset(
+            snap.allFiles.filter(_.deletionVector.isDefined))
+        graft.delta.read.DvFilter(base, dvFiles, snap.dvCardinality,
+          deltaLog.dataPath, deltaLog.hadoopConf)
+      }
+    undeleted.select(metadata.schema.fieldNames
+      .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   private def buildBatchDF(files: Seq[AddFile]): DataFrame = {
@@ -335,9 +355,13 @@ class DeltaSource(
       fileFormat = new graft.delta.read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
     val df = Shims.relationToDataFrame(spark, relation, isStreaming = true)
+    // a re-emitted rewrite (ignoreChanges) may carry a deletion vector;
+    // emit the file MINUS its deleted rows, same as a batch read would
+    val undeleted = graft.delta.read.DvFilter.forFiles(
+      df, files, deltaLog.dataPath, deltaLog.hadoopConf)
     // project the TABLE schema (the source schema may carry CDF columns
     // that only exist after cdfBatch appends them)
-    df.select(metadata.schema.fieldNames
+    undeleted.select(metadata.schema.fieldNames
       .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 

@@ -244,6 +244,39 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("streaming: snapshot excludes deleted rows; ignoreChanges re-emits minus the new DV") {
+    withTempDir { dir =>
+      seedTable(dir, 8)
+      attachDv(dir, Seq(1L), inline = true)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+      val q = spark.readStream.format("graft-delta")
+        .option("ignoreChanges", "true").load(dir)
+        .writeStream
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.synchronized {
+            seen += ((id, batch.select("id").as[Long].collect().sorted.toSeq))
+          }
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        val initial = seen.synchronized(seen.flatMap(_._2).sorted.toSeq)
+        assert(initial == Seq(0L, 2L, 3L, 4L, 5L, 6L, 7L),
+          s"initial snapshot must not resurrect DV-deleted rows: $initial")
+        // mid-stream DV growth: under ignoreChanges the rewritten file
+        // re-emits MINUS its (new) deletion vector
+        attachDv(dir, Seq(1L, 3L, 6L), inline = false)
+        q.processAllAvailable()
+        val reEmitted = seen.synchronized(
+          seen.drop(1).flatMap(_._2).sorted.toSeq)
+        assert(reEmitted == Seq(0L, 2L, 4L, 5L, 7L),
+          s"re-emitted file must exclude the new DV positions: $reEmitted")
+      } finally q.stop()
+    }
+  }
+
   test("writes to a DV table refuse, naming the writer feature") {
     withTempDir { dir =>
       seedTable(dir, 4)
