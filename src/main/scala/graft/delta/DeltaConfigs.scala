@@ -101,4 +101,12 @@ object DeltaConfigs {
   val TARGET_FILE_SIZE: DeltaConfig[Long] = DeltaConfig(
     "delta.targetFileSize", (128L * 1024 * 1024).toString,
     _.toLong, (_: Long) > 0)
+
+  /** DELETE shades files with deletion vectors (merge-on-read) instead of
+    * rewriting them — the protocol's deletionVectors table feature; the
+    * first shading commit auto-upgrades the protocol to reader 3/writer 7
+    * with the feature listed. OPTIMIZE purges shaded files back to plain
+    * parquet. */
+  val ENABLE_DELETION_VECTORS: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.enableDeletionVectors", "false", _.toBoolean)
 }

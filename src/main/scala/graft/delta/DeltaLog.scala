@@ -71,10 +71,18 @@ class DeltaLog private (
           Checkpoints.lastCheckpoint(this).map(_.version), None)
       } catch { case _: FileNotFoundException => LogSegment.empty(logPath) }
     if (currentSnapshot == null || segment.version != currentSnapshot.version) {
+      // incremental path: the segment EXTENDS the superseded snapshot
+      // (same checkpoint, strictly later version) — hand over its folded
+      // states so the successor replays only the new commits instead of
+      // re-reading the checkpoint and re-parsing the whole tail
+      val base = Option(currentSnapshot).filter { s =>
+        segment.checkpointVersion == s.logSegment.checkpointVersion &&
+          segment.version > s.version && s.version >= 0
+      }.map(_.folded)
       if (currentSnapshot != null) currentSnapshot.uncache()
       currentSnapshot = new Snapshot(spark, this, segment.version, segment,
         minFileRetentionTimestamp, segment.lastCommitTimestamp,
-        cacheable = true)
+        cacheable = true, baseStates = base)
     }
     currentSnapshot
   }

@@ -81,6 +81,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     if (new read.DeltaScan(txn.snapshot, Some(resolved)).residualPredicate.isEmpty) {
       return deleteWhere(condition) // metadata-only fast path
     }
+    if (DeltaConfigs.ENABLE_DELETION_VECTORS.fromMetadata(txn.snapshot.metadata)) {
+      return deleteWithDeletionVectors(txn, condition, resolved)
+    }
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     rewriteMatchedFiles(txn, condition, DeltaOperations.Delete,
       // keep rows where the condition is false OR null (SQL DELETE
@@ -88,6 +91,129 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       df => df.filter(not(coalesce(condition, lit(false)))),
       changes = df => df.filter(coalesce(condition, lit(false)))
         .withColumn(write.CdcWriter.ChangeTypeCol, lit("delete")))
+  }
+
+  /** Merge-on-read DELETE (`delta.enableDeletionVectors`): instead of
+    * rewriting every file containing a match, SHADE it — record the
+    * matching rows' positions as a deletion-vector bitmap and commit
+    * `remove(path, oldDv) + add(path, newDv)`. The data bytes never move:
+    * a selective delete on a 1 GB file writes a few-KB bitmap instead of
+    * 1 GB of parquet, which is the only delete shape that scales to
+    * routine GDPR/cleanup traffic at 100 TB. OPTIMIZE later purges shades
+    * back to plain parquet.
+    *
+    * Scale shape: position discovery is one distributed scan of the
+    * PRUNED candidate set (through any existing shades); per-file bitmaps
+    * are built and serialized on EXECUTORS (grouped by file), and only the
+    * compressed bitmap bytes reach the driver — bounded by shaded-file
+    * count, not by deleted-row count. A file whose every live row matches
+    * is dropped outright (no shade). The first shading commit upgrades
+    * the protocol to (3, 7) + deletionVectors, preserving
+    * legacy-version-implied features. */
+  private def deleteWithDeletionVectors(
+      transaction: graft.delta.txn.OptimisticTransaction,
+      condition: Column,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit}
+    import spark.implicits._
+    val snapshot = transaction.snapshot
+    val metadata = snapshot.metadata
+    val matched = candidateFiles(snapshot, resolved)
+    transaction.markFilesAsRead(condition)
+    if (matched.isEmpty) return snapshot.version
+
+    val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, matched)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = metadata.partitionSchema,
+      dataSchema = metadata.dataSchema,
+      bucketSpec = None,
+      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
+      options = Map.empty)(spark)
+    val base = read.DvFilter.forFiles(spark.baseRelationToDataFrame(relation),
+      matched, deltaLog.dataPath, deltaLog.hadoopConf)
+    val hits = base
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(coalesce(condition, lit(false)))
+
+    // CDC first (when enabled): the deleted rows themselves — positions
+    // are re-derived afterwards from the same bounded scan
+    val cdc: Seq[Action] =
+      if (write.CdcWriter.enabled(metadata)) {
+        write.CdcWriter.writeChangeFiles(
+          hits.select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn(write.CdcWriter.ChangeTypeCol, lit("delete")),
+          deltaLog, metadata.columnMapping, metadata.fieldIdMapping)
+      } else Nil
+
+    // per-file NEW-hit bitmaps, serialized on executors; only (file,
+    // bytes, cardinality) reaches the driver
+    val newBitmaps: Map[String, (Array[Byte], Long)] = hits
+      .select(col("__file"), col("__pos"))
+      .groupBy(col("__file")).agg(collect_list(col("__pos")).as("ps"))
+      .as[(String, Seq[Long])]
+      .map { case (f, ps) =>
+        val bm = dv.RoaringBitmapArray(ps: _*)
+        (f, bm.serialize(), bm.cardinality)
+      }
+      .collect()
+      .map { case (f, bytes, card) => f -> ((bytes, card)) }.toMap
+    if (newBitmaps.isEmpty) return snapshot.version
+
+    val byInputName = matched
+      .map(a => read.PartitionUtils.inputFileName(deltaLog.dataPath, a.path) -> a)
+      .toMap
+    val shaded = Seq.newBuilder[Action]
+    var removedOutright = 0
+    var deletedRows = 0L
+    val toStore = Seq.newBuilder[(AddFile, dv.RoaringBitmapArray)]
+    newBitmaps.toSeq.sortBy(_._1).foreach { case (fileName, (bytes, _)) =>
+      val add = byInputName.getOrElse(fileName,
+        throw new IllegalStateException(s"hit an unmatched file $fileName"))
+      // merge with the file's EXISTING shade (hit positions exclude it by
+      // construction, so this is a disjoint union)
+      val merged = dv.RoaringBitmapArray.deserialize(bytes)
+      add.deletionVector.foreach { old =>
+        dv.DeletionVectors.readBitmap(old, deltaLog.dataPath, deltaLog.hadoopConf)
+          .values.foreach(merged.add)
+      }
+      deletedRows += merged.cardinality - add.deletionVector.fold(0L)(_.cardinality)
+      val liveRows = read.DataSkipping.withParsedStats(add)
+        .stats_parsed.flatMap(_.numRecords)
+      if (liveRows.contains(merged.cardinality)) {
+        // every row of the file is now deleted: drop it outright
+        shaded += add.remove(deltaLog.clock())
+        removedOutright += 1
+      } else {
+        toStore += ((add, merged))
+      }
+    }
+    val stored = toStore.result()
+    if (stored.nonEmpty) {
+      val descriptors = dv.DeletionVectors.writeDvFile(
+        deltaLog.dataPath, deltaLog.hadoopConf, stored.map(_._2))
+      stored.zip(descriptors).foreach { case ((add, _), desc) =>
+        shaded += add.copy(deletionVector = Some(desc), dataChange = true)
+        shaded += add.remove(deltaLog.clock())
+      }
+    }
+
+    // first shade upgrades the protocol (features preserved, dv added)
+    val proto = snapshot.protocol
+    val protoAction: Seq[Action] =
+      if (proto.minReaderVersion == 3 &&
+        proto.readerFeatures.exists(_.contains("deletionVectors"))) Nil
+      else Seq(TableFeatures.upgradedWith(proto,
+        Seq("deletionVectors"), Seq("deletionVectors")))
+
+    transaction.commit(protoAction ++ cdc ++ shaded.result(),
+      DeltaOperations.Delete,
+      operationMetrics = Map(
+        "numRemovedFiles" -> removedOutright.toString,
+        "numDeletionVectorsAdded" -> stored.size.toString,
+        "numDeletedRows" -> deletedRows.toString),
+      operationParameters = Map("predicate" -> Seq(resolved.sql)))
   }
 
   /** DML UPDATE: rewrite the files that may contain rows matching
@@ -178,6 +304,29 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * to their contents, write replacements and commit adds+removes as one
     * data-changing transaction (Serializable — conflicts with concurrent
     * writers are detected through the read predicate). */
+  /** DML candidate selection: the files whose partition values / stats
+    * admit a match. In distributed-state mode the pruning runs as a
+    * Spark job and only survivors are driver-materialized (they must be —
+    * they become the commit's RemoveFiles). */
+  private def candidateFiles(
+      snapshot: Snapshot,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+    : Seq[AddFile] = {
+    val metadata = snapshot.metadata
+    val (metaPreds, dataPreds) = read.PartitionUtils
+      .splitMetadataAndDataPredicates(resolved, metadata.partitionColumns)
+    if (snapshot.distributedState) {
+      read.FilePruning.prune(snapshot.allFilesDistributed,
+        metadata.partitionSchema, metaPreds, dataPreds,
+        metadata.dataSchema).collect().toSeq
+    } else {
+      val partitionPruned = read.PartitionUtils.filterFileList(
+        metadata.partitionSchema, snapshot.allFiles, metaPreds)
+      read.DataSkipping.filterFiles(partitionPruned, dataPreds,
+        metadata.dataSchema)
+    }
+  }
+
   private def rewriteMatchedFiles(
       transaction: graft.delta.txn.OptimisticTransaction,
       condition: Column,
@@ -187,21 +336,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val snapshot = transaction.snapshot
     val metadata = snapshot.metadata
     val resolved = read.PartitionUtils.resolveFilter(spark, metadata.schema, condition)
-    val (metaPreds, dataPreds) = read.PartitionUtils
-      .splitMetadataAndDataPredicates(resolved, metadata.partitionColumns)
-    val matched =
-      if (snapshot.distributedState) {
-        // candidate selection as a Spark job: only files whose partition
-        // values / stats admit a match are ever driver-materialized
-        read.FilePruning.prune(snapshot.allFilesDistributed,
-          metadata.partitionSchema, metaPreds, dataPreds,
-          metadata.dataSchema).collect().toSeq
-      } else {
-        val partitionPruned = read.PartitionUtils.filterFileList(
-          metadata.partitionSchema, snapshot.allFiles, metaPreds)
-        read.DataSkipping.filterFiles(partitionPruned, dataPreds,
-          metadata.dataSchema)
-      }
+    val matched = candidateFiles(snapshot, resolved)
     transaction.markFilesAsRead(condition)
     if (matched.isEmpty) return snapshot.version
 
@@ -213,7 +348,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       bucketSpec = None,
       fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
-    val current = spark.baseRelationToDataFrame(relation)
+    // read THROUGH any deletion vectors: a rewrite that re-materialized
+    // shaded rows would resurrect them
+    val current = read.DvFilter.forFiles(spark.baseRelationToDataFrame(relation),
+        matched, deltaLog.dataPath, deltaLog.hadoopConf)
       .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
     val rewritten = transform(current)
@@ -288,8 +426,18 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         new Snapshot(spark, deltaLog, snapshot.version, snapshot.logSegment,
           cutoff, snapshot.timestamp).tombstones
       } else snapshot.tombstones
+    // a file's deletion-vector bin lives in the table directory too:
+    // active/protected sets must carry it or vacuum CORRUPTS a DV table
+    // by deleting the bitmaps its active files still reference
+    val rootPrefixForDv = root + "/"
+    def dvRelPath(d: Option[DeletionVectorDescriptor]): Option[String] =
+      d.filter(x => x.storageType == "u" || x.storageType == "p").map { x =>
+        dv.DeletionVectors.absolutePath(x, deltaLog.dataPath)
+          .toUri.getPath.stripPrefix(rootPrefixForDv)
+      }
     val protectedPaths = tombstones
-      .filter(_.delTimestamp >= cutoff).map(r => decode(r.path))
+      .filter(_.delTimestamp >= cutoff)
+      .flatMap(r => decode(r.path) +: dvRelPath(r.deletionVector).toSeq)
 
     // distributed recursive listing: the ROOT level lists in one executor
     // task too (an unpartitioned million-file table would otherwise
@@ -345,9 +493,20 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
     val activeDF =
       (if (snapshot.distributedState) {
-        snapshot.allFilesDistributed.map(f => decode(f.path))
+        val dataPathStr = deltaLog.dataPath.toString
+        val prefix = rootPrefixForDv
+        snapshot.allFilesDistributed.flatMap { f =>
+          val dvPath = f.deletionVector
+            .filter(x => x.storageType == "u" || x.storageType == "p")
+            .map(x => dv.DeletionVectors.absolutePath(x,
+              new org.apache.hadoop.fs.Path(dataPathStr))
+              .toUri.getPath.stripPrefix(prefix))
+          new org.apache.hadoop.fs.Path(new java.net.URI(f.path))
+            .toUri.getPath +: dvPath.toSeq
+        }
       } else {
-        spark.createDataset(snapshot.allFiles.map(f => decode(f.path)))
+        spark.createDataset(snapshot.allFiles.flatMap(f =>
+          decode(f.path) +: dvRelPath(f.deletionVector).toSeq))
       }).toDF("rel")
     val protectedDF = spark.createDataset(protectedPaths).toDF("rel")
 
@@ -440,14 +599,28 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val currentFiles = filesDs(current)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the diff keys by (path, dvId), not path alone: restoring across a
+    // DV change must swap (F, dv) for (F, none) — a path-only diff would
+    // see "F on both sides" and leave the shade in place
+    def dvKeyed(ds: org.apache.spark.sql.Dataset[AddFile]) = {
+      import org.apache.spark.sql.functions.{coalesce, concat_ws, lit, when}
+      ds.withColumn("dvKey", coalesce(
+        when(col("deletionVector").isNotNull, concat_ws("@",
+          col("deletionVector.storageType"),
+          col("deletionVector.pathOrInlineDv"),
+          col("deletionVector.offset").cast("string"))),
+        lit("")))
+    }
     val (toAdd, toRemove) =
       try {
-        (targetFiles
-          .join(currentFiles.select(col("path")), Seq("path"), "left_anti")
-          .as[AddFile].collect().toSeq,
-          currentFiles
-            .join(targetFiles.select(col("path")), Seq("path"), "left_anti")
-            .as[AddFile].collect().toSeq)
+        (dvKeyed(targetFiles)
+          .join(dvKeyed(currentFiles).select(col("path"), col("dvKey")),
+            Seq("path", "dvKey"), "left_anti")
+          .drop("dvKey").as[AddFile].collect().toSeq,
+          dvKeyed(currentFiles)
+            .join(dvKeyed(targetFiles).select(col("path"), col("dvKey")),
+              Seq("path", "dvKey"), "left_anti")
+            .drop("dvKey").as[AddFile].collect().toSeq)
       } finally {
         targetFiles.unpersist(blocking = false)
         currentFiles.unpersist(blocking = false)
@@ -503,8 +676,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
                 fileFormat = new read.GuardedParquetFileFormat(m.columnMapping, m.fieldIdMapping),
                 options = Map.empty)(spark)
             // images align to the RESTORED schema; columns the other
-            // version lacks null-fill (forward restore across an add)
-            val base = spark.baseRelationToDataFrame(relation)
+            // version lacks null-fill (forward restore across an add);
+            // shaded files contribute only their LIVE rows
+            val base = read.DvFilter.forFiles(
+              spark.baseRelationToDataFrame(relation),
+              files, deltaLog.dataPath, deltaLog.hadoopConf)
             Some(base.select(target.metadata.schema.fields.map { f =>
                 if (base.columns.contains(f.name)) col(f.name)
                 else lit(null).cast(f.dataType).as(f.name)
@@ -596,7 +772,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           bucketSpec = None,
           fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
           options = Map.empty)(spark)
-        val removedRows = spark.baseRelationToDataFrame(relation)
+        val removedRows = read.DvFilter.forFiles(
+            spark.baseRelationToDataFrame(relation),
+            matched, deltaLog.dataPath, deltaLog.hadoopConf)
           .select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
           .withColumn(write.CdcWriter.ChangeTypeCol, lit("delete"))
         val insertedRows = df
@@ -716,6 +894,18 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val adds = files.map { f =>
       f.copy(
         path = read.PartitionUtils.absolutePath(qualified, f.path).toUri.toString,
+        // a relative ("u") deletion vector resolves against the TABLE
+        // root, which for the clone is the wrong directory — rebase to an
+        // absolute path into the SOURCE table (shallow-clone semantics,
+        // same as the data files themselves)
+        deletionVector = f.deletionVector.map { d =>
+          if (d.storageType == "u")
+            d.copy(storageType = "p",
+              pathOrInlineDv = dv.DeletionVectors.absolutePath(d, qualified)
+                .toUri.toString,
+              offset = d.offset)
+          else d
+        },
         dataChange = true)
     }
     txn.commit(snapshot.protocol +: (adds: Seq[Action]), DeltaOperations.Clone,
@@ -828,7 +1018,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       case Some(pred) =>
         val matched = txn.markFilesAsRead(pred)
         if (zOrderBy.isEmpty)
-          DeltaTable.packableGroups(matched.filter(_.size < targetFileBytes),
+          DeltaTable.packableGroups(
+            matched.filter(f =>
+              f.size < targetFileBytes || f.deletionVector.isDefined),
             targetFileBytes, maxFilesPerCommit)
         // Z-order must rewrite EVERY candidate in one clustering pass —
         // a truncated subset would leave the table partially clustered
@@ -846,7 +1038,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             // split by the cap is deferred, never half-rewritten.
             import spark.implicits._
             val survivors = snapshot.allFilesDistributed
-              .filter(_.size < target)
+              .filter(f => f.size < target || f.deletionVector.isDefined)
               .groupByKey(_.partitionValues.toSeq.sortBy(_._1)
                 .map { case (k, v) => s"$k=$v" }.mkString("/"))
               .flatMapGroups { (_, it) =>
@@ -858,6 +1050,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
                 while (it.hasNext && buf.size <= cap) buf += it.next()
                 val fs = buf.toSeq
                 if (fs.size > cap) fs
+                else if (fs.exists(_.deletionVector.isDefined)) fs
                 else if (fs.size >= 2 &&
                   DeltaTable.packedFileCount(fs, target) < fs.size) fs
                 else Iterator.empty
@@ -867,7 +1060,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           } else snapshot.allFilesDistributed.collect().toSeq
         } else {
           if (zOrderBy.isEmpty) {
-            DeltaTable.packableGroups(snapshot.allFiles.filter(_.size < targetFileBytes),
+            DeltaTable.packableGroups(
+              snapshot.allFiles.filter(f =>
+                f.size < targetFileBytes || f.deletionVector.isDefined),
               targetFileBytes, maxFilesPerCommit)
           } else snapshot.allFiles
         }
@@ -883,7 +1078,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       bucketSpec = None,
       fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
       options = Map.empty)(spark)
-    val df = spark.baseRelationToDataFrame(relation)
+    // compaction PURGES deletion vectors: shaded candidates contribute
+    // their live rows only, and the rewritten files carry no descriptors
+    val df = read.DvFilter.forFiles(spark.baseRelationToDataFrame(relation),
+        rewrite, deltaLog.dataPath, deltaLog.hadoopConf)
       .select(metadata.schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
     val numOutput = math.max(1,
@@ -981,7 +1179,10 @@ object DeltaTable {
   private[delta] def packableGroups(candidates: Seq[AddFile], target: Long,
                                     maxFilesPerCommit: Int): Seq[AddFile] = {
     val groups = candidates.groupBy(_.partitionValues).values.toSeq
-      .filter(fs => fs.size >= 2 && packedFileCount(fs, target) < fs.size)
+      // a group holding a SHADED file always rewrites: purging the
+      // deletion vector is progress even when the file count holds
+      .filter(fs => fs.exists(_.deletionVector.isDefined) ||
+        (fs.size >= 2 && packedFileCount(fs, target) < fs.size))
       // deterministic order so incremental passes make stable progress
       .sortBy(_.map(_.path).min)
     val picked = Seq.newBuilder[AddFile]

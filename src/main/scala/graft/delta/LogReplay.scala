@@ -70,6 +70,24 @@ class InMemoryLogReplay(
   private val activeFiles = mutable.LinkedHashMap.empty[String, AddFile]
   private val tombstones = mutable.HashMap.empty[String, RemoveFile]
 
+  /** Initialize the fold from an ALREADY-FOLDED state at `version` — the
+    * incremental-update path: a superseded snapshot's state seeds its
+    * successor, which then appends only the commits after `version`
+    * instead of re-reading the checkpoint and re-parsing every commit.
+    * Seeded entries rebuild the same (canonical path, dvId) keys the
+    * original fold used, so subsequent appends resolve identically. */
+  def seed(version: Long, state: State): Unit = {
+    require(currentVersion == -1, "seed() must precede every append()")
+    currentVersion = version
+    currentProtocol = state.protocol
+    currentMetadata = state.metadata
+    state.setTransactions.foreach(t => transactions(t.appId) = t)
+    state.activeFiles.foreach(a =>
+      activeFiles(canonical(a.path) + "\u0000" + a.dvId) = a)
+    state.tombstones.foreach(r =>
+      tombstones(canonical(r.path) + "\u0000" + r.dvId) = r)
+  }
+
   def append(version: Long, actions: Iterator[Action]): Unit = {
     require(currentVersion == -1 || version == currentVersion + 1,
       s"Attempted to replay version $version after $currentVersion")

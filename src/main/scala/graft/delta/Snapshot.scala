@@ -51,12 +51,39 @@ class Snapshot(
     /** Only the log's MAIN snapshot may cache its distributed file state
       * (update() uncaches the snapshot it replaces; nobody manages the
       * lifetime of time-travel snapshots, so they never cache). */
-    private[delta] val cacheable: Boolean = false) {
+    private[delta] val cacheable: Boolean = false,
+    /** Already-folded states of the snapshot this one supersedes (same
+      * checkpoint, strictly earlier version): the INCREMENTAL update path.
+      * A seeded fold appends only the commits after the base version —
+      * no checkpoint parquet re-read, no re-parse of older commits — so a
+      * commit loop costs O(1) log I/O per commit instead of O(interval).
+      * `None` (time travel, first load, checkpoint advanced) folds fresh. */
+    private[delta] val baseStates: Option[Snapshot.Folded] = None) {
 
-  /** Commits after the checkpoint, parsed once (≤ checkpointInterval). */
-  private lazy val commitActions: Seq[(Long, Seq[Action])] =
-    logSegment.deltas.map(fs =>
-      (FileNames.deltaVersion(fs.getPath), readCommit(fs).toVector))
+  /** Per-commit parse cache: each JSON commit file is read at most once
+    * per snapshot, and a seeded fold never touches commits at or below
+    * its base version. */
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[Action]]
+
+  private lazy val deltaVersions: Seq[(Long, FileStatus)] =
+    logSegment.deltas.map(fs => (FileNames.deltaVersion(fs.getPath), fs))
+
+  /** Commits with version strictly above `after`, parsed via the cache. */
+  private def commitActionsAfter(after: Long): Seq[(Long, Seq[Action])] =
+    deltaVersions.filter(_._1 > after).map { case (v, fs) =>
+      (v, commitCache.computeIfAbsent(v, _ => readCommit(fs).toVector))
+    }
+
+  /** A base usable for this snapshot: at or past the checkpoint, strictly
+    * before this version (update() guarantees it; re-checked for safety). */
+  private def usableBase(version: Long): Boolean =
+    version >= logSegment.checkpointVersion.getOrElse(-1L) &&
+      version < this.version
+
+  /** Which version the last state fold was seeded from (observability for
+    * specs; None = full fold from the checkpoint). */
+  @volatile private[delta] var seededFrom: Option[Long] = None
 
   /** Above this many checkpoint bytes the file list stays distributed. */
   private[delta] lazy val distributedState: Boolean = {
@@ -71,13 +98,27 @@ class Snapshot(
       deltaLog.logPath.getFileSystem(deltaLog.hadoopConf).getUri)
 
   // -------------------------------------------------------- light state
+  /** Whether the light fold ran (exposed to the successor via folded()). */
+  @volatile private[delta] var lightStateComputed = false
+
   /** Replay of everything EXCEPT the checkpoint's AddFiles (M5). */
   private lazy val lightState: State = {
+    lightStateComputed = true
     val replay = new InMemoryLogReplay(minFileRetentionTimestamp, canonicalPath)
-    logSegment.checkpointVersion.foreach { cpVersion =>
-      replay.append(cpVersion, readCheckpointLightActions())
+    val from = baseStates.collect {
+      case Snapshot.Folded(v, Some(light), _) if usableBase(v) =>
+        replay.seed(v, light)
+        seededFrom = Some(v)
+        v
+    }.getOrElse {
+      logSegment.checkpointVersion.foreach { cpVersion =>
+        replay.append(cpVersion, readCheckpointLightActions())
+      }
+      -1L
     }
-    commitActions.foreach { case (v, as) => replay.append(v, as.iterator) }
+    commitActionsAfter(from).foreach { case (v, as) =>
+      replay.append(v, as.iterator)
+    }
     replay.state
   }
 
@@ -102,22 +143,40 @@ class Snapshot(
   private lazy val inMemoryState: State = {
     fullStateComputed = true
     val replay = new InMemoryLogReplay(minFileRetentionTimestamp, canonicalPath)
-    // Checkpoint first — it IS the folded state at checkpointVersion.
-    // Read ONLY the state-bearing columns: checkpoints written by other
-    // Delta implementations carry extra fields with incompatible types
-    // (e.g. commitInfo.timestamp as a parquet TIMESTAMP where the JSON
-    // model uses millis) that state reconstruction must never touch.
-    logSegment.checkpointVersion.foreach { cpVersion =>
-      implicit val enc = Encoders.product[Snapshot.StateAction]
-      val paths = logSegment.checkpoint.map(_.getPath.toString)
-      val cpActions = spark.read.schema(enc.schema).parquet(paths: _*)
-        .as[Snapshot.StateAction]
-        .collect().iterator.map(_.unwrap).filter(_ != null)
-      replay.append(cpVersion, cpActions)
+    val from = baseStates.collect {
+      case Snapshot.Folded(v, _, Some(full)) if usableBase(v) =>
+        replay.seed(v, full)
+        seededFrom = Some(v)
+        v
+    }.getOrElse {
+      // Checkpoint first — it IS the folded state at checkpointVersion.
+      // Read ONLY the state-bearing columns: checkpoints written by other
+      // Delta implementations carry extra fields with incompatible types
+      // (e.g. commitInfo.timestamp as a parquet TIMESTAMP where the JSON
+      // model uses millis) that state reconstruction must never touch.
+      logSegment.checkpointVersion.foreach { cpVersion =>
+        implicit val enc = Encoders.product[Snapshot.StateAction]
+        val paths = logSegment.checkpoint.map(_.getPath.toString)
+        val cpActions = spark.read.schema(enc.schema).parquet(paths: _*)
+          .as[Snapshot.StateAction]
+          .collect().iterator.map(_.unwrap).filter(_ != null)
+        replay.append(cpVersion, cpActions)
+      }
+      -1L
     }
-    commitActions.foreach { case (v, as) => replay.append(v, as.iterator) }
+    commitActionsAfter(from).foreach { case (v, as) =>
+      replay.append(v, as.iterator)
+    }
     replay.state
   }
+
+  /** The folded states this snapshot can hand its successor — only folds
+    * that already ran are offered (seeding must never FORCE a fold the
+    * workload didn't need). */
+  private[delta] def folded: Snapshot.Folded = Snapshot.Folded(
+    version,
+    if (lightStateComputed) Some(lightState) else None,
+    if (fullStateComputed) Some(inMemoryState) else None)
 
   private def readCommit(fs: FileStatus): Iterator[Action] =
     deltaLog.store.read(fs.getPath, deltaLog.hadoopConf).iterator
@@ -251,6 +310,11 @@ class Snapshot(
 object Snapshot {
   val DriverStateMaxBytesKey = "spark.graft.snapshot.driverStateMaxBytes"
   val DriverStateMaxBytesDefault: Long = 128L * 1024 * 1024
+
+  /** A superseded snapshot's already-computed folds, offered to its
+    * successor for incremental replay (see the `baseStates` ctor param). */
+  private[delta] case class Folded(
+      version: Long, light: Option[State], full: Option[State])
 
   /** Projection of [[SingleAction]] without the `add` column — reading
     * a checkpoint through this schema skips the AddFile bytes entirely

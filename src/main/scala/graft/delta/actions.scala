@@ -216,10 +216,41 @@ object TableFeatures {
   val supportedReader: Set[String] =
     Set("columnMapping", "timestampNtz", "deletionVectors")
   /** Writer features this engine implements — the feature names of
-    * legacy writer versions 2-6 plus their reader-side twins. */
+    * legacy writer versions 2-6 plus their reader-side twins, and
+    * deletionVectors (DELETE shades files, every other write path reads
+    * through the shade). */
   val supportedWriter: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-    "generatedColumns", "columnMapping", "identityColumns", "timestampNtz")
+    "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
+    "deletionVectors")
+
+  /** The features a LEGACY protocol version implies when upgrading to the
+    * table-features form (3, 7) — the spec's version→feature mapping, so
+    * an upgraded table keeps every capability its old version granted. */
+  def legacyReaderFeatures(p: Protocol): Seq[String] =
+    p.readerFeatures.map(_.toSeq).getOrElse(
+      if (p.minReaderVersion >= 2) Seq("columnMapping") else Nil)
+  def legacyWriterFeatures(p: Protocol): Seq[String] =
+    p.writerFeatures.map(_.toSeq).getOrElse {
+      val v = p.minWriterVersion
+      Seq(
+        2 -> Seq("appendOnly", "invariants"),
+        3 -> Seq("checkConstraints"),
+        4 -> Seq("changeDataFeed", "generatedColumns"),
+        5 -> Seq("columnMapping"),
+        6 -> Seq("identityColumns")
+      ).collect { case (atLeast, fs) if v >= atLeast => fs }.flatten
+    }
+
+  /** The (3, 7) protocol carrying `p`'s capabilities plus `readerAdd` /
+    * `writerAdd` — the auto-upgrade a feature-gated commit applies. */
+  def upgradedWith(p: Protocol, readerAdd: Seq[String],
+                   writerAdd: Seq[String]): Protocol =
+    Protocol(3, 7,
+      readerFeatures =
+        Some((legacyReaderFeatures(p) ++ readerAdd).distinct.sorted),
+      writerFeatures =
+        Some((legacyWriterFeatures(p) ++ writerAdd).distinct.sorted))
 
   /** Features the engine cannot honor; a features-version protocol that
     * LISTS NO features is unknown territory (the spec requires the list)

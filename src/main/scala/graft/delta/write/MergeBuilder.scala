@@ -311,7 +311,10 @@ final class MergeBuilder private[delta] (
         bucketSpec = None,
         fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
         options = Map.empty)(spark)
-      spark.baseRelationToDataFrame(relation)
+      // shaded target files contribute live rows only (merge must never
+      // match against — or copy forward — DV-deleted rows)
+      read.DvFilter.forFiles(spark.baseRelationToDataFrame(relation),
+          files, deltaLog.dataPath, deltaLog.hadoopConf)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
     val target = candidateFiles.map(scanFiles).getOrElse(snapshot.toDF).alias("t")

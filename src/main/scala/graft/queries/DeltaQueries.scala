@@ -917,6 +917,47 @@ object DeltaQueries {
         FROM ranked
         WHERE NOT (par = 0 AND pos % 5 = 2)
           AND NOT (par = 1 AND pos % 7 = 3)
-        GROUP BY c_mktsegment"""))
+        GROUP BY c_mktsegment""")),
+
+    // Merge-on-read DELETE (delta.enableDeletionVectors): two successive
+    // predicate deletes SHADE the files with position bitmaps (no parquet
+    // rewrite), the second merging into the first's shade; the read path
+    // then OPTIMIZE purges the shades and re-reads — both reads must
+    // agree with the plain-SQL mirror of the two deletes.
+    QueryDef(
+      "delta_dv_delete",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("dvdelete")
+        DeltaTable.write(t(s, dir, "orders"), path, SaveMode.Overwrite,
+          configuration = Map("delta.enableDeletionVectors" -> "true"))
+        val table = DeltaTable.forPath(s, path)
+        table.delete($"o_totalprice" > 150000.0)
+        table.delete($"o_orderstatus" === "F" && $"o_totalprice" < 50000.0)
+        val shaded = table.toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_price"))
+        val shadedRows = shaded.collect()
+        // purge the shades; the answer must not move
+        table.compact()
+        val purged = table.toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_price"))
+        require(purged.collect().toSet == shadedRows.toSet,
+          "OPTIMIZE purge changed the answer")
+        purged
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE NOT (o_totalprice > 150000.0)
+          AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+        GROUP BY o_orderpriority"""))
   )
 }

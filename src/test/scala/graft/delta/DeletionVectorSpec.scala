@@ -277,14 +277,30 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
-  test("writes to a DV table refuse, naming the writer feature") {
+  test("appends to a DV table work; unknown writer features still refuse by name") {
     withTempDir { dir =>
       seedTable(dir, 4)
       attachDv(dir, Seq(1L), inline = true)
+      // deletionVectors is now a SUPPORTED writer feature: plain appends
+      // are protocol-legal and must not disturb the shade
+      DeltaTable.write(Seq(99L).toDF("id"), dir)
+      val got = DeltaTable.forPath(spark, dir).toDF
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(0L, 2L, 3L, 99L))
+      // a genuinely unimplemented feature still refuses, naming itself
+      val log = DeltaLog.forTable(spark, dir)
+      val v = log.update().version + 1
+      val protoUp: Seq[Action] = Seq(
+        Protocol(minReaderVersion = 3, minWriterVersion = 7,
+          readerFeatures = Some(Seq("deletionVectors")),
+          writerFeatures = Some(Seq("deletionVectors", "icebergCompatV2"))))
+      log.store.write(FileNames.deltaFile(log.logPath, v),
+        protoUp.map(JsonCodec.toJson).iterator,
+        overwrite = false, log.hadoopConf)
       val e = intercept[IllegalArgumentException] {
-        DeltaTable.write(Seq(99L).toDF("id"), dir)
+        DeltaTable.write(Seq(100L).toDF("id"), dir)
       }
-      assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+      assert(e.getMessage.contains("icebergCompatV2"), e.getMessage)
     }
   }
 }

@@ -1,0 +1,197 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read DELETE via deletion vectors
+  * (`delta.enableDeletionVectors`): a delete shades files with position
+  * bitmaps instead of rewriting them; every other path — scans, DML
+  * rewrites, OPTIMIZE purge, restore, vacuum, CDF — must see exactly the
+  * live rows. The twin-table pattern (same operations against a
+  * rewrite-mode table) pins the semantics: shading is an EXECUTION
+  * strategy, never an answer change. */
+class DvWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dvConf = Map("delta.enableDeletionVectors" -> "true")
+
+  private def ids(dir: String): Seq[Long] =
+    DeltaTable.forPath(spark, dir).toDF
+      .select("id").as[Long].collect().sorted.toSeq
+
+  test("delete shades instead of rewriting; protocol upgrades once; shades merge") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 20L).toDF("id"), dir, configuration = dvConf)
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update().allFiles.map(_.path).toSet
+
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" % 5 === 2)
+      assert(ids(dir) == (0L until 20L).filter(_ % 5 != 2))
+      val snap1 = log.update()
+      // the DATA FILES did not move — same paths, now shaded
+      assert(snap1.allFiles.map(_.path).toSet == before)
+      assert(snap1.allFiles.forall(_.deletionVector.isDefined))
+      assert(snap1.dvCardinality == 4L)
+      // protocol upgraded to (3,7) with the feature, legacy writer-2
+      // capabilities preserved
+      val p = snap1.protocol
+      assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+      assert(p.readerFeatures.get.contains("deletionVectors"))
+      assert(p.writerFeatures.get.contains("deletionVectors"))
+      assert(p.writerFeatures.get.contains("appendOnly"))
+
+      // second delete MERGES into the shade (old bitmap unioned)
+      t.delete($"id" === 0L || $"id" === 11L)
+      assert(ids(dir) == (0L until 20L)
+        .filter(i => i % 5 != 2 && i != 0L && i != 11L))
+      val snap2 = log.update()
+      assert(snap2.allFiles.map(_.path).toSet == before)
+      assert(snap2.dvCardinality == 6L)
+      // history records the shading metrics
+      val h = t.history().filter(col("operation") === "DELETE")
+        .select("operationMetrics").as[Map[String, String]].collect()
+      assert(h.exists(_.get("numDeletionVectorsAdded").exists(_.toInt > 0)))
+    }
+  }
+
+  test("a fully-deleted file is dropped outright, not shaded") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).toDF("id").repartition(1), dir,
+        configuration = dvConf)
+      DeltaTable.write((100L until 110L).toDF("id").repartition(1), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" < 50L) // wipes the first file completely
+      val snap = DeltaLog.forTable(spark, dir).update()
+      assert(snap.allFiles.length == 1, "the wiped file must be REMOVED")
+      assert(snap.allFiles.head.deletionVector.isEmpty)
+      assert(ids(dir) == (100L until 110L))
+    }
+  }
+
+  test("twin-table equivalence: shading answers match rewriting across DML") {
+    withTempDir { shadedDir => withTempDir { rewriteDir =>
+      val data = (0L until 50L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+      DeltaTable.write(data, shadedDir, configuration = dvConf)
+      DeltaTable.write(data, rewriteDir)
+      val s = DeltaTable.forPath(spark, shadedDir)
+      val r = DeltaTable.forPath(spark, rewriteDir)
+      def both(f: DeltaTable => Unit): Unit = { f(s); f(r) }
+      both(_.delete($"id" % 7 === 1))
+      // UPDATE on the shaded table rewrites through the shade (live rows
+      // only) — deleted rows must not resurrect, updates must apply
+      both(_.update($"id" % 10 === 4, Map("g" -> lit("updated"))))
+      both(_.delete($"g" === "g2" && $"id" > 30L))
+      val left = s.toDF.select("id", "g").as[(Long, String)]
+        .collect().sorted.toSeq
+      val right = r.toDF.select("id", "g").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(left == right)
+      assert(left.nonEmpty)
+    }}
+  }
+
+  test("OPTIMIZE purges shades; vacuum then reclaims the bin; reads hold") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 30L).toDF("id"), dir, configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" % 3 === 0)
+      val expected = (0L until 30L).filter(_ % 3 != 0)
+      assert(ids(dir) == expected)
+      val log = DeltaLog.forTable(spark, dir)
+      val binDir = new java.io.File(dir)
+      def bins() = binDir.listFiles()
+        .filter(_.getName.startsWith("deletion_vector_")).toSeq
+      assert(bins().nonEmpty, "the shade must live in an on-disk bin")
+
+      // vacuum while the shade is ACTIVE: the bin must survive
+      spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+      try {
+        t.vacuum(retentionMillis = Some(0L))
+        assert(bins().nonEmpty, "vacuum deleted a LIVE deletion vector")
+        assert(ids(dir) == expected)
+
+        // OPTIMIZE rewrites the shaded file to plain parquet
+        t.compact()
+        val snap = log.update()
+        assert(snap.allFiles.forall(_.deletionVector.isEmpty),
+          "compaction must purge descriptors")
+        assert(snap.dvCardinality == 0L)
+        assert(ids(dir) == expected)
+
+        // now the bin is garbage — vacuum reclaims it
+        t.vacuum(retentionMillis = Some(0L))
+        assert(bins().isEmpty, "purged bin must be reclaimable")
+        assert(ids(dir) == expected)
+      } finally {
+        spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+      }
+    }
+  }
+
+  test("restore across a shade un-deletes; time travel sees both sides") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 12L).toDF("id"), dir, configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" >= 8L)
+      assert(ids(dir) == (0L until 8L))
+      assert(t.asOfVersion(0).select("id").as[Long].collect().sorted.toSeq
+        == (0L until 12L))
+      t.restore(0)
+      assert(ids(dir) == (0L until 12L),
+        "restore must swap (path, dv) back to (path, none)")
+    }
+  }
+
+  test("CDF records DV deletes as delete rows") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).toDF("id"), dir,
+        configuration = dvConf + ("delta.enableChangeDataFeed" -> "true"))
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" % 4 === 1)
+      val changes = t.changes(1, 1)
+        .filter(col("_change_type") === "delete")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(changes == Seq(1L, 5L, 9L))
+    }
+  }
+
+  test("shallow clone of a shaded table rebases descriptors and reads true") {
+    withTempDir { src => withTempDir { dstParent =>
+      val dst = s"$dstParent/clone"
+      DeltaTable.write((0L until 10L).toDF("id"), src, configuration = dvConf)
+      val t = DeltaTable.forPath(spark, src)
+      t.delete($"id" === 3L || $"id" === 7L)
+      t.cloneTo(dst)
+      val cloned = DeltaTable.forPath(spark, dst).toDF
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(cloned == Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L))
+      val dvs = DeltaLog.forTable(spark, dst).update()
+        .allFiles.flatMap(_.deletionVector)
+      assert(dvs.nonEmpty && dvs.forall(_.storageType == "p"),
+        s"clone must rebase relative shades to absolute paths: $dvs")
+    }}
+  }
+
+  test("merge against a shaded target never matches deleted rows") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).map(i => (i, 0L)).toDF("id", "v"), dir,
+        configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" === 4L)
+      // source hits a deleted id (4) and a live one (5): 4 must INSERT
+      // (it is gone), 5 must update
+      t.merge(Seq((4L, 40L), (5L, 50L)).toDF("id", "v"),
+          col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("v" -> col("s.v")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val got = t.toDF.select("id", "v").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(got.contains((4L, 40L)), "deleted row must re-insert, not match")
+      assert(got.contains((5L, 50L)))
+      assert(got.count(_._1 == 4L) == 1)
+    }
+  }
+}
