@@ -114,8 +114,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       transaction: graft.delta.txn.OptimisticTransaction,
       condition: Column,
       resolved: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit}
-    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val snapshot = transaction.snapshot
     val metadata = snapshot.metadata
     val matched = candidateFiles(snapshot, resolved)
@@ -147,72 +146,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           deltaLog, metadata.columnMapping, metadata.fieldIdMapping)
       } else Nil
 
-    // per-file NEW-hit bitmaps, serialized on executors; only (file,
-    // bytes, cardinality) reaches the driver
-    val newBitmaps: Map[String, (Array[Byte], Long)] = hits
-      .select(col("__file"), col("__pos"))
-      .groupBy(col("__file")).agg(collect_list(col("__pos")).as("ps"))
-      .as[(String, Seq[Long])]
-      .map { case (f, ps) =>
-        val bm = dv.RoaringBitmapArray(ps: _*)
-        (f, bm.serialize(), bm.cardinality)
-      }
-      .collect()
-      .map { case (f, bytes, card) => f -> ((bytes, card)) }.toMap
-    if (newBitmaps.isEmpty) return snapshot.version
+    val shade = write.DvShade.shade(deltaLog, hits, matched)
+    if (shade.isEmpty) return snapshot.version
 
-    val byInputName = matched
-      .map(a => read.PartitionUtils.inputFileName(deltaLog.dataPath, a.path) -> a)
-      .toMap
-    val shaded = Seq.newBuilder[Action]
-    var removedOutright = 0
-    var deletedRows = 0L
-    val toStore = Seq.newBuilder[(AddFile, dv.RoaringBitmapArray)]
-    newBitmaps.toSeq.sortBy(_._1).foreach { case (fileName, (bytes, _)) =>
-      val add = byInputName.getOrElse(fileName,
-        throw new IllegalStateException(s"hit an unmatched file $fileName"))
-      // merge with the file's EXISTING shade (hit positions exclude it by
-      // construction, so this is a disjoint union)
-      val merged = dv.RoaringBitmapArray.deserialize(bytes)
-      add.deletionVector.foreach { old =>
-        dv.DeletionVectors.readBitmap(old, deltaLog.dataPath, deltaLog.hadoopConf)
-          .values.foreach(merged.add)
-      }
-      deletedRows += merged.cardinality - add.deletionVector.fold(0L)(_.cardinality)
-      val liveRows = read.DataSkipping.withParsedStats(add)
-        .stats_parsed.flatMap(_.numRecords)
-      if (liveRows.contains(merged.cardinality)) {
-        // every row of the file is now deleted: drop it outright
-        shaded += add.remove(deltaLog.clock())
-        removedOutright += 1
-      } else {
-        toStore += ((add, merged))
-      }
-    }
-    val stored = toStore.result()
-    if (stored.nonEmpty) {
-      val descriptors = dv.DeletionVectors.writeDvFile(
-        deltaLog.dataPath, deltaLog.hadoopConf, stored.map(_._2))
-      stored.zip(descriptors).foreach { case ((add, _), desc) =>
-        shaded += add.copy(deletionVector = Some(desc), dataChange = true)
-        shaded += add.remove(deltaLog.clock())
-      }
-    }
-
-    // first shade upgrades the protocol (features preserved, dv added)
-    val proto = snapshot.protocol
-    val protoAction: Seq[Action] =
-      if (proto.minReaderVersion == 3 &&
-        proto.readerFeatures.exists(_.contains("deletionVectors"))) Nil
-      else Seq(TableFeatures.upgradedWith(proto,
-        Seq("deletionVectors"), Seq("deletionVectors")))
-
-    transaction.commit(protoAction ++ cdc ++ shaded.result(),
+    transaction.commit(
+      write.DvShade.protocolUpgrade(snapshot) ++ cdc ++ shade.actions,
       DeltaOperations.Delete,
       operationMetrics = Map(
-        "numRemovedFiles" -> removedOutright.toString,
-        "numDeletionVectorsAdded" -> stored.size.toString,
-        "numDeletedRows" -> deletedRows.toString),
+        "numRemovedFiles" -> shade.numRemovedOutright.toString,
+        "numDeletionVectorsAdded" -> shade.numDvsAdded.toString,
+        "numDeletedRows" -> shade.numShadedRows.toString),
       operationParameters = Map("predicate" -> Seq(resolved.sql)))
   }
 
@@ -255,6 +198,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       write.GeneratedColumns.recompute(applied,
         txn.snapshot.metadata, set.keySet)
     }
+    if (DeltaConfigs.ENABLE_DELETION_VECTORS.fromMetadata(txn.snapshot.metadata)) {
+      return updateWithDeletionVectors(txn, condition, applySet)
+    }
     rewriteMatchedFiles(txn, condition, DeltaOperations.Update, applySet,
       changes = { df =>
         val matched = df.filter(coalesce(condition, lit(false)))
@@ -262,6 +208,70 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .unionByName(applySet(matched)
             .withColumn(write.CdcWriter.ChangeTypeCol, lit("update_postimage")))
       })
+  }
+
+  /** Merge-on-read UPDATE (`delta.enableDeletionVectors`): shade the
+    * matched rows' positions in their source files and write ONLY the
+    * updated rows as new files — the unmatched rows of a touched file
+    * never move. A selective update on a 1 GB file writes a few KB of
+    * bitmap plus the changed rows instead of 1 GB of parquet; SET on a
+    * partition (or generated-partition-source) column still relocates the
+    * moved rows through the new files' dynamic partitioning. */
+  private def updateWithDeletionVectors(
+      transaction: graft.delta.txn.OptimisticTransaction,
+      condition: Column,
+      applySet: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val snapshot = transaction.snapshot
+    val metadata = snapshot.metadata
+    val resolved = read.PartitionUtils.resolveFilter(
+      spark, metadata.schema, condition)
+    val matched = candidateFiles(snapshot, resolved)
+    transaction.markFilesAsRead(condition)
+    if (matched.isEmpty) return snapshot.version
+
+    val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, matched)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = metadata.partitionSchema,
+      dataSchema = metadata.dataSchema,
+      bucketSpec = None,
+      fileFormat = new read.GuardedParquetFileFormat(metadata.columnMapping, metadata.fieldIdMapping),
+      options = Map.empty)(spark)
+    // live rows only (through any existing shade), with positions
+    val hits = read.DvFilter.forFiles(spark.baseRelationToDataFrame(relation),
+        matched, deltaLog.dataPath, deltaLog.hadoopConf)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(coalesce(condition, lit(false)))
+
+    val shade = write.DvShade.shade(deltaLog, hits, matched)
+    if (shade.isEmpty) return snapshot.version
+
+    // the updated rows themselves are the only data written
+    val updated = applySet(hits)
+    val adds = write.DeltaWriter.writeFiles(
+      write.Invariants.enforce(updated, metadata), deltaLog,
+      metadata.partitionColumns, metadata.columnMapping, Some(metadata))
+    val cdc: Seq[Action] =
+      if (write.CdcWriter.enabled(metadata)) {
+        val pre = hits.select(metadata.schema.fieldNames.map(col).toIndexedSeq: _*)
+        write.CdcWriter.writeChangeFiles(
+          pre.withColumn(write.CdcWriter.ChangeTypeCol, lit("update_preimage"))
+            .unionByName(updated
+              .withColumn(write.CdcWriter.ChangeTypeCol, lit("update_postimage"))),
+          deltaLog, metadata.columnMapping, metadata.fieldIdMapping)
+      } else Nil
+
+    transaction.commit(
+      write.DvShade.protocolUpgrade(snapshot) ++ cdc ++ adds ++ shade.actions,
+      DeltaOperations.Update,
+      operationMetrics = Map(
+        "numRemovedFiles" -> shade.numRemovedOutright.toString,
+        "numDeletionVectorsAdded" -> shade.numDvsAdded.toString,
+        "numAddedFiles" -> adds.size.toString,
+        "numUpdatedRows" -> shade.numShadedRows.toString),
+      operationParameters = Map("predicate" -> Seq(resolved.sql)))
   }
 
   /** MERGE INTO builder: the target joins as alias `t`, `source` as `s`.

@@ -302,7 +302,13 @@ final class MergeBuilder private[delta] (
         txn.readWholeTable() // merge reads target rows by data condition
         None
       }
-    def scanFiles(files: Seq[AddFile]): DataFrame = {
+    // merge-on-read (`delta.enableDeletionVectors`): clause-hit target
+    // rows are SHADED in place (position bitmaps) and only the updated
+    // rows and inserts are written — a 10-row upsert against a 1 GB file
+    // writes KBs, not the file. Rows no clause accepts never move.
+    val dvMode = DeltaConfigs.ENABLE_DELETION_VECTORS.fromMetadata(metadata) &&
+      rewriteClauses.nonEmpty
+    def scanFiles(files: Seq[AddFile], withPos: Boolean = false): DataFrame = {
       val index = new read.DeltaFileIndex(spark, deltaLog.dataPath, metadata, files)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         location = index,
@@ -313,11 +319,15 @@ final class MergeBuilder private[delta] (
         options = Map.empty)(spark)
       // shaded target files contribute live rows only (merge must never
       // match against — or copy forward — DV-deleted rows)
-      read.DvFilter.forFiles(spark.baseRelationToDataFrame(relation),
-          files, deltaLog.dataPath, deltaLog.hadoopConf)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val live = read.DvFilter.forFiles(spark.baseRelationToDataFrame(relation),
+        files, deltaLog.dataPath, deltaLog.hadoopConf)
+      val cols = schema.fieldNames.map(col) ++
+        (if (withPos) Seq(col("_metadata.file_path").as("__file"),
+          col("_metadata.row_index").as("__pos")) else Nil)
+      live.select(cols.toIndexedSeq: _*)
     }
-    val target = candidateFiles.map(scanFiles).getOrElse(snapshot.toDF).alias("t")
+    val target = candidateFiles.map(f => scanFiles(f))
+      .getOrElse(snapshot.toDF).alias("t")
     val src = source.alias("s")
 
     // 1. ONE touched-file job: inner join carrying only (file, row-id),
@@ -400,12 +410,15 @@ final class MergeBuilder private[delta] (
     val cdcEnabled = CdcWriter.enabled(metadata)
     var changeFrames = Vector.empty[DataFrame]
     var cached: Option[DataFrame] = None
+    // dvMode: the (__file, __pos) pairs of every clause-hit target row
+    var shadeHits: Option[DataFrame] = None
 
-    // 2. rewrite the affected files with the source joined in
+    // 2. rewrite the affected files with the source joined in (dvMode:
+    //    emit only the UPDATED rows; hit rows shade instead of rewriting)
     val rewritten: Option[DataFrame] =
       if (rewriteFiles.isEmpty || rewriteClauses.isEmpty) None
       else {
-        val rows = scanFiles(rewriteFiles).alias("t")
+        val rows = scanFiles(rewriteFiles, withPos = dvMode).alias("t")
         // One output row PER TARGET ROW is the rewrite invariant. With
         // matched clauses the touched-file job's multi-match guard makes
         // the left join 1:1; with ONLY by-source clauses the guard does
@@ -435,7 +448,9 @@ final class MergeBuilder private[delta] (
                 firstAction(bySourceClauses.map(_.cond), matchedClauses.size))
                 .otherwise(firstAction(matchedClauses.map(_.cond))))
           }
-        if (cdcEnabled) {
+        if (cdcEnabled || dvMode) {
+          // consumed by the rewrite AND the change images / shade-bitmap
+          // job — persist so the join executes once per consumer set
           tagged = tagged.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cached = Some(tagged)
@@ -489,11 +504,22 @@ final class MergeBuilder private[delta] (
               .withColumn(CdcWriter.ChangeTypeCol, lit("delete"))
           }
         }
-        val kept =
-          if (deleteIdx.isEmpty) tagged
-          else tagged.filter(!col("__graft_action")
-            .isin(deleteIdx.map(Int.box): _*))
-        Some(projectUpdated(kept).drop("__graft_action"))
+        if (dvMode) {
+          // every clause-hit row (update OR delete) shades its position;
+          // only the UPDATED rows are re-materialized as new files
+          shadeHits = Some(tagged.filter(col("__graft_action") =!= -1)
+            .select(col("t.__file").as("__file"), col("t.__pos").as("__pos")))
+          if (updIdx.isEmpty) None
+          else Some(projectUpdated(tagged.filter(
+            col("__graft_action").isin(updIdx.map(Int.box): _*)))
+            .drop("__graft_action"))
+        } else {
+          val kept =
+            if (deleteIdx.isEmpty) tagged
+            else tagged.filter(!col("__graft_action")
+              .isin(deleteIdx.map(Int.box): _*))
+          Some(projectUpdated(kept).drop("__graft_action"))
+        }
       }
 
     // 3. inserts: source rows matching NO target row — the FIRST insert
@@ -539,9 +565,13 @@ final class MergeBuilder private[delta] (
         DeltaWriter.writeFiles(Invariants.enforce(df, metadata), deltaLog,
           metadata.partitionColumns, metadata.columnMapping, Some(metadata)))
         .getOrElse(Nil)
-      val removes =
+      // dvMode: shade the hit rows' positions instead of removing +
+      // re-emitting whole files (fully-shaded files still drop outright)
+      val shade = shadeHits.map(h => DvShade.shade(deltaLog, h, rewriteFiles))
+      val removes: Seq[Action] = shade.map(_.actions).getOrElse {
         if (rewritten.isDefined) rewriteFiles.map(_.remove(deltaLog.clock()))
         else Nil
+      }
 
       if (adds.isEmpty && removes.isEmpty) return snapshot.version
       if (cdcEnabled) {
@@ -555,10 +585,15 @@ final class MergeBuilder private[delta] (
       val txnAction: Seq[Action] = idempotency.toSeq.map { case (appId, v) =>
         SetTransaction(appId, v, Some(deltaLog.clock()))
       }
-      txn.commit(txnAction ++ cdc ++ adds ++ removes, DeltaOperations.Merge,
+      val protoActions: Seq[Action] =
+        if (shade.exists(!_.isEmpty)) DvShade.protocolUpgrade(snapshot) else Nil
+      txn.commit(protoActions ++ txnAction ++ cdc ++ adds ++ removes,
+        DeltaOperations.Merge,
         operationMetrics = Map(
-          "numTargetFilesRemoved" -> removes.size.toString,
-          "numTargetFilesAdded" -> adds.size.toString),
+          "numTargetFilesRemoved" ->
+            shade.fold(removes.size)(_.numRemovedOutright).toString,
+          "numTargetFilesAdded" -> adds.size.toString) ++
+          shade.map(s => "numDeletionVectorsAdded" -> s.numDvsAdded.toString),
         // delta-spark renders DML predicates as a JSON array of strings
         operationParameters = Map("predicate" -> Seq(condition.toString)))
     } finally cached.foreach(_.unpersist(blocking = false))

@@ -958,6 +958,86 @@ object DeltaQueries {
         FROM orders
         WHERE NOT (o_totalprice > 150000.0)
           AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
-        GROUP BY o_orderpriority"""))
+        GROUP BY o_orderpriority""")),
+
+    // Merge-on-read UPDATE: matched rows shade in place and ONLY the
+    // updated rows are rewritten (additive transform — lesson 22: stays
+    // in the cross-engine-exact class). The require proves the shading
+    // path actually ran (descriptors on the original files).
+    QueryDef(
+      "delta_dv_update",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("dvupdate")
+        DeltaTable.write(t(s, dir, "customer"), path, SaveMode.Overwrite,
+          configuration = Map("delta.enableDeletionVectors" -> "true"))
+        val table = DeltaTable.forPath(s, path)
+        table.update($"c_mktsegment" === "BUILDING",
+          Map("c_acctbal" -> ($"c_acctbal" + lit(100.0))))
+        require(graft.delta.DeltaLog.forTable(s, path).update().allFiles
+          .exists(_.deletionVector.isDefined),
+          "UPDATE on a DV table must shade, not rewrite")
+        table.toDF
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"c_acctbal".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_bal"))
+      },
+      Some("""
+        SELECT c_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                                  THEN c_acctbal + 100.0
+                                  ELSE c_acctbal END AS DECIMAL(12,2)))
+                    AS DOUBLE) AS sum_bal
+        FROM customer
+        GROUP BY c_nationkey""")),
+
+    // Merge-on-read MERGE: one statement carrying a conditional DELETE
+    // clause, an UPDATE clause and an INSERT clause against a DV-enabled
+    // target — hit rows shade, updated+inserted rows are the only new
+    // data. The oracle replays the three clauses as plain SQL.
+    QueryDef(
+      "delta_dv_merge",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("dvmerge")
+        val base = t(s, dir, "customer")
+        DeltaTable.write(base, path, SaveMode.Overwrite,
+          configuration = Map("delta.enableDeletionVectors" -> "true"))
+        val table = DeltaTable.forPath(s, path)
+        val src = base.filter($"c_custkey" % 10 === 1 || $"c_custkey" % 10 === 3)
+          .select($"c_custkey".as("k"))
+          .unionByName(base.filter($"c_custkey" % 10 === 1)
+            .select(($"c_custkey" + 10000000L).as("k")))
+        table.merge(src, col("t.c_custkey") === col("s.k"))
+          .whenMatchedDelete(col("s.k") % 10 === 1)
+          .whenMatchedUpdate(Map("c_mktsegment" -> lit("UPDATED")))
+          .whenNotMatchedInsert(Map(
+            "c_custkey" -> col("s.k"), "c_mktsegment" -> lit("NEW")))
+          .execute()
+        require(graft.delta.DeltaLog.forTable(s, path).update().allFiles
+          .exists(_.deletionVector.isDefined),
+          "MERGE on a DV table must shade, not rewrite")
+        table.toDF
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+               sum($"c_custkey").as("sum_key"))
+      },
+      Some("""
+        WITH merged AS (
+          SELECT CASE WHEN c_custkey % 10 = 3 THEN 'UPDATED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 c_custkey
+          FROM customer
+          WHERE c_custkey % 10 <> 1
+          UNION ALL
+          SELECT 'NEW' AS c_mktsegment, c_custkey + 10000000 AS c_custkey
+          FROM customer
+          WHERE c_custkey % 10 = 1
+        )
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        FROM merged
+        GROUP BY c_mktsegment"""))
   )
 }

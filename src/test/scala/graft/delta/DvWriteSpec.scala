@@ -174,6 +174,139 @@ class DvWriteSpec extends SparkSpec {
     }}
   }
 
+  test("update shades the old rows and writes only the updated ones") {
+    withTempDir { dir =>
+      val data = (0L until 40L).map(i => (i, i * 10L)).toDF("id", "v")
+      DeltaTable.write(data.repartition(2), dir, configuration = dvConf)
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update().allFiles.map(_.path).toSet
+      assert(before.size == 2)
+
+      val t = DeltaTable.forPath(spark, dir)
+      t.update($"id" % 10 === 3, Map("v" -> lit(-1L)))
+      val snap = log.update()
+      // the original data files never moved — they are shaded, and the
+      // only NEW bytes are the 4 updated rows
+      assert(before.subsetOf(snap.allFiles.map(_.path).toSet))
+      assert(snap.allFiles.filter(f => before.contains(f.path))
+        .forall(_.deletionVector.isDefined))
+      val newFiles = snap.allFiles.filterNot(f => before.contains(f.path))
+      assert(newFiles.nonEmpty && newFiles.forall(_.deletionVector.isEmpty))
+      assert(snap.dvCardinality == 4L)
+      val got = t.toDF.select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == (0L until 40L).map(i =>
+        (i, if (i % 10 == 3) -1L else i * 10L)).sorted)
+      // history records the shading metrics
+      val h = t.history().filter(col("operation") === "UPDATE")
+        .select("operationMetrics").as[Map[String, String]].collect()
+      assert(h.exists(_.get("numDeletionVectorsAdded").exists(_.toInt == 2)))
+    }
+  }
+
+  test("update CDF emits pre/post images; shades merge across updates") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).map(i => (i, 0L)).toDF("id", "v"), dir,
+        configuration = dvConf + ("delta.enableChangeDataFeed" -> "true"))
+      val t = DeltaTable.forPath(spark, dir)
+      t.update($"id" === 2L, Map("v" -> lit(20L)))
+      t.update($"id" === 2L || $"id" === 3L, Map("v" -> lit(99L)))
+      val c1 = t.changes(1, 1).select("_change_type", "id", "v")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(c1 == Seq(("update_postimage", 2L, 20L), ("update_preimage", 2L, 0L)))
+      val c2 = t.changes(2, 2).select("_change_type", "id", "v")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(c2 == Seq(("update_postimage", 2L, 99L), ("update_postimage", 3L, 99L),
+        ("update_preimage", 2L, 20L), ("update_preimage", 3L, 0L)))
+      assert(t.toDF.filter($"v" === 99L).count() == 2)
+    }
+  }
+
+  test("update that hits every live row of a file drops it outright") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 5L).toDF("id").coalesce(1), dir,
+        configuration = dvConf)
+      DeltaTable.write((100L until 105L).toDF("id").coalesce(1), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      t.update($"id" < 50L, Map("id" -> ($"id" + 1000L)))
+      val snap = DeltaLog.forTable(spark, dir).update()
+      // the fully-hit file is gone (no shade); its rows live in new files
+      assert(snap.allFiles.forall(_.deletionVector.isEmpty))
+      assert(ids(dir) == ((100L until 105L) ++ (1000L until 1005L)).sorted)
+    }
+  }
+
+  test("merge shades hit rows; untouched rows never move") {
+    withTempDir { dir =>
+      val data = (0L until 30L).map(i => (i, 0L)).toDF("id", "v")
+      DeltaTable.write(data.repartition(2), dir, configuration = dvConf)
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update().allFiles.map(_.path).toSet
+
+      val t = DeltaTable.forPath(spark, dir)
+      val src = Seq((3L, 33L), (7L, 77L), (100L, 1L)).toDF("id", "v")
+      t.merge(src, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(col("s.id") === 3L, Map("v" -> col("s.v")))
+        .whenMatchedDelete()
+        .whenNotMatchedInsertAll()
+        .execute()
+      val snap = log.update()
+      // original files shaded in place (2 hits: one update, one delete)
+      assert(before.subsetOf(snap.allFiles.map(_.path).toSet))
+      assert(snap.dvCardinality == 2L)
+      val got = t.toDF.select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      val expected = ((0L until 30L).filter(i => i != 3L && i != 7L)
+        .map(i => (i, 0L)) ++ Seq((3L, 33L), (100L, 1L))).sorted
+      assert(got == expected)
+      val h = t.history().filter(col("operation") === "MERGE")
+        .select("operationMetrics").as[Map[String, String]].collect()
+      assert(h.exists(_.get("numDeletionVectorsAdded").exists(_.toInt > 0)))
+    }
+  }
+
+  test("merge with only not-matched-by-source clauses shades too") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).map(i => (i, 0L)).toDF("id", "v"), dir,
+        configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      // duplicate source keys are legal without matched clauses
+      val src = Seq((0L, 0L), (0L, 0L), (1L, 0L), (2L, 0L)).toDF("id", "v")
+      t.merge(src, col("t.id") === col("s.id"))
+        .whenNotMatchedBySourceDelete(col("t.id") >= 8L)
+        .whenNotMatchedBySourceUpdate(Map("v" -> lit(5L)))
+        .execute()
+      val got = t.toDF.select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      val expected = ((0L to 2L).map(i => (i, 0L)) ++
+        (3L to 7L).map(i => (i, 5L))).sorted
+      assert(got == expected)
+      val snap = DeltaLog.forTable(spark, dir).update()
+      assert(snap.allFiles.exists(_.deletionVector.isDefined))
+    }
+  }
+
+  test("concurrent shading of the same file conflicts (no lost update)") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).toDF("id").coalesce(1), dir,
+        configuration = dvConf)
+      val log = DeltaLog.forTable(spark, dir)
+      val txn = log.startTransaction() // pins the unshaded snapshot
+      txn.readWholeTable()
+      val add = txn.snapshot.allFiles.head
+
+      // winner shades the file first
+      DeltaTable.forPath(spark, dir).delete($"id" === 1L)
+
+      // our stale shade (built against the pre-winner bitmap) must NOT
+      // commit — it would silently drop the winner's deletion
+      val bm = graft.delta.dv.RoaringBitmapArray(5L)
+      val desc = graft.delta.dv.DeletionVectors.inline(bm)
+      intercept[graft.delta.txn.ConcurrentModificationException] {
+        txn.commit(Seq(
+          add.copy(deletionVector = Some(desc), dataChange = true),
+          add.remove(log.clock())), DeltaOperations.Delete)
+      }
+    }
+  }
+
   test("merge against a shaded target never matches deleted rows") {
     withTempDir { dir =>
       DeltaTable.write((0L until 10L).map(i => (i, 0L)).toDF("id", "v"), dir,
