@@ -125,19 +125,38 @@ class DeltaLog private (
     val deltas = files.filter(f => FileNames.isDeltaFile(f.getPath))
       .filter(f => versionToLoad.forall(FileNames.deltaVersion(f.getPath) <= _))
 
-    // latest COMPLETE checkpoint: group by (version, totalParts); a group
-    // counts only with all its parts present (ref Checkpoints.scala
-    // getLatestCompleteCheckpointFromList / CheckpointInstance ordering) —
-    // an in-flight or partially-deleted multi-part checkpoint is ignored
-    val completeGroups = checkpoints
-      .groupBy(f => (FileNames.checkpointVersion(f.getPath),
-        FileNames.checkpointParts(f.getPath).map(_._2)))
-      .collect {
-        case ((v, None), fs) if fs.size == 1 => (v, fs)
-        case ((v, Some(n)), fs)
-            if fs.map(f => FileNames.checkpointParts(f.getPath).get._1)
-              .toSet == (1 to n).toSet => (v, fs)
-      }
+    // latest COMPLETE checkpoint: group by (version, instance kind) — a
+    // multi-part group counts only with all its parts present (ref
+    // Checkpoints.scala getLatestCompleteCheckpointFromList /
+    // CheckpointInstance ordering), a V2 (uuid-named) checkpoint is
+    // complete by itself, and each distinct uuid is its own instance. At
+    // one version, prefer a classic instance over a V2 one (both define
+    // the same state; classic reads without the sidecar indirection).
+    val completeGroups: Map[Long, Vector[org.apache.hadoop.fs.FileStatus]] =
+      checkpoints
+        .groupBy { f =>
+          val kind =
+            if (FileNames.isV2CheckpointFile(f.getPath)) "v2:" + f.getPath.getName
+            else FileNames.checkpointParts(f.getPath)
+              .map(p => s"parts:${p._2}").getOrElse("classic")
+          (FileNames.checkpointVersion(f.getPath), kind)
+        }
+        .collect {
+          case ((v, kind), fs) if kind.startsWith("v2:") => (v, kind, fs)
+          case ((v, "classic"), fs) if fs.size == 1 => (v, "classic", fs)
+          case ((v, kind), fs)
+              if kind.startsWith("parts:") &&
+                fs.map(f => FileNames.checkpointParts(f.getPath).get._1)
+                  .toSet == (1 to kind.stripPrefix("parts:").toInt).toSet =>
+            (v, kind, fs)
+        }.toSeq
+        .groupBy(_._1)
+        .map { case (v, instances) =>
+          val best = instances.minBy { case (_, kind, _) =>
+            (if (kind.startsWith("v2:")) 1 else 0, kind)
+          }
+          v -> best._3.toVector
+        }
     val latestCheckpoint = completeGroups.keys.toSeq.sorted.lastOption
     // the hinted checkpoint is incomplete (e.g. a lost multi-part file):
     // recover by relisting the whole log (ref Checkpoints.scala

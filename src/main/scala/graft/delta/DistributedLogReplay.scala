@@ -41,6 +41,23 @@ object DistributedLogReplay {
           regexp_extract(input_file_name(), """(\d+)\.json""", 1).cast("long"))
 
     val checkpoint = segment.checkpointVersion match {
+      case Some(cpV) if V2Checkpoints.isV2Segment(segment) =>
+        // V2 checkpoint: file actions live in the sidecar parquets (or
+        // inline in the main file when there are none) — the main parse
+        // is sidecar-count-bounded, the sidecars read as a Spark job
+        val main = V2Checkpoints.readMain(spark, segment.logPath,
+          segment.checkpoint.head, spark.sessionState.newHadoopConf())
+        val inline = spark.createDataset(main.actions.collect {
+          case a: AddFile => FileSlice(add = Some(a))
+          case r: RemoveFile => FileSlice(remove = Some(r))
+        })
+        val sidecars = main.sidecars.map(s =>
+          V2Checkpoints.sidecarPath(segment.logPath, s).toString)
+        val fromSidecars =
+          if (sidecars.isEmpty) spark.emptyDataset[FileSlice].toDF()
+          else spark.read.schema(sliceEnc.schema).parquet(sidecars: _*)
+        inline.toDF().unionByName(fromSidecars, allowMissingColumns = true)
+          .withColumn("version", lit(cpV))
       case Some(cpV) =>
         spark.read.schema(sliceEnc.schema)
           .parquet(segment.checkpoint.map(_.getPath.toString): _*)

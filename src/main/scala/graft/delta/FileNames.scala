@@ -6,6 +6,11 @@ import org.apache.hadoop.fs.Path
 object FileNames {
   private val deltaFileRegex = """\d+\.json""".r
   private val checkpointFileRegex = """\d+\.checkpoint(\.\d+\.\d+)?\.parquet""".r
+  // V2 (uuid-named) checkpoints: one unique segment, json or parquet
+  // (PROTOCOL.md "V2 Checkpoints") — the unique part cannot contain a
+  // dot, so multi-part classic names (two numeric segments) never match
+  private val v2CheckpointFileRegex =
+    """\d+\.checkpoint\.[A-Za-z0-9_-]+\.(json|parquet)""".r
 
   def deltaFile(logPath: Path, version: Long): Path =
     new Path(logPath, f"$version%020d.json")
@@ -30,7 +35,19 @@ object FileNames {
     deltaFileRegex.pattern.matcher(path.getName).matches()
 
   def isCheckpointFile(path: Path): Boolean =
-    checkpointFileRegex.pattern.matcher(path.getName).matches()
+    checkpointFileRegex.pattern.matcher(path.getName).matches() ||
+      isV2CheckpointFile(path)
+
+  def isV2CheckpointFile(path: Path): Boolean =
+    v2CheckpointFileRegex.pattern.matcher(path.getName).matches()
+
+  /** V2 checkpoint name `V.checkpoint.<unique>.<ext>` (fixture builder —
+    * this engine writes classic checkpoints). */
+  def v2CheckpointFile(logPath: Path, version: Long, unique: String,
+                       ext: String = "json"): Path =
+    new Path(logPath, f"$version%020d.checkpoint.$unique.$ext")
+
+  def sidecarDir(logPath: Path): Path = new Path(logPath, "_sidecars")
 
   def deltaVersion(path: Path): Long =
     path.getName.stripSuffix(".json").toLong

@@ -85,11 +85,32 @@ class Snapshot(
     * specs; None = full fold from the checkpoint). */
   @volatile private[delta] var seededFrom: Option[Long] = None
 
-  /** Above this many checkpoint bytes the file list stays distributed. */
+  /** V2 (uuid-named) checkpoint: the main file parsed once per snapshot —
+    * non-file actions plus the sidecar list (None for classic
+    * checkpoints; see [[V2Checkpoints]]). */
+  private lazy val v2Main: Option[V2Checkpoints.Main] =
+    logSegment.checkpoint.headOption
+      .filter(f => FileNames.isV2CheckpointFile(f.getPath))
+      .map(f => V2Checkpoints.readMain(
+        spark, deltaLog.logPath, f, deltaLog.hadoopConf))
+
+  /** The sidecar parquet paths of a V2 checkpoint (empty otherwise). */
+  private def sidecarPaths: Seq[String] = v2Main.fold(Seq.empty[String])(
+    _.sidecars.map(s =>
+      V2Checkpoints.sidecarPath(deltaLog.logPath, s).toString))
+
+  /** Above this many checkpoint bytes the file list stays distributed.
+    * For a V2 checkpoint the state bytes live in the SIDECARS — count
+    * their declared sizes, not the (tiny) main file. */
   private[delta] lazy val distributedState: Boolean = {
     val max = spark.conf.getOption(Snapshot.DriverStateMaxBytesKey)
       .map(_.toLong).getOrElse(Snapshot.DriverStateMaxBytesDefault)
-    logSegment.checkpoint.map(_.getLen).sum > max
+    val cpBytes = v2Main match {
+      case Some(m) => m.sidecars.flatMap(_.sizeInBytes).sum +
+        logSegment.checkpoint.map(_.getLen).sum
+      case None => logSegment.checkpoint.map(_.getLen).sum
+    }
+    cpBytes > max
   }
 
   /** Reference path canonicalization bound to this table's filesystem. */
@@ -122,17 +143,34 @@ class Snapshot(
     replay.state
   }
 
-  /** Checkpoint actions with the `add` column pruned at the parquet layer. */
-  private def readCheckpointLightActions(): Iterator[Action] = {
-    implicit val enc = Encoders.product[Snapshot.LightAction]
-    val paths = logSegment.checkpoint.map(_.getPath.toString)
-    spark.read.schema(Encoders.product[SingleAction].schema)
-      .parquet(paths: _*)
-      .selectExpr("txn", "remove", "metaData", "protocol")
-      .where("txn IS NOT NULL OR remove IS NOT NULL OR " +
-        "metaData IS NOT NULL OR protocol IS NOT NULL")
-      .as[Snapshot.LightAction]
-      .collect().iterator.map(_.unwrap).filter(_ != null)
+  /** Checkpoint actions with the `add` column pruned at the parquet layer.
+    * V2 checkpoints: the driver-parsed main file supplies every non-file
+    * action, and only the `remove` column of the sidecars is decoded
+    * (tombstones; same columnar pruning as the classic path). */
+  private def readCheckpointLightActions(): Iterator[Action] = v2Main match {
+    case Some(main) =>
+      val fromMain = main.actions.iterator.filter(!_.isInstanceOf[AddFile])
+      if (sidecarPaths.isEmpty) fromMain
+      else {
+        implicit val enc = Encoders.product[Snapshot.LightAction]
+        fromMain ++ spark.read
+          .schema(Encoders.product[SingleAction].schema)
+          .parquet(sidecarPaths: _*)
+          .selectExpr("txn", "remove", "metaData", "protocol")
+          .where("remove IS NOT NULL")
+          .as[Snapshot.LightAction]
+          .collect().iterator.map(_.unwrap).filter(_ != null)
+      }
+    case None =>
+      implicit val enc = Encoders.product[Snapshot.LightAction]
+      val paths = logSegment.checkpoint.map(_.getPath.toString)
+      spark.read.schema(Encoders.product[SingleAction].schema)
+        .parquet(paths: _*)
+        .selectExpr("txn", "remove", "metaData", "protocol")
+        .where("txn IS NOT NULL OR remove IS NOT NULL OR " +
+          "metaData IS NOT NULL OR protocol IS NOT NULL")
+        .as[Snapshot.LightAction]
+        .collect().iterator.map(_.unwrap).filter(_ != null)
   }
 
   // --------------------------------------------------------- file state
@@ -156,11 +194,19 @@ class Snapshot(
       // model uses millis) that state reconstruction must never touch.
       logSegment.checkpointVersion.foreach { cpVersion =>
         implicit val enc = Encoders.product[Snapshot.StateAction]
-        val paths = logSegment.checkpoint.map(_.getPath.toString)
-        val cpActions = spark.read.schema(enc.schema).parquet(paths: _*)
-          .as[Snapshot.StateAction]
-          .collect().iterator.map(_.unwrap).filter(_ != null)
-        replay.append(cpVersion, cpActions)
+        // V2 checkpoints: driver-parsed main actions (incl. inline file
+        // actions when no sidecars) + the sidecar parquets; classic:
+        // the checkpoint part files themselves
+        val paths = v2Main.fold(
+          logSegment.checkpoint.map(_.getPath.toString))(_ => sidecarPaths)
+        val fromParquet: Iterator[Action] =
+          if (paths.isEmpty) Iterator.empty
+          else spark.read.schema(enc.schema).parquet(paths: _*)
+            .as[Snapshot.StateAction]
+            .collect().iterator.map(_.unwrap).filter(_ != null)
+        replay.append(cpVersion,
+          v2Main.fold(Iterator.empty: Iterator[Action])(_.actions.iterator)
+            ++ fromParquet)
       }
       -1L
     }

@@ -210,11 +210,13 @@ case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2,
 object TableFeatures {
   /** Reader features this engine implements (column mapping in both
     * modes; timestampNtz decodes natively through Spark's reader;
-    * deletionVectors apply as a row-position anti-filter at scan —
-    * READ side only: the matching writer feature stays unsupported, so
-    * DV tables refuse writes by name). */
+    * deletionVectors apply as a row-position anti-filter at scan;
+    * v2Checkpoint reads uuid-named checkpoints incl. sidecars — READ
+    * side only: the matching writer feature stays unsupported, so
+    * v2-writer tables refuse writes by name while classic-checkpoint
+    * DV tables read AND write). */
   val supportedReader: Set[String] =
-    Set("columnMapping", "timestampNtz", "deletionVectors")
+    Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
   /** Writer features this engine implements — the feature names of
     * legacy writer versions 2-6 plus their reader-side twins, and
     * deletionVectors (DELETE shades files, every other write path reads

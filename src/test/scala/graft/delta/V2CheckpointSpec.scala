@@ -1,0 +1,224 @@
+package graft.delta
+
+import java.io.File
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Reading V2 (uuid-named) checkpoints — PROTOCOL.md "V2 Checkpoints".
+  *
+  * Fixtures are HAND-BUILT from the public spec (lesson 33: round-trips
+  * can share a misreading): a real table's log is rewritten with a
+  * uuid-named checkpoint whose main file is json or parquet, file actions
+  * inline or in `_delta_log/_sidecars/` parquets, then every commit at or
+  * below the checkpoint version is DELETED so the read can only succeed
+  * through the v2 machinery. */
+/** Parquet main-file row shape for hand-built v2 fixtures (top-level —
+  * local case classes have no TypeTag for encoders). */
+case class V2WideAction(txn: Option[SetTransaction] = None,
+                        add: Option[AddFile] = None,
+                        remove: Option[RemoveFile] = None,
+                        metaData: Option[Metadata] = None,
+                        protocol: Option[Protocol] = None,
+                        sidecar: Option[SidecarFile] = None)
+
+class V2CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log(dir: String) = DeltaLog.forTable(spark, dir)
+
+  /** Rows 0..19 across two commits; returns the log (at version 1). */
+  private def seedTable(dir: String): DeltaLog = {
+    DeltaTable.write((0L until 10L).toDF("id").coalesce(1), dir)
+    DeltaTable.write((10L until 20L).toDF("id").coalesce(1), dir)
+    log(dir)
+  }
+
+  /** Write `actions` as a single-file sidecar parquet and return its
+    * sidecar action (relative path + true size). */
+  private def writeSidecar(dir: String, name: String,
+                           actions: Seq[SingleAction]): SidecarFile = {
+    implicit val enc = Encoders.product[SingleAction]
+    val tmp = new File(dir, s"_delta_log/.sidecar_tmp_$name")
+    spark.createDataset(actions).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = new File(dir, s"_delta_log/_sidecars/$name")
+    dest.getParentFile.mkdirs()
+    require(part.renameTo(dest), s"rename $part -> $dest")
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    SidecarFile(name, sizeInBytes = Some(dest.length()))
+  }
+
+  /** Replace the log's classic layout with a v2 checkpoint at `version`:
+    * main file (json or parquet) + optional sidecars; deletes every
+    * commit <= version so replay MUST go through the checkpoint. */
+  private def installV2(dir: String, l: DeltaLog, json: Boolean,
+                        withSidecars: Boolean): Unit = {
+    val snap = l.update()
+    val proto = Protocol(3, 7,
+      readerFeatures = Some(Seq("v2Checkpoint")),
+      writerFeatures = Some(Seq("v2Checkpoint")))
+    val fileActions = snap.allFiles.map(_.wrap)
+    val sidecars: Seq[SidecarFile] =
+      if (withSidecars) {
+        val (a, b) = fileActions.splitAt(1)
+        Seq(writeSidecar(dir, "sc-aaaa.parquet", a),
+          writeSidecar(dir, "sc-bbbb.parquet", b))
+      } else Nil
+    val inline = if (withSidecars) Nil else fileActions
+    val logPath = l.logPath
+    if (json) {
+      val lines =
+        Seq(s"""{"checkpointMetadata":{"version":${snap.version}}}""") ++
+          (proto.wrap +: snap.metadata.wrap +: inline).map(JsonCodec.toJson) ++
+          sidecars.map(s => s"""{"sidecar":${JsonCodec.mapper.writeValueAsString(s)}}""")
+      l.store.write(
+        FileNames.v2CheckpointFile(logPath, snap.version, "11112222-uuid", "json"),
+        lines.iterator, overwrite = true, l.hadoopConf)
+    } else {
+      // parquet main: SingleAction columns + a sidecar column
+      implicit val enc = Encoders.product[V2WideAction]
+      val rows =
+        Seq(V2WideAction(protocol = Some(proto)),
+          V2WideAction(metaData = Some(snap.metadata))) ++
+          inline.map(sa => V2WideAction(add = sa.add)) ++
+          sidecars.map(s => V2WideAction(sidecar = Some(s)))
+      val tmp = new File(dir, "_delta_log/.v2_tmp")
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new Path(FileNames.v2CheckpointFile(
+        logPath, snap.version, "33334444-uuid", "parquet").toUri.getPath)
+      require(part.renameTo(new File(dest.toString)), s"rename to $dest")
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    // remove the commits the checkpoint subsumes — reads must now go
+    // through the v2 checkpoint or fail
+    (0L to snap.version).foreach { v =>
+      new File(new Path(logPath, f"$v%020d.json").toUri.getPath).delete()
+    }
+    DeltaLog.clearCache()
+  }
+
+  private def readIds(dir: String): Seq[Long] =
+    DeltaTable.forPath(spark, dir).toDF.select("id").as[Long]
+      .collect().sorted.toSeq
+
+  test("json main + sidecars: state reconstructs through the sidecars") {
+    withTempDir { dir =>
+      installV2(dir, seedTable(dir), json = true, withSidecars = true)
+      val snap = log(dir).update()
+      assert(snap.version == 1)
+      assert(snap.protocol.readerFeatures.get.contains("v2Checkpoint"))
+      assert(snap.allFiles.size == 2)
+      assert(readIds(dir) == (0L until 20L))
+      // commits after the checkpoint still apply (append refused — the
+      // table advertises the v2Checkpoint WRITER feature we don't
+      // implement; the refusal names it)
+      val e = intercept[IllegalArgumentException] {
+        DeltaTable.write((90L until 95L).toDF("id"), dir)
+      }
+      assert(e.getMessage.contains("v2Checkpoint"))
+    }
+  }
+
+  test("parquet main with inline file actions (no sidecars)") {
+    withTempDir { dir =>
+      installV2(dir, seedTable(dir), json = false, withSidecars = false)
+      val snap = log(dir).update()
+      assert(snap.allFiles.size == 2)
+      assert(readIds(dir) == (0L until 20L))
+    }
+  }
+
+  test("parquet main + sidecars via the DISTRIBUTED state path") {
+    withTempDir { dir =>
+      installV2(dir, seedTable(dir), json = false, withSidecars = true)
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "0")
+      try {
+        val snap = log(dir).update()
+        assert(snap.distributedState, "fixture must exercise the job path")
+        assert(readIds(dir) == (0L until 20L))
+      } finally spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+    }
+  }
+
+  test("a classic checkpoint at the same version is preferred") {
+    withTempDir { dir =>
+      val l = seedTable(dir)
+      Checkpoints.writeCheckpoint(l.update())
+      // v2 twin at the same version whose sidecar DOES NOT EXIST — the
+      // read succeeds only if the classic instance wins the selection
+      val snap = l.update()
+      val lines =
+        Seq(s"""{"checkpointMetadata":{"version":${snap.version}}}""",
+          JsonCodec.toJson(snap.protocol.wrap),
+          JsonCodec.toJson(snap.metadata.wrap),
+          """{"sidecar":{"path":"does-not-exist.parquet","sizeInBytes":1}}""")
+      l.store.write(
+        FileNames.v2CheckpointFile(l.logPath, snap.version, "broken-uuid", "json"),
+        lines.iterator, overwrite = true, l.hadoopConf)
+      (0L to snap.version).foreach { v =>
+        new File(new Path(l.logPath, f"$v%020d.json").toUri.getPath).delete()
+      }
+      DeltaLog.clearCache()
+      assert(readIds(dir) == (0L until 20L))
+    }
+  }
+
+  test("time travel to a later commit stacked on a v2 checkpoint") {
+    withTempDir { dir =>
+      val l = seedTable(dir)
+      // commit v2 on top of version 1's checkpoint BEFORE installing it
+      DeltaTable.write((20L until 25L).toDF("id").coalesce(1), dir)
+      // hand-install the v2 checkpoint at version 1 (not head)
+      val snap1 = l.getSnapshotForVersionAsOf(1)
+      val sc = writeSidecar(dir, "sc-tt.parquet", snap1.allFiles.map(_.wrap))
+      val lines =
+        Seq("""{"checkpointMetadata":{"version":1}}""",
+          JsonCodec.toJson(snap1.protocol.wrap),
+          JsonCodec.toJson(snap1.metadata.wrap),
+          s"""{"sidecar":${JsonCodec.mapper.writeValueAsString(sc)}}""")
+      l.store.write(
+        FileNames.v2CheckpointFile(l.logPath, 1L, "tt-uuid", "json"),
+        lines.iterator, overwrite = true, l.hadoopConf)
+      (0L to 1L).foreach { v =>
+        new File(new Path(l.logPath, f"$v%020d.json").toUri.getPath).delete()
+      }
+      DeltaLog.clearCache()
+      // head = checkpoint state + the surviving version-2 commit
+      assert(readIds(dir) == (0L until 25L))
+      // pinned AT the checkpoint version
+      assert(DeltaTable.forPath(spark, dir).asOfVersion(1)
+        .select("id").as[Long].collect().sorted.toSeq == (0L until 20L))
+    }
+  }
+
+  test("unsupported reader feature alongside v2Checkpoint refuses by name") {
+    withTempDir { dir =>
+      val l = seedTable(dir)
+      val snap = l.update()
+      val proto = Protocol(3, 7,
+        readerFeatures = Some(Seq("v2Checkpoint", "someFutureThing")),
+        writerFeatures = Some(Seq("v2Checkpoint")))
+      val lines =
+        Seq("""{"checkpointMetadata":{"version":1}}""",
+          JsonCodec.toJson(proto.wrap),
+          JsonCodec.toJson(snap.metadata.wrap)) ++
+          snap.allFiles.map(a => JsonCodec.toJson(a.wrap))
+      l.store.write(
+        FileNames.v2CheckpointFile(l.logPath, 1L, "gate-uuid", "json"),
+        lines.iterator, overwrite = true, l.hadoopConf)
+      (0L to 1L).foreach { v =>
+        new File(new Path(l.logPath, f"$v%020d.json").toUri.getPath).delete()
+      }
+      DeltaLog.clearCache()
+      val e = intercept[IllegalArgumentException] { readIds(dir) }
+      assert(e.getMessage.contains("someFutureThing"))
+    }
+  }
+}
