@@ -109,4 +109,18 @@ object DeltaConfigs {
     * parquet. */
   val ENABLE_DELETION_VECTORS: DeltaConfig[Boolean] = DeltaConfig(
     "delta.enableDeletionVectors", "false", _.toBoolean)
+
+  /** Commits carry a monotonic `inCommitTimestamp` in their CommitInfo
+    * (PROTOCOL.md "In-Commit Timestamps", writer feature
+    * inCommitTimestamp): timestamp queries — time travel, history — use
+    * it instead of file modification times, which object stores may
+    * rewrite and clock skew may reorder. */
+  val ENABLE_IN_COMMIT_TIMESTAMPS: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.enableInCommitTimestamps", "false", _.toBoolean)
+
+  /** Set when ICT is enabled AFTER table creation: the first version /
+    * timestamp with an inCommitTimestamp (timestamp queries below the
+    * enablement version fall back to file modification times). */
+  val IctEnablementVersionKey = "delta.inCommitTimestampEnablementVersion"
+  val IctEnablementTimestampKey = "delta.inCommitTimestampEnablementTimestamp"
 }

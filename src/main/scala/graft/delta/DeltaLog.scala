@@ -234,15 +234,33 @@ class DeltaLog private (
     commits.head._1
   }
 
-  /** (version, monotonized timestamp) for every commit file. */
+  /** (version, monotonized timestamp) for every commit file. Tables with
+    * `delta.enableInCommitTimestamps` substitute each commit's recorded
+    * inCommitTimestamp from its enablement version on — file modification
+    * times are not authoritative there (object stores rewrite them,
+    * clocks skew); earlier versions keep mtimes, per the protocol's
+    * enablement split. The per-commit reads are driver-side and bounded
+    * by the log retention window, same cost class as `history()`. */
   private[delta] def listCommitTimestamps(): Vector[(Long, Long)] = {
     val raw = store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf)
       .filter(f => FileNames.isDeltaFile(f.getPath))
       .map(f => (FileNames.deltaVersion(f.getPath), f.getModificationTime))
       .toVector.sortBy(_._1)
+    val meta = snapshot.metadata
+    val withIct =
+      if (!DeltaConfigs.ENABLE_IN_COMMIT_TIMESTAMPS.fromMetadata(meta)) raw
+      else {
+        val enableV = meta.configuration
+          .get(DeltaConfigs.IctEnablementVersionKey).map(_.toLong)
+          .getOrElse(0L)
+        raw.map { case (v, t) =>
+          if (v < enableV) (v, t)
+          else (v, getCommitInfoAt(v).inCommitTimestamp.getOrElse(t))
+        }
+      }
     // monotonize: a commit's timestamp is at least its predecessor's + 1ms
     var prev = Long.MinValue
-    raw.map { case (v, t) =>
+    withIct.map { case (v, t) =>
       val adj = math.max(t, prev + 1)
       prev = adj
       (v, adj)

@@ -38,7 +38,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def history(): DataFrame = {
     import spark.implicits._
     spark.createDataset(deltaLog.history().map { ci =>
-      (ci.version.getOrElse(-1L), ci.timestamp.getOrElse(0L),
+      // ICT tables: the recorded inCommitTimestamp is authoritative
+      (ci.version.getOrElse(-1L),
+        ci.inCommitTimestamp.orElse(ci.timestamp).getOrElse(0L),
         ci.operation.getOrElse(""), ci.isBlindAppend.getOrElse(false),
         ci.isolationLevel.getOrElse(""), ci.engineInfo.getOrElse(""),
         ci.operationParameters.getOrElse(Map.empty),

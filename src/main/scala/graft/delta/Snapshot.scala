@@ -224,6 +224,15 @@ class Snapshot(
     if (lightStateComputed) Some(lightState) else None,
     if (fullStateComputed) Some(inMemoryState) else None)
 
+  /** This snapshot's own commit's inCommitTimestamp, when its commit
+    * file is part of the segment and records one (ICT tables) — the
+    * monotonicity floor for the next commit. */
+  private[delta] lazy val inCommitTimestampOpt: Option[Long] =
+    deltaVersions.find(_._1 == version).flatMap { case (v, fs) =>
+      commitCache.computeIfAbsent(v, _ => readCommit(fs).toVector)
+        .collectFirst { case ci: CommitInfo => ci.inCommitTimestamp }.flatten
+    }
+
   private def readCommit(fs: FileStatus): Iterator[Action] =
     deltaLog.store.read(fs.getPath, deltaLog.hadoopConf).iterator
       .filter(_.trim.nonEmpty)

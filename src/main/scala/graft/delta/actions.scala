@@ -224,7 +224,7 @@ object TableFeatures {
   val supportedWriter: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
-    "deletionVectors")
+    "deletionVectors", "inCommitTimestamp")
 
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so
@@ -251,6 +251,15 @@ object TableFeatures {
     Protocol(3, 7,
       readerFeatures =
         Some((legacyReaderFeatures(p) ++ readerAdd).distinct.sorted),
+      writerFeatures =
+        Some((legacyWriterFeatures(p) ++ writerAdd).distinct.sorted))
+
+  /** `p` plus a WRITER-only feature: the writer version jumps to 7
+    * carrying the legacy-implied features; the reader side is untouched,
+    * so existing readers of the table keep working. */
+  def upgradedWithWriter(p: Protocol, writerAdd: Seq[String]): Protocol =
+    Protocol(p.minReaderVersion, 7,
+      readerFeatures = p.readerFeatures,
       writerFeatures =
         Some((legacyWriterFeatures(p) ++ writerAdd).distinct.sorted))
 
@@ -387,7 +396,13 @@ case class CommitInfo(
     isBlindAppend: Option[Boolean] = None,
     operationMetrics: Option[Map[String, String]] = None,
     userMetadata: Option[String] = None,
-    engineInfo: Option[String] = None)
+    engineInfo: Option[String] = None,
+    /** Monotonic commit timestamp (PROTOCOL.md "In-Commit Timestamps"):
+      * authoritative for timestamp queries when the table enables
+      * `delta.enableInCommitTimestamps`; `timestamp` above remains the
+      * writer's wall clock. */
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    inCommitTimestamp: Option[Long] = None)
   extends Action {
   def wrap: SingleAction = SingleAction(commitInfo = Some(this))
 }

@@ -294,6 +294,33 @@ class OptimisticTransaction(
 
     finalActions = prepareCommit(finalActions)
 
+    // In-commit timestamps (PROTOCOL.md, writer feature inCommitTimestamp):
+    // when `delta.enableInCommitTimestamps` holds for THIS commit's
+    // metadata, its CommitInfo carries a monotonic timestamp — computed
+    // per retry attempt so a lost race still lands strictly after the
+    // winner. Enabling the property on an existing table stamps the
+    // enablement version/timestamp into the same Metadata action and
+    // carries the writer feature in the protocol.
+    val ictEnabled =
+      DeltaConfigs.ENABLE_IN_COMMIT_TIMESTAMPS.fromMetadata(metadata)
+    val ictNewlyEnabled = ictEnabled && readVersion >= 0 &&
+      !DeltaConfigs.ENABLE_IN_COMMIT_TIMESTAMPS.fromMetadata(snapshot.metadata)
+    if (ictEnabled) {
+      val current = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+        .getOrElse(Protocol())
+      val hasFeature = current.minWriterVersion == 7 &&
+        current.writerFeatures.exists(_.contains("inCommitTimestamp"))
+      if (!hasFeature) {
+        val upgraded = TableFeatures.upgradedWithWriter(
+          current, Seq("inCommitTimestamp"))
+        finalActions =
+          if (finalActions.exists(_.isInstanceOf[Protocol]))
+            finalActions.map { case _: Protocol => upgraded; case a => a }
+          else upgraded +: finalActions
+      }
+    }
+
     val isBlindAppend = {
       val onlyAdds = finalActions.collect { case f: FileAction => f }
         .forall(_.isInstanceOf[AddFile])
@@ -324,8 +351,21 @@ class OptimisticTransaction(
       operationMetrics = Some(operationMetrics).filter(_.nonEmpty),
       engineInfo = Some(engineInfo))
 
+    val actionsAt: (Long, Long) => Seq[Action] =
+      if (!ictEnabled) { (_, _) => commitInfo +: finalActions }
+      else { (attemptVersion, ict) =>
+        val stamped =
+          if (!ictNewlyEnabled) finalActions
+          else finalActions.map {
+            case m: Metadata => m.copy(configuration = m.configuration ++ Map(
+              DeltaConfigs.IctEnablementVersionKey -> attemptVersion.toString,
+              DeltaConfigs.IctEnablementTimestampKey -> ict.toString))
+            case a => a
+          }
+        commitInfo.copy(inCommitTimestamp = Some(ict)) +: stamped
+      }
     val version = doCommitRetryIteratively(
-      commitInfo +: finalActions, isolation)
+      commitInfo +: finalActions, isolation, actionsAt)
     committed = true
     postCommit(version)
     version
@@ -387,25 +427,39 @@ class OptimisticTransaction(
   }
 
   /** T3: write-or-retry loop under the per-JVM lock; cross-process mutual
-    * exclusion is the LogStore's atomic rename. */
-  private def doCommitRetryIteratively(actions: Seq[Action],
-                                       isolation: IsolationLevel): Long = {
+    * exclusion is the LogStore's atomic rename. `checkActions` feeds the
+    * conflict checks (its CommitInfo/Metadata stamps are irrelevant
+    * there); `actionsAt(attemptVersion, ict)` produces the actual lines —
+    * the ICT floor ratchets past every winning commit so in-commit
+    * timestamps stay strictly monotonic under races. */
+  private def doCommitRetryIteratively(
+      checkActions: Seq[Action],
+      isolation: IsolationLevel,
+      actionsAt: (Long, Long) => Seq[Action]): Long = {
     var attemptVersion = readVersion + 1
+    var ictFloor =
+      if (readVersion < 0) 0L
+      else snapshot.inCommitTimestampOpt
+        .getOrElse(snapshot.logSegment.lastCommitTimestamp)
     val maxRetries = 10000000
     var attempts = 0
     deltaLog.deltaLogLock.synchronized {
       while (attempts < maxRetries) {
         try {
+          val ict = math.max(deltaLog.clock(), ictFloor + 1)
           deltaLog.store.write(
             FileNames.deltaFile(deltaLog.logPath, attemptVersion),
-            actions.map(a => JsonCodec.toJson(a)).iterator,
+            actionsAt(attemptVersion, ict).map(a => JsonCodec.toJson(a)).iterator,
             overwrite = false, deltaLog.hadoopConf)
           deltaLog.update()
           return attemptVersion
         } catch {
           case _: FileAlreadyExistsException |
                _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            attemptVersion = checkForConflicts(attemptVersion, actions, isolation) + 1
+            val (latest, winnerIct) =
+              checkForConflicts(attemptVersion, checkActions, isolation)
+            attemptVersion = latest + 1
+            ictFloor = math.max(ictFloor, winnerIct)
             attempts += 1
         }
       }
@@ -415,16 +469,20 @@ class OptimisticTransaction(
   }
 
   /** T4: validate our intent against every commit that won the race;
-    * returns the latest winning version (we retry right after it). */
+    * returns the latest winning version (we retry right after it) and
+    * the largest inCommitTimestamp any winner recorded (0 when none). */
   private def checkForConflicts(attemptVersion: Long, actions: Seq[Action],
-                                isolation: IsolationLevel): Long = {
+                                isolation: IsolationLevel): (Long, Long) = {
     val winning = deltaLog.getChanges(attemptVersion).toVector
     require(winning.nonEmpty,
       s"Commit $attemptVersion collided but no winning commit is readable")
     winning.foreach { case (v, winningActions) =>
       new ConflictChecker(this, winningActions, v, isolation, actions).check()
     }
-    winning.last._1
+    val winnerIct = winning.iterator.flatMap(_._2).collect {
+      case ci: CommitInfo => ci.inCommitTimestamp.getOrElse(0L)
+    }.foldLeft(0L)(math.max)
+    (winning.last._1, winnerIct)
   }
 
   /** Checkpoint cadence + log cleanup (ref :393-405, Checkpoints.scala:122-135). */
