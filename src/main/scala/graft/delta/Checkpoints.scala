@@ -19,11 +19,18 @@ case class LastCheckpoint(version: Long, size: Long, parts: Option[Int] = None)
   */
 object Checkpoints {
 
+  private def checkpointPolicy(snapshot: Snapshot): String =
+    DeltaConfigs.CHECKPOINT_POLICY.fromMetadata(snapshot.metadata)
+
   /** Write the snapshot's checkpoint; `parts > 1` produces the protocol's
     * multi-part form `V.checkpoint.i.n.parquet` (one Spark output
     * partition per part — at very large file counts no single writer task
-    * or reader task handles the whole state). */
+    * or reader task handles the whole state). Tables with
+    * `delta.checkpointPolicy=v2` get a V2 (uuid-named) checkpoint with
+    * sidecars instead — multi-part classic checkpoints are not legal
+    * under that policy. */
   def writeCheckpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
+    if (checkpointPolicy(snapshot) == "v2") return writeV2Checkpoint(snapshot, parts)
     implicit val enc = Encoders.product[SingleAction]
     val actions: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
@@ -42,6 +49,7 @@ object Checkpoints {
     * driver. Protocol/metadata/txns/tombstones are driver-small by
     * construction. */
   def writeCheckpointDistributed(snapshot: Snapshot, parts: Int = 1): Unit = {
+    if (checkpointPolicy(snapshot) == "v2") return writeV2Checkpoint(snapshot, parts)
     implicit val enc = Encoders.product[SingleAction]
     val small: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
@@ -55,6 +63,87 @@ object Checkpoints {
     // state — the file list itself never touches the driver
     val total = small.size.toLong + snapshot.numOfFiles
     writeCheckpointDS(snapshot, ds, total, autoParts(snapshot, parts, total))
+  }
+
+  /** V2 checkpoint write (`delta.checkpointPolicy=v2`): the file actions
+    * (adds with parsed stats + unexpired tombstones) flow as a Spark job
+    * into sidecar parquets under `_delta_log/_sidecars/` — the same
+    * distributed shape as the classic multi-part write, one output
+    * partition per sidecar — and a single uuid-named main parquet carries
+    * `checkpointMetadata`, protocol, metadata, txns and the sidecar
+    * references. Works in both driver and distributed state modes (the
+    * file list never touches the driver in the latter). */
+  def writeV2Checkpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
+    implicit val enc = Encoders.product[SingleAction]
+    val log = snapshot.deltaLog
+    val fs = log.logPath.getFileSystem(log.hadoopConf)
+    val spark = snapshot.spark
+
+    val fileActions =
+      (if (snapshot.distributedState)
+        snapshot.allFilesDistributed
+          .map(a => read.DataSkipping.withParsedStats(a).wrap)(enc)
+      else spark.createDataset(
+        snapshot.allFiles.map(a => read.DataSkipping.withParsedStats(a).wrap)))
+        .unionByName(spark.createDataset(snapshot.tombstones.map(_.wrap)))
+    val total = snapshot.numOfFiles + snapshot.tombstones.size
+    val nParts = autoParts(snapshot, parts, total)
+
+    // 1. sidecars: one parquet per output partition, uuid-named
+    val uuid = java.util.UUID.randomUUID().toString
+    val tempDir = new Path(log.logPath, s".v2cp_tmp_$uuid")
+    fileActions.repartition(nParts)
+      .write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
+    try {
+      val written = fs.listStatus(tempDir)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val sidecarDir = FileNames.sidecarDir(log.logPath)
+      fs.mkdirs(sidecarDir)
+      val sidecars = written.zipWithIndex.map { case (part, i) =>
+        val dest = new Path(sidecarDir, s"$uuid-$i.parquet")
+        fs.delete(dest, false)
+        if (!fs.rename(part, dest)) {
+          throw new java.io.IOException(s"rename $part -> $dest failed")
+        }
+        val st = fs.getFileStatus(dest)
+        SidecarFile(dest.getName, sizeInBytes = Some(st.getLen),
+          modificationTime = Some(st.getModificationTime))
+      }.toSeq
+
+      // 2. main file: exactly one checkpointMetadata + the non-file
+      // actions + the sidecar references
+      implicit val mainEnc = Encoders.product[Checkpoints.V2MainAction]
+      val mainRows: Seq[Checkpoints.V2MainAction] =
+        Checkpoints.V2MainAction(checkpointMetadata =
+          Some(CheckpointMetadata(snapshot.version))) +:
+        Checkpoints.V2MainAction(protocol = Some(snapshot.protocol)) +:
+        Checkpoints.V2MainAction(metaData = Some(snapshot.metadata)) +:
+        (snapshot.setTransactions.map(t =>
+          Checkpoints.V2MainAction(txn = Some(t))) ++
+          sidecars.map(s => Checkpoints.V2MainAction(sidecar = Some(s))))
+      val mainTmp = new Path(log.logPath, s".v2cp_main_tmp_$uuid")
+      spark.createDataset(mainRows).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(mainTmp.toString)
+      try {
+        val mainPart = fs.listStatus(mainTmp)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dest = FileNames.v2CheckpointFile(
+          log.logPath, snapshot.version, uuid, "parquet")
+        fs.delete(dest, false)
+        if (!fs.rename(mainPart, dest)) {
+          throw new java.io.IOException(s"rename $mainPart -> $dest failed")
+        }
+      } finally fs.delete(mainTmp, true)
+
+      val lc = LastCheckpoint(snapshot.version,
+        total + mainRows.size.toLong, parts = None)
+      log.store.write(FileNames.lastCheckpointFile(log.logPath),
+        Iterator(JsonCodec.mapper.writeValueAsString(lc)),
+        overwrite = true, log.hadoopConf)
+    } finally {
+      fs.delete(tempDir, true)
+    }
   }
 
   /** The larger of the caller/config-requested part count and the
@@ -111,6 +200,16 @@ object Checkpoints {
       fs.delete(tempDir, true)
     }
   }
+
+  /** Row shape of a V2 checkpoint's MAIN parquet file: the non-file
+    * action columns plus `checkpointMetadata` and `sidecar` (top-level —
+    * Spark's generated serializer must reach the constructor). */
+  private[delta] case class V2MainAction(
+      txn: Option[SetTransaction] = None,
+      metaData: Option[Metadata] = None,
+      protocol: Option[Protocol] = None,
+      checkpointMetadata: Option[CheckpointMetadata] = None,
+      sidecar: Option[SidecarFile] = None)
 
   /** Read `_last_checkpoint`; any failure (missing, corrupt) yields None
     * and the caller falls back to a full listing. */

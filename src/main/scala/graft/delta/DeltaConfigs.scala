@@ -118,6 +118,13 @@ object DeltaConfigs {
   val ENABLE_IN_COMMIT_TIMESTAMPS: DeltaConfig[Boolean] = DeltaConfig(
     "delta.enableInCommitTimestamps", "false", _.toBoolean)
 
+  /** Which checkpoint format maintenance writes: "classic" (default) or
+    * "v2" (uuid-named main file + sidecars — required by tables created
+    * with the v2Checkpoint feature and this policy). */
+  val CHECKPOINT_POLICY: DeltaConfig[String] = DeltaConfig(
+    "delta.checkpointPolicy", "classic", identity,
+    (v: String) => v == "classic" || v == "v2")
+
   /** Set when ICT is enabled AFTER table creation: the first version /
     * timestamp with an inCommitTimestamp (timestamp queries below the
     * enablement version fall back to file modification times). */

@@ -361,6 +361,7 @@ class DeltaLog private (
     val cutoff = cal.getTimeInMillis
     val fs = logPath.getFileSystem(hadoopConf)
     var deleted = 0
+    val survivingV2 = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
     store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf).foreach { f =>
       val p = f.getPath
       val isDelta = FileNames.isDeltaFile(p)
@@ -370,6 +371,23 @@ class DeltaLog private (
                 else FileNames.checkpointVersion(p)
         // only files strictly before the newest checkpoint are reproducible
         if (v < latestCheckpoint && fs.delete(p, false)) deleted += 1
+        else if (FileNames.isV2CheckpointFile(p)) survivingV2 += f
+      } else if (FileNames.isV2CheckpointFile(p)) survivingV2 += f
+    }
+    // sidecars orphaned by deleted V2 checkpoints: an expired sidecar not
+    // referenced by any SURVIVING v2 checkpoint is garbage (the surviving
+    // mains are few — one read each)
+    val sidecarDir = FileNames.sidecarDir(logPath)
+    if (fs.exists(sidecarDir)) {
+      val referenced = survivingV2.result().flatMap { f =>
+        try V2Checkpoints.readMain(spark, logPath, f, hadoopConf)
+          .sidecars.map(s => V2Checkpoints.sidecarPath(logPath, s).getName)
+        catch { case _: Exception => return deleted } // unreadable: keep all
+      }.toSet
+      fs.listStatus(sidecarDir).foreach { sf =>
+        if (sf.getModificationTime < cutoff &&
+            !referenced.contains(sf.getPath.getName) &&
+            fs.delete(sf.getPath, false)) deleted += 1
       }
     }
     deleted

@@ -17,6 +17,12 @@ case class SidecarFile(
       contentAs = classOf[java.lang.Long])
     modificationTime: Option[Long] = None)
 
+/** The `checkpointMetadata` action a V2 checkpoint must carry exactly
+  * once (PROTOCOL.md "V2 Checkpoints"): the checkpoint's own version. */
+case class CheckpointMetadata(
+    version: Long,
+    tags: Option[Map[String, String]] = None)
+
 /** Read-side support for V2 (uuid-named) checkpoints — PROTOCOL.md
   * "V2 Checkpoints", reader feature `v2Checkpoint`.
   *

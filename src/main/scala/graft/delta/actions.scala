@@ -211,10 +211,7 @@ object TableFeatures {
   /** Reader features this engine implements (column mapping in both
     * modes; timestampNtz decodes natively through Spark's reader;
     * deletionVectors apply as a row-position anti-filter at scan;
-    * v2Checkpoint reads uuid-named checkpoints incl. sidecars — READ
-    * side only: the matching writer feature stays unsupported, so
-    * v2-writer tables refuse writes by name while classic-checkpoint
-    * DV tables read AND write). */
+    * v2Checkpoint reads uuid-named checkpoints incl. sidecars). */
   val supportedReader: Set[String] =
     Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
   /** Writer features this engine implements — the feature names of
@@ -224,7 +221,7 @@ object TableFeatures {
   val supportedWriter: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
-    "deletionVectors", "inCommitTimestamp")
+    "deletionVectors", "inCommitTimestamp", "v2Checkpoint")
 
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so

@@ -116,13 +116,10 @@ class V2CheckpointSpec extends SparkSpec {
       assert(snap.protocol.readerFeatures.get.contains("v2Checkpoint"))
       assert(snap.allFiles.size == 2)
       assert(readIds(dir) == (0L until 20L))
-      // commits after the checkpoint still apply (append refused — the
-      // table advertises the v2Checkpoint WRITER feature we don't
-      // implement; the refusal names it)
-      val e = intercept[IllegalArgumentException] {
-        DeltaTable.write((90L until 95L).toDF("id"), dir)
-      }
-      assert(e.getMessage.contains("v2Checkpoint"))
+      // the v2Checkpoint writer feature is implemented (checkpoints
+      // honor delta.checkpointPolicy), so appends on the table work
+      DeltaTable.write((90L until 95L).toDF("id"), dir)
+      assert(readIds(dir) == ((0L until 20L) ++ (90L until 95L)))
     }
   }
 
@@ -195,6 +192,73 @@ class V2CheckpointSpec extends SparkSpec {
       // pinned AT the checkpoint version
       assert(DeltaTable.forPath(spark, dir).asOfVersion(1)
         .select("id").as[Long].collect().sorted.toSeq == (0L until 20L))
+    }
+  }
+
+  test("checkpointPolicy=v2 writes uuid-named checkpoints with sidecars") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).toDF("id"), dir, configuration = Map(
+        "delta.checkpointPolicy" -> "v2",
+        "delta.checkpointInterval" -> "2"))
+      (1 to 3).foreach(i =>
+        DeltaTable.write((i * 10L until i * 10L + 10L).toDF("id"), dir))
+      val logDir = new File(dir, "_delta_log")
+      val v2s = logDir.listFiles().map(_.getName)
+        .filter(n => FileNames.isV2CheckpointFile(new Path(n)))
+      assert(v2s.nonEmpty, "the interval must have produced a v2 checkpoint")
+      assert(logDir.listFiles().map(_.getName)
+        .forall(n => !n.matches("""\d+\.checkpoint\.parquet""")),
+        "policy v2 must never write classic checkpoints")
+      val sidecars = new File(logDir, "_sidecars").listFiles()
+      assert(sidecars != null && sidecars.nonEmpty)
+
+      // our own reader replays it: drop the subsumed commits, reopen
+      val cpV = v2s.map(n => n.split('.').head.toLong).max
+      (0L to cpV).foreach { v =>
+        new File(logDir, f"$v%020d.json").delete()
+      }
+      DeltaLog.clearCache()
+      assert(readIds(dir) == (0L until 40L))
+      // tombstones survive the v2 round-trip too
+      DeltaTable.forPath(spark, dir).delete($"id" < 5L)
+      assert(readIds(dir) == (5L until 40L))
+    }
+  }
+
+  test("log cleanup reclaims sidecars of expired v2 checkpoints only") {
+    withTempDir { dir =>
+      val l = log(dir)
+      // manual clock rides ON TOP of real time: cleanup compares real
+      // file mtimes against (clock - retention), so the advanced clock
+      // must land the cutoff past the files' true timestamps
+      var now = System.currentTimeMillis()
+      l.clock = () => now
+      DeltaTable.write((0L until 10L).toDF("id"), dir, configuration = Map(
+        "delta.checkpointPolicy" -> "v2",
+        "delta.checkpointInterval" -> "2",
+        "delta.logRetentionDuration" -> "interval 1 days",
+        "delta.enableExpiredLogCleanup" -> "false"))
+      (1 to 3).foreach(i =>
+        DeltaTable.write((i * 10L until i * 10L + 10L).toDF("id"), dir))
+      val scDir = new File(dir, "_delta_log/_sidecars")
+      val earlySidecars = scDir.listFiles().map(_.getName).toSet
+      assert(earlySidecars.nonEmpty)
+
+      // ...two days later, more commits roll a NEWER v2 checkpoint
+      now += 2L * 24 * 3600 * 1000
+      (4 to 5).foreach(i =>
+        DeltaTable.write((i * 10L until i * 10L + 10L).toDF("id"), dir))
+      val allSidecars = scDir.listFiles().map(_.getName).toSet
+      assert(allSidecars.size > earlySidecars.size)
+
+      val deleted = l.cleanUpExpiredLogs()
+      assert(deleted > 0)
+      val kept = scDir.listFiles().map(_.getName).toSet
+      // old checkpoint's sidecars reclaimed, the live one's kept
+      assert(kept.intersect(allSidecars -- earlySidecars) ==
+        allSidecars -- earlySidecars)
+      assert(kept.intersect(earlySidecars).isEmpty)
+      assert(readIds(dir) == (0L until 60L))
     }
   }
 
