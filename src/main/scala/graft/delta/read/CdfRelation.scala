@@ -57,7 +57,11 @@ object CdfRelation {
           removes.map(r => AddFile(path = r.path,
             partitionValues = r.partitionValues.getOrElse(Map.empty) +
               (typeCol -> "delete") + (VersionCol -> v.toString),
-            size = r.size.getOrElse(0L))))
+            size = r.size.getOrElse(0L),
+            // a removed SHADED file derives deletes for its LIVE rows
+            // only — the old shade's positions were already dead and
+            // re-emitting them would over-report the delete
+            deletionVector = r.deletionVector)))
     }
   }
 
@@ -94,7 +98,9 @@ object CdfRelation {
         if (streaming) org.apache.spark.sql.graft.Shims
           .relationToDataFrame(spark, relation, isStreaming = true)
         else spark.baseRelationToDataFrame(relation)
-      df.select(outCols: _*)
+      // derived files that carried a shade contribute LIVE rows only
+      DvFilter.forFiles(df, files, deltaLog.dataPath, deltaLog.hadoopConf)
+        .select(outCols: _*)
     }
 
     val cdcFrame =

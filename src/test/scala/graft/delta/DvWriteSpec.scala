@@ -307,6 +307,21 @@ class DvWriteSpec extends SparkSpec {
     }
   }
 
+  test("CDF of a metadata delete of a SHADED file derives live rows only") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 10L).toDF("id").coalesce(1), dir,
+        configuration = dvConf + ("delta.enableChangeDataFeed" -> "true"))
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" % 3 === 0) // v1: shades 0,3,6,9
+      t.deleteWhere(lit(true))  // v2: metadata-only remove of the shaded file
+      val v2 = t.changes(2, 2)
+        .filter(col("_change_type") === "delete")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(v2 == (0L until 10L).filterNot(_ % 3 == 0),
+        "derived deletes must exclude the rows the old shade already killed")
+    }
+  }
+
   test("merge against a shaded target never matches deleted rows") {
     withTempDir { dir =>
       DeltaTable.write((0L until 10L).map(i => (i, 0L)).toDF("id", "v"), dir,
