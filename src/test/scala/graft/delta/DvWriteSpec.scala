@@ -307,6 +307,49 @@ class DvWriteSpec extends SparkSpec {
     }
   }
 
+  test("DV update that SETs the partition column relocates moved rows") {
+    withTempDir { dir =>
+      val data = (0L until 20L).map(i => (i, if (i < 10) "a" else "b"))
+        .toDF("id", "p")
+      DeltaTable.write(data, dir, partitionBy = Seq("p"),
+        configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.update($"id" % 10 === 4, Map("p" -> lit("moved")))
+      val got = t.toDF.select("id", "p").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(got == (0L until 20L).map(i =>
+        (i, if (i % 10 == 4) "moved" else if (i < 10) "a" else "b")).sorted)
+      val snap = DeltaLog.forTable(spark, dir).update()
+      // moved rows live in the new partition's files; sources are shaded
+      assert(snap.allFiles.exists(_.partitionValues.get("p").contains("moved")))
+      assert(snap.dvCardinality == 2L)
+      // partition-pruned read of the new partition sees exactly the moves
+      assert(t.toDF.filter($"p" === "moved").select("id").as[Long]
+        .collect().sorted.toSeq == Seq(4L, 14L))
+    }
+  }
+
+  test("DV merge with CDF records update/delete/insert change rows") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 6L).map(i => (i, 0L)).toDF("id", "v"), dir,
+        configuration = dvConf + ("delta.enableChangeDataFeed" -> "true"))
+      val t = DeltaTable.forPath(spark, dir)
+      val src = Seq((1L, 11L), (2L, 22L), (100L, 1L)).toDF("id", "v")
+      t.merge(src, col("t.id") === col("s.id"))
+        .whenMatchedDelete(col("s.id") === 2L)
+        .whenMatchedUpdate(Map("v" -> col("s.v")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      val ch = t.changes(1, 1).select("_change_type", "id", "v")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(ch == Seq(
+        ("delete", 2L, 0L),
+        ("insert", 100L, 1L),
+        ("update_postimage", 1L, 11L),
+        ("update_preimage", 1L, 0L)))
+    }
+  }
+
   test("CDF of a metadata delete of a SHADED file derives live rows only") {
     withTempDir { dir =>
       DeltaTable.write((0L until 10L).toDF("id").coalesce(1), dir,
