@@ -35,6 +35,7 @@ object Checkpoints {
     val actions: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
         snapshot.setTransactions.map(_.wrap)) ++
+        snapshot.domainActions.map(_.wrap) ++
         // stats parse ONCE at checkpoint time; every later pruning query
         // reads the stats_parsed struct instead of re-walking the JSON
         snapshot.allFiles.map(a => read.DataSkipping.withParsedStats(a).wrap) ++
@@ -54,6 +55,7 @@ object Checkpoints {
     val small: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
         snapshot.setTransactions.map(_.wrap)) ++
+        snapshot.domainActions.map(_.wrap) ++
         snapshot.tombstones.map(_.wrap)
     val ds = snapshot.spark.createDataset(small)
       .unionByName(snapshot.allFilesDistributed
@@ -121,6 +123,8 @@ object Checkpoints {
         Checkpoints.V2MainAction(metaData = Some(snapshot.metadata)) +:
         (snapshot.setTransactions.map(t =>
           Checkpoints.V2MainAction(txn = Some(t))) ++
+          snapshot.domainActions.map(d =>
+            Checkpoints.V2MainAction(domainMetadata = Some(d))) ++
           sidecars.map(s => Checkpoints.V2MainAction(sidecar = Some(s))))
       val mainTmp = new Path(log.logPath, s".v2cp_main_tmp_$uuid")
       spark.createDataset(mainRows).coalesce(1)
@@ -209,7 +213,8 @@ object Checkpoints {
       metaData: Option[Metadata] = None,
       protocol: Option[Protocol] = None,
       checkpointMetadata: Option[CheckpointMetadata] = None,
-      sidecar: Option[SidecarFile] = None)
+      sidecar: Option[SidecarFile] = None,
+      domainMetadata: Option[DomainMetadata] = None)
 
   /** Read `_last_checkpoint`; any failure (missing, corrupt) yields None
     * and the caller falls back to a full listing. */

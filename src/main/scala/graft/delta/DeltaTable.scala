@@ -52,6 +52,64 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
   def version: Long = deltaLog.update().version
 
+  // ------------------------------------------------- domain metadata
+  /** Live domain metadata: `domain -> configuration` (PROTOCOL.md
+    * "Domain Metadata"). */
+  def domainMetadata: Map[String, String] = deltaLog.update().domainMetadata
+
+  /** Set one domain's configuration; the commit auto-upgrades the writer
+    * protocol with the domainMetadata feature. Last writer per domain
+    * wins; concurrent changes to the SAME domain conflict. */
+  def setDomainMetadata(domain: String, configuration: String): Long = {
+    val txn = deltaLog.startTransaction()
+    txn.commit(Seq(DomainMetadata(domain, configuration)),
+      DeltaOperations.SetDomainMetadata,
+      operationParameters = Map("domain" -> domain))
+  }
+
+  /** Remove a domain (subsequent snapshots no longer carry it). */
+  def removeDomainMetadata(domain: String): Long = {
+    val txn = deltaLog.startTransaction()
+    txn.commit(Seq(DomainMetadata(domain, removed = true)),
+      DeltaOperations.SetDomainMetadata,
+      operationParameters = Map("domain" -> domain, "removed" -> "true"))
+  }
+
+  /** Declare clustering columns (the `delta.clustering` domain — the
+    * liquid-clustering shape): OPTIMIZE without an explicit zOrderBy
+    * re-clusters by them, and foreign engines that honor the domain see
+    * the same declaration. Physical names are stored (column-mapping
+    * tables survive renames); pass logical names here. */
+  def setClusteringColumns(columns: Seq[String]): Long = {
+    val txn = deltaLog.startTransaction()
+    val schema = txn.snapshot.metadata.schema
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"Unknown clustering column $c")
+      require(!txn.snapshot.metadata.partitionColumns.contains(c),
+        s"Clustering column $c is a partition column")
+    }
+    val phys = columns.map(c => ColumnMapping.physicalName(schema(c)))
+    val cfg = JsonCodec.mapper.writeValueAsString(
+      Map("clusteringColumns" -> phys.map(p => Seq(p))))
+    // carry the clustering feature alongside domainMetadata — writers of
+    // clustered tables must preserve the domain, which this engine does
+    // by construction (state carries domains; commits never drop them)
+    val proto = txn.snapshot.protocol
+    val protoAction: Seq[Action] =
+      if (proto.minWriterVersion == 7 &&
+        proto.writerFeatures.exists(f =>
+          f.contains("clustering") && f.contains("domainMetadata"))) Nil
+      else Seq(TableFeatures.upgradedWithWriter(proto,
+        Seq("clustering", "domainMetadata")))
+    txn.commit(protoAction :+ DomainMetadata(DeltaTable.ClusteringDomain, cfg),
+      DeltaOperations.SetDomainMetadata,
+      operationParameters = Map("clusteringColumns" -> columns))
+  }
+
+  /** The table's declared clustering columns (logical names), if any. */
+  def clusteringColumns: Seq[String] =
+    DeltaTable.clusteringColumns(deltaLog.update())
+
   /** Delete rows matching a partition predicate without rewriting data
     * (metadata-only delete); predicates touching data columns are
     * rejected — rewrite-deletes arrive with the DML layer. */
@@ -1000,9 +1058,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               maxFilesPerCommit: Int = 10000): Long = {
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
+    // a CLUSTERED table (delta.clustering domain) treats OPTIMIZE as a
+    // re-clustering pass over its declared clustering columns unless the
+    // caller z-orders explicitly
+    val zOrderCols =
+      if (zOrderBy.nonEmpty) zOrderBy
+      else DeltaTable.clusteringColumns(snapshot)
     // validate BEFORE any early return — a typo'd z-order column must
     // fail even when there happen to be no candidates right now
-    zOrderBy.foreach { c =>
+    zOrderCols.foreach { c =>
       require(snapshot.metadata.schema.fieldNames.contains(c),
         s"Unknown z-order column $c")
       require(!snapshot.metadata.partitionColumns.contains(c),
@@ -1029,7 +1093,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val rewrite: Seq[AddFile] = where match {
       case Some(pred) =>
         val matched = txn.markFilesAsRead(pred)
-        if (zOrderBy.isEmpty)
+        if (zOrderCols.isEmpty)
           DeltaTable.packableGroups(
             matched.filter(f =>
               f.size < targetFileBytes || f.deletionVector.isDefined),
@@ -1043,7 +1107,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         if (snapshot.distributedState) {
           val target = targetFileBytes
           val cap = maxFilesPerCommit
-          if (zOrderBy.isEmpty) {
+          if (zOrderCols.isEmpty) {
             // group + qualify where the file list lives; only survivors
             // (files that will become RemoveFiles) reach the driver. The
             // driver re-qualifies after the limit() truncation so a group
@@ -1071,7 +1135,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             DeltaTable.packableGroups(survivors, target, maxFilesPerCommit)
           } else snapshot.allFilesDistributed.collect().toSeq
         } else {
-          if (zOrderBy.isEmpty) {
+          if (zOrderCols.isEmpty) {
             DeltaTable.packableGroups(
               snapshot.allFiles.filter(f =>
                 f.size < targetFileBytes || f.deletionVector.isDefined),
@@ -1099,9 +1163,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val numOutput = math.max(1,
       math.ceil(rewrite.map(_.size).sum.toDouble / targetFileBytes).toInt)
     val compacted =
-      if (zOrderBy.isEmpty && metadata.partitionColumns.isEmpty)
+      if (zOrderCols.isEmpty && metadata.partitionColumns.isEmpty)
         df.repartition(numOutput)
-      else if (zOrderBy.isEmpty) {
+      else if (zOrderCols.isEmpty) {
         // Partitioned plain compaction shuffles on (partition, bucket):
         // each partition packs into its OWN ceil(bytes/target) buckets.
         // A global repartition(numOutput) would re-smear every partition
@@ -1153,7 +1217,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         // file count stays ~numOutput while z-clustering WITHIN each
         // partition, which is where its scan benefit lives (partition
         // pruning already handles the partition dimension).
-        val z = write.ZOrder.zValue(df, zOrderBy)
+        val z = write.ZOrder.zValue(df, zOrderCols)
         import org.apache.spark.sql.functions.col
         val rangeKeys = (metadata.partitionColumns.map(col) :+
           col("__zorder")).toIndexedSeq
@@ -1173,11 +1237,39 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "numAddedFiles" -> adds.size.toString,
         "numAddedBytes" -> adds.map(_.size).sum.toString),
       operationParameters =
-        if (zOrderBy.nonEmpty) Map("zOrderBy" -> zOrderBy) else Map.empty)
+        if (zOrderCols.nonEmpty) Map("zOrderBy" -> zOrderCols) else Map.empty)
   }
 }
 
 object DeltaTable {
+
+  /** The domain carrying a clustered table's clustering columns. */
+  val ClusteringDomain = "delta.clustering"
+
+  /** Parse the clustering domain's columns back to LOGICAL names: the
+    * configuration stores nested-name paths of PHYSICAL names
+    * (`{"clusteringColumns":[["c1"],["c2"]]}`); top-level physical names
+    * resolve through the schema's column mapping. */
+  private[delta] def clusteringColumns(snapshot: Snapshot): Seq[String] =
+    snapshot.domainMetadata.get(ClusteringDomain).toSeq.flatMap { cfg =>
+      try {
+        val node = JsonCodec.mapper.readTree(cfg)
+        val arr = node.get("clusteringColumns")
+        if (arr == null) Nil
+        else {
+          val schema = snapshot.metadata.schema
+          (0 until arr.size).map { i =>
+            val parts = arr.get(i)
+            val phys = (0 until parts.size).map(parts.get(_).asText())
+            // nested clustering columns are rare; we honor top-level ones
+            // and resolve the physical name back to its logical field
+            val top = phys.headOption.getOrElse("")
+            schema.fields.find(f => ColumnMapping.physicalName(f) == top)
+              .map(_.name).getOrElse(top)
+          }.filter(c => schema.fieldNames.contains(c))
+        }
+      } catch { case _: Exception => Nil }
+    }
 
   /** Number of ~target-sized output files a candidate group packs into. */
   private[delta] def packedFileCount(files: Seq[AddFile], target: Long): Int =

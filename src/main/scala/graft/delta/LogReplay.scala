@@ -11,7 +11,10 @@ case class State(
     activeFiles: Seq[AddFile],
     tombstones: Seq[RemoveFile],
     sizeInBytes: Long,
-    numOfFiles: Long)
+    numOfFiles: Long,
+    /** LIVE domain metadata (newest per domain, removed ones dropped —
+      * absence IS the removal tombstone, since replay is ordered). */
+    domains: Seq[DomainMetadata] = Nil)
 
 object LogReplay {
   /** Fallback canonicalization (tables whose filesystem is unknown). */
@@ -69,6 +72,7 @@ class InMemoryLogReplay(
   private val transactions = mutable.HashMap.empty[String, SetTransaction]
   private val activeFiles = mutable.LinkedHashMap.empty[String, AddFile]
   private val tombstones = mutable.HashMap.empty[String, RemoveFile]
+  private val domains = mutable.HashMap.empty[String, DomainMetadata]
 
   /** Initialize the fold from an ALREADY-FOLDED state at `version` — the
     * incremental-update path: a superseded snapshot's state seeds its
@@ -86,6 +90,7 @@ class InMemoryLogReplay(
       activeFiles(canonical(a.path) + "\u0000" + a.dvId) = a)
     state.tombstones.foreach(r =>
       tombstones(canonical(r.path) + "\u0000" + r.dvId) = r)
+    state.domains.foreach(d => domains(d.domain) = d)
   }
 
   def append(version: Long, actions: Iterator[Action]): Unit = {
@@ -104,6 +109,7 @@ class InMemoryLogReplay(
         val key = canonical(r.path) + "\u0000" + r.dvId
         activeFiles.remove(key)
         tombstones(key) = r.copy(dataChange = false)
+      case d: DomainMetadata => domains(d.domain) = d
       case _: AddCDCFile => // never part of table state
       case _: CommitInfo => // provenance only
       case null => // ignorable / unknown action
@@ -125,6 +131,7 @@ class InMemoryLogReplay(
       tombstones = tombstones.values
         .filter(_.delTimestamp > minFileRetentionTimestamp).toVector,
       sizeInBytes = adds.map(_.size).sum,
-      numOfFiles = adds.size.toLong)
+      numOfFiles = adds.size.toLong,
+      domains = domains.values.filterNot(_.removed).toVector)
   }
 }

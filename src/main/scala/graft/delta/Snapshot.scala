@@ -156,7 +156,8 @@ class Snapshot(
         fromMain ++ spark.read
           .schema(Encoders.product[SingleAction].schema)
           .parquet(sidecarPaths: _*)
-          .selectExpr("txn", "remove", "metaData", "protocol")
+          .selectExpr("txn", "remove", "metaData", "protocol",
+            "domainMetadata")
           .where("remove IS NOT NULL")
           .as[Snapshot.LightAction]
           .collect().iterator.map(_.unwrap).filter(_ != null)
@@ -166,9 +167,11 @@ class Snapshot(
       val paths = logSegment.checkpoint.map(_.getPath.toString)
       spark.read.schema(Encoders.product[SingleAction].schema)
         .parquet(paths: _*)
-        .selectExpr("txn", "remove", "metaData", "protocol")
+        .selectExpr("txn", "remove", "metaData", "protocol",
+          "domainMetadata")
         .where("txn IS NOT NULL OR remove IS NOT NULL OR " +
-          "metaData IS NOT NULL OR protocol IS NOT NULL")
+          "metaData IS NOT NULL OR protocol IS NOT NULL OR " +
+          "domainMetadata IS NOT NULL")
         .as[Snapshot.LightAction]
         .collect().iterator.map(_.unwrap).filter(_ != null)
   }
@@ -241,6 +244,10 @@ class Snapshot(
 
   def protocol: Protocol = lightState.protocol
   def metadata: Metadata = lightState.metadata
+  /** Live domain metadata: `domain -> configuration` (M-state). */
+  def domainMetadata: Map[String, String] =
+    lightState.domains.map(d => d.domain -> d.configuration).toMap
+  private[delta] def domainActions: Seq[DomainMetadata] = lightState.domains
   def tombstones: Seq[RemoveFile] = lightState.tombstones
   def setTransactions: Seq[SetTransaction] = lightState.setTransactions
 
@@ -378,9 +385,11 @@ object Snapshot {
       txn: Option[SetTransaction] = None,
       remove: Option[RemoveFile] = None,
       metaData: Option[Metadata] = None,
-      protocol: Option[Protocol] = None) {
+      protocol: Option[Protocol] = None,
+      domainMetadata: Option[DomainMetadata] = None) {
     def unwrap: Action =
-      txn.orElse(remove).orElse(metaData).orElse(protocol).orNull
+      txn.orElse(remove).orElse(metaData).orElse(protocol)
+        .orElse(domainMetadata).orNull
   }
 
   /** The five state-bearing [[SingleAction]] columns (everything except
@@ -391,8 +400,10 @@ object Snapshot {
       add: Option[AddFile] = None,
       remove: Option[RemoveFile] = None,
       metaData: Option[Metadata] = None,
-      protocol: Option[Protocol] = None) {
+      protocol: Option[Protocol] = None,
+      domainMetadata: Option[DomainMetadata] = None) {
     def unwrap: Action =
-      txn.orElse(add).orElse(remove).orElse(metaData).orElse(protocol).orNull
+      txn.orElse(add).orElse(remove).orElse(metaData).orElse(protocol)
+        .orElse(domainMetadata).orNull
   }
 }

@@ -30,10 +30,10 @@ case class CheckpointMetadata(
   * holding every non-file action (protocol, metadata, txns, its own
   * `checkpointMetadata`) plus EITHER the file actions inline OR a list of
   * `sidecar` actions naming parquet files under `_delta_log/_sidecars/`
-  * that carry all add/remove actions. This engine reads both layouts;
-  * checkpoints it WRITES stay classic (always legal — V2 is an additional
-  * format readers must accept, not a replacement), and the matching
-  * writer feature remains unsupported so writes refuse by name.
+  * that carry all add/remove actions. This engine reads both layouts and
+  * writes the sidecar layout when `delta.checkpointPolicy=v2`
+  * ([[Checkpoints.writeV2Checkpoint]]); classic-policy tables keep
+  * classic checkpoints.
   *
   * Scale shape: the main file is sidecar-count-bounded when sidecars are
   * present (the spec keeps all file actions out of it), so the driver
@@ -63,9 +63,11 @@ object V2Checkpoints {
       remove: Option[RemoveFile] = None,
       metaData: Option[Metadata] = None,
       protocol: Option[Protocol] = None,
-      sidecar: Option[SidecarFile] = None) {
+      sidecar: Option[SidecarFile] = None,
+      domainMetadata: Option[DomainMetadata] = None) {
     def unwrap: Action =
-      txn.orElse(add).orElse(remove).orElse(metaData).orElse(protocol).orNull
+      txn.orElse(add).orElse(remove).orElse(metaData).orElse(protocol)
+        .orElse(domainMetadata).orNull
   }
 
   def isV2Segment(segment: LogSegment): Boolean =

@@ -221,7 +221,8 @@ object TableFeatures {
   val supportedWriter: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
-    "deletionVectors", "inCommitTimestamp", "v2Checkpoint")
+    "deletionVectors", "inCommitTimestamp", "v2Checkpoint",
+    "domainMetadata", "clustering")
 
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so
@@ -404,6 +405,19 @@ case class CommitInfo(
   def wrap: SingleAction = SingleAction(commitInfo = Some(this))
 }
 
+/** System- or user-scoped key/value state attached to the table
+  * (PROTOCOL.md "Domain Metadata", writer feature domainMetadata): the
+  * newest action per `domain` wins, `removed = true` drops the domain
+  * from the snapshot. Carries e.g. the `delta.clustering` domain whose
+  * configuration names a clustered table's clustering columns. */
+case class DomainMetadata(
+    domain: String,
+    configuration: String = "",
+    removed: Boolean = false)
+  extends Action {
+  def wrap: SingleAction = SingleAction(domainMetadata = Some(this))
+}
+
 /** One-of envelope matching the protocol's JSON layout: each commit-file
   * line is a SingleAction with exactly one field set.
   * Ref: actions.scala:339-367. */
@@ -414,10 +428,11 @@ case class SingleAction(
     metaData: Option[Metadata] = None,
     protocol: Option[Protocol] = None,
     cdc: Option[AddCDCFile] = None,
-    commitInfo: Option[CommitInfo] = None) {
+    commitInfo: Option[CommitInfo] = None,
+    domainMetadata: Option[DomainMetadata] = None) {
 
   def unwrap: Action =
-    txn.orElse(add).orElse(remove).orElse(metaData)
+    txn.orElse(add).orElse(remove).orElse(metaData).orElse(domainMetadata)
       .orElse(protocol).orElse(cdc).orElse(commitInfo).orNull
 }
 
@@ -438,4 +453,5 @@ object DeltaOperations {
   val Clone = "CLONE"
   val ReplaceWhere = "REPLACE WHERE"
   val Convert = "CONVERT"
+  val SetDomainMetadata = "SET DOMAIN METADATA"
 }

@@ -294,6 +294,26 @@ class OptimisticTransaction(
 
     finalActions = prepareCommit(finalActions)
 
+    // Domain metadata (PROTOCOL.md, writer feature domainMetadata): a
+    // commit carrying DomainMetadata actions auto-upgrades the writer
+    // protocol with the feature (reader side untouched — domains don't
+    // change how data reads)
+    if (finalActions.exists(_.isInstanceOf[DomainMetadata])) {
+      val current = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+        .getOrElse(Protocol())
+      val hasFeature = current.minWriterVersion == 7 &&
+        current.writerFeatures.exists(_.contains("domainMetadata"))
+      if (!hasFeature) {
+        val upgraded = TableFeatures.upgradedWithWriter(
+          current, Seq("domainMetadata"))
+        finalActions =
+          if (finalActions.exists(_.isInstanceOf[Protocol]))
+            finalActions.map { case _: Protocol => upgraded; case a => a }
+          else upgraded +: finalActions
+      }
+    }
+
     // In-commit timestamps (PROTOCOL.md, writer feature inCommitTimestamp):
     // when `delta.enableInCommitTimestamps` holds for THIS commit's
     // metadata, its CommitInfo carries a monotonic timestamp — computed
@@ -525,6 +545,24 @@ class ConflictChecker(
     checkDeletedFilesRead()
     checkDeleteDelete()
     checkTxnIds()
+    checkDomains()
+  }
+
+  /** Two transactions changing the SAME metadata domain cannot both win:
+    * domain state is last-writer-wins per domain, so a silent overwrite
+    * would drop the winner's change (e.g. two OPTIMIZEs updating the
+    * clustering domain). Disjoint domains commute. */
+  private def checkDomains(): Unit = {
+    val ours = ourActions.collect { case d: DomainMetadata => d.domain }.toSet
+    if (ours.isEmpty) return
+    val winning = winningActions.collect {
+      case d: DomainMetadata => d.domain }.toSet
+    val hit = ours.intersect(winning)
+    if (hit.nonEmpty) {
+      throw new ConcurrentWriteException(
+        s"Metadata domain(s) ${hit.mkString(", ")} changed by both this " +
+          s"transaction and concurrent commit $winningVersion")
+    }
   }
 
   private def checkProtocol(): Unit =

@@ -219,6 +219,40 @@ object Curation {
     * Pure per-row expansion: no shuffle, no window, row-order free —
     * the 100 TB shape. Output: the input columns minus `textCol`, plus
     * (chunk_index, chunk_tokens, chunk_text). */
+  /** Topic-balanced subsampling: partition the corpus by a trained
+    * embedding k-means (the SemDeDup blocking shape — clusters adapt to
+    * the data's density, unlike a fixed domain label) and cap every
+    * cluster at `perCellCap` members, so an over-represented topic
+    * (boilerplate, spam bursts, crawled mirror sites) cannot dominate
+    * the training mix regardless of its raw volume.
+    *
+    * Survivor choice is the lowest ids per cluster — deterministic and
+    * replayable; plug a quality score in by ranking upstream and
+    * re-mapping ids if priority sampling is wanted.
+    *
+    * Scale shape: training and assignment are the shared broadcast-join
+    * + argmax + (cell, dim)-mean machinery of [[Similarity]] (never
+    * all-pairs); the per-cluster cap is one window partitioned by cell —
+    * its skew is bounded by the largest cluster, and the output is at
+    * most nCells * perCellCap rows. Determinism: 6-decimal rounding and
+    * id tie-breaks throughout, so re-runs (and the DuckDB oracle)
+    * reproduce bit-for-bit. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int = 16, trainIters: Int = 2,
+                            perCellCap: Int = 5): DataFrame = {
+    val c = Similarity.corpusFace(df, idCol, vecCol)
+    val cents = Similarity.trainedCentroids(df, c, idCol, vecCol,
+      nCells, trainIters)
+    val assign = Similarity.assignCells(c, cents)
+      .select(col("neighbor_id").as(idCol), col("cell"))
+    import org.apache.spark.sql.expressions.Window
+    assign
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col(idCol))))
+      .filter(col("__rk") <= perCellCap)
+      .select(col(idCol), col("cell"))
+  }
+
   def chunkWithOverlap(df: DataFrame, textCol: String,
                        chunkTokens: Int, overlap: Int): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")

@@ -646,6 +646,72 @@ object PipelineQueries {
                      sqrt(${duckDot("ej.embedding", "ej.embedding")})), 6) >= 0.35""")),
 
     QueryDef(
+      "curate_cluster_balance",
+      // topic-balanced subsampling: trained k-means clusters as topic
+      // blocks, each capped at 5 members (lowest ids) — over-represented
+      // topics cannot dominate the mix. The oracle replays the identical
+      // 2-iteration k-means chain and the per-cell rank in SQL.
+      (s, dir) => Curation.clusterBalancedSample(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 16, trainIters = 2, perCellCap = 5),
+      Some(s"""
+        WITH cents0 AS (
+          SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), aff0 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents0 c
+        ), assign0 AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff0) t WHERE rn = 1
+        ), cents1 AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[i]::DOUBLE), 6) AS v
+            FROM assign0 a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, i) s
+          GROUP BY cell
+        ), aff1 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents1 c
+        ), assign1 AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff1) t WHERE rn = 1
+        ), cents2 AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[i]::DOUBLE), 6) AS v
+            FROM assign1 a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, i) s
+          GROUP BY cell
+        ), aff2 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, cents2 c
+        ), assign AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM aff2) t WHERE rn = 1
+        )
+        SELECT nid AS vec_id, cell FROM (
+          SELECT nid, cell,
+                 ROW_NUMBER() OVER (PARTITION BY cell ORDER BY nid) AS rk
+          FROM assign) r
+        WHERE rk <= 5""")),
+
+    QueryDef(
       "dedup_embedding_lsh",
       // the DEFAULT blocker: no caller-supplied block column — the engine
       // buckets by its own codegen'd LSH sign-bucket, so near-dup search

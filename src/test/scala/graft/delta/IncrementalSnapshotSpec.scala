@@ -61,8 +61,10 @@ class IncrementalSnapshotSpec extends SparkSpec {
       val log = DeltaLog.forTable(spark, dir)
       val snap0 = log.update()
       snap0.allFiles // computed fold to seed from
-      // delete-style commit: remove the second file
-      val victim = snap0.allFiles.maxBy(_.path)
+      // delete-style commit: remove the SECOND (1-row) file — identified
+      // by size, never by path: batch dirs are uuid-named, so path order
+      // between the two files is a coin flip
+      val victim = snap0.allFiles.minBy(_.size)
       log.store.write(FileNames.deltaFile(log.logPath, snap0.version + 1),
         Seq(victim.remove(dataChange = true): Action)
           .map(JsonCodec.toJson).iterator, overwrite = false, log.hadoopConf)
