@@ -34,6 +34,53 @@ object Dedup {
            min(col("id")).as("representative"))
       .filter(col("group_size") > 1)
 
+  /** Cross-document duplicated-n-gram fraction — the corpus-level
+    * repetition signal of the MassiveText/RefinedWeb filtering stacks
+    * (Rae et al. 2021; Penedo et al. 2023): for each document, the
+    * fraction of its word-n-gram POSITIONS whose n-gram also occurs in
+    * at least `minDocs - 1` OTHER documents. High values mark boilerplate
+    * and template text that survives whole-document dedup because the
+    * surrounding bytes differ.
+    *
+    * Returns (id, n_positions, dup_frac). Documents shorter than n words
+    * have zero positions and dup_frac 0.
+    *
+    * Scale shape: one explode to (doc, gram, positional count) partial-
+    * aggregated map-side; document frequency is a second (gram)-keyed
+    * count over the DISTINCT (doc, gram) stream (already grouped, no
+    * second explode); the gram-keyed join back is the only wide shuffle
+    * and carries (gram, doc, count) — never document text. Nothing is
+    * all-pairs and nothing collects; skewed grams (a boilerplate n-gram
+    * in millions of docs) stay one aggregation key each, and AQE's
+    * skew-join handling splits the join side if one gram dominates. */
+  def crossDocNgramDupFraction(df: DataFrame, idCol: String,
+                               textCol: String, n: Int = 5,
+                               minDocs: Int = 2): DataFrame = {
+    val toks = InputWidth.widen(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val grams = toks.select(col("id"),
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(0), size(col("tk")) - n),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("id"), explode_outer(col("grams")).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(count(when(col("g").isNotNull, 1)).as("cnt"))
+    val docFreq = grams.filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+    grams.join(docFreq, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(sum(when(col("g").isNotNull, col("cnt")).otherwise(0))
+             .cast("bigint").as("n_positions"),
+           sum(when(col("dfreq") >= minDocs, col("cnt")).otherwise(0))
+             .cast("bigint").as("dup_positions"))
+      .select(col("id"), col("n_positions"),
+        when(col("n_positions") > 0,
+          col("dup_positions").cast("double") /
+            col("n_positions").cast("double")).otherwise(0.0)
+          .as("dup_frac"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: shingle → k-minhash signature (one md5 per shingle, k

@@ -387,6 +387,109 @@ object Similarity {
     ivfScore(cents, members, queries, idCol, vecCol, k, nProbe)
   }
 
+  // ------------------------------------------------------------------
+  // Scalar quantization (SQ8) — the int8 compression tier.
+  //
+  // Between raw vectors (IVF members) and PQ codes sits the classic
+  // FAISS IndexScalarQuantizer shape: each DIMENSION quantizes
+  // independently to an 8-bit level on a per-dimension [min, max] range
+  // trained over the corpus. Codes are 8x smaller than float32 vectors
+  // (dim bytes instead of 4*dim), far more accurate than PQ at the same
+  // build cost (no k-means — training is one min/max aggregation), and
+  // scoring is a compressed linear scan that never touches raw vectors.
+
+  /** Train the SQ8 quantizer and encode the corpus.
+    *
+    * Returns `(params, codes)`: `params` is ONE row with per-dimension
+    * range arrays `(lo: array<double>, hi: array<double>)` — the whole
+    * trained quantizer, broadcast-sized by construction; `codes` is
+    * `(id, codes: array<int>)`, one 0..255 level per dimension
+    * (`round((v_i - lo_i) * 255 / (hi_i - lo_i))`; a constant dimension
+    * encodes as 0 and reconstructs to its constant).
+    *
+    * Scale shape: training is one posexplode + (dim)-keyed min/max —
+    * map-side combinable, dim groups, no window; encoding is one
+    * broadcast of the 1-row params frame and a per-row `transform` over
+    * the vector (no shuffle of the corpus at all). Determinism: min/max
+    * select existing values (no summation), and the quantization
+    * formula is fixed-op-order double math both engines replay
+    * bit-identically. */
+  def buildSq8IndexFrames(corpus: DataFrame, idCol: String,
+                          vecCol: String): (DataFrame, DataFrame) = {
+    val c = InputWidth.widen(corpus).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val perDim = c.select(posexplode(col("v")).as(Seq("i0", "e")))
+      .groupBy(col("i0")).agg(min(col("e")).as("lo"), max(col("e")).as("hi"))
+    // collapse the dim rows into the 1-row array artifact; collect_list
+    // order is nondeterministic, so sort by the leading struct field
+    val params = perDim
+      .agg(array_sort(collect_list(struct(col("i0"), col("lo")))).as("slo"),
+        array_sort(collect_list(struct(col("i0"), col("hi")))).as("shi"))
+      .select(transform(col("slo"), s => s("lo")).as("lo"),
+        transform(col("shi"), s => s("hi")).as("hi"))
+    val codes = c.crossJoin(broadcast(params))
+      .select(col("id"), transform(col("v"), (x, i) => {
+        val lo = element_at(col("lo"), i + 1)
+        val hi = element_at(col("hi"), i + 1)
+        when(hi === lo, lit(0))
+          .otherwise(round((x - lo) * lit(255.0) / (hi - lo)).cast("int"))
+      }).as("codes"))
+    (params, codes)
+  }
+
+  /** Write the SQ8 index as a persisted Delta artifact: `params` (one
+    * row: lo/hi arrays) and `codes` (id, codes) under `path`. Rebuild =
+    * overwrite = new snapshot; readers on the old snapshot are
+    * unaffected. */
+  def writeSq8Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                    corpus: DataFrame, idCol: String,
+                    vecCol: String): Unit = {
+    val (params, codes) = buildSq8IndexFrames(corpus, idCol, vecCol)
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    graft.delta.DeltaTable.write(params, s"$path/params", mode)
+    graft.delta.DeltaTable.write(codes, s"$path/codes", mode)
+  }
+
+  /** Top-k against a PERSISTED SQ8 index: reconstructs each candidate
+    * dimension from its code (`lo_i + code * (hi_i - lo_i) / 255`) and
+    * ranks by approximate cosine — a compressed linear scan over the
+    * int-code table; raw corpus vectors are never read and nothing
+    * trains at query time.
+    *
+    * Scale shape: the params row and the per-dimension query terms
+    * broadcast; the corpus side is one posexplode of the code arrays
+    * feeding a map-side-combinable (query, neighbor) fold with
+    * DECIMAL-summed contributions (bit-reproducible regardless of
+    * partition order — same discipline as the PQ/ADC tier). */
+  def sq8TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val params = graft.delta.DeltaTable.forPath(spark,
+      s"$indexPath/params").toDF
+    val codes = graft.delta.DeltaTable.forPath(spark, s"$indexPath/codes").toDF
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
+    val qTerms = q.select(col("query_id"), col("qn"),
+      posexplode(col("qv")).as(Seq("i0", "qe")))
+    val vhat = codes.crossJoin(broadcast(params))
+      .select(col("id").as("neighbor_id"), col("lo"), col("hi"),
+        posexplode(col("codes")).as(Seq("i0", "code")))
+      .select(col("neighbor_id"), col("i0"),
+        (element_at(col("lo"), col("i0") + 1) +
+          col("code").cast("double") *
+            (element_at(col("hi"), col("i0") + 1) -
+              element_at(col("lo"), col("i0") + 1)) / lit(255.0)).as("vh"))
+    val contrib = vhat.join(broadcast(qTerms), Seq("i0"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"), col("qn"),
+        round(col("qe") * col("vh"), 6).cast("decimal(18,6)").as("d"),
+        round(col("vh") * col("vh"), 6).cast("decimal(18,6)").as("cc"))
+    adcRank(contrib, k)
+  }
+
   /** (neighbor_id, cv0, cn0) — the corpus projected to id + vector +
     * precomputed norm, width-guarded. */
   private[operators] def corpusFace(corpus: DataFrame, idCol: String,

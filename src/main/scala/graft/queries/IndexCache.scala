@@ -47,6 +47,16 @@ object IndexCache {
       p
     })
 
+  /** SQ8 (per-dimension int8 scalar-quantization) index over
+    * `embeddings`. */
+  def sq8Index(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"sq8:$dir", _ => {
+      val p = temp("graft_sq8idx")
+      Similarity.writeSq8Index(s, p, Tables.t(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      p
+    })
+
   /** MinHash-LSH dedup index over `documents` (3-word shingles, k 12,
     * 4 bands). Probe-only consumers: nothing appends to this copy. */
   def minhashIndex(s: SparkSession, dir: String): String =
@@ -64,6 +74,7 @@ object IndexCache {
     pqIndex(s, dir)
     ivfIndex(s, dir, 0)
     ivfIndex(s, dir, 2)
+    sq8Index(s, dir)
     minhashIndex(s, dir)
   }
 }

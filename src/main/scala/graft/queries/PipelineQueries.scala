@@ -556,6 +556,47 @@ object PipelineQueries {
               (len(di.grams) + len(dj.grams)
                - len(list_intersect(di.grams, dj.grams))) >= 0.8""")),
 
+    // Cross-document duplicated-n-gram fraction (MassiveText/RefinedWeb
+    // corpus-level repetition signal): per document, the share of its
+    // word-5-gram positions whose gram also occurs in another document —
+    // catches boilerplate that whole-document dedup misses. One explode,
+    // two gram-keyed aggregations, one gram-keyed join; text never rides
+    // the wide shuffle.
+    QueryDef(
+      "dedup_cross_doc_ngrams",
+      (s, dir) => Dedup.crossDocNgramDupFraction(
+          t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id"),
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) >= 5
+                        THEN list_transform(range(1, len(tk) - 3),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3] || ' ' || tk[i+4])
+                        ELSE [] END) AS g
+          FROM toks),
+        percount AS (
+          SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g),
+        dfreq AS (SELECT g, COUNT(*) AS dfreq FROM percount GROUP BY g),
+        agg AS (
+          SELECT p.doc_id,
+                 CAST(SUM(p.cnt) AS BIGINT) AS n_positions,
+                 CAST(SUM(CASE WHEN d.dfreq >= 2 THEN p.cnt ELSE 0 END)
+                      AS BIGINT) AS dup_positions
+          FROM percount p JOIN dfreq d USING (g)
+          GROUP BY p.doc_id)
+        SELECT t.doc_id, COALESCE(a.n_positions, 0) AS n_positions,
+               CASE WHEN COALESCE(a.n_positions, 0) > 0
+                    THEN a.dup_positions::DOUBLE / a.n_positions
+                    ELSE 0.0 END AS dup_frac
+        FROM toks t LEFT JOIN agg a USING (doc_id)""")),
+
     QueryDef(
       "dedup_embedding_cosine",
       (s, dir) => {
@@ -1100,6 +1141,94 @@ object PipelineQueries {
             FROM aff) t WHERE rn = 1
         )
         SELECT cell, COUNT(*) AS n_members FROM assign GROUP BY cell""")),
+
+    // SQ8 scalar quantization — the int8 compression tier between raw
+    // IVF members and PQ codes (FAISS IndexScalarQuantizer shape):
+    // training is one per-dimension min/max aggregation, codes are 8x
+    // smaller than float32 vectors, and search is a compressed linear
+    // scan reconstructing each dimension from its 0..255 level.
+    QueryDef(
+      "ann_sq8_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        // probes the PERSISTED SQ8 index: ranking reads the int-code
+        // table + the broadcast 1-row range params; raw corpus vectors
+        // are never scanned and nothing trains at query time
+        Similarity.sq8TopKIndexed(s, IndexCache.sq8Index(s, dir),
+          emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3)
+      },
+      Some(s"""
+        WITH params AS (
+          SELECT i, MIN(e.embedding[i]::DOUBLE) AS lo,
+                 MAX(e.embedding[i]::DOUBLE) AS hi
+          FROM embeddings e, range(1, 65) t(i) GROUP BY i
+        ), codes AS (
+          SELECT e.vec_id, p.i,
+                 CASE WHEN p.hi = p.lo THEN 0
+                      ELSE CAST(round((e.embedding[p.i]::DOUBLE - p.lo) * 255.0
+                                      / (p.hi - p.lo), 0) AS INT) END AS code
+          FROM embeddings e CROSS JOIN params p
+        ), vhat AS (
+          SELECT c.vec_id, c.i,
+                 p.lo + c.code * (p.hi - p.lo) / 255.0 AS vh
+          FROM codes c JOIN params p ON p.i = c.i
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt(${duckDot("embedding", "embedding")}) AS qn
+          FROM embeddings WHERE vec_id < 10
+        ), qterm AS (
+          SELECT q.query_id, q.qn, t.i, q.qv[t.i]::DOUBLE AS qe
+          FROM q, range(1, 65) t(i)
+        ), contrib AS (
+          SELECT qt.query_id, v.vec_id AS neighbor_id, qt.qn,
+                 CAST(round(qt.qe * v.vh, 6) AS DECIMAL(18,6)) AS d,
+                 CAST(round(v.vh * v.vh, 6) AS DECIMAL(18,6)) AS cc
+          FROM vhat v JOIN qterm qt ON qt.i = v.i
+          WHERE v.vec_id <> qt.query_id
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 round(CAST(SUM(d) AS DOUBLE) /
+                       (qn * sqrt(CAST(SUM(cc) AS DOUBLE))), 6) AS approx_cosine
+          FROM contrib GROUP BY query_id, neighbor_id, qn
+        ), ranked AS (
+          SELECT query_id, neighbor_id, approx_cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_cosine
+        FROM ranked WHERE rank <= 3""")),
+
+    QueryDef(
+      "ann_sq8_index_build",
+      (s, dir) => {
+        import s.implicits._
+        val p = java.nio.file.Files.createTempDirectory("graft_sq8b").toString
+        Similarity.writeSq8Index(s, p, t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        graft.delta.DeltaTable.forPath(s, s"$p/codes").toDF
+          .select(col("id"), posexplode(col("codes")).as(Seq("i0", "code")))
+          .groupBy(($"i0" + 1).cast("bigint").as("i"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"code").as("n_codes"),
+            sum($"code").cast("bigint").as("code_sum"))
+      },
+      Some(s"""
+        WITH params AS (
+          SELECT i, MIN(e.embedding[i]::DOUBLE) AS lo,
+                 MAX(e.embedding[i]::DOUBLE) AS hi
+          FROM embeddings e, range(1, 65) t(i) GROUP BY i
+        ), codes AS (
+          SELECT e.vec_id, p.i,
+                 CASE WHEN p.hi = p.lo THEN 0
+                      ELSE CAST(round((e.embedding[p.i]::DOUBLE - p.lo) * 255.0
+                                      / (p.hi - p.lo), 0) AS INT) END AS code
+          FROM embeddings e CROSS JOIN params p
+        )
+        SELECT i, COUNT(*) AS n_docs, COUNT(DISTINCT code) AS n_codes,
+               CAST(SUM(code) AS BIGINT) AS code_sum
+        FROM codes GROUP BY i""")),
 
     QueryDef(
       "ann_ivf_kmeans_topk",

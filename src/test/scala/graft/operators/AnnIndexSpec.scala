@@ -125,6 +125,78 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("sq8: level-aligned corpus reconstructs exactly and matches brute force") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // components sit exactly on quantization levels: per-dim ranges are
+      // [0, 255] (anchored by rows 0 and 1), all values integers, and
+      // dim 7 is CONSTANT (hi == lo) — codes reconstruct bit-exactly, so
+      // the SQ8 ranking must equal the exact brute-force ranking
+      val rows: Seq[(Long, Array[Double])] =
+        Seq(
+          (0L, Array(0.0, 255, 0, 255, 0, 255, 0, 42.0)),
+          (1L, Array(255.0, 0, 255, 0, 255, 0, 255, 42.0))) ++
+          (2L until 12L).map { i =>
+            (i, Array.tabulate(8)(d =>
+              if (d == 7) 42.0 else ((i * 37 + d * 11) % 256).toDouble))
+          }
+      val corpus = rows.toDF("vec_id", "embedding")
+      val queries = rows.take(3).toDF("vec_id", "embedding")
+
+      val idx = s"$dir/sq8_index"
+      Similarity.writeSq8Index(spark, idx, corpus, "vec_id", "embedding")
+
+      // constant dimension survives the hi == lo guard: code 0, value lo
+      val paramRow = graft.delta.DeltaTable.forPath(spark, s"$idx/params")
+        .toDF.collect().head
+      assert(paramRow.getSeq[Double](paramRow.fieldIndex("lo"))(7) == 42.0)
+      assert(paramRow.getSeq[Double](paramRow.fieldIndex("hi"))(7) == 42.0)
+
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 3)
+        .collect().map(_.toSeq).toSet
+      val sq8 = Similarity.sq8TopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(sq8 == exact)
+    }
+  }
+
+  test("sq8 query plans zero scans of the corpus vectors") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpusDir = s"$dir/corpus_vectors"
+      corpusRows.toDF("vec_id", "embedding").write.parquet(corpusDir)
+      val corpus = spark.read.parquet(corpusDir)
+
+      val idx = s"$dir/sq8_index"
+      Similarity.writeSq8Index(spark, idx, corpus, "vec_id", "embedding")
+
+      val queries = queryRows.toDF("vec_id", "embedding")
+      val result = Similarity.sq8TopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 3)
+      val scans = fileScans(result)
+      assert(scans.nonEmpty, "expected file scans of the index tables")
+      assert(!scans.exists(s => scanPaths(s).contains("corpus_vectors")),
+        s"search plan must not scan the corpus vectors: " +
+          scans.map(scanPaths).mkString("; "))
+      assert(scans.forall(s => scanPaths(s).contains("sq8_index")),
+        "every file scan must read the persisted index")
+      // the per-document stream carries int codes only — no
+      // floating-point arrays outside the broadcast 1-row params
+      val codeScans = scans.filter(s => scanPaths(s).contains("codes"))
+      assert(codeScans.nonEmpty, "expected a scan of the code table")
+      assert(codeScans.forall(_.requiredSchema.fields.forall(f =>
+        f.dataType match {
+          case ArrayType(et, _) =>
+            et != org.apache.spark.sql.types.DoubleType &&
+              et != org.apache.spark.sql.types.FloatType
+          case _ => true
+        })),
+        "code-table scan must carry no floating-point arrays")
+    }
+  }
+
   test("ivfpq with every cell probed equals exhaustive ADC") {
     withTempDir { dir =>
       import spark.implicits._

@@ -23,6 +23,23 @@ class OperatorsSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("representative") == 1L)
   }
 
+  test("cross-doc n-gram dup fraction: shared spans count, short docs zero") {
+    // doc 1 and 4 are identical (9 words -> 7 trigram... n=5 -> 5 grams,
+    // all shared); doc 2 shares its first 5 positions' grams with 1/4
+    // only where all five words match; doc 5 is under n words
+    val out = Dedup.crossDocNgramDupFraction(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(5L) == (0L, 0.0))             // 1 word < n: zero positions
+    assert(out(1L)._1 == 5L && out(1L)._2 == 1.0) // every gram also in doc 4
+    assert(out(4L)._2 == 1.0)
+    // doc 2 differs in the last word: grams touching "cat" are unique,
+    // grams fully inside the shared prefix ("the quick brown fox jumps",
+    // ...) are duplicated in docs 1 and 4
+    assert(out(2L)._1 == 5L && out(2L)._2 == 0.8)
+    assert(out(3L)._2 == 0.0)                // nothing shared
+  }
+
   test("minhash LSH finds the near-duplicate pair") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleWidth = 3, k = 12, bands = 6, threshold = 0.5)
