@@ -81,6 +81,122 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Exact duplicated-substring spans — the ExactSubstr deduplication of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed relationally: per document, the maximal token
+    * spans every one of whose `minLen`-token windows occurs at least
+    * `minCount` times in the corpus (occurrences in the SAME document
+    * count — a verbatim self-repeat is a duplicate too). Returns one row
+    * per merged span: (id, span_start, span_end) in 0-based token
+    * positions, end inclusive.
+    *
+    * Equivalence to the suffix-array formulation: a duplicated substring
+    * of length ≥ minLen contains only duplicated minLen-windows, and any
+    * maximal run of duplicated windows reconstructs the maximal
+    * duplicated region's token coverage — so marking windows globally and
+    * merging overlapping/adjacent coverages per document yields exactly
+    * the token set ExactSubstr removes, without a global suffix sort.
+    *
+    * Scale shape: one explode to (id, pos, 60-bit window hash) — window
+    * TEXT never rides a shuffle, only its md5 prefix; the global
+    * occurrence count is one map-side-combinable aggregation on the hash;
+    * the hash-keyed join back (AQE skew-split if one boilerplate window
+    * dominates) is the only wide exchange; span merging is a per-document
+    * gaps-and-islands window over the duplicated positions only. A
+    * suffix array would globally sort every suffix of the corpus; this is
+    * three hash-keyed exchanges and no global order. */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 8, minCount: Int = 2): DataFrame = {
+    val wins = exactSubstrWindows(df, idCol, textCol, minLen)
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minCount)
+      .select(col("h"))
+    // duplicated window start positions, islanded per document: windows
+    // cover [pos, pos+minLen-1]; consecutive duplicated starts belong to
+    // one span iff the coverages overlap or touch (gap in starts ≤ minLen)
+    val dup = wins.join(dupHashes, Seq("h")).select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    dup
+      .withColumn("newSpan",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= minLen, 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("newSpan"))
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + lit(minLen - 1)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document ExactSubstr summary over [[exactSubstrSpans]]:
+    * (id, n_tokens, n_spans, dup_tokens, dup_frac) for EVERY input
+    * document (zero spans → zeros). dup_tokens is the size of the span
+    * union — spans are disjoint by construction. */
+  def exactSubstrStats(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 8, minCount: Int = 2): DataFrame = {
+    val docs = InputWidth.widen(df)
+      .select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
+    val spans = exactSubstrSpans(df, idCol, textCol, minLen, minCount)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    docs.join(spans, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).otherwise(0.0).as("dup_frac"))
+  }
+
+  /** ExactSubstr removal: drops every token covered by a duplicated span
+    * (ALL occurrences — keep-one policies are a caller-side choice of
+    * which spans to feed back). Returns (id, clean_text, kept_tokens).
+    *
+    * The span list joins back per document (doc-local, bounded by
+    * n_tokens/minLen) and the kept-token filter runs inside the row —
+    * no second corpus-wide shuffle beyond [[exactSubstrSpans]]'s own. */
+  def exactSubstrStrip(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 8, minCount: Int = 2): DataFrame = {
+    val docs = InputWidth.widen(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val spanArrs = exactSubstrSpans(df, idCol, textCol, minLen, minCount)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    // sequence(0, -1) flips to a descending [0, -1] on empty docs — guard
+    val idx = when(size(col("tk")) === 0, array().cast("array<long>"))
+      .otherwise(sequence(lit(0), size(col("tk")) - 1).cast("array<long>"))
+    docs.join(spanArrs, Seq("id"), "left")
+      .select(col("id"),
+        filter(zip_with(col("tk"), idx,
+            (tok, i) => struct(tok.as("tok"), i.as("i"))),
+          e => col("spans").isNull ||
+            !exists(col("spans"), s =>
+              e("i") >= s("span_start") && e("i") <= s("span_end")))
+          .as("kept"))
+      .select(col("id"),
+        concat_ws(" ", transform(col("kept"), e => e("tok")))
+          .as("clean_text"),
+        size(col("kept")).cast("long").as("kept_tokens"))
+  }
+
+  /** (id, pos, h): every `minLen`-token window start with the 60-bit md5
+    * of its space-joined text. Documents shorter than minLen contribute
+    * nothing. */
+  private def exactSubstrWindows(df: DataFrame, idCol: String,
+                                 textCol: String, minLen: Int): DataFrame =
+    InputWidth.widen(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        posexplode(when(size(col("tk")) >= minLen,
+          transform(sequence(lit(0), size(col("tk")) - minLen),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(minLen)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), md5Hash60(col("g")).as("h"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: shingle → k-minhash signature (one md5 per shingle, k

@@ -598,6 +598,89 @@ object PipelineQueries {
         FROM toks t LEFT JOIN agg a USING (doc_id)""")),
 
     QueryDef(
+      "dedup_substring",
+      (s, dir) => Dedup.exactSubstrStats(
+          t(s, dir, "documents"), "doc_id", "text", minLen = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        wins AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8)),
+        occ AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+        dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ o USING (g)),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos - lag_pos <= 8 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+          FROM (SELECT doc_id, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS lag_pos FROM dup)),
+        spans AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+          FROM isl GROUP BY doc_id, island),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+          FROM spans GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tokens,
+               COALESCE(a.n_spans, 0) AS n_spans,
+               COALESCE(a.dup_tokens, 0) AS dup_tokens,
+               CASE WHEN len(t.tk) > 0
+                    THEN COALESCE(a.dup_tokens, 0)::DOUBLE / len(t.tk)
+                    ELSE 0.0 END AS dup_frac
+        FROM toks t LEFT JOIN agg a USING (doc_id)""")),
+
+    QueryDef(
+      "dedup_substring_strip",
+      (s, dir) => Dedup.exactSubstrStrip(
+          t(s, dir, "documents"), "doc_id", "text", minLen = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        wins AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8)),
+        occ AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+        dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ o USING (g)),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos - lag_pos <= 8 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+          FROM (SELECT doc_id, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS lag_pos FROM dup)),
+        spans AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+          FROM isl GROUP BY doc_id, island),
+        kept AS (
+          SELECT doc_id, tk[i] AS tok, i
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                FROM toks) t
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = t.doc_id
+                              AND i - 1 BETWEEN s.s AND s.e)),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                 CAST(COUNT(*) AS BIGINT) AS kept_tokens
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               COALESCE(a.kept_tokens, 0) AS kept_tokens
+        FROM toks t LEFT JOIN agg a USING (doc_id)""")),
+
+    QueryDef(
       "dedup_embedding_cosine",
       (s, dir) => {
         import s.implicits._
