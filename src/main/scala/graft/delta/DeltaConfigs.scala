@@ -118,6 +118,15 @@ object DeltaConfigs {
   val ENABLE_IN_COMMIT_TIMESTAMPS: DeltaConfig[Boolean] = DeltaConfig(
     "delta.enableInCommitTimestamps", "false", _.toBoolean)
 
+  /** Row tracking (PROTOCOL.md "Row Tracking", writer feature
+    * rowTracking): every AddFile carries a `baseRowId` reserving
+    * [baseRowId, baseRowId + numRecords) from the table-wide counter in
+    * the `delta.rowTracking` domain, plus the `defaultRowCommitVersion`
+    * that added it — so every row has a stable (fresh-on-rewrite) id =
+    * baseRowId + its position, readable without any per-row storage. */
+  val ENABLE_ROW_TRACKING: DeltaConfig[Boolean] = DeltaConfig(
+    "delta.enableRowTracking", "false", _.toBoolean)
+
   /** Which checkpoint format maintenance writes: "classic" (default) or
     * "v2" (uuid-named main file + sidecars — required by tables created
     * with the v2Checkpoint feature and this policy). */

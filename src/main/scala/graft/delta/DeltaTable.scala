@@ -19,6 +19,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   /** Latest-version DataFrame; filters/projections push down natively. */
   def toDF: DataFrame = deltaLog.update().toDF
 
+  /** Latest-version DataFrame plus stable row ids (`_row_id`,
+    * `_row_commit_version`) on row-tracking tables — null for files
+    * written before the feature. Ids are `baseRowId + physical position`:
+    * stable across deletion-vector DML and RESTORE, fresh on rewrites. */
+  def toDFWithRowIds: DataFrame =
+    new read.DeltaScanBuilder(deltaLog.update()).buildDFWithRowIds
+
   /** Scan with the reference's pushed/residual reporting (S2). */
   def scan(filter: Column): read.DeltaScan = {
     val snap = deltaLog.update()
@@ -976,6 +983,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               offset = d.offset)
           else d
         },
+        // row-id ranges are reservations against the SOURCE table's
+        // high-water mark; the clone starts its own counter, so carrying
+        // them over would collide with the clone's future assignments
+        baseRowId = None,
+        defaultRowCommitVersion = None,
         dataChange = true)
     }
     txn.commit(snapshot.protocol +: (adds: Seq[Action]), DeltaOperations.Clone,

@@ -222,7 +222,7 @@ object TableFeatures {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
     "deletionVectors", "inCommitTimestamp", "v2Checkpoint",
-    "domainMetadata", "clustering")
+    "domainMetadata", "clustering", "rowTracking")
 
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so
@@ -323,6 +323,10 @@ case class AddFile(
     stats: Option[String] = None,
     tags: Option[Map[String, String]] = None,
     deletionVector: Option[DeletionVectorDescriptor] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    baseRowId: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    defaultRowCommitVersion: Option[Long] = None,
     @com.fasterxml.jackson.annotation.JsonIgnore
     stats_parsed: Option[ParsedStats] = None)
   extends FileAction {
@@ -331,7 +335,9 @@ case class AddFile(
     RemoveFile(path, Some(timestamp), dataChange,
       extendedFileMetadata = Some(true),
       partitionValues = Some(partitionValues), size = Some(size),
-      deletionVector = deletionVector)
+      deletionVector = deletionVector,
+      baseRowId = baseRowId,
+      defaultRowCommitVersion = defaultRowCommitVersion)
   /** Replay/state key under dv-aware keying ("" = no deletion vector). */
   def dvId: String = deletionVector.fold("")(_.uniqueId)
   def wrap: SingleAction = SingleAction(add = Some(this))
@@ -348,7 +354,11 @@ case class RemoveFile(
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     size: Option[Long] = None,
     tags: Option[Map[String, String]] = None,
-    deletionVector: Option[DeletionVectorDescriptor] = None)
+    deletionVector: Option[DeletionVectorDescriptor] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    baseRowId: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    defaultRowCommitVersion: Option[Long] = None)
   extends FileAction {
   def delTimestamp: Long = deletionTimestamp.getOrElse(0L)
   /** Replay/state key under dv-aware keying ("" = no deletion vector). */

@@ -65,6 +65,53 @@ class DeltaScanBuilder(snapshot: Snapshot) {
 
   def buildDF(filter: Option[Column]): DataFrame = {
     snapshot.assertReadable()
+    val df = baseDF
+    val undeleted =
+      if (snapshot.dvCardinality == 0L) df else antiJoinDeletedRows(df)
+    // present columns in the table-schema order (partition columns are
+    // appended last by HadoopFsRelation)
+    val projected = projectTableOrder(undeleted, Nil)
+    filter.map(projected.filter).getOrElse(projected)
+  }
+
+  /** The scan plus stable row ids (writer feature rowTracking): `_row_id`
+    * = the file's `baseRowId` + the row's PHYSICAL position, and
+    * `_row_commit_version` = the file's `defaultRowCommitVersion` — both
+    * null for files written before the feature. Per-file constants join
+    * in on `_metadata.file_path` (broadcast — one small row per FILE),
+    * and the id derives from `_metadata.row_index` BEFORE the DV
+    * anti-filter, so deletion-vector DML never shifts a survivor's id. */
+  def buildDFWithRowIds: DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    snapshot.assertReadable()
+    val spark = snapshot.spark
+    import spark.implicits._
+    val dataPathStr = snapshot.deltaLog.dataPath.toString
+    implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+    val files: org.apache.spark.sql.Dataset[AddFile] =
+      if (snapshot.distributedState) snapshot.allFilesDistributed
+      else spark.createDataset(snapshot.allFiles)
+    val perFile = files.map { a =>
+      val file = PartitionUtils.inputFileName(
+        new org.apache.hadoop.fs.Path(dataPathStr), a.path)
+      (file, a.baseRowId, a.defaultRowCommitVersion)
+    }.toDF("__rt_file", "__rt_base", "__rt_ver")
+    // driver-bounded file lists broadcast (one narrow row per FILE);
+    // beyond-driver logs let AQE pick — the join stays file-keyed either way
+    val perFileSide =
+      if (snapshot.distributedState) perFile else broadcast(perFile)
+    val withIds = baseDF
+      .join(perFileSide,
+        col("_metadata.file_path") === col("__rt_file"), "left")
+      .withColumn("_row_id", col("__rt_base") + col("_metadata.row_index"))
+      .withColumn("_row_commit_version", col("__rt_ver"))
+    val undeleted =
+      if (snapshot.dvCardinality == 0L) withIds
+      else antiJoinDeletedRows(withIds)
+    projectTableOrder(undeleted, Seq("_row_id", "_row_commit_version"))
+  }
+
+  private def baseDF: DataFrame = {
     val spark = snapshot.spark
     val index = new DeltaFileIndex(spark, snapshot)
     val relation = HadoopFsRelation(
@@ -74,17 +121,14 @@ class DeltaScanBuilder(snapshot: Snapshot) {
       bucketSpec = None,
       fileFormat = new graft.delta.read.GuardedParquetFileFormat(snapshot.metadata.columnMapping, snapshot.metadata.fieldIdMapping),
       options = Map.empty)(spark)
-    val df = spark.baseRelationToDataFrame(relation)
-    val undeleted =
-      if (snapshot.dvCardinality == 0L) df else antiJoinDeletedRows(df)
-    // present columns in the table-schema order (partition columns are
-    // appended last by HadoopFsRelation)
-    val ordered = snapshot.metadata.schema.fieldNames.toSeq
-    val projected =
-      if (ordered.nonEmpty)
-        undeleted.select(ordered.map(org.apache.spark.sql.functions.col): _*)
-      else undeleted
-    filter.map(projected.filter).getOrElse(projected)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  private def projectTableOrder(df: DataFrame, extra: Seq[String]): DataFrame = {
+    val ordered = snapshot.metadata.schema.fieldNames.toSeq ++ extra
+    if (ordered.nonEmpty)
+      df.select(ordered.map(org.apache.spark.sql.functions.col): _*)
+    else df
   }
 
   private def antiJoinDeletedRows(df: DataFrame): DataFrame = {

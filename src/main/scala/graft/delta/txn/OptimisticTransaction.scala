@@ -341,6 +341,49 @@ class OptimisticTransaction(
       }
     }
 
+    // Row tracking (PROTOCOL.md, writer feature rowTracking): when the
+    // table enables `delta.enableRowTracking` — or its protocol already
+    // carries the feature, which obliges every writer to keep assigning —
+    // each AddFile reserves [baseRowId, baseRowId + numRecords) from the
+    // delta.rowTracking domain's high-water mark. Assignment runs per
+    // retry attempt (like the ICT floor) so a lost race reassigns past
+    // the winner's reservations instead of aborting either writer.
+    val rtConfigOn = DeltaConfigs.ENABLE_ROW_TRACKING.fromMetadata(metadata)
+    val rowTrackingOn = rtConfigOn || {
+      val p = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+      p.exists(pp => pp.minWriterVersion == 7 &&
+        pp.writerFeatures.exists(_.contains("rowTracking")))
+    }
+    if (rowTrackingOn) {
+      val current = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+        .getOrElse(Protocol())
+      val hasFeature = current.minWriterVersion == 7 &&
+        current.writerFeatures.exists(fs =>
+          fs.contains("rowTracking") && fs.contains("domainMetadata"))
+      if (!hasFeature) {
+        val upgraded = TableFeatures.upgradedWithWriter(
+          current, Seq("rowTracking", "domainMetadata"))
+        finalActions =
+          if (finalActions.exists(_.isInstanceOf[Protocol]))
+            finalActions.map { case _: Protocol => upgraded; case a => a }
+          else upgraded +: finalActions
+      }
+      // enabling on a table with history: backfill — re-commit the active
+      // files that lack a row-id range (dataChange=false) so every live
+      // row gets an id in the SAME commit that enables the feature
+      if (rtConfigOn && readVersion >= 0 &&
+          !DeltaConfigs.ENABLE_ROW_TRACKING.fromMetadata(snapshot.metadata)) {
+        val committedPaths =
+          finalActions.collect { case a: AddFile => a.path }.toSet
+        val backfill = snapshot.allFiles
+          .filter(a => a.baseRowId.isEmpty && !committedPaths(a.path))
+          .map(_.copy(dataChange = false))
+        finalActions = finalActions ++ backfill
+      }
+    }
+
     val isBlindAppend = {
       val onlyAdds = finalActions.collect { case f: FileAction => f }
         .forall(_.isInstanceOf[AddFile])
@@ -371,7 +414,7 @@ class OptimisticTransaction(
       operationMetrics = Some(operationMetrics).filter(_.nonEmpty),
       engineInfo = Some(engineInfo))
 
-    val actionsAt: (Long, Long) => Seq[Action] =
+    val actionsAtIct: (Long, Long) => Seq[Action] =
       if (!ictEnabled) { (_, _) => commitInfo +: finalActions }
       else { (attemptVersion, ict) =>
         val stamped =
@@ -383,6 +426,15 @@ class OptimisticTransaction(
             case a => a
           }
         commitInfo.copy(inCommitTimestamp = Some(ict)) +: stamped
+      }
+    val actionsAt: (Long, Long, Long) => Seq[Action] =
+      if (!rowTrackingOn) { (v, ict, _) => actionsAtIct(v, ict) }
+      else { (attemptVersion, ict, rowFloor) =>
+        val (stamped, hwm) = RowTracking.assign(
+          actionsAtIct(attemptVersion, ict), attemptVersion, rowFloor)
+        if (hwm == rowFloor) stamped
+        else stamped :+ DomainMetadata(
+          RowTracking.Domain, RowTracking.renderHwm(hwm), removed = false)
       }
     val version = doCommitRetryIteratively(
       commitInfo +: finalActions, isolation, actionsAt)
@@ -455,12 +507,17 @@ class OptimisticTransaction(
   private def doCommitRetryIteratively(
       checkActions: Seq[Action],
       isolation: IsolationLevel,
-      actionsAt: (Long, Long) => Seq[Action]): Long = {
+      actionsAt: (Long, Long, Long) => Seq[Action]): Long = {
     var attemptVersion = readVersion + 1
     var ictFloor =
       if (readVersion < 0) 0L
       else snapshot.inCommitTimestampOpt
         .getOrElse(snapshot.logSegment.lastCommitTimestamp)
+    // row-id floor: ratchets past every winning racer's reservations so
+    // retried assignments never overlap a winner's ranges
+    var rowFloor =
+      if (readVersion < 0) -1L
+      else RowTracking.highWaterMark(snapshot.domainMetadata)
     val maxRetries = 10000000
     var attempts = 0
     deltaLog.deltaLogLock.synchronized {
@@ -469,17 +526,19 @@ class OptimisticTransaction(
           val ict = math.max(deltaLog.clock(), ictFloor + 1)
           deltaLog.store.write(
             FileNames.deltaFile(deltaLog.logPath, attemptVersion),
-            actionsAt(attemptVersion, ict).map(a => JsonCodec.toJson(a)).iterator,
+            actionsAt(attemptVersion, ict, rowFloor)
+              .map(a => JsonCodec.toJson(a)).iterator,
             overwrite = false, deltaLog.hadoopConf)
           deltaLog.update()
           return attemptVersion
         } catch {
           case _: FileAlreadyExistsException |
                _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            val (latest, winnerIct) =
+            val (latest, winnerIct, winnerHwm) =
               checkForConflicts(attemptVersion, checkActions, isolation)
             attemptVersion = latest + 1
             ictFloor = math.max(ictFloor, winnerIct)
+            rowFloor = math.max(rowFloor, winnerHwm)
             attempts += 1
         }
       }
@@ -489,10 +548,13 @@ class OptimisticTransaction(
   }
 
   /** T4: validate our intent against every commit that won the race;
-    * returns the latest winning version (we retry right after it) and
-    * the largest inCommitTimestamp any winner recorded (0 when none). */
+    * returns the latest winning version (we retry right after it), the
+    * largest inCommitTimestamp any winner recorded (0 when none), and the
+    * largest row-id any winner reserved (-1 when none — from its
+    * delta.rowTracking domain update, defensively maxed with its adds'
+    * declared ranges in case a writer skipped the domain). */
   private def checkForConflicts(attemptVersion: Long, actions: Seq[Action],
-                                isolation: IsolationLevel): (Long, Long) = {
+                                isolation: IsolationLevel): (Long, Long, Long) = {
     val winning = deltaLog.getChanges(attemptVersion).toVector
     require(winning.nonEmpty,
       s"Commit $attemptVersion collided but no winning commit is readable")
@@ -502,7 +564,15 @@ class OptimisticTransaction(
     val winnerIct = winning.iterator.flatMap(_._2).collect {
       case ci: CommitInfo => ci.inCommitTimestamp.getOrElse(0L)
     }.foldLeft(0L)(math.max)
-    (winning.last._1, winnerIct)
+    val winnerHwm = winning.iterator.flatMap(_._2).collect {
+      case d: DomainMetadata
+          if d.domain == RowTracking.Domain && !d.removed =>
+        RowTracking.parseHwm(d.configuration)
+      case a: AddFile if a.baseRowId.isDefined =>
+        a.baseRowId.get +
+          math.max(RowTracking.numRecordsOpt(a).getOrElse(1L), 1L) - 1L
+    }.foldLeft(-1L)(math.max)
+    (winning.last._1, winnerIct, winnerHwm)
   }
 
   /** Checkpoint cadence + log cleanup (ref :393-405, Checkpoints.scala:122-135). */

@@ -960,6 +960,51 @@ object DeltaQueries {
           AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
         GROUP BY o_orderpriority""")),
 
+    // Row tracking: two deterministic single-file commits reserve
+    // contiguous id ranges (file 1 at base 0, file 2 right after), then a
+    // deletion-vector DELETE proves survivors KEEP their ids — the oracle
+    // replays the assignment with ROW_NUMBER over the same write order.
+    QueryDef(
+      "delta_row_tracking",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("rowtracking")
+        val cust = t(s, dir, "customer")
+        DeltaTable.write(
+          cust.filter($"c_custkey" <= 500).orderBy($"c_custkey").coalesce(1),
+          path, SaveMode.Overwrite,
+          configuration = Map("delta.enableRowTracking" -> "true",
+                              "delta.enableDeletionVectors" -> "true"))
+        DeltaTable.write(
+          cust.filter($"c_custkey" > 500).orderBy($"c_custkey").coalesce(1),
+          path)
+        val table = DeltaTable.forPath(s, path)
+        table.delete($"c_mktsegment" === "BUILDING")
+        // the delete must have SHADED (id stability is only meaningful if
+        // the original files survived), not rewritten
+        require(table.deltaLog.update().allFiles
+          .exists(_.deletionVector.isDefined), "delete did not shade")
+        table.toDFWithRowIds
+          .select($"c_custkey", $"_row_id", $"_row_commit_version")
+      },
+      Some("""
+        WITH lo AS (
+          SELECT c_custkey, c_mktsegment,
+                 ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rid
+          FROM customer WHERE c_custkey <= 500),
+        hi AS (
+          SELECT c_custkey, c_mktsegment,
+                 (SELECT COUNT(*) FROM customer WHERE c_custkey <= 500) +
+                 ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rid
+          FROM customer WHERE c_custkey > 500),
+        base AS (
+          SELECT c_custkey, c_mktsegment, rid, 0 AS ver FROM lo
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, rid, 1 AS ver FROM hi)
+        SELECT c_custkey, CAST(rid AS BIGINT) AS _row_id,
+               CAST(ver AS BIGINT) AS _row_commit_version
+        FROM base WHERE c_mktsegment <> 'BUILDING'""")),
+
     // Merge-on-read UPDATE: matched rows shade in place and ONLY the
     // updated rows are rewritten (additive transform — lesson 22: stays
     // in the cross-engine-exact class). The require proves the shading
