@@ -366,8 +366,10 @@ class DeltaLog private (
       val p = f.getPath
       val isDelta = FileNames.isDeltaFile(p)
       val isCp = FileNames.isCheckpointFile(p)
-      if ((isDelta || isCp) && f.getModificationTime < cutoff) {
+      val isCrc = FileNames.isChecksumFile(p)
+      if ((isDelta || isCp || isCrc) && f.getModificationTime < cutoff) {
         val v = if (isDelta) FileNames.deltaVersion(p)
+                else if (isCrc) FileNames.checksumVersion(p)
                 else FileNames.checkpointVersion(p)
         // only files strictly before the newest checkpoint are reproducible
         if (v < latestCheckpoint && fs.delete(p, false)) deleted += 1

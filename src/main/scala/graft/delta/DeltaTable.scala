@@ -467,6 +467,23 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
              dryRun: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val snapshot = deltaLog.update()
+    // vacuumProtocolCheck (PROTOCOL.md, reader+writer feature): GC must
+    // refuse a table whose protocol it doesn't fully implement — an
+    // unknown feature may keep live data in files this vacuum would
+    // classify as orphans (exactly the failure the feature exists to
+    // prevent; refusal names the features, same as the read/write gates)
+    locally {
+      val p = snapshot.protocol
+      val missing =
+        (if (p.minReaderVersion == 3) TableFeatures.unsupportedReader(p)
+         else Nil) ++
+        (if (p.minWriterVersion == 7) TableFeatures.unsupportedWriter(p)
+         else Nil)
+      require(missing.isEmpty,
+        s"Cannot vacuum: table requires table feature(s) " +
+          s"${missing.distinct.mkString(", ")} this engine does not " +
+          "implement - files it would delete may be live under those features")
+    }
     val retention = retentionMillis.getOrElse(
       DeltaConfigs.TOMBSTONE_RETENTION.fromMetadata(snapshot.metadata))
     // retention guard (Delta's retentionDurationCheck): with the

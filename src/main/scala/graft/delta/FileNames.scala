@@ -31,6 +31,18 @@ object FileNames {
     else None
   }
 
+  private val checksumFileRegex = """\d+\.crc""".r
+
+  /** Per-version checksum `<version>.crc` (delta-spark convention). */
+  def checksumFile(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.crc")
+
+  def isChecksumFile(path: Path): Boolean =
+    checksumFileRegex.pattern.matcher(path.getName).matches()
+
+  def checksumVersion(path: Path): Long =
+    path.getName.stripSuffix(".crc").toLong
+
   def isDeltaFile(path: Path): Boolean =
     deltaFileRegex.pattern.matcher(path.getName).matches()
 

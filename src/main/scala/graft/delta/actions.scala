@@ -213,7 +213,8 @@ object TableFeatures {
     * deletionVectors apply as a row-position anti-filter at scan;
     * v2Checkpoint reads uuid-named checkpoints incl. sidecars). */
   val supportedReader: Set[String] =
-    Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
+    Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
+      "vacuumProtocolCheck")
   /** Writer features this engine implements — the feature names of
     * legacy writer versions 2-6 plus their reader-side twins, and
     * deletionVectors (DELETE shades files, every other write path reads
@@ -222,7 +223,7 @@ object TableFeatures {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
     "deletionVectors", "inCommitTimestamp", "v2Checkpoint",
-    "domainMetadata", "clustering", "rowTracking")
+    "domainMetadata", "clustering", "rowTracking", "vacuumProtocolCheck")
 
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so

@@ -524,11 +524,12 @@ class OptimisticTransaction(
       while (attempts < maxRetries) {
         try {
           val ict = math.max(deltaLog.clock(), ictFloor + 1)
+          val written = actionsAt(attemptVersion, ict, rowFloor)
           deltaLog.store.write(
             FileNames.deltaFile(deltaLog.logPath, attemptVersion),
-            actionsAt(attemptVersion, ict, rowFloor)
-              .map(a => JsonCodec.toJson(a)).iterator,
+            written.map(a => JsonCodec.toJson(a)).iterator,
             overwrite = false, deltaLog.hadoopConf)
+          Checksums.writeAfterCommit(deltaLog, attemptVersion, written)
           deltaLog.update()
           return attemptVersion
         } catch {
@@ -583,7 +584,12 @@ class OptimisticTransaction(
       // beyond the driver-state bound the file list must flow checkpoint →
       // checkpoint as a Spark job, never through the driver
       if (snap.distributedState) Checkpoints.writeCheckpointDistributed(snap, parts)
-      else Checkpoints.writeCheckpoint(snap, parts)
+      else {
+        Checkpoints.writeCheckpoint(snap, parts)
+        // re-seed the checksum chain from the state the checkpoint just
+        // materialized (heals gaps left by foreign commits without crc)
+        Checksums.writeFromState(snap)
+      }
       if (deltaLog.enableExpiredLogCleanup) deltaLog.cleanUpExpiredLogs()
     }
   }
