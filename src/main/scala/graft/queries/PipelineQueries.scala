@@ -99,7 +99,84 @@ object PipelineQueries {
     }.mkString(", ")
   }
 
+  /** DuckDB CTE chain replaying [[graft.operators.Bpe.trainMerges]] for
+    * `k` merges with the SAME bracket-string algorithm: `words` (weighted
+    * dictionary), `s0` ([c][h][a][r] strings), then per rank i:
+    * `best$i` (argmax pair, count-desc lexicographic tie-break) and `s$i`
+    * (the merge applied via literal replace). */
+  private def bpeOracleCtes(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      raw"""syms$i AS (
+          SELECT wc, string_split(trim(s, '[]'), '][') AS l FROM s${i - 1}),
+        pairs$i AS (
+          SELECT wc, l, unnest(range(1, len(l))) AS j FROM syms$i),
+        best$i AS (
+          SELECT l[j] AS a, l[j+1] AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+          FROM pairs$i GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+        s$i AS (
+          SELECT word, wc,
+                 replace(s, '[' || (SELECT a FROM best$i) || '][' ||
+                            (SELECT b FROM best$i) || ']',
+                         '[' || (SELECT a FROM best$i) ||
+                           (SELECT b FROM best$i) || ']') AS s
+          FROM s${i - 1})"""
+    }.mkString(", ")
+    raw"""words AS (
+          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents) t
+          WHERE w <> '' GROUP BY w),
+        s0 AS (
+          SELECT word, wc,
+                 '[' || array_to_string(list_transform(range(1, len(word) + 1),
+                        i -> word[i:i]), '][') || ']' AS s
+          FROM words), $steps"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "text_bpe_merges",
+      (s, dir) => graft.operators.Bpe.trainMerges(
+        t(s, dir, "documents"), "text", 3),
+      Some(raw"""
+        WITH ${bpeOracleCtes(3)}
+        SELECT * FROM (
+          SELECT 1 AS rank, a AS left_sym, b AS right_sym, a || b AS merged,
+                 cnt AS pair_count FROM best1
+          UNION ALL SELECT 2, a, b, a || b, cnt FROM best2
+          UNION ALL SELECT 3, a, b, a || b, cnt FROM best3) u
+        ORDER BY rank""")),
+
+    QueryDef(
+      "text_bpe_segment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", 3)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Bpe.tokenStats(docs, "doc_id", "text", merges)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(raw"""
+        WITH ${bpeOracleCtes(3)},
+        docwords AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents) t WHERE w <> ''),
+        agg AS (
+          SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(len(v.s) - len(replace(v.s, '[', '')))
+                   AS BIGINT) AS n_tokens
+          FROM docwords d JOIN s3 v ON v.word = d.w
+          GROUP BY d.doc_id)
+        SELECT doc.doc_id, COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               CASE WHEN COALESCE(a.n_words, 0) > 0
+                    THEN a.n_tokens::DOUBLE / a.n_words
+                    ELSE 0.0 END AS avg_tokens_per_word
+        FROM documents doc LEFT JOIN agg a USING (doc_id)""")),
 
     // ------------------------------------------------------- text analysis
     QueryDef(
