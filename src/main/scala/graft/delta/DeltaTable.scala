@@ -82,6 +82,47 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationParameters = Map("domain" -> domain, "removed" -> "true"))
   }
 
+  /** Widen a column's type WITHOUT rewriting data (PROTOCOL.md "Type
+    * Widening", reader+writer feature typeWidening): existing parquet
+    * files keep the narrow physical type and every scan upcasts them
+    * under the new read schema; new writes store the wide type. The
+    * change is recorded in the field's `delta.typeChanges` metadata
+    * (which is also what authorizes it through the write-compat gate)
+    * and the protocol upgrades with the feature on both sides. Only the
+    * protocol's widening matrix is accepted — see
+    * [[TypeWidening.allowed]]; partition columns are refused (their
+    * values live as strings in the log, keyed by the declared type). */
+  def widenColumnType(column: String,
+                      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types.StructType
+    val txn = deltaLog.startTransaction()
+    val meta = txn.snapshot.metadata
+    val schema = meta.schema
+    require(schema.fieldNames.contains(column),
+      s"Column $column not found in ${schema.simpleString}")
+    require(!meta.partitionColumns.contains(column),
+      s"Cannot widen partition column $column")
+    val idx = schema.fieldIndex(column)
+    val f = schema(idx)
+    require(TypeWidening.allowed(f.dataType, to),
+      s"Cannot widen ${f.dataType.simpleString} to ${to.simpleString}: " +
+        "not in the protocol's type-widening matrix")
+    val widened = StructType(
+      schema.fields.updated(idx, TypeWidening.recordChange(f, to)))
+    txn.updateMetadata(meta.copy(schemaString = Some(widened.json)))
+    val p = txn.snapshot.protocol
+    val hasFeature = p.minReaderVersion == 3 && p.minWriterVersion == 7 &&
+      p.readerFeatures.exists(_.contains(TypeWidening.Feature)) &&
+      p.writerFeatures.exists(_.contains(TypeWidening.Feature))
+    val protocolActions =
+      if (hasFeature) Nil
+      else Seq(TableFeatures.upgradedWith(p,
+        Seq(TypeWidening.Feature), Seq(TypeWidening.Feature)))
+    txn.commit(protocolActions, "CHANGE COLUMN",
+      operationParameters = Map(
+        "column" -> column, "type" -> to.simpleString))
+  }
+
   /** Declare clustering columns (the `delta.clustering` domain — the
     * liquid-clustering shape): OPTIMIZE without an explicit zOrderBy
     * re-clusters by them, and foreign engines that honor the domain see

@@ -214,7 +214,7 @@ object TableFeatures {
     * v2Checkpoint reads uuid-named checkpoints incl. sidecars). */
   val supportedReader: Set[String] =
     Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "typeWidening", "typeWidening-preview")
   /** Writer features this engine implements — the feature names of
     * legacy writer versions 2-6 plus their reader-side twins, and
     * deletionVectors (DELETE shades files, every other write path reads
@@ -223,7 +223,8 @@ object TableFeatures {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
     "deletionVectors", "inCommitTimestamp", "v2Checkpoint",
-    "domainMetadata", "clustering", "rowTracking", "vacuumProtocolCheck")
+    "domainMetadata", "clustering", "rowTracking", "vacuumProtocolCheck",
+    "typeWidening", "typeWidening-preview")
 
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so

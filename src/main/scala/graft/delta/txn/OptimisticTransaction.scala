@@ -225,7 +225,12 @@ class OptimisticTransaction(
       newByPhys.get(ColumnMapping.physicalName(old)) match {
         case None => allowColumnRemoval // DDL drop only, never a write
         case Some(nf) =>
-          compatibleType(old.dataType, nf.dataType) && (!old.nullable || nf.nullable)
+          // a type change is legal exactly when it is a protocol widening
+          // the new field's delta.typeChanges metadata DECLARES — an
+          // undeclared change (accidental evolution) stays an error
+          (compatibleType(old.dataType, nf.dataType) ||
+            TypeWidening.declaredWidening(old.dataType, nf)) &&
+            (!old.nullable || nf.nullable)
       }
     } && newSchema.fields.forall { nf =>
       existing.fields.exists(of =>
@@ -427,11 +432,19 @@ class OptimisticTransaction(
           }
         commitInfo.copy(inCommitTimestamp = Some(ict)) +: stamped
       }
+    // type-widening ALTERs record the change with a pending tableVersion:
+    // stamp the ACTUAL attempt version (a lost race must not record a
+    // version where the ALTER did not happen)
+    val actionsAtTw: (Long, Long) => Seq[Action] = (v, ict) =>
+      actionsAtIct(v, ict).map {
+        case m: Metadata => TypeWidening.stampPending(m, v)
+        case a => a
+      }
     val actionsAt: (Long, Long, Long) => Seq[Action] =
-      if (!rowTrackingOn) { (v, ict, _) => actionsAtIct(v, ict) }
+      if (!rowTrackingOn) { (v, ict, _) => actionsAtTw(v, ict) }
       else { (attemptVersion, ict, rowFloor) =>
         val (stamped, hwm) = RowTracking.assign(
-          actionsAtIct(attemptVersion, ict), attemptVersion, rowFloor)
+          actionsAtTw(attemptVersion, ict), attemptVersion, rowFloor)
         if (hwm == rowFloor) stamped
         else stamped :+ DomainMetadata(
           RowTracking.Domain, RowTracking.renderHwm(hwm), removed = false)

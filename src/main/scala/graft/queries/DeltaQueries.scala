@@ -960,6 +960,44 @@ object DeltaQueries {
           AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
         GROUP BY o_orderpriority""")),
 
+    // Type widening: an int column widens to long WITHOUT rewriting the
+    // narrow files, then a post-widening append stores values past
+    // Int.MaxValue — the aggregate must read both generations through
+    // one wide schema. The oracle replays as a BIGINT union.
+    QueryDef(
+      "delta_type_widening",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("typewiden")
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" <= 1000)
+          .select($"l_orderkey".cast("int").as("k"),
+                  $"l_linenumber".cast("int").as("n"))
+        DeltaTable.write(li, path, SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        table.widenColumnType("k", org.apache.spark.sql.types.LongType)
+        DeltaTable.write(
+          t(s, dir, "lineitem").filter($"l_orderkey" <= 100)
+            .select(($"l_orderkey" + 10000000000L).as("k"),
+                    $"l_linenumber".cast("int").as("n")), path)
+        require(table.toDF.schema("k").dataType ==
+          org.apache.spark.sql.types.LongType, "widening did not apply")
+        table.toDF
+          .groupBy($"n")
+          .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"),
+               max($"k").as("max_k"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS k, l_linenumber AS n
+          FROM lineitem WHERE l_orderkey <= 1000
+          UNION ALL
+          SELECT l_orderkey + 10000000000, l_linenumber
+          FROM lineitem WHERE l_orderkey <= 100)
+        SELECT CAST(n AS INT) AS n, COUNT(*) AS cnt,
+               CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        FROM u GROUP BY n""")),
+
     // Row tracking: two deterministic single-file commits reserve
     // contiguous id ranges (file 1 at base 0, file 2 right after), then a
     // deletion-vector DELETE proves survivors KEEP their ids — the oracle
