@@ -960,6 +960,66 @@ object DeltaQueries {
           AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
         GROUP BY o_orderpriority""")),
 
+    // Incremental aggregate maintenance: a grouped materialization folds
+    // the CDF of three DML commits (delete, additive update, append)
+    // instead of re-scanning the source; the query self-checks against a
+    // full recompute, the oracle replays the DML chain in SQL.
+    QueryDef(
+      "delta_incremental_agg",
+      (s, dir) => {
+        import s.implicits._
+        val src = tmp("incsrc"); val dst = tmp("incdst")
+        DeltaTable.write(
+          t(s, dir, "lineitem").filter($"l_orderkey" <= 2000)
+            .select($"l_orderkey", $"l_suppkey", $"l_returnflag",
+                    $"l_quantity".cast(DecimalType(12, 2)).as("qty")),
+          src, SaveMode.Overwrite,
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        graft.delta.IncrementalAgg.maintain(s, src, dst,
+          Seq("l_returnflag"), Seq("qty"))
+        val table = DeltaTable.forPath(s, src)
+        table.delete($"qty" < 10)
+        table.update($"l_suppkey" % 7 === 0,
+          Map("qty" -> ($"qty" + 5)))
+        DeltaTable.write(
+          t(s, dir, "lineitem")
+            .filter($"l_orderkey" > 2000 && $"l_orderkey" <= 2500)
+            .select($"l_orderkey", $"l_suppkey", $"l_returnflag",
+                    ($"l_quantity".cast(DecimalType(12, 2)) + 1)
+                      .cast(DecimalType(12, 2)).as("qty")),
+          src)
+        graft.delta.IncrementalAgg.maintain(s, src, dst,
+          Seq("l_returnflag"), Seq("qty"))
+        val out = DeltaTable.forPath(s, dst).toDF
+          .select($"l_returnflag", $"n_rows",
+                  $"sum_qty".cast("double").as("sum_qty"))
+        // self-check: the folded state must equal a full recompute
+        val full = table.toDF.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+               sum($"qty").cast("double").as("sum_qty"))
+        require(out.collect().toSet == full.collect().toSet,
+          "incremental state diverged from full recompute")
+        out
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS qty
+          FROM lineitem WHERE l_orderkey <= 2000),
+        afterdel AS (SELECT * FROM base WHERE NOT (qty < 10)),
+        afterupd AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag,
+                 CASE WHEN l_suppkey % 7 = 0 THEN qty + 5 ELSE qty END AS qty
+          FROM afterdel),
+        ins AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag,
+                 CAST(l_quantity AS DECIMAL(12,2)) + 1 AS qty
+          FROM lineitem WHERE l_orderkey > 2000 AND l_orderkey <= 2500),
+        fin AS (SELECT * FROM afterupd UNION ALL SELECT * FROM ins)
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(qty) AS DOUBLE) AS sum_qty
+        FROM fin GROUP BY l_returnflag""")),
+
     // Type widening: an int column widens to long WITHOUT rewriting the
     // narrow files, then a post-widening append stores values past
     // Int.MaxValue — the aggregate must read both generations through
