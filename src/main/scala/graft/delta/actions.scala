@@ -214,7 +214,8 @@ object TableFeatures {
     * v2Checkpoint reads uuid-named checkpoints incl. sidecars). */
   val supportedReader: Set[String] =
     Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
-      "vacuumProtocolCheck", "typeWidening", "typeWidening-preview")
+      "vacuumProtocolCheck", "typeWidening", "typeWidening-preview",
+      "variantType", "variantType-preview")
   /** Writer features this engine implements — the feature names of
     * legacy writer versions 2-6 plus their reader-side twins, and
     * deletionVectors (DELETE shades files, every other write path reads
@@ -224,7 +225,24 @@ object TableFeatures {
     "generatedColumns", "columnMapping", "identityColumns", "timestampNtz",
     "deletionVectors", "inCommitTimestamp", "v2Checkpoint",
     "domainMetadata", "clustering", "rowTracking", "vacuumProtocolCheck",
-    "typeWidening", "typeWidening-preview")
+    "typeWidening", "typeWidening-preview",
+    "variantType", "variantType-preview")
+
+  /** Whether a schema carries a VARIANT column anywhere (the condition
+    * that obliges the variantType feature on the table's protocol —
+    * Spark's reader/writer handle the parquet representation natively,
+    * so the feature is a declaration, not a codepath). */
+  def containsVariant(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: VariantType => true
+      case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+      case a: ArrayType => containsVariant(a.elementType)
+      case m: MapType =>
+        containsVariant(m.keyType) || containsVariant(m.valueType)
+      case _ => false
+    }
+  }
 
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so

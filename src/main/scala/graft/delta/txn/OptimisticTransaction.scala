@@ -389,6 +389,30 @@ class OptimisticTransaction(
       }
     }
 
+    // Variant columns (PROTOCOL.md "Variant Data Type"): a schema carrying
+    // VARIANT obliges the variantType feature on BOTH protocol sides —
+    // Spark's parquet reader/writer handle the physical representation
+    // natively, so the feature is a declaration foreign engines key on
+    if (TableFeatures.containsVariant(metadata.schema)) {
+      val current = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+        .getOrElse(Protocol())
+      val hasFeature = current.minReaderVersion == 3 &&
+        current.minWriterVersion == 7 &&
+        current.readerFeatures.exists(fs => fs.contains("variantType") ||
+          fs.contains("variantType-preview")) &&
+        current.writerFeatures.exists(fs => fs.contains("variantType") ||
+          fs.contains("variantType-preview"))
+      if (!hasFeature) {
+        val upgraded = TableFeatures.upgradedWith(
+          current, Seq("variantType"), Seq("variantType"))
+        finalActions =
+          if (finalActions.exists(_.isInstanceOf[Protocol]))
+            finalActions.map { case _: Protocol => upgraded; case a => a }
+          else upgraded +: finalActions
+      }
+    }
+
     val isBlindAppend = {
       val onlyAdds = finalActions.collect { case f: FileAction => f }
         .forall(_.isInstanceOf[AddFile])

@@ -960,6 +960,40 @@ object DeltaQueries {
           AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
         GROUP BY o_orderpriority""")),
 
+    // VARIANT column lifecycle: semi-structured rows written as variant,
+    // a DELETE keyed on a variant_get extraction, then aggregation over
+    // extracted fields. Doubles round-trip exactly through the JSON
+    // (shortest-repr string -> parse), so the oracle can replay the
+    // predicate on the plain source columns.
+    QueryDef(
+      "delta_variant",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("variant")
+        DeltaTable.write(
+          t(s, dir, "orders").filter($"o_orderkey" <= 3000)
+            .selectExpr("o_orderkey",
+              "parse_json(concat('{\"status\":\"', o_orderstatus, " +
+                "'\",\"price\":', CAST(o_totalprice AS STRING), '}')) AS v"),
+          path, SaveMode.Overwrite)
+        val table = DeltaTable.forPath(s, path)
+        table.delete(expr("variant_get(v, '$.price', 'double') > 200000.0"))
+        table.toDF
+          .selectExpr("variant_get(v, '$.status', 'string') AS status",
+                      "variant_get(v, '$.price', 'double') AS price")
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n"),
+               sum($"price".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderstatus AS status, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE o_orderkey <= 3000 AND NOT (o_totalprice > 200000.0)
+        GROUP BY o_orderstatus""")),
+
     // Incremental aggregate maintenance: a grouped materialization folds
     // the CDF of three DML commits (delete, additive update, append)
     // instead of re-scanning the source; the query self-checks against a
