@@ -1287,7 +1287,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         // file count stays ~numOutput while z-clustering WITHIN each
         // partition, which is where its scan benefit lives (partition
         // pruning already handles the partition dimension).
-        val z = write.ZOrder.zValue(df, zOrderCols)
+        // clustering-domain-driven OPTIMIZE clusters along the Hilbert
+        // curve (tighter per-file boxes); explicit ZORDER BY keeps Morton
+        val z = write.ZOrder.clusterValue(df, zOrderCols,
+          hilbert = zOrderBy.isEmpty)
         import org.apache.spark.sql.functions.col
         val rangeKeys = (metadata.partitionColumns.map(col) :+
           col("__zorder")).toIndexedSeq

@@ -54,7 +54,16 @@ object ZOrder {
 
   /** The interleaved z-value for `cols` of `df` (runs one min/max agg
     * job over the range-typed columns). */
-  def zValue(df: DataFrame, cols: Seq[String]): Column = {
+  def zValue(df: DataFrame, cols: Seq[String]): Column =
+    clusterValue(df, cols, hilbert = false)
+
+  /** Clustering key over `cols`: Morton interleave (explicit ZORDER BY)
+    * or the Hilbert index (liquid-clustered OPTIMIZE — every curve step
+    * moves one bucket in one dimension, so per-file min/max boxes stay
+    * tighter than Morton's power-of-two diagonal jumps). Both share the
+    * type-directed bucketing above. */
+  def clusterValue(df: DataFrame, cols: Seq[String],
+                   hilbert: Boolean): Column = {
     require(cols.nonEmpty, "zOrderBy needs at least one column")
     require(cols.size * Bits <= 62, s"too many z-order columns: ${cols.size}")
     val schema = df.schema
@@ -90,13 +99,17 @@ object ZOrder {
       }
     }
 
-    // interleave: bit i of bucket j lands at position i*n + j
-    val n = cols.size
-    val terms = for {
-      i <- 0 until Bits
-      j <- 0 until n
-    } yield shiftleft(
-      shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * n + j)
-    terms.reduce[Column](_ + _).cast(LongType)
+    if (hilbert) {
+      graft.functions.HilbertIndex(buckets.map(_.cast(LongType)), Bits)
+    } else {
+      // interleave: bit i of bucket j lands at position i*n + j
+      val n = cols.size
+      val terms = for {
+        i <- 0 until Bits
+        j <- 0 until n
+      } yield shiftleft(
+        shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * n + j)
+      terms.reduce[Column](_ + _).cast(LongType)
+    }
   }
 }
