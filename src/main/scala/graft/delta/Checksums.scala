@@ -35,15 +35,25 @@ object Checksums {
     * because both actions carry the same physical size. */
   private def fold(prev: VersionChecksum, actions: Seq[Action],
                    metadata: Metadata, protocol: Protocol,
-                   ict: Option[Long]): VersionChecksum = {
+                   ict: Option[Long]): Option[VersionChecksum] = {
     var files = prev.numFiles
     var bytes = prev.tableSizeBytes
+    var exact = true
     actions.foreach {
       case a: AddFile => files += 1; bytes += a.size
-      case r: RemoveFile => files -= 1; bytes -= r.size.getOrElse(0L)
+      case r: RemoveFile =>
+        files -= 1
+        // a remove without a recorded size (foreign minimal tombstone)
+        // makes the byte total unknowable incrementally — better NO crc
+        // (checkpoint re-seeds) than one that later fails an honest state
+        r.size match {
+          case Some(s) => bytes -= s
+          case None => exact = false
+        }
       case _ =>
     }
-    VersionChecksum(bytes, files, 1L, 1L, metadata, protocol, ict)
+    if (exact) Some(VersionChecksum(bytes, files, 1L, 1L, metadata, protocol, ict))
+    else None
   }
 
   /** Write `<version>.crc` after a successful commit, extending the
@@ -62,9 +72,10 @@ object Checksums {
         if (version == 0) Some(VersionChecksum(0L, 0L, 1L, 1L, null, null))
         else read(log, version - 1)
       prev.foreach { p =>
-        val crc = fold(p, actions,
+        fold(p, actions,
           metadata.getOrElse(p.metadata), protocol.getOrElse(p.protocol), ict)
-        if (crc.metadata != null && crc.protocol != null) write(log, version, crc)
+          .filter(c => c.metadata != null && c.protocol != null)
+          .foreach(write(log, version, _))
       }
     } catch { case _: Exception => }
   }

@@ -211,6 +211,47 @@ object Curation {
       .drop("__dom", "__rate")
   }
 
+  /** Token-budget-constrained domain mixing: given a total token budget
+    * and integer domain weights, each domain's sampling rate is
+    * `min(1, budget * w_d / (Σw * tokens_d))` — the rate that lands the
+    * kept corpus at (in expectation) the budget, split across domains by
+    * weight, without ever over-sampling a domain past its actual volume.
+    * Domains with no weight drop. The keep decision is the shared
+    * salted-hash cut, with the cut computed in EXACT integer arithmetic
+    * (BigInt here, HUGEINT in the DuckDB mirror) — no doubles, so the
+    * decision is bit-identical cross-engine at every boundary.
+    *
+    * Scale shape: one map-side-combinable per-domain token aggregation
+    * whose result is one row per DOMAIN (a label vocabulary, not data —
+    * the same bounded-collect class as k-means centroids), then one
+    * broadcast join + codegen'd hash filter over the corpus. */
+  def budgetMix(df: DataFrame, idCol: String, domainCol: String,
+                tokenCol: String, budget: Long,
+                weights: Map[String, Long], salt: String): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative, not all zero")
+    val sumW = weights.values.map(BigInt(_)).sum
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__toks"))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toSeq
+    val cuts = totals.map { case (dom, toks) =>
+      val w = BigInt(dom.flatMap(weights.get).getOrElse(0L))
+      val cut =
+        if (toks <= 0 || w <= 0) BigInt(0)
+        else (BigInt(budget) * w * Denom / (sumW * toks)).min(BigInt(Denom))
+      (dom, cut.toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutDf = cuts.toDF("__dom", "__cut")
+    df.join(broadcast(cutDf), col(domainCol) <=> col("__dom"))
+      .filter(md5Hash32(col(idCol).cast("string"), lit(salt)) % Denom
+        < col("__cut"))
+      .drop("__dom", "__cut")
+  }
+
   /** Split documents into fixed-size TOKEN windows with overlap — the
     * long-document answer to a bounded context length (a 100k-token doc
     * becomes ~2k training rows; neighboring chunks share `overlap`

@@ -2132,6 +2132,42 @@ object PipelineQueries {
         WHERE ${duckHash32("'mix' || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 <
               CAST((CASE WHEN source IN ('src0','src1','src2','src3')
                          THEN 1.0 ELSE 0.25 END) * 1000000 AS BIGINT)
-        GROUP BY source"""))
+        GROUP BY source""")),
+
+    // Budget-constrained mixing: rates derive from a TOTAL token budget
+    // and integer domain weights; the integer-exact cut arithmetic
+    // (BigInt vs HUGEINT) makes the keep decision bit-identical — both
+    // engines floor-divide the same products.
+    QueryDef(
+      "curate_budget_mix",
+      (s, dir) => {
+        import s.implicits._
+        Curation.budgetMix(t(s, dir, "documents"), "doc_id", "source",
+            "n_chars", budget = 10000,
+            weights = Map("src0" -> 3L, "src1" -> 1L, "src2" -> 2L,
+              "src5" -> 5L), salt = "budget")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_chars".cast("long")).as("sum_chars"))
+      },
+      Some(s"""
+        WITH w(dom, wgt) AS (
+          VALUES ('src0', 3), ('src1', 1), ('src2', 2), ('src5', 5)),
+        tot AS (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+          FROM documents GROUP BY source),
+        cuts AS (
+          SELECT t.source,
+                 LEAST(CAST(1000000 AS HUGEINT),
+                       CAST(10000 AS HUGEINT) * w.wgt * 1000000 /
+                         (11 * t.toks)) AS cut
+          FROM tot t JOIN w ON w.dom = t.source
+          WHERE t.toks > 0 AND w.wgt > 0)
+        SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        FROM documents d JOIN cuts c ON c.source = d.source
+        WHERE ${duckHash32("'budget' || ':' || CAST(d.doc_id AS VARCHAR)")}
+              % 1000000 < c.cut
+        GROUP BY d.source"""))
   )
 }

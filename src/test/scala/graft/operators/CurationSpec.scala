@@ -172,4 +172,25 @@ class CurationSpec extends SparkSpec {
     // every token appears in at least one chunk (no token lost)
     assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("budgetMix: weighted rates cap at 1, zero-weight domains drop") {
+    val d = (0L until 400L).map(i => (i, s"src${i % 4}", 100L))
+      .toDF("doc_id", "source", "toks") // 100 docs x 10k tokens per domain
+    val out = Curation.budgetMix(d, "doc_id", "source", "toks",
+      budget = 24000, weights = Map("src0" -> 1L, "src1" -> 5L),
+      salt = "b")
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src2/src3 unweighted -> gone
+    assert(kept.keySet == Set("src0", "src1"))
+    // src1 target = 24000*5/6 = 20000 > 10000 tokens -> rate 1, ALL kept
+    assert(kept("src1") == 100L)
+    // src0 target = 4000/10000 -> rate 0.4: expected ~40, hash-exact
+    // determinism means the same salt always gives the same subset
+    val again = Curation.budgetMix(d, "doc_id", "source", "toks",
+      budget = 24000, weights = Map("src0" -> 1L, "src1" -> 5L),
+      salt = "b").collect().map(_.getLong(0)).sorted
+    assert(again === out.collect().map(_.getLong(0)).sorted)
+    assert(kept("src0") > 20L && kept("src0") < 60L)
+  }
 }
