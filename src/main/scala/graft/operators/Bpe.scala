@@ -91,6 +91,28 @@ object Bpe {
         Row(r, a, b, a + b, c) }, 1), schema)
   }
 
+  /** Train `k` merges and persist them as a Delta-table ARTIFACT (same
+    * pattern as the minhash/IVF/PQ indexes: train once, store, serve
+    * many) — segmentation then reads the merge list, never the training
+    * corpus. */
+  def buildBpeVocab(df: DataFrame, textCol: String, k: Int,
+                    path: String): Long =
+    graft.delta.DeltaTable.write(trainMerges(df, textCol, k), path,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Segment with a STORED vocabulary: reads the (rank-ordered) merge
+    * list from the artifact — k rows — and applies [[tokenStats]]; the
+    * training corpus is never touched. */
+  def tokenStatsFromVocab(spark: org.apache.spark.sql.SparkSession,
+                          vocabPath: String, df: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val merges = graft.delta.DeltaTable.forPath(spark, vocabPath).toDF
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+    tokenStats(df, idCol, textCol, merges)
+  }
+
   /** Tokenize `textCol` with an ordered merge list (the inference side of
     * [[trainMerges]]): same bracket-string representation, the merges
     * applied in rank order, then per-document token statistics —

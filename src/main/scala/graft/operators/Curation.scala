@@ -211,6 +211,42 @@ object Curation {
       .drop("__dom", "__rate")
   }
 
+  /** Feature-hashed linear quality scorer — the fastText-classifier
+    * SHAPE (bag of hashed token features × a weight vector, mean-pooled)
+    * with a deterministic pseudo-weight vector so the score is
+    * bit-replayable cross-engine: bucket = hash32(token, salt) % dim,
+    * weight_b = hash32(b, salt+":w") % 2001 - 1000 (an integer in
+    * [-1000, 1000]), score = Σ weights / (1000 · n_tokens). Integer sums
+    * then ONE division keep the double integer-derived (bit-exact in
+    * both engines); swap the weight derivation for a trained vector and
+    * the plan shape is production fastText scoring.
+    *
+    * Scale shape: one explode to (id, bucket), the weight attached by
+    * expression (no weight table to join at dim ≤ 2^31), one map-side
+    * combinable per-document integer aggregation. Returns
+    * (id, n_tokens, score) for EVERY document (empty → score 0). */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 64, salt: String = "q"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = graft.operators.InputWidth.widen(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val scored = toks
+      .select(col("id"), explode(col("tk")).as("tok"))
+      .select(col("id"),
+        (md5Hash32(
+          (md5Hash32(col("tok"), lit(salt)) % dim).cast("string"),
+          lit(salt + ":w")) % 2001 - 1000).as("w"))
+      .groupBy(col("id"))
+      .agg(sum(col("w")).cast("long").as("wsum"))
+    toks.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("wsum"), lit(0L)).cast("double") /
+            (col("n_tokens").cast("double") * 1000.0)).otherwise(0.0)
+          .as("score"))
+  }
+
   /** Token-budget-constrained domain mixing: given a total token budget
     * and integer domain weights, each domain's sampling rate is
     * `min(1, budget * w_d / (Σw * tokens_d))` — the rate that lands the

@@ -183,6 +183,42 @@ object Dedup {
         size(col("kept")).cast("long").as("kept_tokens"))
   }
 
+  /** Cross-set exact-substring contamination — the ExactSubstr
+    * DECONTAMINATION use-case (Lee et al. 2022 §5): a corpus document is
+    * contaminated wherever one of its `minLen`-token windows appears
+    * VERBATIM in the benchmark set. Returns, for EVERY corpus document,
+    * (id, n_windows, contaminated_windows, contaminated_frac).
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT 60-bit window
+    * hashes (benchmarks are tiny next to the corpus — the join side
+    * broadcasts in practice); the corpus explodes once to (id, hash) and
+    * semi-joins. Window text never rides a shuffle on either side. */
+  def exactSubstrContamination(corpus: DataFrame, idCol: String,
+                               textCol: String, bench: DataFrame,
+                               benchIdCol: String, benchTextCol: String,
+                               minLen: Int = 8): DataFrame = {
+    val cw = exactSubstrWindows(corpus, idCol, textCol, minLen)
+    val bw = exactSubstrWindows(bench, benchIdCol, benchTextCol, minLen)
+      .select(col("h")).distinct()
+    val perDoc = cw
+      .join(bw, Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("contaminated_windows"))
+    InputWidth.widen(corpus)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        greatest(size(col("tk")) - (minLen - 1), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("contaminated_windows"), lit(0L))
+          .as("contaminated_windows"),
+        when(col("n_windows") > 0,
+          coalesce(col("contaminated_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double")).otherwise(0.0)
+          .as("contaminated_frac"))
+  }
+
   /** (id, pos, h): every `minLen`-token window start with the 60-bit md5
     * of its space-joined text. Documents shorter than minLen contribute
     * nothing. */

@@ -757,6 +757,110 @@ object PipelineQueries {
                COALESCE(a.kept_tokens, 0) AS kept_tokens
         FROM toks t LEFT JOIN agg a USING (doc_id)""")),
 
+    // Cross-set ExactSubstr decontamination: docs >= 50 are the corpus,
+    // docs < 50 the "benchmark"; near-duplicate docs straddle the cut so
+    // verbatim 8-token overlaps actually fire.
+    QueryDef(
+      "dedup_substr_contaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Dedup.exactSubstrContamination(
+            docs.filter($"doc_id" >= 50), "doc_id", "text",
+            docs.filter($"doc_id" < 50), "doc_id", "text", minLen = 8)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        cw AS (
+          SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8 AND doc_id >= 50)),
+        bw AS (
+          SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8 AND doc_id < 50)),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_windows
+          FROM cw WHERE g IN (SELECT g FROM bw) GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(GREATEST(len(t.tk) - 7, 0) AS BIGINT) AS n_windows,
+               COALESCE(h.contaminated_windows, 0) AS contaminated_windows,
+               CASE WHEN len(t.tk) > 7
+                    THEN COALESCE(h.contaminated_windows, 0)::DOUBLE /
+                         (len(t.tk) - 7)
+                    ELSE 0.0 END AS contaminated_frac
+        FROM toks t LEFT JOIN hits h USING (doc_id)
+        WHERE t.doc_id >= 50""")),
+
+    // Feature-hashed linear scoring (fastText shape) with deterministic
+    // pseudo-weights: integer weight sums, one division — bit-exact.
+    QueryDef(
+      "text_quality_hashed_lr",
+      (s, dir) => Curation.hashedLinearScore(
+          t(s, dir, "documents"), "doc_id", "text", dim = 64, salt = "q")
+        .withColumnRenamed("id", "doc_id"),
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        buckets AS (
+          SELECT doc_id,
+                 ${duckHash32("'q' || ':' || tok")} % 64 AS b
+          FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)),
+        weights AS (
+          SELECT doc_id,
+                 ${duckHash32("'q:w' || ':' || CAST(b AS VARCHAR)")}
+                   % 2001 - 1000 AS w
+          FROM buckets),
+        agg AS (
+          SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum
+          FROM weights GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               CASE WHEN len(t.tk) > 0
+                    THEN COALESCE(a.wsum, 0)::DOUBLE /
+                         (len(t.tk)::DOUBLE * 1000.0)
+                    ELSE 0.0 END AS score
+        FROM toks t LEFT JOIN agg a USING (doc_id)""")),
+
+    // BPE vocabulary as a persisted artifact: train once into a Delta
+    // table, segment FROM the artifact (training corpus never re-read at
+    // serve time — the index-artifact pattern, one tier over).
+    QueryDef(
+      "text_bpe_artifact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.queries.Tables.tmpDir("bpevocab")
+        graft.operators.Bpe.buildBpeVocab(docs, "text", 3, vocab)
+        graft.operators.Bpe.tokenStatsFromVocab(s, vocab, docs,
+          "doc_id", "text").withColumnRenamed("id", "doc_id")
+      },
+      Some(raw"""
+        WITH ${bpeOracleCtes(3)},
+        docwords AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents) t WHERE w <> ''),
+        agg AS (
+          SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(len(v.s) - len(replace(v.s, '[', '')))
+                   AS BIGINT) AS n_tokens
+          FROM docwords d JOIN s3 v ON v.word = d.w
+          GROUP BY d.doc_id)
+        SELECT doc.doc_id, COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               CASE WHEN COALESCE(a.n_words, 0) > 0
+                    THEN a.n_tokens::DOUBLE / a.n_words
+                    ELSE 0.0 END AS avg_tokens_per_word
+        FROM documents doc LEFT JOIN agg a USING (doc_id)""")),
+
     QueryDef(
       "dedup_embedding_cosine",
       (s, dir) => {

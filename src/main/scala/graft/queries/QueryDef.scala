@@ -15,6 +15,10 @@ final case class QueryDef(
 object Tables {
   import org.apache.spark.sql.functions._
 
+  /** Fresh scratch dir for a query's table/artifact writes. */
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$prefix").toString
+
   /** Load one of the driver-generated tables from an sf directory.
     *
     * `events.ts` has been generated as either parquet TIMESTAMP(NANOS)
