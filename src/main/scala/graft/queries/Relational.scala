@@ -391,6 +391,41 @@ object Relational {
           FROM sessions GROUP BY user_id, session_id
         )
         SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS longest_session
-        FROM per_session GROUP BY user_id"""))
+        FROM per_session GROUP BY user_id""")),
+
+    // Point-in-interval range join through the binned equi-join rewrite
+    // (RangeJoin.pointInInterval): a raw BETWEEN join would plan as a
+    // nested loop — O(points x intervals); bins make it a shuffled hash
+    // join (plan-shape spec'd) with BETWEEN as the residual. The oracle
+    // runs the naive BETWEEN join — same answer, different plan class.
+    QueryDef(
+      "q_range_join_binned",
+      (s, dir) => {
+        import s.implicits._
+        val points = t(s, dir, "lineitem")
+          .select($"l_shipdate", $"l_extendedprice")
+          .withColumn("__p",
+            datediff($"l_shipdate", lit("1992-01-01")).cast("long"))
+        val intervals = t(s, dir, "orders")
+          .filter($"o_orderkey" <= 1000)
+          .select($"o_orderkey", $"o_orderdate")
+          .withColumn("__s",
+            datediff($"o_orderdate", lit("1992-01-01")).cast("long"))
+          .withColumn("__e", $"__s" + 30)
+        graft.operators.RangeJoin.pointInInterval(
+            points, "__p", intervals, "__s", "__e", binWidth = 32)
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("n_shipped_in_window"),
+               sum(m2($"l_extendedprice")).cast("double").as("sum_price"))
+      },
+      Some("""
+        SELECT o.o_orderkey, COUNT(*) AS n_shipped_in_window,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders o JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        WHERE o.o_orderkey <= 1000
+        GROUP BY o.o_orderkey"""))
   )
 }
