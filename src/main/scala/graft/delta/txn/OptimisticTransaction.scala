@@ -53,6 +53,10 @@ class OptimisticTransaction(
   private val readFiles = scala.collection.mutable.HashSet.empty[String]
   private val readTxnIds = scala.collection.mutable.HashSet.empty[String]
   private var committed = false
+  /** Set when this commit re-adds already-live files without paired
+    * removes (row-tracking backfill): the incremental checksum fold
+    * would overcount, so the crc is written from the replayed state. */
+  private var crcFromState = false
 
   // ------------------------------------------------------------ reads (T6)
   /** Record a predicate read; prunes with the partition-only conjuncts and
@@ -386,6 +390,10 @@ class OptimisticTransaction(
           .filter(a => a.baseRowId.isEmpty && !committedPaths(a.path))
           .map(_.copy(dataChange = false))
         finalActions = finalActions ++ backfill
+        // these re-adds REPLACE live entries (newest-wins replay), so the
+        // incremental crc fold would overcount numFiles — this commit's
+        // checksum must come from the replayed state instead
+        if (backfill.nonEmpty) crcFromState = true
       }
     }
 
@@ -566,8 +574,9 @@ class OptimisticTransaction(
             FileNames.deltaFile(deltaLog.logPath, attemptVersion),
             written.map(a => JsonCodec.toJson(a)).iterator,
             overwrite = false, deltaLog.hadoopConf)
-          Checksums.writeAfterCommit(deltaLog, attemptVersion, written)
-          deltaLog.update()
+          val updated = deltaLog.update()
+          if (crcFromState) Checksums.writeFromState(updated)
+          else Checksums.writeAfterCommit(deltaLog, attemptVersion, written)
           return attemptVersion
         } catch {
           case _: FileAlreadyExistsException |

@@ -79,6 +79,29 @@ class ChecksumSpec extends SparkSpec {
     }
   }
 
+  test("row-tracking backfill re-adds don't corrupt the checksum chain") {
+    withTempDir { dir =>
+      DeltaTable.write(spark.range(0, 4).toDF("v").coalesce(1), dir)
+      DeltaTable.write(spark.range(4, 6).toDF("v").coalesce(1), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val m = txn.snapshot.metadata
+      txn.updateMetadata(m.copy(configuration =
+        m.configuration + ("delta.enableRowTracking" -> "true")))
+      txn.commit(Nil, "SET TBLPROPERTIES") // backfills BOTH live files
+      val snap = log.update()
+      // the backfill commit's crc must reflect the REPLAYED state (2
+      // files), not prev + 2 re-adds (4) — and the chain continues
+      val crc = crcOf(dir, snap.version).getOrElse(fail("no crc"))
+      assert(crc.numFiles == 2L)
+      Checksums.validate(snap)
+      DeltaTable.write(spark.range(6, 8).toDF("v").coalesce(1), dir)
+      val snap2 = log.update()
+      assert(crcOf(dir, snap2.version).exists(_.numFiles == 3L))
+      Checksums.validate(snap2)
+    }
+  }
+
   test("expired crc files clean up with their commits") {
     withTempDir { dir =>
       val start = System.currentTimeMillis()
