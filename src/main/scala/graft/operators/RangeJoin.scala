@@ -16,6 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Interval-overlap join: pairs (l, r) with
+    * `l.start <= r.end AND r.start <= l.end`, through the same binning.
+    * Unlike the point case, two intervals can SHARE many bins — the
+    * classic fix emits a surviving pair only from its CANONICAL bin (the
+    * bin of `max(l.start, r.start)`, which every overlapping pair covers
+    * on both sides exactly once), so no distinct pass is needed and the
+    * join output is exact without a dedup shuffle. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      binWidth: Long,
+                      maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, s: String, e: String): DataFrame = {
+      val spans = df
+        .withColumn("__b0", floor(col(s).cast("long") / binWidth))
+        .withColumn("__b1", floor(col(e).cast("long") / binWidth))
+      spans.withColumn("__bin",
+        explode(when(col("__b1") - col("__b0") < maxBinsPerInterval,
+            sequence(col("__b0"), col("__b1")))
+          .otherwise(raise_error(concat(lit(
+            s"interval spans more than $maxBinsPerInterval bins of " +
+              s"width $binWidth; raise binWidth or cap the interval: "),
+            col(s).cast("string"), lit(".."), col(e).cast("string"))))))
+        .drop("__b0", "__b1")
+    }
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // canonical-bin guard: keep the pair only where it first overlaps
+      .filter(col("__bin") ===
+        floor(greatest(col(lStart), col(rStart)).cast("long") / binWidth))
+      .drop("__bin")
+  }
+
   /** Join `points` (numeric `pointCol`) to `intervals`
     * ([startCol, endCol] inclusive): the result carries both sides'
     * columns for every point inside an interval. `maxBinsPerInterval`

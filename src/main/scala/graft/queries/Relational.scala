@@ -426,6 +426,43 @@ object Relational {
           ON l.l_shipdate >= o.o_orderdate
          AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
         WHERE o.o_orderkey <= 1000
-        GROUP BY o.o_orderkey"""))
+        GROUP BY o.o_orderkey""")),
+
+    // Interval-overlap join via the same binning, deduplicated by the
+    // canonical-bin guard (a pair emits only from the bin of
+    // max(starts), which both sides cover exactly once) — no distinct
+    // shuffle. Oracle: the naive overlap join.
+    QueryDef(
+      "q_interval_overlap_binned",
+      (s, dir) => {
+        import s.implicits._
+        def iv(maxK: Long, minK: Long, days: Int, key: String, st: String,
+               en: String) =
+          t(s, dir, "orders")
+            .filter($"o_orderkey" > minK && $"o_orderkey" <= maxK)
+            .select($"o_orderkey".as(key), $"o_orderdate")
+            .withColumn(st,
+              datediff($"o_orderdate", lit("1992-01-01")).cast("long"))
+            .withColumn(en, col(st) + days)
+            .drop("o_orderdate")
+        val left = iv(300, 0, 14, "lkey", "ls", "le")
+        val right = iv(600, 300, 14, "rkey", "rs", "re")
+        graft.operators.RangeJoin.intervalOverlap(
+            left, "ls", "le", right, "rs", "re", binWidth = 16)
+          .groupBy($"lkey")
+          .agg(count(lit(1)).as("n_overlaps"), min($"rkey").as("first_rkey"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT o_orderkey AS lkey, o_orderdate AS s,
+                 o_orderdate + INTERVAL 14 DAY AS e
+          FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 300),
+        r AS (
+          SELECT o_orderkey AS rkey, o_orderdate AS s,
+                 o_orderdate + INTERVAL 14 DAY AS e
+          FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 600)
+        SELECT l.lkey, COUNT(*) AS n_overlaps, MIN(r.rkey) AS first_rkey
+        FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+        GROUP BY l.lkey"""))
   )
 }

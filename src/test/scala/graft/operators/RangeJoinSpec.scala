@@ -61,6 +61,20 @@ class RangeJoinSpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("bins of width"))))
   }
 
+  test("interval overlap: exact pairs, no duplicates from shared bins") {
+    val left = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 200L, 210L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 90L, 300L), (20L, 55L, 58L), (30L, 400L, 410L))
+      .toDF("rid", "rs", "re")
+    // (1,10): overlap [90,100] spans MANY shared bins at width 8 — the
+    // canonical-bin guard must emit the pair exactly once
+    val out = RangeJoin.intervalOverlap(left, "ls", "le",
+        right, "rs", "re", binWidth = 8)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toList
+    assert(out.sorted == List((1L, 10L), (1L, 20L), (2L, 20L), (3L, 10L)))
+    assert(out.distinct.size == out.size, s"duplicate pairs: $out")
+  }
+
   test("negative values bin correctly (floor, not truncate)") {
     val p = Seq((1L, -5L), (2L, -64L)).toDF("pid", "v")
     val i = Seq((9L, -70L, -1L)).toDF("iid", "s", "e")
