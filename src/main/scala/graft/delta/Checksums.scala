@@ -80,13 +80,27 @@ object Checksums {
     } catch { case _: Exception => }
   }
 
+  /** `(numFiles, tableSizeBytes)` of a snapshot without forcing a driver
+    * materialization: beyond the driver-state bound the totals come from
+    * an aggregation Spark job over the distributed file list. */
+  private def stateTotals(snapshot: Snapshot): (Long, Long) =
+    if (snapshot.distributedState) {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val row = snapshot.allFilesDistributed.toDF()
+        .agg(count(lit(1)), sum("size")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    } else {
+      val files = snapshot.allFiles
+      (files.size.toLong, files.map(_.size).sum)
+    }
+
   /** Re-seed the chain from a materialized state (checkpoint time — the
     * checkpoint already paid for the file list). */
   def writeFromState(snapshot: Snapshot): Unit = {
     try {
-      val files = snapshot.allFiles
+      val (files, bytes) = stateTotals(snapshot)
       write(snapshot.deltaLog, snapshot.version,
-        VersionChecksum(files.map(_.size).sum, files.size, 1L, 1L,
+        VersionChecksum(bytes, files, 1L, 1L,
           snapshot.metadata, snapshot.protocol,
           snapshot.inCommitTimestampOpt))
     } catch { case _: Exception => }
@@ -105,17 +119,21 @@ object Checksums {
         .map(JsonCodec.mapper.readValue(_, classOf[VersionChecksum]))
     } catch { case _: Exception => None }
 
+  /** Conf gating reader-side checksum validation on every snapshot
+    * refresh (off by default: it forces the state materialization the
+    * read may otherwise prune). */
+  val ValidateConfKey = "spark.graft.delta.checksum.validate"
+
   /** Validate a snapshot's replayed state against its recorded checksum
     * (no-op when none exists). Throws on divergence — a corrupt log or a
     * replay bug, either of which must not serve answers silently. */
   def validate(snapshot: Snapshot): Unit = {
     read(snapshot.deltaLog, snapshot.version).foreach { crc =>
-      val files = snapshot.allFiles
-      val bytes = files.map(_.size).sum
-      if (files.size != crc.numFiles || bytes != crc.tableSizeBytes) {
+      val (files, bytes) = stateTotals(snapshot)
+      if (files != crc.numFiles || bytes != crc.tableSizeBytes) {
         throw new IllegalStateException(
           s"Version checksum mismatch at version ${snapshot.version}: " +
-            s"replayed state has ${files.size} files / $bytes bytes but " +
+            s"replayed state has $files files / $bytes bytes but " +
             s"${FileNames.checksumFile(snapshot.deltaLog.logPath, snapshot.version).getName} " +
             s"records ${crc.numFiles} files / ${crc.tableSizeBytes} bytes " +
             "- the log is corrupted or was modified non-transactionally")

@@ -83,6 +83,13 @@ class DeltaLog private (
       currentSnapshot = new Snapshot(spark, this, segment.version, segment,
         minFileRetentionTimestamp, segment.lastCommitTimestamp,
         cacheable = true, baseStates = base)
+      // reader-side integrity gate (opt-in): the recorded version checksum
+      // must agree with the state this snapshot replays, or the log was
+      // corrupted / modified non-transactionally
+      if (currentSnapshot.version >= 0 &&
+          spark.conf.get(Checksums.ValidateConfKey, "false").toBoolean) {
+        Checksums.validate(currentSnapshot)
+      }
     }
     currentSnapshot
   }

@@ -57,6 +57,11 @@ class OptimisticTransaction(
     * removes (row-tracking backfill): the incremental checksum fold
     * would overcount, so the crc is written from the replayed state. */
   private var crcFromState = false
+  /** Set when this commit's actions embed a copy of the read snapshot's
+    * file list (row-tracking backfill): such a commit must keep
+    * Serializable isolation even though every action is dataChange=false,
+    * or a concurrent append/remove invalidates the embedded list. */
+  private var backfilledWholeTable = false
 
   // ------------------------------------------------------------ reads (T6)
   /** Record a predicate read; prunes with the partition-only conjuncts and
@@ -393,7 +398,18 @@ class OptimisticTransaction(
         // these re-adds REPLACE live entries (newest-wins replay), so the
         // incremental crc fold would overcount numFiles — this commit's
         // checksum must come from the replayed state instead
-        if (backfill.nonEmpty) crcFromState = true
+        if (backfill.nonEmpty) {
+          crcFromState = true
+          // the backfill list is a function of the ENTIRE read snapshot:
+          // a concurrent append's files would silently escape backfill
+          // (live rows without ids) and a concurrent remove's files would
+          // be resurrected by our re-add. Register a whole-table read and
+          // refuse the SnapshotIsolation downgrade below so a lost race
+          // fails the concurrent-append / deleted-file-read checks loudly
+          // instead of committing either wrong state.
+          readWholeTable()
+          backfilledWholeTable = true
+        }
       }
     }
 
@@ -427,11 +443,14 @@ class OptimisticTransaction(
       onlyAdds && !readTheWholeTable && readPredicates.isEmpty
     }
     // SnapshotIsolation suffices iff the commit changes no data
-    // (ref OptimisticTransactionImpl.scala:115-123)
+    // (ref OptimisticTransactionImpl.scala:115-123); a row-tracking
+    // backfill is the exception — its dataChange=false re-adds DEPEND on
+    // the read file list, so it must see concurrent appends/removes
     val noDataChanged = finalActions.collect { case f: FileAction => f }
       .forall(!_.dataChange)
     val isolation: IsolationLevel =
-      if (noDataChanged) SnapshotIsolation else Serializable
+      if (noDataChanged && !backfilledWholeTable) SnapshotIsolation
+      else Serializable
 
     val commitInfo = CommitInfo(
       timestamp = Some(deltaLog.clock()),

@@ -64,7 +64,10 @@ object RowTracking {
     val stamped = actions.map {
       case a: AddFile if a.baseRowId.isEmpty =>
         val base = cursor + 1
-        cursor += numRecords(a)
+        // a zero-record file still consumes one id: every assigned
+        // baseRowId must be unique, or downstream consumers keying on it
+        // see two files sharing a base
+        cursor += math.max(numRecords(a), 1L)
         a.copy(baseRowId = Some(base),
           defaultRowCommitVersion = Some(attemptVersion))
       case a: AddFile if a.defaultRowCommitVersion.isEmpty =>

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Both joins reference each side's columns by bare name in the
+    * residual filter, and the output carries both sides' columns — a
+    * shared name would fail deep in analysis with an ambiguous-reference
+    * error (or silently resolve wrong). Fail up front with the fix. */
+  private def requireDisjointColumns(left: DataFrame, right: DataFrame): Unit = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"Both join inputs carry column(s) ${shared.mkString(", ")}; rename " +
+        "one side (withColumnRenamed) so every output column is unambiguous")
+  }
+
   /** Interval-overlap join: pairs (l, r) with
     * `l.start <= r.end AND r.start <= l.end`, through the same binning.
     * Unlike the point case, two intervals can SHARE many bins — the
@@ -28,6 +39,7 @@ object RangeJoin {
                       binWidth: Long,
                       maxBinsPerInterval: Int = 10000): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireDisjointColumns(left, right)
     def binned(df: DataFrame, s: String, e: String): DataFrame = {
       val spans = df
         .withColumn("__b0", floor(col(s).cast("long") / binWidth))
@@ -59,6 +71,7 @@ object RangeJoin {
                       endCol: String, binWidth: Long,
                       maxBinsPerInterval: Int = 10000): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireDisjointColumns(points, intervals)
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("long") / binWidth))
     val spans = intervals

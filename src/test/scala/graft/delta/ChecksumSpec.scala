@@ -102,6 +102,27 @@ class ChecksumSpec extends SparkSpec {
     }
   }
 
+  test("opt-in validation gate fails a corrupted log at snapshot refresh") {
+    withTempDir { dir =>
+      DeltaTable.write(spark.range(0, 4).toDF("v").coalesce(1), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val cur = log.update().version
+      val bad = crcOf(dir, cur).get
+      Checksums.write(log, cur, bad.copy(numFiles = bad.numFiles + 5))
+      spark.conf.set(Checksums.ValidateConfKey, "true")
+      try {
+        DeltaLog.clearCache()
+        val e = intercept[IllegalStateException] {
+          DeltaLog.forTable(spark, dir).update()
+        }
+        assert(e.getMessage.contains("checksum mismatch"))
+      } finally spark.conf.unset(Checksums.ValidateConfKey)
+      // default-off: the corrupted crc does not block reads unless asked
+      DeltaLog.clearCache()
+      assert(DeltaLog.forTable(spark, dir).update().version == cur)
+    }
+  }
+
   test("expired crc files clean up with their commits") {
     withTempDir { dir =>
       val start = System.currentTimeMillis()

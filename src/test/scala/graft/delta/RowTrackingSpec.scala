@@ -106,6 +106,74 @@ class RowTrackingSpec extends SparkSpec {
     }
   }
 
+  test("enablement backfill loses a race loudly instead of dropping files") {
+    withTempDir { dir =>
+      DeltaTable.write(spark.range(0, 4).toDF("v").coalesce(1), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val m = txn.snapshot.metadata
+      txn.updateMetadata(m.copy(configuration =
+        m.configuration + ("delta.enableRowTracking" -> "true")))
+      // a concurrent append wins the race: its files would silently
+      // escape a backfill computed from our stale read snapshot, so the
+      // enablement must fail its conflict check (Serializable +
+      // whole-table read), not commit
+      DeltaTable.write(spark.range(4, 6).toDF("v").coalesce(1), dir)
+      intercept[graft.delta.txn.ConcurrentAppendException] {
+        txn.commit(Nil, "SET TBLPROPERTIES")
+      }
+      // retried on a fresh snapshot, EVERY live file (including the
+      // winner's) gets an id
+      val txn2 = log.startTransaction()
+      val m2 = txn2.snapshot.metadata
+      txn2.updateMetadata(m2.copy(configuration =
+        m2.configuration + ("delta.enableRowTracking" -> "true")))
+      txn2.commit(Nil, "SET TBLPROPERTIES")
+      val snap = log.update()
+      assert(snap.allFiles.forall(_.baseRowId.isDefined))
+      assert(ids(dir).values.toSeq.sorted == (0L to 5L))
+    }
+  }
+
+  test("enablement backfill aborts when a concurrent delete removed files") {
+    withTempDir { dir =>
+      DeltaTable.write(spark.range(0, 4).toDF("v").coalesce(1), dir)
+      DeltaTable.write(spark.range(4, 6).toDF("v").coalesce(1), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val m = txn.snapshot.metadata
+      txn.updateMetadata(m.copy(configuration =
+        m.configuration + ("delta.enableRowTracking" -> "true")))
+      // a concurrent whole-file delete wins: our backfill would re-add
+      // (resurrect) the removed file
+      DeltaTable.forPath(spark, dir).delete(col("v") >= 4)
+      intercept[graft.delta.txn.ConcurrentModificationException] {
+        txn.commit(Nil, "SET TBLPROPERTIES")
+      }
+      // the deleted rows stay deleted after a fresh-snapshot retry
+      val txn2 = log.startTransaction()
+      val m2 = txn2.snapshot.metadata
+      txn2.updateMetadata(m2.copy(configuration =
+        m2.configuration + ("delta.enableRowTracking" -> "true")))
+      txn2.commit(Nil, "SET TBLPROPERTIES")
+      assert(ids(dir).keySet == (0L to 3L).toSet)
+    }
+  }
+
+  test("zero-record files still get unique baseRowIds") {
+    val adds = Seq(
+      AddFile("a", Map.empty, 10L, 0L, dataChange = true,
+        stats = Some("""{"numRecords":0}""")),
+      AddFile("b", Map.empty, 10L, 0L, dataChange = true,
+        stats = Some("""{"numRecords":0}""")),
+      AddFile("c", Map.empty, 10L, 0L, dataChange = true,
+        stats = Some("""{"numRecords":3}""")))
+    val (stamped, hwm) = RowTracking.assign(adds, 1L, -1L)
+    val bases = stamped.collect { case a: AddFile => a.baseRowId.get }
+    assert(bases.distinct.size == 3, s"duplicate baseRowId in $bases")
+    assert(hwm == bases.max + 2) // c's 3 records end the range
+  }
+
   test("ranges and hwm survive a checkpoint round-trip") {
     withTempDir { dir =>
       (0 until 11).foreach { i =>

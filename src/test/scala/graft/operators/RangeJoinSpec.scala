@@ -75,6 +75,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.distinct.size == out.size, s"duplicate pairs: $out")
   }
 
+  test("shared column names fail up front with a clear message") {
+    val l = Seq((1L, 0L, 10L)).toDF("id", "start", "end")
+    val r = Seq((2L, 5L, 15L)).toDF("id", "start", "end")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, "start", "end", r, "start", "end", 8)
+    }
+    assert(e.getMessage.contains("rename"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        Seq((1L, 3L)).toDF("id", "v"), "v", r, "start", "end", 8)
+    }
+    assert(e2.getMessage.contains("id"))
+  }
+
   test("negative values bin correctly (floor, not truncate)") {
     val p = Seq((1L, -5L), (2L, -64L)).toDF("pid", "v")
     val i = Seq((9L, -70L, -1L)).toDF("iid", "s", "e")
