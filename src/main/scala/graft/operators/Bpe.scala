@@ -22,12 +22,27 @@ import org.apache.spark.sql.types._
   * string algorithm, so the two engines cannot diverge on merge order.
   *
   * Scale shape: one explode + hash aggregation builds the weighted word
-  * dictionary (map-side combinable; the corpus never re-scans); each of
-  * the k iterations is one vocabulary-sized pair explode + one grouped
-  * sum + a top-1 (TakeOrdered, never a full sort) + one projection. The
-  * only driver traffic is k single-row collects — the argmax merge
-  * decision, which IS the sequential dependency of the BPE objective. */
+  * dictionary (map-side combinable; the corpus never re-scans). The
+  * dictionary is VOCABULARY-sized (distinct words, ≈millions at 100 TB),
+  * so under `spark.graft.bpe.maxDictWords` it collects ONCE and the k
+  * argmax rounds run as classic in-memory fast-BPE (pair-count heap with
+  * lazy deletion, per-merge updates touching only affected words) —
+  * 32k merges in seconds, zero per-merge Spark jobs. Above the bound the
+  * fallback runs each round distributed: a vocabulary-sized pair explode
+  * + grouped sum + top-1 (TakeOrdered) + one projection per merge, with
+  * only k single-row collects of driver traffic — the argmax decision,
+  * which IS the sequential dependency of the BPE objective. Both paths
+  * produce IDENTICAL merge lists (spec-proven): same every-occurrence
+  * pair counting, same left-to-right non-overlapping merge application,
+  * same (count desc, pair asc) tie-break. */
 object Bpe {
+
+  /** Dictionary-size bound under which merge training collects the
+    * weighted word dictionary and runs in memory (the cc/gram-dict
+    * driver-bound precedent: the dictionary is orders of magnitude
+    * smaller than the corpus and each entry is one short word). */
+  val MaxDictWordsKey = "spark.graft.bpe.maxDictWords"
+  val MaxDictWordsDefault = 2000000L
 
   /** Train `k` merges over the lowercase alphanumeric words of `textCol`.
     * Returns (rank, left_sym, right_sym, merged, pair_count); ties on
@@ -40,6 +55,148 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).cast("long").as("wc"))
+    val bound = math.min(spark.conf
+      .getOption(MaxDictWordsKey).map(_.toLong)
+      .getOrElse(MaxDictWordsDefault), Int.MaxValue - 2L)
+    // one job decides the path: a ≤bound dictionary arrives complete (and
+    // small — words are short), an overflowing one falls back distributed
+    val dict = words.limit(bound.toInt + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merges =
+      if (dict.length <= bound) trainMergesLocal(dict, k)
+      else trainMergesDistributed(words, k)
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.map { case (r, a, b, c) =>
+        Row(r, a, b, a + b, c) }, 1), schema)
+  }
+
+  /** In-memory fast-BPE over a collected weighted word dictionary.
+    * Pair counts live in a hash map; the argmax comes from a max-heap
+    * with LAZY deletion (every count change pushes a fresh entry; a
+    * popped entry is valid only if it still matches the map). Each merge
+    * touches only the words that contain the pair (tracked per pair), so
+    * total work is O(initial_pairs + k * avg_affected_word_len) — not
+    * O(k * vocabulary). */
+  private[graft] def trainMergesLocal(
+      dict: Array[(String, Long)],
+      k: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] =
+      dict.map(_._1.map(_.toString).toArray)
+    val wcs: Array[Long] = dict.map(_._2)
+
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max-heap: higher count wins; ties prefer the lexicographically
+    // SMALLER pair — identical to the distributed orderBy(cnt desc, a, b)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+    // per-word pair counts into a small LOCAL map — every adjacent
+    // occurrence counts (so "aaa" contributes (a,a) twice), matching the
+    // distributed path's position-list explode
+    def localCounts(s: Array[String]): mutable.HashMap[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+
+    // left-to-right non-overlapping, same as replace('[a][b]' -> '[ab]')
+    def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    var wi = 0
+    while (wi < syms.length) {
+      val w = wcs(wi)
+      localCounts(syms(wi)).foreach { case (p, c) =>
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c * w)
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+      }
+      wi += 1
+    }
+    pairCounts.foreach { case ((a, b), n) => heap.enqueue((n, a, b)) }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCounts.get((c._2, c._3)).contains(c._1)) top = c
+      }
+      if (top == null) exhausted = true
+      else {
+        val (cnt, a, b) = top
+        merges += ((rank, a, b, cnt))
+        val affected = pairWords.get((a, b)).map(_.toArray).getOrElse(Array.empty)
+        // net-changed pairs only: unchanged pairs (the bulk of every
+        // word) never touch the global map, and the heap receives ONE
+        // entry per changed pair per merge (after all words settle), not
+        // one per word — the difference between seconds and hours at
+        // production k
+        val changed = mutable.HashSet.empty[(String, String)]
+        affected.foreach { w =>
+          val old = localCounts(syms(w))
+          syms(w) = applyMerge(syms(w), a, b)
+          val neu = localCounts(syms(w))
+          (old.keySet ++ neu.keySet).foreach { p =>
+            val d = neu.getOrElse(p, 0) - old.getOrElse(p, 0)
+            val oldC = old.getOrElse(p, 0); val neuC = neu.getOrElse(p, 0)
+            if (d != 0) {
+              val n = pairCounts.getOrElse(p, 0L) + d.toLong * wcs(w)
+              if (n == 0L) pairCounts.remove(p) else pairCounts.update(p, n)
+              changed += p
+            }
+            if (oldC > 0 && neuC == 0) pairWords.get(p).foreach(_ -= w)
+            else if (oldC == 0 && neuC > 0)
+              pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
+          }
+        }
+        pairCounts.remove((a, b))
+        pairWords.remove((a, b))
+        changed.foreach { p =>
+          pairCounts.get(p).foreach(n => heap.enqueue((n, p._1, p._2)))
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed per-merge fallback for dictionaries beyond the driver
+    * bound: each round is one pair explode + grouped sum + top-1 over the
+    * cached vocabulary frame, then one literal-replace projection. */
+  private def trainMergesDistributed(
+      words: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     // [c][h][a][r] representation; symbols are alnum so the brackets are
     // unambiguous delimiters
     var cur = words.select(col("wc"),
@@ -80,15 +237,7 @@ object Bpe {
         }
       }
     } finally cur.unpersist()
-    val schema = StructType(Seq(
-      StructField("rank", IntegerType, nullable = false),
-      StructField("left_sym", StringType, nullable = false),
-      StructField("right_sym", StringType, nullable = false),
-      StructField("merged", StringType, nullable = false),
-      StructField("pair_count", LongType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq.map { case (r, a, b, c) =>
-        Row(r, a, b, a + b, c) }, 1), schema)
+    merges.toSeq
   }
 
   /** Train `k` merges and persist them as a Delta-table ARTIFACT (same

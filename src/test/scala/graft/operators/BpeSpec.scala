@@ -38,6 +38,31 @@ class BpeSpec extends SparkSpec {
     assert(merges.length == 1) // (a,b) then nothing left to merge
   }
 
+  test("driver fast path and distributed fallback train identical merges") {
+    // ties, repeated pairs, self-pairs, shared prefixes/suffixes — the
+    // cases where a heap/tie-break bug would diverge from the per-round
+    // distributed argmax
+    val docs = Seq(
+      (1L, "the theme thesis there other ether"),
+      (2L, "banana bandana ananas banal anneal"),
+      (3L, "aaaa aaa aa a abab ababab"),
+      (4L, "low lower lowest slow slowest glow"),
+      (5L, "mississippi missive permission emission")
+    ).toDF("doc_id", "text")
+    def run(k: Int): Seq[(Int, String, String, Long)] =
+      Bpe.trainMerges(docs, "text", k).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(4))).toSeq
+    val local = run(15)
+    assert(local.size == 15)
+    spark.conf.set(Bpe.MaxDictWordsKey, "1") // force the distributed path
+    try {
+      val dist = run(15)
+      assert(local == dist,
+        s"paths diverged:\n  local: $local\n  dist:  $dist")
+    } finally spark.conf.unset(Bpe.MaxDictWordsKey)
+  }
+
   test("segmentation counts tokens under the trained merges") {
     val docs = Seq(
       (1L, "low low low"),
