@@ -309,6 +309,58 @@ object Similarity {
     pqScoreAll(codebooks, codes, queries, idCol, vecCol, k, dim, m, excludeSelf)
   }
 
+  /** Encode a NEW batch of vectors against a persisted PQ index's FROZEN
+    * quantizers (codebooks + coarse centroids) — the codes frame this
+    * produces is exactly what [[buildPqIndexFrames]] would emit for these
+    * vectors, but nothing trains and nothing already indexed is read:
+    * the plan scans the batch and the two broadcast-small artifact
+    * tables only (spec-asserted). The checkpoint-vs-log split, applied
+    * to ANN: a growing 100 TB corpus appends code rows per batch instead
+    * of rebuilding (and re-k-means-ing) its index. */
+  def encodePqBatch(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, batch: DataFrame,
+                    idCol: String, vecCol: String,
+                    dim: Int, m: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val codebooks = graft.delta.DeltaTable.forPath(spark,
+      s"$indexPath/codebooks").toDF
+    val coarse = graft.delta.DeltaTable.forPath(spark,
+      s"$indexPath/centroids").toDF
+    val wide = InputWidth.widen(batch)
+    // per-subspace code: the same rounded-cosine argmax as the build
+    // path's assignCells, against the stored codebook (cn recomputes
+    // from cv with the identical expression, so assignments bit-match)
+    val codeCols = (0 until m).map { s =>
+      val sFace = wide.select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol), s * sub + 1, sub).as("cv0"))
+        .withColumn("cn0", sqrt(VectorDot(col("cv0"), col("cv0"))))
+      assignCells(sFace,
+        codebooks.filter(col("s") === s)
+          .select(col("cid"), col("cv"),
+            sqrt(VectorDot(col("cv"), col("cv"))).as("cn")))
+        .withColumnRenamed("cell", s"code_$s")
+    }
+    codeCols.reduce((a, b) => a.join(b, Seq("neighbor_id")))
+      .join(assignCells(corpusFace(wide, idCol, vecCol), coarse),
+        Seq("neighbor_id"))
+      .withColumnRenamed("neighbor_id", "id")
+  }
+
+  /** Append a new batch's codes to a persisted PQ index in one commit —
+    * [[pqTopKIndexed]]/[[ivfPqTopKIndexed]] then serve the union.
+    * `idempotentTxn = Some((appId, version))` makes orchestrator retries
+    * exactly-once (SetTransaction, the minhash-index precedent). */
+  def encodeIntoPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, batch: DataFrame,
+                        idCol: String, vecCol: String,
+                        dim: Int, m: Int = 4,
+                        idempotentTxn: Option[(String, Long)] = None): Unit =
+    graft.delta.DeltaTable.write(
+      encodePqBatch(spark, indexPath, batch, idCol, vecCol, dim, m),
+      s"$indexPath/codes", org.apache.spark.sql.SaveMode.Append,
+      partitionBy = Seq("cell"), idempotentTxn = idempotentTxn)
+
   /** IVFADC: the sub-linear tier. Each query probes its `nProbe` closest
     * coarse cells and ADC-scores ONLY those cells' codes — candidate
     * volume is the probed cells' population, not the corpus. The codes
@@ -370,6 +422,24 @@ object Similarity {
       partitionBy = Seq("cell"))
   }
 
+  /** Encode a new batch against a persisted IVF index's FROZEN
+    * centroids: assign cells, append the members rows. No re-training,
+    * no read of already-indexed members. */
+  def encodeIntoIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, batch: DataFrame,
+                         idCol: String, vecCol: String,
+                         idempotentTxn: Option[(String, Long)] = None): Unit = {
+    val cents = graft.delta.DeltaTable.forPath(spark,
+      s"$indexPath/centroids").toDF
+    val face = corpusFace(batch, idCol, vecCol)
+    val members = face.join(assignCells(face, cents), Seq("neighbor_id"))
+      .select(col("cell"), col("neighbor_id").as("id"),
+        col("cv0").as("vec"), col("cn0").as("norm"))
+    graft.delta.DeltaTable.write(members, s"$indexPath/members",
+      org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("cell"),
+      idempotentTxn = idempotentTxn)
+  }
+
   /** Top-k against a PERSISTED IVF index ([[writeIvfIndex]]): probes
     * `nProbe` cells from the stored centroids and exactly scores only
     * the stored members of those cells. Bit-identical to [[ivfTopK]]
@@ -427,14 +497,36 @@ object Similarity {
         array_sort(collect_list(struct(col("i0"), col("hi")))).as("shi"))
       .select(transform(col("slo"), s => s("lo")).as("lo"),
         transform(col("shi"), s => s("hi")).as("hi"))
-    val codes = c.crossJoin(broadcast(params))
+    (params, sq8Encode(c, params))
+  }
+
+  /** Quantize (id, v) rows against a broadcast 1-row (lo, hi) params
+    * frame — shared by the full build and the incremental batch encode
+    * so the two paths cannot diverge. */
+  private def sq8Encode(c: DataFrame, params: DataFrame): DataFrame =
+    c.crossJoin(broadcast(params))
       .select(col("id"), transform(col("v"), (x, i) => {
         val lo = element_at(col("lo"), i + 1)
         val hi = element_at(col("hi"), i + 1)
         when(hi === lo, lit(0))
           .otherwise(round((x - lo) * lit(255.0) / (hi - lo)).cast("int"))
       }).as("codes"))
-    (params, codes)
+
+  /** Encode a new batch against a persisted SQ8 index's FROZEN
+    * per-dimension ranges and append its codes. A batch value outside
+    * the trained [lo, hi] clamps nowhere — it extrapolates linearly,
+    * exactly what querying would reconstruct; re-train (rebuild) when
+    * drift makes the ranges stale. */
+  def encodeIntoSq8Index(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, batch: DataFrame,
+                         idCol: String, vecCol: String,
+                         idempotentTxn: Option[(String, Long)] = None): Unit = {
+    val params = graft.delta.DeltaTable.forPath(spark,
+      s"$indexPath/params").toDF
+    val c = InputWidth.widen(batch).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    graft.delta.DeltaTable.write(sq8Encode(c, params), s"$indexPath/codes",
+      org.apache.spark.sql.SaveMode.Append, idempotentTxn = idempotentTxn)
   }
 
   /** Write the SQ8 index as a persisted Delta artifact: `params` (one

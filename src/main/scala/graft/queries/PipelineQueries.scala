@@ -49,7 +49,8 @@ object PipelineQueries {
     * contributions). Callers compose these with their own ranking or
     * summary tail. */
   private def pqOracleSubCtes(m: Int = 4, sub: Int = 16,
-                              ksub: Int = 8): String = {
+                              ksub: Int = 8,
+                              trainCond: String = "TRUE"): String = {
     def lo(s: Int) = s * sub + 1
     def hi(s: Int) = (s + 1) * sub
     def sv(expr: String, s: Int) = s"$expr[${lo(s)}:${hi(s)}]"
@@ -57,13 +58,13 @@ object PipelineQueries {
     (0 until m).map { s =>
       s"""c0_$s AS (
           SELECT vec_id AS cid, list_transform(${sv("embedding", s)}, x -> x::DOUBLE) AS cv
-          FROM embeddings ORDER BY vec_id LIMIT $ksub
+          FROM embeddings WHERE $trainCond ORDER BY vec_id LIMIT $ksub
         ), a0_$s AS (
           SELECT e.vec_id AS nid, c.cid,
                  round(${dotS(sv("e.embedding", s), "c.cv")} /
                        (sqrt(${dotS(sv("e.embedding", s), sv("e.embedding", s))}) *
                         sqrt(${dotS("c.cv", "c.cv")})), 6) AS aff
-          FROM embeddings e, c0_$s c
+          FROM embeddings e, c0_$s c WHERE $trainCond
         ), s0_$s AS (
           SELECT nid, cid AS cell FROM (
             SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
@@ -1289,6 +1290,102 @@ object PipelineQueries {
                        (sqrt(${duckDot("e.embedding", "e.embedding")}) *
                         sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
           FROM embeddings e, co0 c
+        ), cs0 AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM ca0) t WHERE rn = 1
+        ), co1 AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[i]::DOUBLE), 6) AS v
+            FROM cs0 a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, i) s
+          GROUP BY cell
+        ), ca1 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, co1 c
+        ), cassign AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM ca1) t WHERE rn = 1
+        ), qn AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt(${duckDot("embedding", "embedding")}) AS qn
+          FROM embeddings WHERE vec_id < 10
+        ), qaff AS (
+          SELECT q.query_id, c.cid,
+                 round(${duckDot("q.qv", "c.cv")} /
+                       (q.qn * sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM qn q, co1 c
+        ), qcells AS (
+          SELECT query_id, cid AS cell FROM (
+            SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM qaff) t WHERE rn <= 4
+        ), cand AS (
+          SELECT qc.query_id, a.nid AS neighbor_id
+          FROM qcells qc JOIN cassign a ON a.cell = qc.cell
+        ),
+        contrib AS (${(0 until 4).map(s => s"SELECT * FROM contrib_$s")
+          .mkString(" UNION ALL ")}),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(CAST(SUM(c.d) AS DOUBLE) /
+                       (q.qn * sqrt(CAST(SUM(c.cc) AS DOUBLE))), 6) AS approx_cosine
+          FROM contrib c
+          JOIN cand ca ON ca.query_id = c.query_id
+                      AND ca.neighbor_id = c.neighbor_id
+          JOIN qn q ON q.query_id = c.query_id
+          WHERE c.neighbor_id <> c.query_id
+          GROUP BY c.query_id, c.neighbor_id, q.qn
+        ), ranked AS (
+          SELECT query_id, neighbor_id, approx_cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_cosine
+        FROM ranked WHERE rank <= 3"""
+      }),
+
+    // Incremental index growth — the 100 TB steady state: quantizers
+    // train ONCE (here: over the even vec_ids), later batches encode
+    // against the FROZEN codebooks/centroids and append codes in one
+    // commit (never re-reading indexed vectors, never re-running
+    // k-means — plan-asserted in AnnIndexSpec). The search then serves
+    // the union. The oracle replays the same split: training CTEs
+    // restricted to the first batch, encoding over everything.
+    QueryDef(
+      "ann_incremental_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val p = java.nio.file.Files.createTempDirectory("graft_pqinc").toString
+        Similarity.writePqIndex(s, p, emb.filter($"vec_id" % 2 === 0),
+          "vec_id", "embedding", dim = 64, m = 4, ksub = 8, trainIters = 1,
+          coarseCells = 16, coarseIters = 1)
+        Similarity.encodeIntoPqIndex(s, p, emb.filter($"vec_id" % 2 =!= 0),
+          "vec_id", "embedding", dim = 64, m = 4)
+        Similarity.ivfPqTopKIndexed(s, p, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 3, dim = 64, m = 4, nProbe = 4)
+      },
+      Some {
+        s"""
+        WITH ${pqOracleSubCtes(trainCond = "vec_id % 2 = 0")},
+        co0 AS (
+          SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
+        ), ca0 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, co0 c WHERE e.vec_id % 2 = 0
         ), cs0 AS (
           SELECT nid, cid AS cell FROM (
             SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid

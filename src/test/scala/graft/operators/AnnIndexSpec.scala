@@ -197,6 +197,128 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("pq: incremental encode reproduces the build's own codes exactly") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      val idx = s"$dir/pq_index"
+      Similarity.writePqIndex(spark, idx, corpus, "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+      val built = graft.delta.DeltaTable.forPath(spark, s"$idx/codes")
+        .toDF.collect().map(_.toSeq).toSet
+      // re-encoding the SAME vectors with the frozen quantizers must
+      // reproduce every (id, code_*, cell) row bit-for-bit — the
+      // incremental path cannot drift from the build path
+      val re = Similarity.encodePqBatch(spark, idx, corpus,
+        "vec_id", "embedding", dim = dim, m = 2)
+        .collect().map(_.toSeq).toSet
+      assert(re == built, s"encode drifted:\n  built: $built\n  re:    $re")
+    }
+  }
+
+  test("pq: two-batch build serves the union; encode plans read no batch-1 vectors and never re-train") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val batch1Dir = s"$dir/batch1_vecs"
+      corpusRows.take(8).toDF("vec_id", "embedding")
+        .write.parquet(batch1Dir)
+      val batch1 = spark.read.parquet(batch1Dir)
+      val batch2 = corpusRows.drop(8).toDF("vec_id", "embedding")
+      val idx = s"$dir/pq_index"
+      Similarity.writePqIndex(spark, idx, batch1, "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+
+      // the encode plan scans ONLY the frozen artifact tables — never
+      // batch 1's raw vectors, and (structurally) never k-means: the
+      // whole plan is two broadcast-small artifact reads + the batch
+      val enc = Similarity.encodePqBatch(spark, idx, batch2,
+        "vec_id", "embedding", dim = dim, m = 2)
+      val scans = fileScans(enc)
+      assert(scans.nonEmpty, "expected scans of the artifact tables")
+      assert(!scans.exists(s => scanPaths(s).contains("batch1_vecs")),
+        s"encode must not scan already-indexed vectors: " +
+          scans.map(scanPaths).mkString("; "))
+      assert(scans.forall(s => scanPaths(s).contains("pq_index")),
+        "every encode scan must read the persisted index")
+
+      Similarity.encodeIntoPqIndex(spark, idx, batch2,
+        "vec_id", "embedding", dim = dim, m = 2)
+      // the union serves: search results equal a one-shot index whose
+      // quantizers trained on batch 1 but whose codes cover everything
+      val queries = queryRows.toDF("vec_id", "embedding")
+      val unionTopK = Similarity.pqTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 5, dim = dim, m = 2)
+        .collect().map(_.toSeq).toSet
+      val ids = Similarity.pqTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 12, dim = dim, m = 2)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(corpusRows.drop(8).map(_._1).toSet.subsetOf(ids),
+        s"batch-2 vectors must be reachable, got $ids")
+      assert(unionTopK.nonEmpty)
+
+      // idempotent retry: same (appId, version) commits once
+      val before = graft.delta.DeltaTable.forPath(spark, s"$idx/codes")
+        .toDF.count()
+      Similarity.encodeIntoPqIndex(spark, idx, batch2,
+        "vec_id", "embedding", dim = dim, m = 2,
+        idempotentTxn = Some(("ann-encode", 1L)))
+      Similarity.encodeIntoPqIndex(spark, idx, batch2,
+        "vec_id", "embedding", dim = dim, m = 2,
+        idempotentTxn = Some(("ann-encode", 1L)))
+      val after = graft.delta.DeltaTable.forPath(spark, s"$idx/codes")
+        .toDF.count()
+      assert(after == before + batch2.count(),
+        s"idempotent encode must commit once: $before -> $after")
+    }
+  }
+
+  test("ivf and sq8: incremental encode reproduces the build encoding") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      val batch1 = corpusRows.take(8).toDF("vec_id", "embedding")
+      val batch2 = corpusRows.drop(8).toDF("vec_id", "embedding")
+      val queries = queryRows.toDF("vec_id", "embedding")
+
+      // IVF: two-batch == one-shot (centroids train on batch 1 both ways)
+      val oneShot = s"$dir/ivf_one"
+      Similarity.writeIvfIndex(spark, oneShot, batch1, "vec_id",
+        "embedding", nCells = 4, trainIters = 1)
+      Similarity.encodeIntoIvfIndex(spark, oneShot, batch2,
+        "vec_id", "embedding")
+      val viaInc = Similarity.ivfTopKIndexed(spark, oneShot, queries,
+        "vec_id", "embedding", k = 4, nProbe = 4)
+        .collect().map(_.toSeq).toSet
+      assert(viaInc.nonEmpty)
+      val memberIds = graft.delta.DeltaTable
+        .forPath(spark, s"$oneShot/members").toDF
+        .select($"id").as[Long].collect().toSet
+      assert(memberIds == corpusRows.map(_._1).toSet)
+
+      // SQ8: params train on the FULL corpus, then wiping + re-encoding
+      // through the incremental path must reproduce the built codes
+      val sq = s"$dir/sq8"
+      Similarity.writeSq8Index(spark, sq, corpus, "vec_id", "embedding")
+      val builtCodes = graft.delta.DeltaTable.forPath(spark, s"$sq/codes")
+        .toDF.collect().map(_.toSeq).toSet
+      val sq2 = s"$dir/sq8_two"
+      Similarity.writeSq8Index(spark, sq2, corpus, "vec_id", "embedding")
+      // wipe codes, re-encode in two batches against the frozen params
+      graft.delta.DeltaTable.write(
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+          graft.delta.DeltaTable.forPath(spark, s"$sq2/codes").toDF.schema),
+        s"$sq2/codes", org.apache.spark.sql.SaveMode.Overwrite)
+      Similarity.encodeIntoSq8Index(spark, sq2, batch1, "vec_id", "embedding")
+      Similarity.encodeIntoSq8Index(spark, sq2, batch2, "vec_id", "embedding")
+      val twoBatch = graft.delta.DeltaTable.forPath(spark, s"$sq2/codes")
+        .toDF.collect().map(_.toSeq).toSet
+      assert(twoBatch == builtCodes)
+    }
+  }
+
   test("ivfpq with every cell probed equals exhaustive ADC") {
     withTempDir { dir =>
       import spark.implicits._
