@@ -587,7 +587,8 @@ final class MergeBuilder private[delta] (
       }
       val protoActions: Seq[Action] =
         if (shade.exists(!_.isEmpty)) DvShade.protocolUpgrade(snapshot) else Nil
-      txn.commit(protoActions ++ txnAction ++ cdc ++ adds ++ removes,
+      val committed = txn.commit(
+        protoActions ++ txnAction ++ cdc ++ adds ++ removes,
         DeltaOperations.Merge,
         operationMetrics = Map(
           "numTargetFilesRemoved" ->
@@ -596,6 +597,15 @@ final class MergeBuilder private[delta] (
           shade.map(s => "numDeletionVectorsAdded" -> s.numDvsAdded.toString),
         // delta-spark renders DML predicates as a JSON array of strings
         operationParameters = Map("predicate" -> Seq(condition.toString)))
+      // delta.autoOptimize.autoCompact applies to MERGE-grown tables the
+      // same as to appends (a per-batch upsert artifact accretes
+      // insert-files just like an append-only one); best-effort, the
+      // merge above is already durable
+      if (graft.delta.DeltaConfigs.AUTO_COMPACT.fromMetadata(txn.metadata)) {
+        try table.compact()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      committed
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 }

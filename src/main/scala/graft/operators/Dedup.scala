@@ -116,6 +116,14 @@ object Dedup {
     // cover [pos, pos+minLen-1]; consecutive duplicated starts belong to
     // one span iff the coverages overlap or touch (gap in starts ≤ minLen)
     val dup = wins.join(dupHashes, Seq("h")).select(col("id"), col("pos"))
+    islandSpans(dup, minLen)
+  }
+
+  /** Gaps-and-islands merge of duplicated window START positions into
+    * maximal spans (per document; starts ≤ minLen apart share a span
+    * because their coverages overlap or touch). Shared by the one-shot
+    * and the index-probing span paths so they cannot diverge. */
+  private def islandSpans(dup: DataFrame, minLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     dup
@@ -129,6 +137,85 @@ object Dedup {
            (max(col("pos")) + lit(minLen - 1)).as("span_end"))
       .select(col("id"), col("span_start"), col("span_end"))
   }
+
+  /** Persist a corpus's window-occurrence table `(h, occ)` as a Delta
+    * artifact — the ExactSubstr analogue of [[buildMinhashIndex]]: the
+    * corpus text is hashed ONCE; every later batch probes and increments
+    * the stored counts instead of re-scanning the corpus (the
+    * checkpoint-vs-log split applied to substring dedup). Occurrence
+    * counts are additive, so the artifact grows by MERGE, never by
+    * recompute. Returns the rows written. */
+  def buildSubstrIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, corpus: DataFrame,
+                       idCol: String, textCol: String, minLen: Int = 8,
+                       configuration: Map[String, String] = Map.empty): Long = {
+    val counts = exactSubstrWindows(corpus, idCol, textCol, minLen)
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    graft.delta.DeltaTable.write(counts, indexPath,
+      org.apache.spark.sql.SaveMode.Overwrite,
+      configuration = configuration)
+    counts.count()
+  }
+
+  /** ExactSubstr spans for an incoming BATCH against the corpus-so-far,
+    * through the persisted `(h, occ)` artifact: a batch window is
+    * duplicated iff its stored count + its in-batch count reaches
+    * `minCount` — exactly the verdict [[exactSubstrSpans]] over
+    * (corpus ∪ batch) reaches for the batch's documents (spec-proven).
+    * The plan scans the batch text and the index table only; the corpus
+    * text is never re-read. After probing, the batch's counts MERGE into
+    * the artifact (one signed upsert, work ∝ batch) so the next batch
+    * sees this one; `idempotentTxn` makes orchestrator retries
+    * exactly-once. The returned frame plans against the pre-merge
+    * snapshot (immutable file list), so the lazy result cannot see the
+    * batch's own merged counts twice. */
+  def incrementalSubstrSpans(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             minLen: Int = 8, minCount: Int = 2,
+                             idempotentTxn: Option[(String, Long)] = None): DataFrame = {
+    val wins = exactSubstrWindows(batch, idCol, textCol, minLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchCounts = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val idx = graft.delta.DeltaTable.forPath(spark, indexPath).toDF
+      .select(col("h"), col("occ").as("idx_occ"))
+    val dupHashes = batchCounts.join(idx, Seq("h"), "left")
+      .filter(col("occ") + coalesce(col("idx_occ"), lit(0L)) >= minCount)
+      .select(col("h"))
+    val result = islandSpans(
+      wins.join(dupHashes, Seq("h")).select(col("id"), col("pos")), minLen)
+    val mb = graft.delta.DeltaTable.forPath(spark, indexPath)
+      .merge(batchCounts, col("t.h") === col("s.h"))
+    idempotentTxn.foreach { case (id, v) => mb.withIdempotency(id, v) }
+    mb.whenMatchedUpdate(Map("occ" -> (col("t.occ") + col("s.occ"))))
+      .whenNotMatchedInsert(Map("h" -> col("s.h"), "occ" -> col("s.occ")))
+      .execute()
+    wins.unpersist(blocking = false)
+    result
+  }
+
+  /** Persist a benchmark set's DISTINCT window hashes — the
+    * decontamination artifact: benchmarks are fixed while the corpus
+    * streams, so the bench side hashes once and every corpus batch
+    * semi-joins the stored table. */
+  def buildBenchWindowIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, bench: DataFrame,
+                            benchIdCol: String, benchTextCol: String,
+                            minLen: Int = 8): Long =
+    graft.delta.DeltaTable.write(
+      exactSubstrWindows(bench, benchIdCol, benchTextCol, minLen)
+        .select(col("h")).distinct(),
+      indexPath, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** [[exactSubstrContamination]] against a PERSISTED benchmark-hash
+    * artifact: scans the corpus batch and the stored hash table only. */
+  def substrContaminationIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, corpus: DataFrame,
+                                 idCol: String, textCol: String,
+                                 minLen: Int = 8): DataFrame =
+    contaminationAgainst(corpus, idCol, textCol,
+      graft.delta.DeltaTable.forPath(spark, indexPath).toDF
+        .select(col("h")), minLen)
 
   /** Per-document ExactSubstr summary over [[exactSubstrSpans]]:
     * (id, n_tokens, n_spans, dup_tokens, dup_frac) for EVERY input
@@ -196,10 +283,18 @@ object Dedup {
   def exactSubstrContamination(corpus: DataFrame, idCol: String,
                                textCol: String, bench: DataFrame,
                                benchIdCol: String, benchTextCol: String,
-                               minLen: Int = 8): DataFrame = {
+                               minLen: Int = 8): DataFrame =
+    contaminationAgainst(corpus, idCol, textCol,
+      exactSubstrWindows(bench, benchIdCol, benchTextCol, minLen)
+        .select(col("h")).distinct(), minLen)
+
+  /** Per-corpus-document contamination stats against a (distinct)
+    * benchmark window-hash frame — shared by the ad-hoc and the
+    * persisted-index decontamination paths. */
+  private def contaminationAgainst(corpus: DataFrame, idCol: String,
+                                   textCol: String, bw: DataFrame,
+                                   minLen: Int): DataFrame = {
     val cw = exactSubstrWindows(corpus, idCol, textCol, minLen)
-    val bw = exactSubstrWindows(bench, benchIdCol, benchTextCol, minLen)
-      .select(col("h")).distinct()
     val perDoc = cw
       .join(bw, Seq("h"), "left_semi")
       .groupBy(col("id"))

@@ -758,6 +758,52 @@ object PipelineQueries {
                COALESCE(a.kept_tokens, 0) AS kept_tokens
         FROM toks t LEFT JOIN agg a USING (doc_id)""")),
 
+    // Incremental ExactSubstr — the streaming-corpus shape: the corpus's
+    // window counts persist once as a (h, occ) Delta artifact; a new
+    // batch probes the stored counts (its window is duplicated iff
+    // stored + in-batch occurrences reach minCount) and MERGEs its own
+    // counts in, so the corpus text is never re-scanned. The verdicts
+    // for the batch's documents are EXACTLY what the full recompute over
+    // corpus ∪ batch would say (spec-proven), so the oracle is the full
+    // chain restricted to the batch.
+    QueryDef(
+      "dedup_substr_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_substr_idx").toString
+        Dedup.buildSubstrIndex(s, p, docs.filter($"doc_id" < 400),
+          "doc_id", "text", minLen = 8)
+        Dedup.incrementalSubstrSpans(s, p, docs.filter($"doc_id" >= 400),
+            "doc_id", "text", minLen = 8, minCount = 2)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        wins AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8)),
+        occ AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+        dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ o USING (g)
+                WHERE w.doc_id >= 400),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos - lag_pos <= 8 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+          FROM (SELECT doc_id, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS lag_pos FROM dup))
+        SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+               CAST(MAX(pos) + 7 AS INTEGER) AS span_end
+        FROM isl GROUP BY doc_id, island""")),
+
     // Cross-set ExactSubstr decontamination: docs >= 50 are the corpus,
     // docs < 50 the "benchmark"; near-duplicate docs straddle the cut so
     // verbatim 8-token overlaps actually fire.

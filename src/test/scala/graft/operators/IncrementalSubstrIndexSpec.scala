@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.delta.DeltaTable
+
+/** The persisted ExactSubstr artifact: corpus window counts hash once
+  * into a (h, occ) Delta table; each batch probes the stored counts and
+  * MERGEs its own in — the corpus text is never re-scanned (the
+  * round-7 "watch" on per-invocation occurrence tables). Span
+  * correctness is oracled (`dedup_substr_incremental`); these specs pin
+  * the equivalence contract, the plan shape, idempotency, growth across
+  * batches, and compaction of the growing artifact. */
+class IncrementalSubstrIndexSpec extends SparkSpec {
+
+  // 8-token duplicated runs shared across specific docs; minLen = 4
+  private val phrase = "alpha beta gamma delta epsilon zeta eta theta"
+  private def corpusRows: Seq[(Long, String)] = Seq(
+    (1L, s"intro words then $phrase and a tail"),
+    (2L, s"different opening $phrase closing remark here"),
+    (3L, "entirely unrelated text with no duplicated windows at all today"),
+    (4L, "short doc"))
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.inputPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(go)
+      }
+    go(df.queryExecution.executedPlan)
+  }
+
+  private def scanPaths(s: FileSourceScanExec): String =
+    s.relation.location.rootPaths.mkString(",")
+
+  test("incremental spans equal the full recompute restricted to the batch") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpus = corpusRows.toDF("doc_id", "text")
+      // batch 101 duplicates a CORPUS phrase; 102 self-repeats (in-batch
+      // duplication with occ 2 entirely inside one doc); 103 is clean
+      val batch = Seq(
+        (101L, s"new arrival copying $phrase verbatim from corpus"),
+        (102L, s"self repeat $phrase again $phrase to close"),
+        (103L, "clean newcomer with nothing duplicated anywhere in sight"))
+        .toDF("doc_id", "text")
+      val idx = s"$dir/substr_idx"
+      Dedup.buildSubstrIndex(spark, idx, corpus, "doc_id", "text", minLen = 4)
+      val inc = Dedup.incrementalSubstrSpans(spark, idx, batch,
+          "doc_id", "text", minLen = 4, minCount = 2)
+        .collect().map(_.toSeq).toSet
+      val full = Dedup.exactSubstrSpans(corpus.unionByName(batch),
+          "doc_id", "text", minLen = 4, minCount = 2)
+        .filter(col("id") >= 100L)
+        .collect().map(_.toSeq).toSet
+      assert(inc == full, s"incremental diverged:\n  inc:  $inc\n  full: $full")
+      assert(inc.exists(_.head == 101L) && inc.exists(_.head == 102L))
+      assert(!inc.exists(_.head == 103L))
+    }
+  }
+
+  test("probe plans scan the index and batch only, never the corpus text") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpusDir = s"$dir/corpus_text"
+      corpusRows.toDF("doc_id", "text").write.parquet(corpusDir)
+      val idx = s"$dir/substr_idx"
+      Dedup.buildSubstrIndex(spark, idx, spark.read.parquet(corpusDir),
+        "doc_id", "text", minLen = 4)
+      val batch = Seq((201L, s"probe doc with $phrase inside"))
+        .toDF("doc_id", "text")
+      val result = Dedup.incrementalSubstrSpans(spark, idx, batch,
+        "doc_id", "text", minLen = 4, minCount = 2)
+      val scans = fileScans(result)
+      assert(scans.nonEmpty, "expected scans of the index table")
+      assert(!scans.exists(s => scanPaths(s).contains("corpus_text")),
+        s"probe must not scan the corpus text: " +
+          scans.map(scanPaths).mkString("; "))
+      assert(scans.forall(s => scanPaths(s).contains("substr_idx")))
+      assert(result.collect().nonEmpty)
+    }
+  }
+
+  test("each batch's merged counts are visible to the next; retries are idempotent") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val idx = s"$dir/substr_idx"
+      Dedup.buildSubstrIndex(spark, idx,
+        corpusRows.toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+      val novel = "red orange yellow green blue indigo violet ultraviolet"
+      // batch 1 introduces a NOVEL phrase (occ 1 — not yet duplicated)
+      val b1 = Seq((301L, s"first sighting of $novel here"))
+        .toDF("doc_id", "text")
+      val s1 = Dedup.incrementalSubstrSpans(spark, idx, b1,
+        "doc_id", "text", minLen = 4, minCount = 2).collect()
+      assert(s1.isEmpty, s"novel phrase must not be duplicated yet: ${s1.toSeq}")
+      // batch 2 repeats it: only the MERGED batch-1 counts can fire this
+      val b2 = Seq((302L, s"second sighting of $novel now"))
+        .toDF("doc_id", "text")
+      val s2 = Dedup.incrementalSubstrSpans(spark, idx, b2,
+        "doc_id", "text", minLen = 4, minCount = 2).collect()
+      assert(s2.nonEmpty,
+        "batch 2 must see batch 1's counts through the artifact")
+
+      // idempotent replay: same (appId, version) folds once
+      val before = DeltaTable.forPath(spark, idx).toDF
+        .agg(sum(col("occ"))).head().getLong(0)
+      val b3 = Seq((303L, "replayed nightly batch content wholly unique"))
+        .toDF("doc_id", "text")
+      Dedup.incrementalSubstrSpans(spark, idx, b3, "doc_id", "text",
+        minLen = 4, minCount = 2,
+        idempotentTxn = Some(("nightly-substr", 9L))).collect()
+      val mid = DeltaTable.forPath(spark, idx).toDF
+        .agg(sum(col("occ"))).head().getLong(0)
+      Dedup.incrementalSubstrSpans(spark, idx, b3, "doc_id", "text",
+        minLen = 4, minCount = 2,
+        idempotentTxn = Some(("nightly-substr", 9L))).collect()
+      val after = DeltaTable.forPath(spark, idx).toDF
+        .agg(sum(col("occ"))).head().getLong(0)
+      assert(mid > before && after == mid,
+        s"replay must fold once: $before -> $mid -> $after")
+    }
+  }
+
+  test("autoCompact bounds the growing artifact without changing verdicts") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val compacted = s"$dir/idx_ac"
+      val plain = s"$dir/idx_plain"
+      val corpus = corpusRows.toDF("doc_id", "text")
+      Dedup.buildSubstrIndex(spark, compacted, corpus, "doc_id", "text",
+        minLen = 4,
+        configuration = Map("delta.autoOptimize.autoCompact" -> "true"))
+      Dedup.buildSubstrIndex(spark, plain, corpus, "doc_id", "text",
+        minLen = 4)
+      (0 until 6).foreach { b =>
+        val batch = Seq((500L + b,
+          s"micro batch $b repeating $phrase for the verdict check"))
+          .toDF("doc_id", "text")
+        val viaAc = Dedup.incrementalSubstrSpans(spark, compacted, batch,
+          "doc_id", "text", minLen = 4, minCount = 2)
+          .collect().map(_.toSeq).toSet
+        val viaPlain = Dedup.incrementalSubstrSpans(spark, plain, batch,
+          "doc_id", "text", minLen = 4, minCount = 2)
+          .collect().map(_.toSeq).toSet
+        assert(viaAc == viaPlain, s"batch $b diverged under compaction")
+        assert(viaAc.nonEmpty)
+      }
+      val nAc = graft.delta.DeltaLog.forTable(spark, compacted)
+        .update().numOfFiles
+      val nPlain = graft.delta.DeltaLog.forTable(spark, plain)
+        .update().numOfFiles
+      assert(nAc < nPlain,
+        s"autoCompact must bound accretion: $nAc vs $nPlain files")
+    }
+  }
+
+  test("indexed decontamination equals the ad-hoc operator") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val bench = Seq(
+        (1L, s"benchmark question containing $phrase exactly"),
+        (2L, "another benchmark item nothing special")).toDF("bid", "btext")
+      val corpus = Seq(
+        (10L, s"corpus doc leaking $phrase straight from the benchmark"),
+        (11L, "honest corpus document with original content only"))
+        .toDF("doc_id", "text")
+      val idx = s"$dir/bench_idx"
+      Dedup.buildBenchWindowIndex(spark, idx, bench, "bid", "btext",
+        minLen = 4)
+      val viaIdx = Dedup.substrContaminationIndexed(spark, idx, corpus,
+        "doc_id", "text", minLen = 4).collect().map(_.toSeq).toSet
+      val adHoc = Dedup.exactSubstrContamination(corpus, "doc_id", "text",
+        bench, "bid", "btext", minLen = 4).collect().map(_.toSeq).toSet
+      assert(viaIdx == adHoc)
+      assert(viaIdx.exists(r => r.head == 10L && r(2).asInstanceOf[Long] > 0))
+    }
+  }
+}
