@@ -1115,6 +1115,63 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationParameters = Map("name" -> name, "existed" -> true))
   }
 
+  /** Declare a DEFAULT for an existing column (`ALTER TABLE ... ALTER
+    * COLUMN ... SET DEFAULT expr`): stores the SQL expression as the
+    * column's CURRENT_DEFAULT field metadata; the allowColumnDefaults
+    * writer feature auto-declares with the commit. Future appends that
+    * omit the column materialize the default at write time; existing
+    * rows are untouched (the delta-spark contract — defaults affect
+    * future writes only). The expression must be constant-foldable
+    * enough to resolve with no input columns. */
+  def setColumnDefault(column: String, defaultSql: String): Long = {
+    val txn = deltaLog.startTransaction()
+    val metadata = txn.snapshot.metadata
+    val schema = metadata.schema
+    require(schema.fieldNames.contains(column),
+      s"No such column: $column (table has ${schema.fieldNames.mkString(", ")})")
+    // the default must resolve standalone and cast to the column's type —
+    // fail the DDL, not some later append
+    val f = schema(column)
+    spark.range(1).select(
+      org.apache.spark.sql.functions.expr(defaultSql).cast(f.dataType))
+      .queryExecution.analyzed
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map {
+      case fld if fld.name == column =>
+        fld.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fld.metadata)
+          .putString(write.ColumnDefaults.MetadataKey, defaultSql).build())
+      case fld => fld
+    })
+    txn.updateMetadata(metadata.copy(schemaString = Some(newSchema.json)))
+    txn.commit(Nil, DeltaOperations.ChangeColumn,
+      operationParameters = Map(
+        "column" -> column, "default" -> defaultSql))
+  }
+
+  /** Remove a column's DEFAULT (`ALTER COLUMN ... DROP DEFAULT`). */
+  def dropColumnDefault(column: String, ifExists: Boolean = false): Long = {
+    val txn = deltaLog.startTransaction()
+    val metadata = txn.snapshot.metadata
+    val schema = metadata.schema
+    val has = schema.fieldNames.contains(column) &&
+      schema(column).metadata.contains(write.ColumnDefaults.MetadataKey)
+    if (!has) {
+      require(ifExists, s"Column $column has no default")
+      return txn.snapshot.version
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map {
+      case fld if fld.name == column =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fld.metadata)
+        mb.remove(write.ColumnDefaults.MetadataKey)
+        fld.copy(metadata = mb.build())
+      case fld => fld
+    })
+    txn.updateMetadata(metadata.copy(schemaString = Some(newSchema.json)))
+    txn.commit(Nil, DeltaOperations.ChangeColumn,
+      operationParameters = Map("column" -> column, "dropped" -> true))
+  }
+
   /** Bin-pack the table's files into ~`targetFileBytes` outputs — the
     * answer to the small-file problem that kills 100 TB scans (every file
     * is a task; metadata and open() overhead dominate under ~100 MB).

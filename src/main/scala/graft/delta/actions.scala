@@ -226,7 +226,13 @@ object TableFeatures {
     "deletionVectors", "inCommitTimestamp", "v2Checkpoint",
     "domainMetadata", "clustering", "rowTracking", "vacuumProtocolCheck",
     "typeWidening", "typeWidening-preview",
-    "variantType", "variantType-preview")
+    "variantType", "variantType-preview", "allowColumnDefaults")
+
+  /** Whether any column declares a CURRENT_DEFAULT — the condition that
+    * obliges the allowColumnDefaults writer feature (delta-spark ≥3.0
+    * declares it on the first DEFAULT DDL). */
+  def containsColumnDefaults(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(_.metadata.contains("CURRENT_DEFAULT"))
 
   /** Whether a schema carries a VARIANT column anywhere (the condition
     * that obliges the variantType feature on the table's protocol —
@@ -484,4 +490,5 @@ object DeltaOperations {
   val ReplaceWhere = "REPLACE WHERE"
   val Convert = "CONVERT"
   val SetDomainMetadata = "SET DOMAIN METADATA"
+  val ChangeColumn = "CHANGE COLUMN"
 }

@@ -413,6 +413,25 @@ class OptimisticTransaction(
       }
     }
 
+    // Column defaults (PROTOCOL.md "Default Columns"): any column
+    // declaring a CURRENT_DEFAULT obliges the allowColumnDefaults writer
+    // feature — auto-declared on first use, the delta-spark behavior
+    if (TableFeatures.containsColumnDefaults(metadata.schema)) {
+      val current = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+        .getOrElse(Protocol())
+      val hasFeature = current.minWriterVersion == 7 &&
+        current.writerFeatures.exists(_.contains("allowColumnDefaults"))
+      if (!hasFeature) {
+        val upgraded = TableFeatures.upgradedWithWriter(
+          current, Seq("allowColumnDefaults"))
+        finalActions =
+          if (finalActions.exists(_.isInstanceOf[Protocol]))
+            finalActions.map { case _: Protocol => upgraded; case a => a }
+          else upgraded +: finalActions
+      }
+    }
+
     // Variant columns (PROTOCOL.md "Variant Data Type"): a schema carrying
     // VARIANT obliges the variantType feature on BOTH protocol sides —
     // Spark's parquet reader/writer handle the physical representation

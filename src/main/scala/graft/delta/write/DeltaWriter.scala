@@ -52,7 +52,10 @@ object DeltaWriter {
     // redefinition), and the old generation expression may not even
     // resolve against the new frame.
     val df1 = if (exists && mode != SaveMode.Overwrite)
-      GeneratedColumns.materialize(df0, txn.snapshot.metadata) else df0
+      ColumnDefaults.materialize(
+        GeneratedColumns.materialize(df0, txn.snapshot.metadata),
+        txn.snapshot.metadata)
+    else df0
     // identity columns the caller did not provide get machine-assigned
     // values (GENERATED ALWAYS rejects provided ones); the high-water
     // mark advances after the write job reports what it produced

@@ -698,6 +698,56 @@ object DeltaQueries {
                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         FROM final GROUP BY 1""")),
 
+    // Column defaults (writer feature allowColumnDefaults): SET DEFAULT
+    // affects future omitting appends only — seeded rows keep their
+    // values, an omitting append materializes the default at write time,
+    // a providing append wins, and changing the default affects only
+    // later writes. The final grouped state proves all four.
+    QueryDef(
+      "delta_column_defaults",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("coldefaults")
+        val cust = t(s, dir, "customer")
+        DeltaTable.write(
+          cust.filter($"c_nationkey" < 5)
+            .select($"c_custkey", $"c_acctbal", lit("seed").as("status")),
+          path, SaveMode.Overwrite)
+        val tbl = DeltaTable.forPath(s, path)
+        tbl.setColumnDefault("status", "'standard'")
+        // omits status -> 'standard'
+        DeltaTable.write(
+          cust.filter($"c_nationkey" >= 5 && $"c_nationkey" < 10)
+            .select($"c_custkey", $"c_acctbal"), path)
+        // provides status -> provided value wins over the default
+        DeltaTable.write(
+          cust.filter($"c_nationkey" === 10)
+            .select($"c_custkey", $"c_acctbal", lit("vip").as("status")),
+          path)
+        tbl.setColumnDefault("status", "upper('late')")
+        DeltaTable.write(
+          cust.filter($"c_nationkey" === 11)
+            .select($"c_custkey", $"c_acctbal"), path)
+        tbl.toDF
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n"),
+               sum($"c_acctbal".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_bal"))
+      },
+      Some("""
+        WITH final AS (
+          SELECT c_acctbal, 'seed' AS status FROM customer WHERE c_nationkey < 5
+          UNION ALL
+          SELECT c_acctbal, 'standard' FROM customer
+          WHERE c_nationkey >= 5 AND c_nationkey < 10
+          UNION ALL
+          SELECT c_acctbal, 'vip' FROM customer WHERE c_nationkey = 10
+          UNION ALL
+          SELECT c_acctbal, 'LATE' FROM customer WHERE c_nationkey = 11)
+        SELECT status, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        FROM final GROUP BY 1""")),
+
     // Shallow CLONE: zero-copy fork, then mutate the clone — the source
     // must stay intact (asserted in-flight) while the clone's state is
     // the delete's answer.
