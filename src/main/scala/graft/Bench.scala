@@ -33,8 +33,17 @@ object Bench {
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT masquerade as a fast one: record -1 so a
+      // fast exception is visible in the tail instead of reading as a
+      // speedup (the r6 delta_generated_partition 0.12 s anomaly)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: " +
+            s"${String.valueOf(t.getMessage).take(300)}")
+          false
+        }
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // queries are independent (each lifecycle query creates its own
       // tables): drop engine + dataset caches between them so heap creep
       // from earlier queries' cached snapshots and persisted corpora

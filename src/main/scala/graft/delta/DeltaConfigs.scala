@@ -139,4 +139,15 @@ object DeltaConfigs {
     * enablement version fall back to file modification times). */
   val IctEnablementVersionKey = "delta.inCommitTimestampEnablementVersion"
   val IctEnablementTimestampKey = "delta.inCommitTimestampEnablementTimestamp"
+
+  /** Coordinated commits (delta-spark's multi-writer object-store
+    * direction): the table property naming the commit coordinator.
+    * delta-spark writes the `-preview` key; both spellings are
+    * accepted. The name resolves through
+    * [[graft.delta.storage.CommitCoordinator.forName]]. */
+  def commitCoordinatorName(metadata: Metadata): Option[String] =
+    metadata.configuration
+      .get("delta.coordinatedCommits.commitCoordinator-preview")
+      .orElse(metadata.configuration
+        .get("delta.coordinatedCommits.commitCoordinator"))
 }

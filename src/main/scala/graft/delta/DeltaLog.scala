@@ -23,7 +23,27 @@ class DeltaLog private (
     val dataPath: Path) {
 
   val hadoopConf: Configuration = spark.sessionState.newHadoopConf()
-  val store: LogStore = LogStore.forPath(logPath, hadoopConf)
+  private val baseStore: LogStore = LogStore.forPath(logPath, hadoopConf)
+
+  /** The log store, coordinated-commits-aware: a table whose metadata
+    * declares `delta.coordinatedCommits.commitCoordinator` routes every
+    * log write through [[storage.CoordinatedLogStore]] with the named
+    * registered coordinator — the delta-spark table-property face of
+    * the coordinator seam. An UNKNOWN name still reads (coordinated
+    * commits are backfilled for plain readers) but refuses writes
+    * loudly. Bootstrap reads (no snapshot yet) use the plain per-scheme
+    * store; the coordinator takes over from the first loaded snapshot. */
+  def store: LogStore = coordinatorName match {
+    case None => baseStore
+    case Some(n) => storage.CommitCoordinator.forName(n) match {
+      case Some(c) => new storage.CoordinatedLogStore(c)
+      case None => new storage.UnknownCoordinatorLogStore(n, baseStore)
+    }
+  }
+  /** Resolved once per snapshot refresh (NOT on each store access: the
+    * snapshot's own lazy state reads the log through `store`, so
+    * consulting snapshot.metadata there would recurse). */
+  @volatile private var coordinatorName: Option[String] = None
 
   /** Commit mutual exclusion within this JVM (cross-process exclusion is
     * the LogStore's atomic rename). Ref: DeltaLogImpl.scala:78,190-197. */
@@ -90,6 +110,13 @@ class DeltaLog private (
           spark.conf.get(Checksums.ValidateConfKey, "false").toBoolean) {
         Checksums.validate(currentSnapshot)
       }
+      // re-resolve the coordinated-commits routing for the NEW metadata
+      // (this read goes through the PREVIOUS routing — the delta-spark
+      // handover: the enablement commit itself uses the old store, the
+      // coordinator takes over from the next)
+      coordinatorName =
+        if (currentSnapshot.version < 0) None
+        else DeltaConfigs.commitCoordinatorName(currentSnapshot.metadata)
     }
     currentSnapshot
   }

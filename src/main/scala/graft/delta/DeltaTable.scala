@@ -1182,7 +1182,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
               where: Option[Column] = None,
               zOrderBy: Seq[String] = Nil,
-              maxFilesPerCommit: Int = 10000): Long = {
+              maxFilesPerCommit: Int = 10000,
+              fullReCluster: Boolean = false): Long = {
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
     // a CLUSTERED table (delta.clustering domain) treats OPTIMIZE as a
@@ -1199,6 +1200,25 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       require(!snapshot.metadata.partitionColumns.contains(c),
         s"Z-order column $c is a partition column (already clustered by dir)")
     }
+    // Liquid clustering is INCREMENTAL (the delta-spark ZCube model):
+    // files a previous clustering OPTIMIZE wrote carry a tag naming the
+    // columns they were clustered on; re-OPTIMIZE rewrites only files
+    // without a matching tag (new appends, files clustered on OLD
+    // columns after ALTER CLUSTER BY, DV-shaded files whose shade must
+    // purge). At 100 TB a full re-cluster per OPTIMIZE is a rewrite of
+    // the table; steady state must be work ∝ new data. Explicit ZORDER
+    // BY keeps the rewrite-everything contract (its purpose is a one-off
+    // global re-sort).
+    val clusteringDriven = zOrderBy.isEmpty && zOrderCols.nonEmpty
+    // OPTIMIZE FULL (delta-spark syntax): the escape hatch that forces a
+    // whole-table re-cluster — after data-distribution drift, incremental
+    // ZCubes accumulate overlap that only a full pass removes
+    val liquidIncremental = clusteringDriven && !fullReCluster
+    val clusterTag = zOrderCols.mkString(",")
+    def alreadyClustered(f: AddFile): Boolean =
+      f.deletionVector.isEmpty &&
+        f.tags.exists(_.get(DeltaTable.ClusteringColumnsTag)
+          .contains(clusterTag))
     // Candidate SELECTION runs where the file list lives: in
     // distributed-state mode the sub-target-size filter is a Spark job
     // over allFilesDistributed and only the files that will actually be
@@ -1228,6 +1248,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         // Z-order must rewrite EVERY candidate in one clustering pass —
         // a truncated subset would leave the table partially clustered
         // while claiming success (bound the scope with `where` instead)
+        else if (liquidIncremental) matched.filterNot(alreadyClustered)
         else matched
       case None =>
         txn.readWholeTable()
@@ -1260,6 +1281,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               }
               .limit(maxFilesPerCommit).collect().toSeq
             DeltaTable.packableGroups(survivors, target, maxFilesPerCommit)
+          } else if (liquidIncremental) {
+            // the tag filter runs WHERE THE FILE LIST LIVES; only files
+            // that will actually rewrite reach the driver
+            val tagVal = clusterTag
+            snapshot.allFilesDistributed
+              .filter(f => !(f.deletionVector.isEmpty &&
+                f.tags.exists(_.get(DeltaTable.ClusteringColumnsTag)
+                  .contains(tagVal))))
+              .collect().toSeq
           } else snapshot.allFilesDistributed.collect().toSeq
         } else {
           if (zOrderCols.isEmpty) {
@@ -1267,7 +1297,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               snapshot.allFiles.filter(f =>
                 f.size < targetFileBytes || f.deletionVector.isDefined),
               targetFileBytes, maxFilesPerCommit)
-          } else snapshot.allFiles
+          } else if (liquidIncremental)
+            snapshot.allFiles.filterNot(alreadyClustered)
+          else snapshot.allFiles
         }
     }
     if (rewrite.isEmpty) return snapshot.version
@@ -1357,9 +1389,21 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .drop("__zorder")
       }
 
+    // clustering-driven output is STAMPED with the columns it clustered
+    // on (plus a ZCube id tying the pass's files together, the
+    // delta-spark liquid tag shape) so the next OPTIMIZE can skip it
+    val stamp: AddFile => AddFile =
+      if (!clusteringDriven) identity
+      else {
+        val zcube = java.util.UUID.randomUUID().toString
+        a => a.copy(tags = Some(a.tags.getOrElse(Map.empty) ++ Map(
+          "clusteringProvider" -> "liquid",
+          DeltaTable.ClusteringColumnsTag -> clusterTag,
+          DeltaTable.ZCubeIdTag -> zcube)))
+      }
     val adds = write.DeltaWriter.writeFiles(compacted, deltaLog,
       metadata.partitionColumns, metadata.columnMapping, Some(metadata))
-      .map(_.copy(dataChange = false))
+      .map(a => stamp(a.copy(dataChange = false)))
     val removes = rewrite.map(_.remove(deltaLog.clock(), dataChange = false))
     txn.commit(adds ++ removes, "OPTIMIZE",
       operationMetrics = Map(
@@ -1375,6 +1419,12 @@ object DeltaTable {
 
   /** The domain carrying a clustered table's clustering columns. */
   val ClusteringDomain = "delta.clustering"
+
+  /** File tags a clustering OPTIMIZE stamps on its output: the columns
+    * the file was clustered on (skip-key for the next pass) and the
+    * ZCube id grouping one pass's files. */
+  val ClusteringColumnsTag = "clusteringColumns"
+  val ZCubeIdTag = "ZCUBE_ID"
 
   /** Parse the clustering domain's columns back to LOGICAL names: the
     * configuration stores nested-name paths of PHYSICAL names

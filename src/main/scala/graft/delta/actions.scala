@@ -226,7 +226,12 @@ object TableFeatures {
     "deletionVectors", "inCommitTimestamp", "v2Checkpoint",
     "domainMetadata", "clustering", "rowTracking", "vacuumProtocolCheck",
     "typeWidening", "typeWidening-preview",
-    "variantType", "variantType-preview", "allowColumnDefaults")
+    "variantType", "variantType-preview", "allowColumnDefaults",
+    // capability lives in the CoordinatedLogStore seam; tables naming an
+    // UNREGISTERED coordinator still read but refuse writes loudly at
+    // store resolution (UnknownCoordinatorLogStore), which is a sharper
+    // refusal than the blanket protocol gate
+    "coordinatedCommits", "coordinatedCommits-preview")
 
   /** Whether any column declares a CURRENT_DEFAULT — the condition that
     * obliges the allowColumnDefaults writer feature (delta-spark ≥3.0

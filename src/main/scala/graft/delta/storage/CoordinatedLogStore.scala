@@ -238,4 +238,42 @@ object CommitCoordinator {
     * selected through the Hadoop conf (no-arg construction); replaceable
     * for tests or embedding. */
   @volatile var global: CommitCoordinator = new InMemoryCommitCoordinator
+
+  /** Named-coordinator registry — the bridge from the delta-spark
+    * `delta.coordinatedCommits.commitCoordinator` TABLE PROPERTY to an
+    * implementation: a table declaring a registered name routes its
+    * commits through [[CoordinatedLogStore]] automatically; an unknown
+    * name keeps reading (commits in the log are backfilled by
+    * definition) but refuses writes loudly by name. "in-memory" is
+    * built in and resolves to [[global]]. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitCoordinator]()
+
+  def register(name: String, coordinator: CommitCoordinator): Unit =
+    registry.put(name, coordinator)
+
+  def forName(name: String): Option[CommitCoordinator] =
+    if (name == "in-memory") Some(global) else Option(registry.get(name))
+}
+
+/** Store for a coordinated table whose declared coordinator is NOT
+  * registered in this process: reads delegate (the spec guarantees
+  * coordinated commits are backfilled to the log for plain readers),
+  * commit writes refuse loudly by coordinator name — committing around
+  * the coordinator would break every other writer's mutual exclusion. */
+class UnknownCoordinatorLogStore(name: String, base: LogStore)
+  extends LogStore {
+  override def read(path: Path, conf: Configuration): Seq[String] =
+    base.read(path, conf)
+  override def listFrom(path: Path, conf: Configuration): Iterator[FileStatus] =
+    base.listFrom(path, conf)
+  override def isPartialWriteVisible(path: Path, conf: Configuration): Boolean =
+    base.isPartialWriteVisible(path, conf)
+  override def write(path: Path, lines: Iterator[String], overwrite: Boolean,
+                     conf: Configuration): Unit =
+    throw new UnsupportedOperationException(
+      s"This table coordinates its commits through '$name', which is not " +
+        "registered in this process; writing around the coordinator would " +
+        "break other writers' mutual exclusion. Register it with " +
+        s"CommitCoordinator.register(\"$name\", ...) to write.")
 }

@@ -413,6 +413,26 @@ class OptimisticTransaction(
       }
     }
 
+    // Coordinated commits: declaring a commit coordinator obliges the
+    // writer feature — auto-declared with the enabling commit (which
+    // itself still goes through the OLD store; the coordinator takes
+    // over from the next commit, the delta-spark handover)
+    if (DeltaConfigs.commitCoordinatorName(metadata).isDefined) {
+      val current = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+        .getOrElse(Protocol())
+      val hasFeature = current.minWriterVersion == 7 &&
+        current.writerFeatures.exists(_.contains("coordinatedCommits"))
+      if (!hasFeature) {
+        val upgraded = TableFeatures.upgradedWithWriter(
+          current, Seq("coordinatedCommits"))
+        finalActions =
+          if (finalActions.exists(_.isInstanceOf[Protocol]))
+            finalActions.map { case _: Protocol => upgraded; case a => a }
+          else upgraded +: finalActions
+      }
+    }
+
     // Column defaults (PROTOCOL.md "Default Columns"): any column
     // declaring a CURRENT_DEFAULT obliges the allowColumnDefaults writer
     // feature — auto-declared on first use, the delta-spark behavior

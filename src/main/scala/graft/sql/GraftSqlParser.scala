@@ -31,10 +31,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   private def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(target, where, zorder) =>
+    case OptimizeRe(target, full, where, zorder) =>
+      // FULL (delta-spark syntax) forces a whole-table re-cluster of a
+      // liquid-clustered table; meaningless with an explicit ZORDER BY
+      if (full != null && zorder != null) {
+        throw new IllegalArgumentException(
+          "OPTIMIZE ... FULL cannot combine with ZORDER BY " +
+            "(ZORDER BY always rewrites every candidate)")
+      }
       Some(GraftOptimizeCommand(parseTarget(target),
         Option(zorder).toSeq.flatMap(_.split(",").map(cleanIdent)),
-        Option(where).map(_.trim)))
+        Option(where).map(_.trim), full = full != null))
     case VacuumRe(target, hours, dryRun) =>
       Some(GraftVacuumCommand(parseTarget(target),
         Option(hours).map(_.toDouble), dryRun != null))
@@ -97,7 +104,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(FULL))?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val RestoreTsRe =
@@ -175,7 +182,8 @@ object GraftSqlParser {
 case class GraftOptimizeCommand(
     target: Either[String, Seq[String]],
     zOrderBy: Seq[String],
-    where: Option[String] = None) extends LeafRunnableCommand {
+    where: Option[String] = None,
+    full: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -189,7 +197,8 @@ case class GraftOptimizeCommand(
     // loops until a pass compacts nothing, so the STATEMENT means "the
     // table is optimized" even past the per-commit incremental bound
     val before = table.version
-    var version = table.compact(zOrderBy = zOrderBy, where = whereCol)
+    var version = table.compact(zOrderBy = zOrderBy, where = whereCol,
+      fullReCluster = full)
     // a first pass that committed nothing IS the fixpoint — skip the
     // confirmation passes entirely
     if (zOrderBy.isEmpty && version != before) {
