@@ -140,6 +140,14 @@ object DeltaConfigs {
   val IctEnablementVersionKey = "delta.inCommitTimestampEnablementVersion"
   val IctEnablementTimestampKey = "delta.inCommitTimestampEnablementTimestamp"
 
+  /** Checkpoint protection (writer feature `checkpointProtection`):
+    * commits and checkpoints below this version may only be cleaned up
+    * ALL AT ONCE (against a retained checkpoint at or past the boundary)
+    * — the guard for tables whose early history is not reconstructible
+    * from commits alone (e.g. converted coordinated-commits tables). */
+  val REQUIRE_CHECKPOINT_PROTECTION: DeltaConfig[Long] = DeltaConfig(
+    "delta.requireCheckpointProtectionBeforeVersion", "0", _.toLong)
+
   /** Coordinated commits (delta-spark's multi-writer object-store
     * direction): the table property naming the commit coordinator.
     * delta-spark writes the `-preview` key; both spellings are

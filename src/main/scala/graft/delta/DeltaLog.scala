@@ -396,17 +396,37 @@ class DeltaLog private (
     val fs = logPath.getFileSystem(hadoopConf)
     var deleted = 0
     val survivingV2 = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
-    store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf).foreach { f =>
+    val listing = store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf)
+      .toVector
+    def versionOf(p: Path): Long =
+      if (FileNames.isDeltaFile(p)) FileNames.deltaVersion(p)
+      else if (FileNames.isChecksumFile(p)) FileNames.checksumVersion(p)
+      else FileNames.checkpointVersion(p)
+    // checkpointProtection: the log prefix below the protected version
+    // may be cleaned ONLY all-at-once against a retained checkpoint at
+    // or past the boundary — the early history of such tables (e.g.
+    // converted coordinated-commits) is not reconstructible from
+    // surviving commits, so a partial deletion could orphan versions
+    // that only a protected checkpoint can serve
+    val requireBefore =
+      DeltaConfigs.REQUIRE_CHECKPOINT_PROTECTION.fromMetadata(metadata)
+    val protectedCleanable = requireBefore <= 0 ||
+      (latestCheckpoint >= requireBefore && listing.forall { f =>
+        val p = f.getPath
+        !(FileNames.isDeltaFile(p) || FileNames.isCheckpointFile(p) ||
+            FileNames.isChecksumFile(p)) ||
+          versionOf(p) >= requireBefore || f.getModificationTime < cutoff
+      })
+    listing.foreach { f =>
       val p = f.getPath
       val isDelta = FileNames.isDeltaFile(p)
       val isCp = FileNames.isCheckpointFile(p)
       val isCrc = FileNames.isChecksumFile(p)
       if ((isDelta || isCp || isCrc) && f.getModificationTime < cutoff) {
-        val v = if (isDelta) FileNames.deltaVersion(p)
-                else if (isCrc) FileNames.checksumVersion(p)
-                else FileNames.checkpointVersion(p)
+        val v = versionOf(p)
         // only files strictly before the newest checkpoint are reproducible
-        if (v < latestCheckpoint && fs.delete(p, false)) deleted += 1
+        if (v < latestCheckpoint && (v >= requireBefore || protectedCleanable)
+            && fs.delete(p, false)) deleted += 1
         else if (FileNames.isV2CheckpointFile(p)) survivingV2 += f
       } else if (FileNames.isV2CheckpointFile(p)) survivingV2 += f
     }

@@ -231,7 +231,10 @@ object TableFeatures {
     // UNREGISTERED coordinator still read but refuse writes loudly at
     // store resolution (UnknownCoordinatorLogStore), which is a sharper
     // refusal than the blanket protocol gate
-    "coordinatedCommits", "coordinatedCommits-preview")
+    "coordinatedCommits", "coordinatedCommits-preview",
+    // honored in cleanUpExpiredLogs: the protected log prefix is cleaned
+    // all-or-nothing against a boundary checkpoint
+    "checkpointProtection")
 
   /** Whether any column declares a CURRENT_DEFAULT — the condition that
     * obliges the allowColumnDefaults writer feature (delta-spark ≥3.0

@@ -263,12 +263,40 @@ object Bpe {
   }
 
   /** Tokenize `textCol` with an ordered merge list (the inference side of
-    * [[trainMerges]]): same bracket-string representation, the merges
-    * applied in rank order, then per-document token statistics —
-    * (id, n_words, n_tokens, avg_tokens_per_word). One projection per
-    * merge, no shuffles beyond the final per-document aggregation. */
+    * [[trainMerges]]) and return per-document token statistics —
+    * (id, n_words, n_tokens, avg_tokens_per_word).
+    *
+    * Segmentation runs through the native
+    * [[graft.functions.BpeTokenCounts]] expression: ONE projection
+    * regardless of k, per-word cost independent of the vocabulary size.
+    * The original one-`replace`-projection-per-merge formulation (kept as
+    * [[tokenStatsChained]], spec-proven identical) grows its PLAN with k
+    * — unusable at production vocabularies (32k merges = 32k chained
+    * projections). */
   def tokenStats(df: DataFrame, idCol: String, textCol: String,
                  merges: Seq[(String, String)]): DataFrame = {
+    val docs = InputWidth.widen(df)
+      .select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")
+          .as("tk"))
+    docs
+      .select(col("id"), size(col("tk")).cast("long").as("n_words"),
+        graft.functions.BpeTokenCounts(col("tk"), merges).as("counts"))
+      .select(col("id"), col("n_words"),
+        aggregate(col("counts"), lit(0L), (acc, x) => acc + x)
+          .as("n_tokens"))
+      .select(col("id"), col("n_words"), col("n_tokens"),
+        when(col("n_words") > 0,
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .otherwise(0.0).as("avg_tokens_per_word"))
+  }
+
+  /** The literal-`replace`-chain segmentation (one projection per merge):
+    * the reference implementation [[tokenStats]] is spec-proven against —
+    * exact for any merge list, but its plan depth is O(k). */
+  private[graft] def tokenStatsChained(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       merges: Seq[(String, String)]): DataFrame = {
     // empty-string splits filtered INSIDE the array so a wordless
     // document still yields one null row (explode_outer) and stays in
     // the per-document output

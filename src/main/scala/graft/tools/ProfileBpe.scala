@@ -52,6 +52,17 @@ object ProfileBpe {
       val n = Bpe.trainMergesLocal(dict, k).size
       println(f"PROFILE bpe-zipf k=$k merges=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // segmentation at production k over the sf documents: one projection
+    // through the native expression regardless of k (the replace-chain
+    // would be k projections)
+    val merges32k = Bpe.trainMergesLocal(dict, 32000)
+      .map { case (_, a, b, _) => (a, b) }
+    Seq(1000, 32000).foreach { k =>
+      val t0 = System.nanoTime()
+      val rows = Bpe.tokenStats(docs, "doc_id", "text", merges32k.take(k))
+        .count()
+      println(f"PROFILE bpe-segment k=$k docs=$rows wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -63,6 +63,42 @@ class BpeSpec extends SparkSpec {
     } finally spark.conf.unset(Bpe.MaxDictWordsKey)
   }
 
+  test("native segmentation equals the replace-chain on trained vocabularies") {
+    val docs = Seq(
+      (1L, "the theme thesis there other ether banana bandana ananas"),
+      (2L, "aaaa aaa aa a abab ababab low lower lowest slow slowest"),
+      (3L, "mississippi missive permission emission glow low low"),
+      (4L, ""),
+      (5L, "??? !!!")
+    ).toDF("doc_id", "text")
+    Seq(1, 5, 15, 40).foreach { k =>
+      val merges = Bpe.trainMerges(docs, "text", k)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val fast = Bpe.tokenStats(docs, "doc_id", "text", merges)
+        .collect().map(_.toSeq).toSet
+      val chain = Bpe.tokenStatsChained(docs, "doc_id", "text", merges)
+        .collect().map(_.toSeq).toSet
+      assert(fast == chain,
+        s"k=$k diverged:\n  fast:  $fast\n  chain: $chain")
+    }
+  }
+
+  test("malformed merge lists are rejected, not silently mis-segmented") {
+    val docs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    // ("ab", "c") references symbol "ab" that no earlier merge produced:
+    // sequential and lowest-rank-first application could diverge
+    val e = intercept[IllegalArgumentException] {
+      Bpe.tokenStats(docs, "doc_id", "text", Seq(("ab", "c"))).collect()
+    }
+    assert(e.getMessage.contains("rank 1"))
+    // the same pair is fine once rank 1 produces "ab"
+    val ok = Bpe.tokenStats(docs, "doc_id", "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .select($"n_tokens").as[Long].collect()
+    assert(ok.toSeq == Seq(2L)) // two words, each one "abc" token...
+  }
+
   test("segmentation counts tokens under the trained merges") {
     val docs = Seq(
       (1L, "low low low"),
