@@ -208,4 +208,206 @@ object MediaCodecs {
   /** The synthesized channel formula, shared with specs/oracles. */
   def pixelChannel(seed: Long, x: Int, y: Int, cx: Int, cy: Int): Long =
     (seed + cx.toLong * x + cy.toLong * y) % 256
+
+  // -------------------------------------------------------------- PNG
+  /** Decoded PNG facts + per-channel pixel means. */
+  final case class PngStats(
+      width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse an 8-bit truecolor (color type 2), non-interlaced PNG: the
+    * 8-byte signature, the chunk walk (big-endian lengths, CRC32 over
+    * type+data verified per chunk), IHDR validation, the concatenated
+    * IDAT zlib stream inflated through the JDK's Inflater, and all five
+    * scanline filters (None/Sub/Up/Average/Paeth) reconstructed per the
+    * public specification. Fails loudly on malformed or unsupported
+    * input (interlacing, palettes, other bit depths). */
+  def decodePng(bytes: Array[Byte]): PngStats = {
+    require(bytes.length >= 8 + 25 + 12, s"PNG too short: ${bytes.length}")
+    var i = 0
+    while (i < 8) {
+      require(bytes(i) == PngSignature(i), "not a PNG (bad signature)")
+      i += 1
+    }
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    bb.position(8)
+    var width = -1
+    var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false
+    var sawIend = false
+    while (!sawIend && bb.remaining() >= 12) {
+      val len = bb.getInt
+      require(len >= 0 && len + 4 <= bb.remaining(),
+        s"chunk declares $len bytes, ${bb.remaining()} remain")
+      val typeAndData = new Array[Byte](4 + len)
+      bb.get(typeAndData)
+      val declaredCrc = bb.getInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      require(crc.getValue.toInt == declaredCrc,
+        s"CRC mismatch in '${new String(typeAndData, 0, 4, "US-ASCII")}' chunk")
+      new String(typeAndData, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          val hb = ByteBuffer.wrap(typeAndData, 4, 13).order(ByteOrder.BIG_ENDIAN)
+          width = hb.getInt; height = hb.getInt
+          require(width > 0 && height > 0, s"bad dimensions $width x $height")
+          val bitDepth = hb.get() & 0xff
+          val colorType = hb.get() & 0xff
+          require(bitDepth == 8 && colorType == 2,
+            s"unsupported bit depth/color type $bitDepth/$colorType " +
+              "(8-bit truecolor only)")
+          require((hb.get() & 0xff) == 0, "unsupported compression method")
+          require((hb.get() & 0xff) == 0, "unsupported filter method")
+          require((hb.get() & 0xff) == 0, "interlacing unsupported")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "IDAT before IHDR")
+          idat.write(typeAndData, 4, len)
+        case "IEND" => sawIend = true
+        case _ => // ancillary chunks (tEXt, pHYs, ...) skip
+      }
+    }
+    require(sawIhdr && sawIend, "missing IHDR or IEND chunk")
+
+    val rowBytes = 3 * width
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0 || !inflater.needsInput, "truncated IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == raw.length,
+      s"inflated $off bytes, expected ${raw.length}")
+
+    // per-row unfilter (bpp = 3); prev = reconstructed previous row
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var (sr, sg, sbl) = (0L, 0L, 0L)
+    val prev = new Array[Int](rowBytes)
+    val cur = new Array[Int](rowBytes)
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + rowBytes)
+      val filter = raw(base) & 0xff
+      require(filter <= 4, s"unknown filter $filter in row $y")
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(base + 1 + x) & 0xff
+        val a = if (x >= 3) cur(x - 3) else 0
+        val b = prev(x)
+        val c = if (x >= 3) prev(x - 3) else 0
+        cur(x) = (filter match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+        }) & 0xff
+        x += 1
+      }
+      x = 0
+      while (x < rowBytes) {
+        sr += cur(x); sg += cur(x + 1); sbl += cur(x + 2)
+        x += 3
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    val n = width.toLong * height
+    PngStats(width, height, sr.toDouble / n, sg.toDouble / n, sbl.toDouble / n)
+  }
+
+  /** Synthesize an 8-bit truecolor PNG with the SAME closed-form pixel
+    * channels as [[synthBmp]] (so oracles share the arithmetic), cycling
+    * the row filter through all five types (`y mod 5`) — every decoder
+    * filter path is exercised by construction. Any standards-conforming
+    * viewer renders the result. */
+  def synthPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowBytes = 3 * width
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // raw scanlines with per-row filters applied (encode = raw - predictor)
+    val filtered = new Array[Byte]((1 + rowBytes) * height)
+    val prev = new Array[Int](rowBytes)
+    val cur = new Array[Int](rowBytes)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        cur(3 * x) = (pixelChannel(seed, x, y, 3, 7) & 0xff).toInt // R
+        cur(3 * x + 1) = (pixelChannel(seed, x, y, 5, 11) & 0xff).toInt // G
+        cur(3 * x + 2) = (pixelChannel(seed, x, y, 2, 13) & 0xff).toInt // B
+        x += 1
+      }
+      val filter = y % 5
+      val base = y * (1 + rowBytes)
+      filtered(base) = filter.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = prev(i)
+        val c = if (i >= 3) prev(i - 3) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        filtered(base + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    // zlib-compress the filtered stream
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      zOut.write(buf, 0, deflater.deflate(buf))
+    }
+    deflater.end()
+    val z = zOut.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSignature, 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val lenB = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(data.length).array()
+      out.write(lenB, 0, 4)
+      val td = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(td, 0, td.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(td)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

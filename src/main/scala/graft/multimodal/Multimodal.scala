@@ -210,4 +210,32 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** `(id, media)` of 8-bit truecolor PNG blobs synthesized from the id
+    * column ([[MediaCodecs.synthPng]]; `width = 3 + id mod 6`,
+    * `height = 5 + id mod 5` — every height ≥ 5 cycles through ALL five
+    * scanline filters). */
+  def pngMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRow(id,
+        MediaCodecs.synthPng(id, (3 + id % 6).toInt, (5 + id % 5).toInt)))
+    }.toDF()
+  }
+
+  /** REAL per-partition PNG decode ([[MediaCodecs.decodePng]]): chunk
+    * walk with CRC verification, zlib inflate, all-five-filter scanline
+    * reconstruction; schema `(id, width, height, mean_r, mean_g,
+    * mean_b)`. */
+  def pngFeatures(media: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        val s = MediaCodecs.decodePng(m.media)
+        BmpRow(m.id, s.width, s.height, s.meanR, s.meanG, s.meanB)
+      }
+    }.toDF()
+  }
 }

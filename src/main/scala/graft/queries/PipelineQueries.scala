@@ -1869,6 +1869,53 @@ object PipelineQueries {
                CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
         FROM per GROUP BY lang""")),
 
+    // PNG: the compressed-container tier of the image path — chunk CRCs,
+    // a real zlib inflate, and the five-filter scanline reconstruction
+    // (the BMP decoder above exercises none of those). Same closed-form
+    // pixels as BMP, so the oracle replays the means arithmetically.
+    QueryDef(
+      "multimodal_png_decode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.pngMedia(docs.select($"doc_id"), "doc_id")
+        Multimodal.pngFeatures(media)
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"width".cast("long") * $"height".cast("long"))
+                 .as("total_px"),
+               sum($"mean_r".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_r"),
+               sum($"mean_g".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_g"),
+               sum($"mean_b".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_b"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, 3 + doc_id % 6 AS w,
+                          5 + doc_id % 5 AS h FROM documents),
+        xs AS (SELECT i FROM generate_series(0, 8) AS g(i)),
+        ys AS (SELECT j FROM generate_series(0, 9) AS g(j)),
+        px AS (
+          SELECT d.doc_id, d.lang, d.w, d.h,
+                 (d.doc_id + 3 * xs.i + 7 * ys.j) % 256 AS r,
+                 (d.doc_id + 5 * xs.i + 11 * ys.j) % 256 AS g,
+                 (d.doc_id + 2 * xs.i + 13 * ys.j) % 256 AS b
+          FROM d JOIN xs ON xs.i < d.w JOIN ys ON ys.j < d.h),
+        per AS (
+          SELECT doc_id, lang, w, h,
+                 CAST(SUM(r) AS DOUBLE) / (w * h) AS mr,
+                 CAST(SUM(g) AS DOUBLE) / (w * h) AS mg,
+                 CAST(SUM(b) AS DOUBLE) / (w * h) AS mb
+          FROM px GROUP BY doc_id, lang, w, h)
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(w * h) AS BIGINT) AS total_px,
+               CAST(SUM(CAST(mr AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_r,
+               CAST(SUM(CAST(mg AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_g,
+               CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
+        FROM per GROUP BY lang""")),
+
     // Content-addressable media dedup: hash the BINARY payload itself
     // (the standard blob-store dedup for image/audio corpora — identical
     // bytes collapse regardless of metadata). One hash pass + one
