@@ -163,12 +163,20 @@ object Dedup {
     * `minCount` — exactly the verdict [[exactSubstrSpans]] over
     * (corpus ∪ batch) reaches for the batch's documents (spec-proven).
     * The plan scans the batch text and the index table only; the corpus
-    * text is never re-read. After probing, the batch's counts MERGE into
-    * the artifact (one signed upsert, work ∝ batch) so the next batch
-    * sees this one; `idempotentTxn` makes orchestrator retries
-    * exactly-once. The returned frame plans against the pre-merge
-    * snapshot (immutable file list), so the lazy result cannot see the
-    * batch's own merged counts twice. */
+    * text is never re-read.
+    *
+    * Growth is LSM-shaped: the batch's counts APPEND as partial rows
+    * (one blind O(batch) commit — a MERGE would rewrite artifact files
+    * everywhere the uniformly-hashed keys land, i.e. all of them) and
+    * probes SUM the partials per matching hash (the batch's hash set
+    * broadcasts into a semi-join, so the index side is one column-pruned
+    * scan, no artifact-wide shuffle). `delta.autoOptimize.autoCompact`
+    * bounds the artifact's file count; [[compactSubstrIndex]]
+    * re-aggregates the partials when their row multiplicity warrants.
+    * `idempotentTxn` makes orchestrator retries exactly-once. The
+    * returned frame plans against the pre-append snapshot (immutable
+    * file list), so the lazy result cannot see the batch's own counts
+    * twice. */
   def incrementalSubstrSpans(spark: org.apache.spark.sql.SparkSession,
                              indexPath: String, batch: DataFrame,
                              idCol: String, textCol: String,
@@ -177,21 +185,32 @@ object Dedup {
     val wins = exactSubstrWindows(batch, idCol, textCol, minLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchCounts = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-    val idx = graft.delta.DeltaTable.forPath(spark, indexPath).toDF
-      .select(col("h"), col("occ").as("idx_occ"))
-    val dupHashes = batchCounts.join(idx, Seq("h"), "left")
+    // partial rows per h sum at probe time (broadcast the batch's hash
+    // set; the index side stays a pruned scan + map-side partial agg)
+    val idxRelevant = graft.delta.DeltaTable.forPath(spark, indexPath).toDF
+      .join(broadcast(batchCounts.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(sum(col("occ")).as("idx_occ"))
+    val dupHashes = batchCounts.join(idxRelevant, Seq("h"), "left")
       .filter(col("occ") + coalesce(col("idx_occ"), lit(0L)) >= minCount)
       .select(col("h"))
     val result = islandSpans(
       wins.join(dupHashes, Seq("h")).select(col("id"), col("pos")), minLen)
-    val mb = graft.delta.DeltaTable.forPath(spark, indexPath)
-      .merge(batchCounts, col("t.h") === col("s.h"))
-    idempotentTxn.foreach { case (id, v) => mb.withIdempotency(id, v) }
-    mb.whenMatchedUpdate(Map("occ" -> (col("t.occ") + col("s.occ"))))
-      .whenNotMatchedInsert(Map("h" -> col("s.h"), "occ" -> col("s.occ")))
-      .execute()
+    graft.delta.DeltaTable.write(batchCounts, indexPath,
+      org.apache.spark.sql.SaveMode.Append, idempotentTxn = idempotentTxn)
     wins.unpersist(blocking = false)
     result
+  }
+
+  /** Re-aggregate the substring artifact's partial count rows into one
+    * row per hash — the LSM compaction step; run when batch appends have
+    * multiplied row multiplicity. One grouped rewrite, results
+    * unchanged (counts are additive). */
+  def compactSubstrIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Long = {
+    val agg = graft.delta.DeltaTable.forPath(spark, indexPath).toDF
+      .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
+    graft.delta.DeltaTable.write(agg, indexPath,
+      org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Persist a benchmark set's DISTINCT window hashes — the

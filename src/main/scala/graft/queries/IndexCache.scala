@@ -69,6 +69,55 @@ object IndexCache {
       p
     })
 
+  /** PQ index trained+encoded over the EVEN vec_ids only — the frozen
+    * base of the incremental-encode scenario: `ann_incremental_topk`
+    * shallow-CLONES it per call and encodes the odd batch into the
+    * clone, so the timed region is the incremental work (clone + encode
+    * + probe), not the base build that a production corpus amortizes. */
+  def pqIndexEven(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"pq-even:$dir", _ => {
+      import org.apache.spark.sql.functions.col
+      val p = temp("graft_pqeven")
+      Similarity.writePqIndex(s, p,
+        Tables.t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, m = 4, ksub = 8, trainIters = 1,
+        coarseCells = 16, coarseIters = 1)
+      p
+    })
+
+  /** ExactSubstr `(h, occ)` artifact over documents with doc_id < 400 —
+    * the corpus-so-far of the incremental substring scenario; probes
+    * clone it per call and merge their batch counts into the clone. */
+  def substrIndex(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"substr:$dir", _ => {
+      import org.apache.spark.sql.functions.col
+      val p = temp("graft_substridx")
+      // corpus = 90% of documents; the nightly batch is the doc_id % 10
+      // == 0 slice, so the batch:corpus ratio holds at every sf
+      Dedup.buildSubstrIndex(s, p,
+        Tables.t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", minLen = 8)
+      p
+    })
+
+  /** Zero-copy fork of a cached index (every subtable shallow-cloned):
+    * mutation-bearing queries work on the fork, the warmed original
+    * stays pristine for every other probe. */
+  def cloneIndex(s: SparkSession, indexPath: String,
+                 subTables: Seq[String]): String = {
+    val p = temp("graft_idxclone")
+    if (subTables.isEmpty) {
+      graft.delta.DeltaTable.forPath(s, indexPath).cloneTo(s"$p/t")
+      s"$p/t"
+    } else {
+      subTables.foreach { t =>
+        graft.delta.DeltaTable.forPath(s, s"$indexPath/$t")
+          .cloneTo(s"$p/$t")
+      }
+      p
+    }
+  }
+
   /** Pre-build every index (Bench calls this outside the timed region). */
   def warm(s: SparkSession, dir: String): Unit = {
     pqIndex(s, dir)
@@ -76,5 +125,7 @@ object IndexCache {
     ivfIndex(s, dir, 2)
     sq8Index(s, dir)
     minhashIndex(s, dir)
+    pqIndexEven(s, dir)
+    substrIndex(s, dir)
   }
 }

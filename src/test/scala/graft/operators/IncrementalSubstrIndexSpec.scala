@@ -159,6 +159,50 @@ class IncrementalSubstrIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction re-aggregates partial count rows; verdicts unchanged") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val idx = s"$dir/substr_idx"
+      Dedup.buildSubstrIndex(spark, idx,
+        corpusRows.toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+      // three appended batches multiply the (h, occ) row multiplicity
+      (0 until 3).foreach { b =>
+        Dedup.incrementalSubstrSpans(spark, idx,
+          Seq((600L + b, s"every batch repeats $phrase faithfully"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", minLen = 4, minCount = 2).collect()
+      }
+      // an identical twin, compacted: the same probe must see the same
+      // verdicts off summed-partials and re-aggregated rows alike
+      val idx2 = s"$dir/substr_idx2"
+      Dedup.buildSubstrIndex(spark, idx2,
+        corpusRows.toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+      (0 until 3).foreach { b =>
+        Dedup.incrementalSubstrSpans(spark, idx2,
+          Seq((600L + b, s"every batch repeats $phrase faithfully"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", minLen = 4, minCount = 2).collect()
+      }
+      val before = DeltaTable.forPath(spark, idx2).toDF.count()
+      Dedup.compactSubstrIndex(spark, idx2)
+      val after = DeltaTable.forPath(spark, idx2).toDF.count()
+      assert(after < before, s"compaction must shrink rows: $before -> $after")
+      // one row per hash right after compaction (probes below append)
+      val dups0 = DeltaTable.forPath(spark, idx2).toDF
+        .groupBy(col("h")).count().filter(col("count") > 1).count()
+      assert(dups0 == 0)
+      val probe = Seq((700L, s"final probe also carries $phrase inside"))
+        .toDF("doc_id", "text")
+      val viaPartials = Dedup.incrementalSubstrSpans(spark, idx, probe,
+        "doc_id", "text", minLen = 4, minCount = 2)
+        .collect().map(_.toSeq).toSet
+      val viaCompacted = Dedup.incrementalSubstrSpans(spark, idx2, probe,
+        "doc_id", "text", minLen = 4, minCount = 2)
+        .collect().map(_.toSeq).toSet
+      assert(viaPartials == viaCompacted && viaPartials.nonEmpty)
+    }
+  }
+
   test("indexed decontamination equals the ad-hoc operator") {
     withTempDir { dir =>
       import spark.implicits._
