@@ -55,6 +55,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftConvertCommand(parseTarget(target),
         Option(partCols).toSeq.flatMap(_.split(",").map(s =>
           cleanIdent(s.trim.split("\\s+")(0))))))
+    case ClusterByRe(target, cols, none) =>
+      Some(GraftClusterByCommand(parseTarget(target),
+        if (none != null) Nil
+        else cols.split(",").map(cleanIdent).map(_.trim).toSeq))
     case AddConstraintRe(target, name, expr) =>
       Some(GraftAddConstraintCommand(parseTarget(target), name, expr.trim))
     case DropConstraintRe(target, ifExists, name) =>
@@ -115,6 +119,8 @@ object GraftSqlParser {
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s*;?\s*""".r
+  private val ClusterByRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+CLUSTER\s+BY\s*(?:\(([^)]+)\)|(NONE))\s*;?\s*""".r
   private val AddConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -292,6 +298,24 @@ case class GraftAddConstraintCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, target)
     graft.delta.DeltaTable.forPath(session, path).addConstraint(name, expr)
+    Nil
+  }
+}
+
+/** `ALTER TABLE <tbl> CLUSTER BY (cols)` / `CLUSTER BY NONE` →
+  * [[graft.delta.DeltaTable.setClusteringColumns]] (the delta-spark
+  * liquid-clustering DDL): OPTIMIZE then re-clusters incrementally by
+  * the declared columns; NONE reverts OPTIMIZE to plain bin-packing. */
+case class GraftClusterByCommand(
+    target: Either[String, Seq[String]],
+    columns: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    graft.delta.DeltaTable.forPath(session, path)
+      .setClusteringColumns(columns)
     Nil
   }
 }

@@ -147,6 +147,25 @@ class LiquidClusteringIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ... CLUSTER BY DDL declares and clears clustering") {
+    withTempDir { dir =>
+      DeltaTable.write(clusteredData.repartition(4), dir)
+      spark.sql(s"ALTER TABLE '$dir' CLUSTER BY (a, b)")
+      val table = DeltaTable.forPath(spark, dir)
+      assert(table.clusteringColumns == Seq("a", "b"))
+      val target = DeltaLog.forTable(spark, dir).update().sizeInBytes / 4 + 1
+      table.compact(targetFileBytes = target)
+      assert(DeltaLog.forTable(spark, dir).update().allFiles.forall(
+        _.tags.exists(_.get(DeltaTable.ClusteringColumnsTag).contains("a,b"))))
+      spark.sql(s"ALTER TABLE '$dir' CLUSTER BY NONE")
+      assert(DeltaTable.forPath(spark, dir).clusteringColumns.isEmpty)
+      // back to plain bin-packing: the packed table no-ops
+      val v = DeltaLog.forTable(spark, dir).update().version
+      table.compact(targetFileBytes = target)
+      assert(DeltaLog.forTable(spark, dir).update().version == v)
+    }
+  }
+
   test("explicit ZORDER BY still rewrites every file") {
     withTempDir { dir =>
       DeltaTable.write(clusteredData.repartition(5), dir)

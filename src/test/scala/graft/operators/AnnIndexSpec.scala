@@ -319,6 +319,54 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest encodes each micro-batch into the persisted index") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      val src = s"$dir/src"
+      val idx = s"$dir/pq_index"
+      val ckpt = s"$dir/ckpt"
+      // base index over the first 8 vectors; the stream appends the rest
+      graft.delta.DeltaTable.write(
+        corpusRows.take(8).toDF("vec_id", "embedding"), src)
+      Similarity.writePqIndex(spark, idx, spark.read.format("graft-delta")
+        .load(src), "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-delta")
+          .option("startingVersion", "1").load(src)
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              Similarity.encodeIntoPqIndex(spark, idx, batch,
+                "vec_id", "embedding", dim = dim, m = 2,
+                idempotentTxn = Some(("stream-ann", batchId)))
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
+      graft.delta.DeltaTable.write(
+        corpusRows.slice(8, 10).toDF("vec_id", "embedding"), src)
+      drain()
+      graft.delta.DeltaTable.write(
+        corpusRows.drop(10).toDF("vec_id", "embedding"), src)
+      drain()
+      // every streamed vector is searchable through the frozen quantizers
+      val ids = Similarity.pqTopKIndexed(spark, idx,
+        queryRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 12, dim = dim, m = 2)
+        .select($"neighbor_id").as[Long].collect().toSet
+      assert(corpusRows.drop(8).map(_._1).toSet.subsetOf(ids),
+        s"streamed vectors must be reachable: $ids")
+      val codes = graft.delta.DeltaTable.forPath(spark, s"$idx/codes")
+        .toDF.count()
+      assert(codes == corpusRows.size,
+        s"one code row per vector, exactly-once: $codes")
+    }
+  }
+
   test("ivfpq with every cell probed equals exhaustive ADC") {
     withTempDir { dir =>
       import spark.implicits._
