@@ -203,6 +203,51 @@ class IncrementalSubstrIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest probes and grows the artifact per micro-batch") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      val src = s"$dir/src"
+      val idx = s"$dir/idx"
+      val out = s"$dir/spans"
+      val ckpt = s"$dir/ckpt"
+      Dedup.buildSubstrIndex(spark, idx,
+        corpusRows.toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+      val novel = "umber sienna ochre viridian cerulean madder alizarin gamboge"
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-delta").load(src)
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val spans = Dedup.incrementalSubstrSpans(spark, idx, batch,
+                "doc_id", "text", minLen = 4, minCount = 2,
+                idempotentTxn = Some(("stream-substr-idx", batchId)))
+              DeltaTable.write(spans, out,
+                idempotentTxn = Some(("stream-substr-out", batchId)))
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
+      // batch 1: the phrase is NOVEL — no spans may fire
+      DeltaTable.write(
+        Seq((801L, s"first streamed sighting of $novel here"))
+          .toDF("doc_id", "text"), src)
+      drain()
+      assert(DeltaTable.forPath(spark, out).toDF.count() == 0,
+        "a first occurrence is not a duplicate")
+      // batch 2 repeats it: only batch 1's counts in the artifact can fire
+      DeltaTable.write(
+        Seq((802L, s"second streamed sighting of $novel now"))
+          .toDF("doc_id", "text"), src)
+      drain()
+      val spans = DeltaTable.forPath(spark, out).toDF
+        .select(col("id")).as[Long].collect().toSet
+      assert(spans == Set(802L),
+        s"batch 2 must dedup against batch 1 through the artifact: $spans")
+    }
+  }
+
   test("indexed decontamination equals the ad-hoc operator") {
     withTempDir { dir =>
       import spark.implicits._
