@@ -1212,7 +1212,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val clusteringDriven = zOrderBy.isEmpty && zOrderCols.nonEmpty
     // OPTIMIZE FULL (delta-spark syntax): the escape hatch that forces a
     // whole-table re-cluster — after data-distribution drift, incremental
-    // ZCubes accumulate overlap that only a full pass removes
+    // ZCubes accumulate overlap that only a full pass removes. On a
+    // non-clustered table FULL would silently degrade to bin-packing
+    // while claiming a re-cluster happened — refuse, as delta-spark does
+    require(!fullReCluster || clusteringDriven,
+      "OPTIMIZE ... FULL requires clustering columns (ALTER TABLE ... " +
+        "CLUSTER BY them first); it cannot combine with explicit ZORDER BY")
     val liquidIncremental = clusteringDriven && !fullReCluster
     val clusterTag = zOrderCols.mkString(",")
     def alreadyClustered(f: AddFile): Boolean =

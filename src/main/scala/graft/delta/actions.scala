@@ -240,7 +240,8 @@ object TableFeatures {
     * obliges the allowColumnDefaults writer feature (delta-spark ≥3.0
     * declares it on the first DEFAULT DDL). */
   def containsColumnDefaults(schema: org.apache.spark.sql.types.StructType): Boolean =
-    schema.fields.exists(_.metadata.contains("CURRENT_DEFAULT"))
+    schema.fields.exists(
+      _.metadata.contains(graft.delta.write.ColumnDefaults.MetadataKey))
 
   /** Whether a schema carries a VARIANT column anywhere (the condition
     * that obliges the variantType feature on the table's protocol —

@@ -340,19 +340,8 @@ class OptimisticTransaction(
     val ictNewlyEnabled = ictEnabled && readVersion >= 0 &&
       !DeltaConfigs.ENABLE_IN_COMMIT_TIMESTAMPS.fromMetadata(snapshot.metadata)
     if (ictEnabled) {
-      val current = finalActions.collectFirst { case p: Protocol => p }
-        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
-        .getOrElse(Protocol())
-      val hasFeature = current.minWriterVersion == 7 &&
-        current.writerFeatures.exists(_.contains("inCommitTimestamp"))
-      if (!hasFeature) {
-        val upgraded = TableFeatures.upgradedWithWriter(
-          current, Seq("inCommitTimestamp"))
-        finalActions =
-          if (finalActions.exists(_.isInstanceOf[Protocol]))
-            finalActions.map { case _: Protocol => upgraded; case a => a }
-          else upgraded +: finalActions
-      }
+      finalActions = withWriterFeatures(finalActions,
+        Seq("inCommitTimestamp"))
     }
 
     // Row tracking (PROTOCOL.md, writer feature rowTracking): when the
@@ -370,20 +359,8 @@ class OptimisticTransaction(
         pp.writerFeatures.exists(_.contains("rowTracking")))
     }
     if (rowTrackingOn) {
-      val current = finalActions.collectFirst { case p: Protocol => p }
-        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
-        .getOrElse(Protocol())
-      val hasFeature = current.minWriterVersion == 7 &&
-        current.writerFeatures.exists(fs =>
-          fs.contains("rowTracking") && fs.contains("domainMetadata"))
-      if (!hasFeature) {
-        val upgraded = TableFeatures.upgradedWithWriter(
-          current, Seq("rowTracking", "domainMetadata"))
-        finalActions =
-          if (finalActions.exists(_.isInstanceOf[Protocol]))
-            finalActions.map { case _: Protocol => upgraded; case a => a }
-          else upgraded +: finalActions
-      }
+      finalActions = withWriterFeatures(finalActions,
+        Seq("rowTracking", "domainMetadata"))
       // enabling on a table with history: backfill — re-commit the active
       // files that lack a row-id range (dataChange=false) so every live
       // row gets an id in the SAME commit that enables the feature
@@ -418,38 +395,16 @@ class OptimisticTransaction(
     // itself still goes through the OLD store; the coordinator takes
     // over from the next commit, the delta-spark handover)
     if (DeltaConfigs.commitCoordinatorName(metadata).isDefined) {
-      val current = finalActions.collectFirst { case p: Protocol => p }
-        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
-        .getOrElse(Protocol())
-      val hasFeature = current.minWriterVersion == 7 &&
-        current.writerFeatures.exists(_.contains("coordinatedCommits"))
-      if (!hasFeature) {
-        val upgraded = TableFeatures.upgradedWithWriter(
-          current, Seq("coordinatedCommits"))
-        finalActions =
-          if (finalActions.exists(_.isInstanceOf[Protocol]))
-            finalActions.map { case _: Protocol => upgraded; case a => a }
-          else upgraded +: finalActions
-      }
+      finalActions = withWriterFeatures(finalActions,
+        Seq("coordinatedCommits"))
     }
 
     // Column defaults (PROTOCOL.md "Default Columns"): any column
     // declaring a CURRENT_DEFAULT obliges the allowColumnDefaults writer
     // feature — auto-declared on first use, the delta-spark behavior
     if (TableFeatures.containsColumnDefaults(metadata.schema)) {
-      val current = finalActions.collectFirst { case p: Protocol => p }
-        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
-        .getOrElse(Protocol())
-      val hasFeature = current.minWriterVersion == 7 &&
-        current.writerFeatures.exists(_.contains("allowColumnDefaults"))
-      if (!hasFeature) {
-        val upgraded = TableFeatures.upgradedWithWriter(
-          current, Seq("allowColumnDefaults"))
-        finalActions =
-          if (finalActions.exists(_.isInstanceOf[Protocol]))
-            finalActions.map { case _: Protocol => upgraded; case a => a }
-          else upgraded +: finalActions
-      }
+      finalActions = withWriterFeatures(finalActions,
+        Seq("allowColumnDefaults"))
     }
 
     // Variant columns (PROTOCOL.md "Variant Data Type"): a schema carrying
@@ -544,6 +499,26 @@ class OptimisticTransaction(
     committed = true
     postCommit(version)
     version
+  }
+
+  /** The feature auto-upgrade every metadata-driven writer feature
+    * shares: ensure the commit's protocol (the staged Protocol action if
+    * any, else the table's, else a fresh one) CARRIES `features`,
+    * replacing or prepending the Protocol action when it does not. */
+  private def withWriterFeatures(actions: Seq[Action],
+                                 features: Seq[String]): Seq[Action] = {
+    val current = actions.collectFirst { case p: Protocol => p }
+      .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+      .getOrElse(Protocol())
+    val has = current.minWriterVersion == 7 &&
+      current.writerFeatures.exists(fs => features.forall(fs.contains))
+    if (has) actions
+    else {
+      val upgraded = TableFeatures.upgradedWithWriter(current, features)
+      if (actions.exists(_.isInstanceOf[Protocol]))
+        actions.map { case _: Protocol => upgraded; case a => a }
+      else upgraded +: actions
+    }
   }
 
   /** First-commit Protocol/Metadata injection, path relativization,

@@ -280,7 +280,11 @@ object MediaCodecs {
     var off = 0
     while (off < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, off, raw.length - off)
-      require(n > 0 || !inflater.needsInput, "truncated IDAT stream")
+      // zero progress while unfinished = truncated stream OR a shape we
+      // don't speak (e.g. FDICT preset dictionary): fail loudly rather
+      // than spin
+      require(n > 0, "truncated or unsupported IDAT stream" +
+        (if (inflater.needsDictionary) " (preset dictionary)" else ""))
       off += n
     }
     inflater.end()

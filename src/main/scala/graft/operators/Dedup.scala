@@ -143,8 +143,9 @@ object Dedup {
     * corpus text is hashed ONCE; every later batch probes and increments
     * the stored counts instead of re-scanning the corpus (the
     * checkpoint-vs-log split applied to substring dedup). Occurrence
-    * counts are additive, so the artifact grows by MERGE, never by
-    * recompute. Returns the rows written. */
+    * counts are additive, so the artifact grows by appended partials,
+    * never by recompute. Returns the committed version (counting the
+    * rows back would re-run the corpus-sized aggregation). */
   def buildSubstrIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, corpus: DataFrame,
                        idCol: String, textCol: String, minLen: Int = 8,
@@ -154,7 +155,6 @@ object Dedup {
     graft.delta.DeltaTable.write(counts, indexPath,
       org.apache.spark.sql.SaveMode.Overwrite,
       configuration = configuration)
-    counts.count()
   }
 
   /** ExactSubstr spans for an incoming BATCH against the corpus-so-far,
@@ -182,16 +182,34 @@ object Dedup {
                              idCol: String, textCol: String,
                              minLen: Int = 8, minCount: Int = 2,
                              idempotentTxn: Option[(String, Long)] = None): DataFrame = {
+    // persisted for the two EAGER uses inside this call (the append and
+    // its own probe side); released before returning — the lazy result
+    // re-derives batch windows from lineage when consumed (batch-sized
+    // work by definition; holding the cache for an unknowable caller
+    // lifetime would leak blocks across a long-lived ingest session —
+    // the incrementalMinhashLshPersisted precedent)
     val wins = exactSubstrWindows(batch, idCol, textCol, minLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchCounts = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    // an idempotent RETRY must return the first attempt's verdicts: if
+    // the ledger says this (appId, version) already folded, the stored
+    // counts INCLUDE one copy of this batch's own counts — subtract it,
+    // or a unique batch window would count itself twice and come back a
+    // false duplicate on replay
+    val alreadyFolded = idempotentTxn.exists { case (id, v) =>
+      val log = graft.delta.DeltaLog.forTable(spark, indexPath)
+      log.tableExists && log.update().setTransactions
+        .find(_.appId == id).exists(_.version >= v)
+    }
     // partial rows per h sum at probe time (broadcast the batch's hash
     // set; the index side stays a pruned scan + map-side partial agg)
     val idxRelevant = graft.delta.DeltaTable.forPath(spark, indexPath).toDF
       .join(broadcast(batchCounts.select(col("h"))), Seq("h"), "left_semi")
       .groupBy(col("h")).agg(sum(col("occ")).as("idx_occ"))
+    val ownAppend = if (alreadyFolded) col("occ") else lit(0L)
     val dupHashes = batchCounts.join(idxRelevant, Seq("h"), "left")
-      .filter(col("occ") + coalesce(col("idx_occ"), lit(0L)) >= minCount)
+      .filter(col("occ") + coalesce(col("idx_occ"), lit(0L)) - ownAppend
+        >= minCount)
       .select(col("h"))
     val result = islandSpans(
       wins.join(dupHashes, Seq("h")).select(col("id"), col("pos")), minLen)

@@ -147,6 +147,16 @@ class LiquidClusteringIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE FULL on a non-clustered table is refused, not a silent bin-pack") {
+    withTempDir { dir =>
+      DeltaTable.write(clusteredData.repartition(2), dir)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql(s"OPTIMIZE '$dir' FULL").collect()
+      }
+      assert(e.getMessage.contains("clustering columns"))
+    }
+  }
+
   test("ALTER TABLE ... CLUSTER BY DDL declares and clears clustering") {
     withTempDir { dir =>
       DeltaTable.write(clusteredData.repartition(4), dir)

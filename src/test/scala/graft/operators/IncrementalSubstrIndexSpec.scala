@@ -106,23 +106,32 @@ class IncrementalSubstrIndexSpec extends SparkSpec {
       assert(s2.nonEmpty,
         "batch 2 must see batch 1's counts through the artifact")
 
-      // idempotent replay: same (appId, version) folds once
+      // idempotent replay: same (appId, version) folds once AND the
+      // retry returns the FIRST attempt's verdicts — a unique batch
+      // window must not count its own already-appended copy and come
+      // back a false duplicate
       val before = DeltaTable.forPath(spark, idx).toDF
         .agg(sum(col("occ"))).head().getLong(0)
       val b3 = Seq((303L, "replayed nightly batch content wholly unique"))
         .toDF("doc_id", "text")
-      Dedup.incrementalSubstrSpans(spark, idx, b3, "doc_id", "text",
-        minLen = 4, minCount = 2,
-        idempotentTxn = Some(("nightly-substr", 9L))).collect()
+      val attempt1 = Dedup.incrementalSubstrSpans(spark, idx, b3,
+        "doc_id", "text", minLen = 4, minCount = 2,
+        idempotentTxn = Some(("nightly-substr", 9L)))
+        .collect().map(_.toSeq).toSet
       val mid = DeltaTable.forPath(spark, idx).toDF
         .agg(sum(col("occ"))).head().getLong(0)
-      Dedup.incrementalSubstrSpans(spark, idx, b3, "doc_id", "text",
-        minLen = 4, minCount = 2,
-        idempotentTxn = Some(("nightly-substr", 9L))).collect()
+      val attempt2 = Dedup.incrementalSubstrSpans(spark, idx, b3,
+        "doc_id", "text", minLen = 4, minCount = 2,
+        idempotentTxn = Some(("nightly-substr", 9L)))
+        .collect().map(_.toSeq).toSet
       val after = DeltaTable.forPath(spark, idx).toDF
         .agg(sum(col("occ"))).head().getLong(0)
       assert(mid > before && after == mid,
         s"replay must fold once: $before -> $mid -> $after")
+      assert(attempt1.isEmpty,
+        s"a wholly unique batch has no duplicated spans: $attempt1")
+      assert(attempt2 == attempt1,
+        s"the retry must replay the first attempt's verdicts: $attempt2")
     }
   }
 
