@@ -327,6 +327,16 @@ object Similarity {
       s"$indexPath/codebooks").toDF
     val coarse = graft.delta.DeltaTable.forPath(spark,
       s"$indexPath/centroids").toDF
+    // geometry guard: encoding against a differently-shaped index would
+    // SILENTLY produce wrong codes (slice() truncates / null-pads) —
+    // check the stored codebook's subspace count and width up front
+    val shape = codebooks
+      .groupBy().agg(countDistinct(col("s")).as("m"),
+        max(size(col("cv"))).as("sub")).head()
+    require(shape.getLong(0) == m && shape.getInt(1) == sub,
+      s"index at $indexPath has ${shape.getLong(0)} subspaces of width " +
+        s"${shape.getInt(1)}; caller asked for $m of width $sub — " +
+        "encode with the index's own build parameters")
     val wide = InputWidth.widen(batch)
     // per-subspace code: the same rounded-cosine argmax as the build
     // path's assignCells, against the stored codebook (cn recomputes

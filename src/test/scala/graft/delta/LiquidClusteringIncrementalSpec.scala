@@ -147,6 +147,34 @@ class LiquidClusteringIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("beyond the driver bound the stamp filter runs distributed") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        DeltaTable.write(clusteredData.repartition(4), dir,
+          configuration = Map("delta.checkpointInterval" -> "1"))
+        val table = DeltaTable.forPath(spark, dir)
+        table.setClusteringColumns(Seq("a", "b"))
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        assert(log.update().distributedState,
+          "byte bound should force distributed state")
+        val target = log.update().sizeInBytes / 4 + 1
+        DeltaTable.forPath(spark, dir).compact(targetFileBytes = target)
+        assert(lastOptimizeMetrics(dir)("numRemovedFiles").toInt == 4)
+        // second pass: candidate selection (the tag filter) runs as a
+        // Spark job over the distributed file list and finds nothing
+        DeltaLog.clearCache()
+        val log2 = DeltaLog.forTable(spark, dir)
+        assert(log2.update().distributedState)
+        val v = log2.update().version
+        DeltaTable.forPath(spark, dir).compact(targetFileBytes = target)
+        assert(DeltaLog.forTable(spark, dir).update().version == v,
+          "fully-clustered table must no-op in distributed mode too")
+      } finally spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+    }
+  }
+
   test("OPTIMIZE FULL on a non-clustered table is refused, not a silent bin-pack") {
     withTempDir { dir =>
       DeltaTable.write(clusteredData.repartition(2), dir)

@@ -274,6 +274,23 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("encode refuses mismatched index geometry instead of mis-coding") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val idx = s"$dir/pq_index"
+      Similarity.writePqIndex(spark, idx,
+        corpusRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.encodePqBatch(spark, idx,
+          corpusRows.take(2).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dim = dim, m = 4) // index built with m = 2
+      }
+      assert(e.getMessage.contains("subspaces"))
+    }
+  }
+
   test("ivf and sq8: incremental encode reproduces the build encoding") {
     withTempDir { dir =>
       import spark.implicits._
