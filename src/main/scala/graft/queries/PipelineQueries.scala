@@ -843,6 +843,51 @@ object PipelineQueries {
         FROM toks t LEFT JOIN hits h USING (doc_id)
         WHERE t.doc_id >= 50""")),
 
+    // Decontamination through the PERSISTED benchmark-hash artifact: the
+    // bench side hashes once into a Delta table (bench sets are fixed
+    // while corpora stream), every corpus batch semi-joins the stored
+    // hashes. Same answer as the ad-hoc operator, different plan — this
+    // gates the artifact path end-to-end.
+    QueryDef(
+      "dedup_decontam_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_benchidx").toString
+        Dedup.buildBenchWindowIndex(s, p, docs.filter($"doc_id" < 50),
+          "doc_id", "text", minLen = 8)
+        Dedup.substrContaminationIndexed(s, p, docs.filter($"doc_id" >= 50),
+            "doc_id", "text", minLen = 8)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents),
+        cw AS (
+          SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8 AND doc_id >= 50)),
+        bw AS (
+          SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8 AND doc_id < 50)),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_windows
+          FROM cw WHERE g IN (SELECT g FROM bw) GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(GREATEST(len(t.tk) - 7, 0) AS BIGINT) AS n_windows,
+               COALESCE(h.contaminated_windows, 0) AS contaminated_windows,
+               CASE WHEN len(t.tk) > 7
+                    THEN COALESCE(h.contaminated_windows, 0)::DOUBLE /
+                         (len(t.tk) - 7)
+                    ELSE 0.0 END AS contaminated_frac
+        FROM toks t LEFT JOIN hits h USING (doc_id)
+        WHERE t.doc_id >= 50""")),
+
     // Feature-hashed linear scoring (fastText shape) with deterministic
     // pseudo-weights: integer weight sums, one division — bit-exact.
     QueryDef(
@@ -1571,6 +1616,65 @@ object PipelineQueries {
           SELECT i, MIN(e.embedding[i]::DOUBLE) AS lo,
                  MAX(e.embedding[i]::DOUBLE) AS hi
           FROM embeddings e, range(1, 65) t(i) GROUP BY i
+        ), codes AS (
+          SELECT e.vec_id, p.i,
+                 CASE WHEN p.hi = p.lo THEN 0
+                      ELSE CAST(round((e.embedding[p.i]::DOUBLE - p.lo) * 255.0
+                                      / (p.hi - p.lo), 0) AS INT) END AS code
+          FROM embeddings e CROSS JOIN params p
+        ), vhat AS (
+          SELECT c.vec_id, c.i,
+                 p.lo + c.code * (p.hi - p.lo) / 255.0 AS vh
+          FROM codes c JOIN params p ON p.i = c.i
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt(${duckDot("embedding", "embedding")}) AS qn
+          FROM embeddings WHERE vec_id < 10
+        ), qterm AS (
+          SELECT q.query_id, q.qn, t.i, q.qv[t.i]::DOUBLE AS qe
+          FROM q, range(1, 65) t(i)
+        ), contrib AS (
+          SELECT qt.query_id, v.vec_id AS neighbor_id, qt.qn,
+                 CAST(round(qt.qe * v.vh, 6) AS DECIMAL(18,6)) AS d,
+                 CAST(round(v.vh * v.vh, 6) AS DECIMAL(18,6)) AS cc
+          FROM vhat v JOIN qterm qt ON qt.i = v.i
+          WHERE v.vec_id <> qt.query_id
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 round(CAST(SUM(d) AS DOUBLE) /
+                       (qn * sqrt(CAST(SUM(cc) AS DOUBLE))), 6) AS approx_cosine
+          FROM contrib GROUP BY query_id, neighbor_id, qn
+        ), ranked AS (
+          SELECT query_id, neighbor_id, approx_cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_cosine
+        FROM ranked WHERE rank <= 3""")),
+
+    // SQ8 incremental growth: ranges train on the even half, the odd
+    // half encodes against the FROZEN params and appends; search serves
+    // the union. The oracle trains its params CTE on the evens only.
+    QueryDef(
+      "ann_incremental_sq8",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val p = java.nio.file.Files.createTempDirectory("graft_sq8inc").toString
+        Similarity.writeSq8Index(s, p, emb.filter($"vec_id" % 2 === 0),
+          "vec_id", "embedding")
+        Similarity.encodeIntoSq8Index(s, p, emb.filter($"vec_id" % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.sq8TopKIndexed(s, p, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 3)
+      },
+      Some(s"""
+        WITH params AS (
+          SELECT i, MIN(e.embedding[i]::DOUBLE) AS lo,
+                 MAX(e.embedding[i]::DOUBLE) AS hi
+          FROM embeddings e, range(1, 65) t(i)
+          WHERE e.vec_id % 2 = 0 GROUP BY i
         ), codes AS (
           SELECT e.vec_id, p.i,
                  CASE WHEN p.hi = p.lo THEN 0
