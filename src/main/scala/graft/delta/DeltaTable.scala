@@ -431,8 +431,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       resolved: org.apache.spark.sql.catalyst.expressions.Expression)
     : Seq[AddFile] = {
     val metadata = snapshot.metadata
-    val (metaPreds, dataPreds) = read.PartitionUtils
+    val (metaPreds0, dataPreds) = read.PartitionUtils
       .splitMetadataAndDataPredicates(resolved, metadata.partitionColumns)
+    // a DELETE/UPDATE/MERGE condition on a generated-partition SOURCE
+    // (e.g. ts under day=date(ts)) prunes its candidates too
+    val metaPreds = metaPreds0 ++
+      read.GeneratedPartitionFilters.derive(metadata, dataPreds, spark)
     if (snapshot.distributedState) {
       read.FilePruning.prune(snapshot.allFilesDistributed,
         metadata.partitionSchema, metaPreds, dataPreds,

@@ -60,17 +60,24 @@ class DeltaFileIndex private (
     PartitionUtils.absolutePath(dataPath, child)
 
   /** Prune to the files any of whose rows can match; distributed source →
-    * the pruning runs as a Spark job and collects survivors only. */
+    * the pruning runs as a Spark job and collects survivors only. Data
+    * filters on generated-column SOURCES first derive extra partition
+    * conjuncts ([[GeneratedPartitionFilters]]) so the day-partitioned-by-
+    * timestamp table prunes on a `ts` predicate too. */
   private def prunedFiles(
       partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[graft.delta.AddFile] = source match {
-    case Left(files) =>
-      val partitionPruned = PartitionUtils.filterFileList(
-        partitionSchema, files, partitionFilters)
-      DataSkipping.filterFiles(partitionPruned, dataFilters, metadata.dataSchema)
-    case Right(ds) =>
-      FilePruning.prune(ds, partitionSchema, partitionFilters, dataFilters,
-        metadata.dataSchema).collect().toSeq
+      dataFilters: Seq[Expression]): Seq[graft.delta.AddFile] = {
+    val allPartFilters = partitionFilters ++
+      GeneratedPartitionFilters.derive(metadata, dataFilters, spark)
+    source match {
+      case Left(files) =>
+        val partitionPruned = PartitionUtils.filterFileList(
+          partitionSchema, files, allPartFilters)
+        DataSkipping.filterFiles(partitionPruned, dataFilters, metadata.dataSchema)
+      case Right(ds) =>
+        FilePruning.prune(ds, partitionSchema, allPartFilters, dataFilters,
+          metadata.dataSchema).collect().toSeq
+    }
   }
 
   override def listFiles(

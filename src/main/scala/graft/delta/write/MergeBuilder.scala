@@ -277,12 +277,15 @@ final class MergeBuilder private[delta] (
           resolved, metadata.partitionColumns)
       case None => (Nil, Nil)
     }
+    // data conjuncts on generated-partition SOURCES imply partition
+    // conjuncts (scan-bound only — read tracking keeps its own set)
+    val derivedC = read.GeneratedPartitionFilters.derive(metadata, dataC, spark)
     val candidateFiles: Option[Seq[AddFile]] =
       if (metaC.nonEmpty) {
         // narrow read tracking + partition pruning; stats skip survivors
         val matched = txn.markFilesAsRead(targetPred.get)
         val keep = read.FilePruning.keepFile(
-          metadata.partitionSchema, Nil, dataC, metadata.dataSchema)
+          metadata.partitionSchema, derivedC, dataC, metadata.dataSchema)
         Some(matched.filter(keep))
       } else if (dataC.nonEmpty) {
         // no partition conjunct: conflict tracking stays whole-table
@@ -293,10 +296,10 @@ final class MergeBuilder private[delta] (
         val survivors =
           if (snapshot.distributedState)
             read.FilePruning.prune(snapshot.allFilesDistributed,
-              metadata.partitionSchema, Nil, dataC, metadata.dataSchema)
+              metadata.partitionSchema, derivedC, dataC, metadata.dataSchema)
               .collect().toSeq
           else snapshot.allFiles.filter(read.FilePruning.keepFile(
-            metadata.partitionSchema, Nil, dataC, metadata.dataSchema))
+            metadata.partitionSchema, derivedC, dataC, metadata.dataSchema))
         Some(survivors)
       } else {
         txn.readWholeTable() // merge reads target rows by data condition
@@ -389,8 +392,9 @@ final class MergeBuilder private[delta] (
         } else {
           val resolved = read.PartitionUtils.resolveFilter(spark, schema,
             stripTargetAlias(conds.flatten.reduce(_ || _)))
-          val (m, d) = read.PartitionUtils.splitMetadataAndDataPredicates(
+          val (m0, d) = read.PartitionUtils.splitMetadataAndDataPredicates(
             resolved, metadata.partitionColumns)
+          val m = m0 ++ read.GeneratedPartitionFilters.derive(metadata, d, spark)
           if (snapshot.distributedState)
             read.FilePruning.prune(snapshot.allFilesDistributed,
               metadata.partitionSchema, m, d, metadata.dataSchema)
