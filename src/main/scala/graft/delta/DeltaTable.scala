@@ -1119,6 +1119,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationParameters = Map("name" -> name, "existed" -> true))
   }
 
+  /** `ALTER TABLE … DROP FEATURE <name> [TRUNCATE HISTORY]` — protocol
+    * downgrade with trace validation, checkpoint-protected history for
+    * reader features, and optional immediate prefix truncation. See
+    * [[FeatureRemoval]]. */
+  def dropFeature(name: String, truncateHistory: Boolean = false): Long =
+    FeatureRemoval.drop(spark, deltaLog, name, truncateHistory)
+
   /** Declare a DEFAULT for an existing column (`ALTER TABLE ... ALTER
     * COLUMN ... SET DEFAULT expr`): stores the SQL expression as the
     * column's CURRENT_DEFAULT field metadata; the allowColumnDefaults

@@ -431,6 +431,31 @@ class OptimisticTransaction(
       }
     }
 
+    // Features-form conformance: a writer-7 protocol must LIST every
+    // metadata-obliged legacy feature — a foreign writer keys enforcement
+    // (constraints, CDF, generation) off the list, not off the metadata.
+    // Legacy-version protocols imply them by version, so this only
+    // applies once a table is at writer 7.
+    {
+      val current = finalActions.collectFirst { case p: Protocol => p }
+        .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
+      if (current.exists(_.minWriterVersion == 7)) {
+        val obliged = Seq(
+          "checkConstraints" ->
+            graft.delta.write.Invariants.constraints(metadata).nonEmpty,
+          "changeDataFeed" ->
+            DeltaConfigs.ENABLE_CHANGE_DATA_FEED.fromMetadata(metadata),
+          "generatedColumns" ->
+            graft.delta.write.GeneratedColumns.expressions(metadata.schema).nonEmpty,
+          "identityColumns" -> metadata.schema.fields.exists(
+            _.metadata.contains(graft.delta.write.IdentityColumns.StartKey)),
+          "appendOnly" -> DeltaConfigs.IS_APPEND_ONLY.fromMetadata(metadata)
+        ).collect { case (f, true) => f }
+        if (obliged.nonEmpty)
+          finalActions = withWriterFeatures(finalActions, obliged)
+      }
+    }
+
     val isBlindAppend = {
       val onlyAdds = finalActions.collect { case f: FileAction => f }
         .forall(_.isInstanceOf[AddFile])

@@ -64,6 +64,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropConstraintRe(target, ifExists, name) =>
       Some(GraftDropConstraintCommand(parseTarget(target), name,
         ifExists != null))
+    case DropFeatureRe(target, name, truncate) =>
+      Some(GraftDropFeatureCommand(parseTarget(target), name,
+        truncate != null))
     case _ => None
   }
 
@@ -125,6 +128,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val DropFeatureRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+FEATURE\s+([\w-]+)(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*""".r
 
   private def cleanIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -333,6 +338,25 @@ case class GraftDropConstraintCommand(
     val path = GraftSqlParser.resolvePath(session, target)
     graft.delta.DeltaTable.forPath(session, path)
       .dropConstraint(name, ifExists)
+    Nil
+  }
+}
+
+/** `ALTER TABLE <tbl> DROP FEATURE <name> [TRUNCATE HISTORY]` →
+  * [[graft.delta.DeltaTable.dropFeature]] (protocol downgrade with
+  * trace validation; TRUNCATE HISTORY deletes the pre-downgrade log
+  * prefix against the boundary checkpoint). */
+case class GraftDropFeatureCommand(
+    target: Either[String, Seq[String]],
+    name: String,
+    truncateHistory: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    graft.delta.DeltaTable.forPath(session, path)
+      .dropFeature(name, truncateHistory)
     Nil
   }
 }

@@ -1,0 +1,156 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `DROP FEATURE` ([[FeatureRemoval]]): trace-validated protocol
+  * downgrade; reader-feature drops add checkpointProtection + a boundary
+  * checkpoint; TRUNCATE HISTORY deletes the pre-downgrade prefix. */
+class FeatureRemovalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dvConf = Map("delta.enableDeletionVectors" -> "true")
+
+  private def logFilesBelow(log: DeltaLog, v: Long): Seq[String] = {
+    val fs = log.logPath.getFileSystem(log.hadoopConf)
+    fs.listStatus(log.logPath).toSeq.map(_.getPath)
+      .filter(p => FileNames.isDeltaFile(p) || FileNames.isCheckpointFile(p))
+      .filter { p =>
+        val ver = if (FileNames.isDeltaFile(p)) FileNames.deltaVersion(p)
+          else FileNames.checkpointVersion(p)
+        ver < v
+      }.map(_.getName)
+  }
+
+  test("deletionVectors: refused while shaded, dropped after purge, " +
+      "history protected") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 100L).toDF("id").coalesce(2), dir,
+        configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" < 10L) // shades
+      val log = DeltaLog.forTable(spark, dir)
+      assert(log.update().allFiles.exists(_.deletionVector.isDefined))
+
+      val e = intercept[IllegalArgumentException](t.dropFeature("deletionVectors"))
+      assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+
+      t.compact() // purges the shades
+      val v = t.dropFeature("deletionVectors")
+      val snap = log.update()
+      val p = snap.protocol
+      assert(!p.readerFeatures.exists(_.contains("deletionVectors")))
+      assert(!p.writerFeatures.exists(_.contains("deletionVectors")))
+      assert(p.writerFeatures.exists(_.contains("checkpointProtection")))
+      assert(!snap.metadata.configuration.contains("delta.enableDeletionVectors"))
+      assert(DeltaConfigs.REQUIRE_CHECKPOINT_PROTECTION
+        .fromMetadata(snap.metadata) == v)
+      // no reader features left: old readers regain the table
+      assert(p.minReaderVersion == 1, p.toString)
+      // the boundary checkpoint exists at the downgrade version
+      assert(Checkpoints.lastCheckpoint(log).exists(_.version == v))
+      // data intact; pre-downgrade versions still time-travel
+      assert(t.toDF.count() == 90)
+      assert(t.asOfVersion(0).count() == 100)
+    }
+  }
+
+  test("TRUNCATE HISTORY deletes the pre-downgrade prefix") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 50L).toDF("id").coalesce(1), dir,
+        configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" < 5L)
+      t.compact()
+      val log = DeltaLog.forTable(spark, dir)
+      val v = t.dropFeature("deletionVectors", truncateHistory = true)
+      assert(logFilesBelow(log, v).isEmpty,
+        s"stale prefix: ${logFilesBelow(log, v)}")
+      DeltaLog.clearCache()
+      val fresh = DeltaTable.forPath(spark, dir)
+      assert(fresh.toDF.count() == 45) // cold read from the boundary checkpoint
+      intercept[Exception](fresh.asOfVersion(0).count())
+    }
+  }
+
+  test("writer-only drop (inCommitTimestamp) needs no history protection") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 10).toDF("v"), dir,
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+      DeltaTable.write((11 to 20).toDF("v"), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      t.dropFeature("inCommitTimestamp")
+      val snap = DeltaLog.forTable(spark, dir).update()
+      assert(!snap.protocol.writerFeatures.exists(_.contains("inCommitTimestamp")))
+      assert(!snap.protocol.writerFeatures.exists(_.contains("checkpointProtection")))
+      assert(!snap.metadata.configuration.keys.exists(_.contains("nCommitTimestamp")))
+      DeltaTable.write((21 to 30).toDF("v"), dir) // still writable
+      assert(t.toDF.count() == 30)
+    }
+  }
+
+  test("refusals: traces present, unknown feature, legacy-implied, " +
+      "unprotected checkpointProtection") {
+    withTempDir { dir =>
+      // features-form table (DV) + a constraint: the constraint-declaring
+      // commit must LIST checkConstraints (writer-7 conformance), and the
+      // drop must refuse while the constraint lives
+      DeltaTable.write((1 to 5).toDF("v"), dir, configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"v" === 1)
+      t.addConstraint("pos", "v > 0")
+      assert(DeltaLog.forTable(spark, dir).update().protocol
+        .writerFeatures.exists(_.contains("checkConstraints")),
+        "writer-7 protocol must list the obliged constraint feature")
+      val e1 = intercept[IllegalArgumentException](t.dropFeature("checkConstraints"))
+      assert(e1.getMessage.contains("DROP CONSTRAINT"), e1.getMessage)
+      t.dropConstraint("pos")
+      t.dropFeature("checkConstraints")
+      assert(!DeltaLog.forTable(spark, dir).update().protocol
+        .writerFeatures.exists(_.contains("checkConstraints")))
+    }
+    withTempDir { dir =>
+      DeltaTable.write((1 to 5).toDF("v"), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      // legacy protocol lists nothing: appendOnly is version-implied
+      val e2 = intercept[IllegalArgumentException](t.dropFeature("appendOnly"))
+      assert(e2.getMessage.contains("legacy"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException](t.dropFeature("notAFeature"))
+      assert(e3.getMessage.contains("notAFeature"), e3.getMessage)
+    }
+    withTempDir { dir =>
+      DeltaTable.write((1 to 5).toDF("v"), dir, configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"v" === 1)
+      t.compact()
+      t.dropFeature("deletionVectors") // adds checkpointProtection
+      val e = intercept[IllegalArgumentException](
+        t.dropFeature("checkpointProtection"))
+      assert(e.getMessage.contains("TRUNCATE HISTORY"), e.getMessage)
+      // and WITH truncation it drops cleanly
+      t.dropFeature("checkpointProtection", truncateHistory = true)
+      val p = DeltaLog.forTable(spark, dir).update().protocol
+      assert(!p.writerFeatures.exists(_.contains("checkpointProtection")))
+    }
+  }
+
+  test("SQL: ALTER TABLE DROP FEATURE [TRUNCATE HISTORY]") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 30L).toDF("id").coalesce(1), dir,
+        configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" < 3L)
+      t.compact()
+      spark.sql(s"ALTER TABLE '$dir' DROP FEATURE deletionVectors")
+      val log = DeltaLog.forTable(spark, dir)
+      assert(!log.update().protocol.readerFeatures
+        .exists(_.contains("deletionVectors")))
+      spark.sql(s"ALTER TABLE '$dir' DROP FEATURE checkpointProtection " +
+        "TRUNCATE HISTORY")
+      assert(!log.update().protocol.writerFeatures
+        .exists(_.contains("checkpointProtection")))
+      assert(t.toDF.count() == 27)
+    }
+  }
+}
