@@ -34,6 +34,34 @@ object Dedup {
            min(col("id")).as("representative"))
       .filter(col("group_size") > 1)
 
+  /** CCNet-style LINE-level deduplication (Wenzek et al. 2020): count
+    * each line's occurrences across the whole corpus and mark the lines
+    * whose content repeats in `minOccurrences`-or-more places —
+    * boilerplate (headers, navigation, license blurbs) that survives
+    * whole-document dedup because the surrounding bytes differ.
+    *
+    * Input is one row per (document, line); returns the same rows plus
+    * `line_occ` (corpus-wide occurrence count of the trimmed content) —
+    * callers filter `line_occ < minOccurrences` to strip, or aggregate
+    * for reporting. Blank lines are never counted as duplicates of each
+    * other (occ forced to 1).
+    *
+    * Scale shape: lines reduce to 60-bit content hashes; one (hash)-keyed
+    * count (map-side combinable) and one hash-keyed join back — the
+    * shuffled payload is (hash, count) and (hash, doc, idx), never the
+    * line text riding the wide join twice. Same plan family as
+    * [[exactSubstrSpans]]'s window counting. */
+  def lineDedup(lines: DataFrame, lineCol: String): DataFrame = {
+    val h = graft.functions.md5Hash60(trim(col(lineCol)))
+    val withHash = lines.withColumn("__lh",
+      when(length(trim(col(lineCol))) === 0, lit(null)).otherwise(h))
+    val counts = withHash.filter(col("__lh").isNotNull)
+      .groupBy(col("__lh")).agg(count(lit(1)).as("line_occ"))
+    withHash.join(counts, Seq("__lh"), "left")
+      .withColumn("line_occ", coalesce(col("line_occ"), lit(1L)))
+      .drop("__lh")
+  }
+
   /** Cross-document duplicated-n-gram fraction — the corpus-level
     * repetition signal of the MassiveText/RefinedWeb filtering stacks
     * (Rae et al. 2021; Penedo et al. 2023): for each document, the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions._
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Search, Similarity}
 import graft.multimodal.Multimodal
 
 /** The large-scale training-data-pipeline operators (builder brief §extras):
@@ -2567,6 +2567,179 @@ object PipelineQueries {
         FROM documents d JOIN cuts c ON c.source = d.source
         WHERE ${duckHash32("'budget' || ':' || CAST(d.doc_id AS VARCHAR)")}
               % 1000000 < c.cut
-        GROUP BY d.source"""))
+        GROUP BY d.source""")),
+
+    // CCNet-style line-level dedup ([[Dedup.lineDedup]]): the corpus has
+    // no newlines, so "lines" are synthesized as non-overlapping 10-token
+    // chunks (the chunking operator) — near-dup documents make chunk
+    // content repeat across docs, which is the boilerplate signal the
+    // operator strips at scale.
+    QueryDef(
+      "dedup_lines",
+      (s, dir) => {
+        import s.implicits._
+        val lines = Curation.chunkWithOverlap(
+          t(s, dir, "documents").select($"doc_id", $"source", $"text"),
+          "text", chunkTokens = 10, overlap = 0)
+        Dedup.lineDedup(lines, "chunk_text")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_lines"),
+               count(when($"line_occ" >= 2, 1)).as("n_dup_lines"),
+               countDistinct(when($"line_occ" >= 2, $"doc_id"))
+                 .as("n_docs_with_dup"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents),
+        starts AS (
+          SELECT doc_id, source, tk,
+                 unnest(range(0, greatest(len(tk) - 1, 0) + 1, 10)) AS s
+          FROM toks),
+        lines AS (
+          SELECT doc_id, source,
+                 array_to_string(tk[s + 1 : s + 10], ' ') AS line
+          FROM starts),
+        occ AS (
+          SELECT ${duckHash60("trim(line)")} AS lh, COUNT(*) AS line_occ
+          FROM lines WHERE length(trim(line)) > 0 GROUP BY 1)
+        SELECT source, COUNT(*) AS n_lines,
+               COUNT(CASE WHEN COALESCE(line_occ, 1) >= 2 THEN 1 END)
+                 AS n_dup_lines,
+               COUNT(DISTINCT CASE WHEN COALESCE(line_occ, 1) >= 2
+                                   THEN doc_id END) AS n_docs_with_dup
+        FROM lines l LEFT JOIN occ
+          ON length(trim(l.line)) > 0 AND occ.lh = ${duckHash60("trim(l.line)")}
+        GROUP BY source""")),
+
+    // Interpolated bigram-LM typicality — the CCNet/KenLM quality-filter
+    // shape with exact cross-engine arithmetic: per bigram position,
+    // p = λ·c2(prev,next)/c1(prev) + (1-λ)·cu(next)/N with λ = 0.5
+    // (exact in binary; each intermediate is one IEEE op mirrored
+    // verbatim in the oracle — log-probabilities are NOT reproducible
+    // across libms, ratios are). Scale shape: one explode into bigram
+    // positions, two map-side-combinable counts, hash joins back on the
+    // bigram/prefix keys, one per-doc DECIMAL sum — nothing global but
+    // the vocabulary-sized count frames.
+    QueryDef(
+      "text_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val toksDf = t(s, dir, "documents")
+          .select($"doc_id", $"lang", tokens(lower($"text")).as("tk"))
+        val pos = toksDf.select($"doc_id", explode($"tk").as("w"))
+        val uni = pos.groupBy($"w").agg(count(lit(1)).as("cu"))
+        val tot = pos.agg(count(lit(1)).as("n_tokens"))
+        val bg = toksDf.filter(size($"tk") >= 2)
+          .select($"doc_id", $"lang", explode(zip_with(
+            slice($"tk", lit(1), size($"tk") - 1),
+            slice($"tk", lit(2), size($"tk") - 1),
+            (a, b) => struct(a.as("p"), b.as("n")))).as("z"))
+          .select($"doc_id", $"lang",
+            $"z.p".as("w_prev"), $"z.n".as("w_next"))
+        val c2 = bg.groupBy($"w_prev", $"w_next").agg(count(lit(1)).as("cnt2"))
+        val c1 = bg.groupBy($"w_prev").agg(count(lit(1)).as("cnt1"))
+        val perPos = bg
+          .join(c2, Seq("w_prev", "w_next"))
+          .join(c1, Seq("w_prev"))
+          .join(uni.withColumnRenamed("w", "w_next"), Seq("w_next"))
+          .crossJoin(broadcast(tot))
+          .select($"doc_id", $"lang",
+            (lit(0.5) * ($"cnt2".cast("double") / $"cnt1".cast("double")) +
+             lit(0.5) * ($"cu".cast("double") / $"n_tokens".cast("double")))
+              .cast(DecimalType(18, 9)).as("p"))
+        val perDoc = perPos.groupBy($"doc_id", $"lang")
+          .agg(sum($"p").as("score_dec"), count(lit(1)).as("n_bigrams"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"score_dec").cast("double").as("sum_interp"),
+               count(when($"score_dec".cast("double")
+                 / $"n_bigrams".cast("double") < 0.034, 1)).as("n_atypical"))
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+          FROM documents),
+        pos AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+        uni AS (SELECT w, COUNT(*) AS cu FROM pos GROUP BY w),
+        tot AS (SELECT COUNT(*) AS n_tokens FROM pos),
+        idx AS (
+          SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+          FROM toks WHERE len(tk) >= 2),
+        bg AS (
+          SELECT doc_id, lang, tk[i] AS w_prev, tk[i + 1] AS w_next FROM idx),
+        c2 AS (SELECT w_prev, w_next, COUNT(*) AS cnt2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w_prev, COUNT(*) AS cnt1 FROM bg GROUP BY 1),
+        perpos AS (
+          SELECT b.doc_id, b.lang,
+                 CAST(0.5 * (c2.cnt2::DOUBLE / c1.cnt1::DOUBLE) +
+                      0.5 * (u.cu::DOUBLE / t.n_tokens::DOUBLE)
+                   AS DECIMAL(18, 9)) AS p
+          FROM bg b JOIN c2 USING (w_prev, w_next) JOIN c1 USING (w_prev)
+               JOIN uni u ON u.w = b.w_next, tot t),
+        perdoc AS (
+          SELECT doc_id, lang, SUM(p) AS score_dec, COUNT(*) AS n_bigrams
+          FROM perpos GROUP BY 1, 2)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(score_dec) AS DOUBLE) AS sum_interp,
+               COUNT(CASE WHEN CAST(score_dec AS DOUBLE) / n_bigrams < 0.034
+                          THEN 1 END) AS n_atypical
+        FROM perdoc GROUP BY lang""")),
+
+    // Keyword relevance search ([[Search.bm25TopK]]): rational-idf BM25
+    // top-k per query, deterministic tie-break by doc_id.
+    QueryDef(
+      "text_bm25_topk",
+      (s, dir) => {
+        Search.bm25TopK(s, t(s, dir, "documents"), "doc_id", "text",
+          queries = Seq(
+            "q_join" -> Seq("join", "hash", "merge"),
+            "q_scan" -> Seq("scan", "filter"),
+            "q_rare" -> Seq("vector", "window", "stream")),
+          k = 5)
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+          FROM documents),
+        dls AS (SELECT doc_id, len(tk) AS dl FROM toks),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+          FROM dls),
+        q(query_id, term) AS (VALUES
+          ('q_join', 'join'), ('q_join', 'hash'), ('q_join', 'merge'),
+          ('q_scan', 'scan'), ('q_scan', 'filter'),
+          ('q_rare', 'vector'), ('q_rare', 'window'), ('q_rare', 'stream')),
+        tf AS (
+          SELECT t.doc_id, d.dl, u.term, COUNT(*) AS tf
+          FROM toks t JOIN dls d USING (doc_id), unnest(t.tk) AS u(term)
+          WHERE u.term IN (SELECT term FROM q)
+          GROUP BY t.doc_id, d.dl, u.term),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(((s.n_docs::DOUBLE - f.df::DOUBLE + 0.5) /
+                         (f.df::DOUBLE + 0.5)) *
+                      (tf.tf::DOUBLE * 2.25) /
+                      (tf.tf::DOUBLE + 1.25 * (1.0 - 0.75 + 0.75 *
+                        (tf.dl::DOUBLE /
+                          (s.total_tokens::DOUBLE / s.n_docs::DOUBLE))))
+                   AS DECIMAL(18, 9)) AS c
+          FROM tf JOIN dfreq f USING (term) JOIN q ON q.term = tf.term, stats s),
+        scored AS (
+          SELECT query_id, doc_id, SUM(c) AS score_dec
+          FROM contrib GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, doc_id, score_dec,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_dec DESC, doc_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+               CAST(score_dec AS DOUBLE) AS score
+        FROM ranked WHERE rank <= 5"""))
   )
 }
