@@ -138,10 +138,9 @@ object FeatureRemoval {
             "narrower type)", "Rewrite the table (e.g. CLONE) first")
         Nil
       case "clustering" =>
-        refuse(snapshot.domainMetadata.contains(DeltaTable.ClusteringDomain),
-          "the table still carries the delta.clustering domain",
-          "ALTER TABLE … CLUSTER BY NONE does not remove the domain; " +
-            "drop domainMetadata traces via a fresh CLONE")
+        refuse(DeltaTable.clusteringColumns(snapshot).nonEmpty,
+          "clustering columns are still declared",
+          "ALTER TABLE … CLUSTER BY NONE first")
         Nil
       case "domainMetadata" =>
         refuse(snapshot.domainMetadata.nonEmpty,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -22,19 +22,25 @@ import graft.functions.tokens
   * single IEEE op in a fixed evaluation order, and per-term scores cross
   * engines through DECIMAL(18, 9) — the repo's oracle-determinism rules.
   *
-  * Scale shape: the token explode filters to QUERY TERMS before any
-  * shuffle (work ∝ matching tokens, not corpus tokens); document length
-  * and corpus totals are one partial-aggregated pass; query terms and
-  * per-term df/idf are broadcast-sized. The top-k window partitions by
-  * query over only the docs containing at least one term. At index
-  * scale, the (term → doc, tf) frame is exactly the posting-list
-  * artifact a persisted inverted index would store — the same
-  * build/probe split as [[Dedup.buildMinhashIndex]] applies when queries
-  * outnumber corpus passes.
+  * Two entry points share one scoring plan ([[scoreAndRank]], so the
+  * floats are identical by construction):
+  *
+  *  - [[bm25TopK]] — ad-hoc over document text: the token explode
+  *    filters to QUERY TERMS before any shuffle (work ∝ matching tokens,
+  *    not corpus tokens); document length and corpus totals are one
+  *    partial-aggregated pass; per-term df/idf are broadcast-sized.
+  *  - [[buildPostingsIndex]] / [[bm25TopKIndexed]] — the 100 TB shape:
+  *    the inverted index `(term, doc_id, tf, dl)` plus per-batch stats
+  *    partials persist as Delta tables (term-sorted files, so the probe's
+  *    term filter prunes by per-file min/max stats); a probe reads ONLY
+  *    the artifact, never the corpus — the same build/probe split as
+  *    [[Dedup.buildMinhashIndex]]. [[appendToPostingsIndex]] adds a new
+  *    batch's postings in SetTransaction-idempotent commits without
+  *    touching indexed documents.
   */
 object Search {
 
-  /** Top-`k` documents per query by rational-idf BM25.
+  /** Top-`k` documents per query by rational-idf BM25 over raw text.
     *
     * @param queries (query_id, terms) — terms should be pre-lowercased
     * @return (query_id, rank, doc_id, score) — rank 1-based by
@@ -46,28 +52,98 @@ object Search {
                k: Int = 5, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty && k > 0)
-    val toks = docs
-      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
-      .select($"doc_id", $"tk", size($"tk").as("dl"))
-
-    // corpus statistics: one aggregation; N and avgdl broadcast as a
-    // 1-row frame (a literal would bake plan-compile-time values)
+    val toks = tokenized(docs, idCol, textCol)
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum($"dl".cast("long")).as("total_tokens"))
-
     val allTerms = queries.flatMap(_._2).distinct
-    val termFrame = queries
-      .flatMap { case (q, ts) => ts.map(tt => (q, tt)) }
-      .toDF("query_id", "term")
-
     // per-(doc, term) tf — the explode filters to query terms FIRST
     val tf = toks.select($"doc_id", $"dl", explode($"tk").as("term"))
       .filter($"term".isin(allTerms: _*))
       .groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).as("tf"))
+    scoreAndRank(spark, tf, stats, queries, k, k1, b)
+  }
 
+  /** Build the persisted inverted-index artifact: `<path>/postings` =
+    * (term, doc_id, tf, dl) in term-sorted files, `<path>/stats` =
+    * per-batch (n_docs, total_tokens) partials (summed at probe time —
+    * batch-count rows, never corpus-sized). */
+  def buildPostingsIndex(spark: SparkSession, docs: DataFrame, idCol: String,
+                         textCol: String, indexPath: String): Unit =
+    writePostings(spark, docs, idCol, textCol, indexPath,
+      SaveMode.Overwrite, idempotentTxn = None)
+
+  /** Append a NEW batch's postings to an existing artifact — indexed
+    * documents are never re-read or re-tokenized; doc_ids must be new
+    * (the same contract as [[Dedup.incrementalMinhashLshPersisted]]). */
+  def appendToPostingsIndex(spark: SparkSession, batch: DataFrame,
+                            idCol: String, textCol: String, indexPath: String,
+                            idempotentTxn: Option[(String, Long)] = None): Unit =
+    writePostings(spark, batch, idCol, textCol, indexPath,
+      SaveMode.Append, idempotentTxn)
+
+  private def writePostings(spark: SparkSession, docs: DataFrame,
+                            idCol: String, textCol: String, indexPath: String,
+                            mode: SaveMode,
+                            idempotentTxn: Option[(String, Long)]): Unit = {
+    import spark.implicits._
+    val toks = tokenized(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = toks
+        .select($"doc_id", $"dl", explode($"tk").as("term"))
+        .groupBy($"doc_id", $"dl", $"term")
+        .agg(count(lit(1)).as("tf"))
+        // term-local files: the probe's term filter then skips whole
+        // files on parquet/AddFile min-max stats
+        .repartition(col("term")).sortWithinPartitions("term")
+      graft.delta.DeltaTable.write(postings, s"$indexPath/postings", mode,
+        idempotentTxn = idempotentTxn)
+      val stats = toks.agg(count(lit(1)).as("n_docs"),
+        sum($"dl".cast("long")).as("total_tokens"))
+      graft.delta.DeltaTable.write(stats, s"$indexPath/stats", mode,
+        idempotentTxn = idempotentTxn.map { case (app, v) => (s"$app-stats", v) })
+    } finally toks.unpersist(blocking = false)
+  }
+
+  /** Top-`k` per query served from the PERSISTED artifact — reads only
+    * `<path>/postings` (term-filtered) and the stats partials. Produces
+    * bit-identical results to [[bm25TopK]] over the same corpus (shared
+    * scoring plan). */
+  def bm25TopKIndexed(spark: SparkSession, indexPath: String,
+                      queries: Seq[(String, Seq[String])],
+                      k: Int = 5, k1: Double = 1.25,
+                      b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && k > 0)
+    val allTerms = queries.flatMap(_._2).distinct
+    val tf = graft.delta.DeltaTable.forPath(spark, s"$indexPath/postings")
+      .toDF.filter($"term".isin(allTerms: _*))
+      .select($"doc_id", $"dl", $"term", $"tf")
+    val stats = graft.delta.DeltaTable.forPath(spark, s"$indexPath/stats")
+      .toDF.agg(sum($"n_docs").as("n_docs"),
+        sum($"total_tokens").as("total_tokens"))
+    scoreAndRank(spark, tf, stats, queries, k, k1, b)
+  }
+
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+
+  /** The one scoring + ranking plan both faces share: `tf` is
+    * (doc_id, dl, term, tf) restricted to query terms; `stats` one row
+    * (n_docs, total_tokens). */
+  private def scoreAndRank(spark: SparkSession, tf: DataFrame,
+                           stats: DataFrame,
+                           queries: Seq[(String, Seq[String])], k: Int,
+                           k1: Double, b: Double): DataFrame = {
+    import spark.implicits._
+    val termFrame = queries
+      .flatMap { case (q, ts) => ts.map(tt => (q, tt)) }
+      .toDF("query_id", "term")
     val df = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
-
     val perTerm = tf
       .join(broadcast(df), Seq("term"))
       .join(broadcast(termFrame), Seq("term"))
@@ -85,7 +161,6 @@ object Search {
       .withColumn("contrib",
         ($"idf_r" * ($"tf".cast("double") * lit(k1 + 1.0)) / $"denom")
           .cast(DecimalType(18, 9)))
-
     val scored = perTerm.groupBy($"query_id", $"doc_id")
       .agg(sum($"contrib").as("score_dec"))
     val w = Window.partitionBy($"query_id")

@@ -2694,13 +2694,33 @@ object PipelineQueries {
       "text_bm25_topk",
       (s, dir) => {
         Search.bm25TopK(s, t(s, dir, "documents"), "doc_id", "text",
-          queries = Seq(
-            "q_join" -> Seq("join", "hash", "merge"),
-            "q_scan" -> Seq("scan", "filter"),
-            "q_rare" -> Seq("vector", "window", "stream")),
-          k = 5)
+          queries = bm25Queries, k = 5)
       },
-      Some(raw"""
+      Some(bm25OracleSql)),
+
+    // The same ranking served from the PERSISTED inverted-index artifact
+    // ([[Search.buildPostingsIndex]] + [[Search.bm25TopKIndexed]]): the
+    // oracle replays the ad-hoc computation, so a hash match proves the
+    // build/probe split loses nothing — the artifact IS the corpus as
+    // far as scoring is concerned.
+    QueryDef(
+      "text_bm25_indexed",
+      (s, dir) => {
+        val path = Tables.tmpDir("bm25_index")
+        Search.buildPostingsIndex(s, t(s, dir, "documents"),
+          "doc_id", "text", path)
+        Search.bm25TopKIndexed(s, path, bm25Queries, k = 5)
+      },
+      Some(bm25OracleSql))
+  )
+
+  // lazy: referenced by `defs` above, which initializes first
+  private lazy val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_join" -> Seq("join", "hash", "merge"),
+    "q_scan" -> Seq("scan", "filter"),
+    "q_rare" -> Seq("vector", "window", "stream"))
+
+  private lazy val bm25OracleSql: String = raw"""
         WITH toks AS (
           SELECT doc_id,
                  CASE WHEN length(trim(text)) = 0 THEN []
@@ -2740,6 +2760,5 @@ object PipelineQueries {
           FROM scored)
         SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
                CAST(score_dec AS DOUBLE) AS score
-        FROM ranked WHERE rank <= 5"""))
-  )
+        FROM ranked WHERE rank <= 5"""
 }

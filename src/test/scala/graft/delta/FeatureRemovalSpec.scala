@@ -135,6 +135,21 @@ class FeatureRemovalSpec extends SparkSpec {
     }
   }
 
+  test("clustering drops after CLUSTER BY NONE, refuses while declared") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 20).map(i => (i.toLong, i % 3)).toDF("id", "grp"),
+        dir)
+      val t = DeltaTable.forPath(spark, dir)
+      t.setClusteringColumns(Seq("grp"))
+      val e = intercept[IllegalArgumentException](t.dropFeature("clustering"))
+      assert(e.getMessage.contains("CLUSTER BY NONE"), e.getMessage)
+      t.setClusteringColumns(Nil)
+      t.dropFeature("clustering")
+      assert(!DeltaLog.forTable(spark, dir).update().protocol
+        .writerFeatures.exists(_.contains("clustering")))
+    }
+  }
+
   test("SQL: ALTER TABLE DROP FEATURE [TRUNCATE HISTORY]") {
     withTempDir { dir =>
       DeltaTable.write((0L until 30L).toDF("id").coalesce(1), dir,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -72,5 +73,65 @@ class SearchAndLineDedupSpec extends SparkSpec {
     val none = Search.bm25TopK(spark, docs, "id", "text",
       Seq("q" -> Seq("zzz")), k = 3).collect()
     assert(none.isEmpty)
+  }
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.inputPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(go)
+      }
+    go(df.queryExecution.executedPlan)
+  }
+
+  test("indexed probe equals ad-hoc scoring, scans only the artifact, " +
+      "and appends idempotently") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpusDir = s"$dir/corpus_text"
+      val idxPath = s"$dir/bm25_index"
+      val docs = (1L to 40L)
+        .map(i => (i, s"common w$i x${i % 7} scan ${if (i % 5 == 0) "rare" else "filler"}"))
+        .toDF("doc_id", "text")
+      docs.write.parquet(corpusDir)
+      val corpus = spark.read.parquet(corpusDir)
+
+      Search.buildPostingsIndex(spark, corpus, "doc_id", "text", idxPath)
+      val qs = Seq("q1" -> Seq("rare", "scan"), "q2" -> Seq("common"))
+      val adhoc = Search.bm25TopK(spark, corpus, "doc_id", "text", qs, k = 7)
+      val indexed = Search.bm25TopKIndexed(spark, idxPath, qs, k = 7)
+      assert(indexed.collect().toSet == adhoc.collect().toSet,
+        "artifact-served ranking must equal the ad-hoc computation")
+
+      // 100 TB property: the probe reads the artifact, never the corpus
+      val scans = fileScans(indexed)
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.relation.location.rootPaths.mkString(",")
+          .contains("bm25_index")),
+        s"probe must scan only the index: ${scans.map(_.relation.location.rootPaths.mkString(","))}")
+      // and the term filter is pushed into the postings scan
+      val postingsScan = scans.find(
+        _.relation.location.rootPaths.mkString(",").contains("postings")).get
+      assert(postingsScan.metadata("PushedFilters").contains("In(term"),
+        postingsScan.metadata("PushedFilters"))
+
+      // idempotent append: a replayed batch commit is a no-op
+      val batch = Seq((100L, "rare rare scan brand new document")).toDF("doc_id", "text")
+      Search.appendToPostingsIndex(spark, batch, "doc_id", "text", idxPath,
+        idempotentTxn = Some(("bm25-ingest", 1L)))
+      val after1 = Search.bm25TopKIndexed(spark, idxPath,
+        Seq("q" -> Seq("rare")), k = 1).collect().head
+      assert(after1.getAs[Long]("doc_id") == 100L,
+        "the appended doc's double-rare tf must now lead")
+      Search.appendToPostingsIndex(spark, batch, "doc_id", "text", idxPath,
+        idempotentTxn = Some(("bm25-ingest", 1L))) // replay
+      val nPostings = graft.delta.DeltaTable
+        .forPath(spark, s"$idxPath/postings").toDF
+        .filter($"doc_id" === 100L).count()
+      assert(nPostings == 5L, // 5 distinct terms in the batch doc
+        s"replayed append must not duplicate postings, got $nPostings")
+    }
   }
 }
