@@ -833,8 +833,30 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             target.metadata.columnMapping, target.metadata.fieldIdMapping))
           .getOrElse(Nil)
       } else Nil
+    // protocol self-consistency: restoring PAST a DROP FEATURE brings
+    // back traces (shaded files, NTZ columns, feature properties) the
+    // downgraded protocol no longer declares — re-upgrade in the SAME
+    // commit (upgrades are always legal; the downgrade was the guarded
+    // case). Metadata-driven writer features (CDF, rowTracking, ICT,
+    // constraints) re-declare through commit()'s own auto-upgrades; the
+    // reader-side features obliged by restored FILES/SCHEMA are handled
+    // here.
+    val protoActions: Seq[Action] = {
+      val p = current.protocol
+      def lacks(f: String) = !(p.minReaderVersion == 3 &&
+        p.readerFeatures.exists(_.contains(f)))
+      val needed = Seq(
+        "deletionVectors" -> (toAdd.exists(_.deletionVector.isDefined) ||
+          DeltaConfigs.ENABLE_DELETION_VECTORS.fromMetadata(target.metadata)),
+        "timestampNtz" ->
+          TableFeatures.containsTimestampNtz(target.metadata.schema)
+      ).collect { case (f, true) if lacks(f) => f }
+      if (needed.isEmpty) Nil
+      else Seq(TableFeatures.upgradedWith(p, needed, needed))
+    }
     txn.commit(
-      cdc ++ toAdd.map(_.copy(dataChange = true, modificationTime = now)) ++
+      protoActions ++ cdc ++
+        toAdd.map(_.copy(dataChange = true, modificationTime = now)) ++
         toRemove.map(_.remove(now)),
       DeltaOperations.Restore,
       operationMetrics = Map(

@@ -167,17 +167,7 @@ object FeatureRemoval {
           "This engine does not implement the rewrite")
         Nil
       case "timestampNtz" =>
-        def hasNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
-          import org.apache.spark.sql.types._
-          dt match {
-            case _: TimestampNTZType => true
-            case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
-            case a: ArrayType => hasNtz(a.elementType)
-            case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
-            case _ => false
-          }
-        }
-        refuse(hasNtz(meta.schema),
+        refuse(TableFeatures.containsTimestampNtz(meta.schema),
           "the schema still contains TIMESTAMP_NTZ columns",
           "Drop those columns first")
         Nil

@@ -243,6 +243,20 @@ object TableFeatures {
     schema.fields.exists(
       _.metadata.contains(graft.delta.write.ColumnDefaults.MetadataKey))
 
+  /** Whether a schema carries TIMESTAMP_NTZ anywhere — the condition
+    * that obliges the timestampNtz reader+writer feature. */
+  def containsTimestampNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => containsTimestampNtz(f.dataType))
+      case a: ArrayType => containsTimestampNtz(a.elementType)
+      case m: MapType =>
+        containsTimestampNtz(m.keyType) || containsTimestampNtz(m.valueType)
+      case _ => false
+    }
+  }
+
   /** Whether a schema carries a VARIANT column anywhere (the condition
     * that obliges the variantType feature on the table's protocol —
     * Spark's reader/writer handle the parquet representation natively,

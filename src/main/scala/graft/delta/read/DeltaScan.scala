@@ -28,6 +28,14 @@ class DeltaScan(snapshot: Snapshot, filter: Option[Expression]) {
   def pushedPredicate: Option[Expression] = pushedPredicates.reduceOption(And)
   def residualPredicate: Option[Expression] = residualPredicates.reduceOption(And)
 
+  /** Partition conjuncts IMPLIED by residual predicates on generated-
+    * column sources ([[GeneratedPartitionFilters]]) — they prune the file
+    * list like pushed predicates but are NOT part of the pushed/residual
+    * contract (the caller still re-applies the full residual). */
+  private val derivedPredicates: Seq[Expression] =
+    GeneratedPartitionFilters.derive(snapshot.metadata, residualPredicates,
+      snapshot.deltaLog.spark)
+
   /** The active files surviving partition pruning. In distributed-state
     * mode the pruning runs as a Spark job and only survivors are
     * collected (never the full file list). */
@@ -36,11 +44,13 @@ class DeltaScan(snapshot: Snapshot, filter: Option[Expression]) {
       // dataFilters = Nil: getFiles' contract is partition pruning only
       // (the caller re-applies the residual), same as the driver path
       FilePruning.prune(snapshot.allFilesDistributed,
-        snapshot.metadata.partitionSchema, pushedPredicates,
+        snapshot.metadata.partitionSchema,
+        pushedPredicates ++ derivedPredicates,
         Nil, snapshot.metadata.dataSchema).collect().toSeq
     } else {
       PartitionUtils.filterFileList(
-        snapshot.metadata.partitionSchema, snapshot.allFiles, pushedPredicates)
+        snapshot.metadata.partitionSchema, snapshot.allFiles,
+        pushedPredicates ++ derivedPredicates)
     }
 }
 

@@ -410,25 +410,32 @@ class OptimisticTransaction(
     // Variant columns (PROTOCOL.md "Variant Data Type"): a schema carrying
     // VARIANT obliges the variantType feature on BOTH protocol sides —
     // Spark's parquet reader/writer handle the physical representation
-    // natively, so the feature is a declaration foreign engines key on
-    if (TableFeatures.containsVariant(metadata.schema)) {
+    // natively, so the feature is a declaration foreign engines key on.
+    // TIMESTAMP_NTZ is the same shape (PROTOCOL.md "Timestamp without
+    // timezone"): reader+writer feature obliged by the schema alone.
+    def withReaderWriterFeature(feature: String, aliases: Set[String]): Unit = {
       val current = finalActions.collectFirst { case p: Protocol => p }
         .orElse(if (readVersion >= 0) Some(snapshot.protocol) else None)
         .getOrElse(Protocol())
       val hasFeature = current.minReaderVersion == 3 &&
         current.minWriterVersion == 7 &&
-        current.readerFeatures.exists(fs => fs.contains("variantType") ||
-          fs.contains("variantType-preview")) &&
-        current.writerFeatures.exists(fs => fs.contains("variantType") ||
-          fs.contains("variantType-preview"))
+        current.readerFeatures.exists(_.exists(aliases)) &&
+        current.writerFeatures.exists(_.exists(aliases))
       if (!hasFeature) {
         val upgraded = TableFeatures.upgradedWith(
-          current, Seq("variantType"), Seq("variantType"))
+          current, Seq(feature), Seq(feature))
         finalActions =
           if (finalActions.exists(_.isInstanceOf[Protocol]))
             finalActions.map { case _: Protocol => upgraded; case a => a }
           else upgraded +: finalActions
       }
+    }
+    if (TableFeatures.containsVariant(metadata.schema)) {
+      withReaderWriterFeature("variantType",
+        Set("variantType", "variantType-preview"))
+    }
+    if (TableFeatures.containsTimestampNtz(metadata.schema)) {
+      withReaderWriterFeature("timestampNtz", Set("timestampNtz"))
     }
 
     // Features-form conformance: a writer-7 protocol must LIST every

@@ -150,6 +150,29 @@ class FeatureRemovalSpec extends SparkSpec {
     }
   }
 
+  test("RESTORE past a drop re-declares the features its state resurrects") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 40L).toDF("id").coalesce(1), dir,
+        configuration = dvConf)
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"id" < 4L) // v1: shades
+      val shadedVersion = DeltaLog.forTable(spark, dir).update().version
+      t.compact()
+      t.dropFeature("deletionVectors")
+      assert(!DeltaLog.forTable(spark, dir).update().protocol
+        .readerFeatures.exists(_.contains("deletionVectors")))
+
+      t.restore(shadedVersion) // brings shaded files AND the property back
+      val snap = DeltaLog.forTable(spark, dir).update()
+      assert(snap.allFiles.exists(_.deletionVector.isDefined),
+        "restore must bring the shaded files back")
+      assert(snap.protocol.readerFeatures.exists(_.contains("deletionVectors")),
+        "a protocol not declaring deletionVectors while files carry them " +
+          "would break foreign readers")
+      assert(t.toDF.count() == 36) // shades still apply
+    }
+  }
+
   test("SQL: ALTER TABLE DROP FEATURE [TRUNCATE HISTORY]") {
     withTempDir { dir =>
       DeltaTable.write((0L until 30L).toDF("id").coalesce(1), dir,

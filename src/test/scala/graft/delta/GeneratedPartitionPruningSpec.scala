@@ -103,6 +103,17 @@ class GeneratedPartitionPruningSpec extends SparkSpec {
     }
   }
 
+  test("the scan API's getFiles prunes on derived filters too") {
+    withTempDir { dir =>
+      mkTable(dir, "CAST(ts AS DATE)", DateType)
+      val table = DeltaTable.forPath(spark, dir)
+      val all = table.scan(lit(true)).getFiles.size
+      val pruned = table.scan($"ts" >= lit(ts("2026-01-05 00:00:00"))).getFiles
+      assert(pruned.size == all / 3, s"expected 2 of 6 days, got ${pruned.size}")
+      assert(pruned.forall(_.partitionValues("day") >= "2026-01-05"))
+    }
+  }
+
   test("DELETE on the generation source leaves other partitions' files in place") {
     withTempDir { dir =>
       mkTable(dir, "CAST(ts AS DATE)", DateType)
