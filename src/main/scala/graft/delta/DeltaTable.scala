@@ -1148,6 +1148,48 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def dropFeature(name: String, truncateHistory: Boolean = false): Long =
     FeatureRemoval.drop(spark, deltaLog, name, truncateHistory)
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` for path tables. Properties that
+    * oblige READER features declare them in the same commit (delta-spark
+    * does the same on enablement) — the metadata-driven WRITER features
+    * auto-declare inside commit(). */
+  def setProperties(props: Map[String, String]): Long = {
+    val txn = deltaLog.startTransaction()
+    val m = txn.snapshot.metadata
+    txn.updateMetadata(m.copy(configuration = m.configuration ++ props))
+    val p = txn.snapshot.protocol
+    def lacks(f: String) = !(p.minReaderVersion == 3 &&
+      p.readerFeatures.exists(_.contains(f)))
+    val readerObliged = Seq(
+      "deletionVectors" ->
+        props.get(DeltaConfigs.ENABLE_DELETION_VECTORS.key).contains("true"),
+      "v2Checkpoint" ->
+        props.get(DeltaConfigs.CHECKPOINT_POLICY.key).contains("v2")
+    ).collect { case (f, true) if lacks(f) => f }
+    // legacy protocols bump to the version the new properties oblige
+    // (delta-spark's auto-upgrade); writer-7 tables instead LIST the
+    // obliged feature via commit()'s conformance pass
+    val requiredWriter = TableFeatures.requiredLegacyWriter(txn.metadata)
+    val protoActions: Seq[Action] =
+      if (readerObliged.nonEmpty)
+        Seq(TableFeatures.upgradedWith(p, readerObliged, readerObliged))
+      else if (p.minWriterVersion < 7 && p.minWriterVersion < requiredWriter)
+        Seq(Protocol(p.minReaderVersion, requiredWriter))
+      else Nil
+    txn.commit(protoActions, "SET TBLPROPERTIES",
+      operationParameters = Map("properties" -> props))
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` for path tables. The protocol
+    * keeps its features — removal goes through [[dropFeature]], which
+    * validates traces; unsetting the property is its prerequisite. */
+  def unsetProperties(keys: Seq[String]): Long = {
+    val txn = deltaLog.startTransaction()
+    val m = txn.snapshot.metadata
+    txn.updateMetadata(m.copy(configuration = m.configuration -- keys))
+    txn.commit(Nil, "UNSET TBLPROPERTIES",
+      operationParameters = Map("properties" -> keys))
+  }
+
   /** Declare a DEFAULT for an existing column (`ALTER TABLE ... ALTER
     * COLUMN ... SET DEFAULT expr`): stores the SQL expression as the
     * column's CURRENT_DEFAULT field metadata; the allowColumnDefaults

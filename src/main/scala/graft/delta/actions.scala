@@ -273,6 +273,25 @@ object TableFeatures {
     }
   }
 
+  /** The minimum LEGACY writer version a table's metadata obliges — the
+    * protocol bump an enabling `SET TBLPROPERTIES` must carry (the spec's
+    * property→version table; delta-spark auto-upgrades the same way). */
+  def requiredLegacyWriter(metadata: Metadata): Int = {
+    val cfg = metadata.configuration
+    def on(key: String) = cfg.get(key).contains("true")
+    Seq(
+      2,
+      if (on("delta.appendOnly")) 2 else 0,
+      if (cfg.keys.exists(_.startsWith("delta.constraints."))) 3 else 0,
+      if (on("delta.enableChangeDataFeed")) 4 else 0,
+      if (metadata.schema.fields.exists(
+          _.metadata.contains("delta.generationExpression"))) 4 else 0,
+      if (cfg.get("delta.columnMapping.mode").exists(_ != "none")) 5 else 0,
+      if (metadata.schema.fields.exists(
+          _.metadata.contains("delta.identity.start"))) 6 else 0
+    ).max
+  }
+
   /** The features a LEGACY protocol version implies when upgrading to the
     * table-features form (3, 7) — the spec's version→feature mapping, so
     * an upgraded table keeps every capability its old version granted. */

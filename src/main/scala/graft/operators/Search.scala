@@ -97,11 +97,16 @@ object Search {
         // term-local files: the probe's term filter then skips whole
         // files on parquet/AddFile min-max stats
         .repartition(col("term")).sortWithinPartitions("term")
+      // a growing artifact needs a compaction story: per-batch appends
+      // accrete small files, so the table self-compacts (same pattern as
+      // the LSH index artifact)
+      val cfg = Map("delta.autoOptimize.autoCompact" -> "true")
       graft.delta.DeltaTable.write(postings, s"$indexPath/postings", mode,
-        idempotentTxn = idempotentTxn)
+        configuration = cfg, idempotentTxn = idempotentTxn)
       val stats = toks.agg(count(lit(1)).as("n_docs"),
         sum($"dl".cast("long")).as("total_tokens"))
       graft.delta.DeltaTable.write(stats, s"$indexPath/stats", mode,
+        configuration = cfg,
         idempotentTxn = idempotentTxn.map { case (app, v) => (s"$app-stats", v) })
     } finally toks.unpersist(blocking = false)
   }

@@ -67,6 +67,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropFeatureRe(target, name, truncate) =>
       Some(GraftDropFeatureCommand(parseTarget(target), name,
         truncate != null))
+    case SetPropsRe(target, pairs) =>
+      GraftSqlParser.parsePropPairs(pairs).map(props =>
+        GraftSetPropertiesCommand(parseTarget(target), props))
+    case UnsetPropsRe(target, keys) =>
+      GraftSqlParser.parsePropKeys(keys).map(ks =>
+        GraftUnsetPropertiesCommand(parseTarget(target), ks))
     case _ => None
   }
 
@@ -130,6 +136,40 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val DropFeatureRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+FEATURE\s+([\w-]+)(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*""".r
+  // PATH targets only — identifier targets delegate to the catalog's
+  // native ALTER TABLE handling
+  private val SetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']*'|"[^"]*")\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val UnsetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']*'|"[^"]*")\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*""".r
+  private val PropPairRe =
+    """\s*(?:'([^']+)'|"([^"]+)"|([\w.\-]+))\s*=\s*(?:'([^']*)'|"([^"]*)"|([^,\s]+))\s*""".r
+  private val PropKeyRe =
+    """\s*(?:'([^']+)'|"([^"]+)"|([\w.\-]+))\s*""".r
+
+  /** `'k'='v', k2 = "v2", …` → ordered map; None when nothing parses
+    * (the statement then falls through to the delegate's own error). */
+  private[sql] def parsePropPairs(s: String): Option[Map[String, String]] = {
+    val pairs = PropPairRe.findAllMatchIn(s).map { m =>
+      val k = Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get
+      val v = Seq(m.group(4), m.group(5), m.group(6)).find(_ != null).get
+      k -> v
+    }.toSeq
+    // every `=` must belong to a parsed pair — a half-parsed property
+    // list must not silently drop entries
+    if (pairs.nonEmpty && pairs.size == s.count(_ == '='))
+      Some(pairs.toMap)
+    else None
+  }
+
+  private[sql] def parsePropKeys(s: String): Option[Seq[String]] = {
+    val keys = s.split(",").toSeq.map(_.trim).map {
+      case PropKeyRe(q1, q2, bare) => Seq(q1, q2, bare).find(_ != null)
+      case _ => None
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.map(_.get))
+    else None
+  }
 
   private def cleanIdent(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
@@ -357,6 +397,37 @@ case class GraftDropFeatureCommand(
     val path = GraftSqlParser.resolvePath(session, target)
     graft.delta.DeltaTable.forPath(session, path)
       .dropFeature(name, truncateHistory)
+    Nil
+  }
+}
+
+/** `ALTER TABLE '<path>' SET TBLPROPERTIES (…)` →
+  * [[graft.delta.DeltaTable.setProperties]] (path targets only —
+  * identifier targets take the catalog's native route). */
+case class GraftSetPropertiesCommand(
+    target: Either[String, Seq[String]],
+    props: Map[String, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    graft.delta.DeltaTable.forPath(session, path).setProperties(props)
+    Nil
+  }
+}
+
+/** `ALTER TABLE '<path>' UNSET TBLPROPERTIES (…)` →
+  * [[graft.delta.DeltaTable.unsetProperties]]. */
+case class GraftUnsetPropertiesCommand(
+    target: Either[String, Seq[String]],
+    keys: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    graft.delta.DeltaTable.forPath(session, path).unsetProperties(keys)
     Nil
   }
 }

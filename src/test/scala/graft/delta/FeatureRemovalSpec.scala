@@ -150,6 +150,54 @@ class FeatureRemovalSpec extends SparkSpec {
     }
   }
 
+  test("property DDL on path tables: the unset-then-drop remedy works " +
+      "end to end") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 8).toDF("v"), dir, configuration = dvConf)
+      val t0 = DeltaTable.forPath(spark, dir)
+      t0.delete($"v" === 1) // shading commit upgrades to (3,7)
+      spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+        "('delta.enableChangeDataFeed'='true')")
+      val snap = DeltaLog.forTable(spark, dir).update()
+      assert(DeltaConfigs.ENABLE_CHANGE_DATA_FEED.fromMetadata(snap.metadata))
+      // writer-7 conformance listed the feature with the enabling commit
+      assert(snap.protocol.writerFeatures.exists(_.contains("changeDataFeed")))
+      val t = DeltaTable.forPath(spark, dir)
+      val e = intercept[IllegalArgumentException](t.dropFeature("changeDataFeed"))
+      assert(e.getMessage.contains("Unset"), e.getMessage)
+      spark.sql(s"ALTER TABLE '$dir' UNSET TBLPROPERTIES " +
+        "('delta.enableChangeDataFeed')")
+      t.dropFeature("changeDataFeed")
+      assert(!DeltaLog.forTable(spark, dir).update().protocol
+        .writerFeatures.exists(_.contains("changeDataFeed")))
+    }
+  }
+
+  test("SET TBLPROPERTIES on a legacy table bumps the writer version " +
+      "its properties oblige") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 8).toDF("v"), dir)
+      assert(DeltaLog.forTable(spark, dir).update()
+        .protocol.minWriterVersion == 2)
+      spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+        "('delta.enableChangeDataFeed'='true')")
+      val p = DeltaLog.forTable(spark, dir).update().protocol
+      assert(p.minWriterVersion == 4, p.toString) // CDF needs writer 4
+    }
+  }
+
+  test("SET TBLPROPERTIES enabling deletionVectors declares the reader " +
+      "feature with the enabling commit") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 8).toDF("v"), dir)
+      spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+        "('delta.enableDeletionVectors'='true')")
+      val p = DeltaLog.forTable(spark, dir).update().protocol
+      assert(p.minReaderVersion == 3 &&
+        p.readerFeatures.exists(_.contains("deletionVectors")), p.toString)
+    }
+  }
+
   test("RESTORE past a drop re-declares the features its state resurrects") {
     withTempDir { dir =>
       DeltaTable.write((0L until 40L).toDF("id").coalesce(1), dir,

@@ -92,6 +92,17 @@ class GeneratedPartitionPruningSpec extends SparkSpec {
     }
   }
 
+  test("date_trunc generation (timestamp-typed partition) prunes") {
+    withTempDir { dir =>
+      mkTable(dir, "date_trunc('DAY', ts)", TimestampType)
+      val table = DeltaTable.forPath(spark, dir)
+      val all = selectedFiles(table.toDF)
+      val q = table.toDF.filter($"ts" >= lit(ts("2026-01-05 00:00:00")))
+      assert(q.count() == 6)
+      assert(selectedFiles(q) == all / 3, "days 5 and 6 only")
+    }
+  }
+
   test("non-monotonic or unparseable generations derive nothing (sound)") {
     withTempDir { dir =>
       mkTable(dir, "month(ts)", IntegerType)

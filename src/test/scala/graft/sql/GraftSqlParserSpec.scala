@@ -69,6 +69,22 @@ class GraftSqlParserSpec extends SparkSpec {
       GraftVacuumCommand(Right(Seq("my db", "t")), None, true))
   }
 
+  test("DROP FEATURE and TBLPROPERTIES forms") {
+    assert(parse("ALTER TABLE '/p/t' DROP FEATURE deletionVectors") ==
+      GraftDropFeatureCommand(Left("/p/t"), "deletionVectors", false))
+    assert(parse("ALTER TABLE '/p/t' DROP FEATURE typeWidening-preview " +
+        "TRUNCATE HISTORY") ==
+      GraftDropFeatureCommand(Left("/p/t"), "typeWidening-preview", true))
+    assert(parse("ALTER TABLE '/p/t' SET TBLPROPERTIES " +
+        "('delta.appendOnly'='true', delta.checkpointInterval = 5)") ==
+      GraftSetPropertiesCommand(Left("/p/t"), Map(
+        "delta.appendOnly" -> "true", "delta.checkpointInterval" -> "5")))
+    assert(parse("ALTER TABLE '/p/t' UNSET TBLPROPERTIES " +
+        "('delta.appendOnly', delta.enableChangeDataFeed)") ==
+      GraftUnsetPropertiesCommand(Left("/p/t"),
+        Seq("delta.appendOnly", "delta.enableChangeDataFeed")))
+  }
+
   test("near-misses fall through to Spark's parser") {
     // plain CREATE TABLE is NOT intercepted
     assert(!parse("CREATE TABLE t (id INT) USING parquet")
