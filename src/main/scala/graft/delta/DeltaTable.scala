@@ -849,7 +849,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "deletionVectors" -> (toAdd.exists(_.deletionVector.isDefined) ||
           DeltaConfigs.ENABLE_DELETION_VECTORS.fromMetadata(target.metadata)),
         "timestampNtz" ->
-          TableFeatures.containsTimestampNtz(target.metadata.schema)
+          TableFeatures.containsTimestampNtz(target.metadata.schema),
+        "typeWidening" -> target.metadata.schema.fields.exists(
+          _.metadata.contains(TypeWidening.TypeChangesKey)),
+        "v2Checkpoint" ->
+          (DeltaConfigs.CHECKPOINT_POLICY.fromMetadata(target.metadata) == "v2")
       ).collect { case (f, true) if lacks(f) => f }
       if (needed.isEmpty) Nil
       else Seq(TableFeatures.upgradedWith(p, needed, needed))
@@ -1159,21 +1163,33 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val p = txn.snapshot.protocol
     def lacks(f: String) = !(p.minReaderVersion == 3 &&
       p.readerFeatures.exists(_.contains(f)))
+    val mappingEnabled =
+      props.get(ColumnMapping.DeltaModeKey).exists(_ != "none")
     val readerObliged = Seq(
       "deletionVectors" ->
         props.get(DeltaConfigs.ENABLE_DELETION_VECTORS.key).contains("true"),
       "v2Checkpoint" ->
-        props.get(DeltaConfigs.CHECKPOINT_POLICY.key).contains("v2")
+        props.get(DeltaConfigs.CHECKPOINT_POLICY.key).contains("v2"),
+      // on a features-form protocol column mapping must be LISTED;
+      // legacy protocols take the (2, 5) route below
+      "columnMapping" -> (mappingEnabled && p.minWriterVersion == 7)
     ).collect { case (f, true) if lacks(f) => f }
     // legacy protocols bump to the version the new properties oblige
     // (delta-spark's auto-upgrade); writer-7 tables instead LIST the
-    // obliged feature via commit()'s conformance pass
+    // obliged feature via commit()'s conformance pass. Column mapping
+    // also raises the READER side (physical-name resolution): (2, 5) is
+    // the legacy spelling.
     val requiredWriter = TableFeatures.requiredLegacyWriter(txn.metadata)
+    val requiredReader =
+      if (mappingEnabled) 2 else p.minReaderVersion
     val protoActions: Seq[Action] =
       if (readerObliged.nonEmpty)
         Seq(TableFeatures.upgradedWith(p, readerObliged, readerObliged))
-      else if (p.minWriterVersion < 7 && p.minWriterVersion < requiredWriter)
-        Seq(Protocol(p.minReaderVersion, requiredWriter))
+      else if (p.minWriterVersion < 7 &&
+          (p.minWriterVersion < requiredWriter ||
+            p.minReaderVersion < requiredReader))
+        Seq(Protocol(math.max(p.minReaderVersion, requiredReader),
+          math.max(p.minWriterVersion, requiredWriter)))
       else Nil
     txn.commit(protoActions, "SET TBLPROPERTIES",
       operationParameters = Map("properties" -> props))
@@ -1181,8 +1197,22 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
   /** `ALTER TABLE … UNSET TBLPROPERTIES` for path tables. The protocol
     * keeps its features — removal goes through [[dropFeature]], which
-    * validates traces; unsetting the property is its prerequisite. */
+    * validates traces; unsetting the property is its prerequisite.
+    * Protocol-CRITICAL keys refuse by name: stripping them would break
+    * invariants other machinery depends on (physical-name resolution;
+    * the protected-prefix cleanup contract). */
   def unsetProperties(keys: Seq[String]): Long = {
+    keys.foreach {
+      case k @ ColumnMapping.DeltaModeKey =>
+        throw new IllegalArgumentException(s"Cannot unset $k: files already " +
+          "written under column mapping resolve by physical name/id — " +
+          "removing the mode breaks every existing file's resolution")
+      case k if k == DeltaConfigs.REQUIRE_CHECKPOINT_PROTECTION.key =>
+        throw new IllegalArgumentException(s"Cannot unset $k: the protected " +
+          "log prefix would become partially cleanable. Use ALTER TABLE … " +
+          "DROP FEATURE checkpointProtection TRUNCATE HISTORY")
+      case _ =>
+    }
     val txn = deltaLog.startTransaction()
     val m = txn.snapshot.metadata
     txn.updateMetadata(m.copy(configuration = m.configuration -- keys))

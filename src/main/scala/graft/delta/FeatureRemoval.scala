@@ -49,7 +49,18 @@ object FeatureRemoval {
         "legacy-implied features cannot be dropped"
     else s"Table does not declare feature $name")
 
-    val removeProps = validateNoTraces(snapshot, name, truncateHistory)
+    // the trace validation is a function of the WHOLE read snapshot — a
+    // concurrent commit could add fresh traces (a DELETE shading files
+    // with DVs under the still-declared feature) between validation and
+    // the downgrade. Register a whole-table read so any concurrent file
+    // change aborts this drop loudly instead of committing a protocol
+    // that no longer declares what the state carries. This also pins the
+    // commit version: with the table read registered, a successful
+    // commit lands at exactly readVersion + 1 (any racing file action
+    // conflicts), so the recorded protection boundary is never stale.
+    txn.readWholeTable()
+    val (removeProps, extraActions) =
+      validateNoTraces(snapshot, name, truncateHistory)
 
     val boundary = txn.readVersion + 1
     val meta = snapshot.metadata
@@ -61,7 +72,7 @@ object FeatureRemoval {
     txn.updateMetadata(meta.copy(configuration = newConfig))
 
     val newProtocol = downgraded(p, name)
-    val v = txn.commit(Seq(newProtocol), "DROP FEATURE",
+    val v = txn.commit(newProtocol +: extraActions, "DROP FEATURE",
       operationParameters = Map(
         "featureName" -> name,
         "truncateHistory" -> truncateHistory.toString))
@@ -76,9 +87,10 @@ object FeatureRemoval {
   }
 
   /** Refuse while the latest state still carries the feature's traces;
-    * returns the table properties the downgrade commit must remove. */
+    * returns the table properties the downgrade commit must remove and
+    * any extra actions it must carry (domain tombstones). */
   private def validateNoTraces(snapshot: Snapshot, name: String,
-                               truncateHistory: Boolean): Seq[String] = {
+                               truncateHistory: Boolean): (Seq[String], Seq[Action]) = {
     val meta = snapshot.metadata
     def refuse(cond: Boolean, what: String, remedy: String): Unit =
       require(!cond, s"Cannot drop feature $name: $what. $remedy")
@@ -90,87 +102,99 @@ object FeatureRemoval {
           else snapshot.allFiles.exists(_.deletionVector.isDefined)
         refuse(shaded, "files still carry deletion vectors",
           "Run OPTIMIZE to purge the shades first")
-        Seq(DeltaConfigs.ENABLE_DELETION_VECTORS.key)
+        (Seq(DeltaConfigs.ENABLE_DELETION_VECTORS.key), Nil)
       case "v2Checkpoint" =>
         // the downgrade itself writes a classic checkpoint afterwards
-        Seq(DeltaConfigs.CHECKPOINT_POLICY.key)
+        (Seq(DeltaConfigs.CHECKPOINT_POLICY.key), Nil)
       case "inCommitTimestamp" =>
-        Seq(DeltaConfigs.ENABLE_IN_COMMIT_TIMESTAMPS.key,
+        (Seq(DeltaConfigs.ENABLE_IN_COMMIT_TIMESTAMPS.key,
           DeltaConfigs.IctEnablementVersionKey,
-          DeltaConfigs.IctEnablementTimestampKey)
+          DeltaConfigs.IctEnablementTimestampKey), Nil)
       case "rowTracking" =>
-        Seq(DeltaConfigs.ENABLE_ROW_TRACKING.key)
+        // the row-id high-water-mark domain is the feature's own state:
+        // tombstone it with the downgrade or domainMetadata can never be
+        // dropped afterwards (an orphan domain with no owner)
+        val tombstone =
+          if (snapshot.domainMetadata.contains("delta.rowTracking"))
+            Seq(DomainMetadata("delta.rowTracking", removed = true))
+          else Nil
+        (Seq(DeltaConfigs.ENABLE_ROW_TRACKING.key), tombstone)
       case "changeDataFeed" =>
         refuse(DeltaConfigs.ENABLE_CHANGE_DATA_FEED.fromMetadata(meta),
           "delta.enableChangeDataFeed is still true",
           "Unset the property first")
-        Nil
+        (Nil, Nil)
       case "checkConstraints" =>
         refuse(write.Invariants.constraints(meta).nonEmpty,
           "CHECK constraints are still defined",
           "ALTER TABLE … DROP CONSTRAINT each first")
-        Nil
+        (Nil, Nil)
       case "generatedColumns" =>
         refuse(write.GeneratedColumns.expressions(meta.schema).nonEmpty,
           "the schema still declares generated columns",
           "Drop or redefine those columns first")
-        Nil
+        (Nil, Nil)
       case "identityColumns" =>
         refuse(meta.schema.fields.exists(
             _.metadata.contains(write.IdentityColumns.StartKey)),
           "the schema still declares identity columns",
           "Drop or redefine those columns first")
-        Nil
+        (Nil, Nil)
       case "allowColumnDefaults" =>
         refuse(TableFeatures.containsColumnDefaults(meta.schema),
           "columns still declare DEFAULT values",
           "Drop the defaults first")
-        Nil
+        (Nil, Nil)
       case "variantType" | "variantType-preview" =>
         refuse(TableFeatures.containsVariant(meta.schema),
           "the schema still contains VARIANT columns",
           "Drop those columns first")
-        Nil
+        (Nil, Nil)
       case "typeWidening" | "typeWidening-preview" =>
         refuse(meta.schema.fields.exists(
             _.metadata.contains(TypeWidening.TypeChangesKey)),
           "columns carry delta.typeChanges history (old files hold the " +
             "narrower type)", "Rewrite the table (e.g. CLONE) first")
-        Nil
+        (Nil, Nil)
       case "clustering" =>
         refuse(DeltaTable.clusteringColumns(snapshot).nonEmpty,
           "clustering columns are still declared",
           "ALTER TABLE … CLUSTER BY NONE first")
-        Nil
+        // drop the (empty) clustering domain with the feature
+        val tombstone =
+          if (snapshot.domainMetadata.contains(DeltaTable.ClusteringDomain))
+            Seq(DomainMetadata(DeltaTable.ClusteringDomain, removed = true))
+          else Nil
+        (Nil, tombstone)
       case "domainMetadata" =>
         refuse(snapshot.domainMetadata.nonEmpty,
           s"live domains remain: ${snapshot.domainMetadata.keys.mkString(", ")}",
           "Remove the domains first")
-        Nil
+        (Nil, Nil)
       case "coordinatedCommits" | "coordinatedCommits-preview" =>
-        meta.configuration.keys
-          .filter(_.startsWith("delta.coordinatedCommits.")).toSeq
+        (meta.configuration.keys
+          .filter(_.startsWith("delta.coordinatedCommits.")).toSeq, Nil)
       case "checkpointProtection" =>
         refuse(!truncateHistory,
           "the protected log prefix would become uncleanable",
           "Use DROP FEATURE checkpointProtection TRUNCATE HISTORY")
-        Seq(DeltaConfigs.REQUIRE_CHECKPOINT_PROTECTION.key)
+        (Seq(DeltaConfigs.REQUIRE_CHECKPOINT_PROTECTION.key), Nil)
       case "appendOnly" =>
         refuse(DeltaConfigs.IS_APPEND_ONLY.fromMetadata(meta),
           "delta.appendOnly is still true", "Unset the property first")
-        Nil
+        (Nil, Nil)
       case "invariants" | "vacuumProtocolCheck" =>
-        Nil
+        (Nil, Nil)
       case "columnMapping" =>
         refuse(cond = true, "column-mapped files resolve by physical " +
           "name/id; removal requires a physical rewrite of every file",
           "This engine does not implement the rewrite")
-        Nil
+        (Nil, Nil)
       case "timestampNtz" =>
         refuse(TableFeatures.containsTimestampNtz(meta.schema),
           "the schema still contains TIMESTAMP_NTZ columns",
           "Drop those columns first")
-        Nil
+        (Nil, Nil)
       case other =>
         throw new IllegalArgumentException(
           s"Cannot drop feature $other: no removal contract implemented " +
@@ -180,21 +204,28 @@ object FeatureRemoval {
 
   /** The protocol with `name` removed from both lists; reader side
     * re-normalizes when its list empties, and dropping a reader feature
-    * adds checkpointProtection (the history guard). */
+    * adds checkpointProtection (the history guard). A protocol whose
+    * reader side is LEGACY (no explicit list — e.g. (2, 7) from a
+    * writer-only upgrade of a column-mapping table) keeps its reader
+    * version untouched: dropping a writer feature changes nothing a
+    * reader needs, and materializing the implied features would raise
+    * minReaderVersion to 3, locking out reader-2 clients gratuitously. */
   private def downgraded(p: Protocol, name: String): Protocol = {
     val writerAdd =
       if (readerAffecting(name) && name != "checkpointProtection")
         Seq("checkpointProtection") else Nil
-    val readers = TableFeatures.legacyReaderFeatures(p).filterNot(_ == name)
     val writers = (TableFeatures.legacyWriterFeatures(p)
       .filterNot(_ == name) ++ writerAdd).distinct.sorted
-    if (readers.nonEmpty)
-      Protocol(3, 7, Some(readers.sorted), Some(writers))
-    else {
-      // no reader features left: old readers regain the table at the
-      // minimal version its remaining capabilities demand
-      val minReader = if (writers.contains("columnMapping")) 2 else 1
-      Protocol(minReader, 7, None, Some(writers))
+    p.readerFeatures.map(_.filterNot(_ == name)) match {
+      case Some(rs) if rs.nonEmpty =>
+        Protocol(3, 7, Some(rs.sorted), Some(writers))
+      case Some(_) =>
+        // explicit reader list emptied: old readers regain the table at
+        // the minimal version its remaining capabilities demand
+        val minReader = if (writers.contains("columnMapping")) 2 else 1
+        Protocol(minReader, 7, None, Some(writers))
+      case None =>
+        Protocol(p.minReaderVersion, 7, None, Some(writers))
     }
   }
 

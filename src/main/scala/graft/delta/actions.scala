@@ -278,17 +278,18 @@ object TableFeatures {
     * property→version table; delta-spark auto-upgrades the same way). */
   def requiredLegacyWriter(metadata: Metadata): Int = {
     val cfg = metadata.configuration
-    def on(key: String) = cfg.get(key).contains("true")
+    def on(c: DeltaConfig[Boolean]) = c.fromMetadata(metadata)
     Seq(
-      2,
-      if (on("delta.appendOnly")) 2 else 0,
-      if (cfg.keys.exists(_.startsWith("delta.constraints."))) 3 else 0,
-      if (on("delta.enableChangeDataFeed")) 4 else 0,
-      if (metadata.schema.fields.exists(
-          _.metadata.contains("delta.generationExpression"))) 4 else 0,
-      if (cfg.get("delta.columnMapping.mode").exists(_ != "none")) 5 else 0,
-      if (metadata.schema.fields.exists(
-          _.metadata.contains("delta.identity.start"))) 6 else 0
+      0,
+      if (on(DeltaConfigs.IS_APPEND_ONLY)) 2 else 0,
+      if (cfg.keys.exists(
+          _.startsWith(graft.delta.write.Invariants.ConstraintPrefix))) 3 else 0,
+      if (on(DeltaConfigs.ENABLE_CHANGE_DATA_FEED)) 4 else 0,
+      if (metadata.schema.fields.exists(_.metadata.contains(
+          graft.delta.write.GeneratedColumns.MetadataKey))) 4 else 0,
+      if (cfg.get(ColumnMapping.DeltaModeKey).exists(_ != "none")) 5 else 0,
+      if (metadata.schema.fields.exists(_.metadata.contains(
+          graft.delta.write.IdentityColumns.StartKey))) 6 else 0
     ).max
   }
 

@@ -54,12 +54,20 @@ object GeneratedPartitionFilters {
       source: String,
       f: Literal => Option[Literal])
 
+  /** Kill switch: the derivation assumes the reader's session timezone
+    * matches the zone the stored partition values were MATERIALIZED
+    * under (the write-time session zone — the same contract delta-spark
+    * documents). A deployment reading tables written under a different
+    * zone must disable it or date-boundary predicates can over-prune. */
+  val EnabledConf = "spark.graft.generatedPruning.enabled"
+
   /** Extra partition-filter conjuncts implied by `dataFilters`. */
   def derive(
       metadata: Metadata,
       dataFilters: Seq[Expression],
       spark: SparkSession): Seq[Expression] = {
     if (dataFilters.isEmpty || metadata.partitionColumns.isEmpty) return Nil
+    if (!spark.conf.get(EnabledConf, "true").toBoolean) return Nil
     val shapes = recognizedShapes(metadata, spark)
     if (shapes.isEmpty) return Nil
     for {

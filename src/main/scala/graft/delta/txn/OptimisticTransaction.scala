@@ -437,6 +437,11 @@ class OptimisticTransaction(
     if (TableFeatures.containsTimestampNtz(metadata.schema)) {
       withReaderWriterFeature("timestampNtz", Set("timestampNtz"))
     }
+    // a v2 checkpoint policy obliges the reader+writer feature — a
+    // foreign reader must know the uuid-named checkpoint form is in play
+    if (DeltaConfigs.CHECKPOINT_POLICY.fromMetadata(metadata) == "v2") {
+      withReaderWriterFeature("v2Checkpoint", Set("v2Checkpoint"))
+    }
 
     // Features-form conformance: a writer-7 protocol must LIST every
     // metadata-obliged legacy feature — a foreign writer keys enforcement

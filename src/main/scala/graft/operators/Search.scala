@@ -42,6 +42,14 @@ object Search {
 
   /** Top-`k` documents per query by rational-idf BM25 over raw text.
     *
+    * One call tokenizes the corpus up to three times (the corpus-stats
+    * pass, the df aggregation, and the scoring join each plan the text
+    * scan; caching the token arrays corpus-wide costs more than the
+    * re-scans — the repo's measured persist rule). This is the AD-HOC
+    * face: anything issuing repeated queries should build the postings
+    * artifact once and serve them via [[bm25TopKIndexed]], which scans
+    * only term-pruned postings files.
+    *
     * @param queries (query_id, terms) — terms should be pre-lowercased
     * @return (query_id, rank, doc_id, score) — rank 1-based by
     *         (score DESC, doc_id ASC), score the DECIMAL(18,9) per-term

@@ -155,10 +155,17 @@ object GraftSqlParser {
       val v = Seq(m.group(4), m.group(5), m.group(6)).find(_ != null).get
       k -> v
     }.toSeq
-    // every `=` must belong to a parsed pair — a half-parsed property
-    // list must not silently drop entries
-    if (pairs.nonEmpty && pairs.size == s.count(_ == '='))
-      Some(pairs.toMap)
+    // every TOP-LEVEL `=` must belong to a parsed pair — a half-parsed
+    // property list must not silently drop entries. `=` inside quoted
+    // values ('url'='http://h?x=1') is value text, not a separator.
+    var topEq = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '=') topEq += 1
+    }
+    if (pairs.nonEmpty && pairs.size == topEq) Some(pairs.toMap)
     else None
   }
 

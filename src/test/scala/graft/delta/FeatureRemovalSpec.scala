@@ -221,6 +221,73 @@ class FeatureRemovalSpec extends SparkSpec {
     }
   }
 
+  test("rowTracking drop tombstones its domain; domainMetadata drops after") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 10).toDF("v"), dir,
+        configuration = Map("delta.enableRowTracking" -> "true"))
+      val log = DeltaLog.forTable(spark, dir)
+      assert(log.update().domainMetadata.contains("delta.rowTracking"))
+      val t = DeltaTable.forPath(spark, dir)
+      t.dropFeature("rowTracking")
+      val snap = log.update()
+      assert(!snap.protocol.writerFeatures.exists(_.contains("rowTracking")))
+      assert(!snap.domainMetadata.contains("delta.rowTracking"),
+        "the high-water-mark domain must not outlive its feature")
+      t.dropFeature("domainMetadata") // no orphan domain blocks it now
+      assert(!log.update().protocol.writerFeatures
+        .exists(_.contains("domainMetadata")))
+    }
+  }
+
+  test("unset refuses protocol-critical keys by name") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 5).toDF("v"), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      val e1 = intercept[IllegalArgumentException](
+        t.unsetProperties(Seq("delta.columnMapping.mode")))
+      assert(e1.getMessage.contains("physical name"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        t.unsetProperties(Seq("delta.requireCheckpointProtectionBeforeVersion")))
+      assert(e2.getMessage.contains("TRUNCATE HISTORY"), e2.getMessage)
+    }
+  }
+
+  test("RESTORE past a v2Checkpoint drop re-declares the feature") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 10).toDF("v"), dir,
+        configuration = Map("delta.checkpointPolicy" -> "v2"))
+      val log = DeltaLog.forTable(spark, dir)
+      // declare the feature the policy obliges (the policy-enabling
+      // CREATE went through the property path)
+      val t = DeltaTable.forPath(spark, dir)
+      val preDrop = log.update().version
+      t.dropFeature("v2Checkpoint")
+      assert(!log.update().metadata.configuration.contains("delta.checkpointPolicy"))
+      t.restore(preDrop)
+      val snap = log.update()
+      assert(DeltaConfigs.CHECKPOINT_POLICY.fromMetadata(snap.metadata) == "v2")
+      assert(snap.protocol.readerFeatures.exists(_.contains("v2Checkpoint")),
+        s"v2 policy restored without the reader feature: ${snap.protocol}")
+    }
+  }
+
+  test("dropping a writer feature from a legacy-reader (2, 7) protocol " +
+      "keeps reader 2") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 5).toDF("v"), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      log.startTransaction().commit(Seq(Protocol(2, 7, None,
+        Some(Seq("appendOnly", "invariants", "columnMapping", "rowTracking")))),
+        "UPGRADE PROTOCOL")
+      DeltaTable.forPath(spark, dir).dropFeature("rowTracking")
+      val p = log.update().protocol
+      assert(p.minReaderVersion == 2,
+        s"reader version must not be raised by a writer-side drop: $p")
+      assert(p.readerFeatures.isEmpty)
+      assert(!p.writerFeatures.exists(_.contains("rowTracking")))
+    }
+  }
+
   test("SQL: ALTER TABLE DROP FEATURE [TRUNCATE HISTORY]") {
     withTempDir { dir =>
       DeltaTable.write((0L until 30L).toDF("id").coalesce(1), dir,

@@ -83,6 +83,11 @@ class GraftSqlParserSpec extends SparkSpec {
         "('delta.appendOnly', delta.enableChangeDataFeed)") ==
       GraftUnsetPropertiesCommand(Left("/p/t"),
         Seq("delta.appendOnly", "delta.enableChangeDataFeed")))
+    // '=' inside a quoted value is value text, not a separator
+    assert(parse("ALTER TABLE '/p/t' SET TBLPROPERTIES " +
+        "('myapp.endpoint'='http://h?x=1&y=2')") ==
+      GraftSetPropertiesCommand(Left("/p/t"),
+        Map("myapp.endpoint" -> "http://h?x=1&y=2")))
   }
 
   test("near-misses fall through to Spark's parser") {
