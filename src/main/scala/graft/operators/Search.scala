@@ -139,6 +139,47 @@ object Search {
     scoreAndRank(spark, tf, stats, queries, k, k1, b)
   }
 
+  /** Reciprocal-rank fusion of several ranked retrieval runs — the
+    * standard way to combine a keyword run ([[bm25TopK]]) with a vector
+    * run ([[graft.operators.Similarity.bruteForceTopK]]) without
+    * commensurable scores: each run contributes `1 / (rrfK + rank)` per
+    * (query, doc) and the fused ranking orders by the contribution sum
+    * (Cormack et al., SIGIR 2009).
+    *
+    * The contribution is computed in SCALED INTEGER form —
+    * `1e9 DIV (rrfK + rank)` — so the per-run terms and their sum are
+    * exact BIGINT arithmetic: no float summation order, no decimal
+    * rounding mode, bit-identical across engines by construction (the
+    * repo's oracle-determinism rules). At scale 1e9 distinct ranks map
+    * to distinct contributions for any practical `rrfK`/depth; residual
+    * score ties break by doc_id.
+    *
+    * Scale shape: every input is already a top-depth-per-query frame
+    * (|queries| × depth rows — the heavy corpus work happened inside the
+    * retrievers), so the union + one aggregation here is trivially small
+    * at any corpus size.
+    *
+    * @param runs each (query_id, doc_id, rank) with rank 1-based; extra
+    *             columns are ignored
+    * @return (query_id, rank, doc_id, rrf_score) — `rrf_score` the exact
+    *         BIGINT sum of `1e9 DIV (rrfK + rank_i)` over the runs that
+    *         retrieved the doc; rank 1-based by (rrf_score DESC, doc_id)
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(runs.nonEmpty && k > 0 && rrfK >= 0)
+    val contribs = runs.map { r =>
+      r.select(col("query_id"), col("doc_id"),
+        expr(s"1000000000L DIV (${rrfK}L + CAST(rank AS LONG))").as("c"))
+    }.reduce(_ unionAll _)
+    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+  }
+
   private def tokenized(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

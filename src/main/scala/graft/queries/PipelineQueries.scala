@@ -2711,7 +2711,32 @@ object PipelineQueries {
           "doc_id", "text", path)
         Search.bm25TopKIndexed(s, path, bm25Queries, k = 5)
       },
-      Some(bm25OracleSql))
+      Some(bm25OracleSql)),
+
+    // Hybrid retrieval ([[Search.rrfFuse]]): a BM25 keyword run and a
+    // brute-force cosine run (documents and embeddings share the id
+    // space) fused by reciprocal-rank — the standard two-tower serving
+    // shape. RRF contributions are scaled-integer (1e9 DIV (60 + rank)),
+    // so the fused scores are exact BIGINT sums: the oracle replays both
+    // retrievers AND the fusion with zero float-summation risk.
+    QueryDef(
+      "search_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val lex = Search.bm25TopK(s, t(s, dir, "documents"),
+          "doc_id", "text", bm25Queries, k = 20)
+        val emb = t(s, dir, "embeddings")
+        val vec = Similarity.bruteForceTopK(emb,
+            emb.filter($"vec_id".isin(3L, 5L, 7L)),
+            "vec_id", "embedding", k = 20)
+          .select(
+            when($"query_id" === 3L, "q_join")
+              .when($"query_id" === 5L, "q_scan")
+              .otherwise("q_rare").as("query_id"),
+            $"neighbor_id".as("doc_id"), $"rank")
+        Search.rrfFuse(Seq(lex, vec), k = 5)
+      },
+      Some(hybridRrfOracleSql))
   )
 
   // lazy: referenced by `defs` above, which initializes first
@@ -2761,4 +2786,74 @@ object PipelineQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
                CAST(score_dec AS DOUBLE) AS score
         FROM ranked WHERE rank <= 5"""
+
+  /** The hybrid oracle replays BOTH retrieval runs at depth 20 (the BM25
+    * chain above, the brute-force cosine chain from the ann oracles) and
+    * the scaled-integer RRF fold — `//` is DuckDB's integer division,
+    * mirroring Spark's `DIV`. */
+  private lazy val hybridRrfOracleSql: String = raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+          FROM documents),
+        dls AS (SELECT doc_id, len(tk) AS dl FROM toks),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+          FROM dls),
+        q(query_id, term) AS (VALUES
+          ('q_join', 'join'), ('q_join', 'hash'), ('q_join', 'merge'),
+          ('q_scan', 'scan'), ('q_scan', 'filter'),
+          ('q_rare', 'vector'), ('q_rare', 'window'), ('q_rare', 'stream')),
+        tf AS (
+          SELECT t.doc_id, d.dl, u.term, COUNT(*) AS tf
+          FROM toks t JOIN dls d USING (doc_id), unnest(t.tk) AS u(term)
+          WHERE u.term IN (SELECT term FROM q)
+          GROUP BY t.doc_id, d.dl, u.term),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(((s.n_docs::DOUBLE - f.df::DOUBLE + 0.5) /
+                         (f.df::DOUBLE + 0.5)) *
+                      (tf.tf::DOUBLE * 2.25) /
+                      (tf.tf::DOUBLE + 1.25 * (1.0 - 0.75 + 0.75 *
+                        (tf.dl::DOUBLE /
+                          (s.total_tokens::DOUBLE / s.n_docs::DOUBLE))))
+                   AS DECIMAL(18, 9)) AS c
+          FROM tf JOIN dfreq f USING (term) JOIN q ON q.term = tf.term, stats s),
+        lexscored AS (
+          SELECT query_id, doc_id, SUM(c) AS score_dec
+          FROM contrib GROUP BY 1, 2),
+        lex AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score_dec DESC, doc_id) AS rank
+            FROM lexscored) t WHERE rank <= 20),
+        qv AS (SELECT vec_id AS qid, embedding AS qvec
+               FROM embeddings WHERE vec_id IN (3, 5, 7)),
+        vscored AS (
+          SELECT qv.qid, c.vec_id AS doc_id,
+                 round(${duckDot("qv.qvec", "c.embedding")} /
+                       (sqrt(${duckDot("qv.qvec", "qv.qvec")}) *
+                        sqrt(${duckDot("c.embedding", "c.embedding")})), 6)
+                   AS cosine
+          FROM embeddings c, qv WHERE c.vec_id <> qv.qid),
+        vec AS (
+          SELECT CASE qid WHEN 3 THEN 'q_join' WHEN 5 THEN 'q_scan'
+                          ELSE 'q_rare' END AS query_id, doc_id, rank FROM (
+            SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, doc_id) AS rank
+            FROM vscored) t WHERE rank <= 20),
+        fused AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score
+          FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+          GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score FROM (
+          SELECT query_id, doc_id, rrf_score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused) t WHERE rank <= 5"""
 }

@@ -134,4 +134,33 @@ class SearchAndLineDedupSpec extends SparkSpec {
         s"replayed append must not duplicate postings, got $nPostings")
     }
   }
+
+  test("rrfFuse: exact scaled-integer sums, single-run docs, tie-break") {
+    // run A ranks docs 10, 11, 12; run B ranks 11, 10, 13
+    val runA = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val runB = Seq(("q", 11L, 1), ("q", 10L, 2), ("q", 13L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq(runA, runB), k = 4, rrfK = 60)
+      .orderBy($"rank")
+      .select($"doc_id", $"rrf_score").as[(Long, Long)].collect().toSeq
+    def c(r: Int) = 1000000000L / (60L + r)
+    // both 10 and 11 have {rank 1, rank 2} contributions — an exact
+    // score TIE that must break by doc_id; 12 and 13 are single-run
+    // rank-3 docs, again tied, again id order
+    assert(out == Seq(
+      10L -> (c(1) + c(2)), 11L -> (c(1) + c(2)),
+      12L -> c(3), 13L -> c(3)), s"got $out")
+  }
+
+  test("rrfFuse fuses per query_id independently") {
+    val runA = Seq(("q1", 1L, 1), ("q2", 2L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val runB = Seq(("q1", 1L, 1), ("q2", 3L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq(runA, runB), k = 1)
+      .select($"query_id", $"doc_id").as[(String, Long)].collect().toMap
+    assert(out == Map("q1" -> 1L, "q2" -> 2L),
+      s"q2's 2 and 3 tie on score and break by id: $out")
+  }
 }
