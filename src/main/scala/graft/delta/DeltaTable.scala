@@ -507,9 +507,24 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * task per top-level directory — on a 100 TB table a driver loop over
     * `fs.listFiles(recursive)` takes hours), candidates anti-join against
     * the (possibly distributed) active-file set, and the deletes
-    * themselves run in tasks. */
+    * themselves run in tasks.
+    *
+    * `lite = true` (delta-spark 4.0's `VACUUM … LITE`) skips the table
+    * listing entirely: candidates come from the LOG's remove actions —
+    * O(recent churn) instead of O(table files), the steady-state shape a
+    * 100 TB table wants between occasional full vacuums. The tradeoff is
+    * inherent to the mode: files the log never tracked (a crashed
+    * writer's orphans) are only ever cleaned by a FULL vacuum. LITE runs
+    * record `VACUUM START`/`VACUUM END` commits (delta-spark's vacuum
+    * logging; opt-in for full vacuums via
+    * `spark.graft.vacuum.logging.enabled`), and the next LITE run uses
+    * the last `VACUUM END`'s recorded cutoff to skip commits whose
+    * removes are provably already deleted — a remove committed before
+    * the previous cutoff carries `deletionTimestamp <= commit time <
+    * cutoff`, so it was eligible then. */
   def vacuum(retentionMillis: Option[Long] = None,
-             dryRun: Boolean = false): Int = {
+             dryRun: Boolean = false,
+             lite: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val snapshot = deltaLog.update()
     // vacuumProtocolCheck (PROTOCOL.md, reader+writer feature): GC must
@@ -578,57 +593,121 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .filter(_.delTimestamp >= cutoff)
       .flatMap(r => decode(r.path) +: dvRelPath(r.deletionVector).toSeq)
 
-    // distributed recursive listing: the ROOT level lists in one executor
-    // task too (an unpartitioned million-file table would otherwise
-    // allocate every FileStatus on the driver); only DIRECTORY paths are
-    // collected — bounded by partition count — while root-level files stay
-    // a Dataset end to end.
     import spark.implicits._
     val sconf = new SerializableHadoopConf(conf)
     val rootPrefix = root + "/"
     val rootStr0 = deltaLog.dataPath.toString
-    val rootEntries = spark.range(1).mapPartitions { it =>
-      // guard on the iterator: mapPartitions runs the closure on EVERY
-      // partition of range(1) (one holds the row, the rest are empty) —
-      // listing unconditionally would duplicate every entry
-      // numPartitions× (and so the whole downstream delete set)
-      if (!it.hasNext) Iterator.empty else {
-      val p = new org.apache.hadoop.fs.Path(rootStr0)
-      val dfs = p.getFileSystem(sconf.value)
-      dfs.listStatus(p).iterator
-        .filter(st => !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(st => (st.getPath.toString,
-          st.getPath.toUri.getPath.stripPrefix(rootPrefix),
-          st.getModificationTime, st.isDirectory))
-      }
-    }.toDF("abs", "rel", "mtime", "isDir")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val topFiles = rootEntries.filter(!col("isDir"))
-      .select(col("rel"), col("mtime")).as[(String, Long)]
-    val dirs = rootEntries.filter(col("isDir"))
-      .select(col("abs")).as[String].collect().toSeq
-    val fromDirs = spark.createDataset(dirs)
-      .repartition(math.max(1, math.min(dirs.size, 64)))
-      .mapPartitions { ds =>
-        ds.flatMap { d =>
-          val p = new org.apache.hadoop.fs.Path(d)
-          val dfs = p.getFileSystem(sconf.value)
-          val it = dfs.listFiles(p, true)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-          while (it.hasNext) {
-            val st = it.next()
-            val name = st.getPath.getName
-            if (st.isFile && !name.startsWith(".") && !name.startsWith("_")) {
-              buf += ((st.getPath.toUri.getPath.stripPrefix(rootPrefix),
-                st.getModificationTime))
+    // caches to release at the end (the full path persists its root scan)
+    var caches: List[DataFrame] = Nil
+
+    // candidate (rel, age) pairs. FULL: distributed recursive listing,
+    // age = fs modification time. LITE: the log's remove actions, age =
+    // the tombstone's deletionTimestamp (strictly later than the file's
+    // write mtime — conservative in the same direction).
+    val listing: DataFrame = if (lite) {
+      // commits before the previous vacuum's cutoff hold only removes
+      // with deletionTimestamp < that cutoff — already deleted then
+      val fromVersion = deltaLog.history()
+        .find(_.operation.contains("VACUUM END"))
+        .flatMap(_.operationParameters.flatMap(_.get("cutoffMillis")))
+        .map(_.toLong)
+        .map { prevCutoff =>
+          try deltaLog.getVersionAtOrAfterTimestamp(prevCutoff)
+          catch { // no commit since the previous cutoff: nothing new
+            case _: IllegalArgumentException => snapshot.version + 1
+          }
+        }
+        .getOrElse { // first LITE vacuum: all retained commits
+          deltaLog.store.listFrom(
+              FileNames.deltaFile(deltaLog.logPath, 0), conf)
+            .filter(f => FileNames.isDeltaFile(f.getPath))
+            .map(f => FileNames.deltaVersion(f.getPath))
+            .take(1).toList.headOption.getOrElse(0L)
+        }
+      val deltaPaths = (fromVersion to snapshot.version)
+        .map(v => FileNames.deltaFile(deltaLog.logPath, v).toString)
+      if (deltaPaths.isEmpty) Seq.empty[(String, Long)].toDF("rel", "mtime")
+      else {
+        implicit val rsEnc = org.apache.spark.sql.Encoders
+          .product[DeltaTable.RemoveSlice]
+        val prefix = rootPrefixForDv
+        val dataPathStr = deltaLog.dataPath.toString
+        spark.read.schema(rsEnc.schema).json(deltaPaths: _*)
+          .as[DeltaTable.RemoveSlice]
+          .flatMap { s =>
+            s.remove.toSeq.flatMap { r =>
+              val rel = new org.apache.hadoop.fs.Path(
+                  new java.net.URI(r.path))
+                .toUri.getPath.stripPrefix(prefix)
+              val dvPath = r.deletionVector
+                .filter(x => x.storageType == "u" || x.storageType == "p")
+                .map(x => dv.DeletionVectors.absolutePath(x,
+                    new org.apache.hadoop.fs.Path(dataPathStr))
+                  .toUri.getPath.stripPrefix(prefix))
+              (rel +: dvPath.toSeq).map(p => (p, r.delTimestamp))
             }
           }
-          buf
-        }
+          .toDF("rel", "mtime")
+          // external (absolute) paths are outside the table dir — a
+          // vacuum never touches them (same as the listing-based path,
+          // which only ever sees the table dir)
+          .filter(!col("rel").startsWith("/"))
+          // a path removed in several commits keeps its OLDEST tombstone
+          // time for the age check; a younger tombstone still protects
+          // it through protectedDF below
+          .groupBy(col("rel")).agg(
+            org.apache.spark.sql.functions.min(col("mtime")).as("mtime"))
       }
-    val listing = topFiles.toDF("rel", "mtime")
-      .unionByName(fromDirs.toDF("rel", "mtime"))
+    } else {
+      // distributed recursive listing: the ROOT level lists in one
+      // executor task too (an unpartitioned million-file table would
+      // otherwise allocate every FileStatus on the driver); only
+      // DIRECTORY paths are collected — bounded by partition count —
+      // while root-level files stay a Dataset end to end.
+      val rootEntries = spark.range(1).mapPartitions { it =>
+        // guard on the iterator: mapPartitions runs the closure on EVERY
+        // partition of range(1) (one holds the row, the rest are empty) —
+        // listing unconditionally would duplicate every entry
+        // numPartitions× (and so the whole downstream delete set)
+        if (!it.hasNext) Iterator.empty else {
+        val p = new org.apache.hadoop.fs.Path(rootStr0)
+        val dfs = p.getFileSystem(sconf.value)
+        dfs.listStatus(p).iterator
+          .filter(st => !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (st.getPath.toString,
+            st.getPath.toUri.getPath.stripPrefix(rootPrefix),
+            st.getModificationTime, st.isDirectory))
+        }
+      }.toDF("abs", "rel", "mtime", "isDir")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches ::= rootEntries
+      val topFiles = rootEntries.filter(!col("isDir"))
+        .select(col("rel"), col("mtime")).as[(String, Long)]
+      val dirs = rootEntries.filter(col("isDir"))
+        .select(col("abs")).as[String].collect().toSeq
+      val fromDirs = spark.createDataset(dirs)
+        .repartition(math.max(1, math.min(dirs.size, 64)))
+        .mapPartitions { ds =>
+          ds.flatMap { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val dfs = p.getFileSystem(sconf.value)
+            val it = dfs.listFiles(p, true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+            while (it.hasNext) {
+              val st = it.next()
+              val name = st.getPath.getName
+              if (st.isFile && !name.startsWith(".") && !name.startsWith("_")) {
+                buf += ((st.getPath.toUri.getPath.stripPrefix(rootPrefix),
+                  st.getModificationTime))
+              }
+            }
+            buf
+          }
+        }
+      topFiles.toDF("rel", "mtime")
+        .unionByName(fromDirs.toDF("rel", "mtime"))
+    }
 
     val activeDF =
       (if (snapshot.distributedState) {
@@ -663,8 +742,23 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // DRY RUN: report what WOULD be deleted, touch nothing
     if (dryRun) {
       deletable.unpersist()
-      rootEntries.unpersist()
+      caches.foreach(_.unpersist())
       return nDeletable
+    }
+
+    // vacuum logging (delta-spark's VACUUM START/END commit-info pair):
+    // always on for LITE — the END commit's recorded cutoff is what lets
+    // the NEXT lite run skip already-covered commits — opt-in otherwise
+    val logging = lite || spark.conf
+      .getOption("spark.graft.vacuum.logging.enabled").exists(_.toBoolean)
+    if (logging) {
+      deltaLog.startTransaction().commit(Nil, "VACUUM START",
+        operationParameters = Map(
+          "mode" -> (if (lite) "LITE" else "FULL"),
+          "retentionCheckEnabled" -> checkEnabled.toString,
+          "defaultRetentionMillis" -> tableRetention.toString) ++
+          retentionMillis.map(r => "specifiedRetentionMillis" -> r.toString),
+        operationMetrics = Map("numFilesToDelete" -> nDeletable.toString))
     }
 
     // delete in tasks; count via the returned partial sums
@@ -701,7 +795,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         Iterator.empty[Int]
       }.count()
     deletable.unpersist()
-    rootEntries.unpersist()
+    caches.foreach(_.unpersist())
+    if (logging) {
+      deltaLog.startTransaction().commit(Nil, "VACUUM END",
+        operationParameters = Map(
+          "status" -> "COMPLETED",
+          "mode" -> (if (lite) "LITE" else "FULL"),
+          // the boundary the next LITE run prunes its commit scan with
+          "cutoffMillis" -> cutoff.toString),
+        operationMetrics = Map("numDeletedFiles" -> deleted.toString))
+    }
     deleted
   }
 
@@ -1526,6 +1629,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 }
 
 object DeltaTable {
+
+  /** The remove slice of the action envelope — all VACUUM LITE reads
+    * from the commit range it scans. */
+  private[delta] case class RemoveSlice(remove: Option[RemoveFile] = None)
 
   /** The domain carrying a clustered table's clustering columns. */
   val ClusteringDomain = "delta.clustering"

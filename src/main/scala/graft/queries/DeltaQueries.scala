@@ -568,6 +568,39 @@ object DeltaQueries {
                CAST(1 AS INT) AS compacted
         FROM supplier GROUP BY s_nationkey""")),
 
+    // VACUUM LITE lifecycle: partition-pruned DELETE leaves tombstones,
+    // the lite vacuum derives its candidates from the LOG (no table
+    // listing) and must physically remove them; the VACUUM END logging
+    // commit (the next run's boundary) is asserted in-query, and the
+    // surviving table must aggregate exactly to the oracle.
+    QueryDef(
+      "delta_vacuum_lite",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("vaclite")
+        // zero retention: the DELETE's tombstones (strictly older than
+        // the vacuum's later clock read) are immediately eligible
+        DeltaTable.write(t(s, dir, "supplier"), path, SaveMode.Overwrite,
+          partitionBy = Seq("s_nationkey"),
+          configuration =
+            Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+        val table = DeltaTable.forPath(s, path)
+        table.deleteWhere($"s_nationkey" === 0)
+        val deleted = s.sql(s"VACUUM '$path' LITE").collect().head.getLong(1)
+        require(deleted >= 1, "lite vacuum deleted nothing")
+        val ops = graft.delta.DeltaLog.forTable(s, path)
+          .history().flatMap(_.operation)
+        require(ops.contains("VACUUM END"), s"no VACUUM END logged: $ops")
+        table.toDF.groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"s_acctbal".cast(DecimalType(14, 2))).cast("double")
+                 .as("bal"))
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
+        FROM supplier WHERE s_nationkey <> 0 GROUP BY 1""")),
+
     // OPTIMIZE ZORDER: re-cluster by two independent columns, then prove
     // data unchanged AND that the multi-column predicate's scan touches a
     // strict subset of the files (stats-based skipping now bites).

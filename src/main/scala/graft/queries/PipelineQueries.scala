@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions._
-import graft.operators.{Curation, Dedup, Search, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, Search, Similarity}
 import graft.multimodal.Multimodal
 
 /** The large-scale training-data-pipeline operators (builder brief §extras):
@@ -2736,7 +2736,36 @@ object PipelineQueries {
             $"neighbor_id".as("doc_id"), $"rank")
         Search.rrfFuse(Seq(lex, vec), k = 5)
       },
-      Some(hybridRrfOracleSql))
+      Some(hybridRrfOracleSql)),
+
+    // Corpus length distribution ([[CorpusStats.discreteQuantiles]]):
+    // the numbers a filtering pass's thresholds are picked from.
+    // Discrete (type-1) quantiles select ACTUAL corpus values by rank
+    // ceil(p*n) — integer logic after one shared IEEE multiply, no
+    // interpolation blend to drift cross-engine.
+    QueryDef(
+      "text_length_quantiles",
+      (s, dir) => CorpusStats.discreteQuantiles(
+        t(s, dir, "documents"), "lang", "n_chars",
+        Seq(0.5, 0.9, 0.99)),
+      Some("""
+        WITH ranked AS (
+          SELECT lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN rn = CEIL(CAST(0.5 AS DOUBLE) * n)
+                        THEN n_chars END) AS q_500,
+               MAX(CASE WHEN rn = CEIL(CAST(0.9 AS DOUBLE) * n)
+                        THEN n_chars END) AS q_900,
+               MAX(CASE WHEN rn = CEIL(CAST(0.99 AS DOUBLE) * n)
+                        THEN n_chars END) AS q_990
+        FROM ranked
+        WHERE rn = CEIL(CAST(0.5 AS DOUBLE) * n)
+           OR rn = CEIL(CAST(0.9 AS DOUBLE) * n)
+           OR rn = CEIL(CAST(0.99 AS DOUBLE) * n)
+        GROUP BY lang"""))
   )
 
   // lazy: referenced by `defs` above, which initializes first

@@ -42,9 +42,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftOptimizeCommand(parseTarget(target),
         Option(zorder).toSeq.flatMap(_.split(",").map(cleanIdent)),
         Option(where).map(_.trim), full = full != null))
-    case VacuumRe(target, hours, dryRun) =>
+    case VacuumRe(target, mode, hours, dryRun) =>
       Some(GraftVacuumCommand(parseTarget(target),
-        Option(hours).map(_.toDouble), dryRun != null))
+        Option(hours).map(_.toDouble), dryRun != null,
+        lite = Option(mode).exists(_.equalsIgnoreCase("LITE"))))
     case RestoreRe(target, version) =>
       Some(GraftRestoreCommand(parseTarget(target), version.toLong))
     case RestoreTsRe(target, ts) =>
@@ -119,7 +120,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(FULL))?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(LITE|FULL))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
@@ -457,13 +458,15 @@ case class GraftRestoreTimestampCommand(
   }
 }
 
-/** `VACUUM <table> [RETAIN n HOURS] [DRY RUN]` →
+/** `VACUUM <table> [LITE|FULL] [RETAIN n HOURS] [DRY RUN]` →
   * [[graft.delta.DeltaTable.vacuum]]. DRY RUN reports the would-be
-  * deletion count without touching any file. */
+  * deletion count without touching any file; LITE derives candidates
+  * from the log instead of listing the table. */
 case class GraftVacuumCommand(
     target: Either[String, Seq[String]],
     retainHours: Option[Double],
-    dryRun: Boolean = false) extends LeafRunnableCommand {
+    dryRun: Boolean = false,
+    lite: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -472,7 +475,8 @@ case class GraftVacuumCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, target)
     val deleted = graft.delta.DeltaTable.forPath(session, path)
-      .vacuum(retainHours.map(h => (h * 3600 * 1000).toLong), dryRun)
+      .vacuum(retainHours.map(h => (h * 3600 * 1000).toLong), dryRun,
+        lite = lite)
     Seq(Row(path, deleted.toLong))
   }
 }
