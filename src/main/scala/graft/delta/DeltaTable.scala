@@ -1073,6 +1073,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationParameters = Map("predicate" -> condition.toString))
   }
 
+  /** `GENERATE symlink_format_manifest`: (re)write the full Hive
+    * SymlinkTextInputFormat manifest tree for the latest snapshot — see
+    * [[SymlinkManifest]] for layout, refusals, and the incremental
+    * post-commit mode enabled by
+    * `delta.compatibility.symlinkFormatManifest.enabled`. Returns the
+    * number of manifest files written. */
+  def generateSymlinkManifest(): Long =
+    SymlinkManifest.generate(spark, deltaLog)
+
   /** SHOW PARTITIONS with operational stats: one row per partition with
     * file count, bytes, and (when stats exist) row count. Aggregates the
     * file list WITHOUT driver materialization in distributed-state mode —

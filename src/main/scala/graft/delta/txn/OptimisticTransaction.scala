@@ -534,7 +534,7 @@ class OptimisticTransaction(
     val version = doCommitRetryIteratively(
       commitInfo +: finalActions, isolation, actionsAt)
     committed = true
-    postCommit(version)
+    postCommit(version, finalActions)
     version
   }
 
@@ -693,7 +693,18 @@ class OptimisticTransaction(
   }
 
   /** Checkpoint cadence + log cleanup (ref :393-405, Checkpoints.scala:122-135). */
-  private def postCommit(version: Long): Unit = {
+  private def postCommit(version: Long, actions: Seq[Action]): Unit = {
+    // symlink-manifest auto-update (delta-spark's post-commit hook): a
+    // data-changing commit on an opted-in table refreshes ONLY the
+    // manifests of the partitions it touched. The commit is already
+    // durable — a failure here (e.g. the table acquired deletion
+    // vectors) surfaces loudly but does not invalidate it.
+    if (metadata.configuration.get(SymlinkManifest.AutoUpdateKey)
+          .contains("true") &&
+        actions.exists(a =>
+          a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])) {
+      SymlinkManifest.updateIncremental(deltaLog.spark, deltaLog, actions)
+    }
     if (version != 0 && version % deltaLog.checkpointInterval == 0) {
       val snap = deltaLog.update()
       val parts = DeltaConfigs.CHECKPOINT_PARTS.fromMetadata(deltaLog.metadata)

@@ -601,6 +601,40 @@ object DeltaQueries {
                CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
         FROM supplier WHERE s_nationkey <> 0 GROUP BY 1""")),
 
+    // GENERATE symlink_format_manifest: after a partition DELETE the
+    // manifest tree must name EXACTLY the active files — proven by
+    // aggregating the data read back THROUGH the manifests (raw parquet,
+    // no Delta log) against the oracle's post-delete recompute.
+    // Partition columns are NOT in the data files (Delta stores them in
+    // metadata), so the aggregate uses data columns only.
+    QueryDef(
+      "delta_symlink_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("symman")
+        DeltaTable.write(t(s, dir, "nation"), path, SaveMode.Overwrite,
+          partitionBy = Seq("n_regionkey"))
+        val tbl = DeltaTable.forPath(s, path)
+        tbl.deleteWhere($"n_regionkey" === 4)
+        require(tbl.generateSymlinkManifest() >= 1, "no manifest written")
+        val root = java.nio.file.Paths.get(path,
+          graft.delta.SymlinkManifest.ManifestDirName)
+        val uris = java.nio.file.Files.walk(root).iterator()
+        val files = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (uris.hasNext) {
+          val p = uris.next()
+          if (p.getFileName.toString == "manifest")
+            files ++= java.nio.file.Files.readAllLines(p)
+              .toArray(Array.empty[String]).filter(_.nonEmpty)
+        }
+        s.read.parquet(files.toSeq: _*)
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("key_sum"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation WHERE n_regionkey <> 4""")),
+
     // OPTIMIZE ZORDER: re-cluster by two independent columns, then prove
     // data unchanged AND that the multi-column predicate's scan touches a
     // strict subset of the files (stats-based skipping now bites).

@@ -46,6 +46,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftVacuumCommand(parseTarget(target),
         Option(hours).map(_.toDouble), dryRun != null,
         lite = Option(mode).exists(_.equalsIgnoreCase("LITE"))))
+    case GenerateRe(mode, target) =>
+      Some(GraftGenerateCommand(parseTarget(target), mode))
     case RestoreRe(target, version) =>
       Some(GraftRestoreCommand(parseTarget(target), version.toLong))
     case RestoreTsRe(target, ts) =>
@@ -121,6 +123,8 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(FULL))?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(LITE|FULL))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
+  private val GenerateRe =
+    """(?is)\s*GENERATE\s+'?(\w+)'?\s+FOR\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s*;?\s*""".r
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
@@ -275,6 +279,27 @@ case class GraftOptimizeCommand(
 
 /** `RESTORE [TABLE] <table> TO VERSION AS OF n` →
   * [[graft.delta.DeltaTable.restore]]. */
+/** `GENERATE symlink_format_manifest FOR TABLE <tbl>` →
+  * [[graft.delta.SymlinkManifest.generate]]. Unknown modes refuse by
+  * name (delta-spark's contract). */
+case class GraftGenerateCommand(
+    target: Either[String, Seq[String]],
+    mode: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("manifests_written", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    require(mode.equalsIgnoreCase("symlink_format_manifest"),
+      s"Unknown GENERATE mode '$mode'; supported: symlink_format_manifest")
+    val path = GraftSqlParser.resolvePath(session, target)
+    val n = graft.delta.DeltaTable.forPath(session, path)
+      .generateSymlinkManifest()
+    Seq(Row(path, n))
+  }
+}
+
 case class GraftRestoreCommand(
     target: Either[String, Seq[String]],
     version: Long) extends LeafRunnableCommand {
