@@ -43,6 +43,32 @@ object Curation {
     df.withColumn("split", split)
   }
 
+  /** Deterministic training-order shuffle + sharding: every row gets a
+    * `shard` (`hash(seed:id) mod numShards`) and a 1-based `pos` within
+    * its shard ordered by the same hash (id tie-break) — the reproducible
+    * global permutation a training run reads its data in. Different
+    * seeds draw independent permutations (new epoch = new seed); the
+    * same seed always yields the same order, on any cluster size.
+    *
+    * Scale shape: one hash projection, one shuffle by shard, one
+    * within-shard sort — exactly the layout job that materializes
+    * training shards at 100 TB; `pos` never windows over the whole
+    * corpus (numShards ≫ executors keeps per-task sort state bounded).
+    */
+  def shuffleShard(df: DataFrame, idCol: String, seed: String,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5Hash32(col(idCol).cast("string"), lit(seed))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__order_h").asc, col(idCol).asc)
+    df.withColumn("__order_h", h)
+      .withColumn("shard", pmod(col("__order_h"), lit(numShards.toLong))
+        .cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__order_h")
+  }
+
   /** Deterministic salted sample: keeps a row iff
     * `hash(salt:id) mod 1e6 < rate·1e6`. Different salts draw
     * independent samples; the same salt always draws the same one. */

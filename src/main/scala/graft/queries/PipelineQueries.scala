@@ -2738,6 +2738,29 @@ object PipelineQueries {
       },
       Some(hybridRrfOracleSql)),
 
+    // Deterministic training-order shuffle ([[Curation.shuffleShard]]):
+    // seeded hash permutation + sharding — the reproducible read order a
+    // training run consumes; the oracle replays the hash, shard modulo,
+    // and within-shard rank exactly.
+    QueryDef(
+      "curate_shuffle_shard",
+      (s, dir) => {
+        import s.implicits._
+        Curation.shuffleShard(t(s, dir, "documents"), "doc_id",
+            seed = "ep1", numShards = 8)
+          .select($"shard", $"pos", $"doc_id")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id,
+                 ${duckHash32("'ep1:' || CAST(doc_id AS VARCHAR)")} AS oh
+          FROM documents)
+        SELECT CAST(oh % 8 AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY oh % 8
+                 ORDER BY oh, doc_id) AS INT) AS pos,
+               doc_id
+        FROM h""")),
+
     // Corpus length distribution ([[CorpusStats.discreteQuantiles]]):
     // the numbers a filtering pass's thresholds are picked from.
     // Discrete (type-1) quantiles select ACTUAL corpus values by rank

@@ -193,4 +193,25 @@ class CurationSpec extends SparkSpec {
     assert(again === out.collect().map(_.getLong(0)).sorted)
     assert(kept("src0") > 20L && kept("src0") < 60L)
   }
+  test("shuffleShard: a valid permutation, seed-stable, epoch-independent") {
+    val df = (0L until 200L).toDF("id")
+    val out = Curation.shuffleShard(df, "id", seed = "ep1", numShards = 4)
+      .select($"shard", $"pos", $"id")
+      .as[(Int, Int, Long)].collect()
+    // every row lands in exactly one shard with contiguous 1-based pos
+    assert(out.length == 200 && out.map(_._3).distinct.length == 200)
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 4)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // same seed → identical order; new seed → a different permutation
+    val again = Curation.shuffleShard(df, "id", "ep1", 4)
+      .select($"shard", $"pos", $"id").as[(Int, Int, Long)].collect()
+    assert(again.sortBy(_._3).toSeq == out.sortBy(_._3).toSeq)
+    val ep2 = Curation.shuffleShard(df, "id", "ep2", 4)
+      .select($"shard", $"pos", $"id").as[(Int, Int, Long)].collect()
+    assert(ep2.sortBy(_._3).toSeq != out.sortBy(_._3).toSeq,
+      "a new epoch seed must draw a new permutation")
+  }
 }
