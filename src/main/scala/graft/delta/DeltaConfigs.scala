@@ -83,6 +83,15 @@ object DeltaConfigs {
   val DATA_SKIPPING_NUM_INDEXED_COLS: DeltaConfig[Int] = DeltaConfig(
     "delta.dataSkippingNumIndexedCols", "32", _.toInt, (_: Int) >= 0)
 
+  /** Explicit stats column list (Delta's delta.dataSkippingStatsColumns,
+    * comma-separated): when set it REPLACES the positional
+    * numIndexedCols rule — on a wide table only the filter columns the
+    * workload actually prunes on carry stats, however late they sit in
+    * the schema. Empty/unset = positional rule. */
+  val DATA_SKIPPING_STATS_COLUMNS: DeltaConfig[Seq[String]] = DeltaConfig(
+    "delta.dataSkippingStatsColumns", "",
+    s => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   /** Repartition incoming batches to ~targetFileSize outputs BEFORE the
     * write (Delta's optimizeWrite): ingest is where the small-file
     * problem starts — a 200-task job appending 10 MB otherwise creates

@@ -302,14 +302,22 @@ object DeltaWriter {
       val files = listParquetFiles(fs, batchDir)
       val dataSchema = org.apache.spark.sql.types.StructType(
         df.schema.filterNot(f => partCols.contains(f.name)))
-      // index only the first N data columns (numRecords always rides)
-      val statsSchema = meta.map(m => org.apache.spark.sql.types.StructType(
-          dataSchema.take(
-            DeltaConfigs.DATA_SKIPPING_NUM_INDEXED_COLS.fromMetadata(m))))
-        .getOrElse(dataSchema)
+      // index the explicit stats-column list when declared, else the
+      // first N data columns (numRecords always rides either way)
+      val statsSchema = meta.map { m =>
+        val explicit = DeltaConfigs.DATA_SKIPPING_STATS_COLUMNS.fromMetadata(m)
+        org.apache.spark.sql.types.StructType(
+          if (explicit.nonEmpty) {
+            val wanted = explicit.toSet
+            dataSchema.filter(f => wanted.contains(f.name))
+          } else dataSchema.take(
+            DeltaConfigs.DATA_SKIPPING_NUM_INDEXED_COLS.fromMetadata(m)))
+      }.getOrElse(dataSchema)
       val stats = StatsCollector.collectAll(
         df.sparkSession, files.map(_.getPath), statsSchema, conf,
-        n => mapping.getOrElse(n, n))
+        n => mapping.getOrElse(n, n),
+        // the caller-resolved schema IS the index policy — no second cap
+        maxCols = Int.MaxValue)
       // opt-in per-file Bloom filters (delta.bloomFilter.columns): one
       // extra columnar pass over only the indexed columns
       val blooms: Map[String, Map[String, String]] = meta

@@ -39,10 +39,11 @@ object StatsCollector {
     * `phys` maps a logical field name to the parquet column name (identity
     * unless the column was renamed) — stats keys stay LOGICAL. */
   def collect(path: Path, dataSchema: StructType, conf: Configuration,
-              phys: String => String = identity): Option[String] =
+              phys: String => String = identity,
+              maxCols: Int = NumIndexedCols): Option[String] =
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-      try Some(fromFooter(reader, dataSchema, phys))
+      try Some(fromFooter(reader, dataSchema, phys, maxCols))
       finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -61,9 +62,11 @@ object StatsCollector {
   def collectAll(spark: org.apache.spark.sql.SparkSession,
                  paths: Seq[Path], dataSchema: StructType,
                  conf: Configuration,
-                 phys: String => String = identity): Map[Path, Option[String]] =
+                 phys: String => String = identity,
+                 maxCols: Int = NumIndexedCols): Map[Path, Option[String]] =
     if (paths.size <= DriverStatsMaxFiles) {
-      paths.par.map(p => p -> collect(p, dataSchema, conf, phys)).toList.toMap
+      paths.par.map(p =>
+        p -> collect(p, dataSchema, conf, phys, maxCols)).toList.toMap
     } else {
       import spark.implicits._
       val sconf = new graft.delta.SerializableHadoopConf(conf)
@@ -71,13 +74,14 @@ object StatsCollector {
       spark.createDataset(strs)
         .repartition(math.max(1, math.min(strs.size / 8, 256)))
         .mapPartitions { it =>
-          it.map(p => p -> collect(new Path(p), dataSchema, sconf.value, phys))
+          it.map(p =>
+            p -> collect(new Path(p), dataSchema, sconf.value, phys, maxCols))
         }
         .collect().iterator.map { case (p, s) => new Path(p) -> s }.toMap
     }
 
   private def fromFooter(reader: ParquetFileReader, dataSchema: StructType,
-                         phys: String => String): String = {
+                         phys: String => String, maxCols: Int): String = {
     val blocks = reader.getFooter.getBlocks
     val numRecords = {
       var n = 0L
@@ -89,7 +93,7 @@ object StatsCollector {
     val maxValues = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     val nullCount = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
-    dataSchema.fields.take(NumIndexedCols).foreach { field =>
+    dataSchema.fields.take(maxCols).foreach { field =>
       var min: Any = null
       var max: Any = null
       var nulls = 0L

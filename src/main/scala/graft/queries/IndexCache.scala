@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Search, Similarity}
 
 /** Per-JVM registry of the PERSISTED index artifacts the ANN/dedup
   * queries probe: each index is trained+encoded+written once per
@@ -100,6 +100,17 @@ object IndexCache {
       p
     })
 
+  /** BM25 inverted-index artifact over `documents` (postings + stats
+    * partials). Probe-only consumers; the append path is spec-covered in
+    * SearchAndLineDedupSpec. */
+  def bm25Index(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"bm25:$dir", _ => {
+      val p = temp("graft_bm25idx")
+      Search.buildPostingsIndex(s, Tables.t(s, dir, "documents"),
+        "doc_id", "text", p)
+      p
+    })
+
   /** Zero-copy fork of a cached index (every subtable shallow-cloned):
     * mutation-bearing queries work on the fork, the warmed original
     * stays pristine for every other probe. */
@@ -127,5 +138,6 @@ object IndexCache {
     minhashIndex(s, dir)
     pqIndexEven(s, dir)
     substrIndex(s, dir)
+    bm25Index(s, dir)
   }
 }

@@ -2699,19 +2699,49 @@ object PipelineQueries {
       Some(bm25OracleSql)),
 
     // The same ranking served from the PERSISTED inverted-index artifact
-    // ([[Search.buildPostingsIndex]] + [[Search.bm25TopKIndexed]]): the
-    // oracle replays the ad-hoc computation, so a hash match proves the
-    // build/probe split loses nothing — the artifact IS the corpus as
-    // far as scoring is concerned.
+    // ([[Search.bm25TopKIndexed]] over the [[IndexCache]]-warmed build):
+    // the oracle replays the ad-hoc computation, so a hash match proves
+    // the build/probe split loses nothing — the artifact IS the corpus
+    // as far as scoring is concerned. Probe-only timing; the build cost
+    // is measured by `text_bm25_index_build`.
     QueryDef(
       "text_bm25_indexed",
+      (s, dir) =>
+        Search.bm25TopKIndexed(s, IndexCache.bm25Index(s, dir),
+          bm25Queries, k = 5),
+      Some(bm25OracleSql)),
+
+    // The artifact build, timed alone (the nightly job a production
+    // corpus amortizes): always builds fresh, then proves artifact
+    // integrity by reading df/tf PER QUERY TERM back from the postings
+    // table only — the oracle recomputes them from raw text.
+    QueryDef(
+      "text_bm25_index_build",
       (s, dir) => {
-        val path = Tables.tmpDir("bm25_index")
+        import s.implicits._
+        val path = Tables.tmpDir("bm25_build")
         Search.buildPostingsIndex(s, t(s, dir, "documents"),
           "doc_id", "text", path)
-        Search.bm25TopKIndexed(s, path, bm25Queries, k = 5)
+        val terms = bm25Queries.flatMap(_._2).distinct
+        graft.delta.DeltaTable.forPath(s, s"$path/postings").toDF
+          .filter($"term".isin(terms: _*))
+          .groupBy($"term")
+          .agg(count(lit(1)).as("df"),
+               sum($"tf".cast("long")).as("total_tf"))
       },
-      Some(bm25OracleSql)),
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+          FROM documents),
+        pos AS (SELECT doc_id, unnest(tk) AS term FROM toks)
+        SELECT term, COUNT(DISTINCT doc_id) AS df,
+               CAST(COUNT(*) AS BIGINT) AS total_tf
+        FROM pos
+        WHERE term IN ('join', 'hash', 'merge', 'scan', 'filter',
+                       'vector', 'window', 'stream')
+        GROUP BY term""")),
 
     // Hybrid retrieval ([[Search.rrfFuse]]): a BM25 keyword run and a
     // brute-force cosine run (documents and embeddings share the id

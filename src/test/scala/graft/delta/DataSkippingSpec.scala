@@ -39,6 +39,42 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("dataSkippingStatsColumns replaces the positional rule") {
+    withTempDir { dir =>
+      val wide = spark.range(0, 50).toDF("c0")
+      val df = (1 until 40).foldLeft(wide)((d, i) => d.withColumn(s"c$i", $"c0" + i))
+      // only a LATE column is declared: it must carry stats even though
+      // it sits past any positional cutoff, and early columns must not
+      DeltaTable.write(df, dir,
+        configuration = Map("delta.dataSkippingStatsColumns" -> "c38"))
+      val stats = DeltaLog.forTable(spark, dir).update().allFiles.head.stats.get
+      val node = JsonCodec.mapper.readTree(stats)
+      assert(node.get("numRecords").asLong > 0)
+      val mins = node.get("minValues")
+      assert(mins.has("c38") && !mins.has("c0") && !mins.has("c1"),
+        s"explicit list not honored: $stats")
+      // pruning bites on the declared column (impossible predicate → 0
+      // files), stays conservative on undeclared ones
+      assert(filesRead(DeltaTable.forPath(spark, dir).toDF
+        .filter($"c38" === -1L)) == 0L)
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .filter($"c0" === 7L).count() == 1L)
+    }
+  }
+
+  test("numIndexedCols above the old hard cap is honored") {
+    withTempDir { dir =>
+      val wide = spark.range(0, 10).toDF("c0")
+      val df = (1 until 40).foldLeft(wide)((d, i) => d.withColumn(s"c$i", $"c0" + i))
+      DeltaTable.write(df, dir,
+        configuration = Map("delta.dataSkippingNumIndexedCols" -> "40"))
+      val stats = DeltaLog.forTable(spark, dir).update().allFiles.head.stats.get
+      val mins = JsonCodec.mapper.readTree(stats).get("minValues")
+      assert(mins.has("c39"),
+        s"raising numIndexedCols past 32 must widen stats: $stats")
+    }
+  }
+
   test("optimizeWrite coalesces confetti batches to few files") {
     withTempDir { dir =>
       // a 64-partition job writing ~100 KB would emit 64 tiny files
