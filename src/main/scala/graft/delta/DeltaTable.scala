@@ -1400,14 +1400,21 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               where: Option[Column] = None,
               zOrderBy: Seq[String] = Nil,
               maxFilesPerCommit: Int = 10000,
-              fullReCluster: Boolean = false): Long = {
+              fullReCluster: Boolean = false,
+              purgeOnly: Boolean = false): Long = {
+    require(!purgeOnly || (zOrderBy.isEmpty && !fullReCluster),
+      "REORG ... APPLY (PURGE) rewrites shaded files only; it cannot " +
+        "combine with ZORDER BY or FULL")
     val txn = deltaLog.startTransaction()
     val snapshot = txn.snapshot
     // a CLUSTERED table (delta.clustering domain) treats OPTIMIZE as a
     // re-clustering pass over its declared clustering columns unless the
-    // caller z-orders explicitly
+    // caller z-orders explicitly. REORG PURGE never re-clusters: its
+    // output drops the clustering tag, so the next clustering OPTIMIZE
+    // picks the rewritten files up incrementally.
     val zOrderCols =
-      if (zOrderBy.nonEmpty) zOrderBy
+      if (purgeOnly) Nil
+      else if (zOrderBy.nonEmpty) zOrderBy
       else DeltaTable.clusteringColumns(snapshot)
     // validate BEFORE any early return — a typo'd z-order column must
     // fail even when there happen to be no candidates right now
@@ -1465,7 +1472,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         if (zOrderCols.isEmpty)
           DeltaTable.packableGroups(
             matched.filter(f =>
-              f.size < targetFileBytes || f.deletionVector.isDefined),
+              (f.size < targetFileBytes && !purgeOnly) ||
+                f.deletionVector.isDefined),
             targetFileBytes, maxFilesPerCommit)
         // Z-order must rewrite EVERY candidate in one clustering pass —
         // a truncated subset would leave the table partially clustered
@@ -1477,6 +1485,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         if (snapshot.distributedState) {
           val target = targetFileBytes
           val cap = maxFilesPerCommit
+          val purge = purgeOnly
           if (zOrderCols.isEmpty) {
             // group + qualify where the file list lives; only survivors
             // (files that will become RemoveFiles) reach the driver. The
@@ -1484,7 +1493,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             // split by the cap is deferred, never half-rewritten.
             import spark.implicits._
             val survivors = snapshot.allFilesDistributed
-              .filter(f => f.size < target || f.deletionVector.isDefined)
+              .filter(f => (f.size < target && !purge) ||
+                f.deletionVector.isDefined)
               .groupByKey(_.partitionValues.toSeq.sortBy(_._1)
                 .map { case (k, v) => s"$k=$v" }.mkString("/"))
               .flatMapGroups { (_, it) =>
@@ -1517,7 +1527,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           if (zOrderCols.isEmpty) {
             DeltaTable.packableGroups(
               snapshot.allFiles.filter(f =>
-                f.size < targetFileBytes || f.deletionVector.isDefined),
+                (f.size < targetFileBytes && !purgeOnly) ||
+                  f.deletionVector.isDefined),
               targetFileBytes, maxFilesPerCommit)
           } else if (liquidIncremental)
             snapshot.allFiles.filterNot(alreadyClustered)
@@ -1627,13 +1638,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       metadata.partitionColumns, metadata.columnMapping, Some(metadata))
       .map(a => stamp(a.copy(dataChange = false)))
     val removes = rewrite.map(_.remove(deltaLog.clock(), dataChange = false))
-    txn.commit(adds ++ removes, "OPTIMIZE",
+    txn.commit(adds ++ removes, if (purgeOnly) "REORG" else "OPTIMIZE",
       operationMetrics = Map(
         "numRemovedFiles" -> rewrite.size.toString,
         "numAddedFiles" -> adds.size.toString,
         "numAddedBytes" -> adds.map(_.size).sum.toString),
       operationParameters =
-        if (zOrderCols.nonEmpty) Map("zOrderBy" -> zOrderCols) else Map.empty)
+        if (purgeOnly) Map("applyPurge" -> "true")
+        else if (zOrderCols.nonEmpty) Map("zOrderBy" -> zOrderCols)
+        else Map.empty)
   }
 }
 

@@ -46,6 +46,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftVacuumCommand(parseTarget(target),
         Option(hours).map(_.toDouble), dryRun != null,
         lite = Option(mode).exists(_.equalsIgnoreCase("LITE"))))
+    case ReorgRe(target, where) =>
+      Some(GraftReorgCommand(parseTarget(target), Option(where).map(_.trim)))
     case GenerateRe(mode, target) =>
       Some(GraftGenerateCommand(parseTarget(target), mode))
     case RestoreRe(target, version) =>
@@ -123,6 +125,8 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(FULL))?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(LITE|FULL))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
+  private val ReorgRe =
+    """(?is)\s*REORG\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val GenerateRe =
     """(?is)\s*GENERATE\s+'?(\w+)'?\s+FOR\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s*;?\s*""".r
   private val RestoreTsRe =
@@ -279,6 +283,27 @@ case class GraftOptimizeCommand(
 
 /** `RESTORE [TABLE] <table> TO VERSION AS OF n` →
   * [[graft.delta.DeltaTable.restore]]. */
+/** `REORG TABLE <tbl> [WHERE <part predicate>] APPLY (PURGE)` →
+  * [[graft.delta.DeltaTable.compact]] in purge-only mode: rewrite
+  * exactly the files carrying deletion vectors (materializing the
+  * surviving rows), leaving well-sized unshaded files alone. */
+case class GraftReorgCommand(
+    target: Either[String, Seq[String]],
+    where: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val v = graft.delta.DeltaTable.forPath(session, path)
+      .compact(where = where.map(org.apache.spark.sql.functions.expr),
+        purgeOnly = true)
+    Seq(Row(path, v))
+  }
+}
+
 /** `GENERATE symlink_format_manifest FOR TABLE <tbl>` →
   * [[graft.delta.SymlinkManifest.generate]]. Unknown modes refuse by
   * name (delta-spark's contract). */

@@ -347,4 +347,57 @@ class CompactionAndVacuumSpec extends SparkSpec {
         Seq(1, 2, 3))
     }
   }
+  test("REORG APPLY (PURGE) rewrites shaded files only; OPTIMIZE would " +
+      "also bin-pack") {
+    withTempDir { dir =>
+      // partition a: one DV-shaded file; partition b: three small
+      // unshaded files (bin-packable but NOT purge work)
+      DeltaTable.write(
+        (1 to 100).map(i => (i, "a")).toDF("v", "part").coalesce(1), dir,
+        partitionBy = Seq("part"),
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      (0 until 3).foreach(i => DeltaTable.write(
+        Seq((1000 + i, "b")).toDF("v", "part").coalesce(1), dir))
+      val table = DeltaTable.forPath(spark, dir)
+      table.delete($"v" <= 10 && $"part" === "a") // shades partition a
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update().allFiles
+      assert(before.count(_.deletionVector.isDefined) == 1)
+      val bFilesBefore = before.filter(_.partitionValues("part") == "b")
+        .map(_.path).toSet
+
+      spark.sql(s"REORG TABLE '$dir' APPLY (PURGE)")
+      val after = log.update()
+      assert(after.allFiles.forall(_.deletionVector.isEmpty),
+        "purge must clear every deletion vector")
+      assert(after.allFiles.filter(_.partitionValues("part") == "b")
+        .map(_.path).toSet == bFilesBefore,
+        "REORG must not bin-pack unshaded files")
+      assert(table.toDF.count() == 93)
+      val op = log.history().flatMap(_.operation).head
+      assert(op == "REORG", s"recorded operation: $op")
+
+      // idempotent: nothing left to purge -> no new commit
+      val v = after.version
+      spark.sql(s"REORG TABLE '$dir' APPLY (PURGE)")
+      assert(log.update().version == v, "purge with no shades must no-op")
+
+      // plain OPTIMIZE still bin-packs partition b afterwards
+      table.compact()
+      assert(log.update().allFiles
+        .count(_.partitionValues("part") == "b") == 1)
+      assert(table.toDF.count() == 93)
+    }
+  }
+
+  test("REORG refuses ZORDER/FULL combinations") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a")).toDF("v", "part"), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      intercept[IllegalArgumentException](
+        t.compact(zOrderBy = Seq("v"), purgeOnly = true))
+      intercept[IllegalArgumentException](
+        t.compact(fullReCluster = true, purgeOnly = true))
+    }
+  }
 }
