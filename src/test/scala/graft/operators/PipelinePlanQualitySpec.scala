@@ -112,4 +112,37 @@ class PipelinePlanQualitySpec extends SparkSpec {
       s"candidate generation must not shuffle vectors:\n" +
         pairs.queryExecution.executedPlan.toString)
   }
+  test("shuffleShard plans exactly one exchange (the shard window)") {
+    val big = spark.range(0, 1000).toDF("id")
+    val out = Curation.shuffleShard(big, "id", "ep1", 8)
+    out.collect()
+    // AQE nests the exchange in a ShuffleQueryStage — count stages in
+    // the FINAL plan text instead of collecting operator nodes
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val stages = "ShuffleQueryStage".r.findAllIn(finalPlan).size
+    assert(stages == 1,
+      s"one shuffle by shard expected:\n$finalPlan")
+  }
+
+  test("rrfFuse never rescans retriever inputs as a join — union + one " +
+      "aggregation + one rank window") {
+    val runA = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val runB = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq(runA, runB), k = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fusion must not join runs:\n$plan")
+  }
+
+  test("discreteQuantiles attaches group counts by broadcast, not a " +
+      "corpus sort-merge") {
+    val big = spark.range(0, 5000)
+      .select(($"id" % 4).cast("string").as("g"), ($"id" * 7 % 1000).as("v"))
+    val out = CorpusStats.discreteQuantiles(big, "g", "v", Seq(0.5, 0.9))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || !plan.contains("SortMergeJoin"),
+      s"group-count join must broadcast (counts are group-count sized):\n$plan")
+  }
 }
