@@ -1153,9 +1153,20 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * driver-written log file; this is inherent to clone, not a scan-path
     * materialization (the clone's own reads stay distributed).
     *
+    * `versionAsOf` / `timestampMillisAsOf` clone a HISTORICAL snapshot
+    * (delta-spark's time-travel clone) — the cheap way to pin an
+    * experiment's training corpus to a reproducible table state without
+    * copying 100 TB.
+    *
     * Returns the clone's committed version (0). */
-  def cloneTo(targetPath: String): Long = {
-    val snapshot = deltaLog.update()
+  def cloneTo(targetPath: String,
+              versionAsOf: Option[Long] = None,
+              timestampMillisAsOf: Option[Long] = None): Long = {
+    require(versionAsOf.isEmpty || timestampMillisAsOf.isEmpty,
+      "Specify at most one of VERSION AS OF / TIMESTAMP AS OF")
+    val snapshot = versionAsOf.map(deltaLog.getSnapshotForVersionAsOf)
+      .orElse(timestampMillisAsOf.map(deltaLog.getSnapshotForTimestampAsOf))
+      .getOrElse(deltaLog.update())
     val targetLog = DeltaLog.forTable(spark, targetPath)
     require(!targetLog.tableExists,
       s"Cannot clone: a Delta table already exists at $targetPath")

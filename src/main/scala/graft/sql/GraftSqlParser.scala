@@ -54,8 +54,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftRestoreCommand(parseTarget(target), version.toLong))
     case RestoreTsRe(target, ts) =>
       Some(GraftRestoreTimestampCommand(parseTarget(target), ts))
-    case CloneRe(target, source) =>
-      Some(GraftCloneCommand(parseTarget(target), parseTarget(source)))
+    case CloneRe(target, source, version, ts) =>
+      Some(GraftCloneCommand(parseTarget(target), parseTarget(source),
+        Option(version).map(_.toLong), Option(ts)))
     case ConvertRe(target, partCols) =>
       Some(GraftConvertCommand(parseTarget(target),
         Option(partCols).toSeq.flatMap(_.split(",").map(s =>
@@ -136,7 +137,7 @@ object GraftSqlParser {
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val ClusterByRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+CLUSTER\s+BY\s*(?:\(([^)]+)\)|(NONE))\s*;?\s*""".r
   private val AddConstraintRe =
@@ -364,12 +365,16 @@ case class GraftConvertCommand(
   }
 }
 
-/** `CREATE TABLE <target> SHALLOW CLONE <source>` →
+/** `CREATE TABLE <target> SHALLOW CLONE <source>
+  * [VERSION AS OF n | TIMESTAMP AS OF 'ts']` →
   * [[graft.delta.DeltaTable.cloneTo]]. The target is a path ('/p/t') or
-  * an identifier resolving through the catalog; zero data files copy. */
+  * an identifier resolving through the catalog; zero data files copy;
+  * the time-travel forms pin a historical source snapshot. */
 case class GraftCloneCommand(
     target: Either[String, Seq[String]],
-    source: Either[String, Seq[String]]) extends LeafRunnableCommand {
+    source: Either[String, Seq[String]],
+    versionAsOf: Option[Long] = None,
+    timestampAsOf: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("target", StringType, nullable = false)(),
@@ -381,7 +386,9 @@ case class GraftCloneCommand(
     // warehouse location a new table would occupy
     val dstPath = GraftSqlParser.resolveNewTablePath(session, target)
     val src = graft.delta.DeltaTable.forPath(session, srcPath)
-    src.cloneTo(dstPath)
+    src.cloneTo(dstPath, versionAsOf,
+      timestampAsOf.map(t =>
+        graft.delta.TimestampParsing.parseMillis(session, t)))
     val n = graft.delta.DeltaTable.forPath(session, dstPath)
       .deltaLog.update().numOfFiles
     Seq(Row(dstPath, n))

@@ -141,4 +141,34 @@ class CloneSpec extends SparkSpec {
       }
     }
   }
+  test("time-travel clone pins a historical snapshot") {
+    withTempDir { src =>
+      DeltaTable.write(Seq(1, 2).toDF("v"), src)        // v0
+      DeltaTable.write(Seq(3).toDF("v"), src)           // v1
+      DeltaTable.forPath(spark, src).deleteWhere(lit(true)) // v2: empty
+      withTempDir { t0 =>
+        val target = s"$t0/clone_v1"
+        DeltaTable.forPath(spark, src)
+          .cloneTo(target, versionAsOf = Some(1L))
+        assert(DeltaTable.forPath(spark, target).toDF
+          .as[Int].collect().sorted.toSeq == Seq(1, 2, 3),
+          "clone must see version 1's rows, not the emptied head")
+        // recorded provenance names the PINNED version
+        val ci = DeltaLog.forTable(spark, target).history()
+          .find(_.operation.contains("CLONE")).get
+        assert(ci.operationParameters.get("sourceVersion") == "1")
+      }
+      withTempDir { t1 =>
+        val target = s"$t1/clone_sql"
+        spark.sql(
+          s"CREATE TABLE '$target' SHALLOW CLONE '$src' VERSION AS OF 0")
+        assert(DeltaTable.forPath(spark, target).toDF
+          .as[Int].collect().sorted.toSeq == Seq(1, 2))
+      }
+      intercept[IllegalArgumentException] {
+        DeltaTable.forPath(spark, src).cloneTo("/tmp/never",
+          versionAsOf = Some(0L), timestampMillisAsOf = Some(1L))
+      }
+    }
+  }
 }
