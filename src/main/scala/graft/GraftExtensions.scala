@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaUpdates)
     ext.injectResolutionRule(_ => GraftExtensions.RouteDeltaMerges)
     ext.injectResolutionRule(spark => new GraftExtensions.ResolveGraftCatalogReads(spark))
+    ext.injectOptimizerRule(_ => GraftExtensions.MetadataOnlyCount)
     // extension grammar: OPTIMIZE [ZORDER BY] / VACUUM statements
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
@@ -198,6 +199,69 @@ object GraftExtensions {
           val t = dsv2.table.asInstanceOf[graft.sql.GraftTable]
           LogicalRelation(t.v1Relation(spark), dsv2.output, None,
             isStreaming = false, stream = None)
+      }
+    }
+  }
+
+  /** `COUNT(*)`-only aggregates over an UNFILTERED, unshaded Delta scan
+    * answer from `AddFile.stats.numRecords` alone — at 100 TB the
+    * difference between a metadata lookup and a full-table scan. The
+    * rewrite fires only when the aggregate's child is the bare scan
+    * (any Filter/Join in between keeps the scan: predicates change the
+    * count) and [[graft.delta.read.DeltaFileIndex.metadataOnlyCount]]
+    * certifies complete stats and zero deletion vectors. delta-spark's
+    * `OptimizeMetadataOnlyDeltaQuery` is the same idea. Disable with
+    * `spark.graft.metadataCount.enabled=false`. */
+  object MetadataOnlyCount
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.delta.read.DeltaFileIndex._
+
+    private def specOf(e: NamedExpression)
+        : Option[graft.delta.read.DeltaFileIndex.MetaAggSpec] = e match {
+      case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+        case Count(Seq(Literal(v, _))) if v != null => Some(StarSpec)
+        case Count(Seq(a: AttributeReference)) => Some(CountColSpec(a.name))
+        case Min(a: AttributeReference) => Some(MinSpec(a.name, a.dataType))
+        case Max(a: AttributeReference) => Some(MaxSpec(a.name, a.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+
+    private def deltaIndex(plan: LogicalPlan)
+        : Option[graft.delta.read.DeltaFileIndex] = plan match {
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        deltaIndex(child)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case d: graft.delta.read.DeltaFileIndex => Some(d)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val enabled = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.metadataCount.enabled", "true").toBoolean
+      if (!enabled) plan
+      else plan.transformDown {
+        case agg @ Aggregate(Nil, exprs, child, _)
+            if exprs.nonEmpty && exprs.forall(specOf(_).isDefined) =>
+          val specs = exprs.map(specOf(_).get)
+          deltaIndex(child).flatMap(_.metadataAggregate(specs)) match {
+            case Some(values) =>
+              LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+                Seq(InternalRow.fromSeq(values)))
+            case None => agg
+          }
       }
     }
   }

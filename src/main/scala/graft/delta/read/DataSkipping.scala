@@ -266,6 +266,13 @@ object DataSkipping {
   }
 
   /** Normalize a stats-JSON value to the comparison domain of `dt`. */
+  /** Stats-JSON text → comparable value and the shared comparator —
+    * exposed for the metadata-only aggregate fold, which must order
+    * stats texts with EXACTLY the skipping semantics. */
+  private[graft] def textComparable(v: String, dt: DataType): Option[Any] =
+    toComparable(v, dt)
+  private[graft] def compareComparables(a: Any, b: Any): Int = cmp(a, b)
+
   private def toComparable(v: Any, dt: DataType): Option[Any] = try {
     dt match {
       case StringType => Some(UTF8String.fromString(v.asInstanceOf[String]))

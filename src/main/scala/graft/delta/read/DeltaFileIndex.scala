@@ -59,6 +59,16 @@ class DeltaFileIndex private (
   private def absolutePath(child: String): Path =
     PartitionUtils.absolutePath(dataPath, child)
 
+  /** COUNT(*) from file statistics alone — `Some(total)` only when EVERY
+    * active file records `numRecords` and none carries a deletion vector
+    * (a shade changes the visible row count through the anti-join, which
+    * lives outside this relation). The distributed source aggregates in
+    * a Spark job over the narrow AddFile dataset; the scan of actual
+    * data files — the 100 TB — never happens. */
+  lazy val metadataOnlyCount: Option[Long] =
+    metadataAggregate(Seq(DeltaFileIndex.StarSpec))
+      .map(_.head.asInstanceOf[Long])
+
   /** Prune to the files any of whose rows can match; distributed source →
     * the pruning runs as a Spark job and collects survivors only. Data
     * filters on generated-column SOURCES first derive extra partition
@@ -109,6 +119,59 @@ class DeltaFileIndex private (
         .map(r => PartitionUtils.absoluteFileName(new Path(dp), r.getString(0)))
   }
 
+  /** Metadata-only aggregate evaluation over the active files: the
+    * values of `specs` (COUNT(*), COUNT(col), MIN/MAX(col)) computed
+    * from stats alone — `None` unless EVERY file certifies every spec
+    * (numRecords present; per-column nullCount for COUNT(col); min/max
+    * present or the file provably all-null for MIN/MAX) and no file
+    * carries a deletion vector. Returned values are Catalyst-internal.
+    *
+    * The fold runs as partial states merged associatively: one pass on
+    * the driver for driver-bounded file lists, `mapPartitions` + reduce
+    * for distributed state (per-partition state is spec-count sized —
+    * the file list never collects). String and float/double columns are
+    * excluded by [[DeltaFileIndex.internalValue]]: parquet binary stats
+    * may be writer-truncated bounds (not achieved values) and float
+    * extrema interact with NaN ordering. */
+  def metadataAggregate(specs: Seq[DeltaFileIndex.MetaAggSpec])
+      : Option[Seq[Any]] = {
+    import DeltaFileIndex._
+    if (specs.isEmpty) return None
+    if (specs.exists {
+      case MinSpec(_, dt) => !aggregableType(dt)
+      case MaxSpec(_, dt) => !aggregableType(dt)
+      case _ => false
+    }) return None
+    val specsLocal = specs.toIndexedSeq
+    val state = source match {
+      case Left(files) => foldFiles(files.iterator, specsLocal)
+      case Right(ds) =>
+        implicit val enc = org.apache.spark.sql.Encoders.kryo[AggState]
+        // partial states are spec-count sized; partition count of them
+        // reach the driver, never the file list
+        val partials = ds.mapPartitions(it =>
+          Iterator.single(foldFiles(it, specsLocal))).collect()
+        partials.foldLeft(foldFiles(Iterator.empty, specsLocal))(
+          mergeStates(specsLocal, _, _))
+    }
+    if (!state.ok) None
+    else {
+      val values = specsLocal.zip(state.accs).map {
+        case (StarSpec, acc) => Some(acc.count)
+        case (CountColSpec(_), acc) => Some(acc.count)
+        case (MinSpec(_, dt), acc) => acc.text match {
+          case Some(t) => internalValue(t, dt) // None = unconvertible: bail
+          case None => Some(null) // provably all-null column
+        }
+        case (MaxSpec(_, dt), acc) => acc.text match {
+          case Some(t) => internalValue(t, dt)
+          case None => Some(null)
+        }
+      }
+      if (values.exists(_.isEmpty)) None else Some(values.map(_.get))
+    }
+  }
+
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = knownSizeInBytes.map(_.apply()).getOrElse(
@@ -116,4 +179,147 @@ class DeltaFileIndex private (
       case Left(files) => math.max(files.map(_.size).sum, 1L)
       case Right(_) => Long.MaxValue // unknown: never broadcast blindly
     })
+}
+
+object DeltaFileIndex {
+  import org.apache.spark.sql.types._
+
+  /** One aggregate the metadata fold can answer. */
+  sealed trait MetaAggSpec extends Serializable
+  case object StarSpec extends MetaAggSpec
+  final case class CountColSpec(col: String) extends MetaAggSpec
+  final case class MinSpec(col: String, dt: DataType) extends MetaAggSpec
+  final case class MaxSpec(col: String, dt: DataType) extends MetaAggSpec
+
+  /** min/max only on types whose stats text is an ACHIEVED value with
+    * total order: strings are excluded (parquet truncates binary stats
+    * into bounds), floats are excluded (NaN ordering). */
+  private[read] def aggregableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private[read] final class Acc extends Serializable {
+    var ok: Boolean = true
+    var count: Long = 0L
+    var text: Option[String] = None
+  }
+  private[read] final case class AggState(accs: IndexedSeq[Acc]) {
+    def ok: Boolean = accs.forall(_.ok)
+  }
+
+  private[read] def parsedOf(f: graft.delta.AddFile)
+      : Option[graft.delta.ParsedStats] =
+    f.stats_parsed.orElse(f.stats.flatMap(DataSkipping.parseRaw))
+
+  private[read] def foldFiles(it: Iterator[graft.delta.AddFile],
+                              specs: IndexedSeq[MetaAggSpec]): AggState = {
+    val accs = IndexedSeq.fill(specs.size)(new Acc)
+    it.foreach { f =>
+      if (f.deletionVector.isDefined) accs.foreach(_.ok = false)
+      else {
+        val parsed = parsedOf(f)
+        specs.indices.foreach { i =>
+          val acc = accs(i)
+          if (acc.ok) specs(i) match {
+            case StarSpec => parsed.flatMap(_.numRecords) match {
+              case Some(n) => acc.count += n
+              case None => acc.ok = false
+            }
+            case CountColSpec(c) =>
+              val key = c.toLowerCase
+              (for { p <- parsed; n <- p.numRecords;
+                     nc <- p.nullCount.get(key) } yield n - nc) match {
+                case Some(k) => acc.count += k
+                case None => acc.ok = false
+              }
+            case MinSpec(c, dt) => foldExtremum(acc, parsed, c, dt, min = true)
+            case MaxSpec(c, dt) => foldExtremum(acc, parsed, c, dt, min = false)
+          }
+        }
+      }
+    }
+    AggState(accs)
+  }
+
+  private def foldExtremum(acc: Acc, parsed: Option[graft.delta.ParsedStats],
+                           c: String, dt: DataType, min: Boolean): Unit = {
+    val key = c.toLowerCase
+    parsed match {
+      case None => acc.ok = false
+      case Some(p) =>
+        val allNull = (for (n <- p.numRecords; nc <- p.nullCount.get(key))
+          yield nc >= n).contains(true)
+        if (!allNull) {
+          val bound = if (min) p.minValues.get(key) else p.maxValues.get(key)
+          bound match {
+            case None => acc.ok = false
+            case Some(t) => acc.text = pick(acc.text, t, dt, min, acc)
+          }
+        }
+    }
+  }
+
+  private def pick(cur: Option[String], cand: String, dt: DataType,
+                   min: Boolean, acc: Acc): Option[String] = cur match {
+    case None => Some(cand)
+    case Some(c0) =>
+      (DataSkipping.textComparable(c0, dt),
+        DataSkipping.textComparable(cand, dt)) match {
+        case (Some(a), Some(b)) =>
+          val cmp = DataSkipping.compareComparables(a, b)
+          if ((min && cmp <= 0) || (!min && cmp >= 0)) Some(c0) else Some(cand)
+        case _ => acc.ok = false; cur
+      }
+  }
+
+  private[read] def mergeStates(specs: IndexedSeq[MetaAggSpec],
+                                a: AggState, b: AggState): AggState = {
+    val accs = specs.indices.map { i =>
+      val out = new Acc
+      val (x, y) = (a.accs(i), b.accs(i))
+      out.ok = x.ok && y.ok
+      if (out.ok) specs(i) match {
+        case StarSpec | CountColSpec(_) => out.count = x.count + y.count
+        case MinSpec(_, dt) =>
+          out.text = (x.text, y.text) match {
+            case (Some(t), None) => Some(t)
+            case (None, o) => o
+            case (Some(t), Some(u)) => pick(Some(t), u, dt, min = true, out)
+          }
+        case MaxSpec(_, dt) =>
+          out.text = (x.text, y.text) match {
+            case (Some(t), None) => Some(t)
+            case (None, o) => o
+            case (Some(t), Some(u)) => pick(Some(t), u, dt, min = false, out)
+          }
+      }
+      out
+    }
+    AggState(accs.toIndexedSeq)
+  }
+
+  /** Stats text → Catalyst internal value; None = unconvertible (bail
+    * to the real scan rather than guess). */
+  private[read] def internalValue(text: String, dt: DataType): Option[Any] =
+    try {
+      dt match {
+        case ByteType => Some(new java.math.BigDecimal(text).byteValueExact())
+        case ShortType => Some(new java.math.BigDecimal(text).shortValueExact())
+        case IntegerType => Some(new java.math.BigDecimal(text).intValueExact())
+        case LongType => Some(new java.math.BigDecimal(text).longValueExact())
+        case BooleanType => Some(text.toBoolean)
+        case DateType =>
+          Some(java.time.LocalDate.parse(text).toEpochDay.toInt)
+        case TimestampType =>
+          val i = java.time.Instant.parse(text)
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case TimestampNTZType =>
+          val ldt = java.time.LocalDateTime.parse(text)
+          Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

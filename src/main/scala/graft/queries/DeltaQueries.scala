@@ -568,6 +568,34 @@ object DeltaQueries {
                CAST(1 AS INT) AS compacted
         FROM supplier GROUP BY s_nationkey""")),
 
+    // Metadata-only aggregates ([[graft.GraftExtensions.MetadataOnlyCount]]):
+    // COUNT(*)/COUNT(col)/MIN/MAX over a bare Delta scan answer from
+    // AddFile stats — the query asserts IN-PLAN that no file scan
+    // survives, then the oracle recomputes the values from raw data.
+    QueryDef(
+      "delta_metadata_agg",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("metaagg")
+        DeltaTable.write(t(s, dir, "orders").repartition(4), path,
+          SaveMode.Overwrite)
+        val agg = DeltaTable.forPath(s, path).toDF
+          .agg(count(lit(1)).as("n"),
+               min($"o_orderkey").as("min_key"),
+               max($"o_orderkey").as("max_key"),
+               count($"o_orderpriority").as("n_priorities"),
+               min($"o_orderdate").as("min_date"))
+        require(!agg.queryExecution.executedPlan.toString.contains("FileScan"),
+          s"metadata aggregate must not scan:\n${agg.queryExecution.executedPlan}")
+        agg
+      },
+      Some("""
+        SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key,
+               COUNT(o_orderpriority) AS n_priorities,
+               MIN(o_orderdate) AS min_date
+        FROM orders""")),
+
     // VACUUM LITE lifecycle: partition-pruned DELETE leaves tombstones,
     // the lite vacuum derives its candidates from the LOG (no table
     // listing) and must physically remove them; the VACUUM END logging

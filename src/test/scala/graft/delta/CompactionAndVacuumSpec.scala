@@ -235,8 +235,12 @@ class CompactionAndVacuumSpec extends SparkSpec {
       DeltaLog.clearCache()
       assert(DeltaTable.forPath(spark, dir).toDF.as[Int].collect().sorted.toSeq ==
         (1 to 6).toSeq)
+      // a COUNT would now answer from metadata alone (MetadataOnlyCount
+      // — same as delta-spark's metadata-only query, which never probes
+      // file existence); reading VALUES must hit the vacuumed files
       intercept[Exception] {
-        DeltaTable.forPath(spark, dir).asOfVersion(preCompactVersion).count()
+        DeltaTable.forPath(spark, dir).asOfVersion(preCompactVersion)
+          .as[Int].collect()
       }
     }
   }

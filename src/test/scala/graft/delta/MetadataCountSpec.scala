@@ -1,0 +1,124 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[graft.GraftExtensions.MetadataOnlyCount]]: COUNT(*)-only aggregates
+  * over a bare Delta scan answer from AddFile stats — the plan must
+  * carry NO file scan; anything that changes the visible row count
+  * (filters, deletion vectors, missing stats) must keep the real scan
+  * and the right answer. */
+class MetadataCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hasScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("FileScan")
+
+  test("count(*) answers from stats with no file scan") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 1000).toDF("v").repartition(4), dir)
+      DeltaTable.write((1 to 500).toDF("v").repartition(2), dir)
+      val df = DeltaTable.forPath(spark, dir).toDF.agg(count(lit(1)))
+      assert(df.collect().head.getLong(0) == 1500L)
+      assert(!hasScan(df),
+        s"metadata count must not scan:\n${df.queryExecution.executedPlan}")
+      // several counts in one aggregate all rewrite
+      val multi = DeltaTable.forPath(spark, dir).toDF
+        .agg(count(lit(1)).as("a"), count(lit(1)).as("b"))
+      assert(multi.collect().head == org.apache.spark.sql.Row(1500L, 1500L))
+      assert(!hasScan(multi))
+      // SQL COUNT(*) through the TVF surface rewrites too
+      val sql = spark.sql(s"SELECT COUNT(*) FROM graft_table('$dir')")
+      assert(sql.collect().head.getLong(0) == 1500L)
+      assert(!hasScan(sql))
+    }
+  }
+
+  test("filters, other aggregates, and grouped counts keep the scan") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 100).toDF("v"), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      val filtered = t.toDF.filter($"v" > 50).agg(count(lit(1)))
+      assert(filtered.collect().head.getLong(0) == 50L)
+      assert(hasScan(filtered), "a filter changes the count: must scan")
+      val summed = t.toDF.agg(count(lit(1)), sum($"v"))
+      assert(hasScan(summed), "a non-count aggregate needs the rows")
+      assert(summed.collect().head.getLong(1) == 5050L)
+      val grouped = t.toDF.groupBy(($"v" % 2).as("g")).agg(count(lit(1)))
+      assert(hasScan(grouped), "grouping needs the rows")
+    }
+  }
+
+  test("deletion vectors force the real scan and the shaded count") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 100).toDF("v").coalesce(1), dir,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      val t = DeltaTable.forPath(spark, dir)
+      t.delete($"v" <= 10)
+      val df = t.toDF.agg(count(lit(1)))
+      assert(df.collect().head.getLong(0) == 90L,
+        "shaded rows must not be counted")
+      // purge restores the metadata-only path
+      t.compact()
+      val after = DeltaTable.forPath(spark, dir).toDF.agg(count(lit(1)))
+      assert(after.collect().head.getLong(0) == 90L)
+      assert(!hasScan(after), "post-purge stats are complete again")
+    }
+  }
+
+  test("MIN/MAX/COUNT(col) answer from stats for safe types; nulls " +
+      "respected") {
+    withTempDir { dir =>
+      val df = Seq[(java.lang.Long, java.lang.Integer, String)](
+        (1L, 10, "a"), (2L, null, "b"), (3L, 30, null))
+        .toDF("l", "i", "s")
+      DeltaTable.write(df.repartition(2), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      val agg = t.toDF.agg(min($"l"), max($"l"), min($"i"), max($"i"),
+        count($"i"), count($"s"))
+      assert(agg.collect().head ==
+        org.apache.spark.sql.Row(1L, 3L, 10, 30, 2L, 2L))
+      assert(!hasScan(agg),
+        s"typed min/max must come from stats:\n${agg.queryExecution.executedPlan}")
+    }
+  }
+
+  test("an all-null column yields null min/max without scanning") {
+    withTempDir { dir =>
+      val df = Seq[(Int, java.lang.Integer)]((1, null), (2, null))
+        .toDF("v", "n")
+      DeltaTable.write(df.coalesce(1), dir)
+      val agg = DeltaTable.forPath(spark, dir).toDF.agg(min($"n"), max($"n"))
+      assert(agg.collect().head == org.apache.spark.sql.Row(null, null))
+      assert(!hasScan(agg))
+    }
+  }
+
+  test("string and floating-point extrema keep the real scan") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "zz", 1.5), (2, "aa", 2.5))
+        .toDF("v", "s", "d"), dir)
+      val t = DeltaTable.forPath(spark, dir)
+      val sAgg = t.toDF.agg(max($"s"))
+      assert(sAgg.collect().head.getString(0) == "zz")
+      assert(hasScan(sAgg),
+        "parquet truncates binary stats: string max must scan")
+      val dAgg = t.toDF.agg(max($"d"))
+      assert(dAgg.collect().head.getDouble(0) == 2.5)
+      assert(hasScan(dAgg), "float extrema interact with NaN: must scan")
+    }
+  }
+
+  test("the kill switch restores the scanning plan") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 10).toDF("v"), dir)
+      spark.conf.set("spark.graft.metadataCount.enabled", "false")
+      try {
+        val df = DeltaTable.forPath(spark, dir).toDF.agg(count(lit(1)))
+        assert(df.collect().head.getLong(0) == 10L)
+        assert(hasScan(df))
+      } finally spark.conf.unset("spark.graft.metadataCount.enabled")
+    }
+  }
+}
