@@ -234,18 +234,38 @@ object GraftExtensions {
       case _ => None
     }
 
-    private def deltaIndex(plan: LogicalPlan)
-        : Option[graft.delta.read.DeltaFileIndex] = plan match {
-      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        deltaIndex(child)
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation => h.location match {
-          case d: graft.delta.read.DeltaFileIndex => Some(d)
+    /** Unwrap attr-only Projects and Filters down to the Delta relation,
+      * collecting filter conditions on the way. */
+    private def deltaIndex(plan: LogicalPlan): Option[
+        (graft.delta.read.DeltaFileIndex,
+         Seq[org.apache.spark.sql.catalyst.expressions.Expression])] =
+      plan match {
+        case Project(ps, child)
+            if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          deltaIndex(child)
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+          deltaIndex(child).map { case (idx, fs) => (idx, cond +: fs) }
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case d: graft.delta.read.DeltaFileIndex => Some((d, Nil))
+            case _ => None
+          }
           case _ => None
         }
         case _ => None
       }
-      case _ => None
+
+    /** A filter is metadata-answerable only when it references PARTITION
+      * columns alone (every row of a file shares their values, so the
+      * file-level strict eval equals the row-level Filter verdict),
+      * deterministically and without subqueries. */
+    private def partitionOnly(idx: graft.delta.read.DeltaFileIndex,
+        cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      val partCols = idx.partitionSchema.fieldNames.map(_.toLowerCase).toSet
+      cond.deterministic &&
+        cond.references.forall(a => partCols(a.name.toLowerCase)) &&
+        !cond.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -256,7 +276,11 @@ object GraftExtensions {
         case agg @ Aggregate(Nil, exprs, child, _)
             if exprs.nonEmpty && exprs.forall(specOf(_).isDefined) =>
           val specs = exprs.map(specOf(_).get)
-          deltaIndex(child).flatMap(_.metadataAggregate(specs)) match {
+          (deltaIndex(child) match {
+            case Some((idx, conds)) if conds.forall(partitionOnly(idx, _)) =>
+              idx.metadataAggregate(specs, conds)
+            case _ => None
+          }) match {
             case Some(values) =>
               LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
                 Seq(InternalRow.fromSeq(values)))

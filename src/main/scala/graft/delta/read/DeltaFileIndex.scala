@@ -133,7 +133,8 @@ class DeltaFileIndex private (
     * excluded by [[DeltaFileIndex.internalValue]]: parquet binary stats
     * may be writer-truncated bounds (not achieved values) and float
     * extrema interact with NaN ordering. */
-  def metadataAggregate(specs: Seq[DeltaFileIndex.MetaAggSpec])
+  def metadataAggregate(specs: Seq[DeltaFileIndex.MetaAggSpec],
+                        partitionFilters: Seq[Expression] = Nil)
       : Option[Seq[Any]] = {
     import DeltaFileIndex._
     if (specs.isEmpty) return None
@@ -142,14 +143,32 @@ class DeltaFileIndex private (
       case MaxSpec(_, dt) => !aggregableType(dt)
       case _ => false
     }) return None
+    // stats carry DATA columns only: a spec naming a partition column
+    // cannot be answered here (COUNT(*) is column-free and fine)
+    val partCols = metadata.partitionColumns.map(_.toLowerCase).toSet
+    if (specs.exists {
+      case CountColSpec(c) => partCols(c.toLowerCase)
+      case MinSpec(c, _) => partCols(c.toLowerCase)
+      case MaxSpec(c, _) => partCols(c.toLowerCase)
+      case StarSpec => false
+    }) return None
     val specsLocal = specs.toIndexedSeq
     val state = source match {
-      case Left(files) => foldFiles(files.iterator, specsLocal)
+      case Left(files) =>
+        val pruned =
+          if (partitionFilters.isEmpty) files
+          else PartitionUtils.filterFileList(
+            partitionSchema, files, partitionFilters)
+        foldFiles(pruned.iterator, specsLocal)
       case Right(ds) =>
+        val pruned =
+          if (partitionFilters.isEmpty) ds
+          else FilePruning.prune(ds, partitionSchema, partitionFilters,
+            Nil, metadata.dataSchema)
         implicit val enc = org.apache.spark.sql.Encoders.kryo[AggState]
         // partial states are spec-count sized; partition count of them
         // reach the driver, never the file list
-        val partials = ds.mapPartitions(it =>
+        val partials = pruned.mapPartitions(it =>
           Iterator.single(foldFiles(it, specsLocal))).collect()
         partials.foldLeft(foldFiles(Iterator.empty, specsLocal))(
           mergeStates(specsLocal, _, _))

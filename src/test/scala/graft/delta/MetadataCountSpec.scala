@@ -110,6 +110,38 @@ class MetadataCountSpec extends SparkSpec {
     }
   }
 
+  test("partition-only filters stay metadata-answerable; data filters " +
+      "never do") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 90).map(i => (i, s"p${i % 3}")).toDF("v", "part"), dir,
+        partitionBy = Seq("part"))
+      val t = DeltaTable.forPath(spark, dir)
+      val one = t.toDF.filter($"part" === "p1").agg(count(lit(1)))
+      assert(one.collect().head.getLong(0) == 30L)
+      assert(!hasScan(one),
+        s"partition-pruned count must not scan:\n${one.queryExecution.executedPlan}")
+      // min/max of DATA columns under a partition filter
+      val mm = t.toDF.filter($"part" === "p0")
+        .agg(min($"v"), max($"v"), count(lit(1)))
+      assert(mm.collect().head == org.apache.spark.sql.Row(3, 90, 30L))
+      assert(!hasScan(mm))
+      // a DATA-column predicate cannot be answered from partition values
+      val dataPred = t.toDF.filter($"v" > 45).agg(count(lit(1)))
+      assert(dataPred.collect().head.getLong(0) == 45L)
+      assert(hasScan(dataPred))
+      // mixed predicate: still a data reference -> scan
+      val mixed = t.toDF.filter($"part" === "p1" && $"v" > 45)
+        .agg(count(lit(1)))
+      assert(mixed.collect().head.getLong(0) == 15L)
+      assert(hasScan(mixed))
+      // aggregating a PARTITION column itself is not stats-answerable
+      val partAgg = t.toDF.agg(min($"part"))
+      assert(partAgg.collect().head.getString(0) == "p0")
+      assert(hasScan(partAgg))
+    }
+  }
+
   test("the kill switch restores the scanning plan") {
     withTempDir { dir =>
       DeltaTable.write((1 to 10).toDF("v"), dir)
