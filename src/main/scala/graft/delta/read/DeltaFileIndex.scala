@@ -138,19 +138,17 @@ class DeltaFileIndex private (
       : Option[Seq[Any]] = {
     import DeltaFileIndex._
     if (specs.isEmpty) return None
-    if (specs.exists {
-      case MinSpec(_, dt) => !aggregableType(dt)
-      case MaxSpec(_, dt) => !aggregableType(dt)
-      case _ => false
-    }) return None
-    // stats carry DATA columns only: a spec naming a partition column
-    // cannot be answered here (COUNT(*) is column-free and fine)
+    // partition-column specs answer from partitionValues (exact, full
+    // text — even strings, which file stats cannot serve); data-column
+    // specs answer from stats
     val partCols = metadata.partitionColumns.map(_.toLowerCase).toSet
+    def typedOk(c: String, dt: org.apache.spark.sql.types.DataType) =
+      if (partCols(c.toLowerCase)) partitionAggregableType(dt)
+      else aggregableType(dt)
     if (specs.exists {
-      case CountColSpec(c) => partCols(c.toLowerCase)
-      case MinSpec(c, _) => partCols(c.toLowerCase)
-      case MaxSpec(c, _) => partCols(c.toLowerCase)
-      case StarSpec => false
+      case MinSpec(c, dt) => !typedOk(c, dt)
+      case MaxSpec(c, dt) => !typedOk(c, dt)
+      case _ => false
     }) return None
     val specsLocal = specs.toIndexedSeq
     val state = source match {
@@ -159,7 +157,7 @@ class DeltaFileIndex private (
           if (partitionFilters.isEmpty) files
           else PartitionUtils.filterFileList(
             partitionSchema, files, partitionFilters)
-        foldFiles(pruned.iterator, specsLocal)
+        foldFiles(pruned.iterator, specsLocal, partCols)
       case Right(ds) =>
         val pruned =
           if (partitionFilters.isEmpty) ds
@@ -169,8 +167,8 @@ class DeltaFileIndex private (
         // partial states are spec-count sized; partition count of them
         // reach the driver, never the file list
         val partials = pruned.mapPartitions(it =>
-          Iterator.single(foldFiles(it, specsLocal))).collect()
-        partials.foldLeft(foldFiles(Iterator.empty, specsLocal))(
+          Iterator.single(foldFiles(it, specsLocal, partCols))).collect()
+        partials.foldLeft(foldFiles(Iterator.empty, specsLocal, partCols))(
           mergeStates(specsLocal, _, _))
     }
     if (!state.ok) None
@@ -219,6 +217,11 @@ object DeltaFileIndex {
     case _ => false
   }
 
+  /** Partition VALUES are exact full texts, so strings are safe there
+    * (floats still are not: NaN ordering). */
+  private[read] def partitionAggregableType(dt: DataType): Boolean =
+    aggregableType(dt) || dt == StringType
+
   private[read] final class Acc extends Serializable {
     var ok: Boolean = true
     var count: Long = 0L
@@ -232,8 +235,17 @@ object DeltaFileIndex {
       : Option[graft.delta.ParsedStats] =
     f.stats_parsed.orElse(f.stats.flatMap(DataSkipping.parseRaw))
 
+  /** Distinguishes a MISSING partition key (unanswerable) from a
+    * present-but-null value (contributes nothing). */
+  private def partValue(f: graft.delta.AddFile, c: String)
+      : Option[Option[String]] =
+    f.partitionValues.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(c) => Option(v)
+    }
+
   private[read] def foldFiles(it: Iterator[graft.delta.AddFile],
-                              specs: IndexedSeq[MetaAggSpec]): AggState = {
+                              specs: IndexedSeq[MetaAggSpec],
+                              partCols: Set[String]): AggState = {
     val accs = IndexedSeq.fill(specs.size)(new Acc)
     it.foreach { f =>
       if (f.deletionVector.isDefined) accs.foreach(_.ok = false)
@@ -246,6 +258,12 @@ object DeltaFileIndex {
               case Some(n) => acc.count += n
               case None => acc.ok = false
             }
+            case CountColSpec(c) if partCols(c.toLowerCase) =>
+              (partValue(f, c), parsed.flatMap(_.numRecords)) match {
+                case (Some(Some(_)), Some(n)) => acc.count += n
+                case (Some(None), Some(_)) => // null partition: no rows count
+                case _ => acc.ok = false
+              }
             case CountColSpec(c) =>
               val key = c.toLowerCase
               (for { p <- parsed; n <- p.numRecords;
@@ -253,6 +271,10 @@ object DeltaFileIndex {
                 case Some(k) => acc.count += k
                 case None => acc.ok = false
               }
+            case MinSpec(c, dt) if partCols(c.toLowerCase) =>
+              foldPartExtremum(acc, f, c, dt, min = true)
+            case MaxSpec(c, dt) if partCols(c.toLowerCase) =>
+              foldPartExtremum(acc, f, c, dt, min = false)
             case MinSpec(c, dt) => foldExtremum(acc, parsed, c, dt, min = true)
             case MaxSpec(c, dt) => foldExtremum(acc, parsed, c, dt, min = false)
           }
@@ -261,6 +283,14 @@ object DeltaFileIndex {
     }
     AggState(accs)
   }
+
+  private def foldPartExtremum(acc: Acc, f: graft.delta.AddFile,
+                               c: String, dt: DataType, min: Boolean): Unit =
+    partValue(f, c) match {
+      case None => acc.ok = false // key absent (e.g. column mapping)
+      case Some(None) => // null partition value: contributes nothing
+      case Some(Some(t)) => acc.text = pick(acc.text, t, dt, min, acc)
+    }
 
   private def foldExtremum(acc: Acc, parsed: Option[graft.delta.ParsedStats],
                            c: String, dt: DataType, min: Boolean): Unit = {
@@ -324,6 +354,8 @@ object DeltaFileIndex {
   private[read] def internalValue(text: String, dt: DataType): Option[Any] =
     try {
       dt match {
+        case StringType => // reached only from partition values (exact)
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(text))
         case ByteType => Some(new java.math.BigDecimal(text).byteValueExact())
         case ShortType => Some(new java.math.BigDecimal(text).shortValueExact())
         case IntegerType => Some(new java.math.BigDecimal(text).intValueExact())

@@ -135,10 +135,31 @@ class MetadataCountSpec extends SparkSpec {
         .agg(count(lit(1)))
       assert(mixed.collect().head.getLong(0) == 15L)
       assert(hasScan(mixed))
-      // aggregating a PARTITION column itself is not stats-answerable
-      val partAgg = t.toDF.agg(min($"part"))
-      assert(partAgg.collect().head.getString(0) == "p0")
-      assert(hasScan(partAgg))
+      // PARTITION columns answer from partitionValues — exact full
+      // text, so even strings are safe here (unlike file stats)
+      val partAgg = t.toDF.agg(min($"part"), max($"part"), count($"part"))
+      assert(partAgg.collect().head ==
+        org.apache.spark.sql.Row("p0", "p2", 90L))
+      assert(!hasScan(partAgg),
+        s"partition min/max must come from partitionValues:\n${partAgg.queryExecution.executedPlan}")
+    }
+  }
+
+  test("null partition values: count skips them, min/max of all-null " +
+      "partition column is null — all without scanning") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a"), (2, null.asInstanceOf[String]))
+        .toDF("v", "part"), dir, partitionBy = Seq("part"))
+      val t = DeltaTable.forPath(spark, dir)
+      val agg = t.toDF.agg(count($"part"), min($"part"))
+      assert(agg.collect().head == org.apache.spark.sql.Row(1L, "a"))
+      assert(!hasScan(agg))
+      DeltaTable.forPath(spark, dir).deleteWhere($"part" === "a")
+      val allNull = DeltaTable.forPath(spark, dir).toDF
+        .agg(min($"part"), max($"part"), count($"part"))
+      assert(allNull.collect().head ==
+        org.apache.spark.sql.Row(null, null, 0L))
+      assert(!hasScan(allNull))
     }
   }
 
