@@ -286,6 +286,52 @@ object GraftExtensions {
                 Seq(InternalRow.fromSeq(values)))
             case None => agg
           }
+
+        // GROUP BY partition columns: one metadata-folded row per
+        // distinct partition tuple — `SELECT day, COUNT(*) GROUP BY day`
+        // never scans the table
+        case agg @ Aggregate(gExprs, rExprs, child, _)
+            if gExprs.nonEmpty &&
+              gExprs.forall(_.isInstanceOf[AttributeReference]) &&
+              rExprs.forall(e =>
+                e.isInstanceOf[AttributeReference] || specOf(e).isDefined) =>
+          val gAttrs = gExprs.map(_.asInstanceOf[AttributeReference])
+          val passThroughOk = rExprs.forall {
+            case a: AttributeReference => gAttrs.exists(_.exprId == a.exprId)
+            case _ => true
+          }
+          (deltaIndex(child) match {
+            case Some((idx, conds)) if passThroughOk &&
+                conds.forall(partitionOnly(idx, _)) &&
+                gAttrs.forall(a => idx.partitionSchema.fieldNames
+                  .exists(_.equalsIgnoreCase(a.name))) =>
+              val gFields = gAttrs.map(a => idx.partitionSchema
+                .find(_.name.equalsIgnoreCase(a.name)).get)
+              val items: Seq[Either[Int, Int]] = {
+                var ai = -1
+                rExprs.map {
+                  case a: AttributeReference =>
+                    Left(gAttrs.indexWhere(_.exprId == a.exprId))
+                  case _ => ai += 1; Right(ai)
+                }
+              }
+              val specs = rExprs.flatMap(specOf(_))
+              idx.metadataGroupedAggregate(
+                  gFields.map(_.name), specs, conds).map { rows =>
+                val gSchema = org.apache.spark.sql.types.StructType(gFields)
+                val data = rows.map { case (raw, aggVals) =>
+                  val gRow = graft.delta.read.PartitionUtils
+                    .partitionRow(gSchema, raw)
+                  InternalRow.fromSeq(items.map {
+                    case Left(gi) => gRow.get(gi, gFields(gi).dataType)
+                    case Right(ai) => aggVals(ai)
+                  })
+                }
+                LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+                  data)
+              }
+            case _ => None
+          }).getOrElse(agg)
       }
     }
   }

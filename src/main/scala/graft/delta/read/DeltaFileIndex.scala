@@ -189,6 +189,100 @@ class DeltaFileIndex private (
     }
   }
 
+  /** Grouped variant of [[metadataAggregate]]: `GROUP BY` over PARTITION
+    * columns only — one result row per distinct grouping tuple, each
+    * folded from that slice's files. Returns (raw partition-value map,
+    * agg values) per group; groups with zero rows are dropped (SQL
+    * emits no row for an empty group). `None` whenever any group's fold
+    * cannot certify any spec — all-or-nothing, like the ungrouped form.
+    *
+    * Scale shape: distributed state groups the narrow AddFile dataset by
+    * the grouping texts in a Spark job; only group-count-bounded fold
+    * states reach the driver. */
+  def metadataGroupedAggregate(groupCols: Seq[String],
+                               specs: Seq[DeltaFileIndex.MetaAggSpec],
+                               partitionFilters: Seq[Expression] = Nil)
+      : Option[Seq[(Map[String, String], Seq[Any])]] = {
+    import DeltaFileIndex._
+    val partCols = metadata.partitionColumns.map(_.toLowerCase).toSet
+    if (groupCols.isEmpty ||
+        !groupCols.forall(c => partCols(c.toLowerCase))) return None
+    // fold a hidden COUNT(*) first: it certifies numRecords and drops
+    // empty groups
+    val allSpecs = (StarSpec +: specs).toIndexedSeq
+    def typedOk(c: String, dt: org.apache.spark.sql.types.DataType) =
+      if (partCols(c.toLowerCase)) partitionAggregableType(dt)
+      else aggregableType(dt)
+    if (specs.exists {
+      case MinSpec(c, dt) => !typedOk(c, dt)
+      case MaxSpec(c, dt) => !typedOk(c, dt)
+      case _ => false
+    }) return None
+    val gCols = groupCols.toIndexedSeq
+    // key = grouping-column texts; a MISSING key (column mapping's
+    // physical names, foreign minimal adds) poisons the whole rewrite
+    def keyOf(f: AddFile): Option[IndexedSeq[Option[String]]] = {
+      val vs = gCols.map(c => f.partitionValues.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(c) => Option(v)
+      })
+      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+    }
+    val grouped: Option[Seq[(IndexedSeq[Option[String]], AggState)]] =
+      source match {
+        case Left(files) =>
+          val pruned =
+            if (partitionFilters.isEmpty) files
+            else PartitionUtils.filterFileList(
+              partitionSchema, files, partitionFilters)
+          val keyed = pruned.map(f => (keyOf(f), f))
+          if (keyed.exists(_._1.isEmpty)) None
+          else Some(keyed.groupBy(_._1.get).toSeq.map { case (k, fs) =>
+            (k, foldFiles(fs.map(_._2).iterator, allSpecs, partCols))
+          })
+        case Right(ds) =>
+          val pruned =
+            if (partitionFilters.isEmpty) ds
+            else FilePruning.prune(ds, partitionSchema, partitionFilters,
+              Nil, metadata.dataSchema)
+          implicit val kEnc = org.apache.spark.sql.Encoders
+            .kryo[Option[IndexedSeq[Option[String]]]]
+          implicit val outEnc = org.apache.spark.sql.Encoders
+            .kryo[(Option[IndexedSeq[Option[String]]], AggState)]
+          val folded = pruned.groupByKey(keyOf)
+            .mapGroups((k, it) => (k, foldFiles(it, allSpecs, partCols)))
+            .collect() // group-count bounded
+          if (folded.exists(_._1.isEmpty)) None
+          else Some(folded.toSeq.map { case (k, st) => (k.get, st) })
+      }
+    grouped.flatMap { gs =>
+      if (gs.exists(!_._2.ok)) None
+      else {
+        val rows = gs
+          .filter(_._2.accs.head.count > 0L) // hidden COUNT(*): drop empty
+          .map { case (k, st) =>
+            val rawMap = gCols.zip(k).map { case (c, v) =>
+              c -> v.orNull
+            }.toMap
+            val values = specs.toIndexedSeq.zip(st.accs.tail).map {
+              case (StarSpec, acc) => Some(acc.count)
+              case (CountColSpec(_), acc) => Some(acc.count)
+              case (MinSpec(_, dt), acc) => acc.text match {
+                case Some(t) => internalValue(t, dt)
+                case None => Some(null)
+              }
+              case (MaxSpec(_, dt), acc) => acc.text match {
+                case Some(t) => internalValue(t, dt)
+                case None => Some(null)
+              }
+            }
+            if (values.exists(_.isEmpty)) return None
+            (rawMap, values.map(_.get))
+          }
+        Some(rows)
+      }
+    }
+  }
+
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = knownSizeInBytes.map(_.apply()).getOrElse(

@@ -163,6 +163,42 @@ class MetadataCountSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY a partition column folds one metadata row per " +
+      "partition; non-partition grouping scans") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        (1 to 90).map(i => (i, s"p${i % 3}")).toDF("v", "part")
+          .repartition(4), dir, partitionBy = Seq("part"))
+      val t = DeltaTable.forPath(spark, dir)
+      val g = t.toDF.groupBy($"part")
+        .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      val rows = g.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(rows == Map(
+        "p0" -> ((30L, 3, 90)), "p1" -> ((30L, 1, 88)),
+        "p2" -> ((30L, 2, 89))), s"got $rows")
+      assert(!hasScan(g),
+        s"partition group-by must fold from metadata:\n${g.queryExecution.executedPlan}")
+
+      // a partition filter composes: only the surviving groups emit
+      val filtered = t.toDF.filter($"part" =!= "p1")
+        .groupBy($"part").agg(count(lit(1)).as("n"))
+      assert(filtered.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap ==
+        Map("p0" -> 30L, "p2" -> 30L))
+      assert(!hasScan(filtered))
+
+      // grouping by a DATA column needs the rows
+      val byData = t.toDF.groupBy(($"v" % 2).as("g")).agg(count(lit(1)))
+      assert(hasScan(byData))
+      // a data-column aggregate string min keeps the scan even grouped
+      val strAgg = t.toDF.groupBy($"part").agg(max($"part"))
+      assert(!hasScan(strAgg), "partition-col max per group is exact")
+      assert(strAgg.collect().map(_.getString(1)).sorted.toSeq ==
+        Seq("p0", "p1", "p2"))
+    }
+  }
+
   test("the kill switch restores the scanning plan") {
     withTempDir { dir =>
       DeltaTable.write((1 to 10).toDF("v"), dir)
