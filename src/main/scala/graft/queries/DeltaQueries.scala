@@ -596,6 +596,30 @@ object DeltaQueries {
                MIN(o_orderdate) AS min_date
         FROM orders""")),
 
+    // The GROUPED metadata path: per-partition count + data-column
+    // min/max folded entirely from the log (in-plan no-scan assert);
+    // the oracle groups the raw rows.
+    QueryDef(
+      "delta_metadata_agg_grouped",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("metaaggg")
+        DeltaTable.write(t(s, dir, "orders").repartition(4), path,
+          SaveMode.Overwrite, partitionBy = Seq("o_orderstatus"))
+        val agg = DeltaTable.forPath(s, path).toDF
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               min($"o_orderkey").as("min_key"),
+               max($"o_orderkey").as("max_key"))
+        require(!agg.queryExecution.executedPlan.toString.contains("FileScan"),
+          s"grouped metadata aggregate must not scan:\n${agg.queryExecution.executedPlan}")
+        agg
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM orders GROUP BY 1""")),
+
     // VACUUM LITE lifecycle: partition-pruned DELETE leaves tombstones,
     // the lite vacuum derives its candidates from the LOG (no table
     // listing) and must physically remove them; the VACUUM END logging
