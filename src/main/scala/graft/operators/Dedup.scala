@@ -666,86 +666,8 @@ object Dedup {
       .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Intern grams to dense int ids ranked rarest-first: the id IS the
-    // global prefix order, so the per-doc rarity sort collapses into one
-    // int sort, and every downstream structure (prefix rows, verify
-    // payloads) carries 4-byte ints instead of gram strings.
-    val freq = docs.select(explode(col("grams")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nGrams = freq.count()
-    // Char-n-grams come from a bounded alphabet, so the id table is
-    // usually driver-sized — but that is an assumption about the CALLER's
-    // gram regime, not a property of this operator. A word-5-gram corpus
-    // has billions of distinct grams; collecting them would OOM the
-    // driver and ship the dictionary inside every task closure. Guard
-    // with an explicit bound (same architecture as cc.driverMaxEdges):
-    // under it, the fast driver-dictionary interning; over it, a fully
-    // distributed sort + per-partition-offset ranking.
-    val dictBound = docs.sparkSession.conf
-      .getOption("spark.graft.dedup.maxGramDict").map(_.toLong)
-      .getOrElse(DefaultMaxGramDict)
-    val (intDocs0, maxGid) = if (nGrams <= dictBound) {
-      // Rank grams rarest-first WITHOUT a global window: a partition-less
-      // row_number would sort every distinct gram in ONE executor task
-      // (the round-2 bench's "No Partition Defined" warning). Collect the
-      // (gram, df) pairs once and sort on the driver; per-doc interning
-      // is then a LOOKUP against the driver dictionary
-      // ([[InternSortedIds]], shipped in the task closure) — not an
-      // explode → join → re-group round trip that would shuffle every
-      // gram occurrence a second time just to rebuild the per-doc arrays.
-      Dedup.lastGramInterning = "driver"
-      val ranked = freq.select(col("s"), col("df")).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-        .sortBy { case (s, d) => (d, s) }
-      freq.unpersist(blocking = false)
-      val dict = ranked.iterator.zipWithIndex
-        .map { case ((s, _), i) => (s, i + 1) }.toMap
-      (docs.select(col("id"), InternSortedIds(col("grams"), dict).as("gids")),
-        ranked.length)
-    } else {
-      // Distributed fallback: the driver never sees a gram. The total
-      // rarest-first order comes from a RANGE-PARTITIONED sort on
-      // (df, gram) — the distributed TeraSort shape, no single-task
-      // global window — and contiguous dense ids from per-partition
-      // offsets (zipWithIndex: one small job for partition sizes).
-      // Interning then joins the exploded grams with the id table and
-      // regroups per doc — one extra shuffle of the gram occurrences,
-      // the price of not materializing the dictionary anywhere. The
-      // prefix filter stays EXACT: correctness needs only a consistent
-      // total order of the gram universe; rarest-first remains the
-      // candidate-minimizing heuristic.
-      Dedup.lastGramInterning = "distributed"
-      require(nGrams <= Int.MaxValue,
-        s"gram universe ($nGrams) exceeds the int id space")
-      val spark = docs.sparkSession
-      // release the freq cache up front: this branch exists for the
-      // cluster regime where executor loss is routine, so the id table
-      // must stay RECOMPUTABLE from lineage (a localCheckpoint would pin
-      // it to executor-local blocks and turn any lost executor into a
-      // failed run; a kept cache would outlive the operator). The price
-      // is re-running the gram aggregation from the cached docs when a
-      // downstream stage pulls the data — determinism holds because the
-      // sort's range boundaries are fixed in the partitioner at creation
-      // and (df, gram) keys are distinct.
-      freq.unpersist(blocking = false)
-      val idRows = freq.sort(col("df"), col("s")).select(col("s")).rdd
-        .zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row(r.getString(0), (i + 1).toInt) }
-      val gramIds = spark.createDataFrame(idRows,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("s",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("gid",
-            org.apache.spark.sql.types.IntegerType, nullable = false))))
-      val interned = docs.select(col("id"), explode(col("grams")).as("s"))
-        .join(gramIds, Seq("s"))
-        .groupBy(col("id"))
-        .agg(sort_array(collect_list(col("gid"))).as("gids"))
-      (interned, nGrams.toInt)
-    }
+    val (intDocs0, maxGid) = internRarestFirst(docs)
     val intDocs = intDocs0.withColumn("nG", size(col("gids")))
-
     // three EXACT per-pair prunes on ints, inside the candidate join:
     //  - pair ordering: the indexed side is the smaller set (ties by id),
     //    so each unordered pair forms exactly once;
@@ -832,6 +754,162 @@ object Dedup {
           SortedArrayJaccard(col("g_i"), col("g_j")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
+  }
+
+  /** Intern a shingled corpus's grams to dense int ids ranked
+    * rarest-first: the id IS the global prefix order, so per-doc rarity
+    * sorts collapse into one int sort, and every downstream structure
+    * (prefix rows, verify payloads) carries 4-byte ints instead of gram
+    * strings. Input must have columns (id, grams: sorted string array);
+    * returns (df(id, gids: sorted int array), gram-universe size).
+    *
+    * Char-n-grams come from a bounded alphabet, so the id table is
+    * usually driver-sized — but that is an assumption about the CALLER's
+    * gram regime, not a property of this operator. A word-5-gram corpus
+    * has billions of distinct grams; collecting them would OOM the
+    * driver and ship the dictionary inside every task closure. Guard
+    * with an explicit bound (same architecture as cc.driverMaxEdges):
+    * under it, the fast driver-dictionary interning; over it, a fully
+    * distributed sort + per-partition-offset ranking. */
+  private[operators] def internRarestFirst(docs: DataFrame)
+      : (DataFrame, Int) = {
+    val freq = docs.select(explode(col("grams")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = freq.count()
+    val dictBound = docs.sparkSession.conf
+      .getOption("spark.graft.dedup.maxGramDict").map(_.toLong)
+      .getOrElse(DefaultMaxGramDict)
+    if (nGrams <= dictBound) {
+      // Rank grams rarest-first WITHOUT a global window: a partition-less
+      // row_number would sort every distinct gram in ONE executor task
+      // (the round-2 bench's "No Partition Defined" warning). Collect the
+      // (gram, df) pairs once and sort on the driver; per-doc interning
+      // is then a LOOKUP against the driver dictionary
+      // ([[InternSortedIds]], shipped in the task closure) — not an
+      // explode → join → re-group round trip that would shuffle every
+      // gram occurrence a second time just to rebuild the per-doc arrays.
+      Dedup.lastGramInterning = "driver"
+      val ranked = freq.select(col("s"), col("df")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (s, d) => (d, s) }
+      freq.unpersist(blocking = false)
+      val dict = ranked.iterator.zipWithIndex
+        .map { case ((s, _), i) => (s, i + 1) }.toMap
+      (docs.select(col("id"), InternSortedIds(col("grams"), dict).as("gids")),
+        ranked.length)
+    } else {
+      // Distributed fallback: the driver never sees a gram. The total
+      // rarest-first order comes from a RANGE-PARTITIONED sort on
+      // (df, gram) — the distributed TeraSort shape, no single-task
+      // global window — and contiguous dense ids from per-partition
+      // offsets (zipWithIndex: one small job for partition sizes).
+      // Interning then joins the exploded grams with the id table and
+      // regroups per doc — one extra shuffle of the gram occurrences,
+      // the price of not materializing the dictionary anywhere. The
+      // prefix filter stays EXACT: correctness needs only a consistent
+      // total order of the gram universe; rarest-first remains the
+      // candidate-minimizing heuristic.
+      Dedup.lastGramInterning = "distributed"
+      require(nGrams <= Int.MaxValue,
+        s"gram universe ($nGrams) exceeds the int id space")
+      val spark = docs.sparkSession
+      // release the freq cache up front: this branch exists for the
+      // cluster regime where executor loss is routine, so the id table
+      // must stay RECOMPUTABLE from lineage (a localCheckpoint would pin
+      // it to executor-local blocks and turn any lost executor into a
+      // failed run; a kept cache would outlive the operator). The price
+      // is re-running the gram aggregation from the cached docs when a
+      // downstream stage pulls the data — determinism holds because the
+      // sort's range boundaries are fixed in the partitioner at creation
+      // and (df, gram) keys are distinct.
+      freq.unpersist(blocking = false)
+      val idRows = freq.sort(col("df"), col("s")).select(col("s")).rdd
+        .zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), (i + 1).toInt) }
+      val gramIds = spark.createDataFrame(idRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("gid",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val interned = docs.select(col("id"), explode(col("grams")).as("s"))
+        .join(gramIds, Seq("s"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      (interned, nGrams.toInt)
+    }
+  }
+
+  /** Directed containment near-dup pairs: (contained, container) where
+    * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ `threshold` and
+    * A ≠ B — the asymmetric case Jaccard misses entirely: a short
+    * document embedded verbatim in a much longer one (quote
+    * aggregators, mirror pages with added boilerplate) has high
+    * containment but Jaccard ≈ |A|/|B| → 0. WORD-`n`-gram sets — unlike
+    * [[ngramJaccard]]'s char shingles, whose bounded alphabet saturates:
+    * every long document "contains" every short one at the char-trigram
+    * level, while word-gram containment requires shared phrasing.
+    *
+    * Returns (contained_id, container_id, inter_cnt, n_a, containment);
+    * inter_cnt/n_a are exact ints, containment their IEEE quotient.
+    *
+    * Blocking is the AllPairs prefix filter adapted to containment —
+    * EXACT (100% recall): overlap ≥ ⌈t·|A|⌉ forces at least one of A's
+    * first |A| − ⌈t·|A|⌉ + 1 grams (in ANY fixed global order; rarity
+    * order minimizes candidates) to appear in B, so A probes with its
+    * rarest prefix. No size bound exists on the container, so B indexes
+    * ALL its grams — containment's price relative to Jaccard's
+    * symmetric-prefix join; the indexed rows still carry only
+    * (gram id, doc id, size, rank) ints. Two exact per-candidate prunes
+    * run inside the join, before any array attaches: |B| ≥ ⌈t·|A|⌉
+    * (overlap ≤ min sizes) and the positional bound
+    * min(|A|−rk_a, |B|−rk_b) + 1 ≥ ⌈t·|A|⌉. Verification is one
+    * array_intersect on the interned int arrays of surviving pairs. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val docs = InputWidth.widen(df)
+      .select(col(idCol).as("id"),
+        ShingleExpressions.wordShinglesSorted(
+          tokens(col(textCol)), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (intDocs0, _) = internRarestFirst(docs)
+    // interned docs feed three passes (probe, index, verify attach):
+    // persist like ngramJaccard's docs cache (LRU-evicted, recomputable)
+    val intDocs = intDocs0.withColumn("nG", size(col("gids")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ⌈t·|A|⌉ via the SAME double multiply on both engines (the oracle
+    // casts t to DOUBLE): the threshold decision must be bit-exact
+    val need = (c: Column) => ceil(lit(threshold) * c)
+    val probe = intDocs
+      .select(col("id").as("a"), col("nG").as("n_a"),
+        posexplode(slice(col("gids"), lit(1),
+          (col("nG") - need(col("nG")) + 1).cast("int"))))
+      .select(col("col").as("g"), col("a"), col("n_a"),
+        (col("pos") + 1).as("rk_a"))
+    val index = intDocs
+      .select(col("id").as("b"), col("nG").as("n_b"),
+        posexplode(col("gids")))
+      .select(col("col").as("g"), col("b"), col("n_b"),
+        (col("pos") + 1).as("rk_b"))
+    val candidates = probe.join(index, Seq("g"))
+      .filter(col("a") =!= col("b") &&
+        col("n_b") >= need(col("n_a")) &&
+        (least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) + 1) >=
+          need(col("n_a")))
+      .select(col("a"), col("b")).distinct()
+
+    val ga = intDocs.select(col("id").as("a"), col("gids").as("g_a"))
+    val gb = intDocs.select(col("id").as("b"), col("gids").as("g_b"))
+    candidates.join(ga, Seq("a")).join(gb, Seq("b"))
+      .select(col("a").as("contained_id"), col("b").as("container_id"),
+        size(array_intersect(col("g_a"), col("g_b"))).as("inter_cnt"),
+        size(col("g_a")).as("n_a"))
+      .filter(col("inter_cnt") >= need(col("n_a")))
+      .withColumn("containment",
+        col("inter_cnt").cast("double") / col("n_a").cast("double"))
   }
 
   /** Gram-universe bound for the bitset verification representation of

@@ -634,6 +634,59 @@ object PipelineQueries {
               (len(di.grams) + len(dj.grams)
                - len(list_intersect(di.grams, dj.grams))) >= 0.8""")),
 
+    // Directed containment near-dup: the asymmetric case Jaccard misses
+    // (short doc embedded verbatim in a long one). Both engines compute
+    // the threshold ⌈t·|A|⌉ through the SAME IEEE double multiply (the
+    // oracle casts 0.8 to DOUBLE — DuckDB's bare 0.8 literal is DECIMAL
+    // and would round differently at exact boundaries); the prefix
+    // blocker is exact, so each side may mirror it only for its own
+    // runtime's sake.
+    QueryDef(
+      "dedup_containment",
+      (s, dir) => Dedup.ngramContainment(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.8),
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+          FROM documents
+        ), docs AS (
+          SELECT id, list_distinct(
+            CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [] END) AS grams
+          FROM toks WHERE len(tk) >= 3
+        ), ex AS (
+          SELECT id, unnest(grams) AS s FROM docs
+        ), freq AS (
+          SELECT s, count(*) AS df FROM ex GROUP BY s
+        ), ranked AS (
+          SELECT e.id, e.s,
+                 row_number() OVER (PARTITION BY e.id ORDER BY f.df, e.s) AS rk
+          FROM ex e JOIN freq f ON e.s = f.s
+        ), ng AS (
+          SELECT id, len(grams) AS n FROM docs
+        ), pref AS (
+          SELECT r.id, r.s
+          FROM ranked r JOIN ng g ON r.id = g.id
+          WHERE r.rk <= g.n - ceil(CAST(0.8 AS DOUBLE) * g.n) + 1
+        ), cand AS (
+          SELECT DISTINCT a.id AS ca, b.id AS cb
+          FROM pref a JOIN ranked b ON a.s = b.s AND a.id <> b.id
+        )
+        SELECT c.ca AS contained_id, c.cb AS container_id,
+               len(list_intersect(da.grams, db.grams)) AS inter_cnt,
+               len(da.grams) AS n_a,
+               len(list_intersect(da.grams, db.grams))::DOUBLE
+                 / len(da.grams) AS containment
+        FROM cand c
+        JOIN docs da ON da.id = c.ca
+        JOIN docs db ON db.id = c.cb
+        WHERE len(list_intersect(da.grams, db.grams))
+                >= ceil(CAST(0.8 AS DOUBLE) * len(da.grams))""")),
+
     // Cross-document duplicated-n-gram fraction (MassiveText/RefinedWeb
     // corpus-level repetition signal): per document, the share of its
     // word-5-gram positions whose gram also occurs in another document —
@@ -2482,6 +2535,24 @@ object PipelineQueries {
           FROM counts)
         SELECT lang, CAST(rank AS INT) AS rank, tok, cnt
         FROM ranked WHERE rank <= 5""")),
+
+    // Exact heavy hitters (tokens with > 1/k of all token occurrences)
+    // via the Misra–Gries sketch + exact-verify two-pass: the sketch
+    // bounds shuffle width at the CAPACITY, not the vocabulary, and the
+    // decision filter cnt * k > n is pure integer arithmetic on exact
+    // counts — the oracle needs no sketch mirror at all, which is the
+    // point: the sketch only proposes, true counts decide.
+    QueryDef(
+      "text_heavy_hitters",
+      (s, dir) => graft.operators.HeavyHitters.frequentTokens(
+        t(s, dir, "documents"), "text", k = 100),
+      Some(raw"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT tok, COUNT(*) AS cnt, n
+        FROM toks, tot GROUP BY tok, n HAVING COUNT(*) * 100 > n""")),
 
     QueryDef(
       "curate_temperature_mix",
