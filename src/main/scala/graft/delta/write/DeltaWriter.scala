@@ -26,7 +26,9 @@ object DeltaWriter {
             partitionBy: Seq[String] = Nil,
             configuration: Map[String, String] = Map.empty,
             operation: String = DeltaOperations.Write,
-            idempotentTxn: Option[(String, Long)] = None): Long = {
+            idempotentTxn: Option[(String, Long)] = None,
+            extraTxns: Seq[SetTransaction] = Nil,
+            operationParameters: Map[String, Any] = Map.empty): Long = {
     val spark = df0.sparkSession
     val deltaLog = DeltaLog.forTable(spark, path)
     val exists = deltaLog.tableExists
@@ -153,7 +155,7 @@ object DeltaWriter {
 
     val txnAction: Seq[Action] = idempotentTxn.toSeq.map { case (appId, v) =>
       SetTransaction(appId, v, Some(deltaLog.clock()))
-    }
+    } ++ extraTxns
     val committed = txn.commit(txnAction ++ adds ++ removes,
       if (!exists) DeltaOperations.CreateTable
       else if (mode == SaveMode.Overwrite) DeltaOperations.ReplaceTable
@@ -163,7 +165,7 @@ object DeltaWriter {
       // mode as a string, partitionBy as a JSON array)
       operationParameters = Map(
         "mode" -> mode.name,
-        "partitionBy" -> partCols))
+        "partitionBy" -> partCols) ++ operationParameters)
 
     // delta.autoOptimize.autoCompact: bin-pack AFTER the commit lands —
     // the ingest's answer to the small-file problem without a separate

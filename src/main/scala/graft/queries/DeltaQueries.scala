@@ -989,6 +989,49 @@ object DeltaQueries {
                CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         FROM final GROUP BY p_brand""")),
 
+    // COPY INTO: idempotent bulk ingestion. Three statements run — batch
+    // 1, batch 1+2 (batch 1's files must SKIP), and an exact re-run (a
+    // full no-op) — so the aggregate equals exactly one load of each
+    // batch iff the per-file tracking works. The oracle is the same
+    // aggregate over the two source slices read once each.
+    QueryDef(
+      "delta_copy_into",
+      (s, dir) => {
+        import s.implicits._
+        val base = tmp("copyinto")
+        val tbl = s"$base/t"
+        val src = s"$base/src"
+        val orders = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        DeltaTable.write(orders.limit(0), tbl)
+        orders.filter($"o_orderkey" % 4 === 0)
+          .coalesce(2).write.parquet(s"$src/b1")
+        s.sql(s"COPY INTO '$tbl' FROM '$src' FILEFORMAT = PARQUET").collect()
+        orders.filter($"o_orderkey" % 4 === 1)
+          .coalesce(2).write.parquet(s"$src/b2")
+        val second = s.sql(
+          s"COPY INTO '$tbl' FROM '$src' FILEFORMAT = PARQUET").collect().head
+        require(second.getLong(3) > 0,
+          "second COPY INTO must skip batch 1's already-loaded files")
+        val third = s.sql(
+          s"COPY INTO '$tbl' FROM '$src' FILEFORMAT = PARQUET").collect().head
+        require(third.getLong(1) == 0 && third.getLong(2) == 0,
+          "exact re-run must load nothing")
+        DeltaTable.forPath(s, tbl).toDF
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_orderkey").as("sum_keys"),
+               sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double")
+                 .as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        GROUP BY o_orderstatus""")),
+
     // Per-file Bloom filters: point lookups on an unsorted hash key,
     // where min/max stats cannot prune (every file's range spans the key
     // space). The query PROVES pruning in-flight (requires the scan to

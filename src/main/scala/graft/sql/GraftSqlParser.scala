@@ -73,6 +73,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropFeatureRe(target, name, truncate) =>
       Some(GraftDropFeatureCommand(parseTarget(target), name,
         truncate != null))
+    case CopyIntoRe(target, source, fmt, pat, fmtOpts, copyOpts) =>
+      val fo = Option(fmtOpts).filter(_.trim.nonEmpty)
+        .map(s => GraftSqlParser.parsePropPairs(s).getOrElse(
+          throw new IllegalArgumentException(
+            s"Unparseable FORMAT_OPTIONS: $s")))
+        .getOrElse(Map.empty[String, String])
+      val co = Option(copyOpts).filter(_.trim.nonEmpty)
+        .map(s => GraftSqlParser.parsePropPairs(s).getOrElse(
+          throw new IllegalArgumentException(
+            s"Unparseable COPY_OPTIONS: $s")))
+        .getOrElse(Map.empty[String, String])
+      co.keys.find(k => !k.equalsIgnoreCase("force")).foreach { k =>
+        throw new IllegalArgumentException(s"Unknown COPY_OPTIONS key: $k")
+      }
+      Some(GraftCopyIntoCommand(parseTarget(target), source, fmt,
+        Option(pat), fo,
+        force = co.exists { case (k, v) =>
+          k.equalsIgnoreCase("force") && v.toBoolean }))
     case SetPropsRe(target, pairs) =>
       GraftSqlParser.parsePropPairs(pairs).map(props =>
         GraftSetPropertiesCommand(parseTarget(target), props))
@@ -146,6 +164,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val DropFeatureRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+FEATURE\s+([\w-]+)(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*""".r
+  private val CopyIntoRe =
+    """(?is)\s*COPY\s+INTO\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""".r
   // PATH targets only — identifier targets delegate to the catalog's
   // native ALTER TABLE handling
   private val SetPropsRe =
@@ -519,6 +539,32 @@ case class GraftRestoreTimestampCommand(
   * [[graft.delta.DeltaTable.vacuum]]. DRY RUN reports the would-be
   * deletion count without touching any file; LITE derives candidates
   * from the log instead of listing the table. */
+/** `COPY INTO <table> FROM '<dir>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
+  * [FORMAT_OPTIONS(...)] [COPY_OPTIONS('force'='true')]` →
+  * [[graft.delta.write.CopyInto.run]]: idempotent bulk file ingestion —
+  * re-running the statement never double-loads a file. */
+case class GraftCopyIntoCommand(
+    target: Either[String, Seq[String]],
+    source: String,
+    fileFormat: String,
+    pattern: Option[String],
+    formatOptions: Map[String, String],
+    force: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_loaded_files", LongType, nullable = false)(),
+    AttributeReference("num_loaded_rows", LongType, nullable = false)(),
+    AttributeReference("num_skipped_files", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val r = graft.delta.write.CopyInto.run(session, path, source,
+      fileFormat, pattern, force, formatOptions)
+    Seq(Row(r.version, r.filesLoaded, r.rowsLoaded, r.filesSkipped))
+  }
+}
+
 case class GraftVacuumCommand(
     target: Either[String, Seq[String]],
     retainHours: Option[Double],
