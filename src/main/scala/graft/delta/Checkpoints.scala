@@ -22,6 +22,27 @@ object Checkpoints {
   private def checkpointPolicy(snapshot: Snapshot): String =
     DeltaConfigs.CHECKPOINT_POLICY.fromMetadata(snapshot.metadata)
 
+  /** Transaction identifiers a checkpoint must still carry. The protocol
+    * lets writers expire them ("Transaction Identifiers"), and delta-spark
+    * does so at checkpoint time when
+    * `delta.setTransactionRetentionDuration` is set — without expiry a
+    * per-file ingest tracker (COPY INTO) or a long-lived streaming appId
+    * set grows the checkpoint forever. Expiry needs PROOF of age: a txn
+    * without `lastUpdated` is kept unconditionally. Unset (the default)
+    * keeps everything. */
+  private[delta] def liveSetTransactions(
+      snapshot: Snapshot): Seq[SetTransaction] = {
+    val cutoff = snapshot.metadata.configuration
+      .get("delta.setTransactionRetentionDuration")
+      .map(DeltaConfigs.parseIntervalMillis)
+      .map(ms => snapshot.deltaLog.clock() - ms)
+    cutoff match {
+      case None => snapshot.setTransactions
+      case Some(c) =>
+        snapshot.setTransactions.filter(_.lastUpdated.forall(_ >= c))
+    }
+  }
+
   /** Write the snapshot's checkpoint; `parts > 1` produces the protocol's
     * multi-part form `V.checkpoint.i.n.parquet` (one Spark output
     * partition per part — at very large file counts no single writer task
@@ -34,7 +55,7 @@ object Checkpoints {
     implicit val enc = Encoders.product[SingleAction]
     val actions: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
-        snapshot.setTransactions.map(_.wrap)) ++
+        liveSetTransactions(snapshot).map(_.wrap)) ++
         snapshot.domainActions.map(_.wrap) ++
         // stats parse ONCE at checkpoint time; every later pruning query
         // reads the stats_parsed struct instead of re-walking the JSON
@@ -54,7 +75,7 @@ object Checkpoints {
     implicit val enc = Encoders.product[SingleAction]
     val small: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
-        snapshot.setTransactions.map(_.wrap)) ++
+        liveSetTransactions(snapshot).map(_.wrap)) ++
         snapshot.domainActions.map(_.wrap) ++
         snapshot.tombstones.map(_.wrap)
     val ds = snapshot.spark.createDataset(small)
@@ -121,7 +142,7 @@ object Checkpoints {
           Some(CheckpointMetadata(snapshot.version))) +:
         Checkpoints.V2MainAction(protocol = Some(snapshot.protocol)) +:
         Checkpoints.V2MainAction(metaData = Some(snapshot.metadata)) +:
-        (snapshot.setTransactions.map(t =>
+        (liveSetTransactions(snapshot).map(t =>
           Checkpoints.V2MainAction(txn = Some(t))) ++
           snapshot.domainActions.map(d =>
             Checkpoints.V2MainAction(domainMetadata = Some(d))) ++
