@@ -1043,6 +1043,44 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware keep policy over near-dup clusters (the
+    * RefinedWeb/FineWeb canonicalization step): within each duplicate
+    * cluster keep the single best document — highest `scoreCol`, ties to
+    * the lowest id — and every singleton keeps itself. Returns the kept
+    * rows of `docs`, full schema.
+    *
+    * Plan shape: the winner per cluster is one `max(struct(score, -id))`
+    * aggregation — map-side-combinable, cluster-count-sized output — NOT
+    * a window rank, which would sort every cluster's rows inside a
+    * per-partition sort; the kept set then applies as a semi-join on ids.
+    * Only (id, cluster, score) triples ride the shuffles; document text
+    * never does. NaN scores are rejected up front (NaN orders ABOVE every
+    * real double in Spark's struct comparison, which would silently crown
+    * a corrupt row the canonical one). */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    scoreCol: String): DataFrame = {
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepCanonical needs a numeric id column for the tie-break " +
+        s"(got ${docs.schema(idCol).dataType.simpleString})")
+    val clusters = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("cluster", "__cc_cluster")
+    val scored = docs
+      .select(col(idCol), col(scoreCol).cast("double").as("__score"))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("__cc_cluster", coalesce(col("__cc_cluster"), col(idCol)))
+    val winners = scored
+      .withColumn("__score", when(isnan(col("__score")),
+        raise_error(lit(s"keepCanonical: NaN in score column $scoreCol")))
+        .otherwise(col("__score")))
+      .groupBy(col("__cc_cluster"))
+      .agg(max(struct(col("__score"), negate(col(idCol).cast("long"))
+        .as("negid"))).as("w"))
+      .select(negate(col("w.negid")).as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
     * shared coarse key to avoid the all-pairs product at scale. Pairs join
     * on (block, id) alone; vectors are attached to the candidate pairs

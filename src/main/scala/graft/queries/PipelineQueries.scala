@@ -687,6 +687,73 @@ object PipelineQueries {
         WHERE len(list_intersect(da.grams, db.grams))
                 >= ceil(CAST(0.8 AS DOUBLE) * len(da.grams))""")),
 
+    // Quality-aware canonical selection (the RefinedWeb keep policy):
+    // within each near-dup cluster keep the BEST document — longest
+    // (n_chars), ties to the lowest id — instead of dedup_pipeline's
+    // min-id representative. Same proven MinHash+LSH cluster CTE as the
+    // oracle; only the keep rule differs (rank by n_chars DESC, id ASC).
+    QueryDef(
+      "dedup_canonical",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleWidth = 3, k = 12, bands = 4, threshold = 0.7)
+        Dedup.keepCanonical(docs, "doc_id", pairs, "n_chars")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_chars".cast("long")).as("sum_chars"),
+               sum($"doc_id").as("sum_ids"))
+      },
+      Some("""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id AS id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS shingles
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ), mh AS (
+          SELECT id, j, min(((2*j+1) * ${HASH32} + j*1000003) % 4294967311) AS m
+          FROM (SELECT id, unnest(shingles) AS s FROM docs), range(0, 12) t(j)
+          GROUP BY id, j
+        ), bands AS (
+          SELECT id, j // 3 AS band, string_agg(m, ',' ORDER BY j) AS key
+          FROM mh GROUP BY id, j // 3
+        ), cand AS (
+          SELECT DISTINCT a.id AS i, b.id AS j
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ), pairs AS (
+          SELECT c.i, c.j
+          FROM cand c JOIN docs di ON di.id = c.i JOIN docs dj ON dj.id = c.j
+          WHERE len(list_intersect(di.shingles, dj.shingles))::DOUBLE /
+                (len(di.shingles) + len(dj.shingles)
+                 - len(list_intersect(di.shingles, dj.shingles))) >= 0.7
+        ), edges AS (
+          SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs
+        ), reach(id, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+        ), labeled AS (
+          SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id
+        ), ranked AS (
+          SELECT d.doc_id, l.cluster,
+                 row_number() OVER (PARTITION BY l.cluster
+                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+          FROM documents d JOIN labeled l ON d.doc_id = l.id
+        ), dropped AS (
+          SELECT doc_id FROM ranked WHERE rk > 1
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        GROUP BY lang"""
+        .replace("${HASH32}", duckHash32("s")))),
+
     // Cross-document duplicated-n-gram fraction (MassiveText/RefinedWeb
     // corpus-level repetition signal): per document, the share of its
     // word-5-gram positions whose gram also occurs in another document —
