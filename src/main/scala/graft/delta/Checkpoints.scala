@@ -43,6 +43,31 @@ object Checkpoints {
     }
   }
 
+  /** Per-file stats a checkpoint writes, from the delta-spark
+    * properties `delta.checkpoint.writeStatsAsStruct` /
+    * `writeStatsAsJson` (both default true here: the struct is the
+    * pruning fast path, the JSON is the interchange form). At 100 TB the
+    * stats ARE the bulk of a checkpoint's bytes — turning the JSON
+    * duplicate off roughly halves them while every reader keeps pruning
+    * from the struct ([[read.DataSkipping]] and the metadata-only
+    * aggregate both prefer `stats_parsed`). Turning BOTH off is legal
+    * (delta-spark allows it): checkpoint-loaded files then carry no
+    * stats, and every stats consumer falls back to scanning — the
+    * documented cost, spec-pinned. Captures only the two booleans so the
+    * function can ride into the distributed checkpoint job's closure. */
+  private[delta] def statsTransform(metadata: Metadata): AddFile => AddFile = {
+    val asStruct = metadata.configuration
+      .get("delta.checkpoint.writeStatsAsStruct").forall(_.toBoolean)
+    val asJson = metadata.configuration
+      .get("delta.checkpoint.writeStatsAsJson").forall(_.toBoolean)
+    (a: AddFile) => {
+      val withStruct =
+        if (asStruct) read.DataSkipping.withParsedStats(a)
+        else a.copy(stats_parsed = None)
+      if (asJson) withStruct else withStruct.copy(stats = None)
+    }
+  }
+
   /** Write the snapshot's checkpoint; `parts > 1` produces the protocol's
     * multi-part form `V.checkpoint.i.n.parquet` (one Spark output
     * partition per part — at very large file counts no single writer task
@@ -53,13 +78,14 @@ object Checkpoints {
   def writeCheckpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
     if (checkpointPolicy(snapshot) == "v2") return writeV2Checkpoint(snapshot, parts)
     implicit val enc = Encoders.product[SingleAction]
+    val statsXf = statsTransform(snapshot.metadata)
     val actions: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
         liveSetTransactions(snapshot).map(_.wrap)) ++
         snapshot.domainActions.map(_.wrap) ++
         // stats parse ONCE at checkpoint time; every later pruning query
         // reads the stats_parsed struct instead of re-walking the JSON
-        snapshot.allFiles.map(a => read.DataSkipping.withParsedStats(a).wrap) ++
+        snapshot.allFiles.map(a => statsXf(a).wrap) ++
         snapshot.tombstones.map(_.wrap)
     writeCheckpointDS(snapshot, snapshot.spark.createDataset(actions),
       actions.size.toLong, autoParts(snapshot, parts, actions.size.toLong))
@@ -73,6 +99,7 @@ object Checkpoints {
   def writeCheckpointDistributed(snapshot: Snapshot, parts: Int = 1): Unit = {
     if (checkpointPolicy(snapshot) == "v2") return writeV2Checkpoint(snapshot, parts)
     implicit val enc = Encoders.product[SingleAction]
+    val statsXf = statsTransform(snapshot.metadata)
     val small: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
         liveSetTransactions(snapshot).map(_.wrap)) ++
@@ -80,7 +107,7 @@ object Checkpoints {
         snapshot.tombstones.map(_.wrap)
     val ds = snapshot.spark.createDataset(small)
       .unionByName(snapshot.allFilesDistributed
-        .map(a => read.DataSkipping.withParsedStats(a).wrap)(
+        .map(a => statsXf(a).wrap)(
           Encoders.product[SingleAction]))
     // the action count is an aggregation over the (persisted) distributed
     // state — the file list itself never touches the driver
@@ -98,6 +125,7 @@ object Checkpoints {
     * file list never touches the driver in the latter). */
   def writeV2Checkpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
     implicit val enc = Encoders.product[SingleAction]
+    val statsXf = statsTransform(snapshot.metadata)
     val log = snapshot.deltaLog
     val fs = log.logPath.getFileSystem(log.hadoopConf)
     val spark = snapshot.spark
@@ -105,9 +133,9 @@ object Checkpoints {
     val fileActions =
       (if (snapshot.distributedState)
         snapshot.allFilesDistributed
-          .map(a => read.DataSkipping.withParsedStats(a).wrap)(enc)
+          .map(a => statsXf(a).wrap)(enc)
       else spark.createDataset(
-        snapshot.allFiles.map(a => read.DataSkipping.withParsedStats(a).wrap)))
+        snapshot.allFiles.map(a => statsXf(a).wrap)))
         .unionByName(spark.createDataset(snapshot.tombstones.map(_.wrap)))
     val total = snapshot.numOfFiles + snapshot.tombstones.size
     val nParts = autoParts(snapshot, parts, total)
