@@ -55,6 +55,31 @@ object CopyInto {
           pattern: Option[String] = None,
           force: Boolean = false,
           formatOptions: Map[String, String] = Map.empty): CopyResult = {
+    // Concurrent COPY INTO of the same files: the skip decision is made
+    // from a snapshot, the commit registers each appId as read, so a
+    // racing loader that lands first raises ConcurrentTransactionException
+    // here — re-list, re-skip (the winner's files now show as loaded) and
+    // try again rather than double-load or fail the cron job.
+    var attempts = 0
+    while (true) {
+      try return runOnce(spark, tablePath, source, format, pattern, force,
+        formatOptions)
+      catch {
+        case e: graft.delta.txn.ConcurrentTransactionException =>
+          attempts += 1
+          if (attempts >= 3) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def runOnce(spark: SparkSession,
+                      tablePath: String,
+                      source: String,
+                      format: String,
+                      pattern: Option[String],
+                      force: Boolean,
+                      formatOptions: Map[String, String]): CopyResult = {
     val deltaLog = DeltaLog.forTable(spark, tablePath)
     require(deltaLog.tableExists,
       s"COPY INTO requires an existing Delta table at $tablePath " +

@@ -45,6 +45,12 @@ object DeltaWriter {
     idempotentTxn.foreach { case (appId, version) =>
       if (txn.txnVersion(appId) >= version) return txn.snapshot.version
     }
+    // extraTxns (COPY INTO's per-file tracking): register each appId as
+    // READ so a concurrent commit recording the same file conflicts
+    // (ConcurrentTransactionException) instead of silently double-loading
+    // — the caller decided to load from a snapshot, and that decision
+    // must be revalidated against any winner.
+    extraTxns.foreach(t => txn.txnVersion(t.appId))
 
     // compute generated columns the caller did not provide, BEFORE any
     // schema comparison (the table schema includes them; the append need

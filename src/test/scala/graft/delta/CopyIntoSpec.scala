@@ -143,6 +143,29 @@ class CopyIntoSpec extends SparkSpec {
     }}
   }
 
+  test("4-thread race on the same source loads every file exactly once") {
+    withTempDir { tbl => withTempDir { src =>
+      DeltaTable.write(Seq.empty[(Long, Long)].toDF("id", "v"), tbl)
+      stage(src, "a.parquet", 0 until 40)
+      stage(src, "b.parquet", 40 until 70)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val results = (1 to 4).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[CopyInto.CopyResult] {
+            def call(): CopyInto.CopyResult = CopyInto.run(spark, tbl, src)
+          })
+        }.map(_.get())
+        // however the race resolved, the UNION of loads is exactly the
+        // two files, each once
+        assert(results.map(_.filesLoaded).sum == 2,
+          s"per-thread loads: ${results.map(_.filesLoaded)}")
+        assert(DeltaTable.forPath(spark, tbl).toDF.count() == 70)
+        assert(DeltaTable.forPath(spark, tbl).toDF
+          .agg(sum("id")).as[Long].head == (0L until 70).sum)
+      } finally pool.shutdown()
+    }}
+  }
+
   test("COPY INTO commits are append-only and survive checkpoint replay") {
     withTempDir { tbl => withTempDir { src =>
       DeltaTable.write(Seq.empty[(Long, Long)].toDF("id", "v"), tbl)
