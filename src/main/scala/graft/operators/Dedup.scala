@@ -1067,7 +1067,11 @@ object Dedup {
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("cluster", "__cc_cluster")
     val scored = docs
-      .select(col(idCol), col(scoreCol).cast("double").as("__score"))
+      // null score ranks WORST (below every real value): an unscored row
+      // must never beat a scored one, and an all-null cluster still picks
+      // its lowest id deterministically
+      .select(col(idCol), coalesce(col(scoreCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("__score"))
       .join(clusters, Seq(idCol), "left")
       .withColumn("__cc_cluster", coalesce(col("__cc_cluster"), col(idCol)))
     val winners = scored

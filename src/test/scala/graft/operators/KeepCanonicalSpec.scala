@@ -29,6 +29,17 @@ class KeepCanonicalSpec extends SparkSpec {
       Seq((2L, "b", 3.0)))
   }
 
+  test("null scores rank worst; all-null cluster keeps lowest id") {
+    val docs = Seq(
+      (1L, Some(0.5)), (2L, None),          // 1 wins: real beats null
+      (7L, Option.empty[Double]), (8L, None) // all-null: lowest id
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (7L, 8L)).toDF("i", "j")
+    val kept = Dedup.keepCanonical(docs, "id", pairs, "score")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L))
+  }
+
   test("NaN score fails loudly instead of crowning a corrupt row") {
     val docs = Seq((1L, Double.NaN), (2L, 1.0)).toDF("id", "score")
     val pairs = Seq((1L, 2L)).toDF("i", "j")
