@@ -1208,6 +1208,107 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         "sourceVersion" -> snapshot.version))
   }
 
+  /** Deep clone: like [[cloneTo]], but the data (and deletion-vector)
+    * FILES are copied into the target — a true backup/fork, immune to
+    * VACUUM on the source. The byte copying runs as a distributed Spark
+    * job (`mapPartitions` over the file list, FileUtil.copy per file —
+    * at 100 TB no driver streams table bytes); AddFiles carry over
+    * verbatim — same relative path, same stats JSON/struct, same
+    * partitionValues — so the clone's pruning behavior is identical
+    * without recomputing a single statistic. Absolute source paths (a
+    * shallow-cloned source's borrowed files) land under `cloned/` with a
+    * fresh name: Delta never requires layout-derived paths,
+    * partitionValues in the action are authoritative.
+    *
+    * The commit itself needs the AddFile list on the driver (every clone
+    * commit does — the log is a driver-written JSON file); only the BYTES
+    * move distributed. */
+  def deepCloneTo(targetPath: String,
+                  versionAsOf: Option[Long] = None,
+                  timestampMillisAsOf: Option[Long] = None): Long = {
+    require(versionAsOf.isEmpty || timestampMillisAsOf.isEmpty,
+      "Specify at most one of VERSION AS OF / TIMESTAMP AS OF")
+    val snapshot = versionAsOf.map(deltaLog.getSnapshotForVersionAsOf)
+      .orElse(timestampMillisAsOf.map(deltaLog.getSnapshotForTimestampAsOf))
+      .getOrElse(deltaLog.update())
+    val targetLog = DeltaLog.forTable(spark, targetPath)
+    require(!targetLog.tableExists,
+      s"Cannot clone: a Delta table already exists at $targetPath")
+    val srcFs = deltaLog.dataPath.getFileSystem(deltaLog.hadoopConf)
+    val srcRootStr = srcFs.makeQualified(deltaLog.dataPath).toString
+    val dstFs = targetLog.dataPath.getFileSystem(deltaLog.hadoopConf)
+    val dstRootStr = dstFs.makeQualified(targetLog.dataPath).toString
+    dstFs.mkdirs(targetLog.dataPath)
+    val sconf = new SerializableHadoopConf(deltaLog.hadoopConf)
+
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[AddFile]
+    val filesDs =
+      if (snapshot.distributedState) snapshot.allFilesDistributed
+      else spark.createDataset(snapshot.allFiles)(enc)
+    val adds: Seq[AddFile] = filesDs.mapPartitions { it =>
+      val conf = sconf.value
+      val srcRoot = new org.apache.hadoop.fs.Path(srcRootStr)
+      val dstRoot = new org.apache.hadoop.fs.Path(dstRootStr)
+      val sfs = srcRoot.getFileSystem(conf)
+      val dfs = dstRoot.getFileSystem(conf)
+      def copy(from: org.apache.hadoop.fs.Path,
+               to: org.apache.hadoop.fs.Path): Unit = {
+        dfs.mkdirs(to.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(sfs, from, dfs, to,
+            false, false, conf)) {
+          throw new java.io.IOException(s"deep clone copy $from -> $to failed")
+        }
+      }
+      it.map { f =>
+        val srcAbs = read.PartitionUtils.absolutePath(srcRoot, f.path)
+        // URI.toString renders the file scheme WITHOUT an authority
+        // ("file:/tmp/...", no "//") — test the parsed scheme, not "://"
+        val isRelative = new java.net.URI(f.path).getScheme == null &&
+          !f.path.startsWith("/")
+        val relDst =
+          if (isRelative) f.path
+          else "cloned/" + java.util.UUID.randomUUID().toString +
+            "-" + srcAbs.getName
+        copy(srcAbs, new org.apache.hadoop.fs.Path(dstRoot, relDst))
+        val newDv = f.deletionVector.map { d =>
+          d.storageType match {
+            case "u" =>
+              // uuid-derived relative path: same bytes at the same
+              // root-relative location keeps the descriptor valid as-is
+              copy(dv.DeletionVectors.absolutePath(d, srcRoot),
+                dv.DeletionVectors.absolutePath(d, dstRoot))
+              d
+            case "p" =>
+              val from = new org.apache.hadoop.fs.Path(d.pathOrInlineDv)
+              val rel = "cloned/" + java.util.UUID.randomUUID().toString +
+                "-" + from.getName
+              copy(from, new org.apache.hadoop.fs.Path(dstRoot, rel))
+              d.copy(pathOrInlineDv =
+                new org.apache.hadoop.fs.Path(dstRoot, rel).toUri.toString)
+            case _ => d // "i": inline bytes ride the descriptor itself
+          }
+        }
+        f.copy(path = relDst, deletionVector = newDv,
+          baseRowId = None, defaultRowCommitVersion = None,
+          dataChange = true)
+      }
+    }(enc).collect().toSeq
+
+    val txn = targetLog.startTransaction()
+    txn.updateMetadata(snapshot.metadata.copy(
+      id = java.util.UUID.randomUUID().toString,
+      createdTime = Some(targetLog.clock())))
+    txn.commit(snapshot.protocol +: (adds: Seq[Action]), DeltaOperations.Clone,
+      operationMetrics = Map(
+        "numCopiedFiles" -> adds.size.toString,
+        "copiedFilesSize" -> adds.map(_.size).sum.toString),
+      operationParameters = Map(
+        "source" -> deltaLog.dataPath.toString,
+        "sourceVersion" -> snapshot.version,
+        "isDeepClone" -> true))
+  }
+
   /** Record a named CHECK constraint (`delta.constraints.<name>` table
     * property, the protocol's CHECK-constraint representation) after
     * verifying EXISTING rows satisfy it — a constraint that the current

@@ -894,6 +894,37 @@ object DeltaQueries {
         FROM orders WHERE o_orderstatus <> 'F'
         GROUP BY o_orderstatus""")),
 
+    // DEEP CLONE: an independent physical copy. The query DV-deletes in
+    // the source, deep clones, then DESTROYS the source directory
+    // entirely before aggregating the clone — only a real byte copy
+    // (including the deletion-vector files) can answer.
+    QueryDef(
+      "delta_deep_clone",
+      (s, dir) => {
+        import s.implicits._
+        val src = tmp("dclone_src") + "/t"
+        val dst = tmp("dclone_dst") + "/t"
+        val cust = t(s, dir, "customer")
+        DeltaTable.write(cust, src,
+          configuration = Map("delta.enableDeletionVectors" -> "true"))
+        DeltaTable.forPath(s, src).delete($"c_mktsegment" === "BUILDING")
+        s.sql(s"CREATE TABLE '$dst' DEEP CLONE '$src'")
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+        }
+        rm(new java.io.File(src))
+        graft.delta.DeltaLog.invalidate(s, src)
+        DeltaTable.forPath(s, dst).toDF.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+               sum($"c_acctbal".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_bal"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        FROM customer WHERE c_mktsegment <> 'BUILDING'
+        GROUP BY c_mktsegment""")),
+
     // replaceWhere: one transactional commit swaps the 1-URGENT partition
     // for a recomputed frame (price +1000); other partitions' files are
     // untouched.

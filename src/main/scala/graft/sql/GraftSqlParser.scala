@@ -54,9 +54,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftRestoreCommand(parseTarget(target), version.toLong))
     case RestoreTsRe(target, ts) =>
       Some(GraftRestoreTimestampCommand(parseTarget(target), ts))
-    case CloneRe(target, source, version, ts) =>
+    case CloneRe(target, mode, source, version, ts) =>
       Some(GraftCloneCommand(parseTarget(target), parseTarget(source),
-        Option(version).map(_.toLong), Option(ts)))
+        Option(version).map(_.toLong), Option(ts),
+        deep = mode.equalsIgnoreCase("DEEP")))
     case ConvertRe(target, partCols) =>
       Some(GraftConvertCommand(parseTarget(target),
         Option(partCols).toSeq.flatMap(_.split(",").map(s =>
@@ -155,7 +156,7 @@ object GraftSqlParser {
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+(SHALLOW|DEEP)\s+CLONE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val ClusterByRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+CLUSTER\s+BY\s*(?:\(([^)]+)\)|(NONE))\s*;?\s*""".r
   private val AddConstraintRe =
@@ -394,7 +395,8 @@ case class GraftCloneCommand(
     target: Either[String, Seq[String]],
     source: Either[String, Seq[String]],
     versionAsOf: Option[Long] = None,
-    timestampAsOf: Option[String] = None) extends LeafRunnableCommand {
+    timestampAsOf: Option[String] = None,
+    deep: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("target", StringType, nullable = false)(),
@@ -406,9 +408,10 @@ case class GraftCloneCommand(
     // warehouse location a new table would occupy
     val dstPath = GraftSqlParser.resolveNewTablePath(session, target)
     val src = graft.delta.DeltaTable.forPath(session, srcPath)
-    src.cloneTo(dstPath, versionAsOf,
-      timestampAsOf.map(t =>
-        graft.delta.TimestampParsing.parseMillis(session, t)))
+    val tsMillis = timestampAsOf.map(t =>
+      graft.delta.TimestampParsing.parseMillis(session, t))
+    if (deep) src.deepCloneTo(dstPath, versionAsOf, tsMillis)
+    else src.cloneTo(dstPath, versionAsOf, tsMillis)
     val n = graft.delta.DeltaTable.forPath(session, dstPath)
       .deltaLog.update().numOfFiles
     Seq(Row(dstPath, n))
