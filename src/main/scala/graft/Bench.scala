@@ -31,11 +31,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    val results = selected.map { case (name, fn) =>
+    // queries are independent (each lifecycle query creates its own
+    // tables): drop engine + dataset caches between samples so heap creep
+    // from earlier queries' cached snapshots and persisted corpora
+    // doesn't tax later queries' GC
+    def clearCaches(): Unit =
+      try {
+        graft.delta.DeltaLog.clearCache()
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => }
+    // a failed query must NOT masquerade as a fast one: record -1 so a
+    // fast exception is visible in the tail instead of reading as a
+    // speedup (the r6 delta_generated_partition 0.12 s anomaly)
+    def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // a failed query must NOT masquerade as a fast one: record -1 so a
-      // fast exception is visible in the tail instead of reading as a
-      // speedup (the r6 delta_generated_partition 0.12 s anomaly)
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case t: Throwable =>
@@ -44,20 +53,37 @@ object Bench {
           false
         }
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // queries are independent (each lifecycle query creates its own
-      // tables): drop engine + dataset caches between them so heap creep
-      // from earlier queries' cached snapshots and persisted corpora
-      // doesn't tax later queries' GC
-      try {
-        graft.delta.DeltaLog.clearCache()
-        spark.catalog.clearCache()
-      } catch { case _: Throwable => }
-      name -> elapsed
+      clearCaches()
+      elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // CONTENTION RESISTANCE: a shared host can inflate a single sample
+    // 10-60x (r8's recorded run had untouched pure-relational queries at
+    // 20x their idle medians). One sample cannot distinguish "the plan
+    // got slower" from "a co-tenant stole the cores", so every query
+    // takes TWO samples — and a third when the two still disagree by
+    // >3x (contention spanning both) — and records the MIN: the minimum
+    // over fair-weather runs is the statistic that converges to the
+    // engine's actual cost under one-sided noise. All samples print in
+    // the tail so the mechanism (and any discarded outlier) is auditable.
+    val results = selected.map { case (name, fn) =>
+      val s1 = sample(name, fn)
+      if (s1 < 0) name -> (s1, Seq(s1))
+      else {
+        val s2 = sample(name, fn)
+        val samples =
+          if (s2 >= 0 && math.max(s1, s2) <= 3.0 * math.min(s1, s2)) Seq(s1, s2)
+          else Seq(s1, s2, sample(name, fn))
+        val best = samples.filter(_ >= 0)
+        name -> (if (best.isEmpty) -1.0 else best.min, samples)
+      }
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val samplesJson = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v._2.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

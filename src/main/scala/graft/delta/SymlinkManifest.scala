@@ -146,8 +146,12 @@ object SymlinkManifest {
     }.toDF("n").agg(org.apache.spark.sql.functions.sum("n"))
       .collect().headOption.flatMap(r => Option(r.get(0)))
       .map(_.asInstanceOf[Long]).getOrElse {
-        // empty table: a reader must still find an (empty) manifest
-        if (partitionFilter.isEmpty && partCols.isEmpty) {
+        // emptied unpartitioned table: a reader must still find an
+        // (empty) manifest — both on full GENERATE and on the incremental
+        // path (whose partition filter is empty exactly when the commit
+        // emptied the table; leaving NO manifest would break symlink
+        // readers until a manual full GENERATE)
+        if (partCols.isEmpty) {
           val fs = new Path(dataPathStr).getFileSystem(deltaLog.hadoopConf)
           val out = fs.create(
             new Path(s"$dataPathStr/$ManifestDirName/manifest"), true)

@@ -83,15 +83,35 @@ object GeneratedPartitionFilters {
       .filter { case (c, _) => partCols.contains(c.toLowerCase) }
       .flatMap { case (c, genExpr) =>
         val field = metadata.partitionSchema(metadata.partitionSchema.fieldIndex(c))
-        parseShape(genExpr, field, spark)
+        parseShape(genExpr, field, metadata.schema, spark)
       }
   }
+
+  /** The derivation's monotonicity argument lives in the SOURCE column's
+    * native ordering: for Date/Timestamp sources, `CAST(src AS DATE)` etc.
+    * are monotone in that ordering and the filter's literal carries the
+    * same type. For a STRING source the data filter compares
+    * LEXICOGRAPHICALLY (`src >= '2024-2-1'` matches '2024-10-30') while
+    * the derived conjunct compares the CAST dates — two different orders,
+    * so the derived filter can prune files whose rows match the data
+    * filter; unparseable strings additionally generate null partitions
+    * that strict pruning drops. delta-spark's OptimizeGeneratedColumn
+    * gates on the resolved source type for the same reason. Only temporal
+    * source types are provably order-aligned with every recognized shape. */
+  private def temporalSource(schema: StructType, name: String): Boolean =
+    schema.fields
+      .find(_.name.equalsIgnoreCase(name))
+      .exists(_.dataType match {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      })
 
   /** Parse one stored generation expression into a Shape, or None for any
     * shape we cannot prove monotone. */
   private def parseShape(
       genExpr: String,
       partField: StructField,
+      schema: StructType,
       spark: SparkSession): Option[Shape] = {
     val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
     val parsed =
@@ -99,7 +119,9 @@ object GeneratedPartitionFilters {
       catch { case _: Exception => return None }
 
     def attrName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case a: UnresolvedAttribute if a.nameParts.length == 1
+          && temporalSource(schema, a.nameParts.head) =>
+        Some(a.nameParts.head)
       case _ => None
     }
     // Evaluate a concrete (resolved-by-construction) expression over the

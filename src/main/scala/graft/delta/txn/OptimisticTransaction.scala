@@ -23,6 +23,16 @@ class ConcurrentDeleteReadException(msg: String) extends ConcurrentModificationE
 class ConcurrentDeleteDeleteException(msg: String) extends ConcurrentModificationException(msg)
 class ConcurrentTransactionException(msg: String) extends ConcurrentModificationException(msg)
 
+/** A post-commit hook (symlink-manifest refresh) failed AFTER the commit
+  * became durable. Distinct from every commit-path exception so callers can
+  * tell "the write is in the table, a side artifact is stale" from "the
+  * write did not happen" — catching this and retrying the operation would
+  * double-apply it. */
+class PostCommitHookException(val version: Long, cause: Throwable)
+  extends RuntimeException(
+    s"Commit succeeded as version $version but a post-commit hook failed: " +
+      s"${cause.getMessage}", cause)
+
 /** Isolation levels (ref isolationLevels.scala:17-25). */
 sealed trait IsolationLevel { def name: String }
 case object Serializable extends IsolationLevel { val name = "Serializable" }
@@ -697,14 +707,19 @@ class OptimisticTransaction(
     // symlink-manifest auto-update (delta-spark's post-commit hook): a
     // data-changing commit on an opted-in table refreshes ONLY the
     // manifests of the partitions it touched. The commit is already
-    // durable — a failure here (e.g. the table acquired deletion
-    // vectors) surfaces loudly but does not invalidate it.
-    if (metadata.configuration.get(SymlinkManifest.AutoUpdateKey)
-          .contains("true") &&
-        actions.exists(a =>
-          a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])) {
-      SymlinkManifest.updateIncremental(deltaLog.spark, deltaLog, actions)
-    }
+    // durable — a hook failure (e.g. the table acquired deletion
+    // vectors) must neither read as a failed commit nor starve the
+    // checkpoint-cadence block below, so it is captured here and
+    // rethrown as a typed [[PostCommitHookException]] only after
+    // checkpointing and log cleanup have run.
+    val hookFailure: Option[Throwable] =
+      if (metadata.configuration.get(SymlinkManifest.AutoUpdateKey)
+            .contains("true") &&
+          actions.exists(a =>
+            a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])) {
+        try { SymlinkManifest.updateIncremental(deltaLog.spark, deltaLog, actions); None }
+        catch { case scala.util.control.NonFatal(t) => Some(t) }
+      } else None
     if (version != 0 && version % deltaLog.checkpointInterval == 0) {
       val snap = deltaLog.update()
       val parts = DeltaConfigs.CHECKPOINT_PARTS.fromMetadata(deltaLog.metadata)
@@ -719,6 +734,7 @@ class OptimisticTransaction(
       }
       if (deltaLog.enableExpiredLogCleanup) deltaLog.cleanUpExpiredLogs()
     }
+    hookFailure.foreach(t => throw new PostCommitHookException(version, t))
   }
 
   // exposed to ConflictChecker

@@ -316,8 +316,19 @@ object DeltaWriter {
         val explicit = DeltaConfigs.DATA_SKIPPING_STATS_COLUMNS.fromMetadata(m)
         org.apache.spark.sql.types.StructType(
           if (explicit.nonEmpty) {
-            val wanted = explicit.toSet
-            dataSchema.filter(f => wanted.contains(f.name))
+            // Spark schemas resolve case-insensitively by default — match
+            // the configured list the same way, and REFUSE unknown names:
+            // a typo'd/case-mangled entry silently producing stat-less
+            // files loses data skipping and the metadata-only aggregate
+            // path with no visible symptom until query time at scale.
+            val wanted = explicit.map(_.toLowerCase).toSet
+            val known = dataSchema.map(_.name.toLowerCase).toSet
+            val unknown = wanted.diff(known)
+            require(unknown.isEmpty,
+              s"${DeltaConfigs.DATA_SKIPPING_STATS_COLUMNS.key} names " +
+                s"column(s) not present in the data schema: " +
+                s"${unknown.toSeq.sorted.mkString(", ")}")
+            dataSchema.filter(f => wanted.contains(f.name.toLowerCase))
           } else dataSchema.take(
             DeltaConfigs.DATA_SKIPPING_NUM_INDEXED_COLS.fromMetadata(m)))
       }.getOrElse(dataSchema)

@@ -1059,9 +1059,17 @@ object Dedup {
     * a corrupt row the canonical one). */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
                     scoreCol: String): DataFrame = {
-    require(docs.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"keepCanonical needs a numeric id column for the tie-break " +
+    // integral only: the tie-break orders by the NEGATED id, and negation
+    // (or a cast to long) on fractional/decimal ids silently truncates —
+    // the semi-join would then keep the wrong row or drop a whole cluster
+    require(docs.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      },
+      s"keepCanonical needs an integral id column for the tie-break " +
         s"(got ${docs.schema(idCol).dataType.simpleString})")
     val clusters = connectedComponents(pairs)
       .withColumnRenamed("id", idCol)
@@ -1078,10 +1086,13 @@ object Dedup {
       .withColumn("__score", when(isnan(col("__score")),
         raise_error(lit(s"keepCanonical: NaN in score column $scoreCol")))
         .otherwise(col("__score")))
+      // the winner's id rides the struct VERBATIM as a third field (it
+      // never decides the max — equal (score, negid) implies equal id),
+      // so the kept id is never reconstructed from the negated value
       .groupBy(col("__cc_cluster"))
       .agg(max(struct(col("__score"), negate(col(idCol).cast("long"))
-        .as("negid"))).as("w"))
-      .select(negate(col("w.negid")).as(idCol))
+        .as("negid"), col(idCol).as("id"))).as("w"))
+      .select(col("w.id").as(idCol))
     docs.join(winners, Seq(idCol), "left_semi")
   }
 

@@ -62,6 +62,28 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("dataSkippingStatsColumns matches case-insensitively and refuses " +
+      "unknown names") {
+    withTempDir { dir =>
+      // case-mangled entry still binds to the schema column
+      DeltaTable.write(spark.range(0, 9).toDF("myCol").coalesce(1), dir,
+        configuration = Map("delta.dataSkippingStatsColumns" -> "MYCOL"))
+      val stats = DeltaLog.forTable(spark, dir).update().allFiles.head.stats.get
+      assert(JsonCodec.mapper.readTree(stats).get("minValues").has("myCol"),
+        s"case-insensitive match must index myCol: $stats")
+    }
+    withTempDir { dir =>
+      // a typo'd entry fails LOUDLY instead of writing stat-less files
+      val e = intercept[Exception] {
+        DeltaTable.write(spark.range(0, 9).toDF("v").coalesce(1), dir,
+          configuration = Map("delta.dataSkippingStatsColumns" -> "vv"))
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("vv")), s"must name the typo: $e")
+    }
+  }
+
   test("numIndexedCols above the old hard cap is honored") {
     withTempDir { dir =>
       val wide = spark.range(0, 10).toDF("c0")

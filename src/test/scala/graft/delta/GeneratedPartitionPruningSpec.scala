@@ -103,6 +103,38 @@ class GeneratedPartitionPruningSpec extends SparkSpec {
     }
   }
 
+  test("STRING-typed generation source derives nothing (order mismatch)") {
+    withTempDir { dir =>
+      // `src >= '2024-02-1'` compares LEXICOGRAPHICALLY ('2024-1-30' has
+      // '1' > '0' at position 5, so it MATCHES) while a derived
+      // `day >= 2024-02-01` would prune that row's file — the two orders
+      // disagree, so the derivation must not fire for string sources
+      DeltaTable.create(spark, dir,
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("src", StringType),
+          StructField("day", DateType))),
+        partitionBy = Seq("day"),
+        configuration = Map("delta.dataSkippingNumIndexedCols" -> "0"),
+        generatedColumns = Map("day" -> "CAST(src AS DATE)"))
+      DeltaTable.write(
+        Seq((1L, "2024-1-30"), (2L, "2024-02-05")).toDF("id", "src")
+          .coalesce(1), dir)
+      val table = DeltaTable.forPath(spark, dir)
+      val all = selectedFiles(table.toDF)
+      assert(all == 2, s"expected a file per day partition, got $all")
+      // lexicographically ONLY '2024-1-30' matches ('1' > '0' at pos 5,
+      // while '2024-02-05' < '2024-02-1' at pos 8) — and that row lives
+      // in day=2024-01-30, exactly the file a derived `day >= 2024-02-01`
+      // would prune. A derivation here returns 0 rows; the right answer is 1.
+      val q = table.toDF.filter($"src" >= "2024-02-1")
+      assert(q.count() == 1,
+        "the one lexicographically-matching row sits in the January partition")
+      assert(selectedFiles(q) == all,
+        "string-typed source must not derive a partition filter")
+    }
+  }
+
   test("non-monotonic or unparseable generations derive nothing (sound)") {
     withTempDir { dir =>
       mkTable(dir, "month(ts)", IntegerType)

@@ -106,6 +106,42 @@ class SymlinkManifestSpec extends SparkSpec {
     }
   }
 
+  test("auto-update on an EMPTIED unpartitioned table leaves an empty " +
+      "manifest, matching generate()") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 5).toDF("v").coalesce(1), dir,
+        configuration = Map(SymlinkManifest.AutoUpdateKey -> "true"))
+      assert(manifestLines(dir, "manifest").nonEmpty)
+      DeltaTable.forPath(spark, dir).deleteWhere(
+        org.apache.spark.sql.functions.lit(true))
+      val p = Paths.get(dir, SymlinkManifest.ManifestDirName, "manifest")
+      assert(Files.exists(p),
+        "a symlink reader must still find a manifest after the table empties")
+      assert(manifestLines(dir, "manifest").isEmpty, "and it must be empty")
+    }
+  }
+
+  test("a failing auto-update hook surfaces as PostCommitHookException " +
+      "AFTER the commit is durable") {
+    withTempDir { dir =>
+      // enabling DVs makes the hook's checkSupported refuse as soon as a
+      // shading commit lands — the refusal must not read as a failed DML
+      DeltaTable.write((1 to 50).toDF("v").coalesce(1), dir,
+        configuration = Map(
+          SymlinkManifest.AutoUpdateKey -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+      val log = DeltaLog.forTable(spark, dir)
+      val before = log.update().version
+      val e = intercept[graft.delta.txn.PostCommitHookException](
+        DeltaTable.forPath(spark, dir).delete($"v" <= 5))
+      assert(e.version == before + 1, "exception names the durable version")
+      assert(e.getMessage.contains("succeeded"), e.getMessage)
+      // the DELETE is in the table despite the hook failure
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 45)
+      assert(log.update().version == before + 1)
+    }
+  }
+
   test("SQL GENERATE; unknown mode refuses; DV table refuses") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, "a")).toDF("v", "part"), dir,

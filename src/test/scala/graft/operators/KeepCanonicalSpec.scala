@@ -55,6 +55,18 @@ class KeepCanonicalSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Dedup.keepCanonical(docs, "id", pairs, "score")
     }
-    assert(e.getMessage.contains("numeric id"))
+    assert(e.getMessage.contains("integral id"))
+  }
+
+  test("fractional id refuses up front (the tie-break would truncate it)") {
+    // 1.5 and 1.2 both cast to long 1 — the negated tie-break could not
+    // tell them apart and the semi-join would reconstruct an id that
+    // matches NEITHER row, silently dropping the cluster
+    val docs = Seq((1.5, 10.0), (1.2, 10.0)).toDF("id", "score")
+    val pairs = Seq((1.5, 1.2)).toDF("i", "j")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepCanonical(docs, "id", pairs, "score")
+    }
+    assert(e.getMessage.contains("integral id"))
   }
 }
