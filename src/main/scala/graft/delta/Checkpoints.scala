@@ -116,51 +116,120 @@ object Checkpoints {
   }
 
   /** V2 checkpoint write (`delta.checkpointPolicy=v2`): the file actions
-    * (adds with parsed stats + unexpired tombstones) flow as a Spark job
-    * into sidecar parquets under `_delta_log/_sidecars/` — the same
-    * distributed shape as the classic multi-part write, one output
-    * partition per sidecar — and a single uuid-named main parquet carries
-    * `checkpointMetadata`, protocol, metadata, txns and the sidecar
-    * references. Works in both driver and distributed state modes (the
-    * file list never touches the driver in the latter). */
+    * flow as Spark jobs into sidecar parquets under
+    * `_delta_log/_sidecars/`, and a single uuid-named main parquet
+    * carries `checkpointMetadata`, protocol, metadata, txns and the
+    * sidecar references. Works in both driver and distributed state modes
+    * (the file list never touches the driver in the latter).
+    *
+    * '''Sidecar carry-over''' — the reason the V2 format exists. Adds are
+    * bucketed by a stable hash of their (canonicalized) path, one bucket
+    * range per sidecar, with the bucket encoded in the sidecar's NAME
+    * (`<uuid>.b<i>of<n>.<j>.parquet`). The next checkpoint re-references
+    * every sidecar whose bucket no commit in the interval touched and
+    * rewrites only the touched buckets — at 100 TB (millions of
+    * AddFiles, checkpoint every 10 commits) this turns the largest
+    * recurring metadata cost from O(table) into O(churn). Tombstones are
+    * TIME-expiring, so they never carry over: they live in their own
+    * `<uuid>.tombstones.<j>.parquet` sidecars, rewritten from the
+    * snapshot each checkpoint so expiry keeps its cadence. Log cleanup
+    * stays safe because it already keeps any sidecar referenced by a
+    * surviving main file ([[DeltaLog.cleanUpExpiredLogs]]).
+    *
+    * Carry-over degrades to a full rewrite whenever its premises fail
+    * ([[planV2CarryOver]]): a foreign/pre-carry-over previous checkpoint,
+    * a metadata or protocol change in the interval (the stats form or
+    * schema the carried files were written under may have changed), an
+    * explicit part-count raise, or buckets grown past 2x the target part
+    * size (rebucket). */
   def writeV2Checkpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
     implicit val enc = Encoders.product[SingleAction]
+    import org.apache.spark.sql.functions.{col, lit, udf}
     val statsXf = statsTransform(snapshot.metadata)
     val log = snapshot.deltaLog
     val fs = log.logPath.getFileSystem(log.hadoopConf)
     val spark = snapshot.spark
 
-    val fileActions =
-      (if (snapshot.distributedState)
-        snapshot.allFilesDistributed
-          .map(a => statsXf(a).wrap)(enc)
-      else spark.createDataset(
-        snapshot.allFiles.map(a => statsXf(a).wrap)))
-        .unionByName(spark.createDataset(snapshot.tombstones.map(_.wrap)))
+    val adds =
+      if (snapshot.distributedState)
+        snapshot.allFilesDistributed.map(a => statsXf(a).wrap)(enc)
+      else spark.createDataset(snapshot.allFiles.map(a => statsXf(a).wrap))
     val total = snapshot.numOfFiles + snapshot.tombstones.size
-    val nParts = autoParts(snapshot, parts, total)
 
-    // 1. sidecars: one parquet per output partition, uuid-named
+    val plan = planV2CarryOver(snapshot, parts)
+    val nBuckets = plan.map(_.nBuckets)
+      .getOrElse(autoParts(snapshot, parts, snapshot.numOfFiles))
+
     val uuid = java.util.UUID.randomUUID().toString
     val tempDir = new Path(log.logPath, s".v2cp_tmp_$uuid")
-    fileActions.repartition(nParts)
-      .write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
+    val sidecarDir = FileNames.sidecarDir(log.logPath)
+    // bucket on the CANONICAL path: foreign logs legally mix relative and
+    // absolute spellings of the same file, and a remove spelled
+    // differently from its add must still land in the add's bucket
+    val canonical = snapshot.canonicalPath
+    val nb = nBuckets
+    val bucketOf = udf((p: String) => sidecarBucket(canonical(p), nb))
+    val bucketed = adds.toDF
+      .withColumn("__bucket", bucketOf(col("add.path")))
+    val toWrite = plan match {
+      case Some(p) if p.changed.isEmpty => bucketed.filter(lit(false))
+      case Some(p) => bucketed.filter(
+        col("__bucket").isInCollection(p.changed))
+      case None => bucketed
+    }
     try {
-      val written = fs.listStatus(tempDir)
-        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      val sidecarDir = FileNames.sidecarDir(log.logPath)
+      // 1. bucketed add sidecars: one directory per (changed) bucket.
+      // The repartition keys every bucket's rows into ONE task (bucket
+      // collisions inside a task are fine — partitionBy still splits
+      // them into their own directories), so each bucket rewrite
+      // produces exactly one sidecar instead of one file per input
+      // partition that happened to hold a row of it.
+      val writeParts = plan.map(p => math.max(1, p.changed.size))
+        .getOrElse(nBuckets)
+      toWrite.repartition(writeParts, col("__bucket"))
+        .write.partitionBy("__bucket")
+        .mode(SaveMode.Overwrite).parquet(tempDir.toString)
       fs.mkdirs(sidecarDir)
-      val sidecars = written.zipWithIndex.map { case (part, i) =>
-        val dest = new Path(sidecarDir, s"$uuid-$i.parquet")
+      def publish(src: Path, destName: String): SidecarFile = {
+        val dest = new Path(sidecarDir, destName)
         fs.delete(dest, false)
-        if (!fs.rename(part, dest)) {
-          throw new java.io.IOException(s"rename $part -> $dest failed")
+        if (!fs.rename(src, dest)) {
+          throw new java.io.IOException(s"rename $src -> $dest failed")
         }
         val st = fs.getFileStatus(dest)
         SidecarFile(dest.getName, sizeInBytes = Some(st.getLen),
           modificationTime = Some(st.getModificationTime))
-      }.toSeq
+      }
+      val newBucketSidecars = fs.listStatus(tempDir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+        .sortBy(_.getPath.getName).flatMap { d =>
+          val b = d.getPath.getName.stripPrefix("__bucket=").toInt
+          fs.listStatus(d.getPath).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.map { case (part, j) =>
+              publish(part, s"$uuid.b${b}of$nBuckets.$j.parquet")
+            }
+        }.toSeq
+      // 2. tombstone sidecars: rewritten from the snapshot every time so
+      // retention-based expiry is applied on the checkpoint cadence
+      val tombstoneSidecars =
+        if (snapshot.tombstones.isEmpty) Seq.empty[SidecarFile]
+        else {
+          val tsDir = new Path(log.logPath, s".v2cp_ts_tmp_$uuid")
+          val tParts = autoParts(snapshot, 1, snapshot.tombstones.size.toLong)
+          spark.createDataset(snapshot.tombstones.map(_.wrap))
+            .repartition(tParts)
+            .write.mode(SaveMode.Overwrite).parquet(tsDir.toString)
+          try fs.listStatus(tsDir).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.map { case (part, j) =>
+              publish(part, s"$uuid.tombstones.$j.parquet")
+            }.toSeq
+          finally fs.delete(tsDir, true)
+        }
+      val sidecars =
+        (plan.map(_.carried).getOrElse(Seq.empty) ++ newBucketSidecars ++
+          tombstoneSidecars).sortBy(_.path)
 
       // 2. main file: exactly one checkpointMetadata + the non-file
       // actions + the sidecar references
@@ -197,6 +266,71 @@ object Checkpoints {
     } finally {
       fs.delete(tempDir, true)
     }
+  }
+
+  /** One add-bucket sidecar name this writer produces:
+    * `<uuid>.b<bucket>of<nBuckets>.<j>.parquet`. The bucket geometry
+    * lives in the NAME so the next checkpoint's planner recovers the
+    * manifest from the previous main file alone — no side channel a
+    * foreign reader could misread (to them these are opaque sidecars). */
+  private val BucketSidecarName = """.*\.b(\d+)of(\d+)\.\d+\.parquet""".r
+  private val TombstoneSidecarName = """.*\.tombstones\.\d+\.parquet""".r
+
+  /** Stable bucket of one (canonicalized) file path. Java's
+    * `String.hashCode` is pinned by its spec, so the same path lands in
+    * the same bucket in every JVM and session — the invariant carry-over
+    * rests on. */
+  private[delta] def sidecarBucket(path: String, nBuckets: Int): Int =
+    math.floorMod(path.hashCode, nBuckets)
+
+  private[delta] case class V2CarryPlan(
+      nBuckets: Int,
+      /** Previous-checkpoint sidecars re-referenced verbatim. */
+      carried: Seq[SidecarFile],
+      /** Buckets a commit in the interval touched — rewritten from the
+        * current state (a touched bucket whose files all vanished simply
+        * produces no sidecar). */
+      changed: Set[Int])
+
+  /** Decide whether this checkpoint can carry unchanged sidecars over
+    * from the previous one; `None` = full rewrite. See
+    * [[writeV2Checkpoint]] for the policy rationale. */
+  private[delta] def planV2CarryOver(
+      snapshot: Snapshot, requestedParts: Int): Option[V2CarryPlan] = {
+    val main = snapshot.v2Main.getOrElse(return None)
+    val prevV = snapshot.logSegment.checkpointVersion.getOrElse(return None)
+    val buckets = Vector.newBuilder[(Int, Int, SidecarFile)]
+    main.sidecars.foreach { s =>
+      val name = V2Checkpoints.sidecarPath(snapshot.deltaLog.logPath, s).getName
+      name match {
+        case BucketSidecarName(b, n) => buckets += ((b.toInt, n.toInt, s))
+        case TombstoneSidecarName() => // rewritten every checkpoint
+        case _ => return None // foreign / pre-carry-over layout
+      }
+    }
+    val parsed = buckets.result()
+    if (parsed.isEmpty) return None
+    val ns = parsed.map(_._2).distinct
+    if (ns.size != 1) return None
+    val nBuckets = ns.head
+    // a metadata/protocol change may alter the stats form or schema the
+    // carried files were written under; both are rare, so rewriting on
+    // them costs nothing in steady state
+    val interval = snapshot.commitActionsAfter(prevV)
+    if (interval.exists(_._2.exists(a =>
+        a.isInstanceOf[Metadata] || a.isInstanceOf[Protocol]))) return None
+    val partSize =
+      DeltaConfigs.CHECKPOINT_PART_SIZE.fromMetadata(snapshot.metadata)
+    if (requestedParts > nBuckets ||
+        snapshot.numOfFiles > 2L * partSize * nBuckets) return None
+    val canonical = snapshot.canonicalPath
+    val changed = interval.iterator.flatMap(_._2).collect {
+      case a: AddFile => a.path
+      case r: RemoveFile => r.path
+    }.map(p => sidecarBucket(canonical(p), nBuckets)).toSet
+    Some(V2CarryPlan(nBuckets,
+      parsed.collect { case (b, _, s) if !changed.contains(b) => s },
+      changed))
   }
 
   /** The larger of the caller/config-requested part count and the

@@ -69,8 +69,10 @@ class Snapshot(
   private lazy val deltaVersions: Seq[(Long, FileStatus)] =
     logSegment.deltas.map(fs => (FileNames.deltaVersion(fs.getPath), fs))
 
-  /** Commits with version strictly above `after`, parsed via the cache. */
-  private def commitActionsAfter(after: Long): Seq[(Long, Seq[Action])] =
+  /** Commits with version strictly above `after`, parsed via the cache.
+    * `private[delta]`: the V2 sidecar carry-over planner reads the
+    * checkpoint interval's commits through the same cache. */
+  private[delta] def commitActionsAfter(after: Long): Seq[(Long, Seq[Action])] =
     deltaVersions.filter(_._1 > after).map { case (v, fs) =>
       (v, commitCache.computeIfAbsent(v, _ => readCommit(fs).toVector))
     }
@@ -88,7 +90,7 @@ class Snapshot(
   /** V2 (uuid-named) checkpoint: the main file parsed once per snapshot —
     * non-file actions plus the sidecar list (None for classic
     * checkpoints; see [[V2Checkpoints]]). */
-  private lazy val v2Main: Option[V2Checkpoints.Main] =
+  private[delta] lazy val v2Main: Option[V2Checkpoints.Main] =
     logSegment.checkpoint.headOption
       .filter(f => FileNames.isV2CheckpointFile(f.getPath))
       .map(f => V2Checkpoints.readMain(

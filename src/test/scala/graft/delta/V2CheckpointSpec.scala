@@ -225,6 +225,118 @@ class V2CheckpointSpec extends SparkSpec {
     }
   }
 
+  /** Sidecar names referenced by the NEWEST v2 checkpoint main file. */
+  private def latestV2Sidecars(dir: String): Set[String] = {
+    val l = log(dir)
+    val logDir = new File(dir, "_delta_log")
+    val mains = logDir.listFiles()
+      .filter(f => FileNames.isV2CheckpointFile(new Path(f.getName)))
+    assert(mains.nonEmpty, "no v2 checkpoint written")
+    val newest = mains.maxBy(f =>
+      FileNames.checkpointVersion(new Path(f.getName)))
+    val hp = new Path(newest.getAbsolutePath)
+    val st = hp.getFileSystem(l.hadoopConf).getFileStatus(hp)
+    V2Checkpoints.readMain(spark, l.logPath, st, l.hadoopConf).sidecars
+      .map(s => V2Checkpoints.sidecarPath(l.logPath, s).getName).toSet
+  }
+
+  private def dropSubsumedCommits(dir: String): Unit = {
+    val logDir = new File(dir, "_delta_log")
+    val cpV = logDir.listFiles()
+      .filter(f => FileNames.isV2CheckpointFile(new Path(f.getName)))
+      .map(f => FileNames.checkpointVersion(new Path(f.getName))).max
+    (0L to cpV).foreach(v => new File(logDir, f"$v%020d.json").delete())
+    DeltaLog.clearCache()
+  }
+
+  test("sidecar carry-over: a 1-file append rewrites at most one sidecar " +
+      "and replay still matches") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 400L).toDF("id").repartition(8), dir,
+        configuration = Map(
+          "delta.checkpointPolicy" -> "v2",
+          "delta.checkpointParts" -> "4",
+          "delta.checkpointInterval" -> "1000")) // manual checkpoints only
+      val l = log(dir)
+      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      val a = latestV2Sidecars(dir)
+      assert(a.nonEmpty && a.forall(_.matches(""".*\.b\d+of\d+\.\d+\.parquet""")),
+        s"full write must produce bucket-named sidecars: $a")
+
+      DeltaTable.write((400L until 410L).toDF("id").coalesce(1), dir)
+      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      val b = latestV2Sidecars(dir)
+      assert((b -- a).size == 1,
+        s"a 1-file append must rewrite exactly one bucket sidecar; " +
+          s"new = ${b -- a}")
+      assert((a -- b).size <= 1,
+        s"only the touched bucket's previous sidecar may drop; " +
+          s"dropped = ${a -- b}")
+      assert((a intersect b).nonEmpty, "unchanged sidecars must carry over")
+
+      // replay THROUGH the carried checkpoint: subsumed commits deleted,
+      // the state must still be exact
+      dropSubsumedCommits(dir)
+      assert(readIds(dir) == (0L until 410L))
+    }
+  }
+
+  test("sidecar carry-over: removes rewrite the touched bucket, land in a " +
+      "tombstone sidecar, and never resurrect") {
+    withTempDir { dir =>
+      // range layout so the delete's stats pruning touches FEW files —
+      // otherwise every bucket changes and nothing can carry over
+      DeltaTable.write(
+        (0L until 400L).toDF("id").repartitionByRange(8, $"id"), dir,
+        configuration = Map(
+          "delta.checkpointPolicy" -> "v2",
+          "delta.checkpointParts" -> "4",
+          "delta.checkpointInterval" -> "1000"))
+      val l = log(dir)
+      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      val a = latestV2Sidecars(dir)
+
+      // a delete that empties some files and rewrites others
+      DeltaTable.forPath(spark, dir).delete($"id" < 100L)
+      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      val b = latestV2Sidecars(dir)
+      assert(b.exists(_.contains(".tombstones.")),
+        s"the delete's removes must land in a tombstone sidecar: $b")
+      assert((a intersect b).nonEmpty,
+        "buckets the delete did not touch must carry over")
+
+      dropSubsumedCommits(dir)
+      assert(readIds(dir) == (100L until 400L),
+        "carried + rewritten sidecars must reconstruct the exact state")
+    }
+  }
+
+  test("sidecar carry-over: a metadata change in the interval forces a " +
+      "full rewrite") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 400L).toDF("id").repartition(8), dir,
+        configuration = Map(
+          "delta.checkpointPolicy" -> "v2",
+          "delta.checkpointParts" -> "4",
+          "delta.checkpointInterval" -> "1000"))
+      val l = log(dir)
+      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      val a = latestV2Sidecars(dir)
+
+      // the stats form the carried files were written under may change
+      // with the metadata — carry-over must not trust them
+      DeltaTable.forPath(spark, dir)
+        .setProperties(Map("delta.checkpoint.writeStatsAsJson" -> "false"))
+      DeltaTable.write((400L until 410L).toDF("id").coalesce(1), dir)
+      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      val b = latestV2Sidecars(dir)
+      assert((a intersect b).isEmpty,
+        s"metadata change must rewrite every sidecar; carried = ${a intersect b}")
+      dropSubsumedCommits(dir)
+      assert(readIds(dir) == (0L until 410L))
+    }
+  }
+
   test("log cleanup reclaims sidecars of expired v2 checkpoints only") {
     withTempDir { dir =>
       val l = log(dir)
@@ -235,29 +347,51 @@ class V2CheckpointSpec extends SparkSpec {
       l.clock = () => now
       DeltaTable.write((0L until 10L).toDF("id"), dir, configuration = Map(
         "delta.checkpointPolicy" -> "v2",
+        "delta.checkpointParts" -> "4",
         "delta.checkpointInterval" -> "2",
         "delta.logRetentionDuration" -> "interval 1 days",
         "delta.enableExpiredLogCleanup" -> "false"))
       (1 to 3).foreach(i =>
-        DeltaTable.write((i * 10L until i * 10L + 10L).toDF("id"), dir))
+        DeltaTable.write((i * 10L until i * 10L + 10L).toDF("id")
+          .coalesce(1), dir))
       val scDir = new File(dir, "_delta_log/_sidecars")
       val earlySidecars = scDir.listFiles().map(_.getName).toSet
       assert(earlySidecars.nonEmpty)
 
-      // ...two days later, more commits roll a NEWER v2 checkpoint
+      // ...two days later, more SINGLE-FILE commits roll a NEWER v2
+      // checkpoint that carries the untouched buckets over
       now += 2L * 24 * 3600 * 1000
       (4 to 5).foreach(i =>
-        DeltaTable.write((i * 10L until i * 10L + 10L).toDF("id"), dir))
+        DeltaTable.write((i * 10L until i * 10L + 10L).toDF("id")
+          .coalesce(1), dir))
       val allSidecars = scDir.listFiles().map(_.getName).toSet
       assert(allSidecars.size > earlySidecars.size)
 
       val deleted = l.cleanUpExpiredLogs()
       assert(deleted > 0)
-      val kept = scDir.listFiles().map(_.getName).toSet
-      // old checkpoint's sidecars reclaimed, the live one's kept
-      assert(kept.intersect(allSidecars -- earlySidecars) ==
-        allSidecars -- earlySidecars)
-      assert(kept.intersect(earlySidecars).isEmpty)
+      // ignore the local filesystem's .crc shadow files
+      val kept = scDir.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+      // the reference set is "referenced by a SURVIVING main": with
+      // carry-over the live checkpoint re-references most of the early
+      // sidecars (they must survive cleanup even with expired mtimes),
+      // while buckets it rewrote leave their old files unreferenced —
+      // those are reclaimed with their expired main
+      val logDir = new File(dir, "_delta_log")
+      val referenced = logDir.listFiles()
+        .filter(f => FileNames.isV2CheckpointFile(new Path(f.getName)))
+        .flatMap { f =>
+          val hp = new Path(f.getAbsolutePath)
+          val st = hp.getFileSystem(l.hadoopConf).getFileStatus(hp)
+          V2Checkpoints.readMain(spark, l.logPath, st, l.hadoopConf).sidecars
+            .map(s => V2Checkpoints.sidecarPath(l.logPath, s).getName)
+        }.toSet
+      assert(kept == referenced,
+        s"kept ($kept) must be exactly the surviving mains' references ($referenced)")
+      assert(kept.intersect(earlySidecars).nonEmpty,
+        "carried-over early sidecars must survive cleanup")
+      assert((allSidecars -- kept).nonEmpty,
+        "rewritten buckets' orphaned sidecars must be reclaimed")
       assert(readIds(dir) == (0L until 60L))
     }
   }
