@@ -537,7 +537,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       val missing =
         (if (p.minReaderVersion == 3) TableFeatures.unsupportedReader(p)
          else Nil) ++
-        (if (p.minWriterVersion == 7) TableFeatures.unsupportedWriter(p)
+        // read-tolerated writer features (UniForm) never change which
+        // files are live, so they cannot make GC mis-classify an orphan
+        (if (p.minWriterVersion == 7)
+           TableFeatures.unsupportedWriter(p)
+             .filterNot(TableFeatures.readToleratedWriter)
          else Nil)
       require(missing.isEmpty,
         s"Cannot vacuum: table requires table feature(s) " +

@@ -236,6 +236,18 @@ object TableFeatures {
     // all-or-nothing against a boundary checkpoint
     "checkpointProtection")
 
+  /** Writer-obligation features this engine KNOWS but deliberately does
+    * not write under: UniForm (`icebergCompatV1`/`V2`) obliges a writer
+    * to maintain mirrored Iceberg metadata alongside every commit. They
+    * constrain WRITERS only — the data files and the Delta log stay
+    * plain Delta — so tables declaring them read normally here and may
+    * be VACUUMed (the features never change which files are live), while
+    * write attempts refuse BY NAME rather than silently going stale on
+    * the table's Iceberg mirror. `collations` and `catalogOwned-preview`
+    * do NOT belong here: they change comparison and commit semantics. */
+  val readToleratedWriter: Set[String] =
+    Set("icebergCompatV1", "icebergCompatV2")
+
   /** Whether any column declares a CURRENT_DEFAULT — the condition that
     * obliges the allowColumnDefaults writer feature (delta-spark ≥3.0
     * declares it on the first DEFAULT DDL). */

@@ -301,9 +301,14 @@ class OptimisticTransaction(
         // the missing feature (e.g. deletionVectors) so the user knows
         // WHAT the table needs, not just a version number
         val missing = TableFeatures.unsupportedWriter(p)
-        require(missing.isEmpty,
+        require(missing.isEmpty, {
+          val tolerated = missing.filter(TableFeatures.readToleratedWriter)
           s"Cannot write: table requires writer table feature(s) " +
-            s"${missing.mkString(", ")} this engine does not implement")
+            s"${missing.mkString(", ")} this engine does not implement" +
+            (if (tolerated.isEmpty) "" else
+              s" (${tolerated.mkString(", ")}: the writer must maintain " +
+                "mirrored Iceberg metadata; the table remains READABLE here)")
+        })
       } else require(p.minWriterVersion <= 6,
         s"Cannot write: table requires writer protocol ${p.minWriterVersion}; " +
           "this engine implements up to 6 and writer-7 tables whose " +

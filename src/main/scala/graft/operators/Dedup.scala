@@ -180,9 +180,16 @@ object Dedup {
                        configuration: Map[String, String] = Map.empty): Long = {
     val counts = exactSubstrWindows(corpus, idCol, textCol, minLen)
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    // growing artifacts self-compact by default (the LSH-index /
+    // BM25-postings policy): per-batch appends otherwise accrete one
+    // file per commit and probe plans degrade with the file count.
+    // autoCompact bounds FILES; [[compactSubstrIndex]] stays the lever
+    // for partial-row MULTIPLICITY (one row per h again). Callers can
+    // override (the compaction spec pins the uncompacted degradation).
     graft.delta.DeltaTable.write(counts, indexPath,
       org.apache.spark.sql.SaveMode.Overwrite,
-      configuration = configuration)
+      configuration =
+        Map("delta.autoOptimize.autoCompact" -> "true") ++ configuration)
   }
 
   /** ExactSubstr spans for an incoming BATCH against the corpus-so-far,

@@ -141,11 +141,13 @@ class IncrementalSubstrIndexSpec extends SparkSpec {
       val compacted = s"$dir/idx_ac"
       val plain = s"$dir/idx_plain"
       val corpus = corpusRows.toDF("doc_id", "text")
+      // `compacted` exercises the DEFAULT build (autoCompact on since
+      // r9); `plain` opts out to expose the unbounded accretion
       Dedup.buildSubstrIndex(spark, compacted, corpus, "doc_id", "text",
-        minLen = 4,
-        configuration = Map("delta.autoOptimize.autoCompact" -> "true"))
-      Dedup.buildSubstrIndex(spark, plain, corpus, "doc_id", "text",
         minLen = 4)
+      Dedup.buildSubstrIndex(spark, plain, corpus, "doc_id", "text",
+        minLen = 4,
+        configuration = Map("delta.autoOptimize.autoCompact" -> "false"))
       (0 until 6).foreach { b =>
         val batch = Seq((500L + b,
           s"micro batch $b repeating $phrase for the verdict check"))
@@ -182,18 +184,34 @@ class IncrementalSubstrIndexSpec extends SparkSpec {
           "doc_id", "text", minLen = 4, minCount = 2).collect()
       }
       // an identical twin, compacted: the same probe must see the same
-      // verdicts off summed-partials and re-aggregated rows alike
+      // verdicts off summed-partials and re-aggregated rows alike.
+      // autoCompact explicitly OFF so the file-count degradation under
+      // churn is observable — and provably recovered by the compaction
       val idx2 = s"$dir/substr_idx2"
       Dedup.buildSubstrIndex(spark, idx2,
-        corpusRows.toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+        corpusRows.toDF("doc_id", "text"), "doc_id", "text", minLen = 4,
+        configuration = Map("delta.autoOptimize.autoCompact" -> "false"))
+      val filesInitial = graft.delta.DeltaLog.forTable(spark, idx2)
+        .update().numOfFiles
       (0 until 3).foreach { b =>
         Dedup.incrementalSubstrSpans(spark, idx2,
           Seq((600L + b, s"every batch repeats $phrase faithfully"))
             .toDF("doc_id", "text"),
           "doc_id", "text", minLen = 4, minCount = 2).collect()
       }
+      // probe plans DEGRADE with churn: every append adds files the
+      // probe's index scan must open...
+      val filesBefore = graft.delta.DeltaLog.forTable(spark, idx2)
+        .update().numOfFiles
+      assert(filesBefore > filesInitial,
+        s"appends must grow the file count: $filesInitial -> $filesBefore")
       val before = DeltaTable.forPath(spark, idx2).toDF.count()
       Dedup.compactSubstrIndex(spark, idx2)
+      // ...and compaction RECOVERS the probe cost on both axes
+      val filesAfter = graft.delta.DeltaLog.forTable(spark, idx2)
+        .update().numOfFiles
+      assert(filesAfter < filesBefore,
+        s"compaction must shrink the file count: $filesBefore -> $filesAfter")
       val after = DeltaTable.forPath(spark, idx2).toDF.count()
       assert(after < before, s"compaction must shrink rows: $before -> $after")
       // one row per hash right after compaction (probes below append)

@@ -36,6 +36,25 @@ class SearchAndLineDedupSpec extends SparkSpec {
       rows.map { case (d, i, o) => (d, i) -> o }.toMap
   }
 
+  test("ad-hoc bm25TopK tokenizes the corpus in exactly ONE pass") {
+    // a counting expression BELOW the scope-local cache point: each
+    // corpus pass evaluates it once per row, cache reuse does not — so
+    // the accumulator equals n_docs iff the call makes a single pass
+    // (the r8 design made three)
+    val acc = spark.sparkContext.longAccumulator("bm25DocReads")
+    val reads = udf((s: String) => { acc.add(1); s }).asNondeterministic()
+    val n = 500L
+    val docs = spark.range(n).selectExpr("id as doc_id",
+      "concat('common w', cast(id % 13 as string), ' ', " +
+        "case when id % 5 = 0 then 'rare' else 'filler' end) as text")
+      .withColumn("text", reads($"text"))
+    val res = Search.bm25TopK(spark, docs, "doc_id", "text",
+      Seq("q1" -> Seq("rare", "common"), "q2" -> Seq("filler")), k = 5)
+    assert(res.count() == 10)
+    assert(acc.value == n,
+      s"corpus passes = ${acc.value.toDouble / n}; must be exactly 1")
+  }
+
   test("bm25TopK ranks by tf saturation, length norm, and rarity") {
     // 4 docs, 8 tokens each (avgdl = dl for all: length norm neutral).
     // 'rare' appears in 1 doc, 'common' in all 4.
@@ -132,6 +151,64 @@ class SearchAndLineDedupSpec extends SparkSpec {
         .filter($"doc_id" === 100L).count()
       assert(nPostings == 5L, // 5 distinct terms in the batch doc
         s"replayed append must not duplicate postings, got $nPostings")
+    }
+  }
+
+  test("streaming postings ingest: micro-batches append idempotently and " +
+      "serve the batch rebuild's exact ranking") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.streaming.Trigger
+      val src = s"$dir/doc_stream"
+      val idx = s"$dir/stream_idx"
+      val ckpt = s"$dir/ckpt"
+      def doc(i: Long) =
+        (i, s"common w$i ${if (i % 3 == 0) "rare" else "filler"}")
+      val seed = (1L to 10L).map(doc).toDF("doc_id", "text")
+      graft.delta.DeltaTable.write(seed, src) // version 0
+      Search.buildPostingsIndex(spark, seed, "doc_id", "text", idx)
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-delta")
+          .option("startingVersion", "1").load(src)
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              Search.appendToPostingsIndex(spark, batch, "doc_id", "text",
+                idx, idempotentTxn = Some(("bm25-stream", batchId)))
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
+      graft.delta.DeltaTable.write(
+        (11L to 15L).map(doc).toDF("doc_id", "text"), src) // v1 -> batch 0
+      drain()
+      graft.delta.DeltaTable.write(
+        (16L to 20L).map(doc).toDF("doc_id", "text"), src) // v2 -> batch 1
+      drain()
+
+      // a REPLAY of batch 1 (sink restart re-delivering) is a no-op on
+      // both the postings and the stats partials
+      val postingsBefore = graft.delta.DeltaTable
+        .forPath(spark, s"$idx/postings").toDF.count()
+      Search.appendToPostingsIndex(spark,
+        (16L to 20L).map(doc).toDF("doc_id", "text"), "doc_id", "text",
+        idx, idempotentTxn = Some(("bm25-stream", 1L)))
+      assert(graft.delta.DeltaTable.forPath(spark, s"$idx/postings")
+        .toDF.count() == postingsBefore, "replayed batch must be a no-op")
+
+      // the streamed artifact serves EXACTLY what a from-scratch build
+      // over the union serves
+      val rebuilt = s"$dir/rebuilt_idx"
+      Search.buildPostingsIndex(spark,
+        (1L to 20L).map(doc).toDF("doc_id", "text"), "doc_id", "text",
+        rebuilt)
+      val qs = Seq("q1" -> Seq("rare", "common"), "q2" -> Seq("filler"))
+      val streamed = Search.bm25TopKIndexed(spark, idx, qs, k = 8)
+        .collect().toSet
+      val batch = Search.bm25TopKIndexed(spark, rebuilt, qs, k = 8)
+        .collect().toSet
+      assert(streamed == batch,
+        "streamed index must hash-match the batch rebuild")
     }
   }
 
