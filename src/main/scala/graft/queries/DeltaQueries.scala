@@ -22,6 +22,18 @@ object DeltaQueries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
+  /** Stable per-JVM warehouse per catalog name. Spark instantiates a
+    * DSv2 catalog ONCE per session and caches it; pointing the conf at
+    * a FRESH temp dir on a re-run (Bench samples every query at least
+    * twice) leaves the cached catalog writing to the old warehouse
+    * while path-based derefs read the new empty one — the
+    * delta_sql_maintenance "No Metadata found" re-run failure. */
+  private val warehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warehouse(catalog: String): String =
+    warehouses.computeIfAbsent(catalog,
+      c => Files.createTempDirectory(s"graft_wh_$c").toString)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Write lineitem to a Delta table, read it back, aggregate (M1-M6, T2, S1/S4).
@@ -507,7 +519,7 @@ object DeltaQueries {
       "delta_sql_ddl",
       (s, dir) => {
         import s.implicits._
-        val wh = tmp("warehouse")
+        val wh = warehouse("graftc")
         s.conf.set("spark.sql.catalog.graftc",
           classOf[graft.sql.GraftCatalog].getName)
         s.conf.set("spark.sql.catalog.graftc.warehouse", wh)
@@ -539,7 +551,7 @@ object DeltaQueries {
       "delta_sql_maintenance",
       (s, dir) => {
         import s.implicits._
-        val wh = tmp("warehouse_maint")
+        val wh = warehouse("graftm")
         s.conf.set("spark.sql.catalog.graftm",
           classOf[graft.sql.GraftCatalog].getName)
         s.conf.set("spark.sql.catalog.graftm.warehouse", wh)

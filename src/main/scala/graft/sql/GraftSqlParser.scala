@@ -92,6 +92,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(pat), fo,
         force = co.exists { case (k, v) =>
           k.equalsIgnoreCase("force") && v.toBoolean }))
+    case DescribeHistoryRe(target, limit) =>
+      Some(GraftDescribeHistoryCommand(parseTarget(target),
+        Option(limit).map(_.toInt)))
+    case DescribeDetailRe(target) =>
+      // detail()'s schema is the output contract; returning the analyzed
+      // frame directly (the TVF pattern) keeps the two faces identical
+      Some(graft.delta.DeltaTable.forPath(SparkSession.active,
+        GraftSqlParser.resolvePath(SparkSession.active, parseTarget(target)))
+        .detail().queryExecution.analyzed)
     case SetPropsRe(target, pairs) =>
       GraftSqlParser.parsePropPairs(pairs).map(props =>
         GraftSetPropertiesCommand(parseTarget(target), props))
@@ -163,6 +172,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val DescribeHistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s*;?\s*""".r
   private val DropFeatureRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+FEATURE\s+([\w-]+)(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*""".r
   private val CopyIntoRe =
@@ -565,6 +578,53 @@ case class GraftCopyIntoCommand(
     val r = graft.delta.write.CopyInto.run(session, path, source,
       fileFormat, pattern, force, formatOptions)
     Seq(Row(r.version, r.filesLoaded, r.rowsLoaded, r.filesSkipped))
+  }
+}
+
+/** `DESCRIBE HISTORY <tbl> [LIMIT n]` — delta-spark's commit-log view
+  * (M12), newest first, the full CommitInfo surface including the
+  * operationParameters / operationMetrics maps (the `graft_history` TVF
+  * keeps its narrower columnar shape for SQL joins). */
+case class GraftDescribeHistoryCommand(
+    target: Either[String, Seq[String]],
+    limit: Option[Int]) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.{BooleanType, MapType, TimestampType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("timestamp", TimestampType)(),
+    AttributeReference("userId", StringType)(),
+    AttributeReference("userName", StringType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("operationParameters",
+      MapType(StringType, StringType))(),
+    AttributeReference("readVersion", LongType)(),
+    AttributeReference("isolationLevel", StringType)(),
+    AttributeReference("isBlindAppend", BooleanType)(),
+    AttributeReference("operationMetrics",
+      MapType(StringType, StringType))(),
+    AttributeReference("userMetadata", StringType)(),
+    AttributeReference("engineInfo", StringType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val hist = graft.delta.DeltaLog.forTable(session, path).history()
+    limit.fold(hist)(hist.take).map { ci =>
+      Row(
+        ci.version.map(Long.box).orNull,
+        ci.timestamp.map(t => new java.sql.Timestamp(t)).orNull,
+        ci.userId.orNull,
+        ci.userName.orNull,
+        ci.operation.orNull,
+        ci.operationParameters.orNull,
+        ci.readVersion.map(Long.box).orNull,
+        ci.isolationLevel.orNull,
+        ci.isBlindAppend.map(Boolean.box).orNull,
+        ci.operationMetrics.orNull,
+        ci.userMetadata.orNull,
+        ci.engineInfo.orNull)
+    }
   }
 }
 

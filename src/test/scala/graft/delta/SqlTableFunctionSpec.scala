@@ -40,6 +40,37 @@ class SqlTableFunctionSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE HISTORY statement: newest-first, full CommitInfo " +
+      "surface, LIMIT honored") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq(1).toDF("v"), dir)
+      DeltaTable.write(Seq(2).toDF("v"), dir)
+      DeltaTable.forPath(spark, dir).delete($"v" === 1)
+      val rows = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+      assert(rows.map(_.getAs[Long]("version")).toSeq == Seq(2L, 1L, 0L))
+      assert(rows.map(_.getAs[String]("operation")).toSeq ==
+        Seq("DELETE", "WRITE", "CREATE TABLE"))
+      // operationMetrics ride as a real MAP column
+      val metrics = rows.head.getAs[Map[String, String]]("operationMetrics")
+      assert(metrics != null && metrics.nonEmpty,
+        s"DELETE must report operationMetrics: $metrics")
+      val limited = spark.sql(s"DESC HISTORY '$dir' LIMIT 1").collect()
+      assert(limited.length == 1 &&
+        limited.head.getAs[Long]("version") == 2L)
+    }
+  }
+
+  test("DESCRIBE DETAIL statement matches the detail() API") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "part"), dir,
+        partitionBy = Seq("part"))
+      val viaSql = spark.sql(s"DESCRIBE DETAIL '$dir'").collect()
+      val viaApi = DeltaTable.forPath(spark, dir).detail().collect()
+      assert(viaSql.toSeq == viaApi.toSeq)
+      assert(viaSql.length == 1)
+    }
+  }
+
   test("graft_table_changes streams the CDF columns from SQL") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
