@@ -522,6 +522,45 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * removes are provably already deleted — a remove committed before
     * the previous cutoff carries `deletionTimestamp <= commit time <
     * cutoff`, so it was eligible then. */
+  /** `FSCK REPAIR TABLE` (delta-spark's surface): drop table entries
+    * whose physical data file has VANISHED out-of-band (manual deletion,
+    * a too-aggressive external cleanup, object-store lifecycle rules) so
+    * reads stop failing on FILE_NOT_EXIST. The data those files held is
+    * gone either way — the repair makes the loss explicit in the log
+    * (REMOVE actions under operation `FSCK`) instead of a scan-time
+    * crash. `dryRun` reports the missing count without committing.
+    *
+    * Scale shape: existence checks run in EXECUTOR tasks over the
+    * (possibly distributed) file list — one object-store HEAD per file
+    * fanned out across the cluster, never a driver loop; only the
+    * MISSING subset, which is the commit payload by definition, reaches
+    * the driver. A concurrent writer removing the same file surfaces as
+    * the standard delete/delete conflict. */
+  def fsckRepair(dryRun: Boolean = false): Long = {
+    val snapshot = deltaLog.update()
+    val dataPathStr = deltaLog.dataPath.toString
+    val sconf = new SerializableHadoopConf(deltaLog.hadoopConf)
+    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    val files =
+      if (snapshot.distributedState) snapshot.allFilesDistributed
+      else spark.createDataset(snapshot.allFiles)
+    val missing = files.mapPartitions { it =>
+      val base = new org.apache.hadoop.fs.Path(dataPathStr)
+      lazy val fs = base.getFileSystem(sconf.value)
+      it.filterNot(a =>
+        fs.exists(read.PartitionUtils.absolutePath(base, a.path)))
+    }.collect()
+    if (missing.nonEmpty && !dryRun) {
+      val txn = deltaLog.startTransaction()
+      val now = deltaLog.clock()
+      txn.commit(missing.map(_.remove(now)).toSeq, "FSCK",
+        operationMetrics = Map(
+          "numRemovedFiles" -> missing.length.toString),
+        operationParameters = Map("dryRun" -> "false"))
+    }
+    missing.length.toLong
+  }
+
   def vacuum(retentionMillis: Option[Long] = None,
              dryRun: Boolean = false,
              lite: Boolean = false): Int = {

@@ -30,17 +30,56 @@ object Curation {
     * cumulative `weights` (name → percent, summing to ≤ 100; rows past
     * the last cut get the final name). Adds a `split` column. */
   def hashSplit(df: DataFrame, idCol: String,
-                weights: Seq[(String, Int)]): DataFrame = {
+                weights: Seq[(String, Int)]): DataFrame =
+    df.withColumn("split",
+      splitColumn(md5Hash32(col(idCol).cast("string")) % 100, weights))
+
+  /** The percentile-bucket → split-name decision shared by every split
+    * face (the decision function IS the contract the DuckDB oracles
+    * mirror — one definition or the faces drift). */
+  private def splitColumn(bucket: Column,
+                          weights: Seq[(String, Int)]): Column = {
     require(weights.nonEmpty && weights.map(_._2).sum == 100,
       "split weights must sum to 100")
-    val bucket = md5Hash32(col(idCol).cast("string")) % 100
     val cuts = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
-    val split = weights.init.zip(cuts.init)
+    weights.init.zip(cuts.init)
       .foldLeft(when(lit(false), lit(null: String))) {
         case (acc, ((name, _), cut)) => acc.when(bucket < cut, name)
       }
       .otherwise(weights.last._1)
-    df.withColumn("split", split)
+  }
+
+  /** Leakage-safe train/eval split: near-duplicate documents must land
+    * in the SAME split, or the eval set leaks training text — the
+    * classic post-hoc dedup-audit finding (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, found thousands of eval examples verbatim in
+    * training splits cut by per-document hashing).
+    *
+    * `pairs` (columns `i`, `j`) come from ANY near-dup detector
+    * ([[Dedup.exact]] groups, [[Dedup.minhashLsh]],
+    * [[Dedup.ngramJaccard]]…); they collapse into connected components
+    * and the whole cluster splits by the hash of its CLUSTER label (the
+    * min reachable id). Twins can never straddle the cut; documents in
+    * no pair hash their own id, so a pair-free corpus gets decisions
+    * with the same hash convention as [[hashSplit]] on the cluster
+    * label.
+    *
+    * Scale shape: components over (id, label) pairs only
+    * ([[Dedup.connectedComponents]]'s contract), one broadcast-or-
+    * shuffle join to attach labels, one hash projection — document
+    * payloads never ride a shuffle. */
+  def groupSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                 weights: Seq[(String, Int)]): DataFrame = {
+    val clusters = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("cluster", "__gs_cluster")
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("__gs_cluster",
+        coalesce(col("__gs_cluster"), col(idCol)))
+      .withColumn("split", splitColumn(
+        md5Hash32(col("__gs_cluster").cast("string")) % 100, weights))
+      .drop("__gs_cluster")
   }
 
   /** Deterministic training-order shuffle + sharding: every row gets a

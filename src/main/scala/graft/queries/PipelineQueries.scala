@@ -2195,6 +2195,40 @@ object PipelineQueries {
                CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
         FROM b GROUP BY 1, 2""")),
 
+    // Leakage-safe split ([[Curation.groupSplit]]): exact-duplicate
+    // clusters (prefix-40 key, the dedup_exact convention) must land
+    // whole in one split — the oracle replays the cluster label as a
+    // window MIN over the duplicate key and the same md5 bucket
+    // decision, so a hash match proves no twin straddles the cut.
+    QueryDef(
+      "curate_group_split",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val keyed = docs.select($"doc_id", substring($"text", 1, 40).as("k"))
+        val reps = keyed.groupBy($"k")
+          .agg(min($"doc_id").as("i"), count(lit(1)).as("n"))
+          .filter($"n" > 1)
+        val pairs = keyed.join(reps, Seq("k")).filter($"doc_id" =!= $"i")
+          .select($"i", $"doc_id".as("j"))
+        Curation.groupSplit(docs, "doc_id", pairs,
+            Seq("train" -> 90, "val" -> 5, "test" -> 5))
+          .groupBy($"split", $"lang").agg(count(lit(1)).as("n_docs"))
+      },
+      Some(raw"""
+        WITH c AS (
+          SELECT doc_id, lang,
+                 MIN(doc_id) OVER (PARTITION BY substr(text, 1, 40)) AS cluster
+          FROM documents),
+        b AS (
+          SELECT lang,
+                 ${duckHash32("CAST(cluster AS VARCHAR)")} % 100 AS bucket
+          FROM c)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM b GROUP BY 1, 2""")),
+
     QueryDef(
       "curate_hash_sample",
       (s, dir) => {

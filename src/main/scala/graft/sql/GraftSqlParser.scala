@@ -92,6 +92,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(pat), fo,
         force = co.exists { case (k, v) =>
           k.equalsIgnoreCase("force") && v.toBoolean }))
+    case FsckRe(target, dryRun) =>
+      Some(GraftFsckCommand(parseTarget(target), dryRun != null))
     case DescribeHistoryRe(target, limit) =>
       Some(GraftDescribeHistoryCommand(parseTarget(target),
         Option(limit).map(_.toInt)))
@@ -172,6 +174,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val FsckRe =
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val DescribeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   private val DescribeDetailRe =
@@ -578,6 +582,26 @@ case class GraftCopyIntoCommand(
     val r = graft.delta.write.CopyInto.run(session, path, source,
       fileFormat, pattern, force, formatOptions)
     Seq(Row(r.version, r.filesLoaded, r.rowsLoaded, r.filesSkipped))
+  }
+}
+
+/** `FSCK REPAIR TABLE <tbl> [DRY RUN]` →
+  * [[graft.delta.DeltaTable.fsckRepair]]: drop entries whose physical
+  * file vanished out-of-band; DRY RUN reports without committing. */
+case class GraftFsckCommand(
+    target: Either[String, Seq[String]],
+    dryRun: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("missing_files", LongType, nullable = false)(),
+    AttributeReference("dry_run", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val n = graft.delta.DeltaTable.forPath(session, path).fsckRepair(dryRun)
+    Seq(Row(path, n, dryRun))
   }
 }
 

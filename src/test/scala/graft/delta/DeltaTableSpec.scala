@@ -147,4 +147,41 @@ class DeltaTableSpec extends SparkSpec {
       }
     }
   }
+
+  test("FSCK REPAIR drops entries for vanished files; DRY RUN only reports") {
+    withTempDir { dir =>
+      DeltaTable.write(
+        spark.range(0, 30).toDF("id").repartitionByRange(3, col("id")), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val files = log.update().allFiles
+      assert(files.size == 3)
+      // vanish one data file OUT-OF-BAND (no log entry)
+      val victimRel = files.map(_.path).sorted.head
+      val victim = new java.io.File(read.PartitionUtils
+        .absolutePath(log.dataPath, victimRel).toUri.getPath)
+      assert(victim.delete(), s"victim must exist: $victim")
+      // value reads crash on the missing file (COUNT alone would answer
+      // from metadata and mask it)
+      intercept[Exception](
+        DeltaTable.forPath(spark, dir).toDF.agg(sum($"id")).collect())
+      // DRY RUN reports the missing entry and commits nothing
+      val v0 = log.update().version
+      assert(DeltaTable.forPath(spark, dir).fsckRepair(dryRun = true) == 1L)
+      assert(spark.sql(s"FSCK REPAIR TABLE '$dir' DRY RUN")
+        .collect().head.getLong(1) == 1L)
+      assert(log.update().version == v0, "dry run must not commit")
+      // the repair removes exactly the vanished entry; reads recover
+      assert(spark.sql(s"FSCK REPAIR TABLE '$dir'")
+        .collect().head.getLong(1) == 1L)
+      assert(log.update().version == v0 + 1)
+      assert(log.update().allFiles.size == 2)
+      val survivors = DeltaTable.forPath(spark, dir).toDF
+        .select($"id").as[Long].collect()
+      assert(survivors.length > 0 && survivors.length < 30)
+      assert(log.history().head.operation.contains("FSCK"))
+      // idempotent: a healthy table repairs nothing
+      assert(DeltaTable.forPath(spark, dir).fsckRepair() == 0L)
+      assert(log.update().version == v0 + 1)
+    }
+  }
 }

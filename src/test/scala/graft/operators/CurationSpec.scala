@@ -11,6 +11,28 @@ class CurationSpec extends SparkSpec {
     .map(i => (i, s"doc $i body " + ("w " * (i % 7).toInt).trim, s"src${i % 4}"))
     .toDF("doc_id", "text", "source")
 
+  test("groupSplit keeps near-dup clusters whole; decisions equal " +
+      "hashSplit on the cluster label") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"),
+      (10L, "c"), (20L, "c"), (30L, "c")).toDF("id", "txt")
+    // a transitive chain (10-20, 20-30): the whole component must agree
+    val pairs = Seq((1L, 2L), (10L, 20L), (20L, 30L)).toDF("i", "j")
+    val w = Seq("train" -> 50, "test" -> 50)
+    val m = Curation.groupSplit(d, "id", pairs, w)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(m.size == 6, "full schema + every row preserved")
+    assert(m(1L) == m(2L), "pair must not straddle the split")
+    assert(Set(m(10L), m(20L), m(30L)).size == 1,
+      "transitive cluster must land whole")
+    // the decision IS hashSplit's decision on the cluster label (min id)
+    val h = Curation.hashSplit(
+        Seq((1L, 0), (3L, 0), (10L, 0)).toDF("id", "x"), "id", w)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(m(1L) == h(1L) && m(2L) == h(1L))
+    assert(m(3L) == h(3L), "singletons keep the per-id decision")
+    assert(m(10L) == h(10L) && m(30L) == h(10L))
+  }
+
   test("hashSplit covers every row, is deterministic, and honors weights") {
     val split = Curation.hashSplit(docs, "doc_id",
       Seq("train" -> 90, "val" -> 5, "test" -> 5))
