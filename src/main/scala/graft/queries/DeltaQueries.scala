@@ -580,6 +580,44 @@ object DeltaQueries {
                CAST(1 AS INT) AS compacted
         FROM supplier GROUP BY s_nationkey""")),
 
+    // FSCK REPAIR TABLE ([[graft.delta.DeltaTable.fsckRepair]]): one of
+    // three single-file commits vanishes OUT-OF-BAND (no log entry);
+    // DRY RUN reports it, the repair removes its entry, and the oracle
+    // recomputes the surviving slices from raw data — a hash match
+    // proves the repair dropped exactly the vanished file's rows.
+    QueryDef(
+      "delta_fsck",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("fsck")
+        val sup = t(s, dir, "supplier")
+        (0 until 3).foreach { i =>
+          graft.delta.DeltaTable.write(
+            sup.filter($"s_suppkey" % 3 === i).coalesce(1), path,
+            if (i == 0) SaveMode.Overwrite else SaveMode.Append)
+        }
+        val log = graft.delta.DeltaLog.forTable(s, path)
+        // the slice-1 file (commit 1's single AddFile) vanishes
+        val victim = log.getChanges(1).toSeq.find(_._1 == 1L).get._2
+          .collectFirst { case a: graft.delta.AddFile => a.path }.get
+        val vf = new java.io.File(graft.delta.read.PartitionUtils
+          .absolutePath(log.dataPath, victim).toUri.getPath)
+        require(vf.delete(), s"victim must exist: $vf")
+        val tbl = graft.delta.DeltaTable.forPath(s, path)
+        val dry = tbl.fsckRepair(dryRun = true)
+        val fixed = tbl.fsckRepair()
+        tbl.toDF.groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), sum($"s_suppkey").as("key_sum"))
+          .withColumn("repaired", lit(fixed))
+          .withColumn("dry_run_count", lit(dry))
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+               CAST(1 AS BIGINT) AS repaired,
+               CAST(1 AS BIGINT) AS dry_run_count
+        FROM supplier WHERE s_suppkey % 3 <> 1 GROUP BY 1""")),
+
     // Metadata-only aggregates ([[graft.GraftExtensions.MetadataOnlyCount]]):
     // COUNT(*)/COUNT(col)/MIN/MAX over a bare Delta scan answer from
     // AddFile stats — the query asserts IN-PLAN that no file scan

@@ -281,6 +281,33 @@ class V2CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("sidecar carry-over works through the DISTRIBUTED state path") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 400L).toDF("id").repartition(8), dir,
+        configuration = Map(
+          "delta.checkpointPolicy" -> "v2",
+          "delta.checkpointParts" -> "4",
+          "delta.checkpointInterval" -> "1000"))
+      val l = log(dir)
+      // first checkpoint from driver state (distributedState derives
+      // from checkpoint BYTES — there is no checkpoint yet)
+      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      val a = latestV2Sidecars(dir)
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1") // force distributed
+      try {
+        DeltaTable.write((400L until 410L).toDF("id").coalesce(1), dir)
+        val snap = l.update()
+        assert(snap.distributedState, "precondition: distributed mode")
+        Checkpoints.writeCheckpoint(snap, parts = 4)
+        val b = latestV2Sidecars(dir)
+        assert((b -- a).size == 1, s"one rewritten bucket: ${b -- a}")
+        assert((a intersect b).nonEmpty, "carry-over must engage")
+        dropSubsumedCommits(dir)
+        assert(readIds(dir) == (0L until 410L))
+      } finally spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+    }
+  }
+
   test("sidecar carry-over: removes rewrite the touched bucket, land in a " +
       "tombstone sidecar, and never resurrect") {
     withTempDir { dir =>
