@@ -942,17 +942,21 @@ object Dedup {
     * turning pairwise matches into dedup GROUPS (keep one representative
     * per cluster, drop the rest).
     *
-    * Algorithm: iterated min-label propagation. Each round, every node's
-    * label becomes the min of its own and its neighbors' labels — one
-    * broadcast-or-shuffle join + one groupBy per round, converging in
-    * O(cluster diameter) rounds. Near-duplicate graphs are unions of
-    * small dense clusters (diameter 2–4 in practice), so the round count
-    * is tiny and INDEPENDENT of corpus size; each round's shuffle carries
-    * only (id, label) pairs — never document payloads. For adversarial
-    * long-chain graphs, switch to the large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14), which converges in O(log n) rounds with the same
-    * per-round join shape.
+    * Algorithm: iterated min-label propagation WITH pointer jumping.
+    * Each round, every node's label becomes the min of its own and its
+    * neighbors' labels (one join + one groupBy), then every label
+    * follows ITSELF one hop (`lbl(v) ← min(lbl(v), lbl(lbl(v)))`, a
+    * self-join on the label table) — the pointer-jumping step halves
+    * any remaining label-chain, so convergence is O(log diameter)
+    * rounds, not O(diameter): a 2^50-link chain fits the default round
+    * budget (the Shiloach–Vishkin hybrid; Kiveris et al.'s
+    * star-contraction reaches the same bound with a different shape).
+    * Near-duplicate graphs are unions of small dense clusters
+    * (diameter 2–4 in practice), so the round count is tiny and
+    * INDEPENDENT of corpus size; each round's shuffles carry only
+    * (id, label) pairs — never document payloads. The jump preserves
+    * the invariant that lbl(v) names a node in v's own component, so
+    * the fixpoint is exactly the component minimum.
     *
     * `pairs` must have two id columns `i`, `j`. Returns (id, cluster). */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
@@ -1023,11 +1027,27 @@ object Dedup {
       // plan and the RDD lineage to a leaf; executor-loss recomputation
       // of an iterative label table is not meaningful anyway (any loss
       // restarts the algorithm, the GraphFrames trade-off).
-      val next = labels.join(proposals, Seq("id"), "left")
+      val propagated = labels.join(proposals, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
+      // pointer jump: follow the label ONE hop through the label table
+      // itself — chains of stale labels halve every round, so long-
+      // diameter components (containment chains, adversarial graphs)
+      // converge in O(log diameter) rounds instead of aborting at the
+      // round budget. Roots (cluster = id) jump to themselves.
+      val next = propagated.join(
+          propagated.select(col("id").as("cluster"),
+            col("cluster").as("jump")),
+          Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("jump"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      // localCheckpoint is eager: next is materialized, the intermediate
+      // propagated table's blocks can go
+      propagated.unpersist(blocking = false)
       // convergence check: any node whose label still shrinks? One count
       // per round on (id, label)-sized frames — no payloads, no collect
       // of the label table itself.

@@ -277,6 +277,22 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCycle == Map(20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("pointer jumping: a 200-link chain converges inside the default " +
+      "round budget on the DISTRIBUTED path") {
+    // diameter 200 >> maxRounds=50: pure min-label propagation would
+    // abort; the per-round pointer jump makes convergence O(log d)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("i", "j")
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try {
+      val got = Dedup.connectedComponents(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 201)
+      assert(got.values.forall(_ == 0L),
+        s"every node labels with the chain minimum: " +
+          s"${got.filter(_._2 != 0L).take(5)}")
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+  }
+
   test("salted join equals the plain join on a pathologically skewed key") {
     // 90% of facts on one hot key
     val facts = spark.range(0, 2000).toDF("id")
