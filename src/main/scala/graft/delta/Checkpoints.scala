@@ -157,8 +157,14 @@ object Checkpoints {
     val total = snapshot.numOfFiles + snapshot.tombstones.size
 
     val plan = planV2CarryOver(snapshot, parts)
-    val nBuckets = plan.map(_.nBuckets)
-      .getOrElse(autoParts(snapshot, parts, snapshot.numOfFiles))
+    // full-rewrite bucket count: driven by the SIDECAR size target, not
+    // the classic part size — finer buckets are what make carry-over
+    // worth anything below millions of files
+    val sidecarSize =
+      DeltaConfigs.CHECKPOINT_SIDECAR_SIZE.fromMetadata(snapshot.metadata)
+    val nBuckets = plan.map(_.nBuckets).getOrElse(math.max(parts,
+      math.ceil(snapshot.numOfFiles.toDouble / sidecarSize.toDouble)
+        .toInt.max(1)))
 
     val uuid = java.util.UUID.randomUUID().toString
     val tempDir = new Path(log.logPath, s".v2cp_tmp_$uuid")
@@ -319,10 +325,10 @@ object Checkpoints {
     val interval = snapshot.commitActionsAfter(prevV)
     if (interval.exists(_._2.exists(a =>
         a.isInstanceOf[Metadata] || a.isInstanceOf[Protocol]))) return None
-    val partSize =
-      DeltaConfigs.CHECKPOINT_PART_SIZE.fromMetadata(snapshot.metadata)
+    val sidecarSize =
+      DeltaConfigs.CHECKPOINT_SIDECAR_SIZE.fromMetadata(snapshot.metadata)
     if (requestedParts > nBuckets ||
-        snapshot.numOfFiles > 2L * partSize * nBuckets) return None
+        snapshot.numOfFiles > 2L * sidecarSize * nBuckets) return None
     val canonical = snapshot.canonicalPath
     val changed = interval.iterator.flatMap(_._2).collect {
       case a: AddFile => a.path

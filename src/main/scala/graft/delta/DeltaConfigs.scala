@@ -74,6 +74,16 @@ object DeltaConfigs {
   val CHECKPOINT_PART_SIZE: DeltaConfig[Long] = DeltaConfig(
     "delta.checkpoint.partSize", "1000000", _.toLong, (_: Long) >= 1L)
 
+  /** Adds per V2 SIDECAR when auto-sizing (deliberately much smaller
+    * than the classic part size): sidecar granularity is what carry-over
+    * trades on — with 1M-add sidecars a 100k-file table gets ONE bucket
+    * and every checkpoint rewrites everything, while 64k-add buckets
+    * let a single-commit interval rewrite ~64k adds instead of the
+    * table. Smaller sidecars cost only file count under `_sidecars/`
+    * (reader tasks already scale with parts). */
+  val CHECKPOINT_SIDECAR_SIZE: DeltaConfig[Long] = DeltaConfig(
+    "delta.checkpoint.sidecarSize", "65536", _.toLong, (_: Long) >= 1L)
+
   /** Collect per-file min/max/nullCount for only the first N data
     * columns (Delta's delta.dataSkippingNumIndexedCols): on a 1000-column
     * table, unbounded stats make every AddFile JSON line — and the

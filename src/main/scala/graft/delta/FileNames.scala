@@ -53,8 +53,8 @@ object FileNames {
   def isV2CheckpointFile(path: Path): Boolean =
     v2CheckpointFileRegex.pattern.matcher(path.getName).matches()
 
-  /** V2 checkpoint name `V.checkpoint.<unique>.<ext>` (fixture builder —
-    * this engine writes classic checkpoints). */
+  /** V2 checkpoint name `V.checkpoint.<unique>.<ext>` (used by both the
+    * fixture builders and [[Checkpoints.writeV2Checkpoint]]). */
   def v2CheckpointFile(logPath: Path, version: Long, unique: String,
                        ext: String = "json"): Path =
     new Path(logPath, f"$version%020d.checkpoint.$unique.$ext")
