@@ -207,6 +207,61 @@ object DeltaQueries {
         FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7
         GROUP BY l_linenumber""")),
 
+    // V2 checkpoint lifecycle with sidecar CARRY-OVER: two interval
+    // checkpoints fire during the append loop; the `carried` column
+    // proves the second re-referenced sidecars of the first, and the
+    // subsumed commit JSONs are DELETED before the read so the aggregate
+    // can only be right if replay through the carried checkpoint is.
+    QueryDef(
+      "delta_v2_checkpoint",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("v2cp")
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        DeltaTable.write(li.filter($"l_orderkey" % 5 === 0), path,
+          SaveMode.Overwrite,
+          configuration = Map(
+            "delta.checkpointPolicy" -> "v2",
+            "delta.checkpointParts" -> "4",
+            "delta.checkpointInterval" -> "2"))
+        (1 to 4).foreach { i => // checkpoints fire at v2 and v4
+          DeltaTable.write(li.filter($"l_orderkey" % 5 === i).coalesce(1),
+            path)
+        }
+        val log = graft.delta.DeltaLog.forTable(s, path)
+        val logDir = new java.io.File(log.logPath.toUri.getPath)
+        val mains = logDir.listFiles()
+          .filter(f => graft.delta.FileNames.isV2CheckpointFile(
+            new org.apache.hadoop.fs.Path(f.getName)))
+          .sortBy(_.getName)
+        require(mains.length == 2, s"expected 2 v2 checkpoints: ${mains.toSeq}")
+        def sidecars(f: java.io.File): Set[String] = {
+          val hp = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+          graft.delta.V2Checkpoints.readMain(s, log.logPath,
+              hp.getFileSystem(log.hadoopConf).getFileStatus(hp),
+              log.hadoopConf)
+            .sidecars.map(_.path).toSet
+        }
+        val carried =
+          if (sidecars(mains(0)).intersect(sidecars(mains(1))).nonEmpty) 1
+          else 0
+        // replay MUST go through the carried checkpoint now
+        (0L to 4L).foreach(v =>
+          new java.io.File(logDir, f"$v%020d.json").delete())
+        graft.delta.DeltaLog.clearCache()
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"l_linenumber")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("qty"))
+          .withColumn("carried", lit(carried))
+      },
+      Some("""
+        SELECT l_linenumber, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
+               CAST(1 AS INT) AS carried
+        FROM lineitem GROUP BY 1""")),
+
     // Full streaming pipeline (F1-F8): delta source → filter/transform →
     // exactly-once delta sink, then aggregate the sink table.
     QueryDef(
