@@ -25,11 +25,28 @@ object JsonCodec {
     m
   }
 
-  def toJson(a: SingleAction): String = mapper.writeValueAsString(a)
+  /** `stats_parsed` is checkpoint-only (protocol purity) and must be
+    * stripped HERE, at the serialization choke point: `@JsonIgnore` on a
+    * Scala case-class constructor param is not reliably honored by
+    * Jackson, and the one committer that carries a POPULATED struct at
+    * commit time (DV shading re-adds state files) would otherwise leak
+    * it into commit JSON. Worse, Jackson would read it back with
+    * type-erased Integer boxes inside `Option[Long]` / `Map[String,
+    * Long]`, which blows up Spark encoders arbitrarily later
+    * (carry-over-fuzz-found). The read side normalizes too, in case a
+    * historical or foreign line carries the field. */
+  private def stripParsed(a: SingleAction): SingleAction =
+    a.add.filter(_.stats_parsed.isDefined) match {
+      case Some(add) => a.copy(add = Some(add.copy(stats_parsed = None)))
+      case None => a
+    }
+
+  def toJson(a: SingleAction): String =
+    mapper.writeValueAsString(stripParsed(a))
   def toJson(a: Action): String = toJson(a.wrap)
 
   def fromJson(line: String): SingleAction =
-    mapper.readValue(line, classOf[SingleAction])
+    stripParsed(mapper.readValue(line, classOf[SingleAction]))
 
   def actionFromJson(line: String): Action = fromJson(line).unwrap
 }

@@ -385,4 +385,34 @@ class DvWriteSpec extends SparkSpec {
       assert(got.count(_._1 == 4L) == 1)
     }
   }
+
+  test("shading commits never leak stats_parsed into JSON; the replayed " +
+      "state stays Spark-encoder-safe") {
+    withTempDir { dir =>
+      DeltaTable.write((0L until 40L).toDF("id").coalesce(2), dir,
+        configuration = dvConf + ("delta.checkpointInterval" -> "1000"))
+      val log = DeltaLog.forTable(spark, dir)
+      Checkpoints.writeCheckpoint(log.update())
+      DeltaLog.clearCache()
+      // the state's AddFiles now carry checkpoint-parsed stats STRUCTS —
+      // the shading re-add is the one committer whose in-memory action
+      // holds a populated stats_parsed at commit time
+      DeltaTable.forPath(spark, dir).delete($"id" === 3L)
+      val l2 = DeltaLog.forTable(spark, dir)
+      val v = l2.update().version
+      val lines = l2.store.read(
+        FileNames.deltaFile(l2.logPath, v), l2.hadoopConf).toVector
+      assert(lines.exists(_.contains("deletionVector")),
+        "precondition: the commit shades")
+      assert(lines.forall(!_.contains("stats_parsed")),
+        "stats_parsed is checkpoint-only — never commit JSON " +
+          "(Jackson would read it back with type-erased Integer boxes)")
+      // the Jackson-replayed state must survive a Spark encoder
+      // round-trip (the carry-over fuzz's original failure mode)
+      DeltaLog.clearCache()
+      val files = DeltaLog.forTable(spark, dir).update().allFiles
+      implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+      assert(spark.createDataset(files).count() == files.size)
+    }
+  }
 }

@@ -90,4 +90,56 @@ class V2CarryOverFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("randomized ops under DELETION-VECTOR shading: carried checkpoints " +
+      "must replay shades exactly (seeded)") {
+    // the v2 table shades deletes (remove(path,'') + add(path,dv) SAME
+    // path -> the bucket rewrites); the twin rewrites plainly — equal
+    // contents prove carry-over composes with merge-on-read DML
+    val rnd = new scala.util.Random(9042026L)
+    withTempDir { a =>
+      withTempDir { b =>
+        var nextId = 0L
+        def freshRows(n: Int): Seq[Long] = {
+          val r = nextId until nextId + n
+          nextId += n
+          r
+        }
+        val seed = freshRows(80)
+        DeltaTable.write(seed.toDF("id").repartitionByRange(4, $"id"), a,
+          configuration = Map(
+            "delta.checkpointPolicy" -> "v2",
+            "delta.checkpointParts" -> "4",
+            "delta.checkpointInterval" -> "1000",
+            "delta.enableDeletionVectors" -> "true"))
+        DeltaTable.write(seed.toDF("id").repartitionByRange(4, $"id"), b)
+
+        for (step <- 1 to 18) {
+          rnd.nextInt(8) match {
+            case n if n <= 3 =>
+              val rows = freshRows(rnd.nextInt(12) + 1)
+              DeltaTable.write(rows.toDF("id").coalesce(1), a)
+              DeltaTable.write(rows.toDF("id").coalesce(1), b)
+            case 4 | 5 | 6 => // shading delete on a, plain rewrite on b
+              val lo = rnd.nextLong().abs % math.max(nextId, 1L)
+              val hi = lo + rnd.nextInt(20) + 1
+              DeltaTable.forPath(spark, a)
+                .delete($"id" >= lo && $"id" < hi)
+              DeltaTable.forPath(spark, b)
+                .delete($"id" >= lo && $"id" < hi)
+            case _ => // purge shades / bin-pack
+              DeltaTable.forPath(spark, a).compact()
+              DeltaTable.forPath(spark, b).compact()
+          }
+          if (step % 3 == 0) {
+            Checkpoints.writeCheckpoint(
+              DeltaLog.forTable(spark, a).update(), parts = 4)
+            dropSubsumed(a)
+            assert(ids(a) == ids(b), s"DV fuzz diverged at step $step")
+          }
+        }
+        assert(ids(a).nonEmpty)
+      }
+    }
+  }
 }
