@@ -414,4 +414,245 @@ object MediaCodecs {
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  // -------------------------------------------------------------- GIF
+  final case class GifStats(
+      width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  /** Parse a GIF87a/89a blob: logical screen descriptor, global/local
+    * color tables, extension blocks (walked sub-block by sub-block),
+    * the first image descriptor, and a FULL LZW decode of its data
+    * stream — variable code width 3..12 bits packed LSB-first,
+    * CLEAR/EOI handling, dictionary growth including the KwKwK
+    * self-reference case. Means are over palette-resolved pixels and
+    * the decoded pixel count must equal the descriptor's rectangle
+    * (interlace only permutes row order, which means are invariant to,
+    * so the flag is accepted). */
+  def decodeGif(bytes: Array[Byte]): GifStats = {
+    require(bytes.length >= 13, s"GIF too short: ${bytes.length}")
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    require(hdr == "GIF87a" || hdr == "GIF89a", s"not a GIF: '$hdr'")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(6)
+    bb.getShort(); bb.getShort() // logical screen (canvas) size
+    val packed = bb.get() & 0xff
+    bb.get() // background color index
+    bb.get() // pixel aspect ratio
+    def readColorTable(sizeBits: Int): Array[Int] = {
+      val n = 1 << (sizeBits + 1)
+      require(bb.remaining() >= 3 * n,
+        s"color table truncated: $n entries declared, ${bb.remaining()} bytes left")
+      val t = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        t(i) = ((bb.get() & 0xff) << 16) | ((bb.get() & 0xff) << 8) |
+          (bb.get() & 0xff)
+        i += 1
+      }
+      t
+    }
+    def subBlockLen(): Int = {
+      require(bb.remaining() >= 1, "GIF truncated inside a sub-block chain")
+      val len = bb.get() & 0xff
+      require(bb.remaining() >= len,
+        s"GIF sub-block declares $len bytes, ${bb.remaining()} remain")
+      len
+    }
+    val gct =
+      if ((packed & 0x80) != 0) readColorTable(packed & 7)
+      else Array.empty[Int]
+    var palette = gct
+    var width = -1
+    var height = -1
+    var minCode = -1
+    var lzw: Array[Byte] = null
+    while (lzw == null) {
+      require(bb.remaining() >= 1, "unterminated GIF block stream")
+      (bb.get() & 0xff) match {
+        case 0x21 => // extension: label byte + terminated sub-blocks
+          require(bb.remaining() >= 1, "GIF truncated inside an extension")
+          bb.get()
+          var len = subBlockLen()
+          while (len != 0) {
+            bb.position(bb.position() + len)
+            len = subBlockLen()
+          }
+        case 0x2c => // image descriptor
+          require(bb.remaining() >= 10, "GIF image descriptor truncated")
+          bb.getShort(); bb.getShort() // left, top
+          width = bb.getShort() & 0xffff
+          height = bb.getShort() & 0xffff
+          require(width > 0 && height > 0, s"empty image $width x $height")
+          val ip = bb.get() & 0xff
+          if ((ip & 0x80) != 0) palette = readColorTable(ip & 7)
+          require(palette.nonEmpty, "image has no color table")
+          minCode = bb.get() & 0xff
+          require(minCode >= 2 && minCode <= 8,
+            s"LZW minimum code size $minCode outside [2, 8]")
+          val out = new java.io.ByteArrayOutputStream()
+          var len = subBlockLen()
+          while (len != 0) {
+            val chunk = new Array[Byte](len)
+            bb.get(chunk)
+            out.write(chunk)
+            len = subBlockLen()
+          }
+          lzw = out.toByteArray
+        case 0x3b =>
+          throw new IllegalArgumentException("GIF trailer before any image")
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block type 0x$other%02x")
+      }
+    }
+    val indices = lzwDecode(lzw, minCode, width.toLong * height)
+    require(indices.length == width * height,
+      s"LZW decoded ${indices.length} pixels, expected ${width * height}")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < indices.length) {
+      val idx = indices(i)
+      require(idx < palette.length,
+        s"pixel index $idx outside the ${palette.length}-color table")
+      val c = palette(idx)
+      sr += (c >> 16) & 0xff; sg += (c >> 8) & 0xff; sb += c & 0xff
+      i += 1
+    }
+    val n = (width.toLong * height).toDouble
+    GifStats(width, height, sr / n, sg / n, sb / n)
+  }
+
+  /** GIF-variant LZW decode: codes read LSB-first at a width that grows
+    * when the dictionary fills its code space (cap 12 bits per the
+    * spec), CLEAR resets, EOI ends, `code == dictSize` is the KwKwK
+    * case. Stops once `maxPixels` indices are out (trailing pad bits
+    * must not decode as garbage codes). */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        maxPixels: Long): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefixes = new Array[Int](4096)
+    val suffixes = new Array[Int](4096)
+    var dictSize = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val totalBits = data.length.toLong * 8
+    var bitPos = 0L
+    def readCode(): Int = {
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val p = bitPos + i
+        v |= ((data((p >> 3).toInt) >> (p & 7).toInt) & 1) << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def expand(code: Int): Array[Int] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+      var c = code
+      while (c >= eoi + 1) {
+        buf += suffixes(c)
+        c = prefixes(c)
+      }
+      require(c < clear, s"corrupt LZW chain reaches reserved code $c")
+      buf += c
+      buf.reverse.toArray
+    }
+    var ended = false
+    while (!ended && out.length < maxPixels && bitPos + width <= totalBits) {
+      val code = readCode()
+      if (code == clear) {
+        dictSize = eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        ended = true
+      } else {
+        require(code <= dictSize,
+          s"LZW code $code beyond dictionary size $dictSize")
+        val seq =
+          if (code < dictSize) expand(code)
+          else { // KwKwK: the code being defined by this very step
+            require(prev >= 0, "KwKwK code with no previous code")
+            val p = expand(prev)
+            p :+ p(0)
+          }
+        out ++= seq
+        if (prev >= 0 && dictSize < 4096) {
+          prefixes(dictSize) = prev
+          suffixes(dictSize) = seq(0)
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out.toArray
+  }
+
+  /** Synthesize a GIF89a whose 256-entry palette and pixel indices are
+    * closed forms of `(seed, i, x, y)` — so a SQL oracle can replay the
+    * decoded channel means exactly. The LZW stream interleaves a CLEAR
+    * before every literal (constant 9-bit codes): valid, unambitious
+    * compression any conformant decoder must accept — and deliberately
+    * NOT the compression shape the decoder spec's golden bytes use, so
+    * reader and writer cannot share a misreading. */
+  def synthGif(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0x80 | 7) // global color table, 2^8 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) {
+      out.write(((seed + 5L * i) % 256).toInt)
+      out.write(((seed * 3L + 11L * i) % 256).toInt)
+      out.write(((seed * 7L + 13L * i) % 256).toInt)
+      i += 1
+    }
+    out.write(0x2c)
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    val codes = new scala.collection.mutable.ArrayBuffer[Int]()
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        codes += 256 // CLEAR keeps every literal at 9 bits
+        codes += ((seed + 3L * x + 7L * y) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    codes += 257 // EOI
+    val bits = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nbits = 0
+    codes.foreach { c =>
+      cur |= c << nbits
+      nbits += 9
+      while (nbits >= 8) {
+        bits.write(cur & 0xff)
+        cur >>= 8
+        nbits -= 8
+      }
+    }
+    if (nbits > 0) bits.write(cur & 0xff)
+    val payload = bits.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      out.write(n)
+      out.write(payload, off, n)
+      off += n
+    }
+    out.write(0) // data terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
 }

@@ -238,4 +238,29 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** `(id, media)` of GIF89a blobs synthesized from the id via closed
+    * palette/index forms ([[MediaCodecs.synthGif]]). */
+  def gifMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRow(id,
+        MediaCodecs.synthGif(id, (3 + id % 4).toInt, (2 + id % 3).toInt)))
+    }.toDF()
+  }
+
+  /** REAL per-partition GIF decode ([[MediaCodecs.decodeGif]]): block
+    * walking, color tables, and a full variable-width LZW decode run in
+    * executor tasks; output shape matches the other image codecs. */
+  def gifFeatures(media: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        val s = MediaCodecs.decodeGif(m.media)
+        BmpRow(m.id, s.width, s.height, s.meanR, s.meanG, s.meanB)
+      }
+    }.toDF()
+  }
 }

@@ -2141,6 +2141,58 @@ object PipelineQueries {
                CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
         FROM per GROUP BY lang""")),
 
+    // GIF decode ([[MediaCodecs.decodeGif]]): block walking, color
+    // tables and a FULL variable-width LZW decode — the one codec here
+    // with a real compression dictionary. Palette AND index closed
+    // forms replay in SQL, so the hash match proves the palette lookup
+    // composed with the LZW expansion byte-for-byte.
+    QueryDef(
+      "multimodal_gif_decode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.gifMedia(docs.select($"doc_id"), "doc_id")
+        Multimodal.gifFeatures(media)
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"width".cast("long") * $"height".cast("long"))
+                 .as("total_px"),
+               sum($"mean_r".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_r"),
+               sum($"mean_g".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_g"),
+               sum($"mean_b".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_b"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, 3 + doc_id % 4 AS w,
+                          2 + doc_id % 3 AS h FROM documents),
+        xs AS (SELECT i FROM generate_series(0, 5) AS g(i)),
+        ys AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+        px AS (
+          SELECT d.doc_id, d.lang, d.w, d.h,
+                 (d.doc_id + 3 * xs.i + 7 * ys.j) % 256 AS idx
+          FROM d JOIN xs ON xs.i < d.w JOIN ys ON ys.j < d.h),
+        pc AS (
+          SELECT doc_id, lang, w, h,
+                 (doc_id + 5 * idx) % 256 AS r,
+                 (doc_id * 3 + 11 * idx) % 256 AS g,
+                 (doc_id * 7 + 13 * idx) % 256 AS b
+          FROM px),
+        per AS (
+          SELECT doc_id, lang, w, h,
+                 CAST(SUM(r) AS DOUBLE) / (w * h) AS mr,
+                 CAST(SUM(g) AS DOUBLE) / (w * h) AS mg,
+                 CAST(SUM(b) AS DOUBLE) / (w * h) AS mb
+          FROM pc GROUP BY doc_id, lang, w, h)
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(w * h) AS BIGINT) AS total_px,
+               CAST(SUM(CAST(mr AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_r,
+               CAST(SUM(CAST(mg AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_g,
+               CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
+        FROM per GROUP BY lang""")),
+
     // Content-addressable media dedup: hash the BINARY payload itself
     // (the standard blob-store dedup for image/audio corpora — identical
     // bytes collapse regardless of metadata). One hash pass + one
