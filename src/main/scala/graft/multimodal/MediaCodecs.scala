@@ -42,6 +42,7 @@ object MediaCodecs {
     var sampleRate = -1
     var channels = -1
     var bits = -1
+    var tag = -1
     var nSamples = 0L
     var sum = 0L
     var peak = 0
@@ -56,27 +57,43 @@ object MediaCodecs {
       id match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too short: $size")
-          val tag = bb.getShort & 0xffff
-          require(tag == 1, s"audio format $tag unsupported (PCM=1 only)")
+          tag = bb.getShort & 0xffff
+          require(tag == 1 || tag == 7,
+            s"audio format $tag unsupported (PCM=1, G.711 mu-law=7)")
           channels = bb.getShort & 0xffff
           sampleRate = bb.getInt
           bb.getInt // byte rate
           bb.getShort // block align
           bits = bb.getShort & 0xffff
-          require(bits == 16, s"bits per sample $bits unsupported (16 only)")
+          if (tag == 1) require(bits == 16,
+            s"bits per sample $bits unsupported for PCM (16 only)")
+          else require(bits == 8,
+            s"bits per sample $bits invalid for mu-law (8 by definition)")
           require(channels > 0, "zero channels")
           sawFmt = true
         case "data" =>
           require(sawFmt, "data chunk before fmt chunk")
-          require(size % 2 == 0, s"odd PCM-16 data size $size")
-          var i = 0
-          while (i < size) {
-            val s = bb.getShort.toInt
-            sum += s
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            nSamples += 1
-            i += 2
+          if (tag == 1) {
+            require(size % 2 == 0, s"odd PCM-16 data size $size")
+            var i = 0
+            while (i < size) {
+              val s = bb.getShort.toInt
+              sum += s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              nSamples += 1
+              i += 2
+            }
+          } else { // G.711 mu-law: one byte per sample, expanded on read
+            var i = 0
+            while (i < size) {
+              val s = muLawDecode(bb.get())
+              sum += s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              nSamples += 1
+              i += 1
+            }
           }
           sawData = true
         case _ => // LIST/INFO/fact/...: skip, that's the walk's point
@@ -119,6 +136,50 @@ object MediaCodecs {
   /** The synthesized tone, exposed so specs/oracles share one formula. */
   def sampleValue(seed: Long, i: Long): Short =
     ((((seed * 31 + i * 7) % 251) - 125) * 200).toShort
+
+  /** G.711 mu-law expansion (the public CCITT formula at 16-bit scale):
+    * complement the byte, split sign / 3-bit exponent / 4-bit mantissa,
+    * reconstruct `((mantissa*8 + 0x84) << exponent) - 0x84`. Anchors
+    * from the published tables: 0x00 -> -32124, 0x80 -> +32124,
+    * 0xFF -> 0. */
+  def muLawDecode(b: Byte): Int = {
+    val u = (~b) & 0xff
+    val exponent = (u >> 4) & 7
+    val mantissa = u & 0x0f
+    val mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Synthesize a mono G.711 mu-law WAVE blob (format tag 7, 8-bit
+    * samples) whose BYTES are the closed form `(seed*13 + i*7) mod 256`
+    * — the decoded moments then replay in SQL through [[muLawDecode]]'s
+    * arithmetic (complement, shift, mask are all exact-integer). */
+  def synthUlawWav(seed: Long, nSamples: Int,
+                   sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples >= 0)
+    val bb = ByteBuffer.allocate(44 + nSamples).order(ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit =
+      bb.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    cc("RIFF"); bb.putInt(36 + nSamples); cc("WAVE")
+    cc("fmt "); bb.putInt(16)
+    bb.putShort(7) // G.711 mu-law
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate) // byte rate: 1 byte per sample
+    bb.putShort(1) // block align
+    bb.putShort(8) // bits
+    cc("data"); bb.putInt(nSamples)
+    var i = 0L
+    while (i < nSamples) {
+      bb.put((((seed * 13 + i * 7) % 256).toInt).toByte)
+      i += 1
+    }
+    val arr = bb.array()
+    // spec: odd-size data chunk pads to even at container level; the
+    // buffer is exactly header+data, so a reader that honors padding
+    // still stops at the data edge
+    arr
+  }
 
   // -------------------------------------------------------------- BMP
   /** Decoded bitmap facts + per-channel pixel means. */

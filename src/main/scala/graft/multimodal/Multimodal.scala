@@ -171,8 +171,23 @@ object Multimodal {
     }.toDF()
   }
 
+  /** `(id, media)` of G.711 mu-law WAVE blobs (format tag 7) whose
+    * bytes are the closed form `(id*13 + i*7) mod 256`
+    * ([[MediaCodecs.synthUlawWav]]; even `nSamples = 50 + 2*(id mod
+    * 10)` so the data chunk needs no pad byte). Decoded through the
+    * same [[wavFeatures]] face — format dispatch is the decoder's. */
+  def ulawMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRow(id,
+        MediaCodecs.synthUlawWav(id, (50 + 2 * (id % 10)).toInt)))
+    }.toDF()
+  }
+
   /** REAL per-partition WAV decode ([[MediaCodecs.decodeWav]]): RIFF
-    * chunk walk + PCM fold per blob, one iterator pass, schema
+    * chunk walk + PCM or mu-law fold per blob, one iterator pass, schema
     * `(id, sample_rate, n_channels, n_samples, mean_amp, peak_amp)`. */
   def wavFeatures(media: DataFrame): DataFrame = {
     implicit val enc = org.apache.spark.sql.Encoders.product[WavRow]

@@ -219,11 +219,15 @@ object DeltaQueries {
         val path = tmp("v2cp")
         val li = t(s, dir, "lineitem")
           .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-        DeltaTable.write(li.filter($"l_orderkey" % 5 === 0), path,
+        // 16 seed files over 8 buckets: the two single-file interval
+        // appends can then never (p ~ 1e-9 over path-uuid hashing) touch
+        // every occupied bucket, so `carried` is deterministic
+        DeltaTable.write(li.filter($"l_orderkey" % 5 === 0).repartition(16),
+          path,
           SaveMode.Overwrite,
           configuration = Map(
             "delta.checkpointPolicy" -> "v2",
-            "delta.checkpointParts" -> "4",
+            "delta.checkpointParts" -> "8",
             "delta.checkpointInterval" -> "2"))
         (1 to 4).foreach { i => // checkpoints fire at v2 and v4
           DeltaTable.write(li.filter($"l_orderkey" % 5 === i).coalesce(1),

@@ -2141,6 +2141,52 @@ object PipelineQueries {
                CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
         FROM per GROUP BY lang""")),
 
+    // G.711 mu-law audio ([[MediaCodecs.muLawDecode]] behind the same
+    // WAV face, format tag 7): the blob bytes are a closed form, so the
+    // oracle replays the COMPANDING EXPANSION itself in SQL (complement,
+    // exponent/mantissa split, shift) — a hash match proves the decode
+    // formula bit-for-bit, not just the container walk.
+    QueryDef(
+      "multimodal_ulaw_decode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.ulawMedia(docs.select($"doc_id"), "doc_id")
+        Multimodal.wavFeatures(media)
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_samples").as("total_samples"),
+               sum($"mean_amp".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_amp"),
+               sum($"peak_amp".cast("long")).as("sum_peak"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang,
+                          50 + 2 * (doc_id % 10) AS ns FROM documents),
+        nums AS (SELECT k FROM generate_series(0, 67) AS g(k)),
+        bytes AS (
+          SELECT d.doc_id, d.lang, d.ns,
+                 255 - ((d.doc_id * 13 + nums.k * 7) % 256) AS u
+          FROM d JOIN nums ON nums.k < d.ns),
+        dec AS (
+          SELECT doc_id, lang, ns,
+                 (CASE WHEN u >= 128 THEN -1 ELSE 1 END) *
+                 (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+                   AS smp
+          FROM bytes),
+        per AS (
+          SELECT doc_id, lang, ns,
+                 CAST(SUM(smp) AS DOUBLE) / ns AS mean_amp,
+                 MAX(ABS(smp)) AS peak
+          FROM dec GROUP BY doc_id, lang, ns)
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(ns) AS BIGINT) AS total_samples,
+               CAST(SUM(CAST(mean_amp AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_mean_amp,
+               CAST(SUM(peak) AS BIGINT) AS sum_peak
+        FROM per GROUP BY lang""")),
+
     // GIF decode ([[MediaCodecs.decodeGif]]): block walking, color
     // tables and a FULL variable-width LZW decode — the one codec here
     // with a real compression dictionary. Palette AND index closed

@@ -311,21 +311,25 @@ class V2CheckpointSpec extends SparkSpec {
   test("sidecar carry-over: removes rewrite the touched bucket, land in a " +
       "tombstone sidecar, and never resurrect") {
     withTempDir { dir =>
-      // range layout so the delete's stats pruning touches FEW files —
-      // otherwise every bucket changes and nothing can carry over
+      // range layout so the delete's stats pruning touches FEW files,
+      // and MORE buckets than the delete can possibly touch (6 removed
+      // files + their rewritten adds < 16 buckets) so at least one
+      // occupied bucket is structurally guaranteed to carry over —
+      // bucket assignment hashes per-run uuid paths, so anything
+      // probabilistic here would flake
       DeltaTable.write(
-        (0L until 400L).toDF("id").repartitionByRange(8, $"id"), dir,
+        (0L until 400L).toDF("id").repartitionByRange(24, $"id"), dir,
         configuration = Map(
           "delta.checkpointPolicy" -> "v2",
-          "delta.checkpointParts" -> "4",
+          "delta.checkpointParts" -> "16",
           "delta.checkpointInterval" -> "1000"))
       val l = log(dir)
-      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      Checkpoints.writeCheckpoint(l.update(), parts = 16)
       val a = latestV2Sidecars(dir)
 
       // a delete that empties some files and rewrites others
       DeltaTable.forPath(spark, dir).delete($"id" < 100L)
-      Checkpoints.writeCheckpoint(l.update(), parts = 4)
+      Checkpoints.writeCheckpoint(l.update(), parts = 16)
       val b = latestV2Sidecars(dir)
       assert(b.exists(_.contains(".tombstones.")),
         s"the delete's removes must land in a tombstone sidecar: $b")
