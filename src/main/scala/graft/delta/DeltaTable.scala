@@ -537,7 +537,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * the driver. A concurrent writer removing the same file surfaces as
     * the standard delete/delete conflict. */
   def fsckRepair(dryRun: Boolean = false): Long = {
-    val snapshot = deltaLog.update()
+    // the TRANSACTION's snapshot feeds the existence scan, so the scan
+    // interval and the conflict-check interval share one read version —
+    // a commit landing between scan and txn start (a RESTORE re-adding a
+    // path, a concurrent remove of the same file) is then covered by the
+    // standard conflict checks instead of silently double-removed or
+    // removed-while-live
+    val txn = deltaLog.startTransaction()
+    val snapshot = txn.snapshot
     val dataPathStr = deltaLog.dataPath.toString
     val sconf = new SerializableHadoopConf(deltaLog.hadoopConf)
     implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
@@ -551,7 +558,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         fs.exists(read.PartitionUtils.absolutePath(base, a.path)))
     }.collect()
     if (missing.nonEmpty && !dryRun) {
-      val txn = deltaLog.startTransaction()
+      // declare the repair's read set: removing files is a whole-table
+      // read decision (any winning add/remove can invalidate it)
+      txn.readWholeTable()
       val now = deltaLog.clock()
       txn.commit(missing.map(_.remove(now)).toSeq, "FSCK",
         operationMetrics = Map(

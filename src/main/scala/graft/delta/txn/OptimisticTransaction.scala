@@ -725,19 +725,28 @@ class OptimisticTransaction(
         try { SymlinkManifest.updateIncremental(deltaLog.spark, deltaLog, actions); None }
         catch { case scala.util.control.NonFatal(t) => Some(t) }
       } else None
-    if (version != 0 && version % deltaLog.checkpointInterval == 0) {
-      val snap = deltaLog.update()
-      val parts = DeltaConfigs.CHECKPOINT_PARTS.fromMetadata(deltaLog.metadata)
-      // beyond the driver-state bound the file list must flow checkpoint →
-      // checkpoint as a Spark job, never through the driver
-      if (snap.distributedState) Checkpoints.writeCheckpointDistributed(snap, parts)
-      else {
-        Checkpoints.writeCheckpoint(snap, parts)
-        // re-seed the checksum chain from the state the checkpoint just
-        // materialized (heals gaps left by foreign commits without crc)
-        Checksums.writeFromState(snap)
+    // if checkpointing/cleanup ALSO fails, neither signal may be lost:
+    // the checkpoint error propagates (it is the later, still-actionable
+    // failure) with the hook failure attached as suppressed
+    try {
+      if (version != 0 && version % deltaLog.checkpointInterval == 0) {
+        val snap = deltaLog.update()
+        val parts = DeltaConfigs.CHECKPOINT_PARTS.fromMetadata(deltaLog.metadata)
+        // beyond the driver-state bound the file list must flow checkpoint →
+        // checkpoint as a Spark job, never through the driver
+        if (snap.distributedState) Checkpoints.writeCheckpointDistributed(snap, parts)
+        else {
+          Checkpoints.writeCheckpoint(snap, parts)
+          // re-seed the checksum chain from the state the checkpoint just
+          // materialized (heals gaps left by foreign commits without crc)
+          Checksums.writeFromState(snap)
+        }
+        if (deltaLog.enableExpiredLogCleanup) deltaLog.cleanUpExpiredLogs()
       }
-      if (deltaLog.enableExpiredLogCleanup) deltaLog.cleanUpExpiredLogs()
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        hookFailure.foreach(t.addSuppressed)
+        throw t
     }
     hookFailure.foreach(t => throw new PostCommitHookException(version, t))
   }

@@ -477,6 +477,11 @@ object MediaCodecs {
   }
 
   // -------------------------------------------------------------- GIF
+  /** Per-image decode ceiling (32M pixels ≈ 8K x 4K): a per-row JVM
+    * decoder running on 32 executor threads must bound its worst-case
+    * allocation from the HEADER, before any buffer grows. */
+  val MaxDecodedPixels: Long = 1L << 25
+
   final case class GifStats(
       width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
 
@@ -544,6 +549,13 @@ object MediaCodecs {
           width = bb.getShort() & 0xffff
           height = bb.getShort() & 0xffff
           require(width > 0 && height > 0, s"empty image $width x $height")
+          // bound BEFORE allocating: a crafted 65535x65535 descriptor
+          // must reject cleanly, not grow a ~4.3B-entry buffer (and the
+          // Int product width*height would overflow in the post-decode
+          // check below — compare in Long)
+          require(width.toLong * height <= MaxDecodedPixels,
+            s"GIF dimensions $width x $height exceed the " +
+              s"$MaxDecodedPixels-pixel decode cap")
           val ip = bb.get() & 0xff
           if ((ip & 0x80) != 0) palette = readColorTable(ip & 7)
           require(palette.nonEmpty, "image has no color table")
@@ -567,8 +579,8 @@ object MediaCodecs {
       }
     }
     val indices = lzwDecode(lzw, minCode, width.toLong * height)
-    require(indices.length == width * height,
-      s"LZW decoded ${indices.length} pixels, expected ${width * height}")
+    require(indices.length.toLong == width.toLong * height,
+      s"LZW decoded ${indices.length} pixels, expected ${width.toLong * height}")
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     while (i < indices.length) {

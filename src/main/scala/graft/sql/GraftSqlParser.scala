@@ -98,11 +98,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftDescribeHistoryCommand(parseTarget(target),
         Option(limit).map(_.toInt)))
     case DescribeDetailRe(target) =>
-      // detail()'s schema is the output contract; returning the analyzed
-      // frame directly (the TVF pattern) keeps the two faces identical
-      Some(graft.delta.DeltaTable.forPath(SparkSession.active,
-        GraftSqlParser.resolvePath(SparkSession.active, parseTarget(target)))
-        .detail().queryExecution.analyzed)
+      // IO deferred to run() (the GraftDescribeHistoryCommand pattern) so
+      // parse-only paths — EXPLAIN, dry parsing — never touch storage
+      Some(GraftDescribeDetailCommand(parseTarget(target)))
     case SetPropsRe(target, pairs) =>
       GraftSqlParser.parsePropPairs(pairs).map(props =>
         GraftSetPropertiesCommand(parseTarget(target), props))
@@ -649,6 +647,34 @@ case class GraftDescribeHistoryCommand(
         ci.userMetadata.orNull,
         ci.engineInfo.orNull)
     }
+  }
+}
+
+/** DESCRIBE DETAIL: schema is the output contract (mirrors
+  * [[graft.delta.DeltaTable.detail]]); the log read happens in run(),
+  * never at parse time. */
+case class GraftDescribeDetailCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, TimestampType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("id", StringType)(),
+    AttributeReference("name", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("created_at", TimestampType)(),
+    AttributeReference("last_modified", TimestampType)(),
+    AttributeReference("partition_columns", ArrayType(StringType))(),
+    AttributeReference("num_files", LongType)(),
+    AttributeReference("size_in_bytes", LongType)(),
+    AttributeReference("properties", MapType(StringType, StringType))(),
+    AttributeReference("min_reader_version", IntegerType)(),
+    AttributeReference("min_writer_version", IntegerType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.delta.DeltaTable.forPath(session,
+      GraftSqlParser.resolvePath(session, target)).detail().collect().toSeq
   }
 }
 

@@ -182,6 +182,10 @@ class DeltaTableSpec extends SparkSpec {
       // idempotent: a healthy table repairs nothing
       assert(DeltaTable.forPath(spark, dir).fsckRepair() == 0L)
       assert(log.update().version == v0 + 1)
+      // the repair's readVersion is the version its existence scan saw —
+      // scan and conflict-check interval share one read version, so a
+      // commit landing in between is covered by conflict detection
+      assert(log.history().head.readVersion.contains(v0))
     }
   }
 }

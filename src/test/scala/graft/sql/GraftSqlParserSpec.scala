@@ -90,6 +90,16 @@ class GraftSqlParserSpec extends SparkSpec {
         Map("myapp.endpoint" -> "http://h?x=1&y=2")))
   }
 
+  test("DESCRIBE DETAIL defers IO to run(): parsing never touches storage") {
+    // a nonexistent path must PARSE cleanly (EXPLAIN / dry parsing must
+    // not surface storage errors); only execution reads the log
+    val plan = parse("DESCRIBE DETAIL '/no/such/table/anywhere'")
+    assert(plan == GraftDescribeDetailCommand(Left("/no/such/table/anywhere")))
+    intercept[Exception] {
+      spark.sql("DESCRIBE DETAIL '/no/such/table/anywhere'").collect()
+    }
+  }
+
   test("near-misses fall through to Spark's parser") {
     // plain CREATE TABLE is NOT intercepted
     assert(!parse("CREATE TABLE t (id INT) USING parquet")
