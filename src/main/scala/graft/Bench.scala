@@ -77,13 +77,55 @@ object Bench {
         name -> (if (best.isEmpty) -1.0 else best.min, samples)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val samplesJson = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v._2.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    // ARTIFACT SHAPE (r10 VERDICT #3): the driver's bench artifact keeps
+    // only the last ~2000 chars of stdout, so one enormous JSON line left
+    // 98/137 query timings invisible and "parsed" null every round. Emit
+    // three layers, least-durable first:
+    //   1. bench_full.json in CWD — the complete {queries, samples} JSON
+    //      (committed-tree-adjacent, auditable even when stdout is cut);
+    //   2. one compact JSONL line PER QUERY, sorted by name — a full-
+    //      stdout reader gets every timing as parseable lines;
+    //   3. LAST, the contract line {"metric",...} with "queries" capped
+    //      to the slowest entries that keep the line under ~1200 chars —
+    //      short enough that a tail-2000 capture contains it whole (the
+    //      sbt "[success]" epilogue costs ~80), with "n" + "queries_full"
+    //      pointing at the complete detail.
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}""")
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    val sorted = results.toSeq.sortBy(_._1)
+    val fullQs = sorted.map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }
+      .mkString("{", ",", "}")
+    val fullSamples = sorted.map { case (k, v) =>
+      "\"" + k + "\":" + v._2.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH: bench_full.json write failed: $t")
+    }
+    sorted.foreach { case (k, v) =>
+      println(s"""{"q":"$k","sec":${fmt(v._1)},"samples":${v._2.map(fmt).mkString("[", ",", "]")}}""")
+    }
+    val bySlowest = results.toSeq.sortBy(-_._2._1)
+    val budget = 1100
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_full":"bench_full.json","sf":"$sfDir","queries":"""
+    val capped = {
+      val sb = new StringBuilder
+      var first = true
+      bySlowest.foreach { case (k, v) =>
+        val piece = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v._1)
+        if (head.length + sb.length + piece.length + 2 <= budget) {
+          sb.append(piece); first = false
+        }
+      }
+      sb.toString
+    }
+    println(head + "{" + capped + "}}")
     spark.stop()
   }
 }

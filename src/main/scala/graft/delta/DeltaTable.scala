@@ -558,9 +558,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         fs.exists(read.PartitionUtils.absolutePath(base, a.path)))
     }.collect()
     if (missing.nonEmpty && !dryRun) {
-      // declare the repair's read set: removing files is a whole-table
-      // read decision (any winning add/remove can invalidate it)
-      txn.readWholeTable()
+      // declare the repair's read set: only the MISSING paths, by path —
+      // the remove decision is invalidated solely by a winning commit
+      // touching those exact paths (a remove → delete/delete+delete/read;
+      // a RESTORE re-add → the append check's path clause), so unrelated
+      // concurrent appends no longer abort a repair on a busy table
+      // (readWholeTable() here cost exactly that liveness)
+      txn.markPathsAsRead(missing.map(_.path))
       val now = deltaLog.clock()
       txn.commit(missing.map(_.remove(now)).toSeq, "FSCK",
         operationMetrics = Map(

@@ -103,6 +103,14 @@ class OptimisticTransaction(
 
   def readWholeTable(): Unit = readTheWholeTable = true
 
+  /** Record a read of SPECIFIC table files by path, without a predicate
+    * and without widening to a whole-table read. The decision the caller
+    * derives from those files (FSCK: "this path's bytes are gone") is
+    * then invalidated only by a winning commit touching those paths — a
+    * winning remove (delete/read), a winning re-add (append check's path
+    * clause) — while unrelated concurrent appends commute. */
+  def markPathsAsRead(paths: Iterable[String]): Unit = readFiles ++= paths
+
   /** Replace the pending metadata AFTER [[updateMetadata]] was (possibly)
     * already called — identity high-water marks advance once the write
     * job reports the values it actually produced, which is necessarily
@@ -727,7 +735,12 @@ class OptimisticTransaction(
       } else None
     // if checkpointing/cleanup ALSO fails, neither signal may be lost:
     // the checkpoint error propagates (it is the later, still-actionable
-    // failure) with the hook failure attached as suppressed
+    // failure) with the hook failure attached as suppressed — but ALWAYS
+    // behind the post-durability marker type: the commit IS durable at
+    // this point, and a raw exception would be indistinguishable from a
+    // failed commit, inviting a caller retry that double-applies the
+    // write (delta-spark instead logs checkpoint failures and continues;
+    // we surface them, typed, so callers can choose)
     try {
       if (version != 0 && version % deltaLog.checkpointInterval == 0) {
         val snap = deltaLog.update()
@@ -746,7 +759,7 @@ class OptimisticTransaction(
     } catch {
       case scala.util.control.NonFatal(t) =>
         hookFailure.foreach(t.addSuppressed)
-        throw t
+        throw new PostCommitHookException(version, t)
     }
     hookFailure.foreach(t => throw new PostCommitHookException(version, t))
   }
@@ -822,7 +835,12 @@ class ConflictChecker(
     val matched =
       if (txn.readWholeTableFlag) winningAdds
       else txn.readPredicatesSnapshot.flatMap(p =>
-        PartitionUtils.filterFileList(partitionSchema, winningAdds, Seq(p)))
+        PartitionUtils.filterFileList(partitionSchema, winningAdds, Seq(p))) ++
+        // a winning ADD of a path this txn read BY PATH (FSCK's missing
+        // set, a DML rewrite set) re-creates a table entry the txn's
+        // decision assumed settled — same invalidation as a predicate
+        // match, caught by path equality since paths are table-unique
+        winningAdds.filter(a => txn.readFilePaths.contains(a.path))
     if (matched.nonEmpty) {
       throw new ConcurrentAppendException(
         s"Files added by concurrent commit $winningVersion match this " +

@@ -477,10 +477,20 @@ object MediaCodecs {
   }
 
   // -------------------------------------------------------------- GIF
-  /** Per-image decode ceiling (32M pixels ≈ 8K x 4K): a per-row JVM
-    * decoder running on 32 executor threads must bound its worst-case
-    * allocation from the HEADER, before any buffer grows. */
-  val MaxDecodedPixels: Long = 1L << 25
+  /** Per-image decode ceiling (default 32M pixels ≈ 8K x 4K): a per-row
+    * JVM decoder running on 32 executor threads must bound its
+    * worst-case allocation from the HEADER, before any buffer grows.
+    * This is a DoS guard against crafted headers (a 65535x65535 GIF
+    * declares 16G pixels in 20 bytes), NOT a corruption signal — a
+    * legitimate oversized image hits the same rejection. Deployments
+    * whose corpora legitimately exceed 32M pixels raise it per-JVM with
+    * -Dgraft.media.maxDecodedPixels=N (on a cluster:
+    * spark.executor.extraJavaOptions, since decode runs executor-side). */
+  def MaxDecodedPixels: Long =
+    sys.props.get("graft.media.maxDecodedPixels")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ > 0)
+      .getOrElse(1L << 25)
 
   final case class GifStats(
       width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
@@ -728,4 +738,570 @@ object MediaCodecs {
     out.write(0x3b) // trailer
     out.toByteArray
   }
+
+  // ------------------------------------------------------------- JPEG
+  final case class JpegStats(
+      width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  /** Zigzag scan order: natural (row-major) coefficient index for each
+    * zigzag position (ITU-T T.81 figure 5). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** The standard Huffman tables of ITU-T T.81 Annex K.3 — the tables
+    * virtually every baseline encoder emits, so the decoder's canonical
+    * code construction is exercised against real-world shapes. Each is
+    * (BITS: count of codes per length 1..16, HUFFVAL: symbols in code
+    * order). */
+  private val StdDcLum: (Array[Int], Array[Int]) = (
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val StdDcChr: (Array[Int], Array[Int]) = (
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val StdAcLum: (Array[Int], Array[Int]) = (
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+      0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+      0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+      0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+      0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+      0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+      0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+      0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+      0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+  private val StdAcChr: (Array[Int], Array[Int]) = (
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+      0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+      0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+      0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+      0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+      0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+      0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+      0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+      0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+      0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+      0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+      0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+
+  /** Canonical Huffman decoder state per T.81 F.2.2.3: for each code
+    * length, the smallest/largest code and the HUFFVAL offset of the
+    * first symbol of that length. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+      require(k == vals.length,
+        s"Huffman table declares $k codes but carries ${vals.length} symbols")
+    }
+    /** (code, length) pairs per symbol, for the ENCODER side. */
+    lazy val encode: Map[Int, (Int, Int)] = {
+      var code = 0
+      var k = 0
+      val m = Map.newBuilder[Int, (Int, Int)]
+      var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l - 1)) {
+          m += vals(k) -> (code, l)
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      m.result()
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first, 0xFF00 byte-stuffing
+    * unstuffed, restart markers (FFD0-D7) consumed only via
+    * [[restart]] at MCU-interval boundaries. */
+  private final class JpegBitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    private def nextByte(): Int = {
+      require(pos < data.length, "entropy stream truncated")
+      val b = data(pos) & 0xff
+      pos += 1
+      if (b == 0xff) {
+        require(pos < data.length, "entropy stream ends in 0xFF")
+        val m = data(pos) & 0xff
+        if (m == 0x00) pos += 1 // stuffed literal 0xFF
+        else throw new IllegalArgumentException(
+          f"marker 0xFF$m%02x inside entropy data (expected at a restart boundary)")
+      }
+      b
+    }
+    def bit(): Int = {
+      if (nbits == 0) { acc = nextByte(); nbits = 8 }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(t: HuffTable): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        code = (code << 1) | bit()
+        l += 1
+      }
+      require(l <= 16, "invalid Huffman code (no 16-bit match)")
+      t.values(t.valPtr(l) + code - t.minCode(l))
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(expected: Int): Unit = {
+      nbits = 0
+      require(pos + 1 < data.length, "truncated at restart marker")
+      require((data(pos) & 0xff) == 0xff &&
+        (data(pos + 1) & 0xff) == (0xd0 + expected),
+        f"expected RST$expected%d, found 0x${data(pos) & 0xff}%02x${data(pos + 1) & 0xff}%02x")
+      pos += 2
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value. */
+  @inline private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Fixed-point YCbCr→RGB, the libjpeg jdcolor constants (FIX(1.40200)
+    * = 91881 etc., scale 2^16, >>16 is floor): integer-exact, so the
+    * DuckDB oracle can reproduce the conversion bit-for-bit with
+    * FLOOR(x / 65536). */
+  @inline private def ycc2r(y: Int, cr: Int): Int =
+    clamp255(y + ((91881 * (cr - 128) + 32768) >> 16))
+  @inline private def ycc2g(y: Int, cb: Int, cr: Int): Int =
+    clamp255(y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16))
+  @inline private def ycc2b(y: Int, cb: Int): Int =
+    clamp255(y + ((116130 * (cb - 128) + 32768) >> 16))
+  @inline private def clamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Decode a BASELINE SEQUENTIAL JPEG (SOI, DQT, SOF0, DHT, optional
+    * DRI/APPn/COM, SOS, entropy-coded scan, EOI): canonical Huffman
+    * decode, DC prediction, AC run-length with ZRL/EOB, dequantization
+    * through the zigzag map, a separable double-precision IDCT (with a
+    * DC-only fast path — exact for flat blocks by construction),
+    * replication upsampling for sampling factors over [1, 2], and the
+    * libjpeg fixed-point YCbCr→RGB. Grayscale (1 component) and YCbCr
+    * (3 components) frames; restart intervals honored. Dimension cap
+    * enforced from SOF0 BEFORE any plane allocation (same DoS guard as
+    * [[decodeGif]]). */
+  def decodeJpeg(bytes: Array[Byte]): JpegStats = {
+    require(bytes.length >= 4, s"JPEG too short: ${bytes.length}")
+    require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG: missing SOI")
+    var pos = 2
+    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
+    def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
+
+    val quant = new Array[Array[Int]](4) // zigzag order, as transmitted
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var restartInterval = 0
+    var width = 0
+    var height = 0
+    // per component: id, hSamp, vSamp, quant id, dc table, ac table
+    var compIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var nComp = 0
+    var sosSeen = false
+
+    while (!sosSeen) {
+      require(pos + 1 < bytes.length, "JPEG truncated before SOS")
+      require(u8() == 0xff, "expected marker")
+      var marker = u8()
+      while (marker == 0xff) marker = u8() // fill bytes are legal
+      marker match {
+        case 0xdb => // DQT
+          val end = pos + u16() - 2
+          while (pos < end) {
+            val pq = u8()
+            val prec = pq >> 4
+            val id = pq & 15
+            require(prec <= 1, s"bad DQT precision $prec")
+            require(id < 4, s"bad DQT id $id")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = if (prec == 1) u16() else u8(); i += 1 }
+            quant(id) = t
+          }
+        case 0xc0 | 0xc1 => // SOF0 baseline (SOF1 extended sequential, same layout)
+          u16()
+          require(u8() == 8, "only 8-bit precision supported")
+          height = u16(); width = u16()
+          require(width > 0 && height > 0, s"empty frame $width x $height")
+          require(width.toLong * height <= MaxDecodedPixels,
+            s"JPEG dimensions $width x $height exceed the " +
+              s"$MaxDecodedPixels-pixel decode cap")
+          nComp = u8()
+          require(nComp == 1 || nComp == 3,
+            s"unsupported component count $nComp")
+          compIds = new Array[Int](nComp); compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compIds(c) = u8()
+            val hv = u8()
+            compH(c) = hv >> 4; compV(c) = hv & 15
+            require(compH(c) >= 1 && compH(c) <= 2 &&
+              compV(c) >= 1 && compV(c) <= 2,
+              s"sampling ${compH(c)}x${compV(c)} outside [1,2]")
+            compQ(c) = u8()
+            c += 1
+          }
+        case 0xc4 => // DHT
+          val end = pos + u16() - 2
+          while (pos < end) {
+            val tc = u8()
+            val cls = tc >> 4
+            val id = tc & 15
+            require(cls <= 1 && id < 4, s"bad DHT class/id $cls/$id")
+            val bits = Array.fill(16)(u8())
+            val vals = Array.fill(bits.sum)(u8())
+            val t = new HuffTable(bits, vals)
+            if (cls == 0) dcTables(id) = t else acTables(id) = t
+          }
+        case 0xdd => // DRI
+          u16(); restartInterval = u16()
+        case 0xda => // SOS
+          u16()
+          val ns = u8()
+          require(ns == nComp, s"scan components $ns != frame $nComp")
+          compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+          var c = 0
+          while (c < ns) {
+            val id = u8()
+            val idx = compIds.indexOf(id)
+            require(idx >= 0, s"scan names unknown component $id")
+            val tt = u8()
+            compDc(idx) = tt >> 4; compAc(idx) = tt & 15
+            c += 1
+          }
+          u8(); u8(); u8() // Ss, Se, Ah/Al — fixed in baseline
+          sosSeen = true
+        case 0xd9 =>
+          throw new IllegalArgumentException("EOI before any scan")
+        case m if m >= 0xe0 && m <= 0xef => pos += u16() - 2 // APPn
+        case 0xfe => pos += u16() - 2 // COM
+        case other =>
+          throw new IllegalArgumentException(
+            f"unsupported JPEG marker 0xFF$other%02x")
+      }
+    }
+    require(width > 0, "SOS before SOF0")
+
+    val hMax = compH.max
+    val vMax = compV.max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component planes at component resolution, padded to whole MCUs
+    val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
+
+    val reader = new JpegBitReader(bytes, pos)
+    val dcPred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val idctOut = new Array[Int](64)
+
+    def decodeBlock(c: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val qt = quant(compQ(c))
+      require(qt != null, s"component $c references missing quant table")
+      val dcT = dcTables(compDc(c))
+      val acT = acTables(compAc(c))
+      require(dcT != null && acT != null,
+        s"component $c references missing Huffman table")
+      val s0 = reader.decode(dcT)
+      require(s0 <= 11, s"DC category $s0 > 11")
+      dcPred(c) += extend(reader.bits(s0), s0)
+      coef(0) = dcPred(c) * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = reader.decode(acT)
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL: sixteen zeros
+          else eob = true
+        } else {
+          k += r
+          require(k < 64, s"AC run overflows block at $k")
+          coef(Zigzag(k)) = extend(reader.bits(s), s) * qt(k)
+          k += 1
+        }
+      }
+      idct8x8(coef, idctOut)
+    }
+
+    // separable 2D IDCT in doubles; DC-only fast path (flat block) stays
+    // integer-exact, which the synthetic encoder's constant blocks rely on
+    def idct8x8(in: Array[Int], out: Array[Int]): Unit = {
+      var allAcZero = true
+      var i = 1
+      while (i < 64 && allAcZero) { if (in(i) != 0) allAcZero = false; i += 1 }
+      if (allAcZero) {
+        val v = clamp255(Math.round(in(0) / 8.0).toInt + 128)
+        java.util.Arrays.fill(out, v)
+        return
+      }
+      val tmp = new Array[Double](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val cu = if (u == 0) 0.7071067811865476 else 1.0
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              sum += cu * cv * in(v * 8 + u) *
+                IdctCos(x)(u) * IdctCos(y)(v)
+              v += 1
+            }
+            u += 1
+          }
+          tmp(y * 8 + x) = sum / 4.0
+          x += 1
+        }
+        y += 1
+      }
+      var j = 0
+      while (j < 64) {
+        out(j) = clamp255(Math.round(tmp(j)).toInt + 128)
+        j += 1
+      }
+    }
+
+    val mcuTotal = mcusX * mcusY
+    var mcu = 0
+    var rst = 0
+    while (mcu < mcuTotal) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        reader.restart(rst)
+        rst = (rst + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var c = 0
+      while (c < nComp) {
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            decodeBlock(c)
+            val ox = (mx * compH(c) + bx) * 8
+            val oy = (my * compV(c) + by) * 8
+            var py = 0
+            while (py < 8) {
+              var px = 0
+              val rowBase = (oy + py) * planeW(c) + ox
+              while (px < 8) {
+                planes(c)(rowBase + px) = idctOut(py * 8 + px).toByte
+                px += 1
+              }
+              py += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (nComp == 1) {
+          val v = planes(0)((y * compV(0) / vMax) * planeW(0) +
+            x * compH(0) / hMax) & 0xff
+          sr += v; sg += v; sb += v
+        } else {
+          val yy = planes(0)((y * compV(0) / vMax) * planeW(0) +
+            x * compH(0) / hMax) & 0xff
+          val cb = planes(1)((y * compV(1) / vMax) * planeW(1) +
+            x * compH(1) / hMax) & 0xff
+          val cr = planes(2)((y * compV(2) / vMax) * planeW(2) +
+            x * compH(2) / hMax) & 0xff
+          sr += ycc2r(yy, cr); sg += ycc2g(yy, cb, cr); sb += ycc2b(yy, cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = (width.toLong * height).toDouble
+    JpegStats(width, height, sr / n, sg / n, sb / n)
+  }
+
+  /** MSB-first bit writer with JPEG 0xFF00 byte stuffing; [[pad]] fills
+    * the final partial byte with 1-bits per T.81 F.1.2.3. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def pad(): Unit = if (nbits > 0) write((1 << (8 - nbits)) - 1, 8 - nbits)
+  }
+
+  /** Encode a real baseline JPEG whose decode is EXACT: every 8x8 block
+    * carries a constant YCbCr triple in closed form over (seed, block
+    * coordinates), the quantization tables are all-8s, and blocks are
+    * DC-only — so quantized DC = value - 128 exactly, the IDCT
+    * reproduces the flat block bit-for-bit, and the DuckDB oracle can
+    * mirror the decoded RGB via the same fixed-point color formula.
+    * Emits DQT, SOF0 (3 components, 4:4:4), the four Annex K.3 standard
+    * Huffman tables, optional DRI + restart markers, SOS, scan, EOI.
+    *
+    * Closed forms per block (bx, by), all mod 256:
+    * Y = seed + 3 bx + 7 by; Cb = 3 seed + 5 bx + 11 by;
+    * Cr = 7 seed + 13 bx + 17 by.
+    */
+  def synthJpeg(seed: Long, blocksW: Int, blocksH: Int,
+                restartInterval: Int = 0): Array[Byte] = {
+    require(blocksW > 0 && blocksH > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    val s = java.lang.Math.floorMod(seed, 256L)
+
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT, table 0, all 8s
+    u16(2 + 1 + 64)
+    u8(0)
+    (0 until 64).foreach(_ => u8(8))
+    marker(0xc0) // SOF0
+    u16(8 + 3 * nComponents)
+    u8(8) // precision
+    u16(blocksH * 8); u16(blocksW * 8)
+    u8(nComponents)
+    u8(1); u8(0x11); u8(0) // Y: 1x1 sampling, quant 0
+    u8(2); u8(0x11); u8(0) // Cb
+    u8(3); u8(0x11); u8(0) // Cr
+    def dht(cls: Int, id: Int, t: (Array[Int], Array[Int])): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + t._2.length)
+      u8((cls << 4) | id)
+      t._1.foreach(u8)
+      t._2.foreach(u8)
+    }
+    dht(0, 0, StdDcLum); dht(1, 0, StdAcLum)
+    dht(0, 1, StdDcChr); dht(1, 1, StdAcChr)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda) // SOS
+    u16(6 + 2 * nComponents)
+    u8(nComponents)
+    u8(1); u8(0x00) // Y: DC 0, AC 0
+    u8(2); u8(0x11) // Cb: DC 1, AC 1
+    u8(3); u8(0x11)
+    u8(0); u8(63); u8(0) // Ss, Se, AhAl
+
+    val dcLum = new HuffTable(StdDcLum._1, StdDcLum._2).encode
+    val dcChr = new HuffTable(StdDcChr._1, StdDcChr._2).encode
+    val acLumEob = new HuffTable(StdAcLum._1, StdAcLum._2).encode(0x00)
+    val acChrEob = new HuffTable(StdAcChr._1, StdAcChr._2).encode(0x00)
+    val w = new JpegBitWriter(out)
+    val pred = new Array[Int](3)
+    def emitBlock(comp: Int, value: Int): Unit = {
+      val dc = value - 128
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff == 0
+      val (code, len) = (if (comp == 0) dcLum else dcChr)(cat)
+      w.write(code, len)
+      if (cat > 0) w.write(if (diff < 0) diff - 1 else diff, cat)
+      val (ec, el) = if (comp == 0) acLumEob else acChrEob
+      w.write(ec, el)
+    }
+    var mcu = 0
+    var rst = 0
+    var by = 0
+    while (by < blocksH) {
+      var bx = 0
+      while (bx < blocksW) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          w.pad()
+          marker(0xd0 + rst)
+          rst = (rst + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+        emitBlock(0, ((s + 3L * bx + 7L * by) % 256).toInt)
+        emitBlock(1, ((s * 3L + 5L * bx + 11L * by) % 256).toInt)
+        emitBlock(2, ((s * 7L + 13L * bx + 17L * by) % 256).toInt)
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    w.pad()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private val nComponents = 3
+
+  /** cos((2x + 1) u pi / 16) lookup for the reference IDCT. */
+  private val IdctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
 }

@@ -278,4 +278,32 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** `(id, media)` of baseline JPEG blobs synthesized from the id —
+    * real DQT/SOF0/DHT/SOS structure with the Annex K.3 standard
+    * Huffman tables ([[MediaCodecs.synthJpeg]]); 8x8 blocks carry
+    * closed-form constant YCbCr so the decode is bit-exact. */
+  def jpegMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRow(id,
+        MediaCodecs.synthJpeg(id, (1 + id % 3).toInt, (1 + id % 2).toInt)))
+    }.toDF()
+  }
+
+  /** REAL per-partition baseline-JPEG decode ([[MediaCodecs.decodeJpeg]]):
+    * canonical Huffman, DC prediction, dequant, IDCT, fixed-point
+    * YCbCr→RGB — all in executor tasks; output shape matches the other
+    * image codecs. */
+  def jpegFeatures(media: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        val s = MediaCodecs.decodeJpeg(m.media)
+        BmpRow(m.id, s.width, s.height, s.meanR, s.meanG, s.meanB)
+      }
+    }.toDF()
+  }
 }

@@ -2239,6 +2239,65 @@ object PipelineQueries {
                CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
         FROM per GROUP BY lang""")),
 
+    // Baseline-JPEG decode over synthesized-but-real JPEG blobs (the
+    // format a 100 TB multimodal corpus is mostly made of): full marker
+    // walk, Annex-K Huffman decode, dequant + IDCT, fixed-point
+    // YCbCr->RGB in executor tasks. Blocks are constant per 8x8 by
+    // construction, so the decode is bit-exact and the oracle mirrors
+    // the libjpeg fixed-point color math with FLOOR(x/65536).
+    QueryDef(
+      "multimodal_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.jpegMedia(docs.select($"doc_id"), "doc_id")
+        Multimodal.jpegFeatures(media)
+          .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"width".cast("long") * $"height".cast("long"))
+                 .as("total_px"),
+               sum($"mean_r".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_r"),
+               sum($"mean_g".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_g"),
+               sum($"mean_b".cast(DecimalType(18, 6))).cast("double")
+                 .as("sum_mean_b"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, 1 + doc_id % 3 AS bw,
+                          1 + doc_id % 2 AS bh FROM documents),
+        xs AS (SELECT i FROM generate_series(0, 2) AS g(i)),
+        ys AS (SELECT j FROM generate_series(0, 1) AS g(j)),
+        blk AS (
+          SELECT d.doc_id, d.lang, d.bw, d.bh,
+                 (d.doc_id + 3 * xs.i + 7 * ys.j) % 256 AS y,
+                 (d.doc_id * 3 + 5 * xs.i + 11 * ys.j) % 256 AS cb,
+                 (d.doc_id * 7 + 13 * xs.i + 17 * ys.j) % 256 AS cr
+          FROM d JOIN xs ON xs.i < d.bw JOIN ys ON ys.j < d.bh),
+        rgb AS (
+          SELECT doc_id, lang, bw, bh,
+                 LEAST(255, GREATEST(0, y + CAST(FLOOR(
+                   (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+                 LEAST(255, GREATEST(0, y - CAST(FLOOR(
+                   (22554 * (cb - 128) + 46802 * (cr - 128) + 32768)
+                   / 65536.0) AS BIGINT))) AS g,
+                 LEAST(255, GREATEST(0, y + CAST(FLOOR(
+                   (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+          FROM blk),
+        per AS (
+          SELECT doc_id, lang, bw, bh,
+                 CAST(SUM(r) AS DOUBLE) / (bw * bh) AS mr,
+                 CAST(SUM(g) AS DOUBLE) / (bw * bh) AS mg,
+                 CAST(SUM(b) AS DOUBLE) / (bw * bh) AS mb
+          FROM rgb GROUP BY doc_id, lang, bw, bh)
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(bw * 8 * bh * 8) AS BIGINT) AS total_px,
+               CAST(SUM(CAST(mr AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_r,
+               CAST(SUM(CAST(mg AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_g,
+               CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_b
+        FROM per GROUP BY lang""")),
+
     // Content-addressable media dedup: hash the BINARY payload itself
     // (the standard blob-store dedup for image/audio corpora — identical
     // bytes collapse regardless of metadata). One hash pass + one

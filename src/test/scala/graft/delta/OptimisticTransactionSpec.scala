@@ -43,6 +43,54 @@ class OptimisticTransactionSpec extends SparkSpec {
     }
   }
 
+  test("path-level read set (FSCK narrowing): unrelated appends commute, " +
+      "re-add or remove of a read path conflicts") {
+    withTempDir { dir =>
+      createPartitioned(dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val victim = log.update().allFiles.map(_.path).sorted.head
+
+      // 1. liveness: a winning UNRELATED append must NOT abort a txn
+      //    whose read set is just the victim path (r10 readWholeTable()
+      //    made any busy table starve FSCK)
+      val t1 = log.startTransaction()
+      t1.markPathsAsRead(Seq(victim))
+      log.startTransaction()
+        .commit(Seq(add("g1", "unrelated.parquet")), DeltaOperations.Write)
+      val v1 = t1.commit(
+        Seq(RemoveFile(victim, Some(1L), dataChange = true)),
+        "FSCK")
+      assert(log.update().version == v1)
+
+      // 2. safety: a winning RE-ADD of the read path (a RESTORE landing
+      //    mid-repair) invalidates the "bytes are gone" decision
+      val survivor = log.update().allFiles.map(_.path).sorted.head
+      val t2 = log.startTransaction()
+      t2.markPathsAsRead(Seq(survivor))
+      val grp = log.update().allFiles.find(_.path == survivor)
+        .get.partitionValues("grp")
+      log.startTransaction()
+        .commit(Seq(add(grp, survivor)), DeltaOperations.Write)
+      intercept[ConcurrentAppendException] {
+        t2.commit(Seq(RemoveFile(survivor, Some(1L), dataChange = true)),
+          "FSCK")
+      }
+
+      // 3. safety: a winning REMOVE of the read path conflicts too
+      //    (someone else already repaired or deleted it)
+      val survivor2 = log.update().allFiles.map(_.path).sorted.head
+      val t3 = log.startTransaction()
+      t3.markPathsAsRead(Seq(survivor2))
+      log.startTransaction().commit(
+        Seq(RemoveFile(survivor2, Some(2L), dataChange = true)),
+        DeltaOperations.Delete)
+      intercept[ConcurrentDeleteReadException] {
+        t3.commit(Seq(RemoveFile(survivor2, Some(3L), dataChange = true)),
+          "FSCK")
+      }
+    }
+  }
+
   test("concurrent append into a different partition does not conflict") {
     withTempDir { dir =>
       createPartitioned(dir)
