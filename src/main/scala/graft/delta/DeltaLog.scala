@@ -136,6 +136,7 @@ class DeltaLog private (
       try {
         store.listFrom(listStart, hadoopConf)
           .filter(f => FileNames.isDeltaFile(f.getPath) ||
+                       FileNames.isCompactedFile(f.getPath) ||
                        FileNames.isCheckpointFile(f.getPath))
           .toVector
       } catch {
@@ -198,26 +199,57 @@ class DeltaLog private (
     if (latestCheckpoint.isEmpty && startCheckpoint.isDefined) {
       return getLogSegmentForVersion(None, versionToLoad)
     }
-    val newestFirstDeltas = latestCheckpoint match {
-      case Some(cp) => deltas.filter(f => FileNames.deltaVersion(f.getPath) > cp)
-      case None => deltas
+    // Log compaction files (delta PROTOCOL.md "Log Compaction Files"):
+    // READ tolerance for `{start}.{end}.compacted.json` written by other
+    // engines — a compacted range substitutes for its constituent commits
+    // (its content is the newest-wins reconciliation of start..end, so
+    // state(e) = state(s-1) ⊕ compacted(s..e) by construction). Ranges
+    // must start at or after the first needed version; straddlers and
+    // ranges past versionToLoad are ignored.
+    val needStart = latestCheckpoint.map(_ + 1).getOrElse(0L)
+    val singleByV: Map[Long, org.apache.hadoop.fs.FileStatus] =
+      deltas.map(f => FileNames.deltaVersion(f.getPath) -> f).toMap
+        .filter(_._1 >= needStart)
+    val rangesByStart: Map[Long, Vector[(Long, org.apache.hadoop.fs.FileStatus)]] =
+      files.filter(f => FileNames.isCompactedFile(f.getPath))
+        .map(f => (FileNames.compactedRange(f.getPath), f))
+        .filter { case ((s, e), _) =>
+          s >= needStart && e >= s && versionToLoad.forall(e <= _)
+        }
+        .groupBy(_._1._1)
+        .map { case (s, fs) => s -> fs.map { case ((_, e), f) => (e, f) }.toVector }
+    val target: Option[Long] = {
+      val ends = singleByV.keys ++ rangesByStart.values.flatten.map(_._1)
+      if (ends.isEmpty) None else Some(ends.max)
     }
-    val versions = newestFirstDeltas.map(f => FileNames.deltaVersion(f.getPath))
-    // contiguity check (ref :294-300)
-    versions.zip(versions.drop(1)).foreach { case (a, b) =>
-      require(b == a + 1, s"Versions not contiguous in $logPath: $versions")
+    // cover needStart..target with the FEWEST reads: at each version take
+    // the longest compacted range starting there, else the plain commit
+    val picked = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
+    var cursor = needStart
+    target.foreach { t =>
+      while (cursor <= t) {
+        rangesByStart.get(cursor)
+          .flatMap(_.filter(_._1 <= t).sortBy(-_._1).headOption) match {
+          case Some((e, fs)) => picked += fs; cursor = e + 1
+          case None =>
+            singleByV.get(cursor) match {
+              case Some(fs) => picked += fs; cursor += 1
+              case None =>
+                throw new IllegalArgumentException(
+                  s"Versions not contiguous in $logPath: no commit or " +
+                    s"compacted range covers version $cursor " +
+                    s"(need $needStart..$t)")
+            }
+        }
+      }
     }
-    latestCheckpoint match {
-      case Some(cp) =>
-        require(versions.isEmpty || versions.head == cp + 1,
-          s"Gap between checkpoint $cp and first delta ${versions.headOption}")
-      case None =>
-        val expectedFirst = versionToLoad.map(_ => 0L).getOrElse(0L)
-        require(versions.nonEmpty && versions.head == expectedFirst,
-          s"Log at $logPath does not start at version 0: $versions")
+    val coveringDeltas = picked.result()
+    if (latestCheckpoint.isEmpty) {
+      require(coveringDeltas.nonEmpty,
+        s"Log at $logPath does not start at version 0")
     }
 
-    val version = versions.lastOption.orElse(latestCheckpoint).getOrElse(
+    val version = target.orElse(latestCheckpoint).getOrElse(
       throw new IllegalStateException(s"No snapshot version derivable at $logPath"))
     versionToLoad.foreach { v =>
       require(version == v,
@@ -226,9 +258,13 @@ class DeltaLog private (
     val cpFiles = latestCheckpoint
       .map(cp => completeGroups(cp).sortBy(_.getPath.getName))
       .getOrElse(Nil)
-    LogSegment(logPath, version, newestFirstDeltas, cpFiles, latestCheckpoint,
-      newestFirstDeltas.lastOption.map(_.getModificationTime)
-        .orElse(cpFiles.headOption.map(_.getModificationTime)).getOrElse(0L))
+    // commit-time stamp from the newest PLAIN commit when present — a
+    // compacted file's mtime is compaction time, not commit time
+    val lastTs = singleByV.maxByOption(_._1).map(_._2.getModificationTime)
+      .orElse(coveringDeltas.lastOption.map(_.getModificationTime))
+      .orElse(cpFiles.headOption.map(_.getModificationTime)).getOrElse(0L)
+    LogSegment(logPath, version, coveringDeltas, cpFiles, latestCheckpoint,
+      lastTs)
   }
 
   // ------------------------------------------------------------ txn (T1)
@@ -383,6 +419,60 @@ class DeltaLog private (
   /** Delete commit/checkpoint files older than the retention window that
     * precede a newer checkpoint (ref MetadataCleanup.scala:32-97; day
     * truncation matches the reference). */
+  /** WRITE a log compaction file `{start}.{end}.compacted.json`
+    * (PROTOCOL.md "Log Compaction Files"): the newest-wins reconciliation
+    * of commits start..end, readable by this engine (and by delta-spark)
+    * IN PLACE of the originals — log-segment assembly then makes one
+    * read where it made end-start+1. For frequent-commit tables this
+    * cuts tail-replay cost between checkpoints without moving the
+    * checkpoint itself.
+    *
+    * Content: the range's latest Protocol/Metadata (if any changed),
+    * latest SetTransaction per appId, latest DomainMetadata per domain,
+    * the newest file action per (path, dv) key — adds live, removes as
+    * tombstones — and the LAST commit's CommitInfo (so an ICT table's
+    * tail timestamp still resolves from the compacted entry). AddCDCFile
+    * actions are deliberately EXCLUDED: the change feed reads per-version
+    * commits, never compacted ranges.
+    *
+    * Idempotent: the write is put-if-absent; losing to an existing file
+    * of the same name is success. */
+  def compactLog(start: Long, end: Long): Path = {
+    require(start >= 0 && end > start,
+      s"compactLog needs a range of at least two commits, got $start..$end")
+    var lastProtocol: Option[Protocol] = None
+    var lastMetadata: Option[Metadata] = None
+    var lastCommitInfo: Option[CommitInfo] = None
+    val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
+    val domains = mutable.LinkedHashMap.empty[String, DomainMetadata]
+    val filesByKey = mutable.LinkedHashMap.empty[(String, String), Action]
+    (start to end).foreach { v =>
+      val lines = store.read(FileNames.deltaFile(logPath, v), hadoopConf)
+      lines.iterator.filter(_.trim.nonEmpty)
+        .map(JsonCodec.actionFromJson).filter(_ != null).foreach {
+          case p: Protocol => lastProtocol = Some(p)
+          case m: Metadata => lastMetadata = Some(m)
+          case t: SetTransaction => txns(t.appId) = t
+          case d: DomainMetadata => domains(d.domain) = d
+          case a: AddFile => filesByKey((a.path, a.dvId)) = a
+          case r: RemoveFile => filesByKey((r.path, r.dvId)) = r
+          case ci: CommitInfo => if (v == end) lastCommitInfo = Some(ci)
+          case _ => () // AddCDCFile and unknown actions stay per-version
+        }
+    }
+    val actions: Seq[Action] =
+      lastCommitInfo.toSeq ++ lastProtocol.toSeq ++ lastMetadata.toSeq ++
+        domains.values.toSeq ++ txns.values.toSeq ++ filesByKey.values.toSeq
+    val target = FileNames.compactedFile(logPath, start, end)
+    try store.write(target, actions.map(JsonCodec.toJson).iterator,
+      overwrite = false, hadoopConf)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException => () // done
+    }
+    target
+  }
+
   def cleanUpExpiredLogs(): Int = {
     val latestCheckpoint = Checkpoints.lastCheckpoint(this).map(_.version)
       .getOrElse(return 0)
@@ -396,7 +486,10 @@ class DeltaLog private (
     val fs = logPath.getFileSystem(hadoopConf)
     var deleted = 0
     val survivingV2 = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
-    val listing = store.listFrom(FileNames.deltaFile(logPath, 0), hadoopConf)
+    // list from the "00…0." PREFIX (not "00…0.json"): a compacted file
+    // "00…0.00…N.compacted.json" sorts BEFORE "00…0.json" and must be
+    // visible to cleanup too
+    val listing = store.listFrom(new Path(logPath, f"${0L}%020d."), hadoopConf)
       .toVector
     def versionOf(p: Path): Long =
       if (FileNames.isDeltaFile(p)) FileNames.deltaVersion(p)
@@ -428,6 +521,14 @@ class DeltaLog private (
         if (v < latestCheckpoint && (v >= requireBefore || protectedCleanable)
             && fs.delete(p, false)) deleted += 1
         else if (FileNames.isV2CheckpointFile(p)) survivingV2 += f
+      } else if (FileNames.isCompactedFile(p) &&
+          f.getModificationTime < cutoff &&
+          FileNames.compactedRange(p)._2 < latestCheckpoint &&
+          (FileNames.compactedRange(p)._1 >= requireBefore ||
+            protectedCleanable)) {
+        // a compacted range wholly below the newest checkpoint expires by
+        // the same rule as the commits it reconciles
+        if (fs.delete(p, false)) deleted += 1
       } else if (FileNames.isV2CheckpointFile(p)) survivingV2 += f
     }
     // sidecars orphaned by deleted V2 checkpoints: an expired sidecar not

@@ -1302,20 +1302,67 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val filesDs =
       if (snapshot.distributedState) snapshot.allFilesDistributed
       else spark.createDataset(snapshot.allFiles)(enc)
-    val adds: Seq[AddFile] = filesDs.mapPartitions { it =>
-      val conf = sconf.value
-      val srcRoot = new org.apache.hadoop.fs.Path(srcRootStr)
-      val dstRoot = new org.apache.hadoop.fs.Path(dstRootStr)
-      val sfs = srcRoot.getFileSystem(conf)
-      val dfs = dstRoot.getFileSystem(conf)
-      def copy(from: org.apache.hadoop.fs.Path,
-               to: org.apache.hadoop.fs.Path): Unit = {
-        dfs.mkdirs(to.getParent)
-        if (!org.apache.hadoop.fs.FileUtil.copy(sfs, from, dfs, to,
-            false, false, conf)) {
-          throw new java.io.IOException(s"deep clone copy $from -> $to failed")
+
+    // function VALUES, not defs: these run inside task closures, and a
+    // nested def would drag the (non-serializable) enclosing instance in
+    val taskCopier: org.apache.hadoop.conf.Configuration =>
+        (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Unit = {
+      val (srcStr, dstStr) = (srcRootStr, dstRootStr)
+      conf => {
+        val srcRoot = new org.apache.hadoop.fs.Path(srcStr)
+        val dstRoot = new org.apache.hadoop.fs.Path(dstStr)
+        val sfs = srcRoot.getFileSystem(conf)
+        val dfs = dstRoot.getFileSystem(conf)
+        (from, to) => {
+          dfs.mkdirs(to.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(sfs, from, dfs, to,
+              false, false, conf)) {
+            throw new java.io.IOException(
+              s"deep clone copy $from -> $to failed")
+          }
         }
       }
+    }
+    // deterministic target for an absolute-path ("p") DV file: every add
+    // sharing the file maps to the SAME cloned name
+    val pDvRel: DeletionVectorDescriptor => String = d =>
+      "cloned/dv-" + org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(d.pathOrInlineDv) + "-" +
+        new org.apache.hadoop.fs.Path(d.pathOrInlineDv).getName
+
+    // Deletion-vector FILES copy in their own DEDUPED pass: one physical
+    // DV file commonly holds the vectors of MANY data files (offset
+    // addressing), so per-add copies race to the same target — at 10x
+    // scale two tasks collided with PathExistsException. Distinct
+    // descriptors first, then one copy each.
+    implicit val dvEnc = Encoders.product[DeletionVectorDescriptor]
+    filesDs.flatMap(_.deletionVector.toSeq
+        .filter(d => d.storageType == "u" || d.storageType == "p"))(dvEnc)
+      .dropDuplicates("storageType", "pathOrInlineDv")
+      .foreachPartition { (it: Iterator[DeletionVectorDescriptor]) =>
+        val conf = sconf.value
+        val copy = taskCopier(conf)
+        val srcRoot = new org.apache.hadoop.fs.Path(srcRootStr)
+        val dstRoot = new org.apache.hadoop.fs.Path(dstRootStr)
+        it.foreach { d =>
+          d.storageType match {
+            case "u" =>
+              // uuid-derived relative path: same bytes at the same
+              // root-relative location keeps the descriptor valid as-is
+              copy(dv.DeletionVectors.absolutePath(d, srcRoot),
+                dv.DeletionVectors.absolutePath(d, dstRoot))
+            case _ =>
+              copy(new org.apache.hadoop.fs.Path(d.pathOrInlineDv),
+                new org.apache.hadoop.fs.Path(dstRoot, pDvRel(d)))
+          }
+        }
+      }
+
+    val adds: Seq[AddFile] = filesDs.mapPartitions { it =>
+      val conf = sconf.value
+      val copy = taskCopier(conf)
+      val srcRoot = new org.apache.hadoop.fs.Path(srcRootStr)
+      val dstRoot = new org.apache.hadoop.fs.Path(dstRootStr)
       it.map { f =>
         val srcAbs = read.PartitionUtils.absolutePath(srcRoot, f.path)
         // URI.toString renders the file scheme WITHOUT an authority
@@ -1327,22 +1374,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           else "cloned/" + java.util.UUID.randomUUID().toString +
             "-" + srcAbs.getName
         copy(srcAbs, new org.apache.hadoop.fs.Path(dstRoot, relDst))
+        // DV files were copied above; only descriptors rewrite here
         val newDv = f.deletionVector.map { d =>
           d.storageType match {
-            case "u" =>
-              // uuid-derived relative path: same bytes at the same
-              // root-relative location keeps the descriptor valid as-is
-              copy(dv.DeletionVectors.absolutePath(d, srcRoot),
-                dv.DeletionVectors.absolutePath(d, dstRoot))
-              d
-            case "p" =>
-              val from = new org.apache.hadoop.fs.Path(d.pathOrInlineDv)
-              val rel = "cloned/" + java.util.UUID.randomUUID().toString +
-                "-" + from.getName
-              copy(from, new org.apache.hadoop.fs.Path(dstRoot, rel))
-              d.copy(pathOrInlineDv =
-                new org.apache.hadoop.fs.Path(dstRoot, rel).toUri.toString)
-            case _ => d // "i": inline bytes ride the descriptor itself
+            case "p" => d.copy(pathOrInlineDv =
+              new org.apache.hadoop.fs.Path(dstRoot, pDvRel(d)).toUri.toString)
+            case _ => d // "u" stays valid as-is; "i" rides the descriptor
           }
         }
         f.copy(path = relDst, deletionVector = newDv,

@@ -37,8 +37,16 @@ object DistributedLogReplay {
     val commits =
       if (commitPaths.isEmpty) spark.emptyDataset[FileSlice].toDF()
       else spark.read.schema(sliceEnc.schema).json(commitPaths: _*)
+        // a compacted range file ({start}.{end}.compacted.json) folds at
+        // its END version — its content is the range's newest-wins
+        // reconciliation (same keying as Snapshot.deltaVersions)
         .withColumn("version",
-          regexp_extract(input_file_name(), """(\d+)\.json""", 1).cast("long"))
+          coalesce(
+            nullif(regexp_extract(input_file_name(),
+              """(\d+)\.compacted\.json""", 1), lit("")),
+            nullif(regexp_extract(input_file_name(),
+              """(\d+)\.json""", 1), lit("")))
+          .cast("long"))
 
     val checkpoint = segment.checkpointVersion match {
       case Some(cpV) if V2Checkpoints.isV2Segment(segment) =>

@@ -46,6 +46,30 @@ object FileNames {
   def isDeltaFile(path: Path): Boolean =
     deltaFileRegex.pattern.matcher(path.getName).matches()
 
+  // Log compaction files (delta PROTOCOL.md "Log Compaction Files"):
+  // `{start}.{end}.compacted.json` holds the reconciled actions of
+  // commits start..end. READ tolerance only — this engine never writes
+  // them, but must read logs of writers that do.
+  private val compactedFileRegex = """\d+\.\d+\.compacted\.json""".r
+
+  def isCompactedFile(path: Path): Boolean =
+    compactedFileRegex.pattern.matcher(path.getName).matches()
+
+  def compactedFile(logPath: Path, start: Long, end: Long): Path =
+    new Path(logPath, f"$start%020d.$end%020d.compacted.json")
+
+  /** (start, end) of a compacted file's range. */
+  def compactedRange(path: Path): (Long, Long) = {
+    val parts = path.getName.split('.')
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  /** Version RANGE a log entry covers: (v, v) for a plain commit, the
+    * declared (start, end) for a compacted file. */
+  def deltaVersionRange(path: Path): (Long, Long) =
+    if (isCompactedFile(path)) compactedRange(path)
+    else { val v = deltaVersion(path); (v, v) }
+
   def isCheckpointFile(path: Path): Boolean =
     checkpointFileRegex.pattern.matcher(path.getName).matches() ||
       isV2CheckpointFile(path)

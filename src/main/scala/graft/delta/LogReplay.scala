@@ -94,7 +94,10 @@ class InMemoryLogReplay(
   }
 
   def append(version: Long, actions: Iterator[Action]): Unit = {
-    require(currentVersion == -1 || version == currentVersion + 1,
+    // strictly increasing, not necessarily +1: a compacted range file
+    // folds at its END version, jumping over the commits it reconciles
+    // (coverage contiguity is enforced at segment-assembly time)
+    require(version > currentVersion,
       s"Attempted to replay version $version after $currentVersion")
     currentVersion = version
     actions.foreach {

@@ -66,12 +66,20 @@ class Snapshot(
   private val commitCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Seq[Action]]
 
+  /** Keyed by the entry's HIGHEST version — (v, v) for a plain commit,
+    * the declared end for a compacted range file (whose content is the
+    * reconciled actions of its range: folding it at `end` is exact,
+    * since state(end) = state(start-1) ⊕ reconciled(start..end) and the
+    * fold is newest-wins). */
   private lazy val deltaVersions: Seq[(Long, FileStatus)] =
-    logSegment.deltas.map(fs => (FileNames.deltaVersion(fs.getPath), fs))
+    logSegment.deltas.map(fs =>
+      (FileNames.deltaVersionRange(fs.getPath)._2, fs))
 
   /** Commits with version strictly above `after`, parsed via the cache.
     * `private[delta]`: the V2 sidecar carry-over planner reads the
-    * checkpoint interval's commits through the same cache. */
+    * checkpoint interval's commits through the same cache. A compacted
+    * range straddling `after` still folds exactly (⊕ idempotency above),
+    * so the end-version filter stays correct for seeded folds too. */
   private[delta] def commitActionsAfter(after: Long): Seq[(Long, Seq[Action])] =
     deltaVersions.filter(_._1 > after).map { case (v, fs) =>
       (v, commitCache.computeIfAbsent(v, _ => readCommit(fs).toVector))

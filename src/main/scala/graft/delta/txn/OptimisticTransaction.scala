@@ -63,6 +63,12 @@ class OptimisticTransaction(
   private val readFiles = scala.collection.mutable.HashSet.empty[String]
   private val readTxnIds = scala.collection.mutable.HashSet.empty[String]
   private var committed = false
+  /** Lost-race count of the last [[commit]]: how many times the log write
+    * hit FileAlreadyExists and re-validated against the winner. Observable
+    * so cross-process race tests can PROVE a collision actually happened
+    * (a race that never collides proves nothing). */
+  @volatile private var retriesObserved = 0
+  def commitRetries: Int = retriesObserved
   /** Set when this commit re-adds already-live files without paired
     * removes (row-tracking backfill): the incremental checksum fold
     * would overcount, so the crc is written from the replayed state. */
@@ -680,6 +686,7 @@ class OptimisticTransaction(
             ictFloor = math.max(ictFloor, winnerIct)
             rowFloor = math.max(rowFloor, winnerHwm)
             attempts += 1
+            retriesObserved = attempts
         }
       }
     }

@@ -36,6 +36,19 @@ object BloomFilters {
   val BitsTag = "bloomBits"
   val NumHashes = 6
   val DefaultBits = 65536 // 8 KiB per file per column
+  /** Auto-sizing: ~10 bits/key ≈ 1% FPP at k=6. A FIXED size saturates
+    * at scale — at 10x the rows per file the default's bit density hit
+    * ~0.8 and pruning collapsed to "open everything" (the r11 sf1 run
+    * caught exactly this). Capped so the base64 tag cannot bloat the
+    * log: 2^23 bits = 1 MiB bitset ≈ 1.4 MB base64 per file per column,
+    * reached only past ~800k rows/file. Explicit `delta.bloomFilter
+    * .bits` still wins. */
+  val BitsPerKey = 10L
+  val MaxAutoBits = 1 << 23
+
+  def autoBits(rows: Long): Int =
+    math.min(math.max(DefaultBits.toLong, rows * BitsPerKey),
+      MaxAutoBits.toLong).toInt
 
   def indexedColumns(metadata: Metadata): Seq[String] =
     metadata.configuration.get(ColumnsKey).toSeq
@@ -79,12 +92,23 @@ object BloomFilters {
     * dir): one distributed pass reading only the indexed columns;
     * returns file NAME (basename, unique within a batch) → col →
     * base64. `physicalName` maps logical to parquet column names. */
+  /** Per-file filters plus the per-file bit WIDTH used (rows-adaptive
+    * via [[autoBits]] unless `delta.bloomFilter.bits` fixes it):
+    * file name → (col → base64, bits). `rowsByFile` supplies each file's
+    * row count (from the stats pass that already ran) so sizing needs no
+    * extra read. */
   def build(spark: SparkSession, files: Seq[Path],
             metadata: Metadata,
-            physicalName: String => String): Map[String, Map[String, String]] = {
+            physicalName: String => String,
+            rowsByFile: Map[String, Long] = Map.empty)
+      : Map[String, (Map[String, String], Int)] = {
     val cols = indexedColumns(metadata)
     if (cols.isEmpty || files.isEmpty) return Map.empty
-    val nBits = bits(metadata)
+    val explicit = metadata.configuration.get(BitsKey).map(_.toInt)
+    val bitsByFile: Map[String, Int] = files.map { p =>
+      p.getName -> explicit.getOrElse(
+        autoBits(rowsByFile.getOrElse(p.getName, 0L)))
+    }.toMap
     val physSchema = StructType(metadata.dataSchema.fields.map(f =>
       f.copy(name = physicalName(f.name))))
     val physCols = cols.map(physicalName)
@@ -94,11 +118,13 @@ object BloomFilters {
       .select(input_file_name().as("__file") +:
         physCols.map(c => col(s"`$c`").cast("string").as(c)): _*)
     val nCols = physCols.size
-    val words = (nBits + 63) / 64
+    val bBits = spark.sparkContext.broadcast(bitsByFile)
     projected.mapPartitions { rows =>
       val acc = scala.collection.mutable.HashMap.empty[(String, Int), Array[Long]]
       rows.foreach { r =>
         val file = r.getString(0).split('/').last
+        val nBits = bBits.value.getOrElse(file, DefaultBits)
+        val words = (nBits + 63) / 64
         var i = 0
         while (i < nCols) {
           if (!r.isNullAt(i + 1)) {
@@ -122,7 +148,9 @@ object BloomFilters {
       .collect()
       .groupBy(_._1)
       .map { case (file, entries) =>
-        file -> entries.map { case (_, i, bitset) =>
+        val nBits = bitsByFile.getOrElse(file, DefaultBits)
+        val words = (nBits + 63) / 64
+        file -> (entries.map { case (_, i, bitset) =>
           val bytes = new Array[Byte](words * 8)
           var w = 0
           while (w < words) {
@@ -137,7 +165,7 @@ object BloomFilters {
           // attributes (logical), and physical names were only needed to
           // read the parquet back
           cols(i) -> java.util.Base64.getEncoder.encodeToString(bytes)
-        }.toMap
+        }.toMap, nBits)
       }
   }
 }

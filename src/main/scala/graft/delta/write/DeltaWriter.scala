@@ -338,18 +338,26 @@ object DeltaWriter {
         // the caller-resolved schema IS the index policy — no second cap
         maxCols = Int.MaxValue)
       // opt-in per-file Bloom filters (delta.bloomFilter.columns): one
-      // extra columnar pass over only the indexed columns
-      val blooms: Map[String, Map[String, String]] = meta
+      // extra columnar pass over only the indexed columns; each file's
+      // filter is sized from ITS row count (already in the stats just
+      // collected) so the filter never saturates as files grow
+      val numRecordsRe = """"numRecords"\s*:\s*(\d+)""".r
+      lazy val rowsByFile: Map[String, Long] = files.flatMap { st =>
+        stats.get(st.getPath).flatten.flatMap(s =>
+          numRecordsRe.findFirstMatchIn(s).map(_.group(1).toLong))
+          .map(st.getPath.getName -> _)
+      }.toMap
+      val blooms: Map[String, (Map[String, String], Int)] = meta
         .filter(m => BloomFilters.indexedColumns(m).nonEmpty)
         .map(m => BloomFilters.build(df.sparkSession, files.map(_.getPath),
-          m, n => mapping.getOrElse(n, n)))
+          m, n => mapping.getOrElse(n, n), rowsByFile))
         .getOrElse(Map.empty)
-      val bloomBits = meta.map(BloomFilters.bits)
       files.map { st =>
         val relInBatch = st.getPath.toUri.getPath
           .stripPrefix(batchDir.toUri.getPath + "/")
         val rel = s"$batchName/$relInBatch"
-        val fileBlooms = blooms.getOrElse(st.getPath.getName, Map.empty)
+        val (fileBlooms, fileBloomBits) =
+          blooms.getOrElse(st.getPath.getName, (Map.empty[String, String], 0))
         AddFile(
           // the protocol stores paths as percent-encoded relative URIs
           // (canonicalization ref: SnapshotImpl.scala:349-362)
@@ -362,7 +370,7 @@ object DeltaWriter {
           tags = if (fileBlooms.isEmpty) None
             else Some(fileBlooms.map { case (c, v) =>
               (BloomFilters.TagPrefix + c) -> v
-            } + (BloomFilters.BitsTag -> bloomBits.get.toString)))
+            } + (BloomFilters.BitsTag -> fileBloomBits.toString)))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

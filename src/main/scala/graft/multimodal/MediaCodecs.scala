@@ -1301,6 +1301,86 @@ object MediaCodecs {
 
   private val nComponents = 3
 
+  /** 4:2:0 variant of [[synthJpeg]]: Y sampled 2x2, Cb/Cr 1x1 — each MCU
+    * covers 16x16 pixels with four luma blocks and one block per chroma.
+    * Luma is constant per 8x8 block at GLOBAL block coordinates
+    * (bx = 2 mx + sx), chroma constant per MCU — so replication
+    * upsampling reconstructs the chroma EXACTLY and the decode stays
+    * bit-predictable. Closed forms: Y = seed + 3 bx + 7 by;
+    * Cb = 3 seed + 5 mx + 11 my; Cr = 7 seed + 13 mx + 17 my (mod 256). */
+  def synthJpeg420(seed: Long, mcusW: Int, mcusH: Int): Array[Byte] = {
+    require(mcusW > 0 && mcusH > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    val s = java.lang.Math.floorMod(seed, 256L)
+
+    marker(0xd8)
+    marker(0xdb); u16(2 + 1 + 64); u8(0); (0 until 64).foreach(_ => u8(8))
+    marker(0xc0)
+    u16(8 + 3 * nComponents)
+    u8(8); u16(mcusH * 16); u16(mcusW * 16)
+    u8(nComponents)
+    u8(1); u8(0x22); u8(0) // Y: 2x2
+    u8(2); u8(0x11); u8(0) // Cb: 1x1
+    u8(3); u8(0x11); u8(0)
+    def dht(cls: Int, id: Int, t: (Array[Int], Array[Int])): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + t._2.length); u8((cls << 4) | id)
+      t._1.foreach(u8); t._2.foreach(u8)
+    }
+    dht(0, 0, StdDcLum); dht(1, 0, StdAcLum)
+    dht(0, 1, StdDcChr); dht(1, 1, StdAcChr)
+    marker(0xda)
+    u16(6 + 2 * nComponents)
+    u8(nComponents)
+    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+
+    val dcLum = new HuffTable(StdDcLum._1, StdDcLum._2).encode
+    val dcChr = new HuffTable(StdDcChr._1, StdDcChr._2).encode
+    val acLumEob = new HuffTable(StdAcLum._1, StdAcLum._2).encode(0x00)
+    val acChrEob = new HuffTable(StdAcChr._1, StdAcChr._2).encode(0x00)
+    val w = new JpegBitWriter(out)
+    val pred = new Array[Int](3)
+    def emitBlock(comp: Int, value: Int): Unit = {
+      val dc = value - 128
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag)
+      val (code, len) = (if (comp == 0) dcLum else dcChr)(cat)
+      w.write(code, len)
+      if (cat > 0) w.write(if (diff < 0) diff - 1 else diff, cat)
+      val (ec, el) = if (comp == 0) acLumEob else acChrEob
+      w.write(ec, el)
+    }
+    var my = 0
+    while (my < mcusH) {
+      var mx = 0
+      while (mx < mcusW) {
+        // four luma blocks in the decoder's (by, bx) raster order
+        var sy = 0
+        while (sy < 2) {
+          var sx = 0
+          while (sx < 2) {
+            emitBlock(0,
+              ((s + 3L * (2 * mx + sx) + 7L * (2 * my + sy)) % 256).toInt)
+            sx += 1
+          }
+          sy += 1
+        }
+        emitBlock(1, ((s * 3L + 5L * mx + 11L * my) % 256).toInt)
+        emitBlock(2, ((s * 7L + 13L * mx + 17L * my) % 256).toInt)
+        mx += 1
+      }
+      my += 1
+    }
+    w.pad()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** cos((2x + 1) u pi / 16) lookup for the reference IDCT. */
   private val IdctCos: Array[Array[Double]] =
     Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))

@@ -92,23 +92,35 @@ object Search {
     * per-batch (n_docs, total_tokens) partials (summed at probe time —
     * batch-count rows, never corpus-sized). */
   def buildPostingsIndex(spark: SparkSession, docs: DataFrame, idCol: String,
-                         textCol: String, indexPath: String): Unit =
+                         textCol: String, indexPath: String,
+                         configuration: Map[String, String] =
+                           DefaultPostingsConfig): Unit =
     writePostings(spark, docs, idCol, textCol, indexPath,
-      SaveMode.Overwrite, idempotentTxn = None)
+      SaveMode.Overwrite, idempotentTxn = None, configuration)
 
   /** Append a NEW batch's postings to an existing artifact — indexed
     * documents are never re-read or re-tokenized; doc_ids must be new
     * (the same contract as [[Dedup.incrementalMinhashLshPersisted]]). */
   def appendToPostingsIndex(spark: SparkSession, batch: DataFrame,
                             idCol: String, textCol: String, indexPath: String,
-                            idempotentTxn: Option[(String, Long)] = None): Unit =
+                            idempotentTxn: Option[(String, Long)] = None,
+                            configuration: Map[String, String] =
+                              DefaultPostingsConfig): Unit =
     writePostings(spark, batch, idCol, textCol, indexPath,
-      SaveMode.Append, idempotentTxn)
+      SaveMode.Append, idempotentTxn, configuration)
+
+  /** The artifact DEFAULT (same decision as the substring index, r9):
+    * per-batch appends accrete small files, so the table self-compacts
+    * unless the caller opts out (churn specs do, to expose and then
+    * recover the degradation). */
+  val DefaultPostingsConfig: Map[String, String] =
+    Map("delta.autoOptimize.autoCompact" -> "true")
 
   private def writePostings(spark: SparkSession, docs: DataFrame,
                             idCol: String, textCol: String, indexPath: String,
                             mode: SaveMode,
-                            idempotentTxn: Option[(String, Long)]): Unit = {
+                            idempotentTxn: Option[(String, Long)],
+                            configuration: Map[String, String]): Unit = {
     import spark.implicits._
     val toks = tokenized(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -121,15 +133,14 @@ object Search {
         // files on parquet/AddFile min-max stats
         .repartition(col("term")).sortWithinPartitions("term")
       // a growing artifact needs a compaction story: per-batch appends
-      // accrete small files, so the table self-compacts (same pattern as
-      // the LSH index artifact)
-      val cfg = Map("delta.autoOptimize.autoCompact" -> "true")
+      // accrete small files, so the table self-compacts by default (same
+      // pattern as the LSH index artifact; see [[DefaultPostingsConfig]])
       graft.delta.DeltaTable.write(postings, s"$indexPath/postings", mode,
-        configuration = cfg, idempotentTxn = idempotentTxn)
+        configuration = configuration, idempotentTxn = idempotentTxn)
       val stats = toks.agg(count(lit(1)).as("n_docs"),
         sum($"dl".cast("long")).as("total_tokens"))
       graft.delta.DeltaTable.write(stats, s"$indexPath/stats", mode,
-        configuration = cfg,
+        configuration = configuration,
         idempotentTxn = idempotentTxn.map { case (app, v) => (s"$app-stats", v) })
     } finally toks.unpersist(blocking = false)
   }

@@ -107,6 +107,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case UnsetPropsRe(target, keys) =>
       GraftSqlParser.parsePropKeys(keys).map(ks =>
         GraftUnsetPropertiesCommand(parseTarget(target), ks))
+    case ShowPropsRe(target, k1, k2, k3) =>
+      // read face of SET/UNSET TBLPROPERTIES; IO deferred to run()
+      Some(GraftShowPropertiesCommand(parseTarget(target),
+        Seq(k1, k2, k3).find(_ != null)))
     case _ => None
   }
 
@@ -188,6 +192,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']*'|"[^"]*")\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val UnsetPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']*'|"[^"]*")\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*""".r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+('[^']*'|"[^"]*")(?:\s*\(\s*(?:'([^']+)'|"([^"]+)"|([\w.\-]+))\s*\))?\s*;?\s*""".r
   private val PropPairRe =
     """\s*(?:'([^']+)'|"([^"]+)"|([\w.\-]+))\s*=\s*(?:'([^']*)'|"([^"]*)"|([^,\s]+))\s*""".r
   private val PropKeyRe =
@@ -675,6 +681,35 @@ case class GraftDescribeDetailCommand(
   override def run(session: SparkSession): Seq[Row] = {
     graft.delta.DeltaTable.forPath(session,
       GraftSqlParser.resolvePath(session, target)).detail().collect().toSeq
+  }
+}
+
+/** `SHOW TBLPROPERTIES '<path>' [('key')]` — the read-side complement of
+  * SET/UNSET TBLPROPERTIES, answered from the snapshot's protocol+metadata
+  * short-circuit (no file-state fold). Path targets only, same as
+  * SET/UNSET — identifier targets delegate to Spark's native handling.
+  * IO stays in run() (the GraftDescribeDetailCommand pattern), so EXPLAIN
+  * and dry parsing never touch storage. Missing requested key mirrors
+  * Spark's convention: one row whose value SAYS the property is absent. */
+case class GraftShowPropertiesCommand(
+    target: Either[String, Seq[String]],
+    key: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val props = graft.delta.DeltaLog.forTable(session, path)
+      .update().metadata.configuration
+    key match {
+      case Some(k) =>
+        Seq(Row(k, props.getOrElse(k,
+          s"Table $path does not have property: $k")))
+      case None =>
+        props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
   }
 }
 

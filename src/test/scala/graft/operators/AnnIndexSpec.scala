@@ -40,6 +40,75 @@ class AnnIndexSpec extends SparkSpec {
   private def scanPaths(s: FileSourceScanExec): String =
     s.relation.location.rootPaths.mkString(",")
 
+  test("ivf recall@10: >= 0.9 at default nProbe on clustered data, above " +
+      "the proportional-probe floor on isotropic data, monotone, exact " +
+      "at nProbe = nCells") {
+    // retrieval QUALITY, not pipeline exactness (the oracles prove the
+    // latter). Two regimes, because recall physics depends on structure:
+    // the driver's embeddings are ISOTROPIC (measured within-label vs
+    // across-label cosine both ~0), where NO quantizer reaches high
+    // recall at 4/16 probes — there the bound is "well above the
+    // nProbe/nCells proportional floor". The >= 0.9 headline bound is
+    // pinned on a CLUSTERED corpus, the workload IVF exists for. The
+    // sf1 curves (10x corpus, graft.tools.RecallCurve) are in NOTES.
+    import spark.implicits._
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    def curve(corpus: org.apache.spark.sql.DataFrame,
+              queries: org.apache.spark.sql.DataFrame): Map[Int, Double] = {
+      val truth = topSets(
+        Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10))
+      val c = Seq(1, 2, 4, 8, 16).map { p =>
+        val got = topSets(Similarity.ivfTopK(corpus, queries,
+          "vec_id", "embedding", 10, nCells = 16, nProbe = p,
+          trainIters = 5))
+        p -> truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      }
+      info(c.map { case (p, r) => f"nProbe=$p recall@10=$r%.3f" }
+        .mkString(", "))
+      c.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+        assert(rb >= ra - 1e-9,
+          s"recall must not decrease with nProbe: $pa->$ra vs $pb->$rb")
+      }
+      val m = c.toMap
+      // probing every cell scores the whole corpus = brute force exactly
+      assert(m(16) == 1.0, s"nProbe=nCells must be exact: ${m(16)}")
+      m
+    }
+
+    // clustered corpus: 16 well-separated deterministic centers, small
+    // per-vector perturbation — neighbors live in the query's cluster
+    val dimC = 32
+    val clustered = spark.range(2000).map { i =>
+      val cl = (i % 16).toInt
+      val v = Array.tabulate(dimC) { d =>
+        val center = if (((cl >> (d % 4)) & 1) == 0) 4.0 else -4.0
+        center + ((i * 31 + d * 7) % 11 - 5) * 0.1
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cq = clustered.filter($"vec_id" % 40 === 0).limit(50).cache()
+    val clusteredCurve = curve(clustered, cq)
+    assert(clusteredCurve(4) >= 0.9,
+      s"clustered recall@10 at default nProbe=4 must be >= 0.9: " +
+        s"${clusteredCurve(4)}")
+
+    // isotropic corpus (the driver's real embeddings): the floor is the
+    // proportional-probe baseline nProbe/nCells = 0.25; the index must
+    // beat it decisively (the query's own neighborhood concentrates)
+    val iso = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val iq = iso.filter($"vec_id" % 40 === 0).limit(50).cache()
+    val isoCurve = curve(iso, iq)
+    assert(isoCurve(4) >= 0.4,
+      s"isotropic recall@10 at nProbe=4 must beat the 0.25 proportional " +
+        s"floor decisively: ${isoCurve(4)}")
+  }
+
   test("pq: indexed search is bit-identical to the ad-hoc operator") {
     withTempDir { dir =>
       import spark.implicits._

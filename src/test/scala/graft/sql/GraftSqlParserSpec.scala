@@ -90,6 +90,34 @@ class GraftSqlParserSpec extends SparkSpec {
         Map("myapp.endpoint" -> "http://h?x=1&y=2")))
   }
 
+  test("SHOW TBLPROPERTIES: full map, single key, missing key; IO in run()") {
+    // parse-only: a nonexistent path must parse cleanly
+    assert(parse("SHOW TBLPROPERTIES '/no/such/table'") ==
+      GraftShowPropertiesCommand(Left("/no/such/table"), None))
+    assert(parse("SHOW TBLPROPERTIES '/p/t' ('delta.appendOnly')") ==
+      GraftShowPropertiesCommand(Left("/p/t"), Some("delta.appendOnly")))
+    // identifier targets are NOT intercepted (Spark's native handling)
+    assert(!parse("SHOW TBLPROPERTIES some_catalog_table")
+      .isInstanceOf[GraftShowPropertiesCommand])
+    withTempDir { dir =>
+      import spark.implicits._
+      graft.delta.DeltaTable.write(Seq(1, 2).toDF("v"), dir)
+      spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+        "('delta.appendOnly'='false', 'myapp.owner'='graft')")
+      val all = spark.sql(s"SHOW TBLPROPERTIES '$dir'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(all("delta.appendOnly") == "false" &&
+        all("myapp.owner") == "graft")
+      val one = spark.sql(s"SHOW TBLPROPERTIES '$dir' ('myapp.owner')")
+        .collect()
+      assert(one.length == 1 && one.head.getString(1) == "graft")
+      val missing = spark.sql(s"SHOW TBLPROPERTIES '$dir' ('nope.key')")
+        .collect()
+      assert(missing.length == 1 &&
+        missing.head.getString(1).contains("does not have property"))
+    }
+  }
+
   test("DESCRIBE DETAIL defers IO to run(): parsing never touches storage") {
     // a nonexistent path must PARSE cleanly (EXPLAIN / dry parsing must
     // not surface storage errors); only execution reads the log
