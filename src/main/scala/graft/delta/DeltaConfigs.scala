@@ -52,6 +52,14 @@ object DeltaConfigs {
   val ENABLE_EXPIRED_LOG_CLEANUP: DeltaConfig[Boolean] = DeltaConfig(
     "delta.enableExpiredLogCleanup", "true", _.toBoolean)
 
+  /** Minor log compaction cadence (graft extension over PROTOCOL.md "Log
+    * Compaction Files"): every N commits, the post-commit hook writes
+    * `{v-N+1}.{v}.compacted.json` so tail replay between checkpoints
+    * reads one reconciled file instead of N commits. 0 = off (default);
+    * best paired with a checkpointInterval that is a multiple of N. */
+  val LOG_COMPACTION_INTERVAL: DeltaConfig[Int] = DeltaConfig(
+    "graft.logCompaction.interval", "0", _.toInt, (_: Int) >= 0)
+
   val IS_APPEND_ONLY: DeltaConfig[Boolean] = DeltaConfig(
     "delta.appendOnly", "false", _.toBoolean)
 

@@ -352,6 +352,19 @@ class DeltaLog private (
         s"Requested changes from $startVersion but earliest available is " +
           s"${FileNames.deltaVersion(files.head.getPath)} (log truncated)")
     }
+    if (failOnDataLoss) {
+      // MID-RANGE gaps too, not just the head: commits subsumed by a log
+      // compaction file and then cleaned up must fail the change feed
+      // loudly (per-version changes are not reconstructible from the
+      // reconciled range), never silently skip
+      val vs = files.map(f => FileNames.deltaVersion(f.getPath))
+      vs.zip(vs.drop(1)).foreach { case (a, b) =>
+        if (b != a + 1) throw new IllegalStateException(
+          s"Changes between versions $a and $b are missing from the log " +
+            "(cleaned up or compacted away); per-version changes cannot " +
+            "be served")
+      }
+    }
     files.iterator.map { fs =>
       val v = FileNames.deltaVersion(fs.getPath)
       val actions = store.read(fs.getPath, hadoopConf)

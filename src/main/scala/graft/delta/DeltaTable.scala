@@ -404,7 +404,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // would put O(versions) nodes in the plan (see [[read.CdfRelation]])
     var cdcFiles = Vector.empty[AddFile]
     var derived = Vector.empty[AddFile]
-    deltaLog.getChanges(startVersion).takeWhile(_._1 <= endVersion)
+    // failOnDataLoss: a commit inside the requested range that was
+    // cleaned up (or subsumed by a log compaction file) makes per-version
+    // changes unreconstructible — the feed must error, never skip
+    deltaLog.getChanges(startVersion, failOnDataLoss = true)
+      .takeWhile(_._1 <= endVersion)
       .foreach { case (v, actions) =>
         val (c, d) = read.CdfRelation.tagFiles(v, actions, "read")
         cdcFiles ++= c

@@ -42,6 +42,12 @@ class DeltaSource(
     options.getOrElse("ignoreDeletes", "false").toBoolean
   private val ignoreChanges =
     options.getOrElse("ignoreChanges", "false").toBoolean
+  /** Default TRUE (delta-spark's streaming semantics): a commit between
+    * the stream's offset and the head that no longer exists (log cleanup,
+    * or subsumed by a log compaction file) fails the stream rather than
+    * silently skipping its rows. Opting out accepts the gap. */
+  private val failOnDataLoss =
+    options.getOrElse("failOnDataLoss", "true").toBoolean
 
   /** Skip rewrite/delete commits entirely (their rows are neither
     * re-emitted nor failed on) — the modern replacement for
@@ -182,7 +188,7 @@ class DeltaSource(
     var endV = base
     var files = 0
     var bytes = 0L
-    val it = deltaLog.getChanges(base + 1).takeWhile(_._1 <= head)
+    val it = deltaLog.getChanges(base + 1, failOnDataLoss).takeWhile(_._1 <= head)
     var done = false
     while (!done && it.hasNext) {
       val (v, actions) = it.next()
@@ -237,7 +243,7 @@ class DeltaSource(
     // [[graft.delta.read.CdfRelation]])
     var cdcFiles = Vector.empty[AddFile]
     var derived = Vector.empty[AddFile]
-    deltaLog.getChanges(fromV).takeWhile(_._1 <= endV)
+    deltaLog.getChanges(fromV, failOnDataLoss).takeWhile(_._1 <= endV)
       .foreach { case (v, actions) =>
         // the same mid-stream sanitation as the non-CDF path: a schema
         // or protocol change invalidates this stream's pinned schema —
@@ -271,7 +277,7 @@ class DeltaSource(
   /** F3 change sanitation for versions [fromV, toV]. */
   private def changedFiles(fromV: Long, toV: Long): Seq[AddFile] = {
     if (fromV > toV) return Nil
-    deltaLog.getChanges(fromV).takeWhile(_._1 <= toV).flatMap {
+    deltaLog.getChanges(fromV, failOnDataLoss).takeWhile(_._1 <= toV).flatMap {
       case (v, actions) =>
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         val removes = actions.collect { case r: RemoveFile if r.dataChange => r }

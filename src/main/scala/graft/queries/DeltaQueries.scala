@@ -207,6 +207,47 @@ object DeltaQueries {
         FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7
         GROUP BY l_linenumber""")),
 
+    // Minor LOG COMPACTION (PROTOCOL.md "Log Compaction Files"): the
+    // post-commit cadence (graft.logCompaction.interval=2) writes
+    // {1}.{2}. and {3}.{4}.compacted.json during the append loop; the
+    // subsumed commit JSONs are then DELETED before the read, so the
+    // aggregate can only be right if segment assembly covers the log
+    // from the compacted ranges and replay folds them exactly.
+    QueryDef(
+      "delta_log_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val path = tmp("logcompact")
+        val ord = t(s, dir, "orders")
+        DeltaTable.write(ord.filter($"o_orderkey" % 5 === 0), path,
+          SaveMode.Overwrite,
+          configuration = Map("graft.logCompaction.interval" -> "2"))
+        (1 to 4).foreach { i =>
+          DeltaTable.write(ord.filter($"o_orderkey" % 5 === i), path)
+        }
+        val log = graft.delta.DeltaLog.forTable(s, path)
+        val fs = log.logPath.getFileSystem(log.hadoopConf)
+        Seq((1L, 2L), (3L, 4L)).foreach { case (a, b) =>
+          require(fs.exists(graft.delta.FileNames.compactedFile(log.logPath, a, b)),
+            s"cadence hook must have written $a.$b.compacted.json")
+        }
+        (1 to 4).foreach { v =>
+          require(fs.delete(
+            graft.delta.FileNames.deltaFile(log.logPath, v), false),
+            s"original commit $v must exist to be deleted")
+        }
+        graft.delta.DeltaLog.clearCache() // force replay over compacted ranges
+        DeltaTable.forPath(s, path).toDF
+          .groupBy($"o_orderpriority").agg(
+            count(lit(1)).as("n"),
+            sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double")
+              .as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderpriority""")),
+
     // V2 checkpoint lifecycle with sidecar CARRY-OVER: two interval
     // checkpoints fire during the append loop; the `carried` column
     // proves the second re-referenced sidecars of the first, and the

@@ -53,6 +53,37 @@ class ChangeDataFeedSpec extends SparkSpec {
 
   private val cdf = Map("delta.enableChangeDataFeed" -> "true")
 
+  test("a mid-range gap (cleaned or compacted-away commit) fails the " +
+      "feed loudly; the raw iterator can opt out") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 4).map(i => (i, i * 1.0)).toDF("id", "v"), dir,
+        configuration = cdf)
+      (1 to 3).foreach(i =>
+        DeltaTable.write(Seq((10 + i, i * 1.0)).toDF("id", "v"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      // snapshot assembly stays healthy (reads from this checkpoint) —
+      // only the CHANGE range crosses the hole
+      Checkpoints.writeCheckpoint(log.update())
+      DeltaTable.write(Seq((99, 9.0)).toDF("id", "v"), dir) // v4
+      // simulate a compaction-then-cleanup hole: v2's json vanishes
+      assert(new java.io.File(
+        FileNames.deltaFile(log.logPath, 2).toUri.getPath).delete())
+      val e = intercept[IllegalStateException] {
+        DeltaTable.forPath(spark, dir).changes(1, 4).collect()
+      }
+      assert(e.getMessage.contains("missing from the log"), e.getMessage)
+      // head truncation keeps its own message
+      val e2 = intercept[IllegalStateException] {
+        log.getChanges(2, failOnDataLoss = true).toVector
+      }
+      assert(e2.getMessage.contains("log truncated"), e2.getMessage)
+      // explicit opt-out skips the hole (the streaming option's contract)
+      val vs = log.getChanges(1, failOnDataLoss = false)
+        .map(_._1).toVector
+      assert(vs == Vector(1L, 3L, 4L))
+    }
+  }
+
   test("inserts, updates and deletes all appear in the change feed") {
     withTempDir { dir =>
       DeltaTable.write((1 to 4).map(i => (i, i * 1.0)).toDF("id", "v"), dir,

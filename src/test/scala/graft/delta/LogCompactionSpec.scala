@@ -149,6 +149,39 @@ class LogCompactionSpec extends SparkSpec {
     }
   }
 
+  test("cadence hook: graft.logCompaction.interval=N writes a range every " +
+      "N commits; off by default") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((0, "x")).toDF("v", "who"), dir,
+        configuration = Map("graft.logCompaction.interval" -> "3"))
+      (1 to 7).foreach(i =>
+        DeltaTable.write(Seq((i, s"c$i")).toDF("v", "who"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      val fs = log.logPath.getFileSystem(log.hadoopConf)
+      assert(fs.exists(FileNames.compactedFile(log.logPath, 1, 3)))
+      assert(fs.exists(FileNames.compactedFile(log.logPath, 4, 6)))
+      assert(!fs.exists(FileNames.compactedFile(log.logPath, 5, 7)),
+        "ranges are interval-aligned")
+      // replay equality THROUGH the cadence-written ranges
+      (1 to 6).foreach { v =>
+        assert(new java.io.File(
+          FileNames.deltaFile(log.logPath, v).toUri.getPath).delete())
+      }
+      val (v, data) = state(dir)
+      assert(v == 7 && data.size == 8)
+    }
+    withTempDir { dir =>
+      DeltaTable.write(Seq((0, "x")).toDF("v", "who"), dir)
+      (1 to 4).foreach(i =>
+        DeltaTable.write(Seq((i, s"c$i")).toDF("v", "who"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      val fs = log.logPath.getFileSystem(log.hadoopConf)
+      val listed = fs.listStatus(log.logPath)
+        .map(_.getPath.getName).filter(_.contains("compacted"))
+      assert(listed.isEmpty, s"no cadence by default: ${listed.toSeq}")
+    }
+  }
+
   test("expired compacted ranges below the newest checkpoint are cleaned up") {
     withTempDir { dir =>
       DeltaTable.write(Seq((0, "base")).toDF("v", "who"), dir)
