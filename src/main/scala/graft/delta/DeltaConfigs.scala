@@ -58,7 +58,10 @@ object DeltaConfigs {
     * reads one reconciled file instead of N commits. 0 = off (default);
     * best paired with a checkpointInterval that is a multiple of N. */
   val LOG_COMPACTION_INTERVAL: DeltaConfig[Int] = DeltaConfig(
-    "graft.logCompaction.interval", "0", _.toInt, (_: Int) >= 0)
+    "graft.logCompaction.interval", "0", _.toInt,
+    // a 1-commit "range" cannot compact anything (compactLog requires
+    // end > start): 0 = off, else at least 2
+    (v: Int) => v == 0 || v >= 2)
 
   val IS_APPEND_ONLY: DeltaConfig[Boolean] = DeltaConfig(
     "delta.appendOnly", "false", _.toBoolean)

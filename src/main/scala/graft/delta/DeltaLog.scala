@@ -218,9 +218,24 @@ class DeltaLog private (
         }
         .groupBy(_._1._1)
         .map { case (s, fs) => s -> fs.map { case ((_, e), f) => (e, f) }.toVector }
+    // the version line ANCHORS on real commits (and the checkpoint);
+    // compacted ranges may extend it only by chaining contiguously off
+    // the anchor (start == anchor + 1, repeatedly). A stray or premature
+    // {s}.{e}.compacted.json that merely OVERLAPS existing commits (a
+    // compactor that crashed after writing the file optimistically)
+    // must never advance the table version past the newest real commit.
     val target: Option[Long] = {
-      val ends = singleByV.keys ++ rangesByStart.values.flatten.map(_._1)
-      if (ends.isEmpty) None else Some(ends.max)
+      var anchor: Long =
+        (singleByV.keys ++ latestCheckpoint.toSeq).foldLeft(-1L)(math.max)
+      var extended = true
+      while (extended) {
+        extended = false
+        rangesByStart.get(anchor + 1).foreach { rs =>
+          val e = rs.map(_._1).max
+          if (e > anchor) { anchor = e; extended = true }
+        }
+      }
+      if (anchor < 0) None else Some(anchor)
     }
     // cover needStart..target with the FEWEST reads: at each version take
     // the longest compacted range starting there, else the plain commit
@@ -341,28 +356,53 @@ class DeltaLog private (
   /** Per-version action feed from `startVersion` (inclusive).
     * Ref: DeltaLogImpl.scala:106-130. */
   def getChanges(startVersion: Long,
-                 failOnDataLoss: Boolean = false): Iterator[(Long, Seq[Action])] = {
+                 failOnDataLoss: Boolean = false,
+                 endVersion: Option[Long] = None): Iterator[(Long, Seq[Action])] = {
     val files = store.listFrom(
         FileNames.deltaFile(logPath, startVersion), hadoopConf)
       .filter(f => FileNames.isDeltaFile(f.getPath))
+      .filter(f => endVersion.forall(FileNames.deltaVersion(f.getPath) <= _))
       .toVector.sortBy(f => FileNames.deltaVersion(f.getPath))
-    if (failOnDataLoss && files.nonEmpty &&
-        FileNames.deltaVersion(files.head.getPath) != startVersion) {
-      throw new IllegalStateException(
-        s"Requested changes from $startVersion but earliest available is " +
-          s"${FileNames.deltaVersion(files.head.getPath)} (log truncated)")
-    }
     if (failOnDataLoss) {
-      // MID-RANGE gaps too, not just the head: commits subsumed by a log
-      // compaction file and then cleaned up must fail the change feed
-      // loudly (per-version changes are not reconstructible from the
-      // reconciled range), never silently skip
+      // loud-failure contract: ANY commit inside [startVersion,
+      // min(endVersion, head)] that no longer exists (cleaned up, or
+      // subsumed by a log compaction file whose originals were removed)
+      // throws — per-version changes are not reconstructible from a
+      // reconciled range, so silently skipping is data loss. The check
+      // is bounded to the REQUESTED range: a hole past endVersion is
+      // not this read's problem. The snapshot head resolves lazily,
+      // only for the cases a listing alone cannot decide.
       val vs = files.map(f => FileNames.deltaVersion(f.getPath))
-      vs.zip(vs.drop(1)).foreach { case (a, b) =>
-        if (b != a + 1) throw new IllegalStateException(
-          s"Changes between versions $a and $b are missing from the log " +
-            "(cleaned up or compacted away); per-version changes cannot " +
-            "be served")
+      // the snapshot head is consulted lazily — only for the two cases a
+      // listing alone cannot decide (all-gone, bounded trailing gap); the
+      // happy path never pays the extra log listing
+      lazy val head = update().version
+      if (vs.isEmpty) {
+        // nothing at/after start: fine only when nothing SHOULD be there
+        val bound = endVersion.fold(head)(e => math.min(e, head))
+        if (bound >= startVersion) throw new IllegalStateException(
+          s"Requested changes from $startVersion but no commit files " +
+            s"remain in [$startVersion, $bound] (cleaned up or compacted " +
+            "away); per-version changes cannot be served")
+      } else {
+        if (vs.head != startVersion) throw new IllegalStateException(
+          s"Requested changes from $startVersion but earliest available " +
+            s"is ${vs.head} (log truncated)")
+        vs.zip(vs.drop(1)).foreach { case (a, b) =>
+          if (b != a + 1) throw new IllegalStateException(
+            s"Changes between versions $a and $b are missing from the " +
+              "log (cleaned up or compacted away); per-version changes " +
+              "cannot be served")
+        }
+        // trailing gap WITHIN an explicit bound: versions after the last
+        // listed file but at/below min(endVersion, head) were cleaned
+        endVersion.filter(_ > vs.last).foreach { e =>
+          val bound = math.min(e, head)
+          if (vs.last < bound) throw new IllegalStateException(
+            s"Changes between versions ${vs.last} and $bound are missing " +
+              "from the log (cleaned up or compacted away); per-version " +
+              "changes cannot be served")
+        }
       }
     }
     files.iterator.map { fs =>
@@ -458,6 +498,12 @@ class DeltaLog private (
     var lastCommitInfo: Option[CommitInfo] = None
     val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
     val domains = mutable.LinkedHashMap.empty[String, DomainMetadata]
+    // keyed by the SAME canonical path form replay uses — real writers
+    // mix '/x', 'file:/x', 'file:///x' for one file (the golden
+    // canonicalized-paths fixtures), and a raw-string key would keep two
+    // entries whose replay order then resurrects or kills the wrong one
+    val canonical = LogReplay.canonicalizer(
+      logPath.getFileSystem(hadoopConf).getUri)
     val filesByKey = mutable.LinkedHashMap.empty[(String, String), Action]
     (start to end).foreach { v =>
       val lines = store.read(FileNames.deltaFile(logPath, v), hadoopConf)
@@ -467,8 +513,8 @@ class DeltaLog private (
           case m: Metadata => lastMetadata = Some(m)
           case t: SetTransaction => txns(t.appId) = t
           case d: DomainMetadata => domains(d.domain) = d
-          case a: AddFile => filesByKey((a.path, a.dvId)) = a
-          case r: RemoveFile => filesByKey((r.path, r.dvId)) = r
+          case a: AddFile => filesByKey((canonical(a.path), a.dvId)) = a
+          case r: RemoveFile => filesByKey((canonical(r.path), r.dvId)) = r
           case ci: CommitInfo => if (v == end) lastCommitInfo = Some(ci)
           case _ => () // AddCDCFile and unknown actions stay per-version
         }

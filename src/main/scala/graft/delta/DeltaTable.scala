@@ -407,7 +407,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // failOnDataLoss: a commit inside the requested range that was
     // cleaned up (or subsumed by a log compaction file) makes per-version
     // changes unreconstructible — the feed must error, never skip
-    deltaLog.getChanges(startVersion, failOnDataLoss = true)
+    deltaLog.getChanges(startVersion, failOnDataLoss = true,
+        endVersion = Some(endVersion))
       .takeWhile(_._1 <= endVersion)
       .foreach { case (v, actions) =>
         val (c, d) = read.CdfRelation.tagFiles(v, actions, "read")

@@ -188,7 +188,8 @@ class DeltaSource(
     var endV = base
     var files = 0
     var bytes = 0L
-    val it = deltaLog.getChanges(base + 1, failOnDataLoss).takeWhile(_._1 <= head)
+    val it = deltaLog.getChanges(base + 1, failOnDataLoss, Some(head))
+      .takeWhile(_._1 <= head)
     var done = false
     while (!done && it.hasNext) {
       val (v, actions) = it.next()
@@ -243,7 +244,8 @@ class DeltaSource(
     // [[graft.delta.read.CdfRelation]])
     var cdcFiles = Vector.empty[AddFile]
     var derived = Vector.empty[AddFile]
-    deltaLog.getChanges(fromV, failOnDataLoss).takeWhile(_._1 <= endV)
+    deltaLog.getChanges(fromV, failOnDataLoss, Some(endV))
+      .takeWhile(_._1 <= endV)
       .foreach { case (v, actions) =>
         // the same mid-stream sanitation as the non-CDF path: a schema
         // or protocol change invalidates this stream's pinned schema —
@@ -277,7 +279,8 @@ class DeltaSource(
   /** F3 change sanitation for versions [fromV, toV]. */
   private def changedFiles(fromV: Long, toV: Long): Seq[AddFile] = {
     if (fromV > toV) return Nil
-    deltaLog.getChanges(fromV, failOnDataLoss).takeWhile(_._1 <= toV).flatMap {
+    deltaLog.getChanges(fromV, failOnDataLoss, Some(toV))
+      .takeWhile(_._1 <= toV).flatMap {
       case (v, actions) =>
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         val removes = actions.collect { case r: RemoveFile if r.dataChange => r }

@@ -749,17 +749,19 @@ class OptimisticTransaction(
     // write (delta-spark instead logs checkpoint failures and continues;
     // we surface them, typed, so callers can choose)
     // minor log compaction (opt-in cadence): purely an optimization —
-    // a failure here must neither fail the durable commit nor block the
-    // checkpoint block below, so it is best-effort
-    val compactionInterval =
-      DeltaConfigs.LOG_COMPACTION_INTERVAL.fromMetadata(metadata)
-    if (compactionInterval > 0 && version >= compactionInterval &&
-        version % compactionInterval == 0) {
-      try deltaLog.compactLog(version - compactionInterval + 1, version)
-      catch { case scala.util.control.NonFatal(t) =>
-        System.err.println(
-          s"graft: minor log compaction at $version failed (ignored): $t")
+    // a failure here (including an invalid stored interval on a foreign
+    // table) must neither fail the durable commit nor block the
+    // checkpoint block below, so the WHOLE block is best-effort
+    try {
+      val compactionInterval =
+        DeltaConfigs.LOG_COMPACTION_INTERVAL.fromMetadata(metadata)
+      if (compactionInterval > 0 && version >= compactionInterval &&
+          version % compactionInterval == 0) {
+        deltaLog.compactLog(version - compactionInterval + 1, version)
       }
+    } catch { case scala.util.control.NonFatal(t) =>
+      System.err.println(
+        s"graft: minor log compaction at $version failed (ignored): $t")
     }
     try {
       if (version != 0 && version % deltaLog.checkpointInterval == 0) {

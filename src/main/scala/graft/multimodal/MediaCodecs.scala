@@ -485,8 +485,11 @@ object MediaCodecs {
     * legitimate oversized image hits the same rejection. Deployments
     * whose corpora legitimately exceed 32M pixels raise it per-JVM with
     * -Dgraft.media.maxDecodedPixels=N (on a cluster:
-    * spark.executor.extraJavaOptions, since decode runs executor-side). */
-  def MaxDecodedPixels: Long =
+    * spark.executor.extraJavaOptions, since decode runs executor-side).
+    * Read ONCE at first decode — per-row decoders must not take the
+    * synchronized sys.props lock on a 32-thread hot path; changing the
+    * property after the first decode has no effect. */
+  lazy val MaxDecodedPixels: Long =
     sys.props.get("graft.media.maxDecodedPixels")
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .filter(_ > 0)
@@ -1203,6 +1206,93 @@ object MediaCodecs {
     def pad(): Unit = if (nbits > 0) write((1 << (8 - nbits)) - 1, 8 - nbits)
   }
 
+  private val nComponents = 3
+
+  /** Shared emit machinery for the synthetic baseline-JPEG encoders:
+    * headers (DQT all-8s, SOF0 with the caller's luma sampling, the four
+    * Annex K.3 DHT segments, optional DRI, SOS) and the DC-only block
+    * encoder with per-component prediction, restart handling and the
+    * final pad+EOI. One body — the 4:4:4 and 4:2:0 faces differ only in
+    * sampling bytes and MCU walk. */
+  private final class JpegSynth(restartInterval: Int = 0) {
+    private val out = new java.io.ByteArrayOutputStream()
+    private def u8(v: Int): Unit = out.write(v & 0xff)
+    private def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    private def marker(m: Int): Unit = { u8(0xff); u8(m) }
+
+    def headers(width: Int, height: Int, ySampling: Int): Unit = {
+      marker(0xd8) // SOI
+      marker(0xdb) // DQT, table 0, all 8s
+      u16(2 + 1 + 64); u8(0)
+      (0 until 64).foreach(_ => u8(8))
+      marker(0xc0) // SOF0
+      u16(8 + 3 * nComponents)
+      u8(8) // precision
+      u16(height); u16(width)
+      u8(nComponents)
+      u8(1); u8(ySampling); u8(0) // Y
+      u8(2); u8(0x11); u8(0) // Cb: 1x1
+      u8(3); u8(0x11); u8(0) // Cr
+      def dht(cls: Int, id: Int, t: (Array[Int], Array[Int])): Unit = {
+        marker(0xc4)
+        u16(2 + 1 + 16 + t._2.length)
+        u8((cls << 4) | id)
+        t._1.foreach(u8)
+        t._2.foreach(u8)
+      }
+      dht(0, 0, StdDcLum); dht(1, 0, StdAcLum)
+      dht(0, 1, StdDcChr); dht(1, 1, StdAcChr)
+      if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+      marker(0xda) // SOS
+      u16(6 + 2 * nComponents)
+      u8(nComponents)
+      u8(1); u8(0x00) // Y: DC 0, AC 0
+      u8(2); u8(0x11) // Cb: DC 1, AC 1
+      u8(3); u8(0x11)
+      u8(0); u8(63); u8(0) // Ss, Se, AhAl
+    }
+
+    private val dcLum = new HuffTable(StdDcLum._1, StdDcLum._2).encode
+    private val dcChr = new HuffTable(StdDcChr._1, StdDcChr._2).encode
+    private val acLumEob = new HuffTable(StdAcLum._1, StdAcLum._2).encode(0x00)
+    private val acChrEob = new HuffTable(StdAcChr._1, StdAcChr._2).encode(0x00)
+    private val w = new JpegBitWriter(out)
+    private val pred = new Array[Int](3)
+    private var mcu = 0
+    private var rst = 0
+
+    /** Call once per MCU BEFORE its blocks: emits the byte-aligned RSTn
+      * at the configured interval and resets DC prediction. */
+    def mcuBoundary(): Unit = {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        w.pad()
+        marker(0xd0 + rst)
+        rst = (rst + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+      }
+      mcu += 1
+    }
+
+    def emitBlock(comp: Int, value: Int): Unit = {
+      val dc = value - 128
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff == 0
+      val (code, len) = (if (comp == 0) dcLum else dcChr)(cat)
+      w.write(code, len)
+      if (cat > 0) w.write(if (diff < 0) diff - 1 else diff, cat)
+      val (ec, el) = if (comp == 0) acLumEob else acChrEob
+      w.write(ec, el)
+    }
+
+    def finish(): Array[Byte] = {
+      w.pad()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+  }
+
   /** Encode a real baseline JPEG whose decode is EXACT: every 8x8 block
     * carries a constant YCbCr triple in closed form over (seed, block
     * coordinates), the quantization tables are all-8s, and blocks are
@@ -1219,87 +1309,23 @@ object MediaCodecs {
   def synthJpeg(seed: Long, blocksW: Int, blocksH: Int,
                 restartInterval: Int = 0): Array[Byte] = {
     require(blocksW > 0 && blocksH > 0)
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xff); u8(m) }
     val s = java.lang.Math.floorMod(seed, 256L)
-
-    marker(0xd8) // SOI
-    marker(0xdb) // DQT, table 0, all 8s
-    u16(2 + 1 + 64)
-    u8(0)
-    (0 until 64).foreach(_ => u8(8))
-    marker(0xc0) // SOF0
-    u16(8 + 3 * nComponents)
-    u8(8) // precision
-    u16(blocksH * 8); u16(blocksW * 8)
-    u8(nComponents)
-    u8(1); u8(0x11); u8(0) // Y: 1x1 sampling, quant 0
-    u8(2); u8(0x11); u8(0) // Cb
-    u8(3); u8(0x11); u8(0) // Cr
-    def dht(cls: Int, id: Int, t: (Array[Int], Array[Int])): Unit = {
-      marker(0xc4)
-      u16(2 + 1 + 16 + t._2.length)
-      u8((cls << 4) | id)
-      t._1.foreach(u8)
-      t._2.foreach(u8)
-    }
-    dht(0, 0, StdDcLum); dht(1, 0, StdAcLum)
-    dht(0, 1, StdDcChr); dht(1, 1, StdAcChr)
-    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
-    marker(0xda) // SOS
-    u16(6 + 2 * nComponents)
-    u8(nComponents)
-    u8(1); u8(0x00) // Y: DC 0, AC 0
-    u8(2); u8(0x11) // Cb: DC 1, AC 1
-    u8(3); u8(0x11)
-    u8(0); u8(63); u8(0) // Ss, Se, AhAl
-
-    val dcLum = new HuffTable(StdDcLum._1, StdDcLum._2).encode
-    val dcChr = new HuffTable(StdDcChr._1, StdDcChr._2).encode
-    val acLumEob = new HuffTable(StdAcLum._1, StdAcLum._2).encode(0x00)
-    val acChrEob = new HuffTable(StdAcChr._1, StdAcChr._2).encode(0x00)
-    val w = new JpegBitWriter(out)
-    val pred = new Array[Int](3)
-    def emitBlock(comp: Int, value: Int): Unit = {
-      val dc = value - 128
-      val diff = dc - pred(comp)
-      pred(comp) = dc
-      val mag = math.abs(diff)
-      val cat = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff == 0
-      val (code, len) = (if (comp == 0) dcLum else dcChr)(cat)
-      w.write(code, len)
-      if (cat > 0) w.write(if (diff < 0) diff - 1 else diff, cat)
-      val (ec, el) = if (comp == 0) acLumEob else acChrEob
-      w.write(ec, el)
-    }
-    var mcu = 0
-    var rst = 0
+    val enc = new JpegSynth(restartInterval)
+    enc.headers(blocksW * 8, blocksH * 8, ySampling = 0x11)
     var by = 0
     while (by < blocksH) {
       var bx = 0
       while (bx < blocksW) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          w.pad()
-          marker(0xd0 + rst)
-          rst = (rst + 1) & 7
-          java.util.Arrays.fill(pred, 0)
-        }
-        emitBlock(0, ((s + 3L * bx + 7L * by) % 256).toInt)
-        emitBlock(1, ((s * 3L + 5L * bx + 11L * by) % 256).toInt)
-        emitBlock(2, ((s * 7L + 13L * bx + 17L * by) % 256).toInt)
-        mcu += 1
+        enc.mcuBoundary()
+        enc.emitBlock(0, ((s + 3L * bx + 7L * by) % 256).toInt)
+        enc.emitBlock(1, ((s * 3L + 5L * bx + 11L * by) % 256).toInt)
+        enc.emitBlock(2, ((s * 7L + 13L * bx + 17L * by) % 256).toInt)
         bx += 1
       }
       by += 1
     }
-    w.pad()
-    marker(0xd9) // EOI
-    out.toByteArray
+    enc.finish()
   }
-
-  private val nComponents = 3
 
   /** 4:2:0 variant of [[synthJpeg]]: Y sampled 2x2, Cb/Cr 1x1 — each MCU
     * covers 16x16 pixels with four luma blocks and one block per chroma.
@@ -1310,75 +1336,32 @@ object MediaCodecs {
     * Cb = 3 seed + 5 mx + 11 my; Cr = 7 seed + 13 mx + 17 my (mod 256). */
   def synthJpeg420(seed: Long, mcusW: Int, mcusH: Int): Array[Byte] = {
     require(mcusW > 0 && mcusH > 0)
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xff); u8(m) }
     val s = java.lang.Math.floorMod(seed, 256L)
-
-    marker(0xd8)
-    marker(0xdb); u16(2 + 1 + 64); u8(0); (0 until 64).foreach(_ => u8(8))
-    marker(0xc0)
-    u16(8 + 3 * nComponents)
-    u8(8); u16(mcusH * 16); u16(mcusW * 16)
-    u8(nComponents)
-    u8(1); u8(0x22); u8(0) // Y: 2x2
-    u8(2); u8(0x11); u8(0) // Cb: 1x1
-    u8(3); u8(0x11); u8(0)
-    def dht(cls: Int, id: Int, t: (Array[Int], Array[Int])): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + t._2.length); u8((cls << 4) | id)
-      t._1.foreach(u8); t._2.foreach(u8)
-    }
-    dht(0, 0, StdDcLum); dht(1, 0, StdAcLum)
-    dht(0, 1, StdDcChr); dht(1, 1, StdAcChr)
-    marker(0xda)
-    u16(6 + 2 * nComponents)
-    u8(nComponents)
-    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
-    u8(0); u8(63); u8(0)
-
-    val dcLum = new HuffTable(StdDcLum._1, StdDcLum._2).encode
-    val dcChr = new HuffTable(StdDcChr._1, StdDcChr._2).encode
-    val acLumEob = new HuffTable(StdAcLum._1, StdAcLum._2).encode(0x00)
-    val acChrEob = new HuffTable(StdAcChr._1, StdAcChr._2).encode(0x00)
-    val w = new JpegBitWriter(out)
-    val pred = new Array[Int](3)
-    def emitBlock(comp: Int, value: Int): Unit = {
-      val dc = value - 128
-      val diff = dc - pred(comp)
-      pred(comp) = dc
-      val mag = math.abs(diff)
-      val cat = 32 - Integer.numberOfLeadingZeros(mag)
-      val (code, len) = (if (comp == 0) dcLum else dcChr)(cat)
-      w.write(code, len)
-      if (cat > 0) w.write(if (diff < 0) diff - 1 else diff, cat)
-      val (ec, el) = if (comp == 0) acLumEob else acChrEob
-      w.write(ec, el)
-    }
+    val enc = new JpegSynth()
+    enc.headers(mcusW * 16, mcusH * 16, ySampling = 0x22)
     var my = 0
     while (my < mcusH) {
       var mx = 0
       while (mx < mcusW) {
+        enc.mcuBoundary()
         // four luma blocks in the decoder's (by, bx) raster order
         var sy = 0
         while (sy < 2) {
           var sx = 0
           while (sx < 2) {
-            emitBlock(0,
+            enc.emitBlock(0,
               ((s + 3L * (2 * mx + sx) + 7L * (2 * my + sy)) % 256).toInt)
             sx += 1
           }
           sy += 1
         }
-        emitBlock(1, ((s * 3L + 5L * mx + 11L * my) % 256).toInt)
-        emitBlock(2, ((s * 7L + 13L * mx + 17L * my) % 256).toInt)
+        enc.emitBlock(1, ((s * 3L + 5L * mx + 11L * my) % 256).toInt)
+        enc.emitBlock(2, ((s * 7L + 13L * mx + 17L * my) % 256).toInt)
         mx += 1
       }
       my += 1
     }
-    w.pad()
-    marker(0xd9)
-    out.toByteArray
+    enc.finish()
   }
 
   /** cos((2x + 1) u pi / 16) lookup for the reference IDCT. */

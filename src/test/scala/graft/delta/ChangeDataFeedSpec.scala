@@ -77,10 +77,31 @@ class ChangeDataFeedSpec extends SparkSpec {
         log.getChanges(2, failOnDataLoss = true).toVector
       }
       assert(e2.getMessage.contains("log truncated"), e2.getMessage)
+      // a range that never touches the hole stays servable — the check
+      // is bounded to the REQUESTED range, not the whole log tail
+      assert(DeltaTable.forPath(spark, dir).changes(3, 4).count() > 0)
+      assert(DeltaTable.forPath(spark, dir).changes(1, 1).count() > 0)
+      // past-head start is "nothing there yet", not data loss
+      assert(log.getChanges(9, failOnDataLoss = true).isEmpty)
       // explicit opt-out skips the hole (the streaming option's contract)
       val vs = log.getChanges(1, failOnDataLoss = false)
         .map(_._1).toVector
       assert(vs == Vector(1L, 3L, 4L))
+      // an ALL-GONE range fails loudly too (the empty listing previously
+      // bypassed every check): checkpoint pins the head at 4, then burn
+      // v4's json — the version still EXISTS, its changes do not
+      Checkpoints.writeCheckpoint(log.update())
+      assert(new java.io.File(
+        FileNames.deltaFile(log.logPath, 4).toUri.getPath).delete())
+      val e3 = intercept[IllegalStateException] {
+        log.getChanges(4, failOnDataLoss = true).toVector
+      }
+      assert(e3.getMessage.contains("no commit files remain"), e3.getMessage)
+      // and a trailing gap inside an explicit bound: [3, 4] with 4 gone
+      val e4 = intercept[IllegalStateException] {
+        log.getChanges(3, failOnDataLoss = true, Some(4L)).toVector
+      }
+      assert(e4.getMessage.contains("missing from the log"), e4.getMessage)
     }
   }
 

@@ -208,6 +208,35 @@ class LogCompactionSpec extends SparkSpec {
     }
   }
 
+  test("a premature compacted range never advances the version line: " +
+      "compacted ends extend it only by contiguous chaining") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((0, "base")).toDF("v", "who"), dir)
+      (1 to 5).foreach(i =>
+        DeltaTable.write(Seq((i, s"c$i")).toDF("v", "who"), dir))
+      val (v0, data0) = state(dir)
+      assert(v0 == 5)
+      val log = DeltaLog.forTable(spark, dir)
+      // a compactor that crashed after writing its file optimistically:
+      // the name CLAIMS 1..20 but commits only reach 5 — it must be
+      // ignored for both the version line and the cover (its content
+      // here is even truthful for 1..5, which makes silent acceptance
+      // the dangerous outcome)
+      writeCompacted(log, 1, 20, reconcile(log, 1 to 5))
+      val (v1, data1) = state(dir)
+      assert(v1 == 5, s"premature range must not advance the version: $v1")
+      assert(data1 == data0)
+      val seg = DeltaLog.forTable(spark, dir).update().logSegment
+      assert(seg.deltas.forall(f => !FileNames.isCompactedFile(f.getPath)))
+      // a CHAINING range (6..8 atop head 5) would be trusted — that is
+      // the documented boundary — but only when it starts exactly at
+      // head + 1; one starting beyond leaves the version at the commits
+      writeCompacted(log, 7, 9, reconcile(log, 1 to 2)) // gap at 6: ignored
+      val (v2, _) = state(dir)
+      assert(v2 == 5, s"non-chaining range must not extend: $v2")
+    }
+  }
+
   test("a compacted range straddling the checkpoint is ignored") {
     withTempDir { dir =>
       DeltaTable.write(Seq((0, "base")).toDF("v", "who"), dir)
