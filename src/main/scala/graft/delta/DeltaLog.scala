@@ -357,29 +357,32 @@ class DeltaLog private (
     * Ref: DeltaLogImpl.scala:106-130. */
   def getChanges(startVersion: Long,
                  failOnDataLoss: Boolean = false,
-                 endVersion: Option[Long] = None): Iterator[(Long, Seq[Action])] = {
+                 endVersion: Option[Long] = None,
+                 knownLatest: Option[Long] = None): Iterator[(Long, Seq[Action])] = {
+    // loud-failure contract: the table head must be established BEFORE
+    // the listing — a commit landing between a listing and a later head
+    // sample would read as a spurious trailing gap (TOCTOU). Callers
+    // that already resolved a snapshot pass its version via knownLatest,
+    // so the common path costs no extra listing.
+    val headOpt: Option[Long] =
+      if (!failOnDataLoss) None
+      else Some(knownLatest.getOrElse(update().version))
     val files = store.listFrom(
         FileNames.deltaFile(logPath, startVersion), hadoopConf)
       .filter(f => FileNames.isDeltaFile(f.getPath))
       .filter(f => endVersion.forall(FileNames.deltaVersion(f.getPath) <= _))
       .toVector.sortBy(f => FileNames.deltaVersion(f.getPath))
-    if (failOnDataLoss) {
-      // loud-failure contract: ANY commit inside [startVersion,
-      // min(endVersion, head)] that no longer exists (cleaned up, or
-      // subsumed by a log compaction file whose originals were removed)
-      // throws — per-version changes are not reconstructible from a
-      // reconciled range, so silently skipping is data loss. The check
-      // is bounded to the REQUESTED range: a hole past endVersion is
-      // not this read's problem. The snapshot head resolves lazily,
-      // only for the cases a listing alone cannot decide.
+    headOpt.foreach { head =>
+      // ANY commit inside [startVersion, min(endVersion, head)] that no
+      // longer exists (cleaned up, or subsumed by a log compaction file
+      // whose originals were removed) throws — per-version changes are
+      // not reconstructible from a reconciled range, so silently
+      // skipping is data loss. The check is bounded to the REQUESTED
+      // range: a hole past endVersion is not this read's problem.
       val vs = files.map(f => FileNames.deltaVersion(f.getPath))
-      // the snapshot head is consulted lazily — only for the two cases a
-      // listing alone cannot decide (all-gone, bounded trailing gap); the
-      // happy path never pays the extra log listing
-      lazy val head = update().version
+      val bound = endVersion.fold(head)(e => math.min(e, head))
       if (vs.isEmpty) {
         // nothing at/after start: fine only when nothing SHOULD be there
-        val bound = endVersion.fold(head)(e => math.min(e, head))
         if (bound >= startVersion) throw new IllegalStateException(
           s"Requested changes from $startVersion but no commit files " +
             s"remain in [$startVersion, $bound] (cleaned up or compacted " +
@@ -394,15 +397,12 @@ class DeltaLog private (
               "log (cleaned up or compacted away); per-version changes " +
               "cannot be served")
         }
-        // trailing gap WITHIN an explicit bound: versions after the last
-        // listed file but at/below min(endVersion, head) were cleaned
-        endVersion.filter(_ > vs.last).foreach { e =>
-          val bound = math.min(e, head)
-          if (vs.last < bound) throw new IllegalStateException(
-            s"Changes between versions ${vs.last} and $bound are missing " +
-              "from the log (cleaned up or compacted away); per-version " +
-              "changes cannot be served")
-        }
+        // trailing gap WITHIN the bound: versions after the last listed
+        // file but at/below min(endVersion, head) were cleaned
+        if (vs.last < bound) throw new IllegalStateException(
+          s"Changes between versions ${vs.last} and $bound are missing " +
+            "from the log (cleaned up or compacted away); per-version " +
+            "changes cannot be served")
       }
     }
     files.iterator.map { fs =>

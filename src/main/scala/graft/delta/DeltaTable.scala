@@ -398,7 +398,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * files — CDF was off when it ran — cannot be reconstructed and
     * errors, like Delta's own CDF read. */
   def changes(startVersion: Long, endVersion: Long): DataFrame = {
-    val metadata = deltaLog.update().metadata
+    val snap = deltaLog.update()
+    val metadata = snap.metadata
     // tag the whole range's files with (version, change type) ONCE and
     // plan them as AT MOST TWO scan relations — a per-version union
     // would put O(versions) nodes in the plan (see [[read.CdfRelation]])
@@ -406,10 +407,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     var derived = Vector.empty[AddFile]
     // failOnDataLoss: a commit inside the requested range that was
     // cleaned up (or subsumed by a log compaction file) makes per-version
-    // changes unreconstructible — the feed must error, never skip
+    // changes unreconstructible — the feed must error, never skip. The
+    // endVersion bound lives inside getChanges (listing filter + checks);
+    // the already-resolved snapshot version rides along so no second
+    // listing is paid and the head predates the listing (no TOCTOU).
     deltaLog.getChanges(startVersion, failOnDataLoss = true,
-        endVersion = Some(endVersion))
-      .takeWhile(_._1 <= endVersion)
+        endVersion = Some(endVersion), knownLatest = Some(snap.version))
       .foreach { case (v, actions) =>
         val (c, d) = read.CdfRelation.tagFiles(v, actions, "read")
         cdcFiles ++= c

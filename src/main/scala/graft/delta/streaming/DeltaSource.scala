@@ -188,8 +188,7 @@ class DeltaSource(
     var endV = base
     var files = 0
     var bytes = 0L
-    val it = deltaLog.getChanges(base + 1, failOnDataLoss, Some(head))
-      .takeWhile(_._1 <= head)
+    val it = deltaLog.getChanges(base + 1, failOnDataLoss, Some(head), Some(head))
     var done = false
     while (!done && it.hasNext) {
       val (v, actions) = it.next()
@@ -244,8 +243,7 @@ class DeltaSource(
     // [[graft.delta.read.CdfRelation]])
     var cdcFiles = Vector.empty[AddFile]
     var derived = Vector.empty[AddFile]
-    deltaLog.getChanges(fromV, failOnDataLoss, Some(endV))
-      .takeWhile(_._1 <= endV)
+    deltaLog.getChanges(fromV, failOnDataLoss, Some(endV), Some(endV))
       .foreach { case (v, actions) =>
         // the same mid-stream sanitation as the non-CDF path: a schema
         // or protocol change invalidates this stream's pinned schema —
@@ -279,8 +277,7 @@ class DeltaSource(
   /** F3 change sanitation for versions [fromV, toV]. */
   private def changedFiles(fromV: Long, toV: Long): Seq[AddFile] = {
     if (fromV > toV) return Nil
-    deltaLog.getChanges(fromV, failOnDataLoss, Some(toV))
-      .takeWhile(_._1 <= toV).flatMap {
+    deltaLog.getChanges(fromV, failOnDataLoss, Some(toV), Some(toV)).flatMap {
       case (v, actions) =>
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         val removes = actions.collect { case r: RemoveFile if r.dataChange => r }

@@ -208,6 +208,66 @@ class LogCompactionSpec extends SparkSpec {
     }
   }
 
+  test("an ICT table's tail timestamp survives a compacted tail (the " +
+      "range file carries the last commit's CommitInfo)") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((0, "x")).toDF("v", "who"), dir,
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+      (1 to 4).foreach(i =>
+        DeltaTable.write(Seq((i, s"c$i")).toDF("v", "who"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      val ictBefore = log.update().inCommitTimestampOpt
+      assert(ictBefore.isDefined, "ICT table must carry a tail timestamp")
+      log.compactLog(1, 4)
+      (1 to 4).foreach(v => assert(new java.io.File(
+        FileNames.deltaFile(log.logPath, v).toUri.getPath).delete()))
+      DeltaLog.clearCache()
+      val after = DeltaLog.forTable(spark, dir).update()
+      assert(after.version == 4)
+      assert(after.inCommitTimestampOpt == ictBefore,
+        s"tail ICT must come through the compacted entry: " +
+          s"$ictBefore -> ${after.inCommitTimestampOpt}")
+    }
+  }
+
+  test("streaming source fails loudly on a burned mid-range commit; " +
+      "failOnDataLoss=false processes the rest") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.streaming.Trigger
+      DeltaTable.write(Seq(0).toDF("value"), dir)
+      (1 to 5).foreach(i => DeltaTable.write(Seq(i).toDF("value"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      Checkpoints.writeCheckpoint(log.update()) // snapshot stays readable
+      assert(new java.io.File(
+        FileNames.deltaFile(log.logPath, 2).toUri.getPath).delete())
+      DeltaLog.clearCache()
+
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "1")
+        .load(dir)
+        .writeStream.format("memory").queryName("gap_strict")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(60000)
+      }
+      assert(e.getMessage.contains("missing from the log") ||
+        Option(e.getCause).exists(_.getMessage.contains("missing from the log")),
+        s"stream must fail loudly: ${e.getMessage}")
+
+      val q2 = spark.readStream.format("graft-delta")
+        .option("startingVersion", "1")
+        .option("failOnDataLoss", "false")
+        .load(dir)
+        .writeStream.format("memory").queryName("gap_tolerant")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination(60000)
+      val got = spark.table("gap_tolerant").as[Int].collect().sorted.toSeq
+      assert(got == Seq(1, 3, 4, 5), s"opt-out must skip only the hole: $got")
+    }
+  }
+
   test("a premature compacted range never advances the version line: " +
       "compacted ends extend it only by contiguous chaining") {
     withTempDir { dir =>
