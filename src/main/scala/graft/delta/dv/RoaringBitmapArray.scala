@@ -256,6 +256,13 @@ object RoaringBitmapArray {
       while (r < nRuns) {
         val start = bb.getShort & 0xffff
         val len = bb.getShort & 0xffff
+        // a run past the 16-bit container space is a corrupt/malformed
+        // DV: values above 0xFFFF would silently truncate through
+        // toShort on re-serialization (merging shades) and mark the
+        // WRONG rows deleted — fail the parse loudly instead
+        require(start + len <= 0xffff,
+          s"corrupt run container: run [$start, ${start + len}] exceeds " +
+            "the 16-bit value space")
         var v = start
         while (v <= start + len) { out += v; v += 1 }
         r += 1

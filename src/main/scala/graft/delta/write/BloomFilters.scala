@@ -54,12 +54,20 @@ object BloomFilters {
     metadata.configuration.get(ColumnsKey).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       // partition columns prune via partitionValues; only data columns
-      // of indexable type get filters
-      .filterNot(metadata.partitionColumns.contains)
-      .filter { c =>
-        metadata.dataSchema.fields.find(_.name == c)
-          .exists(f => indexable(f))
+      // of indexable type get filters. Configured names resolve CASE-
+      // INSENSITIVELY (Spark's default resolution — 'ID' must find 'id')
+      // and then carry the schema's spelling, so build and probe agree.
+      // A name matching nothing is skipped, not refused: the config may
+      // legitimately outlive a dropped column.
+      .filterNot(c => metadata.partitionColumns
+        .exists(_.equalsIgnoreCase(c)))
+      .flatMap { c =>
+        metadata.dataSchema.fields
+          .find(_.name.equalsIgnoreCase(c))
+          .filter(indexable)
+          .map(_.name)
       }
+      .distinct
 
   def bits(metadata: Metadata): Int =
     metadata.configuration.get(BitsKey).map(_.toInt).getOrElse(DefaultBits)
@@ -92,22 +100,42 @@ object BloomFilters {
     * dir): one distributed pass reading only the indexed columns;
     * returns file NAME (basename, unique within a batch) → col →
     * base64. `physicalName` maps logical to parquet column names. */
+  /** Key a data file within one write batch: the path RELATIVE to the
+    * (uuid-named) batch directory. Basenames are NOT unique across
+    * partition directories — dynamic-partition tasks write the same
+    * part-00000-… name under every partition dir, and a basename key
+    * would merge (and mis-size) their filters. `full` may arrive
+    * URL-encoded (input_file_name / SparkPath) or decoded (FileStatus
+    * paths) — decode through URI first so both sides agree. */
+  private[write] def batchRelativeKey(batchName: String)(full: String): String = {
+    val decoded =
+      try new java.net.URI(full).getPath
+      catch { case _: Exception => full }
+    val withPath = if (decoded == null) full else decoded
+    val marker = "/" + batchName + "/"
+    val i = withPath.indexOf(marker)
+    if (i >= 0) withPath.substring(i + marker.length)
+    else withPath.split('/').last
+  }
+
   /** Per-file filters plus the per-file bit WIDTH used (rows-adaptive
     * via [[autoBits]] unless `delta.bloomFilter.bits` fixes it):
-    * file name → (col → base64, bits). `rowsByFile` supplies each file's
-    * row count (from the stats pass that already ran) so sizing needs no
-    * extra read. */
+    * batch-relative key → (col → base64, bits). `rowsByFile` supplies
+    * each file's row count (from the stats pass that already ran) so
+    * sizing needs no extra read; it is keyed the same way. */
   def build(spark: SparkSession, files: Seq[Path],
             metadata: Metadata,
             physicalName: String => String,
-            rowsByFile: Map[String, Long] = Map.empty)
+            rowsByFile: Map[String, Long] = Map.empty,
+            batchName: String = "")
       : Map[String, (Map[String, String], Int)] = {
     val cols = indexedColumns(metadata)
     if (cols.isEmpty || files.isEmpty) return Map.empty
+    val keyOf = batchRelativeKey(batchName) _
     val explicit = metadata.configuration.get(BitsKey).map(_.toInt)
     val bitsByFile: Map[String, Int] = files.map { p =>
-      p.getName -> explicit.getOrElse(
-        autoBits(rowsByFile.getOrElse(p.getName, 0L)))
+      val k = keyOf(p.toUri.getPath)
+      k -> explicit.getOrElse(autoBits(rowsByFile.getOrElse(k, 0L)))
     }.toMap
     val physSchema = StructType(metadata.dataSchema.fields.map(f =>
       f.copy(name = physicalName(f.name))))
@@ -119,10 +147,12 @@ object BloomFilters {
         physCols.map(c => col(s"`$c`").cast("string").as(c)): _*)
     val nCols = physCols.size
     val bBits = spark.sparkContext.broadcast(bitsByFile)
+    val bName = batchName
     projected.mapPartitions { rows =>
+      val keyFn = batchRelativeKey(bName) _
       val acc = scala.collection.mutable.HashMap.empty[(String, Int), Array[Long]]
       rows.foreach { r =>
-        val file = r.getString(0).split('/').last
+        val file = keyFn(r.getString(0))
         val nBits = bBits.value.getOrElse(file, DefaultBits)
         val words = (nBits + 63) / 64
         var i = 0

@@ -152,6 +152,35 @@ object CopyInto {
           raw.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
         require(missing.isEmpty,
           s"COPY INTO source lacks table columns: ${missing.mkString(", ")}")
+        // the sampled merged schema above only proves SOME file carries
+        // each column — an individual file missing one would silently
+        // null-fill its rows, the exact corruption this guard refuses.
+        // Check every footer in a Spark job (the fresh list is the
+        // commit payload, so the result is bounded).
+        locally {
+          val sconf = new graft.delta.SerializableHadoopConf(
+            deltaLog.hadoopConf)
+          val required = tableSchema.fieldNames.toSeq
+          val perFileMissing = spark.sparkContext
+            .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+            .flatMap { p =>
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(p), sconf.value))
+              val names =
+                try {
+                  import scala.jdk.CollectionConverters._
+                  reader.getFileMetaData.getSchema.getFields.asScala
+                    .map(_.getName).toSet
+                } finally reader.close()
+              val m = required.filterNot(r =>
+                names.exists(_.equalsIgnoreCase(r)))
+              if (m.isEmpty) None else Some(s"$p lacks ${m.mkString(", ")}")
+            }.collect()
+          require(perFileMissing.isEmpty,
+            "COPY INTO source files lack table columns (refusing to " +
+              s"null-fill): ${perFileMissing.take(3).mkString("; ")}")
+        }
         // store-assignment alignment: a LOSSLESS up-cast (int file column
         // into a bigint table column — the classic landed-data mismatch)
         // converts silently; anything lossy refuses rather than truncate

@@ -97,16 +97,23 @@ object DeltaWriter {
         schemaString = Some(relaxed(df.schema).json),
         partitionColumns = partCols,
         configuration = configuration))
-    } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson &&
-               mode == SaveMode.Overwrite) {
+    } else if (mode == SaveMode.Overwrite &&
+               (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson ||
+                 txn.snapshot.metadata.partitionColumns != partCols)) {
       // a stricter (non-nullable) incoming batch must not narrow the table
       // schema, and a frame WITHOUT the table's field annotations
       // (generation expressions, physical names) must not strip them —
       // only a genuine TYPE-SHAPE change replaces the schema, stored
-      // nullable since later appends may carry nulls
+      // nullable since later appends may carry nulls. A REPARTITIONING
+      // overwrite (same type shape, new partitionBy) must still commit a
+      // Metadata action, or the files (already laid out under the new
+      // keys) fail the commit's partition-value validation.
       if (typeShape(txn.snapshot.metadata.schema) != typeShape(df.schema)) {
         txn.updateMetadata(txn.snapshot.metadata.copy(
           schemaString = Some(relaxed(df.schema).json),
+          partitionColumns = partCols))
+      } else if (txn.snapshot.metadata.partitionColumns != partCols) {
+        txn.updateMetadata(txn.snapshot.metadata.copy(
           partitionColumns = partCols))
       }
     } else if (txn.snapshot.metadata.schemaString.getOrElse("") != schemaJson) {
@@ -132,9 +139,14 @@ object DeltaWriter {
         cur.schema.fields.map { f =>
           if (!assignedIdentity.contains(f.name)) f
           else {
-            val spec = IdentityColumns.specs(cur.schema)
-              .find(_.name == f.name).get
-            IdentityColumns.writtenWaterMark(spark, deltaLog, adds, spec)
+            // an Overwrite that replaced the schema (type-shape change)
+            // may have dropped the identity field metadata — no spec
+            // means no high-water mark to advance, not a crash after
+            // the data files are already written
+            IdentityColumns.specs(cur.schema)
+              .find(_.name == f.name)
+              .flatMap(spec => IdentityColumns
+                .writtenWaterMark(spark, deltaLog, adds, spec))
               .fold(f)(hwm => f.copy(metadata =
                 new org.apache.spark.sql.types.MetadataBuilder()
                   .withMetadata(f.metadata)
@@ -232,9 +244,13 @@ object DeltaWriter {
   private[delta] def mergeSchemas(
       existing: org.apache.spark.sql.types.StructType,
       incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
-    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    // resolution is CASE-INSENSITIVE, matching Spark's default and the
+    // other alignment paths in this package — an append spelling
+    // 'userid' for table column 'userId' is legal, not missing
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val incomingByName = incoming.fields.map(f => lc(f.name) -> f).toMap
     existing.fields.foreach { old =>
-      incomingByName.get(old.name) match {
+      incomingByName.get(lc(old.name)) match {
         case None => throw new IllegalArgumentException(
           s"Append is missing column ${old.name} present in the table schema")
         case Some(nf) if typeShape(nf.dataType) != typeShape(old.dataType) =>
@@ -244,8 +260,9 @@ object DeltaWriter {
         case _ =>
       }
     }
-    val existingNames = existing.fieldNames.toSet
-    val appended = incoming.fields.filterNot(f => existingNames.contains(f.name))
+    val existingNames = existing.fieldNames.map(lc).toSet
+    val appended = incoming.fields
+      .filterNot(f => existingNames.contains(lc(f.name)))
       .map(_.copy(nullable = true))
     org.apache.spark.sql.types.StructType(existing.fields ++ appended)
   }
@@ -293,6 +310,10 @@ object DeltaWriter {
           val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
           val wanted = math.max(1L,
             (estBytes / BigInt(target)).toLong + 1L)
+          // df.rdd constructs an RDD DAG the later write re-plans — a
+          // real driver-side cost, but the alternatives are wrong: under
+          // AQE executedPlan.outputPartitioning is Unknown(0) before
+          // execution, which would silently disable optimizeWrite
           val current = df.rdd.getNumPartitions
           if (wanted < current) df.coalesce(wanted.toInt) else df
         case None => df
@@ -342,22 +363,24 @@ object DeltaWriter {
       // filter is sized from ITS row count (already in the stats just
       // collected) so the filter never saturates as files grow
       val numRecordsRe = """"numRecords"\s*:\s*(\d+)""".r
+      val bloomKey = BloomFilters.batchRelativeKey(batchName) _
       lazy val rowsByFile: Map[String, Long] = files.flatMap { st =>
         stats.get(st.getPath).flatten.flatMap(s =>
           numRecordsRe.findFirstMatchIn(s).map(_.group(1).toLong))
-          .map(st.getPath.getName -> _)
+          .map(bloomKey(st.getPath.toUri.getPath) -> _)
       }.toMap
       val blooms: Map[String, (Map[String, String], Int)] = meta
         .filter(m => BloomFilters.indexedColumns(m).nonEmpty)
         .map(m => BloomFilters.build(df.sparkSession, files.map(_.getPath),
-          m, n => mapping.getOrElse(n, n), rowsByFile))
+          m, n => mapping.getOrElse(n, n), rowsByFile, batchName))
         .getOrElse(Map.empty)
       files.map { st =>
         val relInBatch = st.getPath.toUri.getPath
           .stripPrefix(batchDir.toUri.getPath + "/")
         val rel = s"$batchName/$relInBatch"
         val (fileBlooms, fileBloomBits) =
-          blooms.getOrElse(st.getPath.getName, (Map.empty[String, String], 0))
+          blooms.getOrElse(bloomKey(st.getPath.toUri.getPath),
+            (Map.empty[String, String], 0))
         AddFile(
           // the protocol stores paths as percent-encoded relative URIs
           // (canonicalization ref: SnapshotImpl.scala:349-362)

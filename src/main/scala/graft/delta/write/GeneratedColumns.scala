@@ -49,11 +49,17 @@ object GeneratedColumns {
       case (acc, _) => acc
     }
 
-  /** Compute any generated column the incoming frame does not carry. */
+  /** Compute any generated column the incoming frame does not carry.
+    * Presence matches CASE-INSENSITIVELY (Spark's resolution): a frame
+    * carrying 'DAY' for generated column 'day' is USER-PROVIDED — it
+    * must flow to the equality invariant, not be silently overwritten
+    * by withColumn's case-insensitive replacement (same rule as
+    * ColumnDefaults.materialize). */
   def materialize(df: DataFrame, metadata: Metadata): DataFrame = {
-    val present = df.columns.toSet
+    val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     expressions(metadata.schema).foldLeft(df) {
-      case (acc, (name, genExpr)) if !present.contains(name) =>
+      case (acc, (name, genExpr))
+          if !present.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
         acc.withColumn(name, expr(genExpr))
       case (acc, _) => acc
     }

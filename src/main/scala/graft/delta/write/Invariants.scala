@@ -67,7 +67,11 @@ object Invariants {
           coalesce(expr(sql).cast("boolean"), lit(false)))
       } ++
       GeneratedColumns.expressions(metadata.schema)
-        .filter { case (name, _) => df.columns.contains(name) }
+        // presence matches CASE-INSENSITIVELY (a frame carrying 'DAY'
+        // for generated column 'day' provided a value — the check must
+        // run, not silently drop); col() resolves either spelling
+        .filter { case (name, _) =>
+          df.columns.exists(_.equalsIgnoreCase(name)) }
         .map { case (name, genExpr) =>
           (s"generated column $name does not match its expression ($genExpr)",
             col(s"`$name`") <=> expr(genExpr))

@@ -337,14 +337,20 @@ final class MergeBuilder private[delta] (
     //    aggregated so the multi-match guard rides along — no second pass.
     //    The collect is file-count bounded (same order as the commit's
     //    RemoveFile list, which is driver-side by construction).
+    //    Skipped entirely when NO matched clause exists (insert-only /
+    //    by-source-only merges): its results would be unused, and the
+    //    multi-match guard is moot without a matched action — delta's
+    //    insert-only merge makes the same single-pass optimization.
     val needGuard = matchedClauses.nonEmpty
-    val touched = target
-      .withColumn("__file", input_file_name())
-      .withColumn("__row", monotonically_increasing_id())
-      .join(src, condition)
-      .groupBy(col("__file"), col("__row")).agg(count(lit(1)).as("__n"))
-      .groupBy(col("__file")).agg(max(col("__n")).as("__maxn"))
-      .collect()
+    val touched =
+      if (!needGuard) Array.empty[org.apache.spark.sql.Row]
+      else target
+        .withColumn("__file", input_file_name())
+        .withColumn("__row", monotonically_increasing_id())
+        .join(src, condition)
+        .groupBy(col("__file"), col("__row")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("__file")).agg(max(col("__n")).as("__maxn"))
+        .collect()
     if (needGuard && touched.exists(_.getAs[Long]("__maxn") > 1)) {
       throw new IllegalStateException(
         "MERGE: target row(s) matched by more than one source row " +

@@ -64,6 +64,41 @@ class BloomSkippingSpec extends SparkSpec {
     }
   }
 
+  test("PARTITIONED tables: filters key per-file, not per-basename (dynamic " +
+      "partition tasks reuse part-00000 names across partition dirs)") {
+    withTempDir { dir =>
+      // 3 partitions x same task numbers: identical basenames in every
+      // partition dir — a basename-keyed build would merge their filters
+      val df = spark.range(0, 600).toDF("id")
+        .withColumn("p", ($"id" % 3).cast("int"))
+        .withColumn("key", md5(concat(lit("k"), $"id")))
+        .repartition(2) // 2 tasks x 3 dynamic partitions = 6 files
+      DeltaTable.write(df, dir, partitionBy = Seq("p"),
+        configuration = Map(
+          "delta.bloomFilter.columns" -> "KEY")) // case-insensitive resolve
+      val table = DeltaTable.forPath(spark, dir)
+      val files = table.deltaLog.update().allFiles
+      assert(files.size == 6, s"expected 6 files, got ${files.size}")
+      assert(files.count(f =>
+        f.path.split('/').last.startsWith("part-00000")) == 3,
+        "fixture must actually collide basenames across partition dirs")
+      assert(files.forall(_.tags.exists(_.contains("bloom.key"))),
+        "every file must carry its own filter")
+      // every key found; probes bounded by partition pruning + blooms
+      val keys = spark.range(0, 600).toDF("id")
+        .select(md5(concat(lit("k"), $"id"))).as[String].collect()
+      keys.take(12).foreach { k =>
+        assert(table.toDF.filter($"key" === k).count() == 1L,
+          s"key $k not found (a merged/mis-keyed filter would lose it)")
+      }
+      var opened = 0L
+      keys.take(12).foreach(k =>
+        opened += filesRead(table.toDF.filter($"key" === k)))
+      // 12 probes x 6 files = 72 without per-file blooms; with them ~12
+      assert(opened < 30, s"opened $opened files for 12 probes")
+    }
+  }
+
   test("long keys skip too, and non-indexed columns are unaffected") {
     withTempDir { dir =>
       val df = spark.range(0, 100).toDF("id")

@@ -126,6 +126,33 @@ class CopyIntoSpec extends SparkSpec {
     }}
   }
 
+  test("a SINGLE file lacking a table column refuses even when a sibling " +
+      "carries it (per-footer check, not merged-schema)") {
+    withTempDir { tbl => withTempDir { src =>
+      DeltaTable.write(Seq((1L, 9L)).toDF("id", "amount"), tbl)
+      // f1 has both columns; f2 lacks 'amount' — the merged/sampled
+      // schema contains 'amount', so only a per-file footer check can
+      // refuse the silent null-fill of f2's rows
+      Seq((2L, 8L)).toDF("id", "amount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/st1")
+      Seq(3L).toDF("id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/st2")
+      def mv(from: String, name: String): Unit = {
+        val part = new java.io.File(from).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(src, name))
+      }
+      mv(s"$src/st1", "f1.parquet")
+      mv(s"$src/st2", "f2.parquet")
+      val e = intercept[IllegalArgumentException] {
+        CopyInto.run(spark, tbl, src, pattern = Some("f*.parquet"))
+      }
+      assert(e.getMessage.contains("null-fill"), e.getMessage)
+      assert(DeltaTable.forPath(spark, tbl).toDF.count() == 1,
+        "the refused run must load nothing")
+    }}
+  }
+
   test("hidden files and directories are skipped; empty listing refuses") {
     withTempDir { tbl => withTempDir { src =>
       DeltaTable.write(Seq.empty[(Long, Long)].toDF("id", "v"), tbl)

@@ -77,6 +77,26 @@ class DeletionVectorSpec extends SparkSpec {
     assert(bm.contains(7L) && !bm.contains(10L))
   }
 
+  test("a run overflowing the 16-bit container space is refused, not " +
+      "silently truncated into the wrong row positions") {
+    // same layout as above but run [65000, +1000] reaches 66000 — values
+    // past 0xFFFF would wrap through toShort on re-serialization and
+    // shade the WRONG rows; the parse must fail loudly instead
+    val bb = ByteBuffer.allocate(4 + 8 + (4 + 1 + 4 + 2 + 4))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(1L)
+    bb.putInt(12347)
+    bb.put(1.toByte)
+    bb.putShort(0); bb.putShort(1000)
+    bb.putShort(1)
+    bb.putShort(65000.toShort); bb.putShort(1000)
+    val e = intercept[IllegalArgumentException] {
+      RoaringBitmapArray.deserialize(bb.array())
+    }
+    assert(e.getMessage.contains("16-bit"), e.getMessage)
+  }
+
   test("bitmap containers round-trip above 4096 cardinality") {
     val values = (0 until 5000).map(i => i.toLong * 2)
     val bm = RoaringBitmapArray(values: _*)

@@ -148,6 +148,40 @@ class DeltaTableSpec extends SparkSpec {
     }
   }
 
+  test("Overwrite with a NEW partitionBy (same type shape) repartitions " +
+      "the table: metadata updates, pruning follows the new key") {
+    withTempDir { dir =>
+      val df = (0 until 40).map(i => (i.toLong, s"g${i % 2}", s"h${i % 4}"))
+        .toDF("id", "a", "b")
+      DeltaTable.write(df, dir, partitionBy = Seq("a"))
+      assert(DeltaLog.forTable(spark, dir).update()
+        .metadata.partitionColumns == Seq("a"))
+      // repartition by 'b' with an IDENTICAL schema: previously no
+      // Metadata action was emitted and the commit failed on
+      // partition-value mismatch after the data was already written
+      DeltaTable.write(df, dir, SaveMode.Overwrite, partitionBy = Seq("b"))
+      val snap = DeltaLog.forTable(spark, dir).update()
+      assert(snap.metadata.partitionColumns == Seq("b"))
+      assert(snap.allFiles.forall(_.partitionValues.keySet == Set("b")))
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .filter($"b" === "h1").count() == 10)
+    }
+  }
+
+  test("append-time schema evolution resolves columns case-insensitively") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1L, "x")).toDF("userId", "name"), dir)
+      // same columns, different spelling + one genuinely new column
+      DeltaTable.write(Seq((2L, "y", 3.0)).toDF("userid", "NAME", "score"),
+        dir)
+      val snap = DeltaLog.forTable(spark, dir).update()
+      // table spelling wins; 'score' appended nullable
+      assert(snap.metadata.schema.fieldNames.toSeq ==
+        Seq("userId", "name", "score"))
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+    }
+  }
+
   test("FSCK REPAIR drops entries for vanished files; DRY RUN only reports") {
     withTempDir { dir =>
       DeltaTable.write(

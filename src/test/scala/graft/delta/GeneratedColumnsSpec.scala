@@ -56,6 +56,21 @@ class GeneratedColumnsSpec extends SparkSpec {
     }
   }
 
+  test("a CASE-MISMATCHED provided value still hits the equality " +
+      "invariant (not silently recomputed over)") {
+    withTempDir { dir =>
+      DeltaTable.create(spark, dir, schema,
+        generatedColumns = Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+      // the frame spells it 'DAY': Spark resolves case-insensitively, so
+      // this IS a user-provided value — materialize must not overwrite
+      // it with the computed expression and mask the bad data
+      val bad = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+        "2026-12-31")).toDF("id", "ts", "DAY")
+      intercept[Exception] { DeltaTable.write(bad, dir) }
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 0)
+    }
+  }
+
   test("UPDATE that breaks the generation invariant is rejected") {
     withTempDir { dir =>
       DeltaTable.create(spark, dir, schema,
