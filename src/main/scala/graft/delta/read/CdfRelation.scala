@@ -40,8 +40,15 @@ object CdfRelation {
     val typeCol = CdcWriter.ChangeTypeCol
     val cdc = actions.collect { case c: AddCDCFile => c }
     if (cdc.nonEmpty) {
+      // carry the RECORDED partition values: foreign writers partition
+      // the change parquet and keep partition columns OUT of the data,
+      // so dropping c.partitionValues would null every partition column
+      // in their change rows (frame() routes such files to a stitched
+      // relation; our own CdcWriter writes them in-data with an empty
+      // map, served by the data-column relation)
       (cdc.map(c => AddFile(path = c.path,
-        partitionValues = Map(VersionCol -> v.toString), size = c.size)), Nil)
+        partitionValues = c.partitionValues + (VersionCol -> v.toString),
+        size = c.size)), Nil)
     } else {
       val adds = actions.collect { case a: AddFile if a.dataChange => a }
       val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
@@ -103,18 +110,26 @@ object CdfRelation {
         .select(outCols: _*)
     }
 
-    val cdcFrame =
-      if (cdcFiles.isEmpty) None
-      else Some(rel(metadata.copy(schemaString = Some(extended.json),
-        partitionColumns = Seq(VersionCol)), cdcFiles))
+    // change parquet comes in two shapes: our CdcWriter stores partition
+    // columns IN THE DATA (empty partitionValues), foreign writers
+    // partition the files and record the values in AddCDCFile — those
+    // must STITCH from partitionValues or they read as null. Still O(1)
+    // relations (at most three), never per-commit.
+    val (cdcStitched, cdcInData) = cdcFiles.partition(f =>
+      metadata.partitionColumns.nonEmpty &&
+        metadata.partitionColumns.forall(f.partitionValues.contains))
+    val cdcFrames = Seq(
+      cdcInData -> Seq(VersionCol),
+      cdcStitched -> (metadata.partitionColumns :+ VersionCol)
+    ).collect { case (files, partCols) if files.nonEmpty =>
+      rel(metadata.copy(schemaString = Some(extended.json),
+        partitionColumns = partCols), files)
+    }
     val derivedFrame =
       if (derivedFiles.isEmpty) None
       else Some(rel(metadata.copy(schemaString = Some(extended.json),
         partitionColumns = metadata.partitionColumns ++ Seq(typeCol, VersionCol)),
         derivedFiles))
-    (cdcFrame, derivedFrame) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b))
-      case (a, b) => a.orElse(b)
-    }
+    (cdcFrames ++ derivedFrame).reduceOption(_ unionByName _)
   }
 }

@@ -106,9 +106,20 @@ class DeltaFileIndex private (
     }
   }
 
-  private def toFileStatus(add: graft.delta.AddFile): FileStatus =
-    new FileStatus(add.size, false, 1, 128L * 1024 * 1024,
+  private def toFileStatus(add: graft.delta.AddFile): FileStatus = {
+    // a 0-length status plans ZERO splits and the file is silently never
+    // read — a derived-delete CDF entry built from a RemoveFile without
+    // size (optional per protocol; foreign writers omit it) would drop
+    // its delete rows. Stat the real length instead; bounded by the
+    // commit's size-less files, one driver RPC each.
+    val size =
+      if (add.size > 0L) add.size
+      else absolutePath(add.path).getFileSystem(
+        spark.sessionState.newHadoopConf()).getFileStatus(
+        absolutePath(add.path)).getLen
+    new FileStatus(size, false, 1, 128L * 1024 * 1024,
       add.modificationTime, absolutePath(add.path))
+  }
 
   override def inputFiles: Array[String] = source match {
     case Left(files) => files.map(f => absolutePath(f.path).toString).toArray

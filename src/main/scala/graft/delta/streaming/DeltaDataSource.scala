@@ -95,13 +95,11 @@ class DeltaDataSource
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val log = DeltaLog.forTable(sqlContext.sparkSession, pathOf(parameters))
-    val base = log.update().metadata.schema
+    val meta = log.update().metadata
     val out =
-      if (parameters.getOrElse("readChangeFeed", "false").toBoolean) {
-        base.add(graft.delta.write.CdcWriter.ChangeTypeCol,
-            org.apache.spark.sql.types.StringType)
-          .add("_commit_version", org.apache.spark.sql.types.LongType)
-      } else base
+      if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
+        graft.delta.read.CdfRelation.cdfSchema(meta) // the ONE CDF shape
+      else meta.schema
     (shortName(), out)
   }
 

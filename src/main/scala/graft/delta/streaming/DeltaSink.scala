@@ -26,12 +26,21 @@ class DeltaSink(
     outputMode: OutputMode,
     options: Map[String, String]) extends Sink {
 
+  /** Identity when neither txnAppId nor the engine's queryId exists (a
+    * custom harness driving addBatch directly): a fresh per-SINK id.
+    * Sharing the table PATH here would make two distinct queries skip
+    * each other's batches as "replays" — silent data loss; a per-sink
+    * id degrades only to at-least-once across process restarts for such
+    * harnesses, which is the safe direction. */
+  private lazy val fallbackAppId =
+    s"graft-sink-${java.util.UUID.randomUUID()}"
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
     val deltaLog = DeltaLog.forTable(spark, path)
     val appId = options.getOrElse("txnAppId",
       Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-        .getOrElse(path))
+        .getOrElse(fallbackAppId))
 
     deltaLog.deltaLogLock.synchronized {
       val txn = deltaLog.startTransaction()

@@ -81,17 +81,22 @@ class DeltaSource(
 
   override val schema: StructType =
     if (!readChangeFeed) initialSnapshot.metadata.schema
-    else initialSnapshot.metadata.schema
-      .add(graft.delta.write.CdcWriter.ChangeTypeCol,
-        org.apache.spark.sql.types.StringType)
-      .add("_commit_version", org.apache.spark.sql.types.LongType)
+    // ONE definition of the CDF shape (CdfRelation.cdfSchema) — batch
+    // reads, this source, and sourceSchema must never drift apart
+    else graft.delta.read.CdfRelation.cdfSchema(initialSnapshot.metadata)
 
   /** Rate limit: cap each micro-batch at this many data AddFiles (always
     * at least one version per batch — a batch must make progress). With
     * [[SupportsAdmissionControl]] the engine hands the committed start
     * offset to [[latestOffset]], so the cap holds across restarts too
     * (the reference's bounded/continuous split, DeltaSource.java:121-150,
-    * maps onto ReadLimit-driven admission). */
+    * maps onto ReadLimit-driven admission).
+    *
+    * KNOWN BOUND: the INITIAL-SNAPSHOT batch (no startingVersion) is
+    * served whole — version-granular offsets cannot split one snapshot.
+    * Splitting it needs (version, fileIndex) offsets (delta-spark's
+    * IndexedFile scheme); until then, bound first-batch size by starting
+    * from a version (startingVersion) or a fresh table. */
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
 
@@ -222,8 +227,23 @@ class DeltaSource(
     if (readChangeFeed) return cdfBatch(fromV, endV)
     if (fromV < 0) {
       // F1 initial snapshot: plan through the snapshot-backed index so
-      // distributed-state tables never collect their file list here
-      return buildSnapshotDF(deltaLog.getSnapshotForVersionAsOf(endV))
+      // distributed-state tables never collect their file list here.
+      // The batch serves the state AT endV through the schema pinned at
+      // stream construction — a schema/partitioning change in
+      // (initialSnapshot.version, endV] would otherwise be served
+      // SILENTLY with the stale schema forever (later batches only scan
+      // versions past endV and would never see the Metadata action)
+      val snapAtEnd = deltaLog.getSnapshotForVersionAsOf(endV)
+      if (snapAtEnd.metadata.schemaString !=
+            initialSnapshot.metadata.schemaString ||
+          snapAtEnd.metadata.partitionColumns !=
+            initialSnapshot.metadata.partitionColumns) {
+        throw new UnsupportedOperationException(
+          s"Table schema changed between stream start " +
+            s"(${initialSnapshot.version}) and the initial snapshot " +
+            s"batch ($endV); restart the stream to pick it up")
+      }
+      return buildSnapshotDF(snapAtEnd)
     }
     buildBatchDF(changedFiles(fromV, endV))
   }
@@ -250,13 +270,20 @@ class DeltaSource(
         // silently serving old-schema change rows drops new columns
         actions.foreach {
           case m: Metadata if v > initialSnapshot.version &&
-              m.schemaString != initialSnapshot.metadata.schemaString =>
+              (m.schemaString != initialSnapshot.metadata.schemaString ||
+                m.partitionColumns !=
+                  initialSnapshot.metadata.partitionColumns) =>
             throw new UnsupportedOperationException(
               s"Detected a schema/metadata change at version $v; " +
                 "restart the stream to pick it up")
-          case _: Protocol if v > initialSnapshot.version =>
-            throw new UnsupportedOperationException(
-              s"Detected a protocol change at version $v; restart the stream")
+          case p: Protocol if v > initialSnapshot.version =>
+            // accept any protocol this engine can READ (same rule as the
+            // non-CDF path) — a benign feature enablement must not kill
+            // only the CDF streams
+            require(p.minReaderVersion <= 2 ||
+              (p.minReaderVersion == 3 &&
+                graft.delta.TableFeatures.unsupportedReader(p).isEmpty),
+              s"Unsupported protocol change at version $v: $p")
           case _ =>
         }
         val (c, d) = graft.delta.read.CdfRelation.tagFiles(v, actions, "stream")
@@ -282,7 +309,14 @@ class DeltaSource(
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
         actions.foreach {
-          case _: Metadata if v > initialSnapshot.version =>
+          // property-only metadata (retention tweaks etc.) with an
+          // unchanged schema and partitioning must NOT kill the stream —
+          // only changes that invalidate the pinned schema do (the same
+          // comparison the CDF path makes)
+          case m: Metadata if v > initialSnapshot.version &&
+              (m.schemaString != initialSnapshot.metadata.schemaString ||
+                m.partitionColumns !=
+                  initialSnapshot.metadata.partitionColumns) =>
             throw new UnsupportedOperationException(
               s"Detected a schema/metadata change at version $v; restart the " +
                 "stream to pick it up")

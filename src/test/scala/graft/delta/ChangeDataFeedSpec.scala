@@ -105,6 +105,55 @@ class ChangeDataFeedSpec extends SparkSpec {
     }
   }
 
+  test("FOREIGN-shaped cdc files stitch partition values from the log " +
+      "(partition columns not in the parquet data)") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((1, "x"), (2, "y")).toDF("id", "p"), dir,
+        partitionBy = Seq("p"), configuration = cdf)
+      // delta-spark partitions the change parquet and keeps 'p' OUT of
+      // the data; the value rides AddCDCFile.partitionValues
+      val cdcDf = Seq((7, "insert"), (8, "insert"))
+        .toDF("id", graft.delta.write.CdcWriter.ChangeTypeCol)
+      val stage = s"$dir/.cdcstage"
+      cdcDf.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val destRel = "_change_data/p=x/foreign-cdc.parquet"
+      val dest = new java.io.File(dir, destRel)
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+
+      val log = DeltaLog.forTable(spark, dir)
+      val v = log.startTransaction().commit(
+        Seq(AddCDCFile(path = destRel,
+          partitionValues = Map("p" -> "x"), size = dest.length())),
+        "MANUAL_CDC")
+      val rows = DeltaTable.forPath(spark, dir).changes(v, v)
+        .select($"id", $"p", col("_change_type"))
+        .as[(Int, String, String)].collect().toSet
+      assert(rows == Set((7, "x", "insert"), (8, "x", "insert")),
+        s"partition values must stitch from the log, got $rows")
+    }
+  }
+
+  test("a derived delete from a RemoveFile WITHOUT size still emits its " +
+      "rows (no zero-split silent drop)") {
+    withTempDir { dir =>
+      DeltaTable.write((1 to 6).toDF("id").coalesce(1), dir,
+        configuration = cdf)
+      val log = DeltaLog.forTable(spark, dir)
+      val victim = log.update().allFiles.head
+      val v = log.startTransaction().commit(
+        Seq(RemoveFile(victim.path, Some(1L), dataChange = true,
+          partitionValues = Some(Map.empty), size = None)),
+        "MANUAL_DELETE")
+      val deletes = DeltaTable.forPath(spark, dir).changes(v, v)
+        .filter(col("_change_type") === "delete")
+      assert(deletes.count() == 6,
+        "size-less remove must still read its file for derived deletes")
+    }
+  }
+
   test("inserts, updates and deletes all appear in the change feed") {
     withTempDir { dir =>
       DeltaTable.write((1 to 4).map(i => (i, i * 1.0)).toDF("id", "v"), dir,

@@ -57,6 +57,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("two sinks WITHOUT txnAppId/queryId never skip each other's batches") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      // two distinct queries (fresh checkpoints) at different batch ids:
+      // a shared fallback id (e.g. the table path) would make B's batch 0
+      // read as "already committed" after A's batch 57 — silent loss
+      val a = new streaming.DeltaSink(spark.sqlContext, table, Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append(), Map.empty)
+      val b = new streaming.DeltaSink(spark.sqlContext, table, Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append(), Map.empty)
+      a.addBatch(57, (1 to 5).toDF("value"))
+      b.addBatch(0, (6 to 8).toDF("value"))
+      assert(DeltaTable.forPath(spark, table).toDF.count() == 8)
+      // each sink still skips ITS OWN replays
+      b.addBatch(0, (6 to 8).toDF("value"))
+      assert(DeltaTable.forPath(spark, table).toDF.count() == 8)
+    }
+  }
+
+  test("a property-only metadata change does NOT kill the stream; a " +
+      "schema change still does") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      val ckpt = s"$base/ckpt"
+      DeltaTable.write((1 to 5).toDF("value"), table)
+      DeltaTable.forPath(spark, table)
+        .setProperties(Map("delta.logRetentionDuration" -> "interval 14 days"))
+      DeltaTable.write((6 to 9).toDF("value"), table)
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "1") // the property commit is v1
+        .load(table)
+        .writeStream.format("memory").queryName("prop_ok")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(spark.table("prop_ok").count() == 4,
+        "the property-only change must pass through")
+      // a REAL schema change still fails a stream pinned BEFORE it: the
+      // source is constructed first, the change lands, the next batch
+      // throws (eagerly, in changedFiles — before any frame exists)
+      val source = new streaming.DeltaSource(spark.sqlContext,
+        DeltaLog.forTable(spark, table), Map("startingVersion" -> "1"))
+      DeltaTable.write((1 to 2).map(i => (i + 100, s"n$i"))
+        .toDF("value", "name"), table)
+      val head2 = DeltaLog.forTable(spark, table).update().version
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      val e = intercept[UnsupportedOperationException] {
+        source.getBatch(None, LongOffset(head2))
+      }
+      assert(e.getMessage.contains("schema/metadata change"), e.getMessage)
+    }
+  }
+
+  test("a schema change BETWEEN stream start and the initial-snapshot " +
+      "batch fails loudly instead of serving the stale schema forever") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write((1 to 5).toDF("value"), table)
+      val source = new streaming.DeltaSource(spark.sqlContext,
+        DeltaLog.forTable(spark, table), Map.empty) // initial snapshot mode
+      // schema evolves AFTER construction but BEFORE the first batch
+      DeltaTable.write(Seq((100, "x")).toDF("value", "name"), table)
+      val head = DeltaLog.forTable(spark, table).update().version
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      val e = intercept[UnsupportedOperationException] {
+        source.getBatch(None, LongOffset(head))
+      }
+      assert(e.getMessage.contains("initial snapshot"), e.getMessage)
+    }
+  }
+
   test("streaming source feeds appended versions as micro-batches") {
     withTempDir { base =>
       val table = s"$base/table"
