@@ -79,6 +79,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val nsPath = namespace.foldLeft(warehouse)(new Path(_, _))
     if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(nsPath).filter(_.isDirectory)
+      // hidden staging/trash dirs (.t.staged-x / .t.replaced-x) are NOT
+      // tables, even mid-CTAS or after a crashed swap left one behind
+      .filterNot(_.getPath.getName.startsWith("."))
       .filter(st => fs.exists(new Path(st.getPath, "_delta_log")))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
@@ -98,12 +101,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       Map("versionAsOf" -> version))
   }
 
-  /** `TIMESTAMP AS OF` — DSv2 hands microseconds since epoch. */
+  /** `TIMESTAMP AS OF` — DSv2 hands microseconds since epoch. Carried as
+    * raw MILLIS: a java.sql.Timestamp.toString round-trip renders in the
+    * JVM default timezone while the re-parse reads the SESSION timezone,
+    * silently shifting the selected snapshot when the two differ. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val ts = new java.sql.Timestamp(timestampMicros / 1000L)
     new GraftTable(catalogName, ident, tablePath(ident).toString,
-      Map("timestampAsOf" -> ts.toString))
+      Map("timestampAsOfMillis" -> (timestampMicros / 1000L).toString))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -243,8 +248,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     var config = before.configuration
     var ops = Vector.empty[String]
     def droppedPhysical: Set[String] =
-      config.get(GraftCatalog.DroppedPhysicalKey)
-        .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      graft.delta.ColumnMapping.droppedPhysical(config)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.isNullable,
@@ -252,11 +256,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         val path = add.fieldNames().init.toSeq
         val name = add.fieldNames().last
         // a column re-added after a DROP must NOT resurrect the dropped
-        // column's bytes from old files: give it a fresh physical name
-        // (Delta's column-mapping stance); reads of old files then decode
-        // it as null, exactly like any other added column
+        // column's bytes from old files — and the same holds for a name
+        // a RENAMED column still OWNS physically (rename a->b keeps
+        // physical 'a'; re-adding logical 'a' must not bind those bytes
+        // nor collide with b's writes): give it a fresh physical name
+        // (Delta's column-mapping stance); reads of old files then
+        // decode it as null, exactly like any other added column
+        val inUsePhysical = schema.fields
+          .map(f => graft.delta.ColumnMapping.physicalName(f)).toSet
         val metadata =
-          if (path.isEmpty && droppedPhysical.contains(name)) {
+          if (path.isEmpty &&
+              (droppedPhysical.contains(name) || inUsePhysical.contains(name))) {
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString(graft.delta.ColumnMapping.PhysicalNameKey,
                 s"$name-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -388,7 +398,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (!tableExists(ident)) return false
     // evict ONLY this table — other tables keep their cached snapshots
     DeltaLog.invalidate(spark, tablePath(ident).toString)
-    fs.delete(tablePath(ident), true)
+    // the table EXISTS, so a false here is a deletion FAILURE (permission,
+    // transient FS fault), not "nothing to drop" — surfacing it as the
+    // latter would make DROP TABLE report success over a live table
+    if (!fs.delete(tablePath(ident), true)) {
+      throw new IllegalStateException(
+        s"DROP TABLE: deleting ${tablePath(ident)} failed")
+    }
+    true
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -408,7 +425,9 @@ object GraftCatalog {
   /** Table property holding the comma-joined PHYSICAL names of dropped
     * columns: a later ADD COLUMNS reusing such a name gets a fresh
     * physical name instead, so old files' bytes never resurface. */
-  val DroppedPhysicalKey = "graft.droppedPhysicalNames"
+  /** One definition — the READ side (ColumnMapping) owns the key and the
+    * parse rule; this alias only keeps existing call sites compiling. */
+  val DroppedPhysicalKey: String = graft.delta.ColumnMapping.DroppedPhysicalKey
 }
 
 /** The catalog's table handle: schema/partitioning come from the LIVE
@@ -426,10 +445,14 @@ class GraftTable(
   private lazy val snapshot = readOptions.get("versionAsOf") match {
     case Some(v) =>
       DeltaLog.forTable(spark, path).getSnapshotForVersionAsOf(v.toLong)
-    case None => readOptions.get("timestampAsOf") match {
-      case Some(ts) => DeltaLog.forTable(spark, path)
-        .getSnapshotForTimestampAsOf(TimestampParsing.parseMillis(spark, ts))
-      case None => DeltaLog.forTable(spark, path).update()
+    case None => readOptions.get("timestampAsOfMillis") match {
+      case Some(ms) => DeltaLog.forTable(spark, path)
+        .getSnapshotForTimestampAsOf(ms.toLong)
+      case None => readOptions.get("timestampAsOf") match {
+        case Some(ts) => DeltaLog.forTable(spark, path)
+          .getSnapshotForTimestampAsOf(TimestampParsing.parseMillis(spark, ts))
+        case None => DeltaLog.forTable(spark, path).update()
+      }
     }
   }
 
@@ -548,7 +571,17 @@ private[sql] class GraftStagedTable(
       fs.delete(trash, true)
     } else {
       DeltaLog.invalidate(spark, finalPath.toString)
-      if (!fs.rename(staging, finalPath)) {
+      // re-check the destination: Hadoop rename onto an EXISTING directory
+      // moves the source INSIDE it and reports success — a concurrent
+      // CREATE landing during a long CTAS would silently swallow this
+      // table into a hidden subdirectory of the winner's
+      if (fs.exists(finalPath)) {
+        fs.delete(staging, true)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      }
+      if (!fs.rename(staging, finalPath) || !fs.exists(
+          new Path(finalPath, "_delta_log"))) {
         throw new IllegalStateException(s"CTAS: rename $staging -> $finalPath failed")
       }
     }

@@ -217,6 +217,11 @@ object GraftSqlParser {
       else if (c == '\'' || c == '"') quote = c
       else if (c == '=') topEq += 1
     }
+    // duplicate keys must not silently last-write-win (Spark's own
+    // property-list grammar rejects them with "Found duplicate keys")
+    val dup = pairs.groupBy(_._1).collectFirst { case (k, vs) if vs.size > 1 => k }
+    dup.foreach(k => throw new IllegalArgumentException(
+      s"Found duplicate key in TBLPROPERTIES: $k"))
     if (pairs.nonEmpty && pairs.size == topEq) Some(pairs.toMap)
     else None
   }

@@ -172,11 +172,19 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT SUM(fee) FROM graft.db.rn").head().getDouble(0) == 61.0)
     assert(DeltaLog.forTable(spark, path).update().metadata.columnMapping ==
       Map("fee" -> "price"))
-    // adding a column that reuses the ORIGINAL name must be rejected —
-    // it would collide with fee's physical name inside the files
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft.db.rn ADD COLUMNS (price DOUBLE)")
-    }
+    // adding a column that reuses the ORIGINAL name gets a FRESH physical
+    // name (delta-spark's column-mapping stance): it must neither decode
+    // fee's stored bytes (resurrection) nor collide with fee's writes
+    spark.sql("ALTER TABLE graft.db.rn ADD COLUMNS (price DOUBLE)")
+    val m3 = DeltaLog.forTable(spark, path).update().metadata
+    assert(m3.columnMapping("fee") == "price")
+    assert(m3.columnMapping.get("price").exists(p =>
+      p != "price" && p.startsWith("price-")),
+      s"re-added column must bind a fresh physical name: ${m3.columnMapping}")
+    val after = spark.sql(
+      "SELECT SUM(fee) AS f, SUM(price) AS p FROM graft.db.rn").head()
+    assert(after.getDouble(0) == 61.0, "fee still decodes its bytes")
+    assert(after.isNullAt(1), "re-added price reads null, never fee's bytes")
     // partition columns cannot be renamed (historical commits key them)
     spark.sql("""CREATE TABLE graft.db.rnp (id INT, day STRING)
                  PARTITIONED BY (day)""")
