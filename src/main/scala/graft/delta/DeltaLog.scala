@@ -273,13 +273,44 @@ class DeltaLog private (
     val cpFiles = latestCheckpoint
       .map(cp => completeGroups(cp).sortBy(_.getPath.getName))
       .getOrElse(Nil)
-    // commit-time stamp from the newest PLAIN commit when present — a
-    // compacted file's mtime is compaction time, not commit time
-    val lastTs = singleByV.maxByOption(_._1).map(_._2.getModificationTime)
-      .orElse(coveringDeltas.lastOption.map(_.getModificationTime))
+    // commit-time stamp from the plain commit AT the segment version when
+    // present. When only a compacted range covers the tail (the plain
+    // commits were cleaned up), a compacted file's mtime is COMPACTION
+    // time, not commit time — use the END commit's CommitInfo timestamp
+    // that compactLog deliberately preserves inside the file instead, so
+    // TIMESTAMP AS OF / history on non-ICT tables stays commit-anchored.
+    val lastTs = singleByV.get(version).map(_.getModificationTime)
+      .orElse(coveringDeltas.lastOption.map { f =>
+        if (FileNames.isCompactedFile(f.getPath))
+          compactedTailCommitTimestamp(f.getPath)
+            .getOrElse(f.getModificationTime)
+        else f.getModificationTime
+      })
+      .orElse(singleByV.maxByOption(_._1).map(_._2.getModificationTime))
       .orElse(cpFiles.headOption.map(_.getModificationTime)).getOrElse(0L)
     LogSegment(logPath, version, coveringDeltas, cpFiles, latestCheckpoint,
       lastTs)
+  }
+
+  /** The END commit's CommitInfo timestamp preserved inside a compacted
+    * file (compactLog writes it first; foreign compactors may place it
+    * anywhere or omit it). Memoized per (path, mtime, length) — segment
+    * assembly re-runs on every update() and the file does not change. */
+  private val compactedTsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[Long]]()
+  private def compactedTailCommitTimestamp(
+      p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val fs = p.getFileSystem(hadoopConf)
+    val st = try fs.getFileStatus(p) catch { case _: java.io.IOException => return None }
+    compactedTsCache.computeIfAbsent(
+      (p.toString, st.getModificationTime, st.getLen),
+      _ => try {
+        store.read(p, hadoopConf).iterator
+          .filter(_.contains("\"commitInfo\""))
+          .flatMap(l => JsonCodec.fromJson(l).commitInfo)
+          .flatMap(_.timestamp)
+          .toSeq.headOption
+      } catch { case scala.util.control.NonFatal(_) => None })
   }
 
   // ------------------------------------------------------------ txn (T1)
@@ -507,8 +538,18 @@ class DeltaLog private (
     val filesByKey = mutable.LinkedHashMap.empty[(String, String), Action]
     (start to end).foreach { v =>
       val lines = store.read(FileNames.deltaFile(logPath, v), hadoopConf)
-      lines.iterator.filter(_.trim.nonEmpty)
-        .map(JsonCodec.actionFromJson).filter(_ != null).foreach {
+      lines.iterator.filter(_.trim.nonEmpty).foreach { line =>
+        JsonCodec.actionFromJson(line) match {
+          case null =>
+            // a commit written by a newer engine may carry action types
+            // this engine cannot model; readers PREFER compacted ranges
+            // over the originals, so writing a file that drops such a
+            // line would silently lose it — abort instead (compaction is
+            // an optimization; the per-version commits stay authoritative)
+            throw new IllegalStateException(
+              s"compactLog: commit $v contains an action this engine " +
+                s"cannot model; refusing to write a lossy compacted " +
+                s"file: ${line.take(200)}")
           case p: Protocol => lastProtocol = Some(p)
           case m: Metadata => lastMetadata = Some(m)
           case t: SetTransaction => txns(t.appId) = t
@@ -516,8 +557,9 @@ class DeltaLog private (
           case a: AddFile => filesByKey((canonical(a.path), a.dvId)) = a
           case r: RemoveFile => filesByKey((canonical(r.path), r.dvId)) = r
           case ci: CommitInfo => if (v == end) lastCommitInfo = Some(ci)
-          case _ => () // AddCDCFile and unknown actions stay per-version
+          case _: AddCDCFile => () // per-version by design: CDF never reads compacted ranges
         }
+      }
     }
     val actions: Seq[Action] =
       lastCommitInfo.toSeq ++ lastProtocol.toSeq ++ lastMetadata.toSeq ++

@@ -106,17 +106,27 @@ class DeltaFileIndex private (
     }
   }
 
+  /** Stat-ed lengths of size-less AddFiles, memoized per path: planning
+    * calls listFiles more than once per query (and once per query
+    * thereafter) — without the memo every pass would re-pay one blocking
+    * driver RPC per size-omitted file. Data files are immutable once
+    * committed, so a stat-ed length never goes stale. */
+  private val statLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def toFileStatus(add: graft.delta.AddFile): FileStatus = {
     // a 0-length status plans ZERO splits and the file is silently never
     // read — a derived-delete CDF entry built from a RemoveFile without
     // size (optional per protocol; foreign writers omit it) would drop
     // its delete rows. Stat the real length instead; bounded by the
-    // commit's size-less files, one driver RPC each.
+    // commit's size-less files, one driver RPC each, memoized.
     val size =
       if (add.size > 0L) add.size
-      else absolutePath(add.path).getFileSystem(
-        spark.sessionState.newHadoopConf()).getFileStatus(
-        absolutePath(add.path)).getLen
+      else statLenCache.computeIfAbsent(add.path, _ => {
+        val p = absolutePath(add.path)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(p).getLen
+      }).longValue()
     new FileStatus(size, false, 1, 128L * 1024 * 1024,
       add.modificationTime, absolutePath(add.path))
   }

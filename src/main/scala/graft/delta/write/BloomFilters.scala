@@ -104,9 +104,15 @@ object BloomFilters {
     * (uuid-named) batch directory. Basenames are NOT unique across
     * partition directories — dynamic-partition tasks write the same
     * part-00000-… name under every partition dir, and a basename key
-    * would merge (and mis-size) their filters. `full` may arrive
-    * URL-encoded (input_file_name / SparkPath) or decoded (FileStatus
-    * paths) — decode through URI first so both sides agree. */
+    * would merge (and mis-size) their filters.
+    *
+    * `full` must be the `input_file_name()` spelling on BOTH sides —
+    * `path.toUri.toString`, i.e. [[keySpelling]] of the driver's
+    * FileStatus path. An asymmetric pair (decoded driver / encoded
+    * executor) double-decodes one side: a partition dir whose escaped
+    * value contains a literal `%XX` (Spark escapes specials as %-codes)
+    * would key differently and silently lose its filter. */
+  private[write] def keySpelling(p: Path): String = p.toUri.toString
   private[write] def batchRelativeKey(batchName: String)(full: String): String = {
     val decoded =
       try new java.net.URI(full).getPath
@@ -134,7 +140,7 @@ object BloomFilters {
     val keyOf = batchRelativeKey(batchName) _
     val explicit = metadata.configuration.get(BitsKey).map(_.toInt)
     val bitsByFile: Map[String, Int] = files.map { p =>
-      val k = keyOf(p.toUri.getPath)
+      val k = keyOf(keySpelling(p))
       k -> explicit.getOrElse(autoBits(rowsByFile.getOrElse(k, 0L)))
     }.toMap
     val physSchema = StructType(metadata.dataSchema.fields.map(f =>

@@ -367,7 +367,7 @@ object DeltaWriter {
       lazy val rowsByFile: Map[String, Long] = files.flatMap { st =>
         stats.get(st.getPath).flatten.flatMap(s =>
           numRecordsRe.findFirstMatchIn(s).map(_.group(1).toLong))
-          .map(bloomKey(st.getPath.toUri.getPath) -> _)
+          .map(bloomKey(BloomFilters.keySpelling(st.getPath)) -> _)
       }.toMap
       val blooms: Map[String, (Map[String, String], Int)] = meta
         .filter(m => BloomFilters.indexedColumns(m).nonEmpty)
@@ -379,7 +379,7 @@ object DeltaWriter {
           .stripPrefix(batchDir.toUri.getPath + "/")
         val rel = s"$batchName/$relInBatch"
         val (fileBlooms, fileBloomBits) =
-          blooms.getOrElse(bloomKey(st.getPath.toUri.getPath),
+          blooms.getOrElse(bloomKey(BloomFilters.keySpelling(st.getPath)),
             (Map.empty[String, String], 0))
         AddFile(
           // the protocol stores paths as percent-encoded relative URIs

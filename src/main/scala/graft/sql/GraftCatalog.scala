@@ -568,6 +568,18 @@ private[sql] class GraftStagedTable(
         fs.rename(trash, finalPath)
         throw new IllegalStateException(s"REPLACE: swap into $finalPath failed")
       }
+      // same nesting hazard as the CREATE branch below: a concurrent
+      // CREATE landing between the move-aside and the swap makes this
+      // rename nest staging inside it — keep the interloper, keep the
+      // moved-aside copy for manual recovery, and fail loudly
+      val nestedSwap = new Path(finalPath, staging.getName)
+      if (fs.exists(nestedSwap)) {
+        fs.delete(nestedSwap, true)
+        DeltaLog.invalidate(spark, finalPath.toString)
+        throw new IllegalStateException(
+          s"REPLACE: a concurrent CREATE won $finalPath during the swap; " +
+            s"the replaced table was preserved at $trash")
+      }
       fs.delete(trash, true)
     } else {
       DeltaLog.invalidate(spark, finalPath.toString)
@@ -580,8 +592,24 @@ private[sql] class GraftStagedTable(
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
       }
-      if (!fs.rename(staging, finalPath) || !fs.exists(
-          new Path(finalPath, "_delta_log"))) {
+      if (!fs.rename(staging, finalPath)) {
+        throw new IllegalStateException(s"CTAS: rename $staging -> $finalPath failed")
+      }
+      // the exists/rename pair above is still check-then-act: a winner
+      // landing IN BETWEEN makes the rename nest staging INSIDE the
+      // winner's directory (and return true), and the winner's own
+      // _delta_log would satisfy a bare existence check — the losing
+      // CTAS would report success for data hidden under the winner's
+      // table. The staged dir's uuid name cannot occur in real table
+      // data, so its presence under finalPath IS the lost race.
+      val nested = new Path(finalPath, staging.getName)
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        DeltaLog.invalidate(spark, finalPath.toString)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      }
+      if (!fs.exists(new Path(finalPath, "_delta_log"))) {
         throw new IllegalStateException(s"CTAS: rename $staging -> $finalPath failed")
       }
     }

@@ -319,4 +319,56 @@ class LogCompactionSpec extends SparkSpec {
       assert(seg.checkpointVersion.contains(4L))
     }
   }
+
+  test("compactLog ABORTS on an action it cannot model instead of " +
+      "writing a lossy compacted file") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((0, "base")).toDF("v", "who"), dir)
+      (1 to 3).foreach(i =>
+        DeltaTable.write(Seq((i, s"c$i")).toDF("v", "who"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      // splice a future-engine action into commit 2: state replay
+      // TOLERATES it (unknown lines are skipped), but a compacted file
+      // is PREFERRED over the originals, so dropping the line there
+      // would lose it for every reader that can model it
+      val p = FileNames.deltaFile(log.logPath, 2)
+      val lines = log.store.read(p, log.hadoopConf)
+      val fs = p.getFileSystem(log.hadoopConf)
+      fs.delete(p, false)
+      log.store.write(p,
+        (lines :+ """{"futureAction":{"payload":1}}""").iterator,
+        overwrite = false, log.hadoopConf)
+      val e = intercept[IllegalStateException](log.compactLog(1, 3))
+      assert(e.getMessage.contains("cannot model"), e.getMessage)
+      assert(!fs.exists(FileNames.compactedFile(log.logPath, 1, 3)),
+        "no compacted file may exist after the abort")
+      // read tolerance is unchanged: the table still replays
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 4)
+    }
+  }
+
+  test("a compacted-only tail anchors the segment timestamp on the " +
+      "preserved CommitInfo, not the compacted file's mtime") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((0, "base")).toDF("v", "who"), dir)
+      (1 to 4).foreach(i =>
+        DeltaTable.write(Seq((i, s"c$i")).toDF("v", "who"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+      val trueTs = log.getCommitInfoAt(4).timestamp.get
+      val f = log.compactLog(1, 4)
+      val fs = log.logPath.getFileSystem(log.hadoopConf)
+      // a foreign cleanup removed the plain tail; the compaction ran a
+      // day later, so the compacted file's mtime is NOT the commit time
+      (1 to 4).foreach(v =>
+        fs.delete(FileNames.deltaFile(log.logPath, v), false))
+      fs.setTimes(f, trueTs + 86400000L, -1)
+      DeltaLog.clearCache()
+      val snap = DeltaLog.forTable(spark, dir).update()
+      assert(snap.version == 4)
+      assert(snap.timestamp == trueTs,
+        s"expected commit time $trueTs, got ${snap.timestamp} " +
+          s"(mtime would be ${trueTs + 86400000L})")
+    }
+  }
 }
