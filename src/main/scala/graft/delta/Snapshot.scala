@@ -109,9 +109,13 @@ class Snapshot(
     _.sidecars.map(s =>
       V2Checkpoints.sidecarPath(deltaLog.logPath, s).toString))
 
-  /** Above this many checkpoint bytes the file list stays distributed.
+  /** Above this many state bytes the file list stays distributed.
     * For a V2 checkpoint the state bytes live in the SIDECARS — count
-    * their declared sizes, not the (tiny) main file. */
+    * their declared sizes, not the (tiny) main file. The JSON tail
+    * counts too: a checkpoint-less log whose commits carry beyond-bound
+    * adds (one CONVERT / backfill commit can hold 100k+) would otherwise
+    * fold driver-side — exactly the materialization the bound exists to
+    * prevent (caught by the file-count scale harness, FileCountScale). */
   private[delta] lazy val distributedState: Boolean = {
     val max = spark.conf.getOption(Snapshot.DriverStateMaxBytesKey)
       .map(_.toLong).getOrElse(Snapshot.DriverStateMaxBytesDefault)
@@ -120,7 +124,7 @@ class Snapshot(
         logSegment.checkpoint.map(_.getLen).sum
       case None => logSegment.checkpoint.map(_.getLen).sum
     }
-    cpBytes > max
+    cpBytes + logSegment.deltas.map(_.getLen).sum > max
   }
 
   /** Reference path canonicalization bound to this table's filesystem. */
@@ -147,11 +151,42 @@ class Snapshot(
       }
       -1L
     }
-    commitActionsAfter(from).foreach { case (v, as) =>
+    lightCommitActionsAfter(from).foreach { case (v, as) =>
       replay.append(v, as.iterator)
     }
     replay.state
   }
+
+  /** Light projection of a tail-commit action: an AddFile keeps only its
+    * fold key (path + deletion vector) plus primitives — the light fold
+    * needs adds solely to cancel earlier tombstones, and retaining
+    * stats/partitionValues/tags would pin the whole tail's file metadata
+    * on the driver (a CONVERT / backfill commit can carry 100k+ adds;
+    * see FileCountScaleSpec). */
+  private def lightProjection(a: Action): Action = a match {
+    case add: AddFile
+        if add.stats.nonEmpty || add.partitionValues.nonEmpty ||
+          add.tags.nonEmpty || add.stats_parsed.nonEmpty =>
+      add.copy(stats = None, partitionValues = Map.empty, tags = None,
+        stats_parsed = None)
+    case other => other
+  }
+
+  private val lightCommitCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[Action]]
+
+  /** Tail commits for the LIGHT fold. Driver mode shares [[commitCache]]
+    * (the full fold will need the same actions — one parse, one copy);
+    * distributed mode never runs the full driver fold, so it parses into
+    * a stripped cache instead and the full AddFiles never materialize. */
+  private def lightCommitActionsAfter(after: Long): Seq[(Long, Seq[Action])] =
+    if (!distributedState) commitActionsAfter(after)
+    else deltaVersions.filter(_._1 > after).map { case (v, fs) =>
+      val full = commitCache.get(v) // reuse if someone already paid for it
+      (v, if (full != null) full.map(lightProjection)
+          else lightCommitCache.computeIfAbsent(v,
+            _ => readCommit(fs).map(lightProjection).toVector))
+    }
 
   /** Checkpoint actions with the `add` column pruned at the parquet layer.
     * V2 checkpoints: the driver-parsed main file supplies every non-file
@@ -242,7 +277,13 @@ class Snapshot(
     * monotonicity floor for the next commit. */
   private[delta] lazy val inCommitTimestampOpt: Option[Long] =
     deltaVersions.find(_._1 == version).flatMap { case (v, fs) =>
-      commitCache.computeIfAbsent(v, _ => readCommit(fs).toVector)
+      // reuse a parse someone already paid for, else STREAM: only the
+      // CommitInfo line is needed and the tip commit can be huge
+      // (CONVERT / backfill) — caching it here would pin every tail
+      // AddFile on the driver just to read one timestamp
+      val actions: Iterator[Action] =
+        Option(commitCache.get(v)).map(_.iterator).getOrElse(readCommit(fs))
+      actions
         .collectFirst { case ci: CommitInfo => ci.inCommitTimestamp }.flatten
     }
 

@@ -1,0 +1,205 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.delta._
+
+/** File-count-axis scale harness (VERDICT r11 #1): the 100 TB design
+  * claim rests on "the file list never materializes on the driver",
+  * previously proven only at <=4k ghost AddFiles. This drives the whole
+  * metadata lifecycle over a synthetic log of N AddFiles (log-only; no
+  * parquet behind the ghosts, so any accidental data access fails loudly)
+  * and reports wall time + retained driver heap per operation:
+  *
+  *   cold replay (light P&M state), distributed file count, classic
+  *   multi-part checkpoint write + cold replay through it, V2 (uuid +
+  *   sidecar) checkpoint write + cold replay through it, log compaction
+  *   of the add-range + cold replay through the compacted range,
+  *   partition-pruned scan, stats-pruned scan, scan-API survivor
+  *   collection, OPTIMIZE candidate selection, VACUUM LITE (dry run),
+  *   history().
+  *
+  * The spec twin (`FileCountScaleSpec`) asserts the invariants
+  * (filesMaterialized / fullStateComputed stay false, results correct) at
+  * 100k files; this main measures the files-axis ratio (e.g. 50k vs 500k)
+  * for the NOTES table.
+  *
+  * Usage: runMain graft.tools.FileCountScale <workDir> <n1> [<n2> ...]
+  */
+object FileCountScale {
+
+  case class OpTiming(op: String, millis: Long, heapMB: Long)
+
+  val RealRows = 20
+
+  /** Base table (partition p=real, v=1..20) + `nFiles` ghost AddFiles in
+    * `nCommits` blind-append commits across 50 ghost partitions, each
+    * with numRecords/min/max stats so stats pruning has something to
+    * prune. Ghost sizes are 10 GiB so OPTIMIZE never selects them. */
+  def synthesize(spark: SparkSession, dir: String, nFiles: Int,
+                 nCommits: Int = 10): Unit = {
+    import spark.implicits._
+    DeltaTable.write(
+      (1 to RealRows).map(i => (i, "real")).toDF("v", "p").coalesce(1),
+      dir, partitionBy = Seq("p"),
+      // no automatic checkpoints: the drive times them explicitly
+      configuration = Map("delta.checkpointInterval" -> "1000000"))
+    val log = DeltaLog.forTable(spark, dir)
+    val perCommit = nFiles / nCommits
+    require(perCommit * nCommits == nFiles,
+      s"nFiles=$nFiles must divide by nCommits=$nCommits")
+    (0 until nCommits).foreach { c =>
+      val adds = (1 to perCommit).map { i =>
+        val id = c * perCommit + i
+        AddFile(
+          path = s"p=ghost${id % 50}/part-$c-$i.parquet",
+          partitionValues = Map("p" -> s"ghost${id % 50}"),
+          size = 10L * 1024 * 1024 * 1024,
+          modificationTime = 1L, dataChange = true,
+          stats = Some(s"""{"numRecords":10,"minValues":{"v":${id + 100}},""" +
+            s""""maxValues":{"v":${id + 100}},"nullCount":{"v":0}}"""))
+      }
+      log.startTransaction().commit(adds, DeltaOperations.ManualUpdate)
+    }
+  }
+
+  private def usedHeapMB(): Long = {
+    System.gc(); Thread.sleep(50); System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  /** Drive every metadata-lifecycle operation; returns per-op timings.
+    * Uses ONLY the public API — the invariant asserts live in the spec. */
+  def drive(spark: SparkSession, dir: String, nFiles: Int): Seq[OpTiming] = {
+    import spark.implicits._
+    val out = Vector.newBuilder[OpTiming]
+    def timed[A](op: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      out += OpTiming(op, (System.nanoTime() - t0) / 1000000, usedHeapMB())
+      r
+    }
+    def coldLog(): DeltaLog = {
+      DeltaLog.clearCache()
+      DeltaLog.forTable(spark, dir)
+    }
+
+    // 1. cold replay, light state only (P&M short-circuit)
+    val snap0 = timed("cold replay (light P&M)") {
+      val s = coldLog().update()
+      require(s.metadata.partitionColumns == Seq("p")); s
+    }
+    // 2. distributed file count (aggregation over the replay job)
+    timed("file count (distributed agg)") {
+      require(snap0.numOfFiles == nFiles + 1,
+        s"expected ${nFiles + 1} files, got ${snap0.numOfFiles}")
+    }
+    // 3. classic multi-part checkpoint write (distributed job)
+    val parts = math.max(2, nFiles / 50000)
+    timed(s"classic checkpoint write ($parts parts)") {
+      Checkpoints.writeCheckpointDistributed(snap0, parts)
+    }
+    // 4. cold replay THROUGH the classic checkpoint
+    timed("cold replay via classic cp + count") {
+      require(coldLog().update().numOfFiles == nFiles + 1)
+    }
+    // 5. partition-pruned scan: only p=real survives (and only its files
+    //    exist on disk — touching a ghost file would throw)
+    val log = coldLog()
+    val snap = log.update()
+    timed("partition-pruned scan + agg") {
+      val s = snap.toDF.filter($"p" === "real")
+        .agg(sum($"v")).as[Long].head()
+      require(s == (1 to RealRows).sum, s"bad sum $s")
+    }
+    // 6. stats-pruned scan: v beyond every file's max -> zero survivors
+    timed("stats-pruned scan (0 survivors)") {
+      require(snap.toDF.filter($"v" > nFiles + RealRows + 1000).count() == 0L)
+    }
+    // 7. scan-API survivor collection (driver receives survivors only)
+    timed("scan API survivors") {
+      val files = DeltaTable.forPath(spark, dir).scan($"p" === "real").getFiles
+      require(files.nonEmpty && files.forall(_.partitionValues("p") == "real"))
+    }
+    // 8. OPTIMIZE candidate selection (ghosts oversized -> excluded in
+    //    the pruning job; only p=real compacts)
+    timed("OPTIMIZE candidate selection") {
+      DeltaTable.forPath(spark, dir).compact()
+    }
+    // 9. VACUUM LITE dry run (log-derived orphan set, no full listing)
+    timed("VACUUM LITE (dry run)") {
+      DeltaTable.forPath(spark, dir).vacuum(dryRun = true, lite = true)
+    }
+    // 10. history
+    timed("history()") {
+      require(coldLog().history().nonEmpty)
+    }
+    // 11. V2 checkpoint (uuid main + sidecars) at the post-OPTIMIZE tip
+    val snap2 = coldLog().update()
+    timed(s"V2 checkpoint write ($parts sidecars)") {
+      Checkpoints.writeV2Checkpoint(snap2, parts)
+    }
+    timed("cold replay via V2 cp + count") {
+      // OPTIMIZE rewrote p=real (n real files -> 1), ghosts untouched
+      require(coldLog().update().numOfFiles == nFiles + 1)
+    }
+    // 12. log compaction across the ghost-add range, then a cold replay
+    //     that can only cover 1..nCommits through the compacted file:
+    //     remove the plain commits AND the checkpoints
+    val fs = log.logPath.getFileSystem(log.hadoopConf)
+    timed("compactLog over add-range") {
+      log.compactLog(1, snap0.version)
+    }
+    timed("cold replay via compacted range + count") {
+      (1L to snap0.version).foreach(v =>
+        fs.delete(FileNames.deltaFile(log.logPath, v), false))
+      fs.delete(new org.apache.hadoop.fs.Path(log.logPath, "_last_checkpoint"),
+        false)
+      fs.globStatus(new org.apache.hadoop.fs.Path(log.logPath,
+        "*checkpoint*")).foreach(st => fs.delete(st.getPath, true))
+      fs.delete(new org.apache.hadoop.fs.Path(log.logPath, "_sidecars"), true)
+      require(coldLog().update().numOfFiles == nFiles + 1)
+    }
+    out.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: FileCountScale <workDir> <nFiles1> [<nFiles2> ...]")
+    val workDir = args(0)
+    val counts = args.drop(1).map(_.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-file-count-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // force the distributed state path regardless of checkpoint size —
+    // the same switch the invariant specs use
+    spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+
+    val results = counts.map { n =>
+      val dir = s"$workDir/files_$n"
+      val t0 = System.nanoTime()
+      synthesize(spark, dir, n)
+      val synthMs = (System.nanoTime() - t0) / 1000000
+      println(s"== n=$n synthesized in ${synthMs} ms ==")
+      n -> drive(spark, dir, n)
+    }
+    println()
+    println("| op | " + results.map(r => s"${r._1} files (ms) | heap MB").mkString(" | ") + " |")
+    println("|---|" + results.flatMap(_ => Seq("---", "---")).mkString("|") + "|")
+    val ops = results.head._2.map(_.op)
+    ops.zipWithIndex.foreach { case (op, i) =>
+      val cells = results.map { case (_, ts) =>
+        s"${ts(i).millis} | ${ts(i).heapMB}"
+      }
+      println(s"| $op | ${cells.mkString(" | ")} |")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,177 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tools.FileCountScale
+
+/** The distributed-state invariant at REAL file counts (VERDICT r11 #1):
+  * every prior proof ran at <=4k ghost AddFiles, while a 100 TB table
+  * carries 10^5-10^6. This drives the full metadata lifecycle over a
+  * synthetic log of 100k AddFiles (log-only ghosts — touching one fails
+  * loudly on the missing parquet) and asserts the claim the 100 TB design
+  * rests on: the file list NEVER materializes on the driver —
+  *
+  *   - replay + file count (pre-checkpoint: a huge JSON tail must route
+  *     distributed even with NO checkpoint — the byte bound counts tail
+  *     commits since r12, not checkpoint bytes alone);
+  *   - the light fold must not retain the tail's AddFile metadata
+  *     (r12: stripped to the (path, dv) fold key in distributed mode);
+  *   - classic multi-part checkpoint write + replay through it;
+  *   - V2 (uuid + sidecar) checkpoint write + replay through it;
+  *   - log compaction of the add-range + replay through the compacted
+  *     range alone;
+  *   - partition- and stats-pruned scans, scan-API survivor collection;
+  *   - OPTIMIZE candidate selection, VACUUM LITE, history().
+  *
+  * Timings/heap across file counts live in NOTES.md (FileCountScale main
+  * measures the files-axis ratio at 50k vs 500k); this spec pins the
+  * INVARIANTS at 100k inside the suite. */
+class FileCountScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 100000
+
+  test("100k AddFiles: the file list never materializes on the driver " +
+      "through replay, checkpoints, pruning, OPTIMIZE, VACUUM, history") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        FileCountScale.synthesize(spark, dir, N)
+
+        // ---- cold replay, NO checkpoint yet: a 100k-add JSON tail must
+        // route distributed (the pre-r12 bound looked at checkpoint bytes
+        // only and would fold all 100k adds on the driver here)
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val snap0 = log.update()
+        assert(snap0.distributedState,
+          "checkpoint-less huge tail must route distributed")
+        assert(snap0.metadata.partitionColumns == Seq("p"))
+        assert(snap0.numOfFiles == N + 1)
+        assert(!snap0.fullStateComputed,
+          "pre-checkpoint count folded the file list on the driver")
+        assert(!snap0.filesMaterialized)
+
+        // the light fold ran (metadata access) but must NOT have retained
+        // the tail's file metadata: tombstone-cancel keys only
+        assert(snap0.tombstones.isEmpty)
+
+        // ---- classic multi-part checkpoint, then replay through it
+        Checkpoints.writeCheckpointDistributed(snap0, parts = 4)
+        DeltaLog.clearCache()
+        val snap1 = DeltaLog.forTable(spark, dir).update()
+        assert(snap1.logSegment.checkpointVersion.contains(snap0.version))
+        assert(snap1.numOfFiles == N + 1)
+        assert(!snap1.fullStateComputed && !snap1.filesMaterialized)
+
+        // ---- partition-pruned scan: only p=real exists on disk
+        assert(snap1.toDF.filter($"p" === "real")
+          .agg(sum($"v")).as[Long].head() ==
+          (1 to FileCountScale.RealRows).sum)
+        assert(!snap1.filesMaterialized,
+          "partition-pruned scan collected the full file list")
+
+        // ---- stats-pruned scan: v above every max -> zero files read
+        assert(snap1.toDF.filter($"v" > N + 100000).count() == 0L)
+        assert(!snap1.filesMaterialized)
+
+        // ---- scan API: driver receives survivors only
+        val survivors =
+          DeltaTable.forPath(spark, dir).scan($"p" === "real").getFiles
+        assert(survivors.nonEmpty &&
+          survivors.forall(_.partitionValues("p") == "real"))
+        assert(!snap1.filesMaterialized)
+
+        // ---- OPTIMIZE candidate selection (ghosts oversized, excluded
+        // inside the pruning job; only p=real compacts)
+        DeltaTable.forPath(spark, dir).compact()
+        assert(!snap1.filesMaterialized,
+          "OPTIMIZE candidate selection collected the full file list")
+        val afterOpt = log.update()
+        assert(afterOpt.numOfFiles == N + 1) // real files -> 1, ghosts kept
+
+        // ---- VACUUM LITE + history stay metadata-only
+        DeltaTable.forPath(spark, dir).vacuum(dryRun = true, lite = true)
+        assert(log.history().nonEmpty)
+        assert(!afterOpt.fullStateComputed && !afterOpt.filesMaterialized)
+
+        // ---- V2 checkpoint (uuid main + sidecars), replay through it
+        Checkpoints.writeV2Checkpoint(afterOpt, parts = 4)
+        DeltaLog.clearCache()
+        val snapV2 = DeltaLog.forTable(spark, dir).update()
+        assert(snapV2.logSegment.checkpointVersion.contains(afterOpt.version))
+        assert(snapV2.numOfFiles == N + 1)
+        assert(snapV2.toDF.filter($"p" === "real")
+          .agg(sum($"v")).as[Long].head() ==
+          (1 to FileCountScale.RealRows).sum)
+        assert(!snapV2.fullStateComputed && !snapV2.filesMaterialized)
+
+        // ---- log compaction across the 100k-add range; replay must
+        // cover 1..10 through the compacted file alone once the plain
+        // commits and checkpoints are gone
+        log.compactLog(1, snap0.version)
+        val fs = log.logPath.getFileSystem(log.hadoopConf)
+        (1L to snap0.version).foreach(v =>
+          fs.delete(FileNames.deltaFile(log.logPath, v), false))
+        fs.delete(
+          new org.apache.hadoop.fs.Path(log.logPath, "_last_checkpoint"),
+          false)
+        fs.globStatus(new org.apache.hadoop.fs.Path(log.logPath,
+          "*checkpoint*")).foreach(st => fs.delete(st.getPath, true))
+        fs.delete(
+          new org.apache.hadoop.fs.Path(log.logPath, "_sidecars"), true)
+        DeltaLog.clearCache()
+        val snapC = DeltaLog.forTable(spark, dir).update()
+        assert(snapC.distributedState)
+        assert(snapC.numOfFiles == N + 1)
+        assert(snapC.toDF.filter($"p" === "real")
+          .agg(sum($"v")).as[Long].head() ==
+          (1 to FileCountScale.RealRows).sum)
+        assert(!snapC.fullStateComputed && !snapC.filesMaterialized,
+          "compacted-range replay materialized the file list")
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
+  test("light fold of a huge tail strips AddFiles to the fold key " +
+      "(no stats/partitionValues retained driver-side)") {
+    withTempDir { dir =>
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        // small count — this test pins the STRIPPING semantics, the
+        // invariant run above pins scale
+        FileCountScale.synthesize(spark, dir, 1000)
+        DeltaLog.clearCache()
+        val snap = DeltaLog.forTable(spark, dir).update()
+        assert(snap.distributedState)
+        snap.metadata // force the light fold
+        // the stripped light fold must still be EXACT where it matters:
+        // an add after a remove of the same path cancels the tombstone
+        val log = DeltaLog.forTable(spark, dir)
+        val ghost = AddFile(
+          path = "p=ghost0/part-0-50.parquet",
+          partitionValues = Map("p" -> "ghost0"),
+          size = 10L * 1024 * 1024 * 1024, modificationTime = 1L,
+          dataChange = true,
+          stats = Some("""{"numRecords":10,"minValues":{"v":1},""" +
+            """"maxValues":{"v":1},"nullCount":{"v":0}}"""))
+        log.startTransaction().commit(
+          Seq(ghost.remove(dataChange = true)), DeltaOperations.ManualUpdate)
+        log.startTransaction().commit(
+          Seq(ghost), DeltaOperations.ManualUpdate)
+        DeltaLog.clearCache()
+        val snap2 = DeltaLog.forTable(spark, dir).update()
+        assert(snap2.distributedState)
+        assert(!snap2.tombstones.exists(_.path == ghost.path),
+          "re-add must cancel the tombstone in the stripped light fold")
+        assert(snap2.numOfFiles == 1001)
+        assert(!snap2.fullStateComputed && !snap2.filesMaterialized)
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+}
