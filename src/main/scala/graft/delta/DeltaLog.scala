@@ -85,38 +85,52 @@ class DeltaLog private (
     * A missing/empty log yields the initial version=-1 snapshot so that a
     * first transaction can create the table. */
   def update(): Snapshot = synchronized {
-    val segment =
-      try {
-        getLogSegmentForVersion(
-          Checkpoints.lastCheckpoint(this).map(_.version), None)
-      } catch { case _: FileNotFoundException => LogSegment.empty(logPath) }
-    if (currentSnapshot == null || segment.version != currentSnapshot.version) {
-      // incremental path: the segment EXTENDS the superseded snapshot
-      // (same checkpoint, strictly later version) — hand over its folded
-      // states so the successor replays only the new commits instead of
-      // re-reading the checkpoint and re-parsing the whole tail
-      val base = Option(currentSnapshot).filter { s =>
-        segment.checkpointVersion == s.logSegment.checkpointVersion &&
-          segment.version > s.version && s.version >= 0
-      }.map(_.folded)
-      if (currentSnapshot != null) currentSnapshot.uncache()
-      currentSnapshot = new Snapshot(spark, this, segment.version, segment,
-        minFileRetentionTimestamp, segment.lastCommitTimestamp,
-        cacheable = true, baseStates = base)
-      // reader-side integrity gate (opt-in): the recorded version checksum
-      // must agree with the state this snapshot replays, or the log was
-      // corrupted / modified non-transactionally
-      if (currentSnapshot.version >= 0 &&
-          spark.conf.get(Checksums.ValidateConfKey, "false").toBoolean) {
-        Checksums.validate(currentSnapshot)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val routingUsed = coordinatorName
+      val segment =
+        try {
+          getLogSegmentForVersion(
+            Checkpoints.lastCheckpoint(this).map(_.version), None)
+        } catch { case _: FileNotFoundException => LogSegment.empty(logPath) }
+      if (currentSnapshot == null || segment.version != currentSnapshot.version) {
+        // incremental path: the segment EXTENDS the superseded snapshot
+        // (same checkpoint, strictly later version) — hand over its folded
+        // states so the successor replays only the new commits instead of
+        // re-reading the checkpoint and re-parsing the whole tail
+        val base = Option(currentSnapshot).filter { s =>
+          segment.checkpointVersion == s.logSegment.checkpointVersion &&
+            segment.version > s.version && s.version >= 0
+        }.map(_.folded)
+        if (currentSnapshot != null) currentSnapshot.uncache()
+        currentSnapshot = new Snapshot(spark, this, segment.version, segment,
+          minFileRetentionTimestamp, segment.lastCommitTimestamp,
+          cacheable = true, baseStates = base)
+        // reader-side integrity gate (opt-in): the recorded version checksum
+        // must agree with the state this snapshot replays, or the log was
+        // corrupted / modified non-transactionally
+        if (currentSnapshot.version >= 0 &&
+            spark.conf.get(Checksums.ValidateConfKey, "false").toBoolean) {
+          Checksums.validate(currentSnapshot)
+        }
+        // re-resolve the coordinated-commits routing for the NEW metadata
+        // (this read goes through the PREVIOUS routing — the delta-spark
+        // handover: the enablement commit itself uses the old store, the
+        // coordinator takes over from the next)
+        coordinatorName =
+          if (currentSnapshot.version < 0) None
+          else DeltaConfigs.commitCoordinatorName(currentSnapshot.metadata)
       }
-      // re-resolve the coordinated-commits routing for the NEW metadata
-      // (this read goes through the PREVIOUS routing — the delta-spark
-      // handover: the enablement commit itself uses the old store, the
-      // coordinator takes over from the next)
-      coordinatorName =
-        if (currentSnapshot.version < 0) None
-        else DeltaConfigs.commitCoordinatorName(currentSnapshot.metadata)
+      attempts += 1
+      // A fresh DeltaLog bootstraps its first listing through the plain
+      // per-scheme store. If that snapshot reveals the table coordinates
+      // its commits through a coordinator REGISTERED in this process,
+      // re-list once through the coordinated store: its recover() pass
+      // publishes any claimed-but-unpublished commit a crashed writer
+      // left behind, so this update already observes the healed tip.
+      done = attempts >= 2 || coordinatorName == routingUsed ||
+        coordinatorName.flatMap(storage.CommitCoordinator.forName).isEmpty
     }
     currentSnapshot
   }

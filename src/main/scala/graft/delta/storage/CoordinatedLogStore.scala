@@ -233,6 +233,69 @@ class InMemoryCommitCoordinator(retainCompleted: Int = 1024)
   }
 }
 
+/** Cross-PROCESS coordinator over a shared directory: the conditional
+  * put is an O_EXCL claim-file create — exactly one winner per
+  * `(dir, name)` across every process on the filesystem, the same
+  * guarantee a DynamoDB conditional write gives across clusters. Claim
+  * file `<hash(dir)>/<name>.claim` holds the staged temp path;
+  * `<name>.done` marks publication; `pending` = claims without a done
+  * marker. Useful as-is for multi-writer deployments whose object store
+  * is fronted by a shared POSIX/NFS-with-O_EXCL namespace, and as the
+  * contract reference for the cross-process spec
+  * (CrossProcessStoreSpec). */
+class FileClaimCommitCoordinator(root: String) extends CommitCoordinator {
+  private val rootPath = java.nio.file.Paths.get(root)
+
+  private def dirOf(dir: String): java.nio.file.Path = {
+    // one subdirectory per coordinated log dir, keyed by a stable hash
+    // (the dir URI contains separators unusable in a file name)
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(16).map("%02x".format(_)).mkString
+    val d = rootPath.resolve(key)
+    java.nio.file.Files.createDirectories(d)
+    d
+  }
+
+  override def prepareCommit(dir: String, name: String,
+                             tempPath: String): Boolean =
+    try {
+      java.nio.file.Files.write(dirOf(dir).resolve(s"$name.claim"),
+        tempPath.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  override def commitComplete(dir: String, name: String): Unit = {
+    val done = dirOf(dir).resolve(s"$name.done")
+    try java.nio.file.Files.write(done, Array.empty[Byte],
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    catch { case _: java.io.IOException => () } // best-effort; heal re-marks
+  }
+
+  override def pending(dir: String): Seq[(String, String)] = {
+    val d = dirOf(dir)
+    val stream = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".claim"))
+        .flatMap { claim =>
+          val name = claim.getFileName.toString.stripSuffix(".claim")
+          if (java.nio.file.Files.exists(d.resolve(s"$name.done"))) None
+          else {
+            val temp = new String(
+              java.nio.file.Files.readAllBytes(claim), "UTF-8").trim
+            Some((name, temp))
+          }
+        }.toVector
+    } finally stream.close()
+  }
+}
+
 object CommitCoordinator {
   /** Process-wide coordinator used when [[CoordinatedLogStore]] is
     * selected through the Hadoop conf (no-arg construction); replaceable

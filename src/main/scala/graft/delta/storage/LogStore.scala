@@ -101,7 +101,12 @@ class HadoopFileSystemLogStore extends LogStore {
   *
   * The existence check (cache ∪ store) happens under a global lock, then
   * the object is written directly — no rename, object-store writes are
-  * all-or-nothing on close. */
+  * all-or-nothing on close.
+  *
+  * On LOCAL filesystems (dev/test deployments) the create itself is
+  * O_EXCL, so mutual exclusion also holds across PROCESSES there; on
+  * real object stores the single-writer constraint stands, and true
+  * multi-writer deployments route through [[CoordinatedLogStore]]. */
 class ObjectStoreLogStore extends LogStore {
   import java.util.concurrent.ConcurrentHashMap
 
@@ -123,9 +128,26 @@ class ObjectStoreLogStore extends LogStore {
             fs.exists(path))) {
         throw new FileAlreadyExistsException(path.toString)
       }
-      val out = fs.create(path, overwrite)
-      try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
-      finally out.close()
+      val scheme = Option(path.toUri.getScheme).getOrElse("file")
+      if (!overwrite && scheme == "file") {
+        // the cache+exists gate above is atomic only within this JVM;
+        // on a LOCAL filesystem RawLocalFileSystem.create(overwrite =
+        // false) is itself check-then-act, so two PROCESSES could both
+        // pass it and clobber a version. Use O_EXCL create (the
+        // conditional-put this class emulates — what If-None-Match PUT
+        // gives on real object stores) so the cross-process gate is the
+        // kernel's, not a racy check (CrossProcessStoreSpec).
+        val local = java.nio.file.Paths.get(path.toUri.getPath)
+        val out = java.nio.file.Files.newOutputStream(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
+        finally out.close()
+      } else {
+        val out = fs.create(path, overwrite)
+        try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
+        finally out.close()
+      }
       ObjectStoreLogStore.writtenPaths.put(
         path.toUri.toString, java.lang.Long.valueOf(System.currentTimeMillis()))
     }
