@@ -31,6 +31,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   private def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
+    // before OPTIMIZE: "OPTIMIZE LOG t" must not parse as table `LOG`
+    case OptimizeLogRe(target, start, end) =>
+      Some(GraftOptimizeLogCommand(parseTarget(target),
+        Option(start).map(s => (s.toLong, end.toLong))))
     case OptimizeRe(target, full, where, zorder) =>
       // FULL (delta-spark syntax) forces a whole-table re-cluster of a
       // liquid-clustered table; meaningless with an explicit ZORDER BY
@@ -154,6 +158,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
+  private val OptimizeLogRe =
+    """(?is)\s*OPTIMIZE\s+LOG\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+BETWEEN\s+(\d+)\s+AND\s+(\d+))?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+((?:'[^']*')|(?:"[^"]*")|(?:`[^`]*`|[\w.])+)(?:\s+(FULL))?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
@@ -326,6 +332,46 @@ case class GraftOptimizeCommand(
       }
     }
     Seq(Row(path, version))
+  }
+}
+
+/** `OPTIMIZE LOG <table> [BETWEEN <start> AND <end>]` →
+  * [[graft.delta.DeltaLog.compactLog]]: write the minor-compaction file
+  * `{start}.{end}.compacted.json` reconciling the range, so tail replay
+  * between checkpoints reads one file instead of N commits (PROTOCOL.md
+  * "Log Compaction Files"). Without BETWEEN, the range defaults to the
+  * whole post-checkpoint tail — the slice replay actually walks. The
+  * automatic cadence (`graft.logCompaction.interval`) covers steady
+  * writers; this statement serves tables that accumulated a long tail
+  * with the cadence off. No-op (start = end = -1 in the output) when the
+  * default range has fewer than two commits. */
+case class GraftOptimizeLogCommand(
+    target: Either[String, Seq[String]],
+    range: Option[(Long, Long)]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("startVersion", LongType, nullable = false)(),
+    AttributeReference("endVersion", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, target)
+    val log = graft.delta.DeltaLog.forTable(session, path)
+    val snap = log.update()
+    val (start, end) = range.getOrElse {
+      (snap.logSegment.checkpointVersion.map(_ + 1L).getOrElse(0L),
+        snap.version)
+    }
+    if (range.isEmpty && end <= start) {
+      // a tail of fewer than two commits has nothing to compact
+      Seq(Row(path, -1L, -1L))
+    } else {
+      require(end <= snap.version,
+        s"OPTIMIZE LOG range end $end is beyond the latest version " +
+          s"${snap.version}")
+      log.compactLog(start, end)
+      Seq(Row(path, start, end))
+    }
   }
 }
 

@@ -371,4 +371,55 @@ class LogCompactionSpec extends SparkSpec {
           s"(mtime would be ${trueTs + 86400000L})")
     }
   }
+
+  test("OPTIMIZE LOG SQL: explicit range, post-checkpoint default, " +
+      "no-op on a short tail, replay equality without originals") {
+    withTempDir { dir =>
+      DeltaTable.write(Seq((0, "base")).toDF("v", "who"), dir)
+      (1 to 4).foreach(i =>
+        DeltaTable.write(Seq((i, s"c$i")).toDF("v", "who"), dir))
+      val log = DeltaLog.forTable(spark, dir)
+
+      // explicit range
+      val r = spark.sql(s"OPTIMIZE LOG '$dir' BETWEEN 1 AND 3").collect()
+      assert(r.head.getLong(1) == 1L && r.head.getLong(2) == 3L)
+      val f13 = FileNames.compactedFile(log.logPath, 1, 3)
+      assert(log.logPath.getFileSystem(log.hadoopConf).exists(f13))
+
+      // range beyond the tip refuses
+      val e = intercept[IllegalArgumentException](
+        spark.sql(s"OPTIMIZE LOG '$dir' BETWEEN 1 AND 99").collect())
+      assert(e.getMessage.contains("beyond the latest version"))
+
+      // default = the whole post-checkpoint tail (no checkpoint yet: 0..4)
+      val d = spark.sql(s"OPTIMIZE LOG '$dir'").collect()
+      assert(d.head.getLong(1) == 0L && d.head.getLong(2) == 4L)
+
+      // replay equality through the compacted range alone
+      val before = DeltaTable.forPath(spark, dir).toDF
+        .as[(Int, String)].collect().toSet
+      val fs = log.logPath.getFileSystem(log.hadoopConf)
+      (0 to 4).foreach(v =>
+        fs.delete(FileNames.deltaFile(log.logPath, v), false))
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, dir).toDF
+        .as[(Int, String)].collect().toSet == before)
+
+      // post-checkpoint default: checkpoint at 5, commits 6..7 -> 6..7
+      DeltaTable.write(Seq((5, "c5")).toDF("v", "who"), dir)
+      Checkpoints.writeCheckpoint(DeltaLog.forTable(spark, dir).update())
+      DeltaTable.write(Seq((6, "c6")).toDF("v", "who"), dir)
+      DeltaTable.write(Seq((7, "c7")).toDF("v", "who"), dir)
+      DeltaLog.clearCache()
+      val d2 = spark.sql(s"OPTIMIZE LOG '$dir'").collect()
+      assert(d2.head.getLong(1) == 6L && d2.head.getLong(2) == 7L)
+
+      // a tail of one commit has nothing to compact: no-op, not an error
+      DeltaTable.write(Seq((8, "c8")).toDF("v", "who"), dir)
+      Checkpoints.writeCheckpoint(DeltaLog.forTable(spark, dir).update())
+      DeltaLog.clearCache()
+      val d3 = spark.sql(s"OPTIMIZE LOG '$dir'").collect()
+      assert(d3.head.getLong(1) == -1L && d3.head.getLong(2) == -1L)
+    }
+  }
 }

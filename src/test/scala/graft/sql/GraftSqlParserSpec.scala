@@ -20,6 +20,19 @@ class GraftSqlParserSpec extends SparkSpec {
       GraftOptimizeCommand(Left("/p/t"), Seq("c"), Some("part = 'x'")))
   }
 
+  test("OPTIMIZE LOG forms (must not parse as OPTIMIZE of table `LOG`)") {
+    assert(parse("OPTIMIZE LOG '/p/t'") ==
+      GraftOptimizeLogCommand(Left("/p/t"), None))
+    assert(parse("optimize log '/p/t' between 3 and 9") ==
+      GraftOptimizeLogCommand(Left("/p/t"), Some((3L, 9L))))
+    assert(parse("OPTIMIZE LOG db.t BETWEEN 1 AND 4") ==
+      GraftOptimizeLogCommand(Right(Seq("db", "t")), Some((1L, 4L))))
+    // a table literally named `log` keeps plain-OPTIMIZE semantics when
+    // followed by OPTIMIZE clauses
+    assert(parse("OPTIMIZE log ZORDER BY (a)") ==
+      GraftOptimizeCommand(Right(Seq("log")), Seq("a"), None))
+  }
+
   test("VACUUM forms") {
     assert(parse("VACUUM '/p/t'") ==
       GraftVacuumCommand(Left("/p/t"), None, false))
