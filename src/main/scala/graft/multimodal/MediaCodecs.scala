@@ -971,7 +971,10 @@ object MediaCodecs {
           }
         case 0xc0 | 0xc1 => // SOF0 baseline (SOF1 extended sequential, same layout)
           u16()
-          require(u8() == 8, "only 8-bit precision supported")
+          val precision = u8()
+          require(precision == 8,
+            s"unsupported JPEG sample precision $precision-bit — " +
+              "this decoder handles 8-bit baseline only")
           height = u16(); width = u16()
           require(width > 0 && height > 0, s"empty frame $width x $height")
           require(width.toLong * height <= MaxDecodedPixels,
@@ -1027,6 +1030,24 @@ object MediaCodecs {
           throw new IllegalArgumentException("EOI before any scan")
         case m if m >= 0xe0 && m <= 0xef => pos += u16() - 2 // APPn
         case 0xfe => pos += u16() - 2 // COM
+        case sof if sof >= 0xc2 && sof <= 0xcf && sof != 0xc4 &&
+            sof != 0xc8 && sof != 0xcc =>
+          // every non-baseline frame type gets a refusal that NAMES the
+          // marker and the coding mode, so a 100 TB pipeline's error
+          // rollup says WHAT the corpus contains, not just "bad byte"
+          val kind = sof match {
+            case 0xc2 => "progressive DCT (SOF2)"
+            case 0xc3 => "lossless sequential (SOF3)"
+            case 0xc5 | 0xc6 | 0xc7 =>
+              s"differential Huffman frame (SOF${sof - 0xc0})"
+            case 0xc9 => "arithmetic-coded sequential (SOF9)"
+            case 0xca => "arithmetic-coded progressive (SOF10)"
+            case 0xcb => "arithmetic-coded lossless (SOF11)"
+            case _ => s"differential arithmetic frame (SOF${sof - 0xc0})"
+          }
+          throw new IllegalArgumentException(
+            s"unsupported JPEG frame type: $kind — this decoder handles " +
+              "baseline/extended-sequential Huffman (SOF0/SOF1) only")
         case other =>
           throw new IllegalArgumentException(
             f"unsupported JPEG marker 0xFF$other%02x")
