@@ -319,21 +319,33 @@ object Checkpoints {
     val ns = parsed.map(_._2).distinct
     if (ns.size != 1) return None
     val nBuckets = ns.head
-    // a metadata/protocol change may alter the stats form or schema the
-    // carried files were written under; both are rare, so rewriting on
-    // them costs nothing in steady state
-    val interval = snapshot.commitActionsAfter(prevV)
-    if (interval.exists(_._2.exists(a =>
-        a.isInstanceOf[Metadata] || a.isInstanceOf[Protocol]))) return None
     val sidecarSize =
       DeltaConfigs.CHECKPOINT_SIDECAR_SIZE.fromMetadata(snapshot.metadata)
     if (requestedParts > nBuckets ||
         snapshot.numOfFiles > 2L * sidecarSize * nBuckets) return None
+    // One STREAMING pass over the interval (nothing parsed is retained —
+    // a backfill commit since the last checkpoint can carry 500k+ adds,
+    // and caching them driver-side just to plan a checkpoint would be
+    // the exact materialization the state bound exists to prevent):
+    //  - a metadata/protocol change forces a full rewrite (it may alter
+    //    the stats form or schema the carried files were written under;
+    //    both are rare, so rewriting on them costs nothing steady-state);
+    //  - add/remove paths mark their buckets changed.
     val canonical = snapshot.canonicalPath
-    val changed = interval.iterator.flatMap(_._2).collect {
-      case a: AddFile => a.path
-      case r: RemoveFile => r.path
-    }.map(p => sidecarBucket(canonical(p), nBuckets)).toSet
+    var metaOrProtoChanged = false
+    val changedB = Set.newBuilder[Int]
+    snapshot.lightCommitActionsAfter(prevV).foreach { case (_, as) =>
+      as.foreach {
+        case _: Metadata | _: Protocol => metaOrProtoChanged = true
+        case a: AddFile =>
+          changedB += sidecarBucket(canonical(a.path), nBuckets)
+        case r: RemoveFile =>
+          changedB += sidecarBucket(canonical(r.path), nBuckets)
+        case _ =>
+      }
+    }
+    if (metaOrProtoChanged) return None
+    val changed = changedB.result()
     Some(V2CarryPlan(nBuckets,
       parsed.collect { case (b, _, s) if !changed.contains(b) => s },
       changed))

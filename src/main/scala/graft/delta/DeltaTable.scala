@@ -748,10 +748,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       caches ::= rootEntries
       val topFiles = rootEntries.filter(!col("isDir"))
         .select(col("rel"), col("mtime")).as[(String, Long)]
-      val dirs = rootEntries.filter(col("isDir"))
-        .select(col("abs")).as[String].collect().toSeq
-      val fromDirs = spark.createDataset(dirs)
-        .repartition(math.max(1, math.min(dirs.size, 64)))
+      // the directory set stays a Dataset end to end (a 1M-partition
+      // table would otherwise collect 1M path strings on the driver
+      // just to re-distribute them); empty partitions are free
+      val fromDirs = rootEntries.filter(col("isDir"))
+        .select(col("abs")).as[String]
+        .repartition(64)
         .mapPartitions { ds =>
           ds.flatMap { d =>
             val p = new org.apache.hadoop.fs.Path(d)
@@ -771,6 +773,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         }
       topFiles.toDF("rel", "mtime")
         .unionByName(fromDirs.toDF("rel", "mtime"))
+        // hidden path COMPONENTS too, not just hidden leaf names: a file
+        // under batch-x/_temporary/... (an in-flight or aborted job's
+        // staging) must never be vacuum's to delete — delta-spark skips
+        // hidden directories at every level of the recursion
+        .filter(!col("rel").rlike("(^|/)[._]"))
     }
 
     val activeDF =

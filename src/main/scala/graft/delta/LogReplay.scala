@@ -63,9 +63,18 @@ object LogReplay {
   * up to millions of files; [[DistributedLogReplay]] performs the same fold
   * as a Spark job for beyond-driver-memory logs (SURVEY.md §2.1 M3).
   */
+/** @param retainAdds when false, AddFiles are folded for their SIDE
+  *   EFFECT only (cancelling an earlier tombstone for the same key) and
+  *   never retained — the P&M/tombstone "light" fold of a distributed
+  *   snapshot needs no active-file list, and retaining even stripped
+  *   add keys is O(files) driver memory (a CONVERT/backfill commit can
+  *   carry 500k+ adds; see FileCountScaleSpec). The resulting state's
+  *   activeFiles/numOfFiles/sizeInBytes are empty/0 by construction —
+  *   light-state consumers never read them. */
 class InMemoryLogReplay(
     minFileRetentionTimestamp: Long,
-    canonical: String => String = LogReplay.uriNormalize) {
+    canonical: String => String = LogReplay.uriNormalize,
+    retainAdds: Boolean = true) {
   private var currentProtocol: Protocol = _
   private var currentMetadata: Metadata = _
   private var currentVersion: Long = -1
@@ -106,7 +115,7 @@ class InMemoryLogReplay(
       case t: SetTransaction => transactions(t.appId) = t
       case a: AddFile =>
         val key = canonical(a.path) + "\u0000" + a.dvId
-        activeFiles(key) = a.copy(dataChange = false)
+        if (retainAdds) activeFiles(key) = a.copy(dataChange = false)
         tombstones.remove(key)
       case r: RemoveFile =>
         val key = canonical(r.path) + "\u0000" + r.dvId

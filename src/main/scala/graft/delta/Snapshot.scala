@@ -76,10 +76,12 @@ class Snapshot(
       (FileNames.deltaVersionRange(fs.getPath)._2, fs))
 
   /** Commits with version strictly above `after`, parsed via the cache.
-    * `private[delta]`: the V2 sidecar carry-over planner reads the
-    * checkpoint interval's commits through the same cache. A compacted
-    * range straddling `after` still folds exactly (⊕ idempotency above),
-    * so the end-version filter stays correct for seeded folds too. */
+    * A compacted range straddling `after` still folds exactly
+    * (⊕ idempotency above), so the end-version filter stays correct for
+    * seeded folds too. Driver-fold use only — streaming consumers (the
+    * light fold, the V2 carry-over planner) go through
+    * [[lightCommitActionsAfter]] so a huge tail never pins its parsed
+    * AddFiles here. */
   private[delta] def commitActionsAfter(after: Long): Seq[(Long, Seq[Action])] =
     deltaVersions.filter(_._1 > after).map { case (v, fs) =>
       (v, commitCache.computeIfAbsent(v, _ => readCommit(fs).toVector))
@@ -136,10 +138,15 @@ class Snapshot(
   /** Whether the light fold ran (exposed to the successor via folded()). */
   @volatile private[delta] var lightStateComputed = false
 
-  /** Replay of everything EXCEPT the checkpoint's AddFiles (M5). */
+  /** Replay of everything EXCEPT the checkpoint's AddFiles (M5). In
+    * distributed mode adds are folded for their tombstone-cancel side
+    * effect only and never retained (retainAdds=false), so the light
+    * fold is O(tombstones + txns) driver memory no matter how many
+    * AddFiles the tail carries. */
   private lazy val lightState: State = {
     lightStateComputed = true
-    val replay = new InMemoryLogReplay(minFileRetentionTimestamp, canonicalPath)
+    val replay = new InMemoryLogReplay(minFileRetentionTimestamp,
+      canonicalPath, retainAdds = !distributedState)
     val from = baseStates.collect {
       case Snapshot.Folded(v, Some(light), _) if usableBase(v) =>
         replay.seed(v, light)
@@ -152,40 +159,33 @@ class Snapshot(
       -1L
     }
     lightCommitActionsAfter(from).foreach { case (v, as) =>
-      replay.append(v, as.iterator)
+      replay.append(v, as)
     }
     replay.state
   }
 
-  /** Light projection of a tail-commit action: an AddFile keeps only its
-    * fold key (path + deletion vector) plus primitives — the light fold
-    * needs adds solely to cancel earlier tombstones, and retaining
-    * stats/partitionValues/tags would pin the whole tail's file metadata
-    * on the driver (a CONVERT / backfill commit can carry 100k+ adds;
-    * see FileCountScaleSpec). */
-  private def lightProjection(a: Action): Action = a match {
-    case add: AddFile
-        if add.stats.nonEmpty || add.partitionValues.nonEmpty ||
-          add.tags.nonEmpty || add.stats_parsed.nonEmpty =>
-      add.copy(stats = None, partitionValues = Map.empty, tags = None,
-        stats_parsed = None)
-    case other => other
-  }
-
-  private val lightCommitCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Seq[Action]]
-
   /** Tail commits for the LIGHT fold. Driver mode shares [[commitCache]]
     * (the full fold will need the same actions — one parse, one copy);
-    * distributed mode never runs the full driver fold, so it parses into
-    * a stripped cache instead and the full AddFiles never materialize. */
-  private def lightCommitActionsAfter(after: Long): Seq[(Long, Seq[Action])] =
-    if (!distributedState) commitActionsAfter(after)
-    else deltaVersions.filter(_._1 > after).map { case (v, fs) =>
+    * distributed mode never runs the full driver fold, so it STREAMS
+    * each commit through the fold instead (one commit's parse buffer at
+    * a time, nothing retained — the fold itself drops adds, so caching
+    * them would pin the whole tail's file metadata on the driver; a
+    * CONVERT / backfill commit can carry 500k+ adds, see
+    * FileCountScaleSpec). lightState is a once-computed lazy val, so
+    * there is no repeated-fold cost to memoize. `private[delta]`: the V2
+    * sidecar carry-over planner walks the checkpoint interval through
+    * the same streaming path — it needs only action types and paths, and
+    * caching a backfill tail's parsed AddFiles just to plan a checkpoint
+    * would be the same driver materialization. */
+  private[delta] def lightCommitActionsAfter(
+      after: Long): Iterator[(Long, Iterator[Action])] =
+    if (!distributedState) {
+      commitActionsAfter(after).iterator.map { case (v, as) =>
+        (v, as.iterator)
+      }
+    } else deltaVersions.iterator.filter(_._1 > after).map { case (v, fs) =>
       val full = commitCache.get(v) // reuse if someone already paid for it
-      (v, if (full != null) full.map(lightProjection)
-          else lightCommitCache.computeIfAbsent(v,
-            _ => readCommit(fs).map(lightProjection).toVector))
+      (v, if (full != null) full.iterator else readCommit(fs))
     }
 
   /** Checkpoint actions with the `add` column pruned at the parquet layer.

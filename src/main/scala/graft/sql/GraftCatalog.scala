@@ -348,6 +348,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case rm: TableChange.RemoveProperty =>
         config -= rm.property()
         ops :+= "UNSET TBLPROPERTIES"
+      case cb: TableChange.ClusterBy =>
+        // Spark 4's NATIVE `ALTER TABLE ... CLUSTER BY` grammar routes
+        // here per-catalog (the parser intercept covers only path
+        // literals), so a second registered catalog keeps its own
+        // clustering DDL. setClusteringColumns validates + commits its
+        // own CLUSTER BY transaction; `NONE` arrives as zero columns.
+        require(changes.size == 1,
+          "CLUSTER BY cannot combine with other ALTER TABLE changes")
+        graft.delta.DeltaTable.forPath(spark, tablePath(ident).toString)
+          .setClusteringColumns(
+            cb.clusteringColumns().toSeq.map(_.fieldNames().mkString(".")))
+        return loadTable(ident)
       case other => throw new UnsupportedOperationException(
         s"Unsupported ALTER TABLE change: $other")
     }

@@ -66,7 +66,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       Some(GraftConvertCommand(parseTarget(target),
         Option(partCols).toSeq.flatMap(_.split(",").map(s =>
           cleanIdent(s.trim.split("\\s+")(0))))))
-    case ClusterByRe(target, cols, none) =>
+    case ClusterByRe(target, cols, none)
+        // intercept ONLY path literals (Spark's grammar cannot name a
+        // bare path): named tables take Spark's NATIVE ALTER TABLE ...
+        // CLUSTER BY plan, which routes per-catalog — so a second
+        // registered catalog keeps its own clustering DDL (the graft
+        // catalog handles the TableChange.ClusterBy in alterTable)
+        if target.startsWith("'") || target.startsWith("\"") =>
       Some(GraftClusterByCommand(parseTarget(target),
         if (none != null) Nil
         else cols.split(",").map(cleanIdent).map(_.trim).toSeq))

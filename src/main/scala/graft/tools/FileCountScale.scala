@@ -38,13 +38,15 @@ object FileCountScale {
     * with numRecords/min/max stats so stats pruning has something to
     * prune. Ghost sizes are 10 GiB so OPTIMIZE never selects them. */
   def synthesize(spark: SparkSession, dir: String, nFiles: Int,
-                 nCommits: Int = 10): Unit = {
+                 nCommits: Int = 10,
+                 extraConfig: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
     DeltaTable.write(
       (1 to RealRows).map(i => (i, "real")).toDF("v", "p").coalesce(1),
       dir, partitionBy = Seq("p"),
       // no automatic checkpoints: the drive times them explicitly
-      configuration = Map("delta.checkpointInterval" -> "1000000"))
+      configuration =
+        Map("delta.checkpointInterval" -> "1000000") ++ extraConfig)
     val log = DeltaLog.forTable(spark, dir)
     val perCommit = nFiles / nCommits
     require(perCommit * nCommits == nFiles,
@@ -165,6 +167,37 @@ object FileCountScale {
     out.result()
   }
 
+  /** Compaction-cadence tier (VERDICT r11 #7): the same ghost ingest
+    * with `graft.logCompaction.interval=2`, so the post-commit hook
+    * writes a compacted range every 2 commits DURING the ingest —
+    * compacted ranges are most valuable exactly when commits are
+    * numerous. Reports the ingest overhead vs the plain twin and the
+    * cold tail replay that now walks ranges instead of plain commits. */
+  def cadenceDrive(spark: SparkSession, dir: String,
+                   nFiles: Int): Seq[OpTiming] = {
+    val out = Vector.newBuilder[OpTiming]
+    def timed[A](op: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      out += OpTiming(op, (System.nanoTime() - t0) / 1000000, usedHeapMB())
+      r
+    }
+    timed("ingest with interval=2 cadence") {
+      synthesize(spark, dir, nFiles,
+        extraConfig = Map("graft.logCompaction.interval" -> "2"))
+    }
+    val log = DeltaLog.forTable(spark, dir)
+    val fs = log.logPath.getFileSystem(log.hadoopConf)
+    val ranges = fs.listStatus(log.logPath)
+      .map(_.getPath.getName).count(_.endsWith(".compacted.json"))
+    require(ranges >= 4, s"cadence hook wrote only $ranges ranges")
+    timed(s"cold replay via $ranges cadence ranges + count") {
+      DeltaLog.clearCache()
+      require(DeltaLog.forTable(spark, dir).update().numOfFiles == nFiles + 1)
+    }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: FileCountScale <workDir> <nFiles1> [<nFiles2> ...]")
@@ -200,6 +233,13 @@ object FileCountScale {
       }
       println(s"| $op | ${cells.mkString(" | ")} |")
     }
+    // cadence tier at the largest count
+    val nMax = counts.max
+    val cad = cadenceDrive(spark, s"$workDir/cadence_$nMax", nMax)
+    println()
+    println(s"| cadence op (n=$nMax) | ms | heap MB |")
+    println("|---|---|---|")
+    cad.foreach(t => println(s"| ${t.op} | ${t.millis} | ${t.heapMB} |"))
     spark.stop()
   }
 }

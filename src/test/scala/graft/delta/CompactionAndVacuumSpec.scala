@@ -245,6 +245,45 @@ class CompactionAndVacuumSpec extends SparkSpec {
     }
   }
 
+  test("vacuum never deletes under a hidden path COMPONENT of a shared " +
+      "directory (a converted table's p= dirs outlive any one commit)") {
+    // this engine's own writes land in write-once batch-<uuid>/ dirs, so
+    // hidden crumbs there belong to that dir's own finished job and are
+    // swept WITH the dir once its files expire. A CONVERTED table keeps
+    // the user's original layout: partition dirs are shared and
+    // long-lived, so a foreign job's _temporary staging under them is
+    // not vacuum's to collect (delta-spark skips hidden components too)
+    withTempDir { dir =>
+      import org.apache.hadoop.fs.Path
+      (1 to 3).toDF("v").withColumn("p", $"v" % 2)
+        .write.mode("overwrite").partitionBy("p").parquet(dir)
+      DeltaTable.convertToDelta(spark, dir, Seq("p"))
+      val log = DeltaLog.forTable(spark, dir)
+      val table = DeltaTable.forPath(spark, dir)
+      val start = 3000000000000L
+      log.clock = () => start
+      // rewrite everything away from the converted layout: the p= dirs'
+      // original files become expired tombstones = vacuum candidates
+      table.compact(targetFileBytes = 1L)
+      spark.sql(s"OPTIMIZE '$dir' ZORDER BY (v)").collect()
+
+      val fs = new Path(dir).getFileSystem(log.hadoopConf)
+      val staged = new Path(dir, "p=0/_temporary/0/part-00000.parquet")
+      fs.mkdirs(staged.getParent)
+      fs.create(staged, true).close()
+      fs.setTimes(staged, 1000L, -1) // ancient mtime: past any retention
+
+      log.clock = () => start + 8L * 24 * 3600 * 1000
+      val deleted = table.vacuum()
+      assert(deleted >= 1, s"the rewritten originals must collect: $deleted")
+      assert(fs.exists(staged),
+        "vacuum deleted a file under a hidden directory component")
+      // correctness unharmed
+      assert(table.toDF.select($"v").as[Int].collect().sorted.toSeq ==
+        Seq(1, 2, 3))
+    }
+  }
+
   test("OPTIMIZE WHERE compacts only the matching partitions") {
     withTempDir { dir =>
       // two partitions, 3 small files each

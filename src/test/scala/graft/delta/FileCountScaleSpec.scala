@@ -15,8 +15,9 @@ import graft.tools.FileCountScale
   *   - replay + file count (pre-checkpoint: a huge JSON tail must route
   *     distributed even with NO checkpoint — the byte bound counts tail
   *     commits since r12, not checkpoint bytes alone);
-  *   - the light fold must not retain the tail's AddFile metadata
-  *     (r12: stripped to the (path, dv) fold key in distributed mode);
+  *   - the light fold must not retain the tail's AddFiles at all
+  *     (r12: in distributed mode adds stream through the fold for their
+  *     tombstone-cancel side effect only — O(tombstones) driver memory);
   *   - classic multi-part checkpoint write + replay through it;
   *   - V2 (uuid + sidecar) checkpoint write + replay through it;
   *   - log compaction of the add-range + replay through the compacted
@@ -136,13 +137,13 @@ class FileCountScaleSpec extends SparkSpec {
     }
   }
 
-  test("light fold of a huge tail strips AddFiles to the fold key " +
-      "(no stats/partitionValues retained driver-side)") {
+  test("light fold of a huge tail retains NO AddFiles (adds fold for " +
+      "their tombstone-cancel side effect only)") {
     withTempDir { dir =>
       spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
       try {
-        // small count — this test pins the STRIPPING semantics, the
-        // invariant run above pins scale
+        // small count — this test pins the CANCELLATION semantics the
+        // no-retention fold must keep exact; the run above pins scale
         FileCountScale.synthesize(spark, dir, 1000)
         DeltaLog.clearCache()
         val snap = DeltaLog.forTable(spark, dir).update()

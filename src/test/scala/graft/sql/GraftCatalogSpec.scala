@@ -441,6 +441,25 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops.count(_ == "OPTIMIZE") >= 2, s"history: $ops")
   }
 
+  test("ALTER TABLE CLUSTER BY on a NAMED table routes through Spark's " +
+      "native grammar to the catalog (r11 deferred finding)") {
+    // the graft parser intercepts CLUSTER BY only for path literals; a
+    // catalog identifier takes Spark's own AlterTableClusterBy plan ->
+    // TableChange.ClusterBy -> GraftCatalog.alterTable, so a second
+    // registered catalog would keep its own clustering DDL
+    spark.sql("CREATE TABLE graft.db.cb (id INT, k INT, v STRING)")
+    spark.sql("ALTER TABLE graft.db.cb CLUSTER BY (id, k)")
+    val path = s"$warehouse/db/cb"
+    assert(DeltaTable.forPath(spark, path).clusteringColumns == Seq("id", "k"))
+    spark.sql("ALTER TABLE graft.db.cb CLUSTER BY NONE")
+    assert(DeltaTable.forPath(spark, path).clusteringColumns.isEmpty)
+    // unknown column refused by the same validation as the API path
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.cb CLUSTER BY (nope)")
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("SQL VACUUM on a quoted path returns the deletable count") {
     val dir = Files.createTempDirectory("graft-vacuum-sql-").toString
     import spark.implicits._
