@@ -560,8 +560,15 @@ class OptimisticTransaction(
         else stamped :+ DomainMetadata(
           RowTracking.Domain, RowTracking.renderHwm(hwm), removed = false)
       }
-    val version = doCommitRetryIteratively(
-      commitInfo +: finalActions, isolation, actionsAt)
+    val version =
+      try doCommitRetryIteratively(commitInfo +: finalActions, isolation,
+        actionsAt)
+      catch {
+        // the marker type means the commit IS durable: the transaction
+        // must still flip to committed (a re-commit on this txn object
+        // would double-apply) before the failure surfaces
+        case t: PostCommitHookException => committed = true; throw t
+      }
     committed = true
     postCommit(version, finalActions)
     version
@@ -673,9 +680,21 @@ class OptimisticTransaction(
             FileNames.deltaFile(deltaLog.logPath, attemptVersion),
             written.map(a => JsonCodec.toJson(a)).iterator,
             overwrite = false, deltaLog.hadoopConf)
-          val updated = deltaLog.update()
-          if (crcFromState) Checksums.writeFromState(updated)
-          else Checksums.writeAfterCommit(deltaLog, attemptVersion, written)
+          // DURABILITY POINT: the commit exists from here on. A failure
+          // in the snapshot refresh below (e.g. a transient listing
+          // error, or the opt-in checksum validation gate inside
+          // update()) must NOT escape as a generic exception — the
+          // caller would retry a commit that already won, and a blind
+          // append retried past its own FileAlreadyExists collision
+          // double-applies. Same post-durability marker as postCommit.
+          try {
+            val updated = deltaLog.update()
+            if (crcFromState) Checksums.writeFromState(updated)
+            else Checksums.writeAfterCommit(deltaLog, attemptVersion, written)
+          } catch {
+            case scala.util.control.NonFatal(t) =>
+              throw new PostCommitHookException(attemptVersion, t)
+          }
           return attemptVersion
         } catch {
           case _: FileAlreadyExistsException |

@@ -43,6 +43,7 @@ case class IntArrayBitset(child: Expression, words: Int)
     val n = a.numElements()
     while (i < n) {
       val g = a.getInt(i)
+      if (g < 0 || (g >>> 6) >= words) IntArrayBitset.outOfRange(g, words)
       w(g >>> 6) |= (1L << (g & 63))
       i += 1
     }
@@ -58,6 +59,9 @@ case class IntArrayBitset(child: Expression, words: Int)
          |final int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  final int $g = $a.getInt($i);
+         |  if ($g < 0 || ($g >>> 6) >= $words) {
+         |    graft.functions.IntArrayBitset.outOfRange($g, $words);
+         |  }
          |  $w[$g >>> 6] |= (1L << ($g & 63));
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -72,6 +76,17 @@ case class IntArrayBitset(child: Expression, words: Int)
 object IntArrayBitset {
   def apply(a: Column, words: Int): Column =
     Shims.column(IntArrayBitset(Shims.expression(a), words))
+
+  /** Loud refusal for an id outside the declared universe — reachable
+    * from generated code, so it cannot be private. An out-of-range id
+    * means the interning dictionary and the declared width disagree
+    * (caller bug or corrupt data); a bare ArrayIndexOutOfBounds from the
+    * hot loop names neither. */
+  def outOfRange(id: Int, words: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"int_array_bitset: interned id $id is outside the declared " +
+        s"universe [0, ${words * 64}) (width $words words); the " +
+        "interning dictionary and the bitset width disagree")
 }
 
 /** Exact jaccard of two equal-width `array<long>` bitsets:

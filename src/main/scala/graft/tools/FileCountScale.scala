@@ -98,9 +98,11 @@ object FileCountScale {
       require(snap0.numOfFiles == nFiles + 1,
         s"expected ${nFiles + 1} files, got ${snap0.numOfFiles}")
     }
-    // 3. classic multi-part checkpoint write (distributed job)
+    // 3. classic multi-part checkpoint write (distributed job). NOTE:
+    // the table's row labels come from the FIRST count's op strings, so
+    // keep this label count-independent
     val parts = math.max(2, nFiles / 50000)
-    timed(s"classic checkpoint write ($parts parts)") {
+    timed("classic checkpoint write (size-scaled parts)") {
       Checkpoints.writeCheckpointDistributed(snap0, parts)
     }
     // 4. cold replay THROUGH the classic checkpoint
@@ -140,7 +142,7 @@ object FileCountScale {
     }
     // 11. V2 checkpoint (uuid main + sidecars) at the post-OPTIMIZE tip
     val snap2 = coldLog().update()
-    timed(s"V2 checkpoint write ($parts sidecars)") {
+    timed("V2 checkpoint write (size-scaled sidecars)") {
       Checkpoints.writeV2Checkpoint(snap2, parts)
     }
     timed("cold replay via V2 cp + count") {

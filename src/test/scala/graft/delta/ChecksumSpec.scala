@@ -123,6 +123,48 @@ class ChecksumSpec extends SparkSpec {
     }
   }
 
+  test("a post-durability refresh failure surfaces as " +
+      "PostCommitHookException, never as a retryable commit failure") {
+    // the write at version N is DURABLE before the commit loop refreshes
+    // the snapshot; if that refresh throws (here: the opt-in validation
+    // gate tripping on a checksum planted for N), a generic exception
+    // would invite a caller retry that double-applies the commit. The
+    // marker type says "committed, post-step failed" — and the txn
+    // object itself must refuse a re-commit.
+    withTempDir { dir =>
+      DeltaTable.write(spark.range(0, 4).toDF("v").coalesce(1), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val cur = log.update().version
+      // plant a WRONG checksum for the NEXT version: the commit itself
+      // succeeds, then update()'s validation gate throws
+      val bad = crcOf(dir, cur).get
+      Checksums.write(log, cur + 1, bad.copy(numFiles = 999L))
+      spark.conf.set(Checksums.ValidateConfKey, "true")
+      try {
+        val txn = log.startTransaction()
+        val e = intercept[graft.delta.txn.PostCommitHookException] {
+          txn.commit(Seq(AddFile("pc.parquet", Map.empty, 1L, 1L,
+            dataChange = true)), "RACE")
+        }
+        assert(e.version == cur + 1)
+        // the commit IS durable
+        assert(log.store.read(FileNames.deltaFile(log.logPath, cur + 1),
+          log.hadoopConf).nonEmpty)
+        // and the txn cannot be replayed into a double-apply
+        val e2 = intercept[IllegalArgumentException] {
+          txn.commit(Seq(AddFile("pc2.parquet", Map.empty, 1L, 1L,
+            dataChange = true)), "RACE")
+        }
+        assert(e2.getMessage.contains("already committed"))
+      } finally {
+        spark.conf.unset(Checksums.ValidateConfKey)
+        // repair the planted crc so the temp dir tears down clean
+        Checksums.write(log, cur + 1, bad.copy(numFiles = bad.numFiles + 1))
+        DeltaLog.clearCache()
+      }
+    }
+  }
+
   test("expired crc files clean up with their commits") {
     withTempDir { dir =>
       val start = System.currentTimeMillis()
