@@ -412,8 +412,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     DeltaLog.invalidate(spark, tablePath(ident).toString)
     // the table EXISTS, so a false here is a deletion FAILURE (permission,
     // transient FS fault), not "nothing to drop" — surfacing it as the
-    // latter would make DROP TABLE report success over a live table
-    if (!fs.delete(tablePath(ident), true)) {
+    // latter would make DROP TABLE report success over a live table.
+    // One exception: a concurrent DROP winning the race between the
+    // existence check and the delete also yields false, but then the
+    // table is GONE — the outcome the caller asked for holds.
+    if (!fs.delete(tablePath(ident), true) && tableExists(ident)) {
       throw new IllegalStateException(
         s"DROP TABLE: deleting ${tablePath(ident)} failed")
     }
@@ -423,12 +426,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val src = tablePath(oldIdent)
     val dest = tablePath(newIdent)
     if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
-    DeltaLog.invalidate(spark, tablePath(oldIdent).toString)
+    DeltaLog.invalidate(spark, src.toString)
     DeltaLog.invalidate(spark, dest.toString) // a stale log from a dropped table
-    if (!fs.rename(tablePath(oldIdent), dest)) {
+    if (!fs.rename(src, dest)) {
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+    }
+    // the exists/rename pair is check-then-act (the CTAS commit had the
+    // same hole): a concurrent CREATE winning `dest` in between makes
+    // this rename NEST the source directory inside the winner's table
+    // (and return true) — the renamed table would silently become a
+    // hidden subdirectory. The nested dir keeps the source's name and
+    // carries its _delta_log; move it BACK so the source table survives,
+    // then concede the destination.
+    val nested = new Path(dest, src.getName)
+    if (fs.exists(new Path(nested, "_delta_log"))) {
+      if (!fs.rename(nested, src)) {
+        throw new IllegalStateException(
+          s"RENAME $oldIdent -> $newIdent lost a race for $dest and could " +
+            s"not restore the source; the table is preserved at $nested")
+      }
+      DeltaLog.invalidate(spark, dest.toString)
+      throw new TableAlreadyExistsException(newIdent)
     }
   }
 }

@@ -460,6 +460,36 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("RENAME losing a destination race restores the source instead of " +
+      "nesting it inside the winner") {
+    // simulate the window: the destination directory appears AFTER the
+    // tableExists check (here: a bare dir that the existence check —
+    // keyed on _delta_log — does not count as a table). Hadoop rename
+    // onto an existing directory nests the source inside it and reports
+    // success; the catalog must detect the nesting, move the source
+    // back, and concede.
+    spark.sql("CREATE TABLE graft.db.rn_src (v INT)")
+    spark.sql("INSERT INTO graft.db.rn_src VALUES (7)")
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // non-empty (a winner mid-CREATE has data before its _delta_log
+    // lands): a POSIX rename onto it fails ENOTEMPTY and Hadoop's
+    // rename-into semantics nest the source instead
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$warehouse/db/rn_dst/batch-x"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$warehouse/db/rn_dst/batch-x/part-0.parquet"), true).close()
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.rn_src RENAME TO db.rn_dst")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    // the source survived the lost race, data intact
+    assert(spark.sql("SELECT v FROM graft.db.rn_src").collect()
+      .map(_.getInt(0)).toSeq == Seq(7))
+    // and it was NOT left nested inside the destination
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/db/rn_dst/rn_src")))
+  }
+
   test("SQL VACUUM on a quoted path returns the deletable count") {
     val dir = Files.createTempDirectory("graft-vacuum-sql-").toString
     import spark.implicits._
