@@ -460,9 +460,15 @@ class DeltaLog private (
 
   // ---------------------------------------------------------- history (M12)
   def getCommitInfoAt(version: Long): CommitInfo = {
-    val actions = store.read(FileNames.deltaFile(logPath, version), hadoopConf)
-      .filter(_.trim.nonEmpty).map(JsonCodec.fromJson)
-    actions.flatMap(_.commitInfo).headOption
+    // parse lazily and STOP at the first commitInfo line: this engine
+    // (and delta-spark) writes CommitInfo first, and a backfill commit
+    // can carry 100k+ add lines — parsing them all for one lookup made
+    // history() byte-linear in commit size (file-count harness finding)
+    store.read(FileNames.deltaFile(logPath, version), hadoopConf)
+      .iterator
+      .filter(_.trim.nonEmpty)
+      .flatMap(l => JsonCodec.fromJson(l).commitInfo)
+      .nextOption()
       .map(ci => ci.copy(version = Some(version)))
       .getOrElse(CommitInfo(version = Some(version)))
   }
@@ -496,13 +502,16 @@ class DeltaLog private (
         val p = new Path(pathStr)
         val fs = p.getFileSystem(sconf.value)
         val in = fs.open(p)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        // STREAM with early stop: CommitInfo is the first line in every
+        // commit this engine (and delta-spark) writes, and a backfill
+        // commit can carry 100k+ add lines this task has no use for
+        val ciLine =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.trim.nonEmpty).find { l =>
+              try JsonCodec.fromJson(l).commitInfo.isDefined
+              catch { case _: Exception => false }
+            }
           finally in.close()
-        val ciLine = lines.filter(_.trim.nonEmpty).find { l =>
-          try JsonCodec.fromJson(l).commitInfo.isDefined
-          catch { case _: Exception => false }
-        }
         (v, ciLine.getOrElse(""))
       }.collect()
     raw.sortBy(-_._1).iterator.map { case (v, line) =>
