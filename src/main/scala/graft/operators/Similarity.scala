@@ -309,6 +309,53 @@ object Similarity {
     pqScoreAll(codebooks, codes, queries, idCol, vecCol, k, dim, m, excludeSelf)
   }
 
+  /** ADC shortlist + EXACT rerank — the FAISS refine tier, and the
+    * standard answer to PQ's quantization ceiling (QuantRecall measured
+    * it directly: ksub=16 tie-collapses same-cluster vectors to one
+    * code). The index ranks a shortlist of `k * shortlistFactor` by
+    * approximate ADC; only those rows' RAW vectors are then scored
+    * exactly and re-ranked.
+    *
+    * Recall is monotone in the factor by construction: the exact rerank
+    * returns the TRUE best k within the shortlist, and the ADC top-k is
+    * a prefix of its own shortlist — so refined recall >= plain ADC
+    * recall at every k (spec-pinned), and a factor covering the corpus
+    * IS brute force exactly (spec-pinned bit-identical).
+    *
+    * 100 TB shape: the shortlist is |queries| * k * factor rows —
+    * broadcast-small by construction — so the raw-vector pass is ONE
+    * corpus scan with a broadcast semi-join (no shuffle of vectors, no
+    * per-query corpus pass); exact scoring work is shortlist-sized. The
+    * corpus frame must be the one the index was built over (the caller
+    * keeps raw vectors wherever they live — the index itself stays
+    * codes-only). */
+  def pqTopKRefinedIndexed(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, corpus: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           k: Int, dim: Int, m: Int = 4,
+                           shortlistFactor: Int = 4,
+                           excludeSelf: Boolean = true): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val shortlist = pqTopKIndexed(spark, indexPath, queries, idCol, vecCol,
+      k * shortlistFactor, dim, m, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = InputWidth.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(VectorDot(col(vecCol), col(vecCol))).as("qn"))
+    val exact = c.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Encode a NEW batch of vectors against a persisted PQ index's FROZEN
     * quantizers (codebooks + coarse centroids) — the codes frame this
     * produces is exactly what [[buildPqIndexFrames]] would emit for these

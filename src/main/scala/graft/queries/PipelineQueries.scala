@@ -1474,6 +1474,60 @@ object PipelineQueries {
         FROM ranked WHERE rank <= 3"""
       }),
 
+    // PQ + REFINE (the FAISS refine tier): the index ranks an ADC
+    // shortlist of k * 4; only those rows' raw vectors are scored
+    // exactly and re-ranked — the standard answer to PQ's quantization
+    // ceiling (recall bounds in QuantRecallSpec / NOTES). The oracle
+    // replays the same PQ chain to the depth-12 shortlist, then the
+    // exact rerank.
+    QueryDef(
+      "ann_pq_refined_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopKRefinedIndexed(s, IndexCache.pqIndex(s, dir),
+          emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+          k = 3, dim = 64, m = 4, shortlistFactor = 4)
+      },
+      Some {
+        s"""
+        WITH ${pqOracleSubCtes()},
+        qn AS (SELECT vec_id AS query_id,
+                      sqrt(${duckDot("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id < 10),
+        contrib AS (${(0 until 4).map(s => s"SELECT * FROM contrib_$s")
+          .mkString(" UNION ALL ")}),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(CAST(SUM(c.d) AS DOUBLE) /
+                       (q.qn * sqrt(CAST(SUM(c.cc) AS DOUBLE))), 6) AS approx_cosine
+          FROM contrib c JOIN qn q ON q.query_id = c.query_id
+          WHERE c.neighbor_id <> c.query_id
+          GROUP BY c.query_id, c.neighbor_id, q.qn
+        ), shortlist AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+            FROM scored) t WHERE rank <= 12
+        ), exact AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round(${duckDot("q.embedding", "c.embedding")} /
+                       (sqrt(${duckDot("q.embedding", "q.embedding")}) *
+                        sqrt(${duckDot("c.embedding", "c.embedding")})), 6) AS cosine
+          FROM shortlist s
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+          JOIN embeddings q ON q.vec_id = s.query_id
+        ), rr AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM exact
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM rr WHERE rank <= 3"""
+      }),
+
     // IVFADC — the sub-linear ANN tier (FAISS IndexIVFPQ, no-residual
     // variant): coarse IVF prunes to nProbe cells, PQ/ADC scores only
     // those cells' codes. Probes the same persisted artifact as

@@ -453,6 +453,27 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("refined PQ with a corpus-covering shortlist IS brute force") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      val queries = queryRows.toDF("vec_id", "embedding")
+      val idx = s"$dir/pq_index"
+      Similarity.writePqIndex(spark, idx, corpus, "vec_id", "embedding",
+        dim = dim, m = 2, ksub = 2, trainIters = 1,
+        coarseCells = 4, coarseIters = 1)
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 3).collect().map(_.toSeq).toSet
+      // shortlist depth >= corpus: the rerank scores everything exactly,
+      // so the quantizer cannot matter — bit-identical to brute force
+      val refined = Similarity.pqTopKRefinedIndexed(spark, idx, corpus,
+        queries, "vec_id", "embedding", k = 3, dim = dim, m = 2,
+        shortlistFactor = corpusRows.size)
+        .collect().map(_.toSeq).toSet
+      assert(refined == exact)
+    }
+  }
+
   test("ivfpq with every cell probed equals exhaustive ADC") {
     withTempDir { dir =>
       import spark.implicits._

@@ -85,6 +85,23 @@ class QuantRecallSpec extends SparkSpec {
       assert(pq64 > ceiling16 + 0.2,
         s"finer codebooks must win decisively: $pq64 vs $ceiling16")
 
+      // ---- refine tier: exact rerank of the ADC shortlist must not
+      // lose recall at any factor (the rerank returns the TRUE best k
+      // within a superset of the ADC top-k), and it is the designed
+      // escape from the tie-collapse above
+      val refined4 = recallOf(truth, topSets(Similarity.pqTopKRefinedIndexed(
+        spark, idx, corpus, queries, "vec_id", "embedding", k,
+        dim = QuantRecall.Dim, m = 8, shortlistFactor = 4)))
+      val refined16 = recallOf(truth, topSets(Similarity.pqTopKRefinedIndexed(
+        spark, idx, corpus, queries, "vec_id", "embedding", k,
+        dim = QuantRecall.Dim, m = 8, shortlistFactor = 16)))
+      info(f"refined recall@10: factor 4 -> $refined4%.3f, " +
+        f"factor 16 -> $refined16%.3f (adc ceiling $ceiling16%.3f)")
+      assert(refined4 >= ceiling16 - 1e-9,
+        s"refine must not lose recall: $refined4 < $ceiling16")
+      assert(refined16 >= refined4 - 1e-9,
+        s"recall must not decrease with the factor: $refined16 < $refined4")
+
       // ---- IVFADC against the same artifact: bounded by the ceiling,
       // monotone in nProbe, equal to the ceiling when every cell probes
       val probes = Seq(1, 4, 16)
