@@ -737,8 +737,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         val p = new org.apache.hadoop.fs.Path(rootStr0)
         val dfs = p.getFileSystem(sconf.value)
         dfs.listStatus(p).iterator
-          .filter(st => !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
+          // hidden = leading [._], EXCEPT the CDC data dir (its expired
+          // files are vacuum's to reclaim — delta-spark exempts it the
+          // same way; skipping it is an unbounded leak on CDF tables)
+          // and partition dirs for columns whose NAME starts with _ or .
+          // (their component looks like `_col=value`)
+          .filter { st =>
+            val n = st.getPath.getName
+            !(n.startsWith("_") || n.startsWith(".")) ||
+              n == write.CdcWriter.ChangeDir || n.contains("=")
+          }
           .map(st => (st.getPath.toString,
             st.getPath.toUri.getPath.stripPrefix(rootPrefix),
             st.getModificationTime, st.isDirectory))
@@ -776,8 +784,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         // hidden path COMPONENTS too, not just hidden leaf names: a file
         // under batch-x/_temporary/... (an in-flight or aborted job's
         // staging) must never be vacuum's to delete — delta-spark skips
-        // hidden directories at every level of the recursion
-        .filter(!col("rel").rlike("(^|/)[._]"))
+        // hidden directories at every level of the recursion. Two
+        // delta-spark exemptions from "hidden": the `_change_data` dir
+        // (expired CDC files ARE vacuumable — otherwise CDF tables leak
+        // storage forever) and partition dirs for [._]-named columns
+        // (component shape `_col=value`)
+        .filter(!col("rel").rlike(
+          "(^|/)(?!" + write.CdcWriter.ChangeDir + "(/|$))(?![._][^/]*=)[._]"))
     }
 
     val activeDF =
@@ -847,20 +860,34 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // out): non-recursive delete fails harmlessly on non-empty dirs.
     // Runs in tasks — the dir count tracks historical commits.
     deletable
-      .map(_.split('/').head)
-      .filter(_.startsWith("batch-"))
+      .map { rel =>
+        // CDC batches nest one level deeper (_change_data/batch-<uuid>/)
+        val parts = rel.split('/')
+        if (parts.length > 2 && parts.head == write.CdcWriter.ChangeDir) {
+          s"${parts(0)}/${parts(1)}"
+        } else parts.head
+      }
+      .filter(d => d.startsWith("batch-") ||
+        d.startsWith(s"${write.CdcWriter.ChangeDir}/batch-"))
       .distinct()
       .mapPartitions { dirsIt =>
         val dfs = new org.apache.hadoop.fs.Path(rootStr).getFileSystem(sconf.value)
         dirsIt.foreach { d =>
           val p = new org.apache.hadoop.fs.Path(s"$rootStr/$d")
           try {
-            // "empty" = only hidden leftovers (checksum/_temporary crumbs)
+            // "empty" = only hidden leftovers (checksum/_temporary
+            // crumbs). A partition dir for a [._]-named column
+            // (`_p=value`) is NOT a crumb — it counts as empty only when
+            // it holds nothing, or the recursive delete below would eat
+            // live data files under it
             val entries = dfs.listStatus(p)
-            if (entries.forall(st => st.getPath.getName.startsWith(".") ||
-                st.getPath.getName.startsWith("_"))) {
-              dfs.delete(p, true)
+            val onlyCrumbs = entries.forall { st =>
+              val n = st.getPath.getName
+              if (n.contains("=") && st.isDirectory) {
+                dfs.listStatus(st.getPath).isEmpty
+              } else n.startsWith(".") || n.startsWith("_")
             }
+            if (onlyCrumbs) dfs.delete(p, true)
           } catch { case _: java.io.IOException => /* raced: keep */ }
         }
         Iterator.empty[Int]
@@ -1984,8 +2011,12 @@ object DeltaTable {
     val rootStr = fs.makeQualified(rootPath).toString
     val rootPrefix = fs.makeQualified(rootPath).toUri.getPath + "/"
     val top = fs.listStatus(fs.makeQualified(rootPath))
-      .filterNot(st => st.getPath.getName.startsWith("_") ||
-        st.getPath.getName.startsWith("."))
+      // partition dirs for [._]-named columns (`_col=value`) are data,
+      // not hidden state — same exemption delta-spark's convert applies
+      .filterNot { st =>
+        val n = st.getPath.getName
+        (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
+      }
     val (dirs, rootFiles) = top.partition(_.isDirectory)
     val fromDirs = spark.createDataset(dirs.map(_.getPath.toString).toSeq)
       .repartition(math.max(1, math.min(dirs.length, 64)))

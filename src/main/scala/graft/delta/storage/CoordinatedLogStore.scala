@@ -243,7 +243,8 @@ class InMemoryCommitCoordinator(retainCompleted: Int = 1024)
   * is fronted by a shared POSIX/NFS-with-O_EXCL namespace, and as the
   * contract reference for the cross-process spec
   * (CrossProcessStoreSpec). */
-class FileClaimCommitCoordinator(root: String) extends CommitCoordinator {
+class FileClaimCommitCoordinator(root: String,
+    emptyClaimGraceMs: Long = 60000L) extends CommitCoordinator {
   private val rootPath = java.nio.file.Paths.get(root)
 
   private def dirOf(dir: String): java.nio.file.Path = {
@@ -257,16 +258,27 @@ class FileClaimCommitCoordinator(root: String) extends CommitCoordinator {
   }
 
   override def prepareCommit(dir: String, name: String,
-                             tempPath: String): Boolean =
+                             tempPath: String): Boolean = {
+    // The claim must carry its payload path ATOMICALLY: a CREATE_NEW
+    // followed by a write would, on a crash or IO error between the two,
+    // leave an empty claim no healer can publish — every later writer
+    // then loses prepareCommit and the version is wedged forever. Stage
+    // the content in a uniquely-named file (never contended), then
+    // publish onto `<name>.claim` with Files.createLink: link(2) is the
+    // exclusive atomic primitive (EEXIST = lost the race), so a claim
+    // either exists with its full payload or not at all.
+    val d = dirOf(dir)
+    val stage = d.resolve(s".$name.${java.util.UUID.randomUUID()}.stage")
+    java.nio.file.Files.write(stage, tempPath.getBytes("UTF-8"))
     try {
-      java.nio.file.Files.write(dirOf(dir).resolve(s"$name.claim"),
-        tempPath.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
+      java.nio.file.Files.createLink(d.resolve(s"$name.claim"), stage)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(stage)
     }
+  }
 
   override def commitComplete(dir: String, name: String): Unit = {
     val done = dirOf(dir).resolve(s"$name.done")
@@ -287,9 +299,27 @@ class FileClaimCommitCoordinator(root: String) extends CommitCoordinator {
           val name = claim.getFileName.toString.stripSuffix(".claim")
           if (java.nio.file.Files.exists(d.resolve(s"$name.done"))) None
           else {
-            val temp = new String(
-              java.nio.file.Files.readAllBytes(claim), "UTF-8").trim
-            Some((name, temp))
+            val temp =
+              try new String(
+                java.nio.file.Files.readAllBytes(claim), "UTF-8").trim
+              catch { case _: java.io.IOException => "" }
+            if (temp.nonEmpty) Some((name, temp))
+            else {
+              // A payload-less claim can never be published and would
+              // wedge its version for every writer. The atomic-link
+              // publish above makes this unreachable through this
+              // protocol, so it signals external corruption: reclaim it
+              // (delete, letting a later writer re-claim) once it is old
+              // enough that no live writer could still be mid-create.
+              try {
+                val age = System.currentTimeMillis() -
+                  java.nio.file.Files.getLastModifiedTime(claim).toMillis
+                if (age > emptyClaimGraceMs) {
+                  java.nio.file.Files.deleteIfExists(claim)
+                }
+              } catch { case _: java.io.IOException => () }
+              None
+            }
           }
         }.toVector
     } finally stream.close()

@@ -133,16 +133,33 @@ class ObjectStoreLogStore extends LogStore {
         // the cache+exists gate above is atomic only within this JVM;
         // on a LOCAL filesystem RawLocalFileSystem.create(overwrite =
         // false) is itself check-then-act, so two PROCESSES could both
-        // pass it and clobber a version. Use O_EXCL create (the
-        // conditional-put this class emulates — what If-None-Match PUT
-        // gives on real object stores) so the cross-process gate is the
-        // kernel's, not a racy check (CrossProcessStoreSpec).
+        // pass it and clobber a version. The cross-process gate must be
+        // the kernel's (the conditional-put this class emulates — what
+        // If-None-Match PUT gives on real object stores), AND the final
+        // name must appear fully written: this class declares
+        // isPartialWriteVisible=false and the cross-process support means
+        // a reader in ANOTHER process can open the file mid-write, so a
+        // grow-in-place create would expose torn commits. Stage the
+        // payload in a uniquely-named temp file, then publish with
+        // Files.createLink — an atomic O_EXCL primitive (link(2) fails
+        // with EEXIST if the destination exists), so exactly one process
+        // wins AND the commit materializes all-or-nothing
+        // (CrossProcessStoreSpec).
         val local = java.nio.file.Paths.get(path.toUri.getPath)
-        val out = java.nio.file.Files.newOutputStream(local,
+        val temp = local.resolveSibling(
+          s".${local.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+        val out = java.nio.file.Files.newOutputStream(temp,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
         finally out.close()
+        try java.nio.file.Files.createLink(local, temp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(temp)
+            throw new FileAlreadyExistsException(e.getFile)
+        }
+        java.nio.file.Files.deleteIfExists(temp)
       } else {
         val out = fs.create(path, overwrite)
         try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))

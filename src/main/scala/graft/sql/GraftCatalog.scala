@@ -431,6 +431,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
     DeltaLog.invalidate(spark, src.toString)
     DeltaLog.invalidate(spark, dest.toString) // a stale log from a dropped table
+    // capture the source table's IDENTITY (metadata id) before the move:
+    // the post-rename nesting check below must distinguish "lost a race
+    // (our whole table nested inside a winner's)" from "the renamed table
+    // legitimately CONTAINS a nested delta directory named like the
+    // source leaf" — existence of <srcName>/_delta_log alone cannot
+    val srcTableId: Option[String] =
+      try Some(DeltaLog.forTable(spark, src.toString).update().metadata.id)
+      catch { case scala.util.control.NonFatal(_) => None }
+    DeltaLog.invalidate(spark, src.toString)
     if (!fs.rename(src, dest)) {
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
     }
@@ -440,16 +449,28 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     // (and return true) — the renamed table would silently become a
     // hidden subdirectory. The nested dir keeps the source's name and
     // carries its _delta_log; move it BACK so the source table survives,
-    // then concede the destination.
+    // then concede the destination. Undo ONLY when the nested log's
+    // metadata id matches the recorded source id — a successful rename
+    // is never unwound on the strength of a name collision alone.
     val nested = new Path(dest, src.getName)
     if (fs.exists(new Path(nested, "_delta_log"))) {
-      if (!fs.rename(nested, src)) {
-        throw new IllegalStateException(
-          s"RENAME $oldIdent -> $newIdent lost a race for $dest and could " +
-            s"not restore the source; the table is preserved at $nested")
+      val nestedId: Option[String] =
+        try Some(DeltaLog.forTable(spark, nested.toString).update().metadata.id)
+        catch { case scala.util.control.NonFatal(_) => None }
+      DeltaLog.invalidate(spark, nested.toString)
+      val lostRace = (nestedId, srcTableId) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => false // unreadable identity: treat as the table's own content
       }
-      DeltaLog.invalidate(spark, dest.toString)
-      throw new TableAlreadyExistsException(newIdent)
+      if (lostRace) {
+        if (!fs.rename(nested, src)) {
+          throw new IllegalStateException(
+            s"RENAME $oldIdent -> $newIdent lost a race for $dest and could " +
+              s"not restore the source; the table is preserved at $nested")
+        }
+        DeltaLog.invalidate(spark, dest.toString)
+        throw new TableAlreadyExistsException(newIdent)
+      }
     }
   }
 }

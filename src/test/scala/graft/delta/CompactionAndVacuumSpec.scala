@@ -443,4 +443,71 @@ class CompactionAndVacuumSpec extends SparkSpec {
         t.compact(fullReCluster = true, purgeOnly = true))
     }
   }
+
+  test("FULL vacuum reclaims expired change-data files; fresh ones are " +
+      "protected by the retention window") {
+    withTempDir { dir =>
+      import org.apache.hadoop.fs.Path
+      DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val table = DeltaTable.forPath(spark, dir)
+      table.delete($"id" === 1) // writes change files under _change_data/
+      val log = DeltaLog.forTable(spark, dir)
+      val fs = new Path(dir).getFileSystem(log.hadoopConf)
+      val cdcDir = new Path(dir, write.CdcWriter.ChangeDir)
+      def cdcFiles: Int =
+        if (!fs.exists(cdcDir)) 0
+        else {
+          val it = fs.listFiles(cdcDir, true)
+          var n = 0
+          while (it.hasNext) { if (it.next().isFile) n += 1 }
+          n
+        }
+      assert(cdcFiles > 0, "delete on a CDF table must write change files")
+
+      // inside the retention window nothing collects
+      assert(table.vacuum() == 0)
+      assert(cdcFiles > 0)
+
+      // past retention the change files are vacuum's to reclaim —
+      // delta-spark deletes expired _change_data files too; skipping the
+      // dir as "hidden" would leak CDF storage forever
+      val start = 3000000000000L
+      log.clock = () => start + 8L * 24 * 3600 * 1000
+      val deleted = table.vacuum()
+      assert(deleted >= 1, s"expected expired files to collect: $deleted")
+      assert(cdcFiles == 0, "expired change files must be reclaimed")
+      // the emptied _change_data batch dirs are swept with them
+      assert(!fs.exists(cdcDir) || fs.listStatus(cdcDir).isEmpty)
+
+      // live data unharmed
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, dir).toDF.select($"id").as[Int]
+        .collect().toSet == Set(2))
+    }
+  }
+
+  test("FULL vacuum reclaims rewritten files under partition dirs of " +
+      "[._]-named columns (component shape `_p=value` is data, not hidden)") {
+    withTempDir { dir =>
+      import org.apache.hadoop.fs.Path
+      DeltaTable.write(Seq((1, 0), (2, 1), (3, 0)).toDF("v", "_p"), dir,
+        partitionBy = Seq("_p"))
+      val log = DeltaLog.forTable(spark, dir)
+      val table = DeltaTable.forPath(spark, dir)
+      val start = 3000000000000L
+      log.clock = () => start
+      // the DML rewrite tombstones the original file under _p=0; once
+      // the window lapses that file must collect even though its path
+      // component starts with an underscore
+      table.delete($"v" === 1)
+      log.clock = () => start + 8L * 24 * 3600 * 1000
+      val deleted = table.vacuum()
+      assert(deleted >= 1,
+        s"rewritten files under _p= dirs must collect, got $deleted")
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, dir).toDF.select($"v").as[Int]
+        .collect().sorted.toSeq == Seq(2, 3))
+    }
+  }
 }

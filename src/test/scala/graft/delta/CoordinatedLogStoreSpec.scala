@@ -142,4 +142,51 @@ class CoordinatedLogStoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("FileClaimCommitCoordinator: a claim always carries its payload; " +
+      "an externally corrupted (empty) claim is reclaimed after the grace " +
+      "period, never silently skipped forever") {
+    withTempDir { root =>
+      val claimRoot = s"$root/claims"
+      // grace 0 = reclaim immediately once detected
+      val coord = new storage.FileClaimCommitCoordinator(claimRoot, 0L)
+      assert(coord.prepareCommit("t1", "00001.json", "/staged/x"))
+      // atomic-link publish: the claim that exists is fully written
+      assert(coord.pending("t1") == Seq(("00001.json", "/staged/x")))
+      assert(!coord.prepareCommit("t1", "00001.json", "/staged/y"))
+
+      // corrupt the claim externally (truncate to zero bytes) — the shape
+      // a non-atomic create-then-write could have left behind on a crash
+      val claim = java.nio.file.Files.walk(java.nio.file.Paths.get(claimRoot))
+        .filter(_.getFileName.toString == "00001.json.claim")
+        .findFirst().get()
+      java.nio.file.Files.write(claim,
+        Array.empty[Byte],
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+
+      // the empty claim is not publishable: pending skips it AND, past the
+      // grace period, deletes it so the version can be re-claimed instead
+      // of staying wedged for every writer
+      assert(coord.pending("t1").isEmpty)
+      assert(!java.nio.file.Files.exists(claim), "empty claim not reclaimed")
+      assert(coord.prepareCommit("t1", "00001.json", "/staged/z"),
+        "the version must be claimable again after reclaim")
+      assert(coord.pending("t1") == Seq(("00001.json", "/staged/z")))
+
+      // a YOUNG empty claim (inside the grace window) is skipped but kept:
+      // its creator may still be alive mid-crash-recovery
+      val coord2 = new storage.FileClaimCommitCoordinator(s"$root/claims2")
+      assert(coord2.prepareCommit("t1", "00002.json", "/staged/a"))
+      val claim2 = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$root/claims2"))
+        .filter(_.getFileName.toString == "00002.json.claim")
+        .findFirst().get()
+      java.nio.file.Files.write(claim2, Array.empty[Byte],
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      assert(coord2.pending("t1").isEmpty)
+      assert(java.nio.file.Files.exists(claim2),
+        "a claim inside the grace window must not be reclaimed")
+      assert(!coord2.prepareCommit("t1", "00002.json", "/staged/b"))
+    }
+  }
 }

@@ -501,4 +501,25 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-graft targets are rejected loudly
     intercept[Exception] { spark.sql("VACUUM not_a_table").collect() }
   }
+
+  test("RENAME keeps a legitimately nested delta directory named like the " +
+      "source (identity check, not name-shape, decides the race rollback)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.db.rn_outer (id INT)")
+    spark.sql("INSERT INTO graft.db.rn_outer VALUES (1), (2)")
+    // a user-managed delta directory INSIDE the table, named like the
+    // table's own leaf: after a successful rename it sits at
+    // dest/<srcName>/_delta_log — exactly the lost-race nesting shape
+    DeltaTable.write(Seq(9).toDF("x"), s"$warehouse/db/rn_outer/rn_outer")
+    spark.sql("ALTER TABLE graft.db.rn_outer RENAME TO db.rn_moved")
+    // the rename held: destination serves the outer table...
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rn_moved")
+      .head().getLong(0) == 2L)
+    // ...the nested directory moved WITH it, untouched...
+    assert(DeltaTable.isDeltaTable(spark, s"$warehouse/db/rn_moved/rn_outer"))
+    assert(DeltaLog.forTable(spark, s"$warehouse/db/rn_moved/rn_outer")
+      .update().version == 0L)
+    // ...and nothing was moved back to the source path
+    assert(!new java.io.File(s"$warehouse/db/rn_outer").exists())
+  }
 }
