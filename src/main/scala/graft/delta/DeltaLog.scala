@@ -404,6 +404,23 @@ class DeltaLog private (
                  failOnDataLoss: Boolean = false,
                  endVersion: Option[Long] = None,
                  knownLatest: Option[Long] = None): Iterator[(Long, Seq[Action])] = {
+    val files = listChangeFiles(startVersion, failOnDataLoss, endVersion,
+      knownLatest)
+    files.iterator.map { fs =>
+      val v = FileNames.deltaVersion(fs.getPath)
+      val actions = store.read(fs.getPath, hadoopConf)
+        .filter(_.trim.nonEmpty).map(JsonCodec.actionFromJson).filter(_ != null)
+      (v, actions)
+    }
+  }
+
+  /** The contiguity-checked commit-file listing behind [[getChanges]] and
+    * the streaming source walk. */
+  private[delta] def listChangeFiles(
+      startVersion: Long,
+      failOnDataLoss: Boolean = false,
+      endVersion: Option[Long] = None,
+      knownLatest: Option[Long] = None): Vector[org.apache.hadoop.fs.FileStatus] = {
     // loud-failure contract: the table head must be established BEFORE
     // the listing — a commit landing between a listing and a later head
     // sample would read as a spurious trailing gap (TOCTOU). Callers
@@ -450,26 +467,44 @@ class DeltaLog private (
             "changes cannot be served")
       }
     }
-    files.iterator.map { fs =>
-      val v = FileNames.deltaVersion(fs.getPath)
-      val actions = store.read(fs.getPath, hadoopConf)
-        .filter(_.trim.nonEmpty).map(JsonCodec.actionFromJson).filter(_ != null)
-      (v, actions)
-    }
+    files
+  }
+
+  /** Stream one commit file's actions through `f` without ever holding
+    * the whole commit on the driver — the reader for tail-commit walkers
+    * that must survive a 500k-add CONVERT/backfill commit
+    * (the recurring driver-materialization bug shape; see
+    * FileCountScaleSpec). The iterator is single-pass and only valid
+    * inside `f`; the stream closes on exit either way. */
+  private[delta] def streamCommitActions[T](path: Path)(
+      f: Iterator[Action] => T): T = {
+    val fs = path.getFileSystem(hadoopConf)
+    val in = fs.open(path)
+    try f(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.trim.nonEmpty)
+      .map(JsonCodec.actionFromJson)
+      .filter(_ != null))
+    finally in.close()
   }
 
   // ---------------------------------------------------------- history (M12)
   def getCommitInfoAt(version: Long): CommitInfo = {
-    // parse lazily and STOP at the first commitInfo line: this engine
-    // (and delta-spark) writes CommitInfo first, and a backfill commit
-    // can carry 100k+ add lines — parsing them all for one lookup made
-    // history() byte-linear in commit size (file-count harness finding)
-    store.read(FileNames.deltaFile(logPath, version), hadoopConf)
-      .iterator
-      .filter(_.trim.nonEmpty)
-      .flatMap(l => JsonCodec.fromJson(l).commitInfo)
-      .nextOption()
-      .map(ci => ci.copy(version = Some(version)))
+    // STREAM the file and STOP at the first commitInfo line — both the
+    // read and the parse must short-circuit: this engine (and
+    // delta-spark) writes CommitInfo first, and a backfill commit can
+    // carry 100k+ add lines, so a store.read here would still pay the
+    // full file's IO and String allocation on the driver even with lazy
+    // parsing (the distributed history() branch streams the same way)
+    val p = FileNames.deltaFile(logPath, version)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p)
+    val ci =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.trim.nonEmpty)
+        .flatMap(l => JsonCodec.fromJson(l).commitInfo)
+        .nextOption()
+      finally in.close()
+    ci.map(_.copy(version = Some(version)))
       .getOrElse(CommitInfo(version = Some(version)))
   }
 

@@ -11,16 +11,64 @@ import org.apache.spark.sql.types.StructType
 import graft.delta._
 import graft.delta.read.DeltaFileIndex
 
+/** Streaming offset: `(version, index)`. A version-boundary offset
+  * (`index == END`) means every data AddFile of `version` is consumed; a
+  * sub-version offset means the first `index` data-change AddFiles of
+  * `version` (in commit-file line order, which is stable) are consumed
+  * and the rest are pending. The sub-version form only appears while
+  * admission control chunks a commit LARGER than the per-trigger budget
+  * — the delta-spark IndexedFile scheme re-expressed on this source's
+  * version offsets, so a 500k-add CONVERT/backfill commit streams as
+  * many bounded batches instead of one giant one.
+  *
+  * Boundary offsets serialize as the bare version number, so offset logs
+  * written before sub-version chunking existed parse unchanged (and new
+  * logs stay readable by older readers unless a giant commit is
+  * mid-chunk at the moment of downgrade). */
+private[delta] case class DeltaSourceOffset(version: Long, index: Long)
+    extends Offset {
+  import DeltaSourceOffset.END
+  override def json: String =
+    if (index == END) version.toString
+    else s"""{"version":$version,"index":$index}"""
+  def isVersionBoundary: Boolean = index == END
+  def <=(o: DeltaSourceOffset): Boolean =
+    version < o.version || (version == o.version && index <= o.index)
+}
+
+private[delta] object DeltaSourceOffset {
+  /** Sentinel for "whole version consumed" — compares above any real
+    * file index. */
+  val END: Long = Long.MaxValue
+  private val Pat =
+    """\s*\{\s*"version"\s*:\s*(\d+)\s*,\s*"index"\s*:\s*(\d+)\s*\}\s*""".r
+  def parse(json: String): DeltaSourceOffset = json match {
+    case Pat(v, i) => DeltaSourceOffset(v.toLong, i.toLong)
+    case s => DeltaSourceOffset(s.trim.toLong, END) // bare-version (legacy)
+  }
+  def boundary(version: Long): DeltaSourceOffset =
+    DeltaSourceOffset(version, END)
+}
+
 /** Structured-Streaming micro-batch source over a Delta table
   * (SURVEY §2.4 F1–F6: the Flink continuous source re-expressed on
   * Spark's micro-batch executor).
   *
-  * The offset IS the table version — Spark's offset log replaces the
+  * The offset is the table version plus an intra-version file index
+  * ([[DeltaSourceOffset]]) — Spark's offset log replaces the
   * Flink enumerator's {version, processedPaths} checkpoints (F5), and
   * task scheduling replaces split assignment. A batch for offset range
-  * (v1, v2] is the union of sanitized AddFiles committed in those
-  * versions, planned through the same [[DeltaFileIndex]] as batch reads
+  * (o1, o2] is the union of sanitized AddFiles committed in that range,
+  * planned through the same [[DeltaFileIndex]] as batch reads
   * (vectorized parquet, pushdown, pruning all apply).
+  *
+  * Scale shape: every walk over the commit range STREAMS each commit
+  * file ([[DeltaLog.streamCommitActions]]) — admission counting retains
+  * nothing and batch planning retains only the admitted chunk, so the
+  * per-trigger driver footprint is O(budget), never O(commit). The
+  * chunked versions are re-scanned once per trigger (the same
+  * read-the-json-per-trigger shape delta-spark's getFileChanges has);
+  * the scan is a driver-side line stream, no Spark job.
   *
   * Options (F4, names match the reference's DeltaSourceOptions):
   *  - `startingVersion`: "latest" or a version number. Absent → initial
@@ -85,18 +133,22 @@ class DeltaSource(
     // reads, this source, and sourceSchema must never drift apart
     else graft.delta.read.CdfRelation.cdfSchema(initialSnapshot.metadata)
 
-  /** Rate limit: cap each micro-batch at this many data AddFiles (always
-    * at least one version per batch — a batch must make progress). With
+  /** Rate limit: cap each micro-batch at this many data AddFiles (a
+    * batch always makes progress — at least one file). With
     * [[SupportsAdmissionControl]] the engine hands the committed start
     * offset to [[latestOffset]], so the cap holds across restarts too
     * (the reference's bounded/continuous split, DeltaSource.java:121-150,
-    * maps onto ReadLimit-driven admission).
+    * maps onto ReadLimit-driven admission). A commit larger than the cap
+    * is CHUNKED by sub-version offsets (non-CDF streams) — the budget
+    * bounds the batch, not just the version count.
     *
     * KNOWN BOUND: the INITIAL-SNAPSHOT batch (no startingVersion) is
-    * served whole — version-granular offsets cannot split one snapshot.
-    * Splitting it needs (version, fileIndex) offsets (delta-spark's
-    * IndexedFile scheme); until then, bound first-batch size by starting
-    * from a version (startingVersion) or a fresh table. */
+    * served whole — it is planned through the snapshot-backed
+    * distributed index (never a driver file list), so the bound is
+    * executor work per micro-batch, not driver memory. CDF batches are
+    * version-granular (a chunk boundary inside a version would split its
+    * change rows with no index to resume from); their driver footprint
+    * is O(largest version's files). */
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
 
@@ -124,7 +176,7 @@ class DeltaSource(
     require(v > 0, s"maxBytesPerTrigger must be positive: $s")
     v
   }
-  private var lastReported: Option[Long] = None
+  private var lastReported: Option[DeltaSourceOffset] = None
 
   /** Trigger.AvailableNow: pin the head version at stream start; batches
     * (still rate-limited) drain up to it, then the query stops. */
@@ -139,7 +191,10 @@ class DeltaSource(
       maxFilesPerTrigger.map(ReadLimit.maxFiles(_)).toSeq ++
         maxBytesPerTrigger.map(ReadLimit.maxBytes(_)).toSeq
     limits match {
-      case Nil => ReadLimit.allAvailable()
+      // delta-spark's default (DeltaOptions.MAX_FILE_PER_TRIGGER default
+      // 1000): an un-optioned stream must not admit an unbounded batch —
+      // at 100 TB "all available" after downtime is the whole backlog
+      case Nil => ReadLimit.maxFiles(DeltaSource.DefaultMaxFilesPerTrigger)
       case Seq(one) => one
       case many => ReadLimit.compositeLimit(many.toArray)
     }
@@ -151,20 +206,21 @@ class DeltaSource(
     val head0 = deltaLog.update().version
     val head = availableNowTarget.fold(head0)(math.min(head0, _))
     if (head < 0) return null
-    val base: Option[Long] = Option(startOffset).map(versionOf)
+    val base: Option[DeltaSourceOffset] = Option(startOffset).map(offsetOf)
       .orElse(lastReported)
-      .orElse(startingVersion.map(_ - 1))
+      .orElse(startingVersion.map(sv => DeltaSourceOffset.boundary(sv - 1)))
     val (fileBudget, byteBudget) = budgets(limit)
     val end = base match {
-      case Some(b) if head > b && (fileBudget.isDefined || byteBudget.isDefined) =>
+      case Some(b) if (b.version < head || !b.isVersionBoundary) &&
+          (fileBudget.isDefined || byteBudget.isDefined) =>
         cappedEnd(b, head, fileBudget, byteBudget)
-      case _ => head
+      case _ => DeltaSourceOffset.boundary(head)
     }
     startingVersion match {
-      case Some(sv) if end < sv => null // nothing at or after the start yet
+      case Some(sv) if end.version < sv => null // nothing at/after start yet
       case _ =>
         lastReported = Some(end)
-        LongOffset(end)
+        end
     }
   }
 
@@ -185,47 +241,103 @@ class DeltaSource(
       case _ => (maxFilesPerTrigger, maxBytesPerTrigger)
     }
 
-  /** Walk versions (base, head] until a data-file or byte budget is
-    * exhausted. */
-  private def cappedEnd(base: Long, head: Long,
+  /** Walk the range (base, head] until a data-file or byte budget is
+    * exhausted. Non-CDF streams stop MID-version when a commit is larger
+    * than the remaining budget (sub-version offset); CDF streams clamp
+    * to version boundaries, always admitting at least one version. Every
+    * commit is STREAMED — this walk retains no actions at all, so a
+    * 500k-add backfill commit costs one line-scan, not 500k driver
+    * objects (FileCountScaleSpec pins this). */
+  private def cappedEnd(base: DeltaSourceOffset, head: Long,
                         fileBudget: Option[Int],
-                        byteBudget: Option[Long]): Long = {
-    var endV = base
-    var files = 0
+                        byteBudget: Option[Long]): DeltaSourceOffset = {
+    var files = 0L
     var bytes = 0L
-    val it = deltaLog.getChanges(base + 1, failOnDataLoss, Some(head), Some(head))
+    var end = base
     var done = false
-    while (!done && it.hasNext) {
-      val (v, actions) = it.next()
-      val dataAdds = actions.collect {
-        case a: AddFile if a.dataChange => a
+    val startV = if (base.isVersionBoundary) base.version + 1 else base.version
+    val commitFiles = deltaLog.listChangeFiles(
+      startV, failOnDataLoss, Some(head), Some(head))
+    val itf = commitFiles.iterator
+    while (!done && itf.hasNext) {
+      val fstat = itf.next()
+      val v = FileNames.deltaVersion(fstat.getPath)
+      val skip =
+        if (!base.isVersionBoundary && v == base.version) base.index else 0L
+      if (readChangeFeed) {
+        // version-granular admission: count the version's data adds in
+        // one streamed pass, admit whole-or-not (first version always
+        // fits — a batch must make progress)
+        val (n, sz) = deltaLog.streamCommitActions(fstat.getPath) { actions =>
+          actions.foldLeft((0L, 0L)) {
+            case ((c, s), a: AddFile) if a.dataChange => (c + 1, s + a.size)
+            case (acc, _) => acc
+          }
+        }
+        val over = fileBudget.exists(files + n > _) ||
+          byteBudget.exists(bytes + sz > _)
+        if (end != base && over) done = true
+        else {
+          end = DeltaSourceOffset.boundary(v)
+          files += n; bytes += sz
+          if (over) done = true // first version admitted whole; stop here
+        }
+      } else {
+        // file-granular admission with sub-version chunking
+        val (admittedTo, total, stopped) =
+          deltaLog.streamCommitActions(fstat.getPath) { actions =>
+            var idx = 0L
+            var adm = skip
+            var stop = false
+            actions.foreach {
+              case a: AddFile if a.dataChange =>
+                if (idx >= skip && !stop) {
+                  val over = fileBudget.exists(files + 1 > _) ||
+                    byteBudget.exists(bytes + a.size > _)
+                  // always admit at least one file per trigger
+                  if (over && (files > 0 || bytes > 0L)) stop = true
+                  else { files += 1; bytes += a.size; adm = idx + 1 }
+                }
+                idx += 1
+              case _ =>
+            }
+            (adm, idx, stop)
+          }
+        if (stopped) {
+          done = true
+          if (admittedTo > skip) {
+            end = if (admittedTo >= total) DeltaSourceOffset.boundary(v)
+                  else DeltaSourceOffset(v, admittedTo)
+          } // else: nothing of v admitted — end stays at the prior version
+        } else {
+          // version fully consumed (data adds and all other actions)
+          end = DeltaSourceOffset.boundary(v)
+        }
       }
-      val n = dataAdds.size
-      val sz = dataAdds.map(_.size).sum
-      val over = fileBudget.exists(files + n > _) ||
-        byteBudget.exists(bytes + sz > _)
-      // the first version always fits (a batch must make progress)
-      if (endV > base && over) done = true
-      else { endV = v; files += n; bytes += sz }
     }
-    endV
+    end
   }
 
   /** Legacy V1 entry point; the engine calls [[latestOffset]] instead
     * once a source implements SupportsAdmissionControl. */
   override def getOffset: Option[Offset] =
     Option(latestOffset(null, getDefaultReadLimit))
-      .map(o => LongOffset(versionOf(o)))
+      .map(o => offsetOf(o))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = asVersion(end)
+    val endOff = offsetOf(end)
+    val endV = endOff.version
     // keep the rate-limit base correct across restart recovery, where the
     // engine re-plays a pending batch before calling getOffset
-    lastReported = Some(lastReported.fold(endV)(math.max(_, endV)))
-    val fromV = start.map(asVersion(_) + 1)
-      .orElse(startingVersion).getOrElse(-1L)
-    if (readChangeFeed) return cdfBatch(fromV, endV)
-    if (fromV < 0) {
+    lastReported = Some(lastReported.fold(endOff)(o =>
+      if (endOff <= o) o else endOff))
+    val startOff: Option[DeltaSourceOffset] = start.map(offsetOf)
+      .orElse(startingVersion.map(sv => DeltaSourceOffset.boundary(sv - 1)))
+    if (readChangeFeed) {
+      // CDF offsets are version-granular by construction (cappedEnd)
+      return cdfBatch(startOff.fold(-1L)(_.version + 1), endV)
+    }
+    if (startOff.isEmpty) {
       // F1 initial snapshot: plan through the snapshot-backed index so
       // distributed-state tables never collect their file list here.
       // The batch serves the state AT endV through the schema pinned at
@@ -245,7 +357,7 @@ class DeltaSource(
       }
       return buildSnapshotDF(snapAtEnd)
     }
-    buildBatchDF(changedFiles(fromV, endV))
+    buildBatchDF(changedFiles(startOff.get, endOff))
   }
 
   /** One CDF micro-batch for versions [fromV, endV] (fromV < 0 → initial
@@ -260,31 +372,42 @@ class DeltaSource(
     }
     // tag the whole batch's files once and plan ≤2 scan relations — a
     // per-version union puts O(versions) nodes in the plan (see
-    // [[graft.delta.read.CdfRelation]])
+    // [[graft.delta.read.CdfRelation]]). Each commit is STREAMED into a
+    // transient per-version buffer (tagFiles needs the version's actions
+    // together); only the TAGGED output is retained across versions, so
+    // the standing footprint is the batch's change files — bounded per
+    // batch by version-granular admission (one version minimum)
     var cdcFiles = Vector.empty[AddFile]
     var derived = Vector.empty[AddFile]
-    deltaLog.getChanges(fromV, failOnDataLoss, Some(endV), Some(endV))
-      .foreach { case (v, actions) =>
-        // the same mid-stream sanitation as the non-CDF path: a schema
-        // or protocol change invalidates this stream's pinned schema —
-        // silently serving old-schema change rows drops new columns
-        actions.foreach {
-          case m: Metadata if v > initialSnapshot.version &&
-              (m.schemaString != initialSnapshot.metadata.schemaString ||
-                m.partitionColumns !=
-                  initialSnapshot.metadata.partitionColumns) =>
-            throw new UnsupportedOperationException(
-              s"Detected a schema/metadata change at version $v; " +
-                "restart the stream to pick it up")
-          case p: Protocol if v > initialSnapshot.version =>
-            // accept any protocol this engine can READ (same rule as the
-            // non-CDF path) — a benign feature enablement must not kill
-            // only the CDF streams
-            require(p.minReaderVersion <= 2 ||
-              (p.minReaderVersion == 3 &&
-                graft.delta.TableFeatures.unsupportedReader(p).isEmpty),
-              s"Unsupported protocol change at version $v: $p")
-          case _ =>
+    deltaLog.listChangeFiles(fromV, failOnDataLoss, Some(endV), Some(endV))
+      .foreach { fstat =>
+        val v = FileNames.deltaVersion(fstat.getPath)
+        val actions = deltaLog.streamCommitActions(fstat.getPath) { it =>
+          val buf = Vector.newBuilder[Action]
+          it.foreach {
+            // the same mid-stream sanitation as the non-CDF path: a
+            // schema or protocol change invalidates this stream's pinned
+            // schema — silently serving old-schema change rows drops new
+            // columns
+            case m: Metadata if v > initialSnapshot.version &&
+                (m.schemaString != initialSnapshot.metadata.schemaString ||
+                  m.partitionColumns !=
+                    initialSnapshot.metadata.partitionColumns) =>
+              throw new UnsupportedOperationException(
+                s"Detected a schema/metadata change at version $v; " +
+                  "restart the stream to pick it up")
+            case p: Protocol if v > initialSnapshot.version =>
+              // accept any protocol this engine can READ (same rule as
+              // the non-CDF path) — a benign feature enablement must not
+              // kill only the CDF streams
+              require(p.minReaderVersion <= 2 ||
+                (p.minReaderVersion == 3 &&
+                  graft.delta.TableFeatures.unsupportedReader(p).isEmpty),
+                s"Unsupported protocol change at version $v: $p")
+              buf += p
+            case a => buf += a
+          }
+          buf.result()
         }
         val (c, d) = graft.delta.read.CdfRelation.tagFiles(v, actions, "stream")
         cdcFiles ++= c
@@ -301,14 +424,40 @@ class DeltaSource(
       }
   }
 
-  /** F3 change sanitation for versions [fromV, toV]. */
-  private def changedFiles(fromV: Long, toV: Long): Seq[AddFile] = {
-    if (fromV > toV) return Nil
-    deltaLog.getChanges(fromV, failOnDataLoss, Some(toV), Some(toV)).flatMap {
-      case (v, actions) =>
-        val adds = actions.collect { case a: AddFile if a.dataChange => a }
-        val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+  /** F3 change sanitation for the offset range (startOff, endOff].
+    * Each commit is STREAMED once: sanitation flags fold as the lines
+    * pass and only the admitted SLICE of data AddFiles is retained —
+    * for a chunked giant commit the driver holds O(budget) files, never
+    * O(commit) (the recurring tail-walker materialization shape; see
+    * FileCountScaleSpec's streaming tier). */
+  private def changedFiles(startOff: DeltaSourceOffset,
+                           endOff: DeltaSourceOffset): Seq[AddFile] = {
+    val fromV =
+      if (startOff.isVersionBoundary) startOff.version + 1 else startOff.version
+    if (fromV > endOff.version) return Nil
+    val out = Vector.newBuilder[AddFile]
+    deltaLog.listChangeFiles(fromV, failOnDataLoss,
+        Some(endOff.version), Some(endOff.version)).foreach { fstat =>
+      val v = FileNames.deltaVersion(fstat.getPath)
+      // slice bounds for the boundary versions of a chunked range
+      val sliceFrom =
+        if (!startOff.isVersionBoundary && v == startOff.version)
+          startOff.index
+        else 0L
+      val sliceUntil =
+        if (v == endOff.version) endOff.index else DeltaSourceOffset.END
+      deltaLog.streamCommitActions(fstat.getPath) { actions =>
+        var idx = 0L
+        var sawAdds = false
+        var sawRemoves = false
+        val sliced = Vector.newBuilder[AddFile]
         actions.foreach {
+          case a: AddFile if a.dataChange =>
+            sawAdds = true
+            if (idx >= sliceFrom && idx < sliceUntil) sliced += a
+            idx += 1
+          case r: RemoveFile if r.dataChange =>
+            sawRemoves = true
           // property-only metadata (retention tweaks etc.) with an
           // unchanged schema and partitioning must NOT kill the stream —
           // only changes that invalidate the pinned schema do (the same
@@ -330,26 +479,27 @@ class DeltaSource(
               s"Unsupported protocol change at version $v: $p")
           case _ =>
         }
-        if (skipChangeCommits && removes.nonEmpty) {
+        if (skipChangeCommits && sawRemoves) {
           // change commits (rewrites AND plain deletes) contribute
           // nothing to the stream — appends-only consumption
-          Nil
         } else {
-          if (removes.nonEmpty && adds.nonEmpty && !ignoreChanges) {
+          if (sawRemoves && sawAdds && !ignoreChanges) {
             throw new UnsupportedOperationException(
               s"Detected a data update at version $v (files rewritten). " +
                 "Set ignoreChanges=true to re-emit rewritten files, " +
                 "skipChangeCommits=true to skip them, or restart " +
                 "from a fresh snapshot")
           }
-          if (removes.nonEmpty && adds.isEmpty && !ignoreDeletes && !ignoreChanges) {
+          if (sawRemoves && !sawAdds && !ignoreDeletes && !ignoreChanges) {
             throw new UnsupportedOperationException(
               s"Detected deleted data at version $v. Set ignoreDeletes=true " +
                 "to skip delete-only commits")
           }
-          adds
+          out ++= sliced.result()
         }
-    }.toVector
+      }
+    }
+    out.result()
   }
 
   /** Whole-snapshot streaming frame via the snapshot-backed index:
@@ -405,16 +555,22 @@ class DeltaSource(
       .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
-  private def asVersion(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.toLong
-  }
-
-  /** V2 offsets arrive as LongOffset or (from the offset log) serialized. */
-  private def versionOf(o: OffsetV2): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.toLong
+  /** Offsets arrive as our own type, LongOffset (legacy/bare), or (from
+    * the offset log) serialized JSON — all normalize through the parser.
+    * (V1 Offset extends OffsetV2, so one signature covers both APIs.) */
+  private def offsetOf(o: OffsetV2): DeltaSourceOffset = o match {
+    case d: DeltaSourceOffset => d
+    case LongOffset(v) => DeltaSourceOffset.boundary(v)
+    case other => DeltaSourceOffset.parse(other.json)
   }
 
   override def stop(): Unit = ()
+}
+
+object DeltaSource {
+  /** Per-trigger data-file admission default (delta-spark's
+    * DeltaOptions.MAX_FILE_PER_TRIGGER default): applied when the user
+    * sets no explicit rate limit, so no stream ever admits an unbounded
+    * batch by default. */
+  val DefaultMaxFilesPerTrigger: Int = 1000
 }

@@ -140,6 +140,19 @@ object FileCountScale {
     timed("history()") {
       require(coldLog().history().nonEmpty)
     }
+    // 10b. VACUUM FULL: the distributed root/dir listing + the 500k-row
+    //     active-set anti-join must stay Spark jobs (the r12 vacuum
+    //     change removed the driver collect of the dir set — this is the
+    //     axis that validates it). Ghost files have no bytes on disk, so
+    //     the listing side is small while the ACTIVE side carries every
+    //     ghost AddFile — nothing is deletable, and a nonzero count here
+    //     means vacuum invented orphans
+    timed("VACUUM FULL (dry run)") {
+      require(DeltaTable.forPath(spark, dir).vacuum(dryRun = true) == 0)
+    }
+    timed("VACUUM FULL (delete pass)") {
+      require(DeltaTable.forPath(spark, dir).vacuum() == 0)
+    }
     // 11. V2 checkpoint (uuid main + sidecars) at the post-OPTIMIZE tip
     val snap2 = coldLog().update()
     timed("V2 checkpoint write (size-scaled sidecars)") {
@@ -200,6 +213,96 @@ object FileCountScale {
     out.result()
   }
 
+  /** Streaming-source tier (VERDICT r12 #1): ONE giant backfill commit
+    * drained through [[graft.delta.streaming.DeltaSource]] under
+    * file-budget admission. Proves (a) the per-trigger driver footprint
+    * is O(budget) — the heap column stays flat while draining a commit
+    * many times the budget; (b) admission CHUNKS WITHIN the giant
+    * version via sub-version offsets (not one unbounded batch, not a
+    * stall); (c) the CDF batch over the same commit is version-granular
+    * and plans through ≤2 relations with driver state bounded by the
+    * tagged file list; (d) startingTimestamp resolution on an
+    * ICT-enabled log stays flat in commit SIZE (first-line streaming
+    * parse). Ghost adds have no parquet behind them, so the proof is
+    * plan-level — any accidental data access fails loudly. */
+  def streamingDrive(spark: SparkSession, dir: String,
+                     nFiles: Int): Seq[OpTiming] = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // planned file count off the relation's file index (a streaming
+    // DataFrame cannot answer the batch-only inputFiles call)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    val out = Vector.newBuilder[OpTiming]
+    def timed[A](op: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      out += OpTiming(op, (System.nanoTime() - t0) / 1000000, usedHeapMB())
+      r
+    }
+    val budget = 10000
+    require(nFiles % budget == 0, s"nFiles=$nFiles must divide by $budget")
+    timed("ingest single-commit backfill (ICT on)") {
+      synthesize(spark, dir, nFiles, nCommits = 1,
+        extraConfig = Map("delta.enableInCommitTimestamps" -> "true"))
+    }
+    val log = DeltaLog.forTable(spark, dir)
+    val src = new graft.delta.streaming.DeltaSource(spark.sqlContext, log,
+      Map("startingVersion" -> "1", "maxFilesPerTrigger" -> budget.toString))
+    var batches = 0
+    var planned = 0L
+    var maxBatch = 0
+    var sawSubVersion = false
+    timed("drain giant commit (chunked batches)") {
+      var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+      var done = false
+      while (!done) {
+        val end = src.latestOffset(prev, ReadLimit.maxFiles(budget))
+        if (end == null || (prev != null && end.json == prev.json)) {
+          done = true
+        } else {
+          if (end.json.contains("index")) sawSubVersion = true
+          val endV1 = end.asInstanceOf[
+            org.apache.spark.sql.execution.streaming.Offset]
+          val prevV1 = Option(prev).map(_.asInstanceOf[
+            org.apache.spark.sql.execution.streaming.Offset])
+          val n = plannedFiles(src.getBatch(prevV1, endV1))
+          require(n <= budget, s"batch planned $n files > budget $budget")
+          maxBatch = math.max(maxBatch, n)
+          planned += n
+          batches += 1
+          prev = end
+        }
+      }
+      require(sawSubVersion,
+        "admission never chunked within the giant version")
+      require(batches == nFiles / budget,
+        s"expected ${nFiles / budget} chunked batches, got $batches")
+      require(planned == nFiles,
+        s"chunks covered $planned of $nFiles files")
+    }
+    timed("CDF batch plan (version-granular)") {
+      val cdfSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+        log, Map("startingVersion" -> "1", "readChangeFeed" -> "true"))
+      val end = cdfSrc.latestOffset(null, ReadLimit.maxFiles(budget))
+      require(end.json == "1",
+        s"CDF admission must clamp to the version boundary: ${end.json}")
+      val df = cdfSrc.getBatch(None,
+        end.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset])
+      require(plannedFiles(df) == nFiles)
+    }
+    timed("startingTimestamp resolution (ICT log)") {
+      require(log.getVersionAtOrAfterTimestamp(0L) == 0L)
+    }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: FileCountScale <workDir> <nFiles1> [<nFiles2> ...]")
@@ -242,6 +345,15 @@ object FileCountScale {
     println(s"| cadence op (n=$nMax) | ms | heap MB |")
     println("|---|---|---|")
     cad.foreach(t => println(s"| ${t.op} | ${t.millis} | ${t.heapMB} |"))
+    // streaming tier at every count (the ratio across counts is the
+    // flat-footprint evidence)
+    counts.foreach { n =>
+      val st = streamingDrive(spark, s"$workDir/stream_$n", n)
+      println()
+      println(s"| streaming op (n=$n) | ms | heap MB |")
+      println("|---|---|---|")
+      st.foreach(t => println(s"| ${t.op} | ${t.millis} | ${t.heapMB} |"))
+    }
     spark.stop()
   }
 }

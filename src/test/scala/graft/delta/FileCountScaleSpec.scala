@@ -33,6 +33,18 @@ class FileCountScaleSpec extends SparkSpec {
 
   private val N = 100000
 
+  /** Planned file count straight off the relation's file index — a
+    * streaming DataFrame cannot answer `inputFiles` (batch-only check). */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
   test("100k AddFiles: the file list never materializes on the driver " +
       "through replay, checkpoints, pruning, OPTIMIZE, VACUUM, history") {
     withTempDir { dir =>
@@ -131,6 +143,87 @@ class FileCountScaleSpec extends SparkSpec {
           (1 to FileCountScale.RealRows).sum)
         assert(!snapC.fullStateComputed && !snapC.filesMaterialized,
           "compacted-range replay materialized the file list")
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
+  test("100k-add backfill commit through the streaming source: admission " +
+      "chunks WITHIN the giant version, batches stay O(budget), CDF is " +
+      "version-granular, nothing materializes snapshot state") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        val budget = 10000
+        // ONE giant commit (the CONVERT/backfill shape), ICT on so the
+        // start-position timestamp path exercises the first-line parse
+        FileCountScale.synthesize(spark, dir, N, nCommits = 1,
+          extraConfig = Map("delta.enableInCommitTimestamps" -> "true"))
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val src = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("startingVersion" -> "1",
+            "maxFilesPerTrigger" -> budget.toString))
+        var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+        var batches = 0
+        var planned = 0L
+        var subVersionOffsets = 0
+        var done = false
+        while (!done) {
+          val end = src.latestOffset(prev, ReadLimit.maxFiles(budget))
+          if (end == null || (prev != null && end.json == prev.json)) {
+            done = true
+          } else {
+            if (end.json.contains("index")) subVersionOffsets += 1
+            val n = plannedFiles(src.getBatch(
+              Option(prev).map(_.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]),
+              end.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]))
+            assert(n <= budget, s"batch planned $n files > budget $budget")
+            planned += n
+            batches += 1
+            prev = end
+          }
+        }
+        assert(batches == N / budget,
+          s"expected ${N / budget} chunked batches, got $batches")
+        assert(subVersionOffsets == N / budget - 1,
+          "every non-final chunk must be a sub-version offset")
+        assert(prev.json == "1",
+          s"the final offset must normalize to the bare version: ${prev.json}")
+        assert(planned == N, s"chunks covered $planned of $N files")
+        // the walk never touches snapshot file state
+        val snap = log.update()
+        assert(!snap.fullStateComputed && !snap.filesMaterialized,
+          "the streaming walk materialized snapshot state")
+
+        // restart recovery: a mid-version offset round-trips through its
+        // JSON (the offset-log path) and the next chunk resumes exactly
+        val src2 = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("startingVersion" -> "1",
+            "maxFilesPerTrigger" -> budget.toString))
+        val first = src2.latestOffset(null, ReadLimit.maxFiles(budget))
+        assert(first.json == s"""{"version":1,"index":$budget}""")
+        val resumed = src2.latestOffset(
+          new graft.delta.streaming.DeltaSourceOffset(1L, budget.toLong),
+          ReadLimit.maxFiles(budget))
+        assert(resumed.json == s"""{"version":1,"index":${2 * budget}}""")
+
+        // CDF admission clamps to the version boundary and plans the
+        // whole commit through one derived relation
+        val cdfSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("startingVersion" -> "1", "readChangeFeed" -> "true"))
+        val cdfEnd = cdfSrc.latestOffset(null, ReadLimit.maxFiles(budget))
+        assert(cdfEnd.json == "1",
+          s"CDF admission must clamp to the version boundary: ${cdfEnd.json}")
+        assert(plannedFiles(cdfSrc.getBatch(None, cdfEnd.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.Offset])) == N)
+
+        // start-position resolution over the ICT log (first-line parse)
+        assert(log.getVersionAtOrAfterTimestamp(0L) == 0L)
       } finally {
         spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
       }
