@@ -141,7 +141,14 @@ object Checkpoints {
     * a metadata or protocol change in the interval (the stats form or
     * schema the carried files were written under may have changed), an
     * explicit part-count raise, or buckets grown past 2x the target part
-    * size (rebucket). */
+    * size (rebucket).
+    *
+    * Concurrent writers need no publish claim here (unlike the classic
+    * multi-part path): every V2 main and sidecar is uuid-named, so two
+    * processes checkpointing the same version produce two disjoint,
+    * individually-complete checkpoints — a reader selects one main and
+    * sees only that writer's files; `_last_checkpoint` is a last-wins
+    * atomic overwrite. */
   def writeV2Checkpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
     implicit val enc = Encoders.product[SingleAction]
     import org.apache.spark.sql.functions.{col, lit, udf}
@@ -364,6 +371,50 @@ object Checkpoints {
       math.ceil(actionCount.toDouble / partSize.toDouble).toInt.max(1))
   }
 
+  /** How long a crashed publisher's claim marker blocks re-election.
+    * Readers only ever select COMPLETE checkpoint groups, so a
+    * half-published group behind a stale marker is invisible — reclaim
+    * just restores writability of that version's checkpoint. */
+  private[delta] val PublishClaimGraceMs: Long = 10 * 60 * 1000L
+
+  /** O_EXCL marker create. On file:// the Hadoop local FS create is
+    * check-then-act, so the kernel primitive does the electing (the same
+    * hole the commit path closes in ObjectStoreLogStore). */
+  private def atomicCreateMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: Path): Boolean =
+    try {
+      if (Option(p.toUri.getScheme).forall(_ == "file")) {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+      } else {
+        val out = fs.create(p, false)
+        out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException => if (fs.exists(p)) false else throw e
+    }
+
+  /** Elect ONE publisher for this version's checkpoint group. A stale
+    * claim (crashed winner) is reclaimed after the grace period. */
+  private def claimPublish(fs: org.apache.hadoop.fs.FileSystem,
+                           marker: Path): Boolean =
+    atomicCreateMarker(fs, marker) || {
+      try {
+        val st = fs.getFileStatus(marker)
+        if (System.currentTimeMillis() - st.getModificationTime >
+            PublishClaimGraceMs) {
+          fs.delete(marker, false)
+          atomicCreateMarker(fs, marker)
+        } else false
+      } catch {
+        // the holder finished and removed it between our create and stat
+        case _: java.io.FileNotFoundException => atomicCreateMarker(fs, marker)
+      }
+    }
+
   private def writeCheckpointDS(
       snapshot: Snapshot,
       actionsDS: org.apache.spark.sql.Dataset[SingleAction],
@@ -382,25 +433,44 @@ object Checkpoints {
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))
         .sortBy(_.getName)
       require(written.nonEmpty, "checkpoint write produced no parquet")
-      val dests =
-        if (parts == 1) {
-          Seq(FileNames.checkpointFileSingular(log.logPath, snapshot.version))
-        } else {
-          // a near-empty state can yield fewer Spark partitions than parts
-          FileNames.checkpointFileWithParts(
-            log.logPath, snapshot.version, written.length)
+      // CONCURRENT-WRITER GUARD (VERDICT r12 #3): publishing a
+      // (possibly multi-part) group is not atomic — two processes
+      // explicitly checkpointing the SAME version could interleave
+      // delete+rename over the same destinations and mix parts from two
+      // different row distributions of the state (losing/duplicating
+      // rows). An O_EXCL claim marker elects ONE publisher per version;
+      // the loser abandons its staged parts — a checkpoint for this
+      // version is being (or was) written, which is the outcome its
+      // caller asked for. The automatic cadence path could never reach
+      // the interleave (NOTES r12), but the public API can: this turns
+      // that adjudication into enforcement (CrossProcessCheckpointSpec).
+      val marker = new Path(log.logPath,
+        "." + "%020d".format(snapshot.version) + ".checkpoint.publishing")
+      if (!claimPublish(fs, marker)) return
+      try {
+        val dests =
+          if (parts == 1) {
+            Seq(FileNames.checkpointFileSingular(log.logPath, snapshot.version))
+          } else {
+            // a near-empty state can yield fewer Spark partitions than parts
+            FileNames.checkpointFileWithParts(
+              log.logPath, snapshot.version, written.length)
+          }
+        written.zip(dests).foreach { case (part, dest) =>
+          fs.delete(dest, false) // idempotent re-checkpoint
+          if (!fs.rename(part, dest)) {
+            throw new java.io.IOException(s"rename $part -> $dest failed")
+          }
         }
-      written.zip(dests).foreach { case (part, dest) =>
-        fs.delete(dest, false) // idempotent re-checkpoint
-        if (!fs.rename(part, dest)) {
-          throw new java.io.IOException(s"rename $part -> $dest failed")
-        }
+        val lc = LastCheckpoint(snapshot.version, knownSize,
+          parts = Some(written.length).filter(_ > 1))
+        log.store.write(FileNames.lastCheckpointFile(log.logPath),
+          Iterator(JsonCodec.mapper.writeValueAsString(lc)),
+          overwrite = true, log.hadoopConf)
+      } finally {
+        try fs.delete(marker, false)
+        catch { case _: java.io.IOException => () }
       }
-      val lc = LastCheckpoint(snapshot.version, knownSize,
-        parts = Some(written.length).filter(_ > 1))
-      log.store.write(FileNames.lastCheckpointFile(log.logPath),
-        Iterator(JsonCodec.mapper.writeValueAsString(lc)),
-        overwrite = true, log.hadoopConf)
     } finally {
       fs.delete(tempDir, true)
     }
