@@ -339,6 +339,42 @@ object Similarity {
     val shortlist = pqTopKIndexed(spark, indexPath, queries, idCol, vecCol,
       k * shortlistFactor, dim, m, excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, shortlist, idCol, vecCol, k)
+  }
+
+  /** IVFADC shortlist + EXACT rerank (the refine tier over the
+    * cell-probed index): QuantRecall measured IVFADC's ceiling to be
+    * exhaustive ADC at every nProbe on clustered data, so the same
+    * rerank that lifts PQ lifts it identically — the only plumbing
+    * difference is that shortlist candidates come from the probed
+    * cells. Within the probed candidate set the exact rerank returns
+    * the true best k of a superset of the plain tier's top-k, so
+    * refined recall >= plain IVFADC recall at every factor/nProbe
+    * (spec-pinned in QuantRecallSpec). Same 100 TB shape as
+    * [[pqTopKRefinedIndexed]]: broadcast-small shortlist, one corpus
+    * scan, shortlist-sized exact work. */
+  def ivfPqTopKRefinedIndexed(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, corpus: DataFrame,
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, k: Int, dim: Int, m: Int = 4,
+                              nProbe: Int = 4, shortlistFactor: Int = 4,
+                              excludeSelf: Boolean = true): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val shortlist = ivfPqTopKIndexed(spark, indexPath, queries, idCol,
+      vecCol, k * shortlistFactor, dim, m, nProbe, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, shortlist, idCol, vecCol, k)
+  }
+
+  /** Shared exact-rerank tail of the refine tiers: score ONLY the
+    * shortlist's raw vectors exactly and return the true top-k within
+    * it. The shortlist is |queries| * k * factor rows — broadcast-small
+    * by construction — so this is one corpus scan with a broadcast
+    * semi-join (no vector shuffle, no per-query corpus pass); exact
+    * scoring work is shortlist-sized. */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+                          shortlist: DataFrame, idCol: String,
+                          vecCol: String, k: Int): DataFrame = {
     val c = InputWidth.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         sqrt(VectorDot(col(vecCol), col(vecCol))).as("cn"))

@@ -1617,6 +1617,110 @@ object PipelineQueries {
         FROM ranked WHERE rank <= 3"""
       }),
 
+    // IVFADC + REFINE (VERDICT r12 #6): the probed-ADC shortlist of
+    // k * 4, exact-reranked — the same escape hatch ann_pq_refined_topk
+    // gives exhaustive ADC, applied to the sub-linear probed tier (whose
+    // measured ceiling IS exhaustive ADC, QuantRecall). The oracle
+    // replays the ivfpq chain to a depth-12 shortlist, then the exact
+    // rerank.
+    QueryDef(
+      "ann_ivfadc_refined_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopKRefinedIndexed(s, IndexCache.pqIndex(s, dir),
+          emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+          k = 3, dim = 64, m = 4, nProbe = 4, shortlistFactor = 4)
+      },
+      Some {
+        s"""
+        WITH ${pqOracleSubCtes()},
+        co0 AS (
+          SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), ca0 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, co0 c
+        ), cs0 AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM ca0) t WHERE rn = 1
+        ), co1 AS (
+          SELECT cell AS cid, list(v ORDER BY i) AS cv FROM (
+            SELECT a.cell, i, round(AVG(e.embedding[i]::DOUBLE), 6) AS v
+            FROM cs0 a JOIN embeddings e ON e.vec_id = a.nid,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, i) s
+          GROUP BY cell
+        ), ca1 AS (
+          SELECT e.vec_id AS nid, c.cid,
+                 round(${duckDot("e.embedding", "c.cv")} /
+                       (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+                        sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM embeddings e, co1 c
+        ), cassign AS (
+          SELECT nid, cid AS cell FROM (
+            SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM ca1) t WHERE rn = 1
+        ), qn AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt(${duckDot("embedding", "embedding")}) AS qn
+          FROM embeddings WHERE vec_id < 10
+        ), qaff AS (
+          SELECT q.query_id, c.cid,
+                 round(${duckDot("q.qv", "c.cv")} /
+                       (q.qn * sqrt(${duckDot("c.cv", "c.cv")})), 6) AS aff
+          FROM qn q, co1 c
+        ), qcells AS (
+          SELECT query_id, cid AS cell FROM (
+            SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY aff DESC, cid ASC) AS rn
+            FROM qaff) t WHERE rn <= 4
+        ), cand AS (
+          SELECT qc.query_id, a.nid AS neighbor_id
+          FROM qcells qc JOIN cassign a ON a.cell = qc.cell
+        ),
+        contrib AS (${(0 until 4).map(s => s"SELECT * FROM contrib_$s")
+          .mkString(" UNION ALL ")}),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(CAST(SUM(c.d) AS DOUBLE) /
+                       (q.qn * sqrt(CAST(SUM(c.cc) AS DOUBLE))), 6) AS approx_cosine
+          FROM contrib c
+          JOIN cand ca ON ca.query_id = c.query_id
+                      AND ca.neighbor_id = c.neighbor_id
+          JOIN qn q ON q.query_id = c.query_id
+          WHERE c.neighbor_id <> c.query_id
+          GROUP BY c.query_id, c.neighbor_id, q.qn
+        ), shortlist AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+            FROM scored) t WHERE rank <= 12
+        ), exact AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round(${duckDot("q.embedding", "c.embedding")} /
+                       (sqrt(${duckDot("q.embedding", "q.embedding")}) *
+                        sqrt(${duckDot("c.embedding", "c.embedding")})), 6) AS cosine
+          FROM shortlist s
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+          JOIN embeddings q ON q.vec_id = s.query_id
+        ), rr AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM exact
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM rr WHERE rank <= 3"""
+      }),
+
     // Incremental index growth — the 100 TB steady state: quantizers
     // train ONCE (here: over the even vec_ids), later batches encode
     // against the FROZEN codebooks/centroids and append codes in one

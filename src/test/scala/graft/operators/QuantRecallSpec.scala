@@ -123,6 +123,26 @@ class QuantRecallSpec extends SparkSpec {
       assert(math.abs(curve.last._2 - ceiling16) < 1e-9,
         s"nProbe=nCells must equal exhaustive ADC: " +
           s"${curve.last._2} vs $ceiling16")
+
+      // ---- IVFADC + refine (VERDICT r12 #6): the exact rerank lifts
+      // the probed tier exactly as it lifts exhaustive ADC — refined
+      // recall >= the plain IVFADC number at every (nProbe, factor),
+      // and is monotone in the factor within a probe budget
+      probes.zip(curve).foreach { case (p, (_, plain)) =>
+        val rf4 = recallOf(truth, topSets(Similarity.ivfPqTopKRefinedIndexed(
+          spark, idx, corpus, queries, "vec_id", "embedding", k,
+          dim = QuantRecall.Dim, m = 8, nProbe = p, shortlistFactor = 4)))
+        val rf16 = recallOf(truth, topSets(Similarity.ivfPqTopKRefinedIndexed(
+          spark, idx, corpus, queries, "vec_id", "embedding", k,
+          dim = QuantRecall.Dim, m = 8, nProbe = p, shortlistFactor = 16)))
+        info(f"ivfadc refined nProbe=$p: factor 4 -> $rf4%.3f, " +
+          f"factor 16 -> $rf16%.3f (plain $plain%.3f)")
+        assert(rf4 >= plain - 1e-9,
+          s"refine must not lose recall at nProbe=$p: $rf4 < $plain")
+        assert(rf16 >= rf4 - 1e-9,
+          s"recall must not decrease with the factor at nProbe=$p: " +
+            s"$rf16 < $rf4")
+      }
     }
   }
 }
