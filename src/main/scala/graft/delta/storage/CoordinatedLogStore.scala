@@ -314,7 +314,9 @@ class FileClaimCommitCoordinator(root: String,
               try {
                 val age = System.currentTimeMillis() -
                   java.nio.file.Files.getLastModifiedTime(claim).toMillis
-                if (age > emptyClaimGraceMs) {
+                // inclusive: a zero grace means "reclaim immediately",
+                // even within the corrupting write's own millisecond
+                if (age >= emptyClaimGraceMs) {
                   java.nio.file.Files.deleteIfExists(claim)
                 }
               } catch { case _: java.io.IOException => () }

@@ -320,6 +320,19 @@ object FileCountScale {
     // the same switch the invariant specs use
     spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
 
+    // optional tier filter for iterating on one tier (e.g. "streaming")
+    val tier = sys.env.get("SPARK_GRAFT_FCS_TIER")
+    if (tier.contains("streaming")) {
+      counts.foreach { n =>
+        val st = streamingDrive(spark, s"$workDir/stream_$n", n)
+        println()
+        println(s"| streaming op (n=$n) | ms | heap MB |")
+        println("|---|---|---|")
+        st.foreach(t => println(s"| ${t.op} | ${t.millis} | ${t.heapMB} |"))
+      }
+      spark.stop()
+      return
+    }
     val results = counts.map { n =>
       val dir = s"$workDir/files_$n"
       val t0 = System.nanoTime()
