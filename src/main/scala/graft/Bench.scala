@@ -127,9 +127,15 @@ object Bench {
     val fullSamples = sorted.map { case (k, v) =>
       "\"" + k + "\":" + v._2.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // spread = MEDIAN / MIN: sustained contention (the failure mode that
+    // has actually contaminated artifacts — uniform elevation across a
+    // run) lifts the median; a single GC pause or scheduler hiccup in
+    // one probe does not. max/min would label a run for one outlier.
     val canaryMin = if (canaries.nonEmpty) canaries.min else -1.0
-    val canaryMax = if (canaries.nonEmpty) canaries.max else -1.0
-    val canarySpread = if (canaryMin > 0) canaryMax / canaryMin else -1.0
+    val canaryMedian =
+      if (canaries.isEmpty) -1.0
+      else canaries.sorted.apply(canaries.size / 2)
+    val canarySpread = if (canaryMin > 0) canaryMedian / canaryMin else -1.0
     val contaminated = canarySpread > 1.5
     val contentionJson =
       s""""contention":{"canary_sec":${canaries.map(fmt).mkString("[", ",", "]")},""" +

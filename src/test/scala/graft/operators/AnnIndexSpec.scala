@@ -471,6 +471,13 @@ class AnnIndexSpec extends SparkSpec {
         shortlistFactor = corpusRows.size)
         .collect().map(_.toSeq).toSet
       assert(refined == exact)
+      // the probed variant with every cell probed and a corpus-covering
+      // shortlist must degrade to brute force the same way
+      val refinedIvf = Similarity.ivfPqTopKRefinedIndexed(spark, idx,
+        corpus, queries, "vec_id", "embedding", k = 3, dim = dim, m = 2,
+        nProbe = 4, shortlistFactor = corpusRows.size)
+        .collect().map(_.toSeq).toSet
+      assert(refinedIvf == exact)
     }
   }
 
