@@ -254,8 +254,13 @@ class DeltaSource(
     * Memory: one Long per add (8 MB at 1M adds) for exactly ONE version
     * at a time, replaced when the walk moves on. */
   private case class WalkMemo(version: Long, addOffsets: Array[Long],
-                              sawRemoves: Boolean, sanitized: Boolean) {
+                              addBytes: Long, sawRemoves: Boolean,
+                              sawCdc: Boolean, sanitized: Boolean) {
     def totalAdds: Long = addOffsets.length.toLong
+    /** PURE-add versions (no change files, no dataChange removes — the
+      * CONVERT/backfill shape) are the ones whose change rows are a
+      * per-add derivation, so a slice of them is well-defined. */
+    def pureAdds: Boolean = !sawRemoves && !sawCdc
   }
   private var walkMemo: Option[WalkMemo] = None
 
@@ -271,7 +276,9 @@ class DeltaSource(
     val fs = path.getFileSystem(deltaLog.hadoopConf)
     val in = fs.open(path)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var addBytes = 0L
     var sawRemoves = false
+    var sawCdc = false
     var pos = 0L
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { l =>
@@ -283,7 +290,9 @@ class DeltaSource(
             case a: AddFile if a.dataChange =>
               onAdd(offsets.length.toLong, a)
               offsets += start
+              addBytes += a.size
             case r: RemoveFile if r.dataChange => sawRemoves = true
+            case _: AddCDCFile => sawCdc = true
             case m: Metadata if sanitize && v > initialSnapshot.version &&
                 (m.schemaString != initialSnapshot.metadata.schemaString ||
                   m.partitionColumns !=
@@ -291,7 +300,11 @@ class DeltaSource(
               throw new UnsupportedOperationException(
                 s"Detected a schema/metadata change at version $v; restart " +
                   "the stream to pick it up")
-            case p: Protocol if sanitize =>
+            case p: Protocol if sanitize &&
+                (!readChangeFeed || v > initialSnapshot.version) =>
+              // CDF back-reads tolerate pre-start protocol HISTORY (a
+              // since-removed feature's old Protocol line must not kill
+              // a history read); the non-CDF path checks every version
               require(p.minReaderVersion <= 2 ||
                 (p.minReaderVersion == 3 &&
                   graft.delta.TableFeatures.unsupportedReader(p).isEmpty),
@@ -301,7 +314,7 @@ class DeltaSource(
         }
       }
     } finally in.close()
-    val memo = WalkMemo(v, offsets.toArray, sawRemoves,
+    val memo = WalkMemo(v, offsets.toArray, addBytes, sawRemoves, sawCdc,
       sanitized = sanitize ||
         walkMemo.exists(m => m.version == v && m.sanitized))
     walkMemo = Some(memo)
@@ -372,22 +385,50 @@ class DeltaSource(
       val skip =
         if (!base.isVersionBoundary && v == base.version) base.index else 0L
       if (readChangeFeed) {
-        // version-granular admission: count the version's data adds in
-        // one streamed pass, admit whole-or-not (first version always
-        // fits — a batch must make progress)
-        val (n, sz) = deltaLog.streamCommitActions(fstat.getPath) { actions =>
-          actions.foldLeft((0L, 0L)) {
-            case ((c, s), a: AddFile) if a.dataChange => (c + 1, s + a.size)
-            case (acc, _) => acc
-          }
+        // CDF admission: classify the version in one memo-aware pass.
+        // PURE-add versions (the backfill shape) chunk file-granularly —
+        // a slice of derived inserts is well-defined — while versions
+        // carrying change files or removes clamp to the version boundary
+        // (their change rows derive from the whole version together)
+        var admittedTo = skip
+        var stopped = false
+        def admit(idx: Long, a: AddFile): Boolean = {
+          val over = fileBudget.exists(files + 1 > _) ||
+            byteBudget.exists(bytes + a.size > _)
+          if (over && (files > 0 || bytes > 0L)) { stopped = true; false }
+          else { files += 1; bytes += a.size; admittedTo = idx + 1; true }
         }
-        val over = fileBudget.exists(files + n > _) ||
-          byteBudget.exists(bytes + sz > _)
-        if (end != base && over) done = true
-        else {
-          end = DeltaSourceOffset.boundary(v)
-          files += n; bytes += sz
-          if (over) done = true // first version admitted whole; stop here
+        val memo = walkMemo.filter(_.version == v).getOrElse(
+          fullScan(fstat.getPath, v, sanitize = false)((_, _) => ()))
+        if (memo.pureAdds) {
+          if (!seekWalk(fstat.getPath, memo, skip)(admit)) {
+            walkMemo = None
+            admittedTo = skip; stopped = false
+            fullScan(fstat.getPath, v, sanitize = false) { (idx, a) =>
+              if (idx >= skip && !stopped) { admit(idx, a); () }
+            }
+          }
+          if (stopped) {
+            done = true
+            if (admittedTo > skip) {
+              end =
+                if (admittedTo >= memo.totalAdds) DeltaSourceOffset.boundary(v)
+                else DeltaSourceOffset(v, admittedTo)
+            }
+          } else {
+            end = DeltaSourceOffset.boundary(v)
+          }
+        } else {
+          // complex version: whole-or-not (first version always fits —
+          // a batch must make progress)
+          val over = fileBudget.exists(files + memo.totalAdds > _) ||
+            byteBudget.exists(bytes + memo.addBytes > _)
+          if (end != base && over) done = true
+          else {
+            end = DeltaSourceOffset.boundary(v)
+            files += memo.totalAdds; bytes += memo.addBytes
+            if (over) done = true
+          }
         }
       } else {
         // file-granular admission with sub-version chunking; a memo'd
@@ -444,10 +485,7 @@ class DeltaSource(
       if (endOff <= o) o else endOff))
     val startOff: Option[DeltaSourceOffset] = start.map(offsetOf)
       .orElse(startingVersion.map(sv => DeltaSourceOffset.boundary(sv - 1)))
-    if (readChangeFeed) {
-      // CDF offsets are version-granular by construction (cappedEnd)
-      return cdfBatch(startOff.fold(-1L)(_.version + 1), endV)
-    }
+    if (readChangeFeed) return cdfBatch(startOff, endOff)
     if (startOff.isEmpty) {
       // F1 initial snapshot: plan through the snapshot-backed index so
       // distributed-state tables never collect their file list here.
@@ -471,58 +509,98 @@ class DeltaSource(
     buildBatchDF(changedFiles(startOff.get, endOff))
   }
 
-  /** One CDF micro-batch for versions [fromV, endV] (fromV < 0 → initial
-    * snapshot served as inserts at endV). */
-  private def cdfBatch(fromV: Long, endV: Long): DataFrame = {
+  /** One CDF micro-batch for the offset range (startOff, endOff]
+    * (startOff empty → initial snapshot served as inserts at the end
+    * version). Sub-version offsets appear only over PURE-add versions
+    * (cappedEnd's classification) — those chunks slice the derived
+    * inserts through the byte-offset memo, so a giant backfill commit's
+    * CDF stream is as bounded as the non-CDF path. */
+  private def cdfBatch(startOff: Option[DeltaSourceOffset],
+                       endOff: DeltaSourceOffset): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val typeCol = graft.delta.write.CdcWriter.ChangeTypeCol
-    if (fromV < 0) {
+    val endV = endOff.version
+    if (startOff.isEmpty) {
       return buildSnapshotDF(deltaLog.getSnapshotForVersionAsOf(endV))
         .withColumn(typeCol, lit("insert"))
         .withColumn("_commit_version", lit(endV))
     }
+    val fromV =
+      if (startOff.get.isVersionBoundary) startOff.get.version + 1
+      else startOff.get.version
     // tag the whole batch's files once and plan ≤2 scan relations — a
     // per-version union puts O(versions) nodes in the plan (see
-    // [[graft.delta.read.CdfRelation]]). Each commit is STREAMED into a
-    // transient per-version buffer (tagFiles needs the version's actions
-    // together); only the TAGGED output is retained across versions, so
-    // the standing footprint is the batch's change files — bounded per
-    // batch by version-granular admission (one version minimum)
+    // [[graft.delta.read.CdfRelation]]). Whole versions are STREAMED
+    // into a transient per-version buffer (tagFiles needs a complex
+    // version's actions together); chunked pure-add versions retain only
+    // their slice. Either way only the TAGGED output is retained across
+    // versions.
     var cdcFiles = Vector.empty[AddFile]
     var derived = Vector.empty[AddFile]
     deltaLog.listChangeFiles(fromV, failOnDataLoss, Some(endV), Some(endV))
       .foreach { fstat =>
         val v = FileNames.deltaVersion(fstat.getPath)
-        val actions = deltaLog.streamCommitActions(fstat.getPath) { it =>
-          val buf = Vector.newBuilder[Action]
-          it.foreach {
-            // the same mid-stream sanitation as the non-CDF path: a
-            // schema or protocol change invalidates this stream's pinned
-            // schema — silently serving old-schema change rows drops new
-            // columns
-            case m: Metadata if v > initialSnapshot.version &&
-                (m.schemaString != initialSnapshot.metadata.schemaString ||
-                  m.partitionColumns !=
-                    initialSnapshot.metadata.partitionColumns) =>
-              throw new UnsupportedOperationException(
-                s"Detected a schema/metadata change at version $v; " +
-                  "restart the stream to pick it up")
-            case p: Protocol if v > initialSnapshot.version =>
-              // accept any protocol this engine can READ (same rule as
-              // the non-CDF path) — a benign feature enablement must not
-              // kill only the CDF streams
-              require(p.minReaderVersion <= 2 ||
-                (p.minReaderVersion == 3 &&
-                  graft.delta.TableFeatures.unsupportedReader(p).isEmpty),
-                s"Unsupported protocol change at version $v: $p")
-              buf += p
-            case a => buf += a
+        val sliceFrom =
+          if (!startOff.get.isVersionBoundary && v == startOff.get.version)
+            startOff.get.index
+          else 0L
+        val sliceUntil =
+          if (v == endOff.version) endOff.index else DeltaSourceOffset.END
+        if (sliceFrom > 0 || sliceUntil != DeltaSourceOffset.END) {
+          // chunk of a pure-add version: memo-aware sliced walk
+          val sliced = Vector.newBuilder[AddFile]
+          def take(idx: Long, a: AddFile): Boolean =
+            if (idx < sliceUntil) { sliced += a; true } else false
+          val memo =
+            walkMemo.filter(m => m.version == v && m.sanitized) match {
+              case Some(m) if seekWalk(fstat.getPath, m, sliceFrom)(take) => m
+              case stale =>
+                if (stale.isDefined) walkMemo = None
+                sliced.clear()
+                fullScan(fstat.getPath, v, sanitize = true) { (idx, a) =>
+                  if (idx >= sliceFrom) { take(idx, a); () }
+                }
+            }
+          require(memo.pureAdds,
+            s"internal: sub-version CDF offset over version $v, which " +
+              "carries change files or removes")
+          val (c, d) = graft.delta.read.CdfRelation.tagFiles(
+            v, sliced.result(), "stream")
+          cdcFiles ++= c
+          derived ++= d
+        } else {
+          val actions = deltaLog.streamCommitActions(fstat.getPath) { it =>
+            val buf = Vector.newBuilder[Action]
+            it.foreach {
+              // the same mid-stream sanitation as the non-CDF path: a
+              // schema or protocol change invalidates this stream's
+              // pinned schema — silently serving old-schema change rows
+              // drops new columns
+              case m: Metadata if v > initialSnapshot.version &&
+                  (m.schemaString != initialSnapshot.metadata.schemaString ||
+                    m.partitionColumns !=
+                      initialSnapshot.metadata.partitionColumns) =>
+                throw new UnsupportedOperationException(
+                  s"Detected a schema/metadata change at version $v; " +
+                    "restart the stream to pick it up")
+              case p: Protocol if v > initialSnapshot.version =>
+                // accept any protocol this engine can READ (same rule as
+                // the non-CDF path) — a benign feature enablement must
+                // not kill only the CDF streams
+                require(p.minReaderVersion <= 2 ||
+                  (p.minReaderVersion == 3 &&
+                    graft.delta.TableFeatures.unsupportedReader(p).isEmpty),
+                  s"Unsupported protocol change at version $v: $p")
+                buf += p
+              case a => buf += a
+            }
+            buf.result()
           }
-          buf.result()
+          val (c, d) = graft.delta.read.CdfRelation.tagFiles(
+            v, actions, "stream")
+          cdcFiles ++= c
+          derived ++= d
         }
-        val (c, d) = graft.delta.read.CdfRelation.tagFiles(v, actions, "stream")
-        cdcFiles ++= c
-        derived ++= d
       }
     graft.delta.read.CdfRelation.frame(spark, deltaLog,
       initialSnapshot.metadata, cdcFiles, derived, streaming = true)

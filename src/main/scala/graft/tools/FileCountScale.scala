@@ -287,15 +287,28 @@ object FileCountScale {
       require(planned == nFiles,
         s"chunks covered $planned of $nFiles files")
     }
-    timed("CDF batch plan (version-granular)") {
+    timed("CDF drain (pure-add commit, chunked)") {
       val cdfSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
         log, Map("startingVersion" -> "1", "readChangeFeed" -> "true"))
-      val end = cdfSrc.latestOffset(null, ReadLimit.maxFiles(budget))
-      require(end.json == "1",
-        s"CDF admission must clamp to the version boundary: ${end.json}")
-      val df = cdfSrc.getBatch(None,
-        end.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset])
-      require(plannedFiles(df) == nFiles)
+      var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+      var total = 0L
+      var done = false
+      while (!done) {
+        val end = cdfSrc.latestOffset(prev, ReadLimit.maxFiles(budget))
+        if (end == null || (prev != null && end.json == prev.json)) {
+          done = true
+        } else {
+          val n = plannedFiles(cdfSrc.getBatch(
+            Option(prev).map(_.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]),
+            end.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]))
+          require(n <= budget, s"CDF batch planned $n files > $budget")
+          total += n
+          prev = end
+        }
+      }
+      require(total == nFiles, s"CDF chunks covered $total of $nFiles")
     }
     timed("startingTimestamp resolution (ICT log)") {
       require(log.getVersionAtOrAfterTimestamp(0L) == 0L)

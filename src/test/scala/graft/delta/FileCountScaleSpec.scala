@@ -212,15 +212,36 @@ class FileCountScaleSpec extends SparkSpec {
           ReadLimit.maxFiles(budget))
         assert(resumed.json == s"""{"version":1,"index":${2 * budget}}""")
 
-        // CDF admission clamps to the version boundary and plans the
-        // whole commit through one derived relation
+        // CDF over the PURE-add backfill commit chunks exactly like the
+        // non-CDF path (derived-insert slices are well-defined); complex
+        // versions (cdc files / removes) still clamp to the boundary —
+        // ChangeDataFeedSpec covers those
         val cdfSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
           log, Map("startingVersion" -> "1", "readChangeFeed" -> "true"))
-        val cdfEnd = cdfSrc.latestOffset(null, ReadLimit.maxFiles(budget))
-        assert(cdfEnd.json == "1",
-          s"CDF admission must clamp to the version boundary: ${cdfEnd.json}")
-        assert(plannedFiles(cdfSrc.getBatch(None, cdfEnd.asInstanceOf[
-          org.apache.spark.sql.execution.streaming.Offset])) == N)
+        var cdfPrev: org.apache.spark.sql.connector.read.streaming.Offset =
+          null
+        var cdfBatches = 0
+        var cdfPlanned = 0L
+        var cdfDone = false
+        while (!cdfDone) {
+          val e = cdfSrc.latestOffset(cdfPrev, ReadLimit.maxFiles(budget))
+          if (e == null || (cdfPrev != null && e.json == cdfPrev.json)) {
+            cdfDone = true
+          } else {
+            val n = plannedFiles(cdfSrc.getBatch(
+              Option(cdfPrev).map(_.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]),
+              e.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]))
+            assert(n <= budget, s"CDF batch planned $n files > $budget")
+            cdfPlanned += n
+            cdfBatches += 1
+            cdfPrev = e
+          }
+        }
+        assert(cdfBatches == N / budget,
+          s"CDF must chunk the pure-add commit: $cdfBatches batches")
+        assert(cdfPlanned == N, s"CDF chunks covered $cdfPlanned of $N")
 
         // start-position resolution over the ICT log (first-line parse)
         assert(log.getVersionAtOrAfterTimestamp(0L) == 0L)
