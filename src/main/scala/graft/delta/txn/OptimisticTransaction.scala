@@ -721,24 +721,40 @@ class OptimisticTransaction(
     * declared ranges in case a writer skipped the domain). */
   private def checkForConflicts(attemptVersion: Long, actions: Seq[Action],
                                 isolation: IsolationLevel): (Long, Long, Long) = {
-    val winning = deltaLog.getChanges(attemptVersion).toVector
-    require(winning.nonEmpty,
+    // STREAM each winning commit through a per-version checker — a retry
+    // racing a 500k-add CONVERT/backfill commit must not pin the whole
+    // winner on the driver (the recurring tail-walker materialization
+    // shape; the checker folds actions into bounded conflict state)
+    val files = deltaLog.listChangeFiles(attemptVersion)
+    require(files.nonEmpty,
       s"Commit $attemptVersion collided but no winning commit is readable")
-    winning.foreach { case (v, winningActions) =>
-      new ConflictChecker(this, winningActions, v, isolation, actions).check()
+    var winnerIct = 0L
+    var winnerHwm = -1L
+    var lastVersion = attemptVersion
+    files.foreach { fstat =>
+      val v = FileNames.deltaVersion(fstat.getPath)
+      lastVersion = v
+      val checker = new ConflictChecker(this, Nil, v, isolation, actions)
+      deltaLog.streamCommitActions(fstat.getPath) { it =>
+        it.foreach { a =>
+          checker.observe(a)
+          a match {
+            case ci: CommitInfo =>
+              winnerIct = math.max(winnerIct, ci.inCommitTimestamp.getOrElse(0L))
+            case d: DomainMetadata
+                if d.domain == RowTracking.Domain && !d.removed =>
+              winnerHwm =
+                math.max(winnerHwm, RowTracking.parseHwm(d.configuration))
+            case ad: AddFile if ad.baseRowId.isDefined =>
+              winnerHwm = math.max(winnerHwm, ad.baseRowId.get +
+                math.max(RowTracking.numRecordsOpt(ad).getOrElse(1L), 1L) - 1L)
+            case _ =>
+          }
+        }
+      }
+      checker.finish()
     }
-    val winnerIct = winning.iterator.flatMap(_._2).collect {
-      case ci: CommitInfo => ci.inCommitTimestamp.getOrElse(0L)
-    }.foldLeft(0L)(math.max)
-    val winnerHwm = winning.iterator.flatMap(_._2).collect {
-      case d: DomainMetadata
-          if d.domain == RowTracking.Domain && !d.removed =>
-        RowTracking.parseHwm(d.configuration)
-      case a: AddFile if a.baseRowId.isDefined =>
-        a.baseRowId.get +
-          math.max(RowTracking.numRecordsOpt(a).getOrElse(1L), 1L) - 1L
-    }.foldLeft(-1L)(math.max)
-    (winning.last._1, winnerIct, winnerHwm)
+    (lastVersion, winnerIct, winnerHwm)
   }
 
   /** Checkpoint cadence + log cleanup (ref :393-405, Checkpoints.scala:122-135). */
@@ -813,7 +829,16 @@ class OptimisticTransaction(
 }
 
 /** The six conflict checks, run against one winning commit
-  * (ref ConflictChecker.scala:78-232). */
+  * (ref ConflictChecker.scala:78-232) — as a STREAMING observer: feed
+  * every winning action through [[observe]], then [[finish]] throws in
+  * the same precedence order the batch [[check]] always had. The
+  * observer folds actions into BOUNDED state (flags, <=3 example paths,
+  * small id/domain sets, and a capped predicate-evaluation batch), so a
+  * retry against a 500k-add backfill commit never pins the winner's
+  * action list on the driver. `winningActions` is the batch
+  * convenience: [[check]] streams it through the observer (the conflict
+  * fuzz oracle's entry point); the commit path passes Nil and drives
+  * [[observe]] straight off the commit-file line stream. */
 class ConflictChecker(
     txn: OptimisticTransaction,
     winningActions: Seq[Action],
@@ -821,102 +846,135 @@ class ConflictChecker(
     isolation: IsolationLevel,
     ourActions: Seq[Action]) {
 
-  private val winningAdds = winningActions.collect { case a: AddFile => a }
-  private val winningRemoves = winningActions.collect { case r: RemoveFile => r }
-  private val winningTxns = winningActions.collect { case t: SetTransaction => t }
-
   def check(): Unit = {
-    checkProtocol()
-    checkMetadata()
-    checkConcurrentAppends()
-    checkDeletedFilesRead()
-    checkDeleteDelete()
-    checkTxnIds()
-    checkDomains()
+    winningActions.foreach(observe)
+    finish()
   }
 
-  /** Two transactions changing the SAME metadata domain cannot both win:
-    * domain state is last-writer-wins per domain, so a silent overwrite
-    * would drop the winner's change (e.g. two OPTIMIZEs updating the
-    * clustering domain). Disjoint domains commute. */
-  private def checkDomains(): Unit = {
-    val ours = ourActions.collect { case d: DomainMetadata => d.domain }.toSet
-    if (ours.isEmpty) return
-    val winning = winningActions.collect {
-      case d: DomainMetadata => d.domain }.toSet
-    val hit = ours.intersect(winning)
-    if (hit.nonEmpty) {
-      throw new ConcurrentWriteException(
-        s"Metadata domain(s) ${hit.mkString(", ")} changed by both this " +
-          s"transaction and concurrent commit $winningVersion")
-    }
-  }
+  // ---- bounded fold state ----
+  private var protocolChanged = false
+  private var metadataChanged = false
+  private var sawAnyAdd = false
+  private var removedAny = false
+  private val removedExamples = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val readRemoveHits = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val deleteDeleteHits = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val appendExamples = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var appendHit = false
+  private val txnHits = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val domainHits = scala.collection.mutable.LinkedHashSet.empty[String]
 
-  private def checkProtocol(): Unit =
-    if (winningActions.exists(_.isInstanceOf[Protocol])) {
-      throw new ProtocolChangedException(
-        s"Protocol changed by concurrent commit $winningVersion")
-    }
+  private val ourRemovePaths =
+    ourActions.collect { case r: RemoveFile => r.path }.toSet
+  private val ourTxnAppIds =
+    ourActions.collect { case t: SetTransaction => t.appId }.toSet ++
+      txn.readTxnIdsSnapshot
+  private val ourDomains =
+    ourActions.collect { case d: DomainMetadata => d.domain }.toSet
 
-  private def checkMetadata(): Unit =
-    if (winningActions.exists(_.isInstanceOf[Metadata])) {
-      throw new MetadataChangedException(
-        s"Table metadata changed by concurrent commit $winningVersion")
-    }
+  // appends are predicate-checked in bounded batches: expression binding
+  // amortizes across the batch while memory stays capped
+  private val AddBatchSize = 10000
+  private val addBatch = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+  private lazy val partitionSchema =
+    if (txn.readVersion >= 0) txn.snapshot.metadata.partitionSchema
+    else new org.apache.spark.sql.types.StructType()
 
-  /** Appends conflict when they match something we read — skipped under
-    * SnapshotIsolation (no data change in our commit;
-    * ref ConflictChecker.scala:151-156). */
-  private def checkConcurrentAppends(): Unit = {
-    if (isolation == SnapshotIsolation) return
-    if (winningAdds.isEmpty) return
-    val partitionSchema =
-      if (txn.readVersion >= 0) txn.snapshot.metadata.partitionSchema
-      else new org.apache.spark.sql.types.StructType()
+  private def appendCheckRelevant: Boolean =
+    isolation != SnapshotIsolation &&
+      (txn.readWholeTableFlag || txn.readPredicatesSnapshot.nonEmpty ||
+        txn.readFilePaths.nonEmpty)
+
+  private def flushAddBatch(): Unit = {
+    if (addBatch.isEmpty) return
     val matched =
-      if (txn.readWholeTableFlag) winningAdds
+      if (txn.readWholeTableFlag) addBatch.toSeq
       else txn.readPredicatesSnapshot.flatMap(p =>
-        PartitionUtils.filterFileList(partitionSchema, winningAdds, Seq(p))) ++
+        PartitionUtils.filterFileList(partitionSchema, addBatch.toSeq, Seq(p))) ++
         // a winning ADD of a path this txn read BY PATH (FSCK's missing
         // set, a DML rewrite set) re-creates a table entry the txn's
         // decision assumed settled — same invalidation as a predicate
         // match, caught by path equality since paths are table-unique
-        winningAdds.filter(a => txn.readFilePaths.contains(a.path))
+        addBatch.filter(a => txn.readFilePaths.contains(a.path))
     if (matched.nonEmpty) {
+      appendHit = true
+      matched.iterator.take(3 - appendExamples.size)
+        .foreach(a => appendExamples += a.path)
+    }
+    addBatch.clear()
+  }
+
+  def observe(a: Action): Unit = a match {
+    case _: Protocol => protocolChanged = true
+    case _: Metadata => metadataChanged = true
+    case ad: AddFile =>
+      sawAnyAdd = true
+      if (appendCheckRelevant && (!appendHit || appendExamples.size < 3)) {
+        addBatch += ad
+        if (addBatch.size >= AddBatchSize) flushAddBatch()
+      }
+    case r: RemoveFile =>
+      removedAny = true
+      if (removedExamples.size < 3) removedExamples += r.path
+      if (txn.readFilePaths.contains(r.path) && readRemoveHits.size < 3) {
+        readRemoveHits += r.path
+      }
+      if (ourRemovePaths.contains(r.path) && deleteDeleteHits.size < 3) {
+        deleteDeleteHits += r.path
+      }
+    case t: SetTransaction =>
+      if (ourTxnAppIds.contains(t.appId)) txnHits += t.appId
+    case d: DomainMetadata =>
+      if (ourDomains.contains(d.domain)) domainHits += d.domain
+    case _ =>
+  }
+
+  /** Throw (or pass) with the same precedence the sequential checks had:
+    * protocol, metadata, appends, deleted-read, delete-delete, txn ids,
+    * domains. */
+  def finish(): Unit = {
+    flushAddBatch()
+    if (protocolChanged) {
+      throw new ProtocolChangedException(
+        s"Protocol changed by concurrent commit $winningVersion")
+    }
+    if (metadataChanged) {
+      throw new MetadataChangedException(
+        s"Table metadata changed by concurrent commit $winningVersion")
+    }
+    // appends conflict when they match something we read — skipped under
+    // SnapshotIsolation (no data change in our commit;
+    // ref ConflictChecker.scala:151-156)
+    if (isolation != SnapshotIsolation && sawAnyAdd && appendHit) {
       throw new ConcurrentAppendException(
         s"Files added by concurrent commit $winningVersion match this " +
-          s"transaction's read predicates: ${matched.take(3).map(_.path).mkString(", ")}")
+          s"transaction's read predicates: ${appendExamples.mkString(", ")}")
     }
-  }
-
-  private def checkDeletedFilesRead(): Unit = {
-    val removed = winningRemoves.map(_.path).toSet
-    val hit = txn.readFilePaths.intersect(removed)
-    if (hit.nonEmpty || (txn.readWholeTableFlag && removed.nonEmpty)) {
+    if (readRemoveHits.nonEmpty || (txn.readWholeTableFlag && removedAny)) {
+      val ex =
+        if (readRemoveHits.nonEmpty) readRemoveHits else removedExamples
       throw new ConcurrentDeleteReadException(
         s"Files read by this transaction were deleted by concurrent commit " +
-          s"$winningVersion: ${(if (hit.nonEmpty) hit else removed).take(3).mkString(", ")}")
+          s"$winningVersion: ${ex.take(3).mkString(", ")}")
     }
-  }
-
-  private def checkDeleteDelete(): Unit = {
-    val ourRemoves = ourActions.collect { case r: RemoveFile => r.path }.toSet
-    val hit = ourRemoves.intersect(winningRemoves.map(_.path).toSet)
-    if (hit.nonEmpty) {
+    if (deleteDeleteHits.nonEmpty) {
       throw new ConcurrentDeleteDeleteException(
         s"Files deleted in both this transaction and concurrent commit " +
-          s"$winningVersion: ${hit.take(3).mkString(", ")}")
+          s"$winningVersion: ${deleteDeleteHits.take(3).mkString(", ")}")
     }
-  }
-
-  private def checkTxnIds(): Unit = {
-    val ourTxnAppIds = ourActions.collect { case t: SetTransaction => t.appId }.toSet ++
-      txn.readTxnIdsSnapshot
-    val hit = ourTxnAppIds.intersect(winningTxns.map(_.appId).toSet)
-    if (hit.nonEmpty) {
+    if (txnHits.nonEmpty) {
       throw new ConcurrentTransactionException(
         s"Concurrent commit $winningVersion committed for the same " +
-          s"application id(s): ${hit.mkString(", ")}")
+          s"application id(s): ${txnHits.mkString(", ")}")
+    }
+    // two transactions changing the SAME metadata domain cannot both
+    // win: domain state is last-writer-wins per domain, so a silent
+    // overwrite would drop the winner's change (e.g. two OPTIMIZEs
+    // updating the clustering domain). Disjoint domains commute.
+    if (domainHits.nonEmpty) {
+      throw new ConcurrentWriteException(
+        s"Metadata domain(s) ${domainHits.mkString(", ")} changed by both " +
+          s"this transaction and concurrent commit $winningVersion")
     }
   }
 }

@@ -313,6 +313,20 @@ object FileCountScale {
     timed("startingTimestamp resolution (ICT log)") {
       require(log.getVersionAtOrAfterTimestamp(0L) == 0L)
     }
+    timed("conflict check vs giant winning commit") {
+      // a blind append pinned BEFORE the backfill commit collides with
+      // it and must validate against all nFiles winning adds by
+      // STREAMING them (the conflict checker folds to bounded state —
+      // materializing the winner here was the last instance of the
+      // tail-walker pin)
+      val txn = new graft.delta.txn.OptimisticTransaction(
+        log, log.getSnapshotForVersionAsOf(0))
+      txn.commit(Seq(AddFile("p=real/xconflict.parquet",
+        Map("p" -> "real"), 1L, 1L, dataChange = true)),
+        DeltaOperations.ManualUpdate)
+      require(log.update().version == 2L,
+        "the retried commit must land after the giant winner")
+    }
     out.result()
   }
 
