@@ -411,9 +411,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // endVersion bound lives inside getChanges (listing filter + checks);
     // the already-resolved snapshot version rides along so no second
     // listing is paid and the head predates the listing (no TOCTOU).
-    deltaLog.getChanges(startVersion, failOnDataLoss = true,
+    deltaLog.listChangeFiles(startVersion, failOnDataLoss = true,
         endVersion = Some(endVersion), knownLatest = Some(snap.version))
-      .foreach { case (v, actions) =>
+      .foreach { fstat =>
+        val v = FileNames.deltaVersion(fstat.getPath)
+        // stream the commit: one transient ACTION buffer per version
+        // (tagFiles needs the version together), never a line buffer —
+        // only the tagged output is retained across versions
+        val actions = deltaLog.streamCommitActions(fstat.getPath)(_.toVector)
         val (c, d) = read.CdfRelation.tagFiles(v, actions, "read")
         cdcFiles ++= c
         derived ++= d

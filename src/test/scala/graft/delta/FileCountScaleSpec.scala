@@ -245,6 +245,20 @@ class FileCountScaleSpec extends SparkSpec {
 
         // start-position resolution over the ICT log (first-line parse)
         assert(log.getVersionAtOrAfterTimestamp(0L) == 0L)
+
+        // conflict detection against the giant winner STREAMS: a blind
+        // append pinned before the backfill commit collides with it,
+        // validates against all 100k winning adds, and lands — without
+        // materializing snapshot state (asserted below on a fresh update)
+        val txn = new graft.delta.txn.OptimisticTransaction(
+          log, log.getSnapshotForVersionAsOf(0))
+        txn.commit(Seq(AddFile("p=real/xconflict.parquet",
+          Map("p" -> "real"), 1L, 1L, dataChange = true)),
+          DeltaOperations.ManualUpdate)
+        val after = log.update()
+        assert(after.version == 2L,
+          "the retried commit must land right after the giant winner")
+        assert(!after.fullStateComputed && !after.filesMaterialized)
       } finally {
         spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
       }
