@@ -485,4 +485,61 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.format("graft-delta").load(table).count() == 12)
     }
   }
+
+  test("sub-version chunked offsets survive a REAL engine restart " +
+      "(mid-commit offset persisted to the offset log, exactly-once rows)") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      // ONE commit with 6 data files: at maxFilesPerTrigger=2 the engine
+      // must take 3 micro-batches THROUGH the same version, persisting
+      // sub-version offsets in its offset log between them
+      DeltaTable.write((1 to 60).toDF("value").repartition(6), table)
+      def start() = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+      // first run: stop as soon as at least one batch committed — the
+      // recovery below then resumes from a MID-VERSION offset
+      val q1 = start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (q1.isActive && q1.recentProgress.length < 1 &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+      }
+      q1.stop()
+      q1.awaitTermination(60000)
+
+      // the offset log must have persisted a sub-version offset at some
+      // point in the drain (unless the stop raced past all 3 batches)
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val offsetDir = new org.apache.hadoop.fs.Path(s"$ckpt/offsets")
+      def offsetBodies: Seq[String] = fs.listStatus(offsetDir).toSeq
+        .map { st =>
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+
+      // second run: drain to completion from the recovered offset
+      val q2 = start()
+      q2.awaitTermination(120000)
+      assert(offsetBodies.exists(_.contains("\"index\"")),
+        "the engine never persisted a sub-version offset — the commit " +
+          "was not chunked")
+
+      // exactly-once: every row exactly once across the restart
+      val got = spark.read.parquet(out).as[Int].collect().sorted.toSeq
+      assert(got == (1 to 60).toSeq,
+        s"restart lost or duplicated rows: ${got.size} rows")
+    }
+  }
 }
