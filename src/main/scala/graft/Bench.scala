@@ -67,7 +67,7 @@ object Bench {
     // the tail so the mechanism (and any discarded outlier) is auditable.
     //
     // CONTENTION CANARY (VERDICT r12 #2): a fixed-cost pure-compute
-    // probe — a 1e7-row codegen'd sum with zero IO — interleaved every
+    // probe — a 1e8-row codegen'd sum with zero IO — interleaved every
     // ~20 queries. Its cost is invariant to this tree's code, so its
     // max/min spread measures the HOST, not the engine: a spread beyond
     // 1.5x labels the whole artifact contaminated in its own tail (three
@@ -136,12 +136,30 @@ object Bench {
       if (canaries.isEmpty) -1.0
       else canaries.sorted.apply(canaries.size / 2)
     val canarySpread = if (canaryMin > 0) canaryMedian / canaryMin else -1.0
+    // three-band label (VERDICT r13 #4): r13's artifact sat at spread
+    // 1.43 — under the 1.5 "contaminated" threshold yet demonstrably
+    // ~1.2-1.4x uniformly inflated (three per-query scares all dissolved
+    // under the judge's isolated re-measures). [1.25, 1.5) is the gray
+    // zone where the run is usable as a green/red gate but its per-query
+    // ratios are not trustworthy without isolation.
     val contaminated = canarySpread > 1.5
+    val label =
+      if (canarySpread < 0) "unknown"
+      else if (contaminated) "contaminated"
+      else if (canarySpread >= 1.25) "suspect"
+      else "clean"
+    // first-order-corrected total (VERDICT r13 #8): sustained contention
+    // inflates the whole run ~uniformly by the canary spread (validated
+    // r13: a 1.21-spread run was uniformly 1.21x a 1.15-spread run), so
+    // total/spread is the number round-over-round comparisons should
+    // start from. Raw total stays authoritative for the bar itself.
+    val totalNormalized =
+      if (canarySpread > 0) total / canarySpread else total
     val contentionJson =
       s""""contention":{"canary_sec":${canaries.map(fmt).mkString("[", ",", "]")},""" +
-        s""""spread":${fmt(canarySpread)},"contaminated":$contaminated}"""
+        s""""spread":${fmt(canarySpread)},"contaminated":$contaminated,"label":"$label"}"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,$contentionJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_normalized":${fmt(totalNormalized)},"queries":$fullQs,"samples":$fullSamples,$contentionJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -154,7 +172,7 @@ object Bench {
     val bySlowest = results.toSeq.sortBy(-_._2._1)
     val budget = 1100
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_full":"bench_full.json","canary_spread":${fmt(canarySpread)},"contaminated":$contaminated,"sf":"$sfDir","queries":"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_normalized":${fmt(totalNormalized)},"n":${results.size},"queries_full":"bench_full.json","canary_spread":${fmt(canarySpread)},"contaminated":$contaminated,"contention_label":"$label","sf":"$sfDir","queries":"""
     val capped = {
       val sb = new StringBuilder
       var first = true

@@ -399,21 +399,72 @@ object Checkpoints {
 
   /** Elect ONE publisher for this version's checkpoint group. A stale
     * claim (crashed winner) is reclaimed after the grace period. */
-  private def claimPublish(fs: org.apache.hadoop.fs.FileSystem,
-                           marker: Path): Boolean =
+  // private[delta] so the reclaim-race spec can drive it directly
+  private[delta] def claimPublish(fs: org.apache.hadoop.fs.FileSystem,
+                                  marker: Path): Boolean =
     atomicCreateMarker(fs, marker) || {
       try {
         val st = fs.getFileStatus(marker)
-        if (System.currentTimeMillis() - st.getModificationTime >
-            PublishClaimGraceMs) {
-          fs.delete(marker, false)
-          atomicCreateMarker(fs, marker)
+        val instance = st.getModificationTime
+        if (System.currentTimeMillis() - instance > PublishClaimGraceMs) {
+          reclaimStaleClaim(fs, marker, instance)
         } else false
       } catch {
         // the holder finished and removed it between our create and stat
         case _: java.io.FileNotFoundException => atomicCreateMarker(fs, marker)
       }
     }
+
+  /** Reclaim a stale claim ATOMICALLY. Plain delete-then-create lets two
+    * reclaimers interleave — B's delete removes A's freshly re-created
+    * marker and both claims succeed, the exact mixed-part-set hazard the
+    * marker enforces against (ADVICE r13). Two guards close it:
+    *
+    *  1. an O_EXCL reclaim TICKET named by the stale instance's mtime —
+    *     at most one reclaimer per stale instance ever passes (create is
+    *     the one FS primitive with no overwrite/TOCTOU ambiguity; two
+    *     instances can't share an mtime, they are >= a grace period
+    *     apart);
+    *  2. a re-stat immediately before the delete verifying the marker is
+    *     STILL that instance — a late reclaimer that re-acquires the
+    *     ticket after the winner released it sees the winner's fresh
+    *     mtime and backs off without deleting.
+    *
+    * The ticket is released in `finally`; one leaks only on JVM death
+    * mid-reclaim, and a leaked ticket older than the grace period is
+    * swept (returning false — the sweeper unwedges the version for the
+    * NEXT caller rather than racing onward itself). Residual windows all
+    * require a process pausing LONGER than the 10-minute grace at a
+    * specific line — the irreducible lease hazard of any crash-reclaim
+    * scheme without a lock service. */
+  private def reclaimStaleClaim(fs: org.apache.hadoop.fs.FileSystem,
+                                marker: Path, instance: Long): Boolean = {
+    val ticket = new Path(marker.getParent,
+      s"${marker.getName}.reclaim.$instance")
+    if (!atomicCreateMarker(fs, ticket)) {
+      // another reclaimer owns this instance — or its JVM died holding
+      // the ticket: sweep a grace-old ticket so the version cannot stay
+      // wedged forever behind a crashed reclaimer
+      try {
+        val tst = fs.getFileStatus(ticket)
+        if (System.currentTimeMillis() - tst.getModificationTime >
+            PublishClaimGraceMs) {
+          fs.delete(ticket, false)
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
+      return false
+    }
+    try {
+      val stillStale =
+        try fs.getFileStatus(marker).getModificationTime == instance
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!stillStale) false
+      else {
+        fs.delete(marker, false)
+        atomicCreateMarker(fs, marker)
+      }
+    } finally fs.delete(ticket, false)
+  }
 
   private def writeCheckpointDS(
       snapshot: Snapshot,

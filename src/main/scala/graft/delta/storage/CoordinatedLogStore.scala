@@ -293,7 +293,18 @@ class FileClaimCommitCoordinator(root: String,
     val stream = java.nio.file.Files.list(d)
     try {
       import scala.jdk.CollectionConverters._
-      stream.iterator().asScala
+      val listed = stream.iterator().asScala.toVector
+      // sweep .stage files orphaned by a JVM that died between write and
+      // the createLink publish (the in-process finally can't run then).
+      // Age-gated by the same grace as empty-claim reclaim: prepareCommit
+      // holds a stage for milliseconds, so a grace-old one is dead — and
+      // deleting a LIVE one would fail its owner's createLink mid-call
+      try listed.filter(_.getFileName.toString.endsWith(".stage")).foreach { s =>
+        val age = System.currentTimeMillis() -
+          java.nio.file.Files.getLastModifiedTime(s).toMillis
+        if (age >= emptyClaimGraceMs) java.nio.file.Files.deleteIfExists(s)
+      } catch { case _: java.io.IOException => () }
+      listed.iterator
         .filter(_.getFileName.toString.endsWith(".claim"))
         .flatMap { claim =>
           val name = claim.getFileName.toString.stripSuffix(".claim")

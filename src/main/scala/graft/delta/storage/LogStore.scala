@@ -153,13 +153,15 @@ class ObjectStoreLogStore extends LogStore {
           java.nio.file.StandardOpenOption.WRITE)
         try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
         finally out.close()
+        // the temp is dead on EVERY exit from the publish — success,
+        // lost race, or an unexpected createLink failure (IOException,
+        // an FS without hard links) — so the cleanup lives in finally;
+        // per-catch deletes leaked a hidden .tmp on the unexpected paths
         try java.nio.file.Files.createLink(local, temp)
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>
-            java.nio.file.Files.deleteIfExists(temp)
             throw new FileAlreadyExistsException(e.getFile)
-        }
-        java.nio.file.Files.deleteIfExists(temp)
+        } finally java.nio.file.Files.deleteIfExists(temp)
       } else {
         val out = fs.create(path, overwrite)
         try lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))

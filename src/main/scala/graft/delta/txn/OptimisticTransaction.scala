@@ -866,6 +866,11 @@ class ConflictChecker(
 
   private val ourRemovePaths =
     ourActions.collect { case r: RemoveFile => r.path }.toSet
+  // txn.readFilePaths is a def that rebuilds the Set on every call;
+  // observe() consults it once per winning RemoveFile and flushAddBatch
+  // once per AddFile, so at 500k-action winning commits the rebuild is
+  // O(winningActions x readFiles) — cache it once per check
+  private val txnReadFilePaths = txn.readFilePaths
   private val ourTxnAppIds =
     ourActions.collect { case t: SetTransaction => t.appId }.toSet ++
       txn.readTxnIdsSnapshot
@@ -883,7 +888,7 @@ class ConflictChecker(
   private def appendCheckRelevant: Boolean =
     isolation != SnapshotIsolation &&
       (txn.readWholeTableFlag || txn.readPredicatesSnapshot.nonEmpty ||
-        txn.readFilePaths.nonEmpty)
+        txnReadFilePaths.nonEmpty)
 
   private def flushAddBatch(): Unit = {
     if (addBatch.isEmpty) return
@@ -895,7 +900,7 @@ class ConflictChecker(
         // set, a DML rewrite set) re-creates a table entry the txn's
         // decision assumed settled — same invalidation as a predicate
         // match, caught by path equality since paths are table-unique
-        addBatch.filter(a => txn.readFilePaths.contains(a.path))
+        addBatch.filter(a => txnReadFilePaths.contains(a.path))
     if (matched.nonEmpty) {
       appendHit = true
       matched.iterator.take(3 - appendExamples.size)
@@ -916,7 +921,7 @@ class ConflictChecker(
     case r: RemoveFile =>
       removedAny = true
       if (removedExamples.size < 3) removedExamples += r.path
-      if (txn.readFilePaths.contains(r.path) && readRemoveHits.size < 3) {
+      if (txnReadFilePaths.contains(r.path) && readRemoveHits.size < 3) {
         readRemoveHits += r.path
       }
       if (ourRemovePaths.contains(r.path) && deleteDeleteHits.size < 3) {

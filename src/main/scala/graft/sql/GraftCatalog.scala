@@ -460,7 +460,19 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       DeltaLog.invalidate(spark, nested.toString)
       val lostRace = (nestedId, srcTableId) match {
         case (Some(a), Some(b)) => a == b
-        case _ => false // unreadable identity: treat as the table's own content
+        // Either identity unreadable: a genuinely lost race here would be
+        // reported as success while the source sits silently nested inside
+        // the winner's directory — table loss with no error. Ambiguity
+        // must surface to the operator, not resolve to either guess
+        // (the old unconditional-restore could unwind a legitimate nested
+        // dir; silent success can lose a table).
+        case _ => throw new IllegalStateException(
+          s"RENAME $oldIdent -> $newIdent: found a nested delta directory " +
+            s"at $nested whose identity could not be read " +
+            s"(nested id=$nestedId, source id=$srcTableId). Cannot decide " +
+            "between a lost CREATE race (the table must be restored from " +
+            "the nested path) and the table's own nested content; " +
+            "adjudicate manually before using either table.")
       }
       if (lostRace) {
         if (!fs.rename(nested, src)) {

@@ -189,4 +189,40 @@ class CoordinatedLogStoreSpec extends SparkSpec {
       assert(!coord2.prepareCommit("t1", "00002.json", "/staged/b"))
     }
   }
+
+  test("FileClaimCommitCoordinator: a .stage file orphaned by a crash " +
+      "mid-prepareCommit is swept by pending() past the grace window; a " +
+      "young one is left for its live owner (ADVICE r13)") {
+    withTempDir { root =>
+      // grace 0 = old immediately; the orphan shape: a JVM that died
+      // between writing the stage and the createLink publish (the
+      // in-process finally never ran)
+      val coord = new storage.FileClaimCommitCoordinator(s"$root/claims", 0L)
+      assert(coord.prepareCommit("t1", "00001.json", "/staged/x"))
+      val dirKey = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$root/claims"))
+        .findFirst().get()
+      val orphan = dirKey.resolve(".00002.json.deadbeef.stage")
+      java.nio.file.Files.write(orphan, "/staged/dead".getBytes("UTF-8"))
+      assert(coord.pending("t1") == Seq(("00001.json", "/staged/x")),
+        "the sweep must not disturb live claims")
+      assert(!java.nio.file.Files.exists(orphan),
+        "a grace-old orphaned .stage must be swept")
+
+      // inside the grace window the stage may belong to a LIVE
+      // prepareCommit about to createLink from it — deleting it would
+      // fail that writer mid-call
+      val coord2 = new storage.FileClaimCommitCoordinator(
+        s"$root/claims2", 60000L)
+      assert(coord2.prepareCommit("t1", "00001.json", "/staged/x"))
+      val dirKey2 = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$root/claims2"))
+        .findFirst().get()
+      val young = dirKey2.resolve(".00002.json.cafe.stage")
+      java.nio.file.Files.write(young, "/staged/live".getBytes("UTF-8"))
+      coord2.pending("t1")
+      assert(java.nio.file.Files.exists(young),
+        "a stage inside the grace window must not be swept")
+    }
+  }
 }

@@ -86,6 +86,56 @@ class CrossProcessCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("stale-claim reclaim is atomic: racing reclaimers elect exactly one " +
+      "publisher (ADVICE r13: delete-then-create could elect two)") {
+    // The old reclaim was delete-then-create: reclaimer B's delete could
+    // remove reclaimer A's freshly re-created marker, so BOTH claims
+    // succeeded and two publishers interleaved renames over the same
+    // destinations. The fix reclaims via rename-to-unique-tombstone (at
+    // most one renamer succeeds) and even the winner still goes through
+    // the O_EXCL create. Invariant under ANY interleaving: per round, at
+    // most one claimPublish returns true — asserted over many threaded
+    // rounds to give the race a real window.
+    withTempDir { dir =>
+      val marker = new org.apache.hadoop.fs.Path(dir,
+        ".00000000000000000007.checkpoint.publishing")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(marker.getParent)
+      val threads = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        (1 to 25).foreach { round =>
+          // reset: a stale marker from a "crashed" winner
+          fs.delete(marker, false)
+          fs.listStatus(marker.getParent).foreach(s =>
+            if (s.getPath.getName.contains(".reclaim")) {
+              fs.delete(s.getPath, false)
+            })
+          fs.create(marker, false).close()
+          fs.setTimes(marker,
+            System.currentTimeMillis() - Checkpoints.PublishClaimGraceMs -
+              60000, -1)
+          val barrier = new java.util.concurrent.CyclicBarrier(threads)
+          val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+          val futures = (1 to threads).map { _ =>
+            pool.submit(new Runnable {
+              override def run(): Unit = {
+                barrier.await()
+                if (Checkpoints.claimPublish(fs, marker)) wins.incrementAndGet()
+              }
+            })
+          }
+          futures.foreach(_.get(60, TimeUnit.SECONDS))
+          assert(wins.get() == 1,
+            s"round $round: ${wins.get()} reclaimers won the claim — " +
+              "two publishers could interleave part renames")
+          assert(fs.exists(marker),
+            s"round $round: the winner's claim marker must exist")
+        }
+      } finally pool.shutdownNow()
+    }
+  }
+
   test("two JVMs checkpointing the same version: one publisher wins, the " +
       "published group is never a mix of two part sets") {
     withTempDir { dir =>

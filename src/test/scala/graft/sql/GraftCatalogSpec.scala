@@ -522,4 +522,29 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ...and nothing was moved back to the source path
     assert(!new java.io.File(s"$warehouse/db/rn_outer").exists())
   }
+
+  test("RENAME fails loudly when the nested directory's identity cannot be " +
+      "read — ambiguity must not resolve to silent success (ADVICE r13)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.db.rn_amb (id INT)")
+    spark.sql("INSERT INTO graft.db.rn_amb VALUES (1), (2)")
+    // a nested delta-SHAPED directory named like the table's own leaf,
+    // whose log is garbage: after the rename it sits at
+    // dest/<srcName>/_delta_log — the lost-race nesting shape — but its
+    // metadata id is unreadable. Guessing "own content" would let a REAL
+    // lost race return success with the source silently nested inside the
+    // winner; guessing "lost race" would unwind a legitimate rename. The
+    // catalog must surface the ambiguity to the operator instead.
+    val nestedLog = new java.io.File(
+      s"$warehouse/db/rn_amb/rn_amb/_delta_log")
+    assert(nestedLog.mkdirs())
+    java.nio.file.Files.write(
+      nestedLog.toPath.resolve("00000000000000000000.json"),
+      "not json at all".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      spark.sql("ALTER TABLE graft.db.rn_amb RENAME TO db.rn_amb2")
+    }
+    assert(e.getMessage.contains("identity could not be read"), e.getMessage)
+    assert(e.getMessage.contains("rn_amb"), e.getMessage)
+  }
 }
