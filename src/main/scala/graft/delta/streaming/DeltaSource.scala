@@ -11,29 +11,45 @@ import org.apache.spark.sql.types.StructType
 import graft.delta._
 import graft.delta.read.DeltaFileIndex
 
-/** Streaming offset: `(version, index)`. A version-boundary offset
-  * (`index == END`) means every data AddFile of `version` is consumed; a
-  * sub-version offset means the first `index` data-change AddFiles of
-  * `version` (in commit-file line order, which is stable) are consumed
-  * and the rest are pending. The sub-version form only appears while
-  * admission control chunks a commit LARGER than the per-trigger budget
-  * — the delta-spark IndexedFile scheme re-expressed on this source's
-  * version offsets, so a 500k-add CONVERT/backfill commit streams as
-  * many bounded batches instead of one giant one.
+/** Streaming offset: `(version, index)`, plus a `snapshot` tier. A
+  * version-boundary offset (`index == END`) means every data AddFile of
+  * `version` is consumed; a sub-version offset means the first `index`
+  * data-change AddFiles of `version` (in commit-file line order, which
+  * is stable) are consumed and the rest are pending. The sub-version
+  * form only appears while admission control chunks a commit LARGER
+  * than the per-trigger budget — the delta-spark IndexedFile scheme
+  * re-expressed on this source's version offsets, so a 500k-add
+  * CONVERT/backfill commit streams as many bounded batches instead of
+  * one giant one.
+  *
+  * SNAPSHOT offsets (`isSnapshot`) chunk the INITIAL snapshot of a
+  * no-startingVersion stream: `{"version":v,"index":i,"snapshot":true}`
+  * means the first `i` files of the snapshot AT version `v` — in stable
+  * sort-by-path order — are consumed. The drain ends at the plain
+  * boundary offset of `v`, after which the commit walk proceeds from
+  * `v+1` as usual; snapshot offsets therefore sort BELOW every
+  * same-version commit-walk offset (ref: the Flink enumerator's
+  * {snapshot, processedPaths} split, SnapshotProcessor.java:53-62 +
+  * DeltaFileEnumerator.java:53-80 — re-keyed from a path set to a rank
+  * in a deterministic total order so the offset stays O(1)).
   *
   * Boundary offsets serialize as the bare version number, so offset logs
   * written before sub-version chunking existed parse unchanged (and new
-  * logs stay readable by older readers unless a giant commit is
-  * mid-chunk at the moment of downgrade). */
-private[delta] case class DeltaSourceOffset(version: Long, index: Long)
+  * logs stay readable by older readers unless a giant commit or initial
+  * snapshot is mid-chunk at the moment of downgrade). */
+private[delta] case class DeltaSourceOffset(version: Long, index: Long,
+    isSnapshot: Boolean = false)
     extends Offset {
   import DeltaSourceOffset.END
   override def json: String =
-    if (index == END) version.toString
+    if (isSnapshot) s"""{"version":$version,"index":$index,"snapshot":true}"""
+    else if (index == END) version.toString
     else s"""{"version":$version,"index":$index}"""
-  def isVersionBoundary: Boolean = index == END
+  def isVersionBoundary: Boolean = !isSnapshot && index == END
+  private def tier: Int = if (isSnapshot) 0 else 1
   def <=(o: DeltaSourceOffset): Boolean =
-    version < o.version || (version == o.version && index <= o.index)
+    version < o.version || (version == o.version &&
+      (tier < o.tier || (tier == o.tier && index <= o.index)))
 }
 
 private[delta] object DeltaSourceOffset {
@@ -42,13 +58,24 @@ private[delta] object DeltaSourceOffset {
   val END: Long = Long.MaxValue
   private val Pat =
     """\s*\{\s*"version"\s*:\s*(\d+)\s*,\s*"index"\s*:\s*(\d+)\s*\}\s*""".r
+  private val PatSnapshot =
+    ("""\s*\{\s*"version"\s*:\s*(\d+)\s*,\s*"index"\s*:\s*(\d+)\s*,\s*""" +
+      """"snapshot"\s*:\s*true\s*\}\s*""").r
   def parse(json: String): DeltaSourceOffset = json match {
+    case PatSnapshot(v, i) =>
+      DeltaSourceOffset(v.toLong, i.toLong, isSnapshot = true)
     case Pat(v, i) => DeltaSourceOffset(v.toLong, i.toLong)
     case s => DeltaSourceOffset(s.trim.toLong, END) // bare-version (legacy)
   }
   def boundary(version: Long): DeltaSourceOffset =
     DeltaSourceOffset(version, END)
 }
+
+/** One file of a pinned initial snapshot with its rank in the stable
+  * sort-by-path order and the cumulative byte size up to and including
+  * it — the distributed index the snapshot-drain cursor slices. */
+private[delta] case class SnapshotIndexedFile(idx: Long, cumBytes: Long,
+                                              add: AddFile)
 
 /** Structured-Streaming micro-batch source over a Delta table
   * (SURVEY §2.4 F1–F6: the Flink continuous source re-expressed on
@@ -140,15 +167,15 @@ class DeltaSource(
     * (the reference's bounded/continuous split, DeltaSource.java:121-150,
     * maps onto ReadLimit-driven admission). A commit larger than the cap
     * is CHUNKED by sub-version offsets (non-CDF streams) — the budget
-    * bounds the batch, not just the version count.
+    * bounds the batch, not just the version count. The INITIAL SNAPSHOT
+    * (no startingVersion) chunks too, via snapshot offsets over the
+    * sort-by-path cursor — a 100 TB table's first batch is as bounded as
+    * every later one.
     *
-    * KNOWN BOUND: the INITIAL-SNAPSHOT batch (no startingVersion) is
-    * served whole — it is planned through the snapshot-backed
-    * distributed index (never a driver file list), so the bound is
-    * executor work per micro-batch, not driver memory. CDF batches are
-    * version-granular (a chunk boundary inside a version would split its
-    * change rows with no index to resume from); their driver footprint
-    * is O(largest version's files). */
+    * KNOWN BOUND: CDF batches over versions carrying change files or
+    * removes are version-granular (their change rows derive from the
+    * whole version together); their driver footprint is O(that version's
+    * cdc files), OPTIMIZE-bounded in practice. */
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
 
@@ -211,6 +238,15 @@ class DeltaSource(
       .orElse(startingVersion.map(sv => DeltaSourceOffset.boundary(sv - 1)))
     val (fileBudget, byteBudget) = budgets(limit)
     val end = base match {
+      case None =>
+        // F1 initial snapshot (no startingVersion): pin the snapshot at
+        // the current head and drain it in budget-bounded chunks
+        snapshotDrainEnd(head, 0L, fileBudget, byteBudget)
+      case Some(b) if b.isSnapshot =>
+        // mid-drain: keep serving the PINNED snapshot version (chunks of
+        // two different snapshots would not compose to any table state);
+        // commits past it are walked once the drain completes
+        snapshotDrainEnd(b.version, b.index, fileBudget, byteBudget)
       case Some(b) if (b.version < head || !b.isVersionBoundary) &&
           (fileBudget.isDefined || byteBudget.isDefined) =>
         cappedEnd(b, head, fileBudget, byteBudget)
@@ -360,6 +396,128 @@ class DeltaSource(
     } finally in.close()
   }
 
+  // ------------------------------------------------- initial-snapshot cursor
+  /** The pinned initial snapshot's distributed index: every active file
+    * ranked by the stable sort-by-path order, with cumulative bytes. The
+    * Dataset is PERSISTED on the executors for the duration of the drain
+    * (one sort of the state, reused by every chunk) and never collected
+    * whole — latestOffset cuts with small count jobs and getBatch
+    * collects only the admitted O(budget) slice. Rebuilt identically
+    * after a restart because paths are unique within a snapshot, so the
+    * rank is a deterministic function of the snapshot alone (the role of
+    * the reference enumerator's processedPaths set,
+    * DeltaFileEnumerator.java:53-80, at O(1) offset size). */
+  private case class SnapshotCursor(version: Long, total: Long,
+      indexed: org.apache.spark.sql.Dataset[SnapshotIndexedFile])
+  private var snapshotCursor: Option[SnapshotCursor] = None
+
+  private def cursorFor(v: Long): SnapshotCursor = snapshotCursor match {
+    case Some(c) if c.version == v => c
+    case stale =>
+      stale.foreach(_.indexed.unpersist())
+      snapshotCursor = None
+      val snap = deltaLog.getSnapshotForVersionAsOf(v)
+      // the drain serves state at v through the schema pinned at stream
+      // construction — a schema/partitioning change in between would
+      // otherwise be served silently with the stale schema forever
+      if (snap.metadata.schemaString !=
+            initialSnapshot.metadata.schemaString ||
+          snap.metadata.partitionColumns !=
+            initialSnapshot.metadata.partitionColumns) {
+        throw new UnsupportedOperationException(
+          s"Table schema changed between stream start " +
+            s"(${initialSnapshot.version}) and the initial snapshot " +
+            s"batch ($v); restart the stream to pick it up")
+      }
+      implicit val encA = org.apache.spark.sql.Encoders.product[AddFile]
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[SnapshotIndexedFile]
+      val sortedRdd = snap.allFilesDistributed.sort("path").rdd
+      // global ranks and byte prefix sums without a single-partition
+      // window: per-partition totals to the driver (O(partitions)), then
+      // each partition numbers its slice from the scanned prefix
+      val stats = sortedRdd.mapPartitionsWithIndex { (pi, it) =>
+        var n = 0L
+        var b = 0L
+        it.foreach { a => n += 1; b += a.size }
+        Iterator((pi, n, b))
+      }.collect().sortBy(_._1)
+      val idxPrefix = stats.scanLeft(0L)(_ + _._2).toArray
+      val bytePrefix = stats.scanLeft(0L)(_ + _._3).toArray
+      val indexed = spark.createDataset(
+        sortedRdd.mapPartitionsWithIndex { (pi, it) =>
+          var idx = idxPrefix(pi)
+          var cum = bytePrefix(pi)
+          it.map { a =>
+            idx += 1
+            cum += a.size
+            SnapshotIndexedFile(idx - 1, cum, a)
+          }
+        })(enc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = SnapshotCursor(v, idxPrefix.last, indexed)
+      snapshotCursor = Some(c)
+      c
+  }
+
+  /** Budget cut for the snapshot drain: admit files [from, to) of the
+    * pinned snapshot's path order, ending the drain (plain boundary
+    * offset, which the commit walk then resumes from) when the snapshot
+    * is exhausted. Unbudgeted triggers (ReadAllAvailable with no
+    * options) serve the whole snapshot in one batch, the pre-chunking
+    * behavior. */
+  private def snapshotDrainEnd(v: Long, from: Long, fileBudget: Option[Int],
+                               byteBudget: Option[Long]): DeltaSourceOffset = {
+    if (fileBudget.isEmpty && byteBudget.isEmpty) {
+      return DeltaSourceOffset.boundary(v)
+    }
+    // whole-snapshot fast path: nothing to chunk, skip the cursor build
+    // (numOfFiles/sizeInBytes are one cached aggregate on the state)
+    if (from == 0L) {
+      val snap = deltaLog.getSnapshotForVersionAsOf(v)
+      if (fileBudget.forall(snap.numOfFiles <= _) &&
+          byteBudget.forall(snap.sizeInBytes <= _)) {
+        return DeltaSourceOffset.boundary(v)
+      }
+    }
+    val cur = cursorFor(v)
+    if (from >= cur.total) return DeltaSourceOffset.boundary(v)
+    val startCum: Long =
+      if (byteBudget.isEmpty || from == 0L) 0L
+      else cur.indexed.filter(_.idx == from - 1).head().cumBytes
+    val fCap = fileBudget.map(f => from + f.toLong).getOrElse(Long.MaxValue)
+    // cumBytes is monotone in idx, so the byte filter keeps a contiguous
+    // prefix and count() IS the admitted run length
+    val admitted = cur.indexed.filter { x =>
+      x.idx >= from && x.idx < fCap &&
+        byteBudget.forall(b => x.cumBytes - startCum <= b)
+    }.count()
+    val to = from + math.max(1L, admitted) // always make progress
+    if (to >= cur.total) DeltaSourceOffset.boundary(v)
+    else DeltaSourceOffset(v, to, isSnapshot = true)
+  }
+
+  /** The admitted slice [startOff.index, endOff.index) of the pinned
+    * snapshot, collected to the driver — O(budget) files, the chunking
+    * contract. A boundary end means the FINAL slice; the cursor is
+    * released after serving it (a restart replaying the final batch just
+    * rebuilds it). */
+  private def snapshotSlice(startOff: Option[DeltaSourceOffset],
+                            endOff: DeltaSourceOffset): (Long, Seq[AddFile]) = {
+    val v = endOff.version
+    val cur = cursorFor(v)
+    val from = startOff.filter(_.isSnapshot).map(_.index).getOrElse(0L)
+    val until = if (endOff.isSnapshot) endOff.index else cur.total
+    val files = cur.indexed
+      .filter(x => x.idx >= from && x.idx < until)
+      .collect().sortBy(_.idx).map(_.add).toSeq
+    if (!endOff.isSnapshot) {
+      cur.indexed.unpersist()
+      snapshotCursor = None
+    }
+    (v, files)
+  }
+
   /** Walk the range (base, head] until a data-file or byte budget is
     * exhausted. Non-CDF streams stop MID-version when a commit is larger
     * than the remaining budget (sub-version offset); CDF streams clamp
@@ -486,6 +644,10 @@ class DeltaSource(
     val startOff: Option[DeltaSourceOffset] = start.map(offsetOf)
       .orElse(startingVersion.map(sv => DeltaSourceOffset.boundary(sv - 1)))
     if (readChangeFeed) return cdfBatch(startOff, endOff)
+    if (endOff.isSnapshot || startOff.exists(_.isSnapshot)) {
+      // one chunk of the initial-snapshot drain: O(budget) files
+      return buildBatchDF(snapshotSlice(startOff, endOff)._2)
+    }
     if (startOff.isEmpty) {
       // F1 initial snapshot: plan through the snapshot-backed index so
       // distributed-state tables never collect their file list here.
@@ -520,6 +682,13 @@ class DeltaSource(
     import org.apache.spark.sql.functions.lit
     val typeCol = graft.delta.write.CdcWriter.ChangeTypeCol
     val endV = endOff.version
+    if (endOff.isSnapshot || startOff.exists(_.isSnapshot)) {
+      // chunked initial snapshot served as inserts at the pinned version
+      val (v, files) = snapshotSlice(startOff, endOff)
+      return buildBatchDF(files)
+        .withColumn(typeCol, lit("insert"))
+        .withColumn("_commit_version", lit(v))
+    }
     if (startOff.isEmpty) {
       return buildSnapshotDF(deltaLog.getSnapshotForVersionAsOf(endV))
         .withColumn(typeCol, lit("insert"))

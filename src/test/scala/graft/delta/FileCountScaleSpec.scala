@@ -265,6 +265,85 @@ class FileCountScaleSpec extends SparkSpec {
     }
   }
 
+  test("100k-file INITIAL SNAPSHOT through the streaming source: the " +
+      "no-startingVersion first batch chunks as N/budget snapshot-offset " +
+      "batches, resumes mid-snapshot, never materializes driver state") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        val budget = 10000
+        FileCountScale.synthesize(spark, dir, N)
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        val headV = log.update().version
+        // NO startingVersion: the whole 100k-file snapshot is the first
+        // thing this stream serves — pre-r14 it was one giant batch
+        val src = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("maxFilesPerTrigger" -> budget.toString))
+        var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+        var batches = 0
+        var planned = 0L
+        var snapshotOffsets = 0
+        var done = false
+        while (!done) {
+          val end = src.latestOffset(prev, ReadLimit.maxFiles(budget))
+          if (end == null || (prev != null && end.json == prev.json)) {
+            done = true
+          } else {
+            if (end.json.contains("\"snapshot\":true")) snapshotOffsets += 1
+            val n = plannedFiles(src.getBatch(
+              Option(prev).map(_.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]),
+              end.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]))
+            assert(n <= budget, s"batch planned $n files > budget $budget")
+            planned += n
+            batches += 1
+            prev = end
+          }
+        }
+        // the snapshot = N ghost adds + synthesize's one real file
+        val total = N + 1
+        val expectBatches = (total + budget - 1) / budget
+        assert(batches == expectBatches,
+          s"expected $expectBatches snapshot chunks, got $batches")
+        assert(snapshotOffsets == expectBatches - 1,
+          "every non-final chunk must be a snapshot offset")
+        assert(prev.json == headV.toString,
+          s"the drain must end at the bare pinned version: ${prev.json}")
+        assert(planned == total, s"chunks covered $planned of $total files")
+        val snap = log.update()
+        assert(!snap.filesMaterialized,
+          "the snapshot drain materialized the file list on the driver")
+
+        // restart recovery: a fresh source resumes from a mid-snapshot
+        // offset parsed back from its JSON (the offset-log path) and the
+        // rank order is rebuilt identically
+        val src2 = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("maxFilesPerTrigger" -> budget.toString))
+        val first = src2.latestOffset(null, ReadLimit.maxFiles(budget))
+        assert(first.json ==
+          s"""{"version":$headV,"index":$budget,"snapshot":true}""")
+        val resumed = src2.latestOffset(
+          graft.delta.streaming.DeltaSourceOffset.parse(
+            s"""{"version":$headV,"index":${3 * budget},"snapshot":true}"""),
+          ReadLimit.maxFiles(budget))
+        assert(resumed.json ==
+          s"""{"version":$headV,"index":${4 * budget},"snapshot":true}""")
+        // the resumed chunk plans exactly the [3b, 4b) slice
+        val n2 = plannedFiles(src2.getBatch(
+          Some(graft.delta.streaming.DeltaSourceOffset(
+            headV, 3L * budget, isSnapshot = true)),
+          resumed.asInstanceOf[
+            org.apache.spark.sql.execution.streaming.Offset]))
+        assert(n2 == budget, s"resumed chunk planned $n2 files")
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
   test("light fold of a huge tail retains NO AddFiles (adds fold for " +
       "their tombstone-cancel side effect only)") {
     withTempDir { dir =>
