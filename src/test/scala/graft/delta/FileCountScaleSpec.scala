@@ -344,6 +344,86 @@ class FileCountScaleSpec extends SparkSpec {
     }
   }
 
+  test("100k-cdc-file DML commit through the CDF stream: admission chunks " +
+      "by cdc index, batches stay O(budget), nothing materializes state") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      spark.conf.set(Snapshot.DriverStateMaxBytesKey, "1")
+      try {
+        val budget = 10000
+        FileCountScale.synthesize(spark, dir, 100, nCommits = 1,
+          extraConfig = Map("delta.enableChangeDataFeed" -> "true"))
+        DeltaLog.clearCache()
+        val log = DeltaLog.forTable(spark, dir)
+        // ONE giant DML-shaped commit: adds + dataChange removes + N cdc
+        // files — the single-UPDATE-over-everything shape whose CDF
+        // output alone exceeded any per-trigger bound before r14
+        val adds = (1 to 50).map(i => AddFile(
+          s"p=ghost0/dml-$i.parquet", Map("p" -> "ghost0"), 1L, 1L,
+          dataChange = true))
+        val removes = (1 to 50).map(i => RemoveFile(
+          s"p=ghost1/part-0-$i.parquet", Some(1L), dataChange = true,
+          partitionValues = Some(Map("p" -> "ghost1")), size = Some(1L)))
+        val cdcs = (1 to N).map(i => AddCDCFile(
+          s"p=ghost${i % 50}/cdc-$i.parquet",
+          Map("p" -> s"ghost${i % 50}"), 1024L))
+        log.startTransaction().commit(adds ++ removes ++ cdcs,
+          DeltaOperations.ManualUpdate)
+        val dmlV = log.update().version
+
+        val src = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("startingVersion" -> dmlV.toString,
+            "readChangeFeed" -> "true"))
+        var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+        var batches = 0
+        var planned = 0L
+        var subVersionOffsets = 0
+        var done = false
+        while (!done) {
+          val end = src.latestOffset(prev, ReadLimit.maxFiles(budget))
+          if (end == null || (prev != null && end.json == prev.json)) {
+            done = true
+          } else {
+            if (end.json.contains("index")) subVersionOffsets += 1
+            val n = plannedFiles(src.getBatch(
+              Option(prev).map(_.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]),
+              end.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]))
+            assert(n <= budget, s"CDF batch planned $n files > $budget")
+            planned += n
+            batches += 1
+            prev = end
+          }
+        }
+        assert(batches == N / budget,
+          s"expected ${N / budget} cdc chunks, got $batches")
+        assert(subVersionOffsets == N / budget - 1,
+          "every non-final cdc chunk must be a sub-version offset")
+        assert(prev.json == dmlV.toString,
+          s"the drain must end at the bare version: ${prev.json}")
+        assert(planned == N, s"cdc chunks covered $planned of $N files")
+        val snap = log.update()
+        assert(!snap.filesMaterialized,
+          "the cdc walk materialized the file list on the driver")
+
+        // restart recovery: a mid-version cdc offset round-trips and the
+        // next chunk resumes at exactly the recorded cdc index
+        val src2 = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("startingVersion" -> dmlV.toString,
+            "readChangeFeed" -> "true"))
+        val resumed = src2.latestOffset(
+          graft.delta.streaming.DeltaSourceOffset.parse(
+            s"""{"version":$dmlV,"index":${3 * budget}}"""),
+          ReadLimit.maxFiles(budget))
+        assert(resumed.json ==
+          s"""{"version":$dmlV,"index":${4 * budget}}""")
+      } finally {
+        spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
+      }
+    }
+  }
+
   test("light fold of a huge tail retains NO AddFiles (adds fold for " +
       "their tombstone-cancel side effect only)") {
     withTempDir { dir =>
