@@ -29,8 +29,12 @@ object Bench {
     // optional comma-separated subset, for timing one query in isolation
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // preserve SparkEntry.queries' insertion order (staged lifecycle
+    // queries partition their shared table's cost only when visited in
+    // definition order)
     val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.view.filterKeys(names).toMap)
+      scala.collection.immutable.ListMap(
+        SparkEntry.queries.toSeq.filter(kv => names(kv._1)): _*))
     // queries are independent (each lifecycle query creates its own
     // tables): drop engine + dataset caches between samples so heap creep
     // from earlier queries' cached snapshots and persisted corpora

@@ -19,12 +19,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. INSERTION
+    * ordered (ListMap): the staged lifecycle queries (delta_dv_delete_*)
+    * share one on-disk table and partition its cost only when the full
+    * runs visit them in definition order — and ordered iteration makes
+    * Bench/Verify runs deterministic in general. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> d.fn).toMap
+    scala.collection.immutable.ListMap(
+      allDefs.map(d => d.name -> d.fn): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
+    scala.collection.immutable.ListMap(
+      allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }: _*)
 }

@@ -22,6 +22,63 @@ object DeltaQueries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
+  /** Shared table for the staged DV-delete lifecycle, memoized per
+    * (JVM, sf dir). `cleanV` is the version right after the DV-enabled
+    * write, `shadedV` right after the two bitmap deletes; each stage
+    * RESTOREs to its input version when a prior sample moved the table
+    * past it (restore-to-current is a free no-op), so every sample of a
+    * stage times the same work. */
+  private case class DvStageState(path: String, cleanV: Long,
+                                  shadedV: Long)
+  private val dvStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DvStageState]()
+
+  /** Stage 1: DV-enabled write of `orders` (always a fresh Overwrite —
+    * this IS the timed work of delta_dv_delete_write). */
+  private def dvStageWrite(s: SparkSession, dir: String): DvStageState = {
+    val path = Option(dvStageMemo.get(dir)).map(_.path)
+      .getOrElse(tmp("dvstage"))
+    DeltaTable.write(t(s, dir, "orders"), path, SaveMode.Overwrite,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val st = DvStageState(path,
+      cleanV = DeltaTable.forPath(s, path).deltaLog.update().version,
+      shadedV = -1L)
+    dvStageMemo.put(dir, st)
+    st
+  }
+
+  /** Stage 2: the two shading deletes over the clean table (restoring to
+    * it first; builds stage 1 inline when run cold in isolation). */
+  private def dvStageShade(s: SparkSession, dir: String): DvStageState = {
+    import org.apache.spark.sql.functions.col
+    val st0 = Option(dvStageMemo.get(dir)).getOrElse(dvStageWrite(s, dir))
+    val table = DeltaTable.forPath(s, st0.path)
+    if (table.deltaLog.update().version != st0.cleanV) {
+      table.restore(st0.cleanV)
+    }
+    table.delete(col("o_totalprice") > 150000.0)
+    table.delete(col("o_orderstatus") === "F" &&
+      col("o_totalprice") < 50000.0)
+    val st = st0.copy(
+      shadedV = table.deltaLog.update().version)
+    dvStageMemo.put(dir, st)
+    st
+  }
+
+  /** Stage 3 input: the SHADED table (restored to it when a prior purge
+    * sample compacted past it — the shaded files still exist on disk,
+    * compact never vacuums; builds stages 1+2 inline when run cold). */
+  private def dvStageShaded(s: SparkSession, dir: String): DvStageState =
+    Option(dvStageMemo.get(dir)).filter(_.shadedV >= 0) match {
+      case Some(st) =>
+        val table = DeltaTable.forPath(s, st.path)
+        if (table.deltaLog.update().version != st.shadedV) {
+          table.restore(st.shadedV)
+        }
+        st
+      case None => dvStageShade(s, dir)
+    }
+
   /** Stable per-JVM warehouse per catalog name. Spark instantiates a
     * DSv2 catalog ONCE per session and caches it; pointing the conf at
     * a FRESH temp dir on a re-run (Bench samples every query at least
@@ -1312,37 +1369,72 @@ object DeltaQueries {
           AND NOT (par = 1 AND pos % 7 = 3)
         GROUP BY c_mktsegment""")),
 
-    // Merge-on-read DELETE (delta.enableDeletionVectors): two successive
-    // predicate deletes SHADE the files with position bitmaps (no parquet
-    // rewrite), the second merging into the first's shade; the read path
-    // then OPTIMIZE purges the shades and re-reads — both reads must
-    // agree with the plain-SQL mirror of the two deletes.
+    // Merge-on-read DELETE (delta.enableDeletionVectors), STAGED
+    // (VERDICT r13 #5): the old delta_dv_delete monolith spanned write +
+    // two DV-shading deletes + OPTIMIZE purge + re-reads in one 6 s bench
+    // line, so any mover inside it cost an isolation round-trip to
+    // attribute. Three staged queries now partition the lifecycle —
+    // _write times the DV-enabled write, _shade times the two bitmap
+    // deletes, _purge times the OPTIMIZE purge — sharing one on-disk
+    // table through [[dvStage]]. Each stage RESTOREs the table to its
+    // input version first (metadata-only, so re-samples time constant
+    // work instead of degenerate no-op deletes), and a stage run cold
+    // (fresh JVM isolation) builds its prerequisites inline — cumulative
+    // timing, deterministic either way. queries/oracleSql iterate in
+    // insertion order (ListMap), so the full Verify/Bench runs hit
+    // _write -> _shade -> _purge in sequence.
     QueryDef(
-      "delta_dv_delete",
+      "delta_dv_delete_write",
       (s, dir) => {
         import s.implicits._
-        val path = tmp("dvdelete")
-        DeltaTable.write(t(s, dir, "orders"), path, SaveMode.Overwrite,
-          configuration = Map("delta.enableDeletionVectors" -> "true"))
-        val table = DeltaTable.forPath(s, path)
-        table.delete($"o_totalprice" > 150000.0)
-        table.delete($"o_orderstatus" === "F" && $"o_totalprice" < 50000.0)
-        val shaded = table.toDF
+        val st = dvStageWrite(s, dir)
+        DeltaTable.forPath(s, st.path).toDF
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n"),
                sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double")
                  .as("sum_price"))
-        val shadedRows = shaded.collect()
-        // purge the shades; the answer must not move
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY o_orderpriority""")),
+
+    QueryDef(
+      "delta_dv_delete_shade",
+      (s, dir) => {
+        import s.implicits._
+        val st = dvStageShade(s, dir)
+        DeltaTable.forPath(s, st.path).toDF
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double")
+                 .as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE NOT (o_totalprice > 150000.0)
+          AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+        GROUP BY o_orderpriority""")),
+
+    QueryDef(
+      "delta_dv_delete_purge",
+      (s, dir) => {
+        import s.implicits._
+        val st = dvStageShaded(s, dir)
+        val table = DeltaTable.forPath(s, st.path)
+        // purge the shades; the answer must not move (the oracle SQL is
+        // identical to _shade's, so the driver's hash compare enforces it)
         table.compact()
-        val purged = table.toDF
+        table.toDF
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n"),
                sum($"o_totalprice".cast(DecimalType(12, 2))).cast("double")
                  .as("sum_price"))
-        require(purged.collect().toSet == shadedRows.toSet,
-          "OPTIMIZE purge changed the answer")
-        purged
       },
       Some("""
         SELECT o_orderpriority, COUNT(*) AS n,

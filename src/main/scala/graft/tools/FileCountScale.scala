@@ -327,6 +327,86 @@ object FileCountScale {
       require(log.update().version == 2L,
         "the retried commit must land after the giant winner")
     }
+    // r14: the INITIAL snapshot of a no-startingVersion stream drains in
+    // budget-bounded chunks over the sort-by-path cursor — the one batch
+    // that used to be unsplittable (VERDICT r13 #1)
+    timed("drain initial snapshot (chunked)") {
+      val snapTotal = nFiles + 2L // ghosts + synthesize's real + conflict
+      val snapSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+        log, Map("maxFilesPerTrigger" -> budget.toString))
+      var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+      var total = 0L
+      var batches = 0
+      var sawSnapshotOffset = false
+      var done = false
+      while (!done) {
+        val end = snapSrc.latestOffset(prev, ReadLimit.maxFiles(budget))
+        if (end == null || (prev != null && end.json == prev.json)) {
+          done = true
+        } else {
+          if (end.json.contains("\"snapshot\":true")) sawSnapshotOffset = true
+          val n = plannedFiles(snapSrc.getBatch(
+            Option(prev).map(_.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]),
+            end.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]))
+          require(n <= budget, s"snapshot batch planned $n files > $budget")
+          total += n
+          batches += 1
+          prev = end
+        }
+      }
+      require(sawSnapshotOffset, "the initial snapshot never chunked")
+      require(batches == (snapTotal + budget - 1) / budget,
+        s"expected ${(snapTotal + budget - 1) / budget} snapshot chunks, " +
+          s"got $batches")
+      require(total == snapTotal,
+        s"snapshot chunks covered $total of $snapTotal files")
+    }
+    // r14: a giant DML commit's CDF output (its AddCDCFiles) chunks by
+    // cdc index through the same byte-offset memo (VERDICT r13 #3)
+    timed("ingest giant cdc commit") {
+      val adds = (1 to 10).map(i => AddFile(
+        s"p=ghost0/dml-$i.parquet", Map("p" -> "ghost0"), 1L, 1L,
+        dataChange = true))
+      val removes = (1 to 10).map(i => RemoveFile(
+        s"p=ghost1/part-0-$i.parquet", Some(1L), dataChange = true,
+        partitionValues = Some(Map("p" -> "ghost1")), size = Some(1L)))
+      val cdcs = (1 to nFiles).map(i => AddCDCFile(
+        s"p=ghost${i % 50}/cdc-$i.parquet",
+        Map("p" -> s"ghost${i % 50}"), 1024L))
+      log.startTransaction().commit(adds ++ removes ++ cdcs,
+        DeltaOperations.ManualUpdate)
+    }
+    timed("CDF drain giant cdc commit (chunked)") {
+      val dmlV = log.update().version
+      val cdfSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+        log, Map("startingVersion" -> dmlV.toString,
+          "readChangeFeed" -> "true"))
+      var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+      var total = 0L
+      var batches = 0
+      var done = false
+      while (!done) {
+        val end = cdfSrc.latestOffset(prev, ReadLimit.maxFiles(budget))
+        if (end == null || (prev != null && end.json == prev.json)) {
+          done = true
+        } else {
+          val n = plannedFiles(cdfSrc.getBatch(
+            Option(prev).map(_.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]),
+            end.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]))
+          require(n <= budget, s"cdc batch planned $n files > $budget")
+          total += n
+          batches += 1
+          prev = end
+        }
+      }
+      require(batches == nFiles / budget,
+        s"expected ${nFiles / budget} cdc chunks, got $batches")
+      require(total == nFiles, s"cdc chunks covered $total of $nFiles")
+    }
     out.result()
   }
 
