@@ -85,6 +85,18 @@ object FileNames {
 
   def sidecarDir(logPath: Path): Path = new Path(logPath, "_sidecars")
 
+  /** delta-spark's coordinated-commits staging area: a commit that is
+    * claimed but not yet backfilled into the main log lives as
+    * `_delta_log/_staged_commits/<%020d version>.<uuid>.json`, so foreign
+    * readers of a mid-coordination table see the layout delta-spark
+    * writes. Name filters everywhere else ignore the directory (it sorts
+    * with the other `_`-prefixed non-commit entries). */
+  def stagedCommitDir(logPath: Path): Path =
+    new Path(logPath, "_staged_commits")
+
+  def stagedCommitFile(logPath: Path, version: Long, unique: String): Path =
+    new Path(stagedCommitDir(logPath), f"$version%020d.$unique.json")
+
   def deltaVersion(path: Path): Long =
     path.getName.stripSuffix(".json").toLong
 

@@ -114,8 +114,26 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
     }
     recover(dir, conf)
     if (fs.exists(path)) throw new FileAlreadyExistsException(path.toString)
-    val temp = new Path(dir,
-      s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
+    // ON-DISK PARITY (VERDICT r13 #6): stage commit payloads in
+    // delta-spark's `_staged_commits/<version>.<uuid>.json` layout, so a
+    // foreign reader of a mid-coordination table (claimed, not yet
+    // backfilled — the crash window recover() heals) sees the directory
+    // shape delta-spark writes and can read the staged commit. Publish
+    // remains the atomic rename into the main log — the backfill — and
+    // runs per commit (delta-spark's backfillBatchSize=1 cadence; a
+    // batched cadence would defer the rename and serve reads from
+    // coordinator.pending, which recover() already knows how to do).
+    // Non-commit no-overwrite targets keep the hidden-temp staging.
+    val temp =
+      if (graft.delta.FileNames.isDeltaFile(path)) {
+        val stagedDir = graft.delta.FileNames.stagedCommitDir(dir)
+        if (!fs.exists(stagedDir)) fs.mkdirs(stagedDir)
+        graft.delta.FileNames.stagedCommitFile(dir,
+          graft.delta.FileNames.deltaVersion(path),
+          java.util.UUID.randomUUID().toString)
+      } else {
+        new Path(dir, s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
+      }
     val out = fs.create(temp, false)
     try out.write(payload) finally out.close()
     if (!coordinator.prepareCommit(dir.toUri.toString, path.getName,
@@ -140,7 +158,9 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
         s"No such directory: ${path.getParent}")
     }
     fs.listStatus(path.getParent)
-      .filter(_.getPath.getName >= path.getName)
+      // a LogStore lists FILES; the _staged_commits staging directory
+      // (and any other subdir) is not a log entry
+      .filter(st => st.isFile && st.getPath.getName >= path.getName)
       .sortBy(_.getPath.getName)
       .iterator
   }

@@ -87,6 +87,98 @@ class CoordinatedCommitsBridgeSpec extends SparkSpec {
     }
   }
 
+  test("coordinated commits stage through _staged_commits with the " +
+      "delta-spark file shape, then backfill into the main log " +
+      "(VERDICT r13 #6)") {
+    withTempDir { dir =>
+      // a coordinator that CAPTURES the staged path at claim time and
+      // verifies the mid-coordination layout a foreign delta-spark
+      // reader would see: _delta_log/_staged_commits/<v>.<uuid>.json,
+      // fully written before the claim, final commit not yet published
+      val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+      val coord = new CommitCoordinator {
+        val inner = new InMemoryCommitCoordinator
+        override def prepareCommit(d: String, name: String,
+                                   tempPath: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(new java.net.URI(tempPath))
+          staged += tempPath
+          assert(p.getParent.getName == "_staged_commits",
+            s"staged payload must live in _staged_commits: $tempPath")
+          assert(p.getName.matches("""\d{20}\.[0-9a-f-]+\.json"""),
+            s"staged name must be <version>.<uuid>.json: ${p.getName}")
+          assert(p.getName.take(20) == name.stripSuffix(".json"),
+            s"staged version must match the claimed commit: ${p.getName}")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          assert(fs.exists(p), "staged payload must exist at claim time")
+          assert(!fs.exists(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(new java.net.URI(d)), name)),
+            "final commit must not exist before the claim resolves")
+          inner.prepareCommit(d, name, tempPath)
+        }
+        override def commitComplete(d: String, name: String): Unit =
+          inner.commitComplete(d, name)
+        override def pending(d: String): Seq[(String, String)] =
+          inner.pending(d)
+      }
+      CommitCoordinator.register("staged-layout-spec", coord)
+      DeltaTable.write(Seq((1L, "a")).toDF("id", "v"), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val m = txn.snapshot.metadata
+      txn.updateMetadata(m.copy(configuration = m.configuration +
+        ("delta.coordinatedCommits.commitCoordinator-preview" ->
+          "staged-layout-spec")))
+      txn.commit(Nil, "SET TBLPROPERTIES")
+      DeltaTable.write(Seq((2L, "b")).toDF("id", "v"), dir)
+      DeltaTable.write(Seq((3L, "c")).toDF("id", "v"), dir)
+      assert(staged.size >= 2, s"coordinated commits must stage: $staged")
+      // backfilled: the staged copies moved into the main log, reads see
+      // every row through plain listing
+      val fs = log.logPath.getFileSystem(log.hadoopConf)
+      val stagedDir = FileNames.stagedCommitDir(log.logPath)
+      assert(fs.exists(stagedDir), "_staged_commits must exist")
+      assert(fs.listStatus(stagedDir).isEmpty,
+        "published commits must leave no staged copies behind")
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 3)
+      // the extra directory never confuses the log walkers
+      DeltaLog.clearCache()
+      assert(DeltaLog.forTable(spark, dir).update().version == log.update().version)
+      assert(DeltaLog.forTable(spark, dir).history().nonEmpty)
+    }
+  }
+
+  test("a crash mid-coordination leaves the delta-spark staged layout " +
+      "and any reader backfills it") {
+    withTempDir { dir =>
+      val coord = new InMemoryCommitCoordinator
+      val store = new graft.delta.storage.CoordinatedLogStore(coord)
+      val conf = spark.sessionState.newHadoopConf()
+      DeltaTable.write(Seq((1L, "a")).toDF("id", "v"), dir)
+      val log = DeltaLog.forTable(spark, dir)
+      // simulate the crash window: payload staged in _staged_commits,
+      // claim taken, final object never published
+      val fs = log.logPath.getFileSystem(conf)
+      val stagedDir = FileNames.stagedCommitDir(log.logPath)
+      fs.mkdirs(stagedDir)
+      val stagedFile = FileNames.stagedCommitFile(log.logPath, 1L, "dead-cafe")
+      val out = fs.create(stagedFile, false)
+      out.write((JsonCodec.toJson(CommitInfo(
+        operation = Some("crashed"), timestamp = Some(1L)): Action) + "\n")
+        .getBytes("UTF-8"))
+      out.close()
+      assert(coord.prepareCommit(log.logPath.toUri.toString,
+        "00000000000000000001.json", stagedFile.toUri.toString))
+      // ANY participant's next log access through the store backfills
+      val listed = store.listFrom(
+        FileNames.deltaFile(log.logPath, 0L), conf)
+        .map(_.getPath.getName).toSeq
+      assert(listed.contains("00000000000000000001.json"),
+        s"recovered staged commit missing: $listed")
+      assert(!fs.exists(stagedFile),
+        "backfill must move (not copy) the staged commit")
+    }
+  }
+
   test("two racing writers through one coordinator both land") {
     withTempDir { dir =>
       CommitCoordinator.register("race-coordinator",
