@@ -172,10 +172,10 @@ class DeltaSource(
     * sort-by-path cursor — a 100 TB table's first batch is as bounded as
     * every later one.
     *
-    * KNOWN BOUND: CDF batches over delete-only versions (removes with
-    * no change files) are version-granular — their derived delete rows
-    * come from the version's removes together; pure-add versions chunk
-    * by add index and cdc-carrying versions chunk by cdc-file index. */
+    * Every CDF version shape chunks: pure-add by add index, cdc-carrying
+    * by cdc-file index, delete-only by remove index. The only
+    * version-granular admission left is an add+remove commit WITHOUT
+    * change files, which the CDF read refuses downstream anyway. */
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
 
@@ -291,16 +291,22 @@ class DeltaSource(
     * at a time, replaced when the walk moves on. */
   private case class WalkMemo(version: Long, addOffsets: Array[Long],
                               addBytes: Long, cdcOffsets: Array[Long],
-                              cdcBytes: Long, removeCount: Long,
-                              removeBytes: Long, sawRemoves: Boolean,
-                              sanitized: Boolean) {
+                              cdcBytes: Long, removeOffsets: Array[Long],
+                              removeBytes: Long, sanitized: Boolean) {
     def totalAdds: Long = addOffsets.length.toLong
     def totalCdc: Long = cdcOffsets.length.toLong
+    def totalRemoves: Long = removeOffsets.length.toLong
     def sawCdc: Boolean = cdcOffsets.nonEmpty
+    def sawRemoves: Boolean = removeOffsets.nonEmpty
     /** PURE-add versions (no change files, no dataChange removes — the
       * CONVERT/backfill shape) are the ones whose change rows are a
       * per-add derivation, so a slice of them is well-defined. */
     def pureAdds: Boolean = !sawRemoves && !sawCdc
+    /** DELETE-only versions (removes, no adds, no change files — the
+      * partition-delete/retention shape): each remove independently
+      * derives that file's delete rows, so a slice is well-defined. */
+    def deleteOnly: Boolean =
+      sawRemoves && !sawCdc && addOffsets.isEmpty
   }
   private var walkMemo: Option[WalkMemo] = None
 
@@ -313,16 +319,16 @@ class DeltaSource(
   private def fullScan(path: org.apache.hadoop.fs.Path, v: Long,
                        sanitize: Boolean)(
       onAdd: (Long, AddFile) => Unit,
-      onCdc: (Long, AddCDCFile) => Unit = (_, _) => ()): WalkMemo = {
+      onCdc: (Long, AddCDCFile) => Unit = (_, _) => (),
+      onRemove: (Long, RemoveFile) => Unit = (_, _) => ()): WalkMemo = {
     val fs = path.getFileSystem(deltaLog.hadoopConf)
     val in = fs.open(path)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     val cdcOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val removeOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     var addBytes = 0L
     var cdcBytes = 0L
-    var removeCount = 0L
     var removeBytes = 0L
-    var sawRemoves = false
     var pos = 0L
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { l =>
@@ -336,8 +342,8 @@ class DeltaSource(
               offsets += start
               addBytes += a.size
             case r: RemoveFile if r.dataChange =>
-              sawRemoves = true
-              removeCount += 1
+              onRemove(removeOffsets.length.toLong, r)
+              removeOffsets += start
               removeBytes += r.size.getOrElse(0L)
             case c: AddCDCFile =>
               onCdc(cdcOffsets.length.toLong, c)
@@ -365,7 +371,7 @@ class DeltaSource(
       }
     } finally in.close()
     val memo = WalkMemo(v, offsets.toArray, addBytes, cdcOffsets.toArray,
-      cdcBytes, removeCount, removeBytes, sawRemoves,
+      cdcBytes, removeOffsets.toArray, removeBytes,
       sanitized = sanitize ||
         walkMemo.exists(m => m.version == v && m.sanitized))
     walkMemo = Some(memo)
@@ -429,6 +435,15 @@ class DeltaSource(
       case c: AddCDCFile => Some(c)
       case _ => None
     }(onCdc)
+
+  /** Data-remove walk (delete-only-version CDF chunking). */
+  private def seekWalkRemoves(path: org.apache.hadoop.fs.Path,
+                              memo: WalkMemo, fromIdx: Long)(
+      onRemove: (Long, RemoveFile) => Boolean): Boolean =
+    seekWalkActions(path, memo.removeOffsets, fromIdx) {
+      case r: RemoveFile if r.dataChange => Some(r)
+      case _ => None
+    }(onRemove)
 
   // ------------------------------------------------- initial-snapshot cursor
   /** The pinned initial snapshot's distributed index: every active file
@@ -642,12 +657,44 @@ class DeltaSource(
           } else {
             end = DeltaSourceOffset.boundary(v)
           }
+        } else if (memo.deleteOnly) {
+          // delete-only version (partition delete / retention): each
+          // remove independently derives that file's delete rows — chunk
+          // by remove index (derived deletes READ the removed parquet,
+          // so removes are files-to-read and budget like any other)
+          var rmTo = skip
+          var rmStopped = false
+          def admitRemove(idx: Long, r: RemoveFile): Boolean = {
+            val sz = r.size.getOrElse(0L)
+            val over = fileBudget.exists(files + 1 > _) ||
+              byteBudget.exists(bytes + sz > _)
+            if (over && (files > 0 || bytes > 0L)) { rmStopped = true; false }
+            else { files += 1; bytes += sz; rmTo = idx + 1; true }
+          }
+          if (!seekWalkRemoves(fstat.getPath, memo, skip)(admitRemove)) {
+            walkMemo = None
+            rmTo = skip; rmStopped = false
+            fullScan(fstat.getPath, v, sanitize = false)(
+              (_, _) => (), (_, _) => (),
+              (idx, r) => if (idx >= skip && !rmStopped) {
+                admitRemove(idx, r); ()
+              })
+          }
+          if (rmStopped) {
+            done = true
+            if (rmTo > skip) {
+              end =
+                if (rmTo >= memo.totalRemoves) DeltaSourceOffset.boundary(v)
+                else DeltaSourceOffset(v, rmTo)
+            }
+          } else {
+            end = DeltaSourceOffset.boundary(v)
+          }
         } else {
-          // remove-carrying version without change files (delete-only
-          // commits — derived deletes come from the removes together):
-          // whole-or-not, budgeted by adds AND removes (first version
-          // always fits — a batch must make progress)
-          val vFiles = memo.totalAdds + memo.removeCount
+          // adds AND removes without change files: the CDF read of such
+          // a version refuses downstream (rewrite without change files);
+          // admit whole so the refusal surfaces, budget-counted
+          val vFiles = memo.totalAdds + memo.totalRemoves
           val vBytes = memo.addBytes + memo.removeBytes
           val over = fileBudget.exists(files + vFiles > _) ||
             byteBudget.exists(bytes + vBytes > _)
@@ -809,10 +856,25 @@ class DeltaSource(
               v, sliced.result(), "stream")
             cdcFiles ++= c
             derived ++= d
+          } else if (memo0.deleteOnly) {
+            val sliced = Vector.newBuilder[RemoveFile]
+            def take(idx: Long, r: RemoveFile): Boolean =
+              if (idx < sliceUntil) { sliced += r; true } else false
+            if (!seekWalkRemoves(fstat.getPath, memo0, sliceFrom)(take)) {
+              walkMemo = None
+              sliced.clear()
+              fullScan(fstat.getPath, v, sanitize = true)(
+                (_, _) => (), (_, _) => (),
+                (idx, r) => if (idx >= sliceFrom) { take(idx, r); () })
+            }
+            val (c, d) = graft.delta.read.CdfRelation.tagFiles(
+              v, sliced.result(), "stream")
+            cdcFiles ++= c
+            derived ++= d
           } else {
             require(memo0.pureAdds,
               s"internal: sub-version CDF offset over version $v, which " +
-                "carries removes but no change files")
+                "mixes adds and removes without change files")
             val sliced = Vector.newBuilder[AddFile]
             def take(idx: Long, a: AddFile): Boolean =
               if (idx < sliceUntil) { sliced += a; true } else false

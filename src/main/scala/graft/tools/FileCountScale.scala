@@ -407,6 +407,44 @@ object FileCountScale {
         s"expected ${nFiles / budget} cdc chunks, got $batches")
       require(total == nFiles, s"cdc chunks covered $total of $nFiles")
     }
+    // r14: a giant DELETE-ONLY commit's derived-delete feed chunks by
+    // remove index — with this, every CDF version shape is O(budget)
+    timed("ingest giant delete-only commit") {
+      val rms = (1 to nFiles).map(i => RemoveFile(
+        s"p=ghost${i % 50}/part-0-$i.parquet", Some(1L), dataChange = true,
+        partitionValues = Some(Map("p" -> s"ghost${i % 50}")),
+        size = Some(1L)))
+      log.startTransaction().commit(rms, DeltaOperations.ManualUpdate)
+    }
+    timed("CDF drain giant delete-only commit (chunked)") {
+      val rmV = log.update().version
+      val rmSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+        log, Map("startingVersion" -> rmV.toString,
+          "readChangeFeed" -> "true"))
+      var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
+      var total = 0L
+      var batches = 0
+      var done = false
+      while (!done) {
+        val end = rmSrc.latestOffset(prev, ReadLimit.maxFiles(budget))
+        if (end == null || (prev != null && end.json == prev.json)) {
+          done = true
+        } else {
+          val n = plannedFiles(rmSrc.getBatch(
+            Option(prev).map(_.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]),
+            end.asInstanceOf[
+              org.apache.spark.sql.execution.streaming.Offset]))
+          require(n <= budget, s"remove batch planned $n files > $budget")
+          total += n
+          batches += 1
+          prev = end
+        }
+      }
+      require(batches == nFiles / budget,
+        s"expected ${nFiles / budget} remove chunks, got $batches")
+      require(total == nFiles, s"remove chunks covered $total of $nFiles")
+    }
     out.result()
   }
 

@@ -295,6 +295,53 @@ class ChangeDataFeedSpec extends SparkSpec {
     }
   }
 
+  test("a delete-only version (removes, no change files) chunks through " +
+      "the CDF stream by remove index — union equals the batch CDF read") {
+    withTempDir { base =>
+      val dir = s"$base/table"
+      // 3 partitions; a whole-partition delete is metadata-only: one
+      // version with one RemoveFile per partition file and NO cdc files
+      DeltaTable.write(
+        (1 to 9).map(i => (i, i % 3, i * 1.0)).toDF("id", "p", "v"), dir,
+        partitionBy = Seq("p"), configuration = cdf)          // v0
+      DeltaTable.forPath(spark, dir).delete($"p" >= 0)        // v1: all
+      val log = DeltaLog.forTable(spark, dir)
+      val acts = log.getChanges(1L).next()._2
+      val rmCount = acts.count {
+        case r: RemoveFile => r.dataChange
+        case _ => false
+      }
+      assert(rmCount >= 2 && !acts.exists(_.isInstanceOf[AddCDCFile]),
+        s"setup needs a delete-only version with >=2 removes: $acts")
+
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxFilesPerTrigger", "1")
+        .load(dir)
+        .writeStream.format("memory").queryName("rm_chunked")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= rmCount,
+        s"a $rmCount-remove version must drain as >=$rmCount batches")
+      val streamed = spark.table("rm_chunked")
+        .select($"id", $"v", col("_change_type"), col("_commit_version"))
+        .as[(Int, Double, String, Long)].collect()
+      assert(streamed.length == streamed.distinct.length,
+        "chunked drain duplicated delete rows")
+      val batch = spark.read.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "1")
+        .load(dir)
+        .select($"id", $"v", col("_change_type"), col("_commit_version"))
+        .as[(Int, Double, String, Long)].collect()
+      assert(streamed.toSet == batch.toSet,
+        "chunked delete-only CDF stream diverged from the batch read")
+      assert(streamed.forall(_._3 == "delete"))
+    }
+  }
+
   test("a wide version range plans at most two scan relations") {
     withTempDir { dir =>
       DeltaTable.write(Seq((1, "a")).toDF("id", "v"), dir,

@@ -418,6 +418,44 @@ class FileCountScaleSpec extends SparkSpec {
           ReadLimit.maxFiles(budget))
         assert(resumed.json ==
           s"""{"version":$dmlV,"index":${4 * budget}}""")
+
+        // a 100k-remove DELETE-ONLY commit (partition delete / retention
+        // shape) chunks by remove index the same way
+        val rms = (1 to N).map(i => RemoveFile(
+          s"p=ghost${i % 50}/part-0-$i.parquet", Some(1L),
+          dataChange = true,
+          partitionValues = Some(Map("p" -> s"ghost${i % 50}")),
+          size = Some(1L)))
+        log.startTransaction().commit(rms, DeltaOperations.ManualUpdate)
+        val rmV = log.update().version
+        val rmSrc = new graft.delta.streaming.DeltaSource(spark.sqlContext,
+          log, Map("startingVersion" -> rmV.toString,
+            "readChangeFeed" -> "true"))
+        var rmPrev: org.apache.spark.sql.connector.read.streaming.Offset =
+          null
+        var rmBatches = 0
+        var rmPlanned = 0L
+        var rmDone = false
+        while (!rmDone) {
+          val end = rmSrc.latestOffset(rmPrev, ReadLimit.maxFiles(budget))
+          if (end == null || (rmPrev != null && end.json == rmPrev.json)) {
+            rmDone = true
+          } else {
+            val n = plannedFiles(rmSrc.getBatch(
+              Option(rmPrev).map(_.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]),
+              end.asInstanceOf[
+                org.apache.spark.sql.execution.streaming.Offset]))
+            assert(n <= budget, s"remove batch planned $n files > $budget")
+            rmPlanned += n
+            rmBatches += 1
+            rmPrev = end
+          }
+        }
+        assert(rmBatches == N / budget,
+          s"expected ${N / budget} remove chunks, got $rmBatches")
+        assert(rmPlanned == N, s"remove chunks covered $rmPlanned of $N")
+        assert(rmPrev.json == rmV.toString)
       } finally {
         spark.conf.unset(Snapshot.DriverStateMaxBytesKey)
       }
