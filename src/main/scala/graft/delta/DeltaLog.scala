@@ -690,6 +690,24 @@ class DeltaLog private (
         if (fs.delete(p, false)) deleted += 1
       } else if (FileNames.isV2CheckpointFile(p)) survivingV2 += f
     }
+    // staged coordinated commits orphaned in _staged_commits: the
+    // rename-backfill consumes staged files on publish, so a survivor is
+    // a crash remnant (payload written, claim never taken — the healed
+    // claimed case renames it away) or a foreign writer's copy-backfill
+    // leftover. Expired ones whose version is already served by the main
+    // log (backfilled, or below the newest checkpoint) are garbage.
+    val stagedDir = FileNames.stagedCommitDir(logPath)
+    if (fs.exists(stagedDir)) {
+      fs.listStatus(stagedDir).foreach { sf =>
+        val name = sf.getPath.getName
+        val version = name.split('.').headOption
+          .filter(_.forall(_.isDigit)).map(_.toLong)
+        val served = version.exists(v => v < latestCheckpoint ||
+          fs.exists(FileNames.deltaFile(logPath, v)))
+        if (sf.getModificationTime < cutoff && served &&
+            fs.delete(sf.getPath, false)) deleted += 1
+      }
+    }
     // sidecars orphaned by deleted V2 checkpoints: an expired sidecar not
     // referenced by any SURVIVING v2 checkpoint is garbage (the surviving
     // mains are few — one read each)

@@ -179,6 +179,46 @@ class CoordinatedCommitsBridgeSpec extends SparkSpec {
     }
   }
 
+  test("log cleanup sweeps expired orphaned staged commits whose version " +
+      "the main log already serves — and keeps young or unserved ones") {
+    withTempDir { dir =>
+      val start = 1000000000000L
+      var now = start
+      DeltaTable.write((1 to 5).toDF("id"), dir,
+        configuration = Map(
+          "delta.checkpointInterval" -> "2",
+          "delta.logRetentionDuration" -> "interval 30 days"))
+      val log = DeltaLog.forTable(spark, dir)
+      log.clock = () => now
+      (1 to 3).foreach(i => DeltaTable.write(Seq(i).toDF("id"), dir))
+      val fs = log.logPath.getFileSystem(log.hadoopConf)
+      val stagedDir = FileNames.stagedCommitDir(log.logPath)
+      fs.mkdirs(stagedDir)
+      def mk(p: org.apache.hadoop.fs.Path, mtime: Long): Unit = {
+        val out = fs.create(p, false); out.write("x\n".getBytes("UTF-8"))
+        out.close(); fs.setTimes(p, mtime, mtime)
+      }
+      // orphan for a BACKFILLED version, expired -> swept
+      val backfilled = FileNames.stagedCommitFile(log.logPath, 1L, "aa")
+      mk(backfilled, start)
+      // orphan for a backfilled version but YOUNG -> kept (its writer may
+      // be mid-publish)
+      val young = FileNames.stagedCommitFile(log.logPath, 2L, "bb")
+      // orphan for an UNSERVED future version, expired -> kept (it may be
+      // the only copy of a coordinated commit awaiting backfill)
+      val unserved = FileNames.stagedCommitFile(log.logPath, 99L, "cc")
+      mk(unserved, start)
+      fs.listStatus(log.logPath).foreach(f =>
+        if (f.isFile) fs.setTimes(f.getPath, start, start))
+      now = start + 40L * 24 * 3600 * 1000
+      mk(young, now)
+      log.cleanUpExpiredLogs()
+      assert(!fs.exists(backfilled), "expired backfilled orphan must sweep")
+      assert(fs.exists(young), "a young staged file must survive")
+      assert(fs.exists(unserved), "an unserved staged commit must survive")
+    }
+  }
+
   test("two racing writers through one coordinator both land") {
     withTempDir { dir =>
       CommitCoordinator.register("race-coordinator",

@@ -142,6 +142,30 @@ class InitialSnapshotChunkingSpec extends SparkSpec {
     }
   }
 
+  test("a chunked initial-snapshot drain over a DV-shaded table does not " +
+      "resurrect deleted rows in any slice") {
+    withTempDir { base =>
+      val table = s"$base/table"
+      DeltaTable.write((1 to 60).toDF("value").repartition(12), table,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      // shade every file with a deletion vector (multiples of 3 die);
+      // each drain slice must apply its files' DV anti-filter
+      DeltaTable.forPath(spark, table).delete($"value" % 3 === 0)
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "5")
+        .load(table)
+        .writeStream.format("memory").queryName("dvdrain")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "the DV snapshot must still chunk")
+      val got = spark.table("dvdrain").as[Int].collect().sorted.toSeq
+      assert(got == (1 to 60).filter(_ % 3 != 0).toSeq,
+        s"DV-deleted rows resurrected or lost in the drain: ${got.size}")
+    }
+  }
+
   test("CDF stream chunks its initial snapshot as insert slices at the " +
       "pinned version") {
     withTempDir { base =>
