@@ -94,9 +94,14 @@ object Bench {
     try { canaryOnce(); canaryOnce() } catch { case _: Throwable => }
     canary()
     var sinceCanary = 0
+    // which canary bracket each query ran inside, for per-query local
+    // normalization: query i is bounded by the last canary before it and
+    // the first after it
+    val bracketOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = selected.map { case (name, fn) =>
       sinceCanary += 1
       if (sinceCanary >= 20) { canary(); sinceCanary = 0 }
+      bracketOf(name) = canaries.size - 1
       val s1 = sample(name, fn)
       if (s1 < 0) name -> (s1, Seq(s1))
       else {
@@ -159,11 +164,33 @@ object Bench {
     // start from. Raw total stays authoritative for the bar itself.
     val totalNormalized =
       if (canarySpread > 0) total / canarySpread else total
+    // PER-QUERY local normalization (NOTES r14): when a run sits in the
+    // suspect band, the whole-run spread is a blunt corrector — phases
+    // of contention inflate some brackets more than others. Each query's
+    // local inflation is the mean of its bracketing canary probes over
+    // the run's best probe (floored at 1 — a probe can't deflate work);
+    // queries_normalized divides each timing by it. Raw timings stay
+    // authoritative; this saves an isolation round-trip when reading a
+    // suspect artifact.
+    def localInflation(b: Int): Double = {
+      if (canaries.isEmpty || canaryMin <= 0) return 1.0
+      val before = canaries(math.max(0, math.min(b, canaries.size - 1)))
+      val after = canaries(math.min(b + 1, canaries.size - 1))
+      math.max(1.0, ((before + after) / 2.0) / canaryMin)
+    }
+    val normalizedQs = sorted.map { case (k, v) =>
+      val n = if (v._1 < 0) v._1
+              else v._1 / localInflation(bracketOf.getOrElse(k, 0))
+      "\"" + k + "\":" + fmt(n)
+    }.mkString("{", ",", "}")
+    val totalNormalizedLocal = results.map { case (k, v) =>
+      if (v._1 < 0) 0.0 else v._1 / localInflation(bracketOf.getOrElse(k, 0))
+    }.sum
     val contentionJson =
       s""""contention":{"canary_sec":${canaries.map(fmt).mkString("[", ",", "]")},""" +
         s""""spread":${fmt(canarySpread)},"contaminated":$contaminated,"label":"$label"}"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_normalized":${fmt(totalNormalized)},"queries":$fullQs,"samples":$fullSamples,$contentionJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_normalized":${fmt(totalNormalized)},"total_normalized_local":${fmt(totalNormalizedLocal)},"queries":$fullQs,"queries_normalized":$normalizedQs,"samples":$fullSamples,$contentionJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))

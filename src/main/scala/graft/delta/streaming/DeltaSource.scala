@@ -478,7 +478,6 @@ class DeltaSource(
             s"(${initialSnapshot.version}) and the initial snapshot " +
             s"batch ($v); restart the stream to pick it up")
       }
-      implicit val encA = org.apache.spark.sql.Encoders.product[AddFile]
       implicit val enc =
         org.apache.spark.sql.Encoders.product[SnapshotIndexedFile]
       val sortedRdd = snap.allFilesDistributed.sort("path").rdd
