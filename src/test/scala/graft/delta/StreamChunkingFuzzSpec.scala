@@ -35,7 +35,14 @@ class StreamChunkingFuzzSpec extends SparkSpec {
     extends CommitShape
   case class DeleteOnly(n: Int) extends CommitShape
 
-  case class FuzzCase(shapes: List[CommitShape], budgets: List[Int],
+  /** A trigger's admission limit: a file cap or a byte cap (the byte
+    * path crosses the memo's size accounting and the snapshot cursor's
+    * cumulative-bytes cut — the subtlest arithmetic in the chunker). */
+  sealed trait Budget
+  case class FileBudget(n: Int) extends Budget
+  case class ByteBudget(b: Long) extends Budget
+
+  case class FuzzCase(shapes: List[CommitShape], budgets: List[Budget],
                       restarts: List[Boolean])
 
   private val genShape: Gen[CommitShape] = Gen.frequency(
@@ -47,52 +54,62 @@ class StreamChunkingFuzzSpec extends SparkSpec {
     } yield CdcVersion(c, a, r)),
     2 -> Gen.choose(1, 8).map(DeleteOnly.apply))
 
+  private val genBudget: Gen[Budget] = Gen.frequency(
+    3 -> Gen.choose(1, 15).map(FileBudget.apply),
+    // ghost sizes run 50-60 (cdc/removes) to ~100-900 (adds), so this
+    // range spans "one file barely fits" to "a dozen fit"
+    2 -> Gen.choose(60L, 2500L).map(ByteBudget.apply))
+
   private val genCase: Gen[FuzzCase] = for {
     n <- Gen.choose(1, 5)
     shapes <- Gen.listOfN(n, genShape)
-    budgets <- Gen.listOfN(400, Gen.choose(1, 15))
+    budgets <- Gen.listOfN(400, genBudget)
     restarts <- Gen.listOfN(400,
       Gen.frequency(7 -> Gen.const(false), 3 -> Gen.const(true)))
   } yield FuzzCase(shapes, budgets, restarts)
 
-  /** One commit's materialized actions plus its CDF expectation. The
-    * builder is the shared source of truth: the table construction AND
-    * the oracle both read from it (clamps applied identically). */
-  private case class BuiltCommit(actions: Seq[Action], cdfFiles: Seq[String])
+  /** One commit's materialized actions plus its CDF expectation as
+    * (file name, budget-relevant size) in walk order. The builder is the
+    * shared source of truth: the table construction AND the oracle both
+    * read from it (clamps applied identically). */
+  private case class BuiltCommit(actions: Seq[Action],
+                                 cdfFiles: Seq[(String, Long)])
 
   /** Walk the script deterministically: returns (commits, finalActive).
     * DeleteOnly/CdcVersion removes clamp to the currently active ghosts
     * (earliest-added first); a DeleteOnly with nothing to remove
     * degrades to a 1-file PureAdd so every commit stays non-empty. */
   private def build(shapes: List[CommitShape])
-      : (Seq[BuiltCommit], Seq[String]) = {
-    val active = scala.collection.mutable.ArrayBuffer.empty[String]
+      : (Seq[BuiltCommit], Seq[(String, Long)]) = {
+    val active =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var serial = 0
     def ghostAdds(c: Int, n: Int): Seq[AddFile] = (1 to n).map { i =>
       serial += 1
       val name = f"g$c%02d-$serial%04d.parquet"
-      active += name
+      active += ((name, 100L + serial))
       AddFile(name, Map.empty, 100L + serial, 1L, dataChange = true)
     }
     def takeRemoves(n: Int): Seq[RemoveFile] = {
       val victims = active.take(n).toSeq
       active --= victims
-      victims.map(p => RemoveFile(p, Some(1L), dataChange = true,
-        partitionValues = Some(Map.empty), size = Some(50L)))
+      victims.map { case (p, _) => RemoveFile(p, Some(1L),
+        dataChange = true,
+        partitionValues = Some(Map.empty), size = Some(50L)) }
     }
     val commits = shapes.zipWithIndex.map { case (shape, ci) =>
       shape match {
         case PureAdd(n) =>
           val adds = ghostAdds(ci, n)
-          BuiltCommit(adds, adds.map(_.path))
+          BuiltCommit(adds, adds.map(a => a.path -> a.size))
         case DeleteOnly(n0) =>
           val n = math.min(n0, active.size)
           if (n == 0) {
             val adds = ghostAdds(ci, 1)
-            BuiltCommit(adds, adds.map(_.path))
+            BuiltCommit(adds, adds.map(a => a.path -> a.size))
           } else {
             val rms = takeRemoves(n)
-            BuiltCommit(rms, rms.map(_.path))
+            BuiltCommit(rms, rms.map(r => r.path -> 50L))
           }
         case CdcVersion(nCdc, nAdds, nRemoves0) =>
           val rms = takeRemoves(math.min(nRemoves0, active.size))
@@ -103,7 +120,7 @@ class StreamChunkingFuzzSpec extends SparkSpec {
           }
           // line order within the commit file: cdc, adds, removes —
           // fixed so the oracle's within-version order is well-defined
-          BuiltCommit(cdcs ++ adds ++ rms, cdcs.map(_.path))
+          BuiltCommit(cdcs ++ adds ++ rms, cdcs.map(c => c.path -> 60L))
       }
     }
     (commits, active.toSeq)
@@ -120,10 +137,12 @@ class StreamChunkingFuzzSpec extends SparkSpec {
     }.flatten.map(p => new org.apache.hadoop.fs.Path(p).getName)
 
   /** Drive the source to exhaustion under the case's budget/restart
-    * scripts; assert per-batch budget + contiguity against `expected`
-    * (the walk-order file sequence) as it goes; return batches taken. */
+    * scripts; assert per-batch budget (files, or bytes via `sizeOf` —
+    * a single file may exceed a byte cap, the admit-at-least-one rule) +
+    * contiguity against `expected` (the walk-order file sequence) as it
+    * goes; return batches taken. */
   private def drain(log: DeltaLog, options: Map[String, String],
-                    c: FuzzCase, expected: Seq[String]): Int = {
+                    c: FuzzCase, expected: Seq[(String, Long)]): Int = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     var src = new streaming.DeltaSource(spark.sqlContext, log, options)
     var prev: org.apache.spark.sql.connector.read.streaming.Offset = null
@@ -136,7 +155,11 @@ class StreamChunkingFuzzSpec extends SparkSpec {
       val budget = c.budgets(step % c.budgets.size)
       val restart = c.restarts(step % c.restarts.size)
       step += 1
-      val end = src.latestOffset(prev, ReadLimit.maxFiles(budget))
+      val limit = budget match {
+        case FileBudget(n) => ReadLimit.maxFiles(n)
+        case ByteBudget(b) => ReadLimit.maxBytes(b)
+      }
+      val end = src.latestOffset(prev, limit)
       if (end == null || (prev != null && end.json == prev.json)) {
         done = true
       } else {
@@ -145,15 +168,25 @@ class StreamChunkingFuzzSpec extends SparkSpec {
             org.apache.spark.sql.execution.streaming.Offset]),
           end.asInstanceOf[
             org.apache.spark.sql.execution.streaming.Offset]))
-        assert(files.size <= budget,
-          s"batch of ${files.size} files over budget $budget " +
-            s"(offset ${end.json})")
         assert(files.nonEmpty, s"empty non-final batch at ${end.json}")
         // contiguity: the batch is exactly the next slice of the walk
+        // (sizes come from the oracle slice — occurrence-specific, since
+        // a ghost added in one version can reappear as a remove later)
         val slice = remaining.take(files.size)
-        assert(files.toSet == slice.toSet,
+        assert(files.toSet == slice.map(_._1).toSet,
           s"batch diverged at ${end.json}: got ${files.sorted} " +
-            s"expected slice ${slice.sorted}")
+            s"expected slice ${slice.map(_._1).sorted}")
+        budget match {
+          case FileBudget(n) =>
+            assert(files.size <= n,
+              s"batch of ${files.size} files over file budget $n " +
+                s"(offset ${end.json})")
+          case ByteBudget(b) =>
+            val sz = slice.map(_._2).sum
+            assert(files.size == 1 || sz <= b,
+              s"batch of ${files.size} files / $sz bytes over byte " +
+                s"budget $b (offset ${end.json})")
+        }
         remaining = remaining.drop(files.size)
         batches += 1
         prev = end
@@ -167,7 +200,7 @@ class StreamChunkingFuzzSpec extends SparkSpec {
     }
     assert(remaining.isEmpty,
       s"drain ended with ${remaining.size} undelivered files: " +
-        s"${remaining.take(5)}")
+        s"${remaining.take(5).map(_._1)}")
     batches
   }
 
@@ -194,9 +227,12 @@ class StreamChunkingFuzzSpec extends SparkSpec {
         // relative path (the real file lives under a batch-<uuid>/
         // subdir), while plannedPaths compares by file NAME — so sort by
         // full path, then project to names
-        val realV0 = log.getSnapshotForVersionAsOf(0).allFiles.map(_.path)
-        val snapExpected = (finalActive.map(p => (p, p)) ++
-            realV0.map(p => (p, new org.apache.hadoop.fs.Path(p).getName)))
+        val realV0 = log.getSnapshotForVersionAsOf(0).allFiles
+          .map(f => (f.path, f.size))
+        val snapExpected = (finalActive.map { case (p, sz) =>
+            (p, (p, sz)) } ++
+            realV0.map { case (p, sz) =>
+              (p, (new org.apache.hadoop.fs.Path(p).getName, sz)) })
           .sortBy(_._1).map(_._2)
         DeltaLog.clearCache()
         val log2 = DeltaLog.forTable(spark, dir)
