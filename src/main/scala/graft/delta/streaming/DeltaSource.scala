@@ -530,16 +530,25 @@ class DeltaSource(
     }
     val cur = cursorFor(v)
     if (from >= cur.total) return DeltaSourceOffset.boundary(v)
-    val startCum: Long =
-      if (byteBudget.isEmpty || from == 0L) 0L
-      else cur.indexed.filter(_.idx == from - 1).head().cumBytes
-    val fCap = fileBudget.map(f => from + f.toLong).getOrElse(Long.MaxValue)
-    // cumBytes is monotone in idx, so the byte filter keeps a contiguous
-    // prefix and count() IS the admitted run length
-    val admitted = cur.indexed.filter { x =>
-      x.idx >= from && x.idx < fCap &&
-        byteBudget.forall(b => x.cumBytes - startCum <= b)
-    }.count()
+    val admitted =
+      if (byteBudget.isEmpty) {
+        // file-only budget: ranks are dense, so the cut is arithmetic —
+        // ZERO jobs per trigger (a 10M-file drain at budget 1000 would
+        // otherwise pay 10k count jobs)
+        math.min(fileBudget.get.toLong, cur.total - from)
+      } else {
+        val startCum: Long =
+          if (from == 0L) 0L
+          else cur.indexed.filter(_.idx == from - 1).head().cumBytes
+        val fCap =
+          fileBudget.map(f => from + f.toLong).getOrElse(Long.MaxValue)
+        // cumBytes is monotone in idx, so the byte filter keeps a
+        // contiguous prefix and count() IS the admitted run length
+        cur.indexed.filter { x =>
+          x.idx >= from && x.idx < fCap &&
+            byteBudget.forall(b => x.cumBytes - startCum <= b)
+        }.count()
+      }
     val to = from + math.max(1L, admitted) // always make progress
     if (to >= cur.total) DeltaSourceOffset.boundary(v)
     else DeltaSourceOffset(v, to, isSnapshot = true)
