@@ -41,6 +41,7 @@ class StreamChunkingFuzzSpec extends SparkSpec {
   sealed trait Budget
   case class FileBudget(n: Int) extends Budget
   case class ByteBudget(b: Long) extends Budget
+  case class CompositeBudget(n: Int, b: Long) extends Budget
 
   case class FuzzCase(shapes: List[CommitShape], budgets: List[Budget],
                       restarts: List[Boolean])
@@ -58,7 +59,13 @@ class StreamChunkingFuzzSpec extends SparkSpec {
     3 -> Gen.choose(1, 15).map(FileBudget.apply),
     // ghost sizes run 50-60 (cdc/removes) to ~100-900 (adds), so this
     // range spans "one file barely fits" to "a dozen fit"
-    2 -> Gen.choose(60L, 2500L).map(ByteBudget.apply))
+    2 -> Gen.choose(60L, 2500L).map(ByteBudget.apply),
+    // both caps at once (the engine's CompositeReadLimit): the batch
+    // ends at whichever budget runs out first
+    1 -> (for {
+      n <- Gen.choose(1, 15)
+      b <- Gen.choose(60L, 2500L)
+    } yield CompositeBudget(n, b)))
 
   private val genCase: Gen[FuzzCase] = for {
     n <- Gen.choose(1, 5)
@@ -158,6 +165,8 @@ class StreamChunkingFuzzSpec extends SparkSpec {
       val limit = budget match {
         case FileBudget(n) => ReadLimit.maxFiles(n)
         case ByteBudget(b) => ReadLimit.maxBytes(b)
+        case CompositeBudget(n, b) => ReadLimit.compositeLimit(
+          Array(ReadLimit.maxFiles(n), ReadLimit.maxBytes(b)))
       }
       val end = src.latestOffset(prev, limit)
       if (end == null || (prev != null && end.json == prev.json)) {
@@ -186,6 +195,13 @@ class StreamChunkingFuzzSpec extends SparkSpec {
             assert(files.size == 1 || sz <= b,
               s"batch of ${files.size} files / $sz bytes over byte " +
                 s"budget $b (offset ${end.json})")
+          case CompositeBudget(n, b) =>
+            val sz = slice.map(_._2).sum
+            assert(files.size <= n,
+              s"composite batch of ${files.size} files over $n " +
+                s"(offset ${end.json})")
+            assert(files.size == 1 || sz <= b,
+              s"composite batch of $sz bytes over $b (offset ${end.json})")
         }
         remaining = remaining.drop(files.size)
         batches += 1
