@@ -158,6 +158,27 @@ object Curation {
         floor((col("offset") + col("toks") - 1) / ctxLen).as("last_chunk"))
   }
 
+  /** Sequence-length bucketing for training batches: documents grouped
+    * into fixed-width token-count buckets (`bucket = toks div width`),
+    * reporting per bucket the document/token totals and the padding
+    * waste a per-bucket batcher would pay when padding every sequence to
+    * the bucket's observed max (`n_docs * max_toks - total_tokens`) —
+    * the number length-bucketed batching exists to minimize. Exact
+    * integers end to end; one partial-aggregated shuffle on the bucket
+    * key, so 100 TB of documents reduce map-side to O(buckets) rows. */
+  def lengthBuckets(df: DataFrame, tokCountCol: Column,
+                    bucketWidth: Int): DataFrame = {
+    require(bucketWidth > 0)
+    df.select(tokCountCol.cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .groupBy(floor(col("toks") / bucketWidth).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("toks")).as("total_tokens"),
+           max(col("toks")).as("max_toks"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_toks") - col("total_tokens"))
+  }
+
   /** Scrub a regex from the text (PII patterns, denylist terms),
     * replacing every match with `replacement`. Adds `<out>` (scrubbed
     * text) and `<out>_hits` (match count) — pure per-row codegen'd

@@ -2590,6 +2590,25 @@ object PipelineQueries {
         FROM off GROUP BY bucket""")),
 
     QueryDef(
+      "curate_length_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Curation.lengthBuckets(docs, tokenCount($"text"), bucketWidth = 16)
+          .orderBy($"bucket")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT len(regexp_split_to_array(trim(text), '\s+')) AS toks
+          FROM documents)
+        SELECT toks // 16 AS bucket, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(MAX(toks) AS BIGINT) AS max_toks,
+               CAST(COUNT(*) * MAX(toks) - SUM(toks) AS BIGINT)
+                 AS padding_waste
+        FROM toks WHERE toks > 0 GROUP BY 1""")),
+
+    QueryDef(
       "curate_chunk_overlap",
       (s, dir) => {
         import s.implicits._
