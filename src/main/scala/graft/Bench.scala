@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // CLASS-SKEW GUARD (VERDICT r14 #3): stamp the classes-dir
+    // fingerprint so a recompile racing the run marks the artifact
+    val fpStart = graft.tools.ClassFingerprint.current()
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -80,28 +83,77 @@ object Bench {
     // each to adjudicate). Timings are unaffected; the canary runs
     // between samples, never inside one.
     //
-    // PROBE SIZE (r14): at 1e8 the probe ran ~50-150 ms on this host
-    // and scheduler/GC jitter (tens of ms) dominated the ratio — a run
-    // whose RAW total was the round's best self-labeled contaminated at
-    // spread 1.66 (5e8 still floored at ~90 ms; this sum runs multi-G
-    // rows/s on 32 cores). At 5e9 (~1 s) the fixed cost dominates and a
-    // 0.3 s GC pause reads as 1.3x on one probe, not 4x — the spread
-    // measures sustained contention again, at ~20 s per full run.
+    // PROBE SIZE (r14, core-scaled r15 per ADVICE): the probe must cost
+    // ~0.5-1 s or GC/scheduler jitter dominates median/min — at 1e8 rows
+    // (~50-150 ms on 32 cores) a run whose RAW total was the round's best
+    // self-labeled contaminated at spread 1.66. The sum parallelizes
+    // across cores, so a FIXED row count costs tens of seconds per probe
+    // pair on a small host; scale rows by effective parallelism to hold
+    // the ~1 s target (5e9 rows / 32 cores calibrated on this host).
+    val effCores = math.max(1,
+      math.min(cpus.toInt, Runtime.getRuntime.availableProcessors))
+    val probeRows = 156250000L * effCores
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       // the summand is bounded by the modulo so 5e9 terms stay far from
       // Long overflow (sum(id*2+1) would hit 2.5e19 > Long.MaxValue)
-      spark.range(5000000000L).selectExpr("sum(id % 1000003 + 7)").collect()
+      spark.range(probeRows).selectExpr("sum(id % 1000003 + 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // IO PROBE (VERDICT r14 #1): the compute probe is ZERO-IO by design,
+    // which made it BLIND to the r14 driver contamination — filesystem
+    // contention (a co-scheduled oracle run flushing page cache) inflated
+    // exactly the checkpoint/time-travel lifecycle queries 3-6x while the
+    // compute spread read 1.23 "clean". This probe exercises the same
+    // syscall mix those queries pay: create+write+fsync a few hundred
+    // small files, list the dir, read them back, delete. Its spread
+    // measures filesystem/page-cache contention the compute probe can't.
+    val ioDir = java.nio.file.Files.createTempDirectory("graft-bench-io")
+    val ioCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // probe size: ~0.3-0.5 s idle on this host — big enough that a lone
+    // scheduler hiccup can't fake sustained contention (the r14 compute-
+    // probe lesson), small enough that 2 probes x 2 samples x ~9 points
+    // stay under ~10 s of a full run
+    def ioProbeOnce(): Double = {
+      val payload = new Array[Byte](16384)
+      java.util.Arrays.fill(payload, 'x'.toByte)
+      val t0 = System.nanoTime()
+      val paths = (0 until 640).map { i =>
+        val p = ioDir.resolve(s"probe_$i.json")
+        val out = new java.io.FileOutputStream(p.toFile)
+        try { out.write(payload); out.getFD.sync() } finally out.close()
+        p
+      }
+      // list + re-read: the lifecycle queries' hot syscalls are listStatus
+      // over _delta_log and many small sequential reads
+      val listed = java.nio.file.Files.list(ioDir)
+      try listed.count() finally listed.close()
+      var sink = 0L
+      paths.foreach { p =>
+        sink += java.nio.file.Files.readAllBytes(p).length
+        java.nio.file.Files.delete(p)
+      }
+      if (sink < 0) println(sink) // keep the reads un-elidable
       (System.nanoTime() - t0) / 1e9
     }
     // each probe records the MIN of two back-to-back runs — the same
     // one-sided-noise statistic the queries use — so a single scheduler
     // hiccup doesn't read as sustained contention
-    def canary(): Unit = canaries += math.min(canaryOnce(), canaryOnce())
-    // untimed warmups first: the probe's own codegen/JIT compile must not
-    // masquerade as early-run contention
-    try { canaryOnce(); canaryOnce() } catch { case _: Throwable => }
+    def canary(): Unit = {
+      canaries += math.min(canaryOnce(), canaryOnce())
+      // min-of-3 for IO: fsync latency jitters with journal/writeback
+      // state even on an idle host (measured: back-to-back min-of-2
+      // points 0.39 vs 0.51 s idle), so one extra sample per point keeps
+      // honest idle runs out of the suspect band
+      ioCanaries +=
+        (try Seq(ioProbeOnce(), ioProbeOnce(), ioProbeOnce()).min
+         catch { case _: Throwable => -1.0 })
+    }
+    // untimed warmups first: the probe's own codegen/JIT compile (and the
+    // temp dir's first-touch cost) must not masquerade as early contention
+    try { canaryOnce(); canaryOnce(); ioProbeOnce() }
+    catch { case _: Throwable => }
     canary()
     var sinceCanary = 0
     // which canary bracket each query ran inside, for per-query local
@@ -155,17 +207,45 @@ object Bench {
       if (canaries.isEmpty) -1.0
       else canaries.sorted.apply(canaries.size / 2)
     val canarySpread = if (canaryMin > 0) canaryMedian / canaryMin else -1.0
+    val ioValid = ioCanaries.filter(_ > 0)
+    val ioMin = if (ioValid.nonEmpty) ioValid.min else -1.0
+    val ioMedian =
+      if (ioValid.isEmpty) -1.0
+      else ioValid.sorted.apply(ioValid.size / 2)
+    val ioSpread = if (ioMin > 0) ioMedian / ioMin else -1.0
+    // the ARTIFACT label combines the two probes (VERDICT r14 #1):
+    // compute contention and IO contention are independent failure
+    // modes, and r14 proved a run can be IO-contaminated (lifecycle
+    // queries 3-6x inflated) while pure-compute reads clean. IO spread
+    // bands are WIDER than compute's (1.5/2.0 vs 1.25/1.5): fsync
+    // latency jitters ~1.3x on an idle host, while the contamination
+    // this probe exists to catch reads 3-10x — the wider bands cost no
+    // detection power and keep honest runs out of the suspect band.
+    // ABSOLUTE IO FLOOR: a within-run spread is blind to contamination
+    // that covers the WHOLE run (every probe inflated -> min inflated ->
+    // spread ~1; validated by a full-run fsync-storm test that read
+    // spread 1.17 with every probe at 10x idle — the r14 driver shape).
+    // The io probe's work is FIXED (640 x 16 KB fsync writes + list +
+    // reads), so its min has an absolute meaning the core-scaled compute
+    // probe lacks: idle ~0.35 s on this host family. Past ~2.5x the run
+    // is under sustained IO pressure end-to-end; past ~6x it is the r14
+    // contamination mode outright.
+    val ioFloorSuspect = ioMin > 0.9
+    val ioFloorContaminated = ioMin > 2.0
     // three-band label (VERDICT r13 #4): r13's artifact sat at spread
     // 1.43 — under the 1.5 "contaminated" threshold yet demonstrably
     // ~1.2-1.4x uniformly inflated (three per-query scares all dissolved
     // under the judge's isolated re-measures). [1.25, 1.5) is the gray
     // zone where the run is usable as a green/red gate but its per-query
     // ratios are not trustworthy without isolation.
-    val contaminated = canarySpread > 1.5
+    val contaminated =
+      canarySpread > 1.5 || ioSpread > 2.0 || ioFloorContaminated
+    val suspect =
+      canarySpread >= 1.25 || ioSpread >= 1.5 || ioFloorSuspect
     val label =
-      if (canarySpread < 0) "unknown"
+      if (canarySpread < 0 && ioSpread < 0) "unknown"
       else if (contaminated) "contaminated"
-      else if (canarySpread >= 1.25) "suspect"
+      else if (suspect) "suspect"
       else "clean"
     // first-order-corrected total (VERDICT r13 #8): sustained contention
     // inflates the whole run ~uniformly by the canary spread (validated
@@ -196,9 +276,17 @@ object Bench {
     val totalNormalizedLocal = results.map { case (k, v) =>
       if (v._1 < 0) 0.0 else v._1 / localInflation(bracketOf.getOrElse(k, 0))
     }.sum
+    val fpEnd = graft.tools.ClassFingerprint.current()
+    val classSkew = fpStart != fpEnd
     val contentionJson =
       s""""contention":{"canary_sec":${canaries.map(fmt).mkString("[", ",", "]")},""" +
-        s""""spread":${fmt(canarySpread)},"contaminated":$contaminated,"label":"$label"}"""
+        s""""io_canary_sec":${ioCanaries.map(fmt).mkString("[", ",", "]")},""" +
+        s""""spread":${fmt(canarySpread)},"io_spread":${fmt(ioSpread)},""" +
+        s""""io_min_sec":${fmt(ioMin)},"io_floor_suspect":$ioFloorSuspect,""" +
+        s""""io_floor_contaminated":$ioFloorContaminated,""" +
+        s""""contaminated":$contaminated,"label":"$label"},""" +
+        s""""class_skew":$classSkew,"fingerprint_start":"$fpStart",""" +
+        s""""fingerprint_end":"$fpEnd""""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_normalized":${fmt(totalNormalized)},"total_normalized_local":${fmt(totalNormalizedLocal)},"queries":$fullQs,"queries_normalized":$normalizedQs,"samples":$fullSamples,$contentionJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
@@ -212,8 +300,14 @@ object Bench {
     }
     val bySlowest = results.toSeq.sortBy(-_._2._1)
     val budget = 1100
+    // HEADLINE RETIREMENT (VERDICT r14 #8): total_normalized is gone from
+    // the contract line — uniform-inflation normalization under-corrects
+    // non-uniform IO contamination (normalized v2_checkpoint read 9.4 s vs
+    // a true 3.6 in r14). The honest headline is RAW + both spreads + the
+    // band label; the normalized views stay in bench_full.json as
+    // diagnostics only.
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_normalized":${fmt(totalNormalized)},"n":${results.size},"queries_full":"bench_full.json","canary_spread":${fmt(canarySpread)},"contaminated":$contaminated,"contention_label":"$label","sf":"$sfDir","queries":"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_full":"bench_full.json","canary_spread":${fmt(canarySpread)},"io_spread":${fmt(ioSpread)},"contaminated":$contaminated,"contention_label":"$label","class_skew":$classSkew,"sf":"$sfDir","queries":"""
     val capped = {
       val sb = new StringBuilder
       var first = true
@@ -226,6 +320,17 @@ object Bench {
       sb.toString
     }
     println(head + "{" + capped + "}}")
+    try {
+      val leftovers = java.nio.file.Files.list(ioDir)
+      try leftovers.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally leftovers.close()
+      java.nio.file.Files.deleteIfExists(ioDir)
+    } catch { case _: Throwable => }
     spark.stop()
+    if (classSkew) {
+      System.err.println(s"BENCH CLASS SKEW: classes changed mid-run " +
+        s"($fpStart -> $fpEnd); timings are untrustworthy.")
+      sys.exit(1)
+    }
   }
 }

@@ -16,6 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // CLASS-SKEW GUARD (VERDICT r14 #3): a recompile racing this run
+    // makes forked/loaded classes inconsistent (the r14 delta_copy_into
+    // false failure); stamp the classes-dir fingerprint now and re-check
+    // at the end so a skewed artifact self-reports and fails loudly.
+    val fpStart = graft.tools.ClassFingerprint.current()
     // local-iteration filter (unset in driver runs): run only these names
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -44,6 +49,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fpEnd = graft.tools.ClassFingerprint.current()
+    val skew = fpStart != fpEnd
+    Files.writeString(Paths.get(s"$outDir/class_skew.json"),
+      s"""{"class_skew":$skew,"fingerprint_start":${q(fpStart)},""" +
+        s""""fingerprint_end":${q(fpEnd)}}""")
     spark.stop()
+    if (skew) {
+      System.err.println(s"[verify] CLASS SKEW: classes changed mid-run " +
+        s"($fpStart -> $fpEnd); results are untrustworthy. Recompile, " +
+        "then re-run on a quiet tree.")
+      sys.exit(1)
+    }
   }
 }

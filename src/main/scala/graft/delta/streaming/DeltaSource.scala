@@ -321,8 +321,7 @@ class DeltaSource(
       onAdd: (Long, AddFile) => Unit,
       onCdc: (Long, AddCDCFile) => Unit = (_, _) => (),
       onRemove: (Long, RemoveFile) => Unit = (_, _) => ()): WalkMemo = {
-    val fs = path.getFileSystem(deltaLog.hadoopConf)
-    val in = fs.open(path)
+    val in = deltaLog.openCommitStream(path)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     val cdcOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     val removeOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -388,8 +387,7 @@ class DeltaSource(
                                  offsets: Array[Long], fromIdx: Long)(
       select: Action => Option[T])(onItem: (Long, T) => Boolean): Boolean = {
     if (fromIdx >= offsets.length) return true
-    val fs = path.getFileSystem(deltaLog.hadoopConf)
-    val in = fs.open(path)
+    val in = deltaLog.openCommitStream(path)
     try {
       in.seek(offsets(fromIdx.toInt))
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -1066,7 +1064,14 @@ class DeltaSource(
     case other => DeltaSourceOffset.parse(other.json)
   }
 
-  override def stop(): Unit = ()
+  /** A stream stopped or failed mid-initial-snapshot-drain must not leak
+    * the persisted cursor sort for the lifetime of the Spark app (ADVICE
+    * r14); the drain's own final-slice release handles the happy path. */
+  override def stop(): Unit = {
+    snapshotCursor.foreach(c =>
+      try c.indexed.unpersist() catch { case _: Throwable => })
+    snapshotCursor = None
+  }
 }
 
 object DeltaSource {

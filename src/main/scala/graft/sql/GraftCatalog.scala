@@ -467,12 +467,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         // (the old unconditional-restore could unwind a legitimate nested
         // dir; silent success can lose a table).
         case _ => throw new IllegalStateException(
-          s"RENAME $oldIdent -> $newIdent: found a nested delta directory " +
-            s"at $nested whose identity could not be read " +
-            s"(nested id=$nestedId, source id=$srcTableId). Cannot decide " +
-            "between a lost CREATE race (the table must be restored from " +
-            "the nested path) and the table's own nested content; " +
-            "adjudicate manually before using either table.")
+          s"RENAME $oldIdent -> $newIdent: the rename itself COMPLETED — " +
+            s"the table currently lives at $dest — but a nested delta " +
+            s"directory was found at $nested whose identity could not be " +
+            s"read (nested id=$nestedId, source id=$srcTableId). Cannot " +
+            "decide between a lost CREATE race (the table must be restored " +
+            "from the nested path) and the table's own nested content; " +
+            "adjudicate manually before using either table. Note a retry " +
+            s"will report NoSuchTableException($oldIdent) because the move " +
+            "took effect on disk.")
       }
       if (lostRace) {
         if (!fs.rename(nested, src)) {
