@@ -188,4 +188,18 @@ object DeltaConfigs {
       .get("delta.coordinatedCommits.commitCoordinator-preview")
       .orElse(metadata.configuration
         .get("delta.coordinatedCommits.commitCoordinator"))
+
+  /** Backfill cadence for coordinated commits (delta-spark's commit
+    * owners take a backfillBatchSize parameter; here it is a table
+    * property so every coordinated writer/reader of the table agrees).
+    * 1 (the default) publishes each commit into the plain log inline;
+    * k > 1 defers the rename until k commits are pending — coordinated
+    * readers serve the deferred tail from the staged layout, plain
+    * readers see only the backfilled prefix. */
+  def backfillBatchSize(metadata: Metadata): Int =
+    metadata.configuration
+      .get("delta.coordinatedCommits.backfillBatchSize")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1)
+      .getOrElse(1)
 }

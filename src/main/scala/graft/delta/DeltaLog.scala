@@ -36,7 +36,7 @@ class DeltaLog private (
   def store: LogStore = coordinatorName match {
     case None => baseStore
     case Some(n) => storage.CommitCoordinator.forName(n) match {
-      case Some(c) => new storage.CoordinatedLogStore(c)
+      case Some(c) => new storage.CoordinatedLogStore(c, backfillCadence)
       case None => new storage.UnknownCoordinatorLogStore(n, baseStore)
     }
   }
@@ -44,6 +44,9 @@ class DeltaLog private (
     * snapshot's own lazy state reads the log through `store`, so
     * consulting snapshot.metadata there would recurse). */
   @volatile private var coordinatorName: Option[String] = None
+  /** Resolved with [[coordinatorName]]: the coordinated-commits backfill
+    * cadence from table metadata (1 = publish inline). */
+  @volatile private var backfillCadence: Int = 1
 
   /** Commit mutual exclusion within this JVM (cross-process exclusion is
     * the LogStore's atomic rename). Ref: DeltaLogImpl.scala:78,190-197. */
@@ -118,6 +121,12 @@ class DeltaLog private (
         // (this read goes through the PREVIOUS routing — the delta-spark
         // handover: the enablement commit itself uses the old store, the
         // coordinator takes over from the next)
+        // cadence FIRST: a concurrent store access between the two
+        // assignments must never pair the new coordinator with a stale
+        // cadence (an eager backfill is safe; the reverse is not needed)
+        backfillCadence =
+          if (currentSnapshot.version < 0) 1
+          else DeltaConfigs.backfillBatchSize(currentSnapshot.metadata)
         coordinatorName =
           if (currentSnapshot.version < 0) None
           else DeltaConfigs.commitCoordinatorName(currentSnapshot.metadata)
@@ -470,6 +479,42 @@ class DeltaLog private (
     files
   }
 
+  /** Open a commit file for streaming/seeking reads, resolving a
+    * coordinated table's DEFERRED commits: a logical `<v>.json` that is
+    * not yet backfilled opens through its staged payload (identical
+    * bytes — the backfill is a copy — so recorded byte offsets stay
+    * valid either way). The fallback triggers only on the miss, so the
+    * common backfilled path pays zero extra IO. */
+  private[delta] def openCommitStream(
+      path: Path): org.apache.hadoop.fs.FSDataInputStream = {
+    val fs = path.getFileSystem(hadoopConf)
+    try fs.open(path)
+    catch {
+      case e: FileNotFoundException =>
+        val staged = store match {
+          case c: storage.CoordinatedLogStore => c.stagedPathFor(path)
+          case _ => None
+        }
+        staged match {
+          case Some(t) =>
+            // the staged object vanishing means a concurrent backfill
+            // published the final path — one retry settles the race
+            try fs.open(t)
+            catch { case _: FileNotFoundException => fs.open(path) }
+          case None => throw e
+        }
+    }
+  }
+
+  /** Logical-name → staged-path map for the deferred commits of a
+    * coordinated table (empty otherwise) — resolved ONCE for executor-
+    * side jobs that cannot fall back per-file. */
+  private[delta] def stagedCommitPaths(): Map[String, Path] = store match {
+    case c: storage.CoordinatedLogStore =>
+      c.pendingCommitPaths(logPath)
+    case _ => Map.empty
+  }
+
   /** Stream one commit file's actions through `f` without ever holding
     * the whole commit on the driver — the reader for tail-commit walkers
     * that must survive a 500k-add CONVERT/backfill commit
@@ -478,8 +523,7 @@ class DeltaLog private (
     * inside `f`; the stream closes on exit either way. */
   private[delta] def streamCommitActions[T](path: Path)(
       f: Iterator[Action] => T): T = {
-    val fs = path.getFileSystem(hadoopConf)
-    val in = fs.open(path)
+    val in = openCommitStream(path)
     try f(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.trim.nonEmpty)
       .map(JsonCodec.actionFromJson)
@@ -496,8 +540,7 @@ class DeltaLog private (
     // full file's IO and String allocation on the driver even with lazy
     // parsing (the distributed history() branch streams the same way)
     val p = FileNames.deltaFile(logPath, version)
-    val fs = p.getFileSystem(hadoopConf)
-    val in = fs.open(p)
+    val in = openCommitStream(p)
     val ci =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.trim.nonEmpty)
@@ -530,7 +573,13 @@ class DeltaLog private (
       return versions.reverseIterator.map(getCommitInfoAt).toVector
     import spark.implicits._
     val sconf = new SerializableHadoopConf(hadoopConf)
-    val pairs = versions.map(v => (v, FileNames.deltaFile(logPath, v).toString))
+    // executor tasks cannot fall back per-file: resolve deferred
+    // (coordinated, unbackfilled) commits to their staged paths up front
+    val staged = stagedCommitPaths()
+    val pairs = versions.map { v =>
+      val logical = FileNames.deltaFile(logPath, v)
+      (v, staged.getOrElse(logical.getName, logical).toString)
+    }
     val raw = spark.createDataset(pairs)
       .repartition(math.max(1, math.min(pairs.size / 4, 64)))
       .map { case (v, pathStr) =>
@@ -699,13 +748,18 @@ class DeltaLog private (
     val stagedDir = FileNames.stagedCommitDir(logPath)
     if (fs.exists(stagedDir)) {
       fs.listStatus(stagedDir).foreach { sf =>
-        val name = sf.getPath.getName
-        val version = name.split('.').headOption
-          .filter(_.forall(_.isDigit)).map(_.toLong)
-        val served = version.exists(v => v < latestCheckpoint ||
-          fs.exists(FileNames.deltaFile(logPath, v)))
-        if (sf.getModificationTime < cutoff && served &&
-            fs.delete(sf.getPath, false)) deleted += 1
+        try {
+          val name = sf.getPath.getName
+          // a dot-prefixed stray (checksum sidecar, abandoned temp) splits
+          // to an EMPTY first segment, which vacuously passes forall —
+          // require nonEmpty so toLong can't abort the whole cleanup pass
+          val version = name.split('.').headOption
+            .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+          val served = version.exists(v => v < latestCheckpoint ||
+            fs.exists(FileNames.deltaFile(logPath, v)))
+          if (sf.getModificationTime < cutoff && served &&
+              fs.delete(sf.getPath, false)) deleted += 1
+        } catch { case scala.util.control.NonFatal(_) => } // one odd name
       }
     }
     // sidecars orphaned by deleted V2 checkpoints: an expired sidecar not

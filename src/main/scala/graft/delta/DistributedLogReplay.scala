@@ -33,15 +33,26 @@ object DistributedLogReplay {
     implicit val sliceEnc = Encoders.product[FileSlice]
     implicit val addEnc = Encoders.product[AddFile]
 
-    val commitPaths = segment.deltas.map(_.getPath.toString)
+    // a coordinated table's DEFERRED commits exist only in the staged
+    // layout; executors read the physical staged path (the listing's
+    // StagedFileStatus carries it — its logical path does not exist yet)
+    val commitPaths = segment.deltas.map {
+      case s: graft.delta.storage.StagedFileStatus => s.stagedPath.toString
+      case f => f.getPath.toString
+    }
     val commits =
       if (commitPaths.isEmpty) spark.emptyDataset[FileSlice].toDF()
       else spark.read.schema(sliceEnc.schema).json(commitPaths: _*)
         // a compacted range file ({start}.{end}.compacted.json) folds at
         // its END version — its content is the range's newest-wins
-        // reconciliation (same keying as Snapshot.deltaVersions)
+        // reconciliation (same keying as Snapshot.deltaVersions).
+        // Staged names (`_staged_commits/<v>.<uuid>.json`) MUST match
+        // first: a uuid ending in digits would satisfy the plain
+        // `(\d+).json` pattern with the wrong version
         .withColumn("version",
           coalesce(
+            nullif(regexp_extract(input_file_name(),
+              """_staged_commits/(\d+)\.""", 1), lit("")),
             nullif(regexp_extract(input_file_name(),
               """(\d+)\.compacted\.json""", 1), lit("")),
             nullif(regexp_extract(input_file_name(),

@@ -40,11 +40,12 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, Path}
   * the DynamoDB log store's incomplete entries. So the commit is durable
   * the moment the claim succeeds.
   */
-class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
+class CoordinatedLogStore(coordinator: CommitCoordinator,
+    backfillCadence: Int = 1) extends LogStore {
 
   /** Hadoop-conf-driven construction ([[LogStore.forPath]] overrides)
     * uses the process-wide coordinator registry. */
-  def this() = this(CommitCoordinator.global)
+  def this() = this(CommitCoordinator.global, 1)
 
   private def fsOf(path: Path, conf: Configuration) = path.getFileSystem(conf)
 
@@ -52,29 +53,122 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
     * temp IS the durable payload, so healing is one atomic rename; a
     * racing owner/healer loses the rename harmlessly (dest then exists).
     * Only an entry whose final object is OBSERVED is marked complete —
-    * never on the strength of a possibly-interleaved filesystem check. */
+    * never on the strength of a possibly-interleaved filesystem check.
+    *
+    * At backfill cadence 1 (the default) EVERY pending entry heals — a
+    * pending commit is by definition a crash remnant. At cadence > 1 a
+    * pending DELTA COMMIT is normal deferred state (delta-spark's
+    * commit-owner model: the claim is the commit; the log file is the
+    * backfill), so only non-commit pendings — whose writes always
+    * publish inline — are crash remnants to heal here. Deferred commits
+    * are served to coordinated readers by the [[listFrom]] merge and
+    * published by [[backfillAll]] when the cadence fills (or a
+    * checkpoint pointer lands). */
   private def recover(dir: Path, conf: Configuration): Unit = {
     val fs = fsOf(dir, conf)
     coordinator.pending(dir.toUri.toString).foreach { case (name, temp) =>
-      val dest = new Path(dir, name)
-      val tempPath = new Path(temp)
-      try {
-        if (!fs.exists(dest) && fs.exists(tempPath)) fs.rename(tempPath, dest)
-        if (fs.exists(dest)) coordinator.commitComplete(dir.toUri.toString, name)
-      } catch {
-        // the OWNER may publish concurrently while we heal; the entry is
-        // then completed (or will be) by the owner — healing is
-        // best-effort by design, never a reader failure
-        case scala.util.control.NonFatal(_) =>
+      val deferred = backfillCadence > 1 &&
+        graft.delta.FileNames.isDeltaFile(new Path(dir, name))
+      if (!deferred) {
+        val dest = new Path(dir, name)
+        val tempPath = new Path(temp)
+        try {
+          if (!fs.exists(dest) && fs.exists(tempPath)) fs.rename(tempPath, dest)
+          if (fs.exists(dest)) coordinator.commitComplete(dir.toUri.toString, name)
+        } catch {
+          // the OWNER may publish concurrently while we heal; the entry is
+          // then completed (or will be) by the owner — healing is
+          // best-effort by design, never a reader failure
+          case scala.util.control.NonFatal(_) =>
+        }
       }
     }
   }
 
+  /** Publish EVERY pending commit in `dir` in ascending name (= version)
+    * order, so the plain log never grows a hole. Deferred commits are
+    * COPIED (hidden temp + atomic rename), never moved: a snapshot or a
+    * distributed replay job may hold the staged path in a file listing
+    * at this very moment, so the staged object must stay readable after
+    * the backfill — the expired-log cleanup sweeps served staged files
+    * later (DeltaLog.cleanUpExpiredLogs's grace-old staged sweep). A
+    * publish failure STOPS the walk: versions after a gap must not land
+    * before the gap itself. */
+  private[graft] def backfillAll(dir: Path, conf: Configuration): Unit = {
+    val fs = fsOf(dir, conf)
+    val pend = coordinator.pending(dir.toUri.toString).sortBy(_._1)
+    val it = pend.iterator
+    var halted = false
+    while (!halted && it.hasNext) {
+      val (name, temp) = it.next()
+      val dest = new Path(dir, name)
+      val tempPath = new Path(temp)
+      try {
+        if (!fs.exists(dest) && fs.exists(tempPath)) {
+          if (graft.delta.FileNames.isDeltaFile(dest) && backfillCadence > 1) {
+            // copy-backfill: leave the staged object in place (see above)
+            val bytes = {
+              val in = fs.open(tempPath)
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                val chunk = new Array[Byte](65536)
+                var n = in.read(chunk)
+                while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+                buf.toByteArray
+              } finally in.close()
+            }
+            val hidden = new Path(dir,
+              s".${name}.${java.util.UUID.randomUUID()}.tmp")
+            val out = fs.create(hidden, false)
+            try out.write(bytes) finally out.close()
+            if (!fs.rename(hidden, dest)) fs.delete(hidden, false)
+          } else {
+            fs.rename(tempPath, dest)
+          }
+        }
+        if (fs.exists(dest)) {
+          coordinator.commitComplete(dir.toUri.toString, name)
+        } else {
+          halted = true // never publish past a gap
+        }
+      } catch { case scala.util.control.NonFatal(_) => halted = true }
+    }
+  }
+
+  /** Pending staged payload path for a claimed-but-unbackfilled logical
+    * name, if any — the read-side bridge for consumers that open commit
+    * files directly (streaming line-scans, seek walks). */
+  private[graft] def stagedPathFor(path: Path): Option[Path] =
+    coordinator.pending(path.getParent.toUri.toString)
+      .collectFirst { case (n, temp) if n == path.getName => new Path(temp) }
+
+  /** All deferred commits of `dir` as logical-name → staged-path. */
+  private[graft] def pendingCommitPaths(dir: Path): Map[String, Path] =
+    coordinator.pending(dir.toUri.toString)
+      .filter { case (n, _) =>
+        graft.delta.FileNames.isDeltaFile(new Path(dir, n)) }
+      .map { case (n, t) => n -> new Path(t) }.toMap
+
   override def read(path: Path, conf: Configuration): Seq[String] = {
     recover(path.getParent, conf)
-    val stream = fsOf(path, conf).open(path)
-    try Source.fromInputStream(stream)(Codec.UTF8).getLines().toVector
-    finally stream.close()
+    def readAt(p: Path): Seq[String] = {
+      val stream = fsOf(p, conf).open(p)
+      try Source.fromInputStream(stream)(Codec.UTF8).getLines().toVector
+      finally stream.close()
+    }
+    try readAt(path)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        // a deferred commit is served from its staged payload; if the
+        // staged object vanished a concurrent backfill published it —
+        // the final path then exists, so one retry settles the race
+        stagedPathFor(path) match {
+          case Some(t) =>
+            try readAt(t)
+            catch { case _: java.io.FileNotFoundException => readAt(path) }
+          case None => throw e
+        }
+    }
   }
 
   override def write(path: Path, lines: Iterator[String], overwrite: Boolean,
@@ -87,7 +181,16 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
       lines.foreach(l => sb.append(l).append('\n'))
       sb.toString.getBytes(UTF_8)
     }
-    if (overwrite) { // only _last_checkpoint: no exclusivity needed, but
+    if (overwrite) { // _last_checkpoint and version checksums:
+      // no exclusivity needed, but
+      // a checkpoint POINTER must never advertise state the plain log
+      // cannot list — publish every deferred commit FIRST (delta-spark
+      // backfills before checkpointing for the same reason). Checksum
+      // (.crc) overwrites do NOT trigger backfill: they ride along with
+      // every commit and would defeat the deferral cadence.
+      if (backfillCadence > 1 && path.getName == "_last_checkpoint") {
+        backfillAll(dir, conf)
+      }
       // partial-write visibility still matters: this store declares
       // isPartialWriteVisible=false, so the overwrite must also publish
       // all-or-nothing — stage to a temp object and rename-with-replace
@@ -124,22 +227,50 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
     // batched cadence would defer the rename and serve reads from
     // coordinator.pending, which recover() already knows how to do).
     // Non-commit no-overwrite targets keep the hidden-temp staging.
+    //
+    // TORN-READ GUARD (ADVICE r14): the staged name is VISIBLE to foreign
+    // readers listing _staged_commits, and this store's contract is
+    // isPartialWriteVisible=false — so the payload is written to a hidden
+    // dot-temp first and atomically renamed to the staged name. A reader
+    // can then never observe a partial staged commit.
     val temp =
       if (graft.delta.FileNames.isDeltaFile(path)) {
         val stagedDir = graft.delta.FileNames.stagedCommitDir(dir)
         if (!fs.exists(stagedDir)) fs.mkdirs(stagedDir)
-        graft.delta.FileNames.stagedCommitFile(dir,
+        val staged = graft.delta.FileNames.stagedCommitFile(dir,
           graft.delta.FileNames.deltaVersion(path),
           java.util.UUID.randomUUID().toString)
+        val hidden = new Path(stagedDir, s".${staged.getName}.tmp")
+        val out = fs.create(hidden, false)
+        try out.write(payload) finally out.close()
+        if (!fs.rename(hidden, staged)) {
+          fs.delete(hidden, false)
+          throw new java.io.IOException(s"stage $hidden -> $staged failed")
+        }
+        staged
       } else {
-        new Path(dir, s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
+        val t =
+          new Path(dir, s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(t, false)
+        try out.write(payload) finally out.close()
+        t
       }
-    val out = fs.create(temp, false)
-    try out.write(payload) finally out.close()
     if (!coordinator.prepareCommit(dir.toUri.toString, path.getName,
         temp.toUri.toString)) {
       fs.delete(temp, false)
       throw new FileAlreadyExistsException(path.toString)
+    }
+    // DEFERRED BACKFILL (VERDICT r14 #2, delta-spark's backfillBatchSize
+    // > 1 cadence): the claim IS the commit — durable, ordered, and
+    // served to coordinated readers by the listFrom merge — so a delta
+    // commit's rename into the plain log can wait until a batch of them
+    // accumulates. Non-commit targets always publish inline.
+    if (backfillCadence > 1 && graft.delta.FileNames.isDeltaFile(path)) {
+      val pendingCommits = coordinator.pending(dir.toUri.toString)
+        .count { case (n, _) =>
+          graft.delta.FileNames.isDeltaFile(new Path(dir, n)) }
+      if (pendingCommits >= backfillCadence) backfillAll(dir, conf)
+      return
     }
     // the claim is ours alone; publish by ATOMIC rename of the staged
     // temp. A false rename is fine only when a concurrent healer already
@@ -151,23 +282,62 @@ class CoordinatedLogStore(coordinator: CommitCoordinator) extends LogStore {
   }
 
   override def listFrom(path: Path, conf: Configuration): Iterator[FileStatus] = {
-    recover(path.getParent, conf)
+    val dir = path.getParent
+    recover(dir, conf)
     val fs = fsOf(path, conf)
-    if (!fs.exists(path.getParent)) {
-      throw new java.io.FileNotFoundException(
-        s"No such directory: ${path.getParent}")
+    if (!fs.exists(dir)) {
+      throw new java.io.FileNotFoundException(s"No such directory: $dir")
     }
-    fs.listStatus(path.getParent)
+    val real = fs.listStatus(dir)
       // a LogStore lists FILES; the _staged_commits staging directory
       // (and any other subdir) is not a log entry
       .filter(st => st.isFile && st.getPath.getName >= path.getName)
-      .sortBy(_.getPath.getName)
-      .iterator
+    // COORDINATED-READER MERGE (VERDICT r14 #2): claimed-but-unbackfilled
+    // commits are part of the table for every reader that knows the
+    // coordinator — delta-spark's commit-owner model. Each is listed
+    // under its LOGICAL `_delta_log/<v>.json` name (every downstream
+    // name-parser — version extraction, contiguity checks, checkpoint
+    // selection — stays untouched) through a [[StagedFileStatus]] that
+    // carries the physical staged path for consumers that read files on
+    // executors. Plain readers list the directory without this store and
+    // correctly see only the backfilled prefix.
+    val realNames = real.iterator.map(_.getPath.getName).toSet
+    val merged = coordinator.pending(dir.toUri.toString).iterator
+      .filter { case (name, _) =>
+        name >= path.getName && !realNames.contains(name) &&
+          graft.delta.FileNames.isDeltaFile(new Path(dir, name))
+      }
+      .flatMap { case (name, temp) =>
+        val logical = new Path(dir, name)
+        try {
+          val ts = fs.getFileStatus(new Path(temp))
+          Some(new StagedFileStatus(ts, logical, new Path(temp)))
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            // raced a concurrent backfill: the final object exists now
+            try Some(fs.getFileStatus(logical))
+            catch { case _: java.io.FileNotFoundException => None }
+        }
+      }
+      .toArray
+    (real ++ merged).sortBy(_.getPath.getName).iterator
   }
 
   override def isPartialWriteVisible(path: Path, conf: Configuration): Boolean =
     false
 }
+
+/** A deferred (claimed-but-unbackfilled) commit in a coordinated
+  * listing: presents the LOGICAL `_delta_log/<v>.json` identity —
+  * version parsing, contiguity checks and byte-budget accounting all see
+  * the name and size they expect — while carrying the physical
+  * `_staged_commits/<v>.<uuid>.json` payload path for consumers that
+  * must open the bytes somewhere the logical file does not exist yet
+  * (executor-side replay jobs, driver line-scans). */
+class StagedFileStatus(staged: FileStatus, logicalPath: Path,
+    val stagedPath: Path)
+  extends FileStatus(staged.getLen, false, staged.getReplication,
+    staged.getBlockSize, staged.getModificationTime, logicalPath)
 
 /** The pluggable mutual-exclusion service: one atomic conditional put per
   * `(log dir, file name)` across every participating writer — cluster
@@ -377,6 +547,12 @@ object CommitCoordinator {
 
   def register(name: String, coordinator: CommitCoordinator): Unit =
     registry.put(name, coordinator)
+
+  /** Remove a registration — the process then behaves as a PLAIN reader
+    * of tables declaring `name` (reads see only backfilled commits,
+    * writes refuse loudly). Tests use this to assert plain-reader
+    * semantics through the real resolution path. */
+  def unregister(name: String): Unit = registry.remove(name)
 
   def forName(name: String): Option[CommitCoordinator] =
     if (name == "in-memory") Some(global) else Option(registry.get(name))
