@@ -242,7 +242,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val hits = base
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
-      .filter(coalesce(condition, lit(false)))
+      // a plain filter already excludes null-evaluating rows (Filter
+      // keeps only TRUE); the old coalesce(cond, false) wrapper blocked
+      // parquet pushdown of the whole predicate — the position-discovery
+      // scan read every row group of every candidate file
+      .filter(condition)
 
     // CDC first (when enabled): the deleted rows themselves — positions
     // are re-derived afterwards from the same bounded scan
@@ -351,7 +355,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         matched, deltaLog.dataPath, deltaLog.hadoopConf)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
-      .filter(coalesce(condition, lit(false)))
+      // plain filter: null-evaluating rows are excluded either way, and
+      // the bare predicate pushes down to parquet (see delete)
+      .filter(condition)
 
     val shade = write.DvShade.shade(deltaLog, hits, matched)
     if (shade.isEmpty) return snapshot.version

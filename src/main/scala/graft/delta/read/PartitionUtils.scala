@@ -26,9 +26,25 @@ object PartitionUtils {
                     filter: org.apache.spark.sql.Column): Expression = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    empty.filter(filter).queryExecution.analyzed.collectFirst {
+    val resolved = empty.filter(filter).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.getOrElse(Literal.TrueLiteral)
+    // The ANALYZED (not optimized) condition keeps literal-side casts
+    // unfolded — `bigintCol >= 900` resolves to `v >= cast(900 as
+    // bigint)` — and DataSkipping's Attribute-vs-Literal patterns then
+    // see no Literal: every DML predicate comparing an int literal to a
+    // bigint/decimal column silently lost stats pruning. Fold foldable
+    // subtrees the way the optimizer's ConstantFolding would (the full
+    // optimizer is unusable here: it deletes trivial Filter nodes, and a
+    // lost `false` filter would read back as TRUE). Eval failures keep
+    // the unfolded node — pruning then just stays conservative.
+    resolved.transformUp {
+      case l: Literal => l
+      case e if e.foldable =>
+        try Literal.create(e.eval(
+          org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+        catch { case scala.util.control.NonFatal(_) => e }
+    }
   }
 
   /** Split a predicate's conjuncts into (metadata-only, data) halves:
