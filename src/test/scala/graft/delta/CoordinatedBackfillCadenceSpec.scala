@@ -156,6 +156,61 @@ class CoordinatedBackfillCadenceSpec extends SparkSpec {
     }
   }
 
+  test("a streaming read drains the deferred tail") {
+    withTempDir { dir =>
+      withTempDir { ckpt =>
+        CommitCoordinator.register("cadence-f", new InMemoryCommitCoordinator)
+        val log = enableCoordination(dir, "cadence-f", 5)
+        DeltaTable.write(Seq((2L, "b")).toDF("id", "v"), dir) // v2 deferred
+        DeltaTable.write(Seq((3L, "c")).toDF("id", "v"), dir) // v3 deferred
+        assert(!jsonExists(log, 2) && !jsonExists(log, 3))
+        // the source lists commits through the coordinated merge and
+        // line-scans them through the staged fallback
+        val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val q = spark.readStream.format("graft-delta").load(dir)
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.select("id").as[Long].collect().foreach(seen.add)
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+        import scala.jdk.CollectionConverters._
+        assert(seen.asScala.toSet == Set(1L, 2L, 3L),
+          s"the stream must serve the deferred commits too, got " +
+            s"${seen.asScala.toSet}")
+      }
+    }
+  }
+
+  test("a conflicting writer retries against a deferred winner") {
+    withTempDir { dir =>
+      CommitCoordinator.register("cadence-g", new InMemoryCommitCoordinator)
+      val log = enableCoordination(dir, "cadence-g", 5)
+      // both transactions read the same snapshot
+      val txnA = log.startTransaction()
+      val txnB = log.startTransaction()
+      val addA = AddFile("a.parquet", Map.empty, 1L, 1L, dataChange = true)
+      val addB = AddFile("b.parquet", Map.empty, 1L, 1L, dataChange = true)
+      txnA.commit(Seq(addA), DeltaOperations.ManualUpdate) // v2, DEFERRED
+      assert(!jsonExists(log, 2), "the winner must be claim-only")
+      // B loses the v2 claim, reads the STAGED winner in its retry
+      // conflict check (disjoint appends -> no conflict), lands at v3
+      txnB.commit(Seq(addB), DeltaOperations.ManualUpdate)
+      val snap = log.update()
+      assert(snap.version == 3,
+        s"the retried commit must land after the deferred winner, " +
+          s"got ${snap.version}")
+      assert(!jsonExists(log, 2) && !jsonExists(log, 3),
+        "2 pending < cadence 5: both commits stay deferred")
+      val paths = snap.allFiles.map(_.path).toSet
+      assert(paths.contains("a.parquet") && paths.contains("b.parquet"),
+        s"both writers' files must be live: $paths")
+    }
+  }
+
   test("cadence 1 (default) keeps the inline-publish behavior") {
     withTempDir { dir =>
       CommitCoordinator.register("cadence-e", new InMemoryCommitCoordinator)
