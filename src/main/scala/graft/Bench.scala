@@ -202,13 +202,23 @@ object Bench {
     // has actually contaminated artifacts — uniform elevation across a
     // run) lifts the median; a single GC pause or scheduler hiccup in
     // one probe does not. max/min would label a run for one outlier.
-    val canaryMin = if (canaries.nonEmpty) canaries.min else -1.0
+    // FLOOR ESTIMATOR (r15): median/MIN mislabels an idle run when ONE
+    // probe lands anomalously FAST (a momentarily extra-idle host — CPU
+    // boost, flushed journal — produced a 0.47 s compute probe among
+    // 0.62-0.70 s peers and labeled the round's best raw total
+    // "suspect"). The floor is the SECOND-smallest point when there are
+    // >= 4: robust to a single downward outlier, and under genuine
+    // whole-run contamination the second-smallest is inflated right
+    // along with the rest, so no detection power is lost.
+    def floorOf(xs: Seq[Double]): Double =
+      if (xs.size >= 4) xs.sorted.apply(1) else xs.min
+    val canaryMin = if (canaries.nonEmpty) floorOf(canaries.toSeq) else -1.0
     val canaryMedian =
       if (canaries.isEmpty) -1.0
       else canaries.sorted.apply(canaries.size / 2)
     val canarySpread = if (canaryMin > 0) canaryMedian / canaryMin else -1.0
-    val ioValid = ioCanaries.filter(_ > 0)
-    val ioMin = if (ioValid.nonEmpty) ioValid.min else -1.0
+    val ioValid = ioCanaries.filter(_ > 0).toSeq
+    val ioMin = if (ioValid.nonEmpty) floorOf(ioValid) else -1.0
     val ioMedian =
       if (ioValid.isEmpty) -1.0
       else ioValid.sorted.apply(ioValid.size / 2)
