@@ -322,6 +322,42 @@ object Relational {
         FROM purchases p LEFT JOIN best b ON b.event_id = p.event_id
         GROUP BY 1""")),
 
+    // ------------------------------------------------ events: ordered funnel
+    // view -> click -> purchase per user with STRICT ordering (step k
+    // counts only strictly after the user's step k-1 reach time) — the
+    // standard product funnel. One type-filtered scan + entity-key
+    // aggregation per step; levels shrink monotonically so AQE picks
+    // broadcast joins as the funnel narrows. Exact integers end to end
+    // (counts + summed completion lag in microseconds).
+    QueryDef(
+      "q_events_funnel",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Funnel.summary(
+          t(s, dir, "events").select($"user_id", $"ts", $"event_type"),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        )
+        SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+               (SELECT COUNT(*) FROM s2) AS n_step2,
+               (SELECT COUNT(*) FROM s3) AS n_step3,
+               CAST(COALESCE((SELECT SUM(epoch_us(s3.t3) - epoch_us(s1.t1))
+                  FROM s3 JOIN s1 ON s3.user_id = s1.user_id), 0) AS BIGINT)
+                 AS sum_lag_us""")),
+
     // -------------------------------------------- events: skewed-key join
     // 90% of facts collapse onto one synthetic hot key; the engine joins
     // through Skew.saltedJoin (deterministic hash scatter × dimension
