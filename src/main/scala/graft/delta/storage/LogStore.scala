@@ -64,18 +64,53 @@ class HadoopFileSystemLogStore extends LogStore {
     val temp = new Path(path.getParent,
       s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(temp)
-    var renamed = false
+    var published = false
     try {
       lines.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
       out.close()
-      if (fs.rename(temp, path)) {
-        renamed = true
-      } else {
-        if (fs.exists(path)) throw new FileAlreadyExistsException(path.toString)
-        else throw new java.io.IOException(s"rename $temp -> $path failed")
+      // LOCAL scheme: publish with link(2), not rename(2). Hadoop's
+      // local rename bottoms out in POSIX rename, which silently
+      // REPLACES an existing destination — so two PROCESSES that both
+      // pass the exists() pre-check can both "successfully" rename and
+      // one commit is clobbered (CrossProcessCommitSpec caught exactly
+      // this: 24 racing commits, version 23). createLink is the atomic
+      // no-overwrite primitive: exactly one winner per destination,
+      // EEXIST for the loser, content fully visible at publish (the
+      // link IS the written temp's inode).
+      val local = "file".equalsIgnoreCase(
+        Option(path.toUri.getScheme).getOrElse(fs.getUri.getScheme))
+      if (local) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(path.toUri.getPath),
+            java.nio.file.Paths.get(temp.toUri.getPath))
+          published = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new FileAlreadyExistsException(path.toString)
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            // no hard links on this mount: fall through to rename (the
+            // single-process exists() pre-check still holds)
+        }
+      }
+      if (!published) {
+        // HDFS: rename is atomic AND no-overwrite by contract — the
+        // false return with the destination present is a concurrent
+        // loss. (abfs/other rename-atomic schemes route here too.)
+        if (fs.rename(temp, path)) {
+          published = true
+        } else {
+          if (fs.exists(path)) {
+            throw new FileAlreadyExistsException(path.toString)
+          } else {
+            throw new java.io.IOException(s"rename $temp -> $path failed")
+          }
+        }
       }
     } finally {
-      if (!renamed) fs.delete(temp, false)
+      // after a link publish the temp is a second name for the same
+      // inode — always drop it; on any failure drop the orphan
+      fs.delete(temp, false)
     }
   }
 

@@ -69,4 +69,45 @@ class LogStoreSpec extends AnyFunSuite {
       assert(store.read(p, conf) == Seq("v2"))
     }
   }
+
+  test("racing no-overwrite writes: exactly one winner, content intact") {
+    // POSIX rename(2) silently REPLACES an existing destination, so a
+    // rename-published commit could be clobbered by a concurrent writer
+    // that also passed the exists() pre-check (CrossProcessCommitSpec
+    // observed a lost commit: 24 racing commits, version 23). The local
+    // publish is now link(2) — atomic EEXIST — which this race pins:
+    // barrier-aligned writers to the SAME destination, exactly one
+    // winner per round, and the destination holds the WINNER's payload.
+    withDir { dir =>
+      val writers = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      try {
+        (0 until 50).foreach { round =>
+          val p = new Path(dir, f"race-$round%03d.json")
+          val barrier = new java.util.concurrent.CyclicBarrier(writers)
+          val results = (0 until writers).map { w =>
+            pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+              override def call(): Option[Int] = {
+                barrier.await()
+                try {
+                  store.write(p, Iterator(s"payload-$w"),
+                    overwrite = false, conf)
+                  Some(w)
+                } catch {
+                  case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                    None
+                  case _: FileAlreadyExistsException => None
+                }
+              }
+            })
+          }
+          val winners = results.flatMap(_.get())
+          assert(winners.size == 1,
+            s"round $round: expected exactly one winner, got $winners")
+          assert(store.read(p, conf) == Seq(s"payload-${winners.head}"),
+            s"round $round: destination must hold the winner's payload")
+        }
+      } finally pool.shutdownNow()
+    }
+  }
 }
