@@ -167,6 +167,38 @@ object Relational {
           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
         ) WHERE rn <= 3""")),
 
+    // ----------------------------------- top-k per group, NO window sort
+    // Same ROW_NUMBER()<=k answer as the query above, computed as a
+    // map-side-partial AGGREGATION (graft.operators.TopK): each task
+    // reduces its slice of a group to <= k entries before the exchange,
+    // so the shuffle carries O(k x groups x tasks) rows — the window
+    // formulation exchanges and sorts EVERY row. The ranking key is the
+    // price (desc) with unique (orderkey, linenumber) tie-breaks, so the
+    // row set is deterministic and the oracle is plain SQL.
+    QueryDef(
+      "q_topk_per_group",
+      (s, dir) => {
+        import s.implicits._
+        val top3 = graft.operators.TopK.topK(3)
+        t(s, dir, "lineitem")
+          .groupBy($"l_suppkey")
+          .agg(top3($"l_extendedprice", $"l_orderkey",
+            $"l_linenumber".cast("long")).as("top"))
+          .select($"l_suppkey", posexplode($"top"))
+          .select($"l_suppkey", ($"pos" + 1).cast("long").as("rnk"),
+            $"col._2".as("l_orderkey"), $"col._3".cast("int").as("l_linenumber"),
+            $"col._1".as("l_extendedprice"))
+      },
+      Some("""
+        SELECT l_suppkey, rnk, l_orderkey, l_linenumber, l_extendedprice
+        FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                            l_linenumber ASC) AS rnk
+          FROM lineitem
+        ) WHERE rnk <= 3""")),
+
     // ------------------------------------------------------------ rollup
     QueryDef(
       "q_rollup_returns",
@@ -357,6 +389,62 @@ object Relational {
                CAST(COALESCE((SELECT SUM(epoch_us(s3.t3) - epoch_us(s1.t1))
                   FROM s3 JOIN s1 ON s3.user_id = s1.user_id), 0) AS BIGINT)
                  AS sum_lag_us""")),
+
+    // -------------------------------------- events: weekly cohort retention
+    // The retention triangle: cohort = UTC week of each user's first
+    // event, one row per (cohort_week, week_offset) with distinct active
+    // users. One scan; the (user, week) dedup, the per-user cohort min,
+    // and the final rollup are all hash aggregations (see
+    // graft.operators.Retention for the exchange-reuse story).
+    QueryDef(
+      "q_events_retention",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Retention.weeklyCohorts(
+          t(s, dir, "events").select($"user_id", $"ts"), "user_id", "ts")
+      },
+      Some("""
+        WITH activity AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        ), cohorts AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1
+        )
+        SELECT c.cohort_week,
+               CAST((epoch_us(a.week) - epoch_us(c.cohort_week))
+                    // 604800000000 AS BIGINT) AS week_offset,
+               COUNT(*) AS n_active
+        FROM activity a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2""")),
+
+    // ---------------------------------- events: sliding-window distinct
+    // Sliding 1-hour windows every 15 minutes, exact distinct users per
+    // window — the streaming-dashboard shape, batch-verified. Spark's
+    // `window(slide)` expands each event into its 4 covering windows;
+    // the (window, user) dedup then the per-window count are two hash
+    // aggregations (distinct-then-count — no count-distinct re-shuffle).
+    // The oracle replays the same expansion arithmetically: starts
+    // floor-aligned to 900 s in MICROSECONDS, matching Spark's window
+    // alignment exactly.
+    QueryDef(
+      "q_events_sliding_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour", "15 minutes"), $"user_id")
+          .agg(count(lit(1)))
+          .select($"window.start".as("window_start"), $"user_id")
+          .groupBy($"window_start")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT
+            make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                           - 900000000 * t.k) AS window_start,
+            user_id
+          FROM events CROSS JOIN range(4) t(k)
+        )
+        SELECT window_start, COUNT(*) AS n_users FROM e GROUP BY 1""")),
 
     // -------------------------------------------- events: skewed-key join
     // 90% of facts collapse onto one synthetic hot key; the engine joins

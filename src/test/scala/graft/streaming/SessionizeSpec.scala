@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming sessionization (flatMapGroupsWithState, event-time timeout)
+  * must emit exactly the sessions the batch gap-rule produces: strict
+  * `gap > 30 min` split, watermark-driven close, out-of-order merge
+  * inside the watermark, exactly-once Append emission across batches. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val GapUs = 1800L * 1000000L // 30 min
+  // day-1 base: an event at exactly epoch 0 sits AT the stream's initial
+  // watermark and Spark's late-row filter drops it — shift all test
+  // minutes off the origin and subtract the base on readback
+  private val BaseMin = 1440L
+
+  /** Run events through the streaming sessionizer in the given batches,
+    * returning every ClosedSession the sink saw. */
+  private def run(batches: Seq[Seq[(Long, Long)]]): Set[(Long, Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDS()
+      .select($"_1".as("user_id"),
+        timestamp_millis(($"_2" + BaseMin) * 60000L).as("ts"))
+      .as[SessionEvent]
+    val sessions = Sessionize.sessions(events, GapUs, "1 hour")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessionize_sink").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // a far-future flush event (throwaway user) drives the watermark
+      // past every real deadline so open sessions time out and emit
+      input.addData((999L, 100000L)); q.processAllAvailable()
+      input.addData((999L, 200000L)); q.processAllAvailable()
+      spark.table("sessionize_sink")
+        .filter($"user_id" =!= 999L)
+        .select($"user_id",
+          unix_micros($"session_start") / 60000000L - BaseMin,
+          unix_micros($"session_end") / 60000000L - BaseMin, $"n_events")
+        .as[(Long, Double, Double, Long)].collect()
+        .map(r => (r._1, r._2.toLong, r._3.toLong, r._4)).toSet
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sessionize_sink")
+    }
+  }
+
+  test("gap rule matches the batch sessionizer, in-order stream") {
+    // u1: events at 0,10,20 | gap | 60,70 — two sessions (strict >30 split)
+    // u2: single event     — one 1-event session
+    // u3: events exactly 30 min apart — ONE session (strict >)
+    val got = run(Seq(
+      Seq((1L, 0L), (1L, 10L), (2L, 5L)),
+      Seq((1L, 20L), (3L, 0L), (3L, 30L)),
+      Seq((1L, 60L), (1L, 70L))))
+    assert(got == Set(
+      (1L, 0L, 20L, 3L), (1L, 60L, 70L, 2L),
+      (2L, 5L, 5L, 1L),
+      (3L, 0L, 30L, 2L)), got.toString)
+  }
+
+  test("out-of-order arrival merges intervals and bridges them") {
+    // batch 1 delivers minute 0 and minute 50 (two provisional sessions);
+    // batch 2 delivers minute 25 — within gap of BOTH — they must fuse
+    // into one 3-event session. The watermark stays at 50 until the
+    // flush, so nothing closed prematurely.
+    val got = run(Seq(
+      Seq((7L, 0L), (7L, 50L)),
+      Seq((7L, 25L))))
+    assert(got == Set((7L, 0L, 50L, 3L)), got.toString)
+  }
+
+  test("watermark close emits each session exactly once across batches") {
+    // session A (minutes 0..10) closes only once the watermark passes
+    // 10+30; later batches for the same user open a NEW session and must
+    // not re-emit A
+    val got = run(Seq(
+      Seq((4L, 0L), (4L, 10L)),
+      Seq((4L, 100L)),
+      Seq((4L, 110L), (4L, 200L))))
+    assert(got == Set(
+      (4L, 0L, 10L, 2L), (4L, 100L, 110L, 2L), (4L, 200L, 200L, 1L)),
+      got.toString)
+  }
+}
