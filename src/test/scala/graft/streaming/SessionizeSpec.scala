@@ -74,6 +74,45 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Set((7L, 0L, 50L, 3L)), got.toString)
   }
 
+  test("state bridges a stop/restart from the checkpoint, Delta sink exactly-once") {
+    withTempDir { base =>
+      implicit val sqlCtx = spark.sqlContext
+      def start(input: MemoryStream[(Long, Long)]) = {
+        val events = input.toDS()
+          .select($"_1".as("user_id"),
+            timestamp_millis(($"_2" + BaseMin) * 60000L).as("ts"))
+          .as[SessionEvent]
+        Sessionize.sessions(events, GapUs, "1 hour")
+          .writeStream.format("graft-delta")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start(s"$base/sessions")
+      }
+      // ONE stream instance across both runs: the checkpoint tracks its
+      // offsets, so the restarted query resumes exactly after batch 1
+      val in = MemoryStream[(Long, Long)]
+      val q1 = start(in)
+      try {
+        in.addData((1L, 10L), (1L, 20L)); q1.processAllAvailable()
+      } finally q1.stop()
+      // restart: the open (10..20) interval must come back from the state
+      // store and FUSE with minute 30 — not restart as a fresh session
+      val q2 = start(in)
+      try {
+        in.addData((1L, 30L), (1L, 120L)); q2.processAllAvailable()
+        in.addData((999L, 10000L)); q2.processAllAvailable()
+        in.addData((999L, 20000L)); q2.processAllAvailable()
+        val got = graft.delta.DeltaTable.forPath(spark, s"$base/sessions").toDF
+          .filter($"user_id" =!= 999L)
+          .select($"user_id",
+            unix_micros($"session_start") / 60000000L - BaseMin,
+            unix_micros($"session_end") / 60000000L - BaseMin, $"n_events")
+          .as[(Long, Double, Double, Long)].collect()
+          .map(r => (r._1, r._2.toLong, r._3.toLong, r._4)).toList.sorted
+        assert(got == List((1L, 10L, 30L, 3L), (1L, 120L, 120L, 1L)), got.toString)
+      } finally q2.stop()
+    }
+  }
+
   test("watermark close emits each session exactly once across batches") {
     // session A (minutes 0..10) closes only once the watermark passes
     // 10+30; later batches for the same user open a NEW session and must
