@@ -199,6 +199,66 @@ object Relational {
           FROM lineitem
         ) WHERE rnk <= 3""")),
 
+    // --------------------------------- iterative graph: integer PageRank
+    // 3 PageRank supersteps over the undirected customer–supplier
+    // bipartite graph (an edge per distinct trading pair; suppliers
+    // offset by 1e9 to share the id space). Ranks are FIXED-POINT
+    // BIGINTs (units of 1e-9) so every step is integer `div` arithmetic
+    // — bit-identical across engines and partitionings, which is what
+    // makes an ITERATIVE algorithm oracle-able at all. Each superstep is
+    // one src-keyed join + one dst-keyed aggregation (degrees joined to
+    // the edge list once, loop-invariant) — see operators.PageRank.
+    QueryDef(
+      "q_supplier_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val co = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000000L).as("p"))
+          .distinct()
+        val edges = co.select($"c".as("src"), $"p".as("dst"))
+          .union(co.select($"p".as("src"), $"c".as("dst")))
+        graft.operators.PageRank.ranks(edges, 3)
+          .orderBy($"r".desc, $"id".asc).limit(20)
+          .select($"id".as("node_id"), $"r".as("rank_scaled"))
+      },
+      Some("""
+        WITH co AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+          SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co
+        ), deg AS (
+          SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+        ), nodes AS (
+          SELECT DISTINCT src AS id FROM edges
+        ), r0 AS (
+          SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes
+        ), s1 AS (
+          SELECT e.dst AS id, SUM(r0.r // d.deg) AS s
+          FROM edges e JOIN r0 ON e.src = r0.id JOIN deg d ON e.src = d.src
+          GROUP BY 1
+        ), r1 AS (
+          SELECT n.id, CAST(150000000 + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN s1 ON n.id = s1.id
+        ), s2 AS (
+          SELECT e.dst AS id, SUM(r1.r // d.deg) AS s
+          FROM edges e JOIN r1 ON e.src = r1.id JOIN deg d ON e.src = d.src
+          GROUP BY 1
+        ), r2 AS (
+          SELECT n.id, CAST(150000000 + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN s2 ON n.id = s2.id
+        ), s3 AS (
+          SELECT e.dst AS id, SUM(r2.r // d.deg) AS s
+          FROM edges e JOIN r2 ON e.src = r2.id JOIN deg d ON e.src = d.src
+          GROUP BY 1
+        ), r3 AS (
+          SELECT n.id, CAST(150000000 + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN s3 ON n.id = s3.id
+        )
+        SELECT id AS node_id, r AS rank_scaled FROM r3
+        ORDER BY r DESC, id ASC LIMIT 20""")),
+
     // ------------------------------------------------------------ rollup
     QueryDef(
       "q_rollup_returns",
