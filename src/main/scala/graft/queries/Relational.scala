@@ -506,6 +506,48 @@ object Relational {
         )
         SELECT window_start, COUNT(*) AS n_users FROM e GROUP BY 1""")),
 
+    // --------------------------------- events: Markov journey transitions
+    // The user-journey transition matrix: consecutive event-type pairs
+    // per user (ts, event_id ordering), with exact counts and the
+    // per-source transition probability. Probability is an
+    // integer-over-integer IEEE division — bit-identical cross-engine
+    // without decimal staging. One user-keyed window pass (same shuffle
+    // shape as sessionization), then a tiny matrix-sized aggregation;
+    // the per-source totals attach by broadcast.
+    QueryDef(
+      "q_events_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val pairs = t(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("from_type", lag($"event_type", 1).over(w))
+          .filter($"from_type".isNotNull)
+          .groupBy($"from_type", $"event_type".as("to_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+        val totals = pairs.groupBy($"from_type")
+          .agg(sum($"n_transitions").as("t"))
+        pairs.join(broadcast(totals), "from_type")
+          .select($"from_type", $"to_type", $"n_transitions",
+            ($"n_transitions".cast("double") / $"t".cast("double"))
+              .as("p_transition"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ), pairs AS (
+          SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        ), tot AS (
+          SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1
+        )
+        SELECT p.from_type, p.to_type, p.n AS n_transitions,
+               CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p_transition
+        FROM pairs p JOIN tot t ON p.from_type = t.from_type""")),
+
     // -------------------------------------------- events: skewed-key join
     // 90% of facts collapse onto one synthetic hot key; the engine joins
     // through Skew.saltedJoin (deterministic hash scatter × dimension
