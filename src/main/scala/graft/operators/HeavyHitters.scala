@@ -75,11 +75,12 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = grouped
-      .withColumn("n", sum(col("cnt")).over())
+      .crossJoin(broadcast(grouped.agg(sum(col("cnt")).as("n"))))
       .filter(col("tok").isNotNull && col("cnt") * k > col("n"))
       .select(col("tok"), col("cnt"), col("n"))
-    // the window over ≤ c+1 grouped rows is driver-trivial; force the
-    // result before unpersisting the shared scan
+    // the total attaches as a broadcast scalar over ≤ c+1 grouped rows —
+    // no WindowExec, no single-partition path; force the result before
+    // unpersisting the shared scan
     val result = out.cache()
     result.count()
     items.unpersist(blocking = false)
