@@ -506,6 +506,70 @@ object Relational {
         )
         SELECT window_start, COUNT(*) AS n_users FROM e GROUP BY 1""")),
 
+    // ----------------------------- events: peak concurrency (global sweep)
+    // Max simultaneously-open sessions: sessionize (the q_events_sessions
+    // rule), emit +1/-1 interval endpoints, and take a GLOBAL running sum
+    // — through operators.PrefixSum's two-level scan (epoch-hour buckets;
+    // per-bucket totals prefix on the driver, within-bucket windows on
+    // executors), NOT the single-partition window a naive global
+    // running-total plans. Ends sort after starts at the same instant
+    // (delta DESC) so touching sessions both count at the touch point;
+    // the (t, running) multiset is tie-order-invariant, making the sweep
+    // oracle-able.
+    QueryDef(
+      "q_events_max_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val gap = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser))
+        val sessions = t(s, dir, "events")
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800000000L, lit(1)).otherwise(lit(0)))
+          .withColumn("session_id",
+            sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_id")
+          .agg(min($"ts").as("s"), max($"ts").as("e"))
+        val deltas = sessions.select($"s".as("t"), lit(1L).as("delta"))
+          .unionAll(sessions.select($"e".as("t"), lit(-1L).as("delta")))
+        val swept = graft.operators.PrefixSum.runningTotal(
+          deltas, floor(unix_micros($"t") / 3600000000L),
+          Seq($"t".asc, $"delta".desc), $"delta", "running")
+        val mx = swept.agg(max($"running").as("mx"))
+        swept.join(broadcast(mx), $"running" === $"mx")
+          .groupBy($"mx")
+          .agg(min($"t").as("first_ts"))
+          .select($"mx".as("max_concurrent"), $"first_ts")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked
+        ), sess AS (
+          SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+          FROM numbered GROUP BY 1, 2
+        ), deltas AS (
+          SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM sess
+          UNION ALL
+          SELECT e AS t, CAST(-1 AS BIGINT) AS delta FROM sess
+        ), swept AS (
+          SELECT t, SUM(delta) OVER (ORDER BY t ASC, delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM deltas
+        )
+        SELECT CAST(MAX(running) AS BIGINT) AS max_concurrent,
+               MIN(CASE WHEN running = (SELECT MAX(running) FROM swept)
+                   THEN t END) AS first_ts
+        FROM swept""")),
+
     // --------------------------------- events: Markov journey transitions
     // The user-journey transition matrix: consecutive event-type pairs
     // per user (ts, event_id ordering), with exact counts and the
