@@ -20,14 +20,15 @@ class SessionizeSpec extends SparkSpec {
 
   /** Run events through the streaming sessionizer in the given batches,
     * returning every ClosedSession the sink saw. */
-  private def run(batches: Seq[Seq[(Long, Long)]]): Set[(Long, Long, Long, Long)] = {
+  private def run(batches: Seq[Seq[(Long, Long)]],
+                  delay: String = "1 hour"): Set[(Long, Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
     val events = input.toDS()
       .select($"_1".as("user_id"),
         timestamp_millis(($"_2" + BaseMin) * 60000L).as("ts"))
       .as[SessionEvent]
-    val sessions = Sessionize.sessions(events, GapUs, "1 hour")
+    val sessions = Sessionize.sessions(events, GapUs, delay)
     val q = sessions.writeStream.format("memory")
       .queryName("sessionize_sink").outputMode("append").start()
     try {
@@ -72,6 +73,26 @@ class SessionizeSpec extends SparkSpec {
       Seq((7L, 0L), (7L, 50L)),
       Seq((7L, 25L))))
     assert(got == Set((7L, 0L, 50L, 3L)), got.toString)
+  }
+
+  test("randomized agreement with the batch gap rule across shuffled batches") {
+    val rnd = new scala.util.Random(815L)
+    val events = (1 to 300).map(_ =>
+      (rnd.nextInt(30).toLong + 1L, rnd.nextInt(500).toLong + 1L))
+    val shuffled = rnd.shuffle(events)
+    val batches = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val got = run(batches, delay = "700 minutes")
+
+    // brute-force the gap rule per user: sort, split on gap > 30 min
+    val expected = events.groupBy(_._1).flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head <= 30L) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }
+      sessions.map(s => (u, s.min, s.max, s.length.toLong))
+    }.toSet
+    assert(got == expected, s"streaming ${got.size} vs batch ${expected.size}")
   }
 
   test("state bridges a stop/restart from the checkpoint, Delta sink exactly-once") {
