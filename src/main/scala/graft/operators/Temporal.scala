@@ -90,4 +90,43 @@ object Temporal {
         rightPayload.map(c =>
           when(inRange, col(s"__match.`$c`")).otherwise(lit(null)).as(c)): _*)
   }
+
+  /** Resample to a regular per-key grid with forward fill (last
+    * observation carried forward) — the feature-pipeline staple.
+    *
+    * Each key gets one row per `unit` period (e.g. "day") from its first
+    * to its last observation; `valueCol` carries the period's LAST
+    * observation (by `tsCol`, then `tieCol`) forward across empty
+    * periods. Periods before a key's first observation don't exist by
+    * construction, so the fill is total.
+    *
+    * Scale shape: the per-period last-observation reduce is a window
+    * over (key, period) — same exchange the fill pass needs, so the
+    * plan pays ONE shuffle on the key; the grid explode is a pure
+    * per-row `sequence` expansion (no join against a calendar table);
+    * per-task state for the fill is the running last value, O(1). Grid
+    * width is bounded by each key's own active span — a key observed
+    * twice a year costs 365 rows/year at "day", which is the operator's
+    * contract, not a surprise. */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valueCol: String, unit: String): DataFrame = {
+    val perPeriod = Window.partitionBy(col(keyCol),
+        date_trunc(unit, col(tsCol)))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val lastPerPeriod = df
+      .withColumn("__rn", row_number().over(perPeriod))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), date_trunc(unit, col(tsCol)).as("period"),
+        col(valueCol).as("__obs"))
+    val span = lastPerPeriod.groupBy(col(keyCol))
+      .agg(min(col("period")).as("__p0"), max(col("period")).as("__p1"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("__p0"), col("__p1"),
+        expr(s"INTERVAL 1 $unit"))).as("period"))
+    val fill = Window.partitionBy(col(keyCol)).orderBy(col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerPeriod, Seq(keyCol, "period"), "left")
+      .withColumn(valueCol, last(col("__obs"), ignoreNulls = true).over(fill))
+      .drop("__obs")
+  }
 }

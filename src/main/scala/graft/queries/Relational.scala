@@ -506,6 +506,44 @@ object Relational {
         )
         SELECT window_start, COUNT(*) AS n_users FROM e GROUP BY 1""")),
 
+    // --------------------------- events: resample + forward fill (hourly)
+    // Every user gets one row per hour of their active span, carrying
+    // the hour's LAST observed value forward across silent hours — the
+    // feature-pipeline staple (operators.Temporal.resampleFfill). One
+    // user-keyed exchange serves the per-hour last-observation reduce
+    // AND the fill window; the hourly grid is a pure per-row sequence()
+    // expansion, no calendar join. The value column rides verbatim
+    // (bit-identical doubles, no aggregation).
+    QueryDef(
+      "q_events_hourly_ffill",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Temporal.resampleFfill(
+          t(s, dir, "events").select($"user_id", $"ts", $"event_id", $"value"),
+          "user_id", "ts", "event_id", "value", "hour")
+      },
+      Some("""
+        WITH lastobs AS (
+          SELECT user_id, period, value FROM (
+            SELECT user_id, date_trunc('hour', ts) AS period, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        ), span AS (
+          SELECT user_id, MIN(period) AS p0, MAX(period) AS p1
+          FROM lastobs GROUP BY 1
+        ), grid AS (
+          SELECT user_id,
+                 unnest(generate_series(p0, p1, INTERVAL 1 HOUR)) AS period
+          FROM span
+        )
+        SELECT g.user_id, g.period,
+               last_value(l.value IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.period ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM grid g LEFT JOIN lastobs l
+          ON g.user_id = l.user_id AND g.period = l.period""")),
+
     // ----------------------------- events: peak concurrency (global sweep)
     // Max simultaneously-open sessions: sessionize (the q_events_sessions
     // rule), emit +1/-1 interval endpoints, and take a GLOBAL running sum

@@ -44,12 +44,7 @@ case class ClosedSession(user_id: Long, session_start: Timestamp,
   */
 object Sessionize {
 
-  private def usOf(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
-  private def tsOf(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000L))
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  import EventTimeCodec.{usOf, tsOf}
 
   /** Merge sorted-by-start intervals, coalescing any pair within gap. */
   private def coalesce(sorted: Seq[OpenInterval], gapUs: Long): Seq[OpenInterval] =

@@ -39,12 +39,7 @@ case class FunnelCompletion(user_id: Long, step_ts: Seq[Timestamp])
   */
 object StreamingFunnel {
 
-  private def usOf(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
-  private def tsOf(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000L))
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  import EventTimeCodec.{usOf, tsOf}
 
   /** Fold drainable events (complete, event-time-ordered prefix) into the
     * reach vector — the batch rule verbatim. */

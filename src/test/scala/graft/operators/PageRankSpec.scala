@@ -25,12 +25,14 @@ class PageRankSpec extends SparkSpec {
       .toDF("src", "dst")
     val lazyTop = PageRank.ranks(edges, 2, scale = 1000L)
       .orderBy($"r".desc, $"id".asc).as[(Long, Long)].collect().toList
+    // the managed form must leave nothing cached behind that it added
+    // (the session is shared across suites — compare against a baseline)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val managed = PageRank.topRanks(edges, 2, k = 3, scale = 1000L)
       .as[(Long, Long)].collect().toList
     assert(managed == lazyTop, s"$managed vs $lazyTop")
-    // the managed form must leave nothing cached behind
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      spark.sparkContext.getPersistentRDDs.values.map(_.name).toString)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"topRanks leaked cached RDDs: $added")
   }
 
   test("ranks are partitioning-invariant (exact integers, no float order)") {
