@@ -2971,6 +2971,41 @@ object PipelineQueries {
         SELECT lang, CAST(rank AS INT) AS rank, tok, cnt
         FROM ranked WHERE rank <= 5""")),
 
+    // Vocabulary growth curve (Heaps' law view): docs in doc_id order,
+    // sharded 50 apiece; each token charges its FIRST shard; per-shard
+    // new-token counts cumulate into the running vocabulary size through
+    // operators.PrefixSum (shard-div-8 buckets) — the corpus-ingestion
+    // diagnostic dedup teams plot, with the cumulative sum distributed
+    // instead of a single-partition window.
+    QueryDef(
+      "text_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        val firsts = t(s, dir, "documents")
+          .select(expr("doc_id div 50").as("shard"),
+            explode(tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(min($"shard").as("shard"))
+        val newPerShard = firsts.groupBy($"shard")
+          .agg(count(lit(1)).as("n_new"))
+        graft.operators.PrefixSum.runningTotal(newPerShard,
+          expr("shard div 8"), Seq($"shard".asc), $"n_new", "vocab_size")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id // 50 AS shard,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ), firsts AS (
+          SELECT tok, MIN(shard) AS shard FROM toks GROUP BY 1
+        ), newper AS (
+          SELECT shard, COUNT(*) AS n_new FROM firsts GROUP BY 1
+        )
+        SELECT shard, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY shard ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS vocab_size
+        FROM newper""")),
+
     // Exact heavy hitters (tokens with > 1/k of all token occurrences)
     // via the Misra–Gries sketch + exact-verify two-pass: the sketch
     // bounds shuffle width at the CAPACITY, not the vocabulary, and the
