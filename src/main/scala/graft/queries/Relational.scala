@@ -506,6 +506,37 @@ object Relational {
         )
         SELECT window_start, COUNT(*) AS n_users FROM e GROUP BY 1""")),
 
+    // ------------------------------ events: 7-day rolling sum (RANGE frame)
+    // Per-user daily value totals, then a rolling 7-day sum via a RANGE
+    // frame over the integer day — the frame covers VALUE distance (6
+    // days back), not 6 rows, so silent days genuinely age out; this is
+    // the one window-frame kind the suite didn't cover. Exact decimal
+    // staging for the double sums, user-partitioned windows (no global
+    // sort).
+    QueryDef(
+      "q_events_rolling_7d",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum($"value".cast(DecimalType(18, 6))).as("v"))
+        val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+          .rangeBetween(-6, 0)
+        daily.withColumn("rolling_sum", sum($"v").over(w).cast("double"))
+          .select($"user_id", $"day", $"rolling_sum")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day,
+               CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY day ASC
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS rolling_sum
+        FROM daily""")),
+
     // --------------------------- events: resample + forward fill (hourly)
     // Every user gets one row per hour of their active span, carrying
     // the hour's LAST observed value forward across silent hours — the
