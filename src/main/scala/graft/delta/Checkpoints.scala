@@ -77,7 +77,7 @@ object Checkpoints {
     * under that policy. */
   def writeCheckpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
     if (checkpointPolicy(snapshot) == "v2") return writeV2Checkpoint(snapshot, parts)
-    implicit val enc = Encoders.product[SingleAction]
+    implicit val enc = Encs.singleAction
     val statsXf = statsTransform(snapshot.metadata)
     val actions: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
@@ -98,7 +98,7 @@ object Checkpoints {
     * construction. */
   def writeCheckpointDistributed(snapshot: Snapshot, parts: Int = 1): Unit = {
     if (checkpointPolicy(snapshot) == "v2") return writeV2Checkpoint(snapshot, parts)
-    implicit val enc = Encoders.product[SingleAction]
+    implicit val enc = Encs.singleAction
     val statsXf = statsTransform(snapshot.metadata)
     val small: Seq[SingleAction] =
       (snapshot.protocol.wrap +: snapshot.metadata.wrap +:
@@ -108,7 +108,7 @@ object Checkpoints {
     val ds = snapshot.spark.createDataset(small)
       .unionByName(snapshot.allFilesDistributed
         .map(a => statsXf(a).wrap)(
-          Encoders.product[SingleAction]))
+          Encs.singleAction))
     // the action count is an aggregation over the (persisted) distributed
     // state — the file list itself never touches the driver
     val total = small.size.toLong + snapshot.numOfFiles
@@ -150,7 +150,7 @@ object Checkpoints {
     * sees only that writer's files; `_last_checkpoint` is a last-wins
     * atomic overwrite. */
   def writeV2Checkpoint(snapshot: Snapshot, parts: Int = 1): Unit = {
-    implicit val enc = Encoders.product[SingleAction]
+    implicit val enc = Encs.singleAction
     import org.apache.spark.sql.functions.{col, lit, udf}
     val statsXf = statsTransform(snapshot.metadata)
     val log = snapshot.deltaLog
@@ -246,7 +246,7 @@ object Checkpoints {
 
       // 2. main file: exactly one checkpointMetadata + the non-file
       // actions + the sidecar references
-      implicit val mainEnc = Encoders.product[Checkpoints.V2MainAction]
+      implicit val mainEnc = Encs.v2MainAction
       val mainRows: Seq[Checkpoints.V2MainAction] =
         Checkpoints.V2MainAction(checkpointMetadata =
           Some(CheckpointMetadata(snapshot.version))) +:
@@ -477,8 +477,13 @@ object Checkpoints {
 
     val tempDir = new Path(log.logPath,
       s".checkpoint_tmp_${java.util.UUID.randomUUID()}")
-    actionsDS.repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
+    // parts == 1 (the steady-state cadence checkpoint): coalesce instead
+    // of repartition — one task, NO shuffle exchange (guide §2.4; the
+    // round-robin repartition additionally paid sortBeforeRepartition).
+    // Multi-part keeps repartition: even part sizes need the shuffle.
+    val shaped =
+      if (parts == 1) actionsDS.coalesce(1) else actionsDS.repartition(parts)
+    shaped.write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
     try {
       val written = fs.listStatus(tempDir)
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))

@@ -566,7 +566,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val snapshot = txn.snapshot
     val dataPathStr = deltaLog.dataPath.toString
     val sconf = new SerializableHadoopConf(deltaLog.hadoopConf)
-    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    implicit val enc = Encs.addFile
     val files =
       if (snapshot.distributedState) snapshot.allFilesDistributed
       else spark.createDataset(snapshot.allFiles)
@@ -943,7 +943,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
     def filesDs(s: Snapshot): org.apache.spark.sql.Dataset[AddFile] =
       if (s.distributedState) s.allFilesDistributed else s.allFilesDS
-    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    implicit val enc = Encs.addFile
     // both sides feed TWO anti-joins; persist so time-travel snapshots
     // (which never cache their distributed state) replay once, not twice
     val targetFiles = filesDs(target)
@@ -1351,7 +1351,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val sconf = new SerializableHadoopConf(deltaLog.hadoopConf)
 
     import org.apache.spark.sql.Encoders
-    implicit val enc = Encoders.product[AddFile]
+    implicit val enc = Encs.addFile
     val filesDs =
       if (snapshot.distributedState) snapshot.allFilesDistributed
       else spark.createDataset(snapshot.allFiles)(enc)
@@ -1388,7 +1388,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // addressing), so per-add copies race to the same target — at 10x
     // scale two tasks collided with PathExistsException. Distinct
     // descriptors first, then one copy each.
-    implicit val dvEnc = Encoders.product[DeletionVectorDescriptor]
+    implicit val dvEnc = Encs.dvDescriptor
     filesDs.flatMap(_.deletionVector.toSeq
         .filter(d => d.storageType == "u" || d.storageType == "p"))(dvEnc)
       .dropDuplicates("storageType", "pathOrInlineDv")

@@ -28,10 +28,11 @@ object DistributedLogReplay {
     * with types outside our model (e.g. commitInfo.timestamp). */
   private case class FileSlice(
       add: Option[AddFile] = None, remove: Option[RemoveFile] = None)
+  private lazy val sliceEncCached = Encoders.product[FileSlice]
 
   def activeFiles(spark: SparkSession, segment: LogSegment): Dataset[AddFile] = {
-    implicit val sliceEnc = Encoders.product[FileSlice]
-    implicit val addEnc = Encoders.product[AddFile]
+    implicit val sliceEnc = sliceEncCached
+    implicit val addEnc = Encs.addFile
 
     // a coordinated table's DEFERRED commits exist only in the staged
     // layout; executors read the physical staged path (the listing's

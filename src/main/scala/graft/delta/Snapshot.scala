@@ -197,9 +197,9 @@ class Snapshot(
       val fromMain = main.actions.iterator.filter(!_.isInstanceOf[AddFile])
       if (sidecarPaths.isEmpty) fromMain
       else {
-        implicit val enc = Encoders.product[Snapshot.LightAction]
+        implicit val enc = Encs.lightAction
         fromMain ++ spark.read
-          .schema(Encoders.product[SingleAction].schema)
+          .schema(Encs.singleAction.schema)
           .parquet(sidecarPaths: _*)
           .selectExpr("txn", "remove", "metaData", "protocol",
             "domainMetadata")
@@ -208,9 +208,9 @@ class Snapshot(
           .collect().iterator.map(_.unwrap).filter(_ != null)
       }
     case None =>
-      implicit val enc = Encoders.product[Snapshot.LightAction]
+      implicit val enc = Encs.lightAction
       val paths = logSegment.checkpoint.map(_.getPath.toString)
-      spark.read.schema(Encoders.product[SingleAction].schema)
+      spark.read.schema(Encs.singleAction.schema)
         .parquet(paths: _*)
         .selectExpr("txn", "remove", "metaData", "protocol",
           "domainMetadata")
@@ -241,7 +241,7 @@ class Snapshot(
       // (e.g. commitInfo.timestamp as a parquet TIMESTAMP where the JSON
       // model uses millis) that state reconstruction must never touch.
       logSegment.checkpointVersion.foreach { cpVersion =>
-        implicit val enc = Encoders.product[Snapshot.StateAction]
+        implicit val enc = Encs.stateAction
         // V2 checkpoints: driver-parsed main actions (incl. inline file
         // actions when no sidecars) + the sidecar parquets; classic:
         // the checkpoint part files themselves
@@ -347,7 +347,7 @@ class Snapshot(
   /** Active files as a Dataset — the distributed face of the state, used
     * for metadata queries and checkpoint writing at large file counts. */
   def allFilesDS: Dataset[AddFile] = {
-    implicit val enc = Encoders.product[AddFile]
+    implicit val enc = Encs.addFile
     spark.createDataset(allFiles)
   }
 
@@ -364,7 +364,7 @@ class Snapshot(
       // parse stats ONCE while the state is being persisted: files from
       // commits AFTER the last checkpoint carry raw JSON only, and every
       // pruning query against the cached state would re-walk it
-      implicit val enc = Encoders.product[AddFile]
+      implicit val enc = Encs.addFile
       val ds = DistributedLogReplay.activeFiles(this)
         .map(read.DataSkipping.withParsedStats(_))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -94,7 +94,7 @@ object V2Checkpoints {
         lines.flatMap(l => JsonCodec.mapper
           .readValue(l, classOf[SidecarEnvelope]).sidecar))
     } else {
-      implicit val enc = Encoders.product[V2StateAction]
+      implicit val enc = Encs.v2StateAction
       val rows = spark.read.schema(enc.schema)
         .parquet(file.getPath.toString)
         .as[V2StateAction].collect()

@@ -72,6 +72,26 @@ final class RoaringBitmapArray private (
 
   def isEmpty: Boolean = bitmaps.forall(_.isEmpty)
 
+  /** In-place union: container-wise merge of two sorted arrays — O(n+m)
+    * per container, replacing the O(n·m) one-bit-at-a-time `add` loop a
+    * caller would otherwise need (merging a full 65k-value container by
+    * `add` is quadratic: each insert copies the array). Union only adds
+    * values, so the no-trailing-empty-bitmap invariant is preserved. */
+  def union(other: RoaringBitmapArray): Unit = {
+    while (bitmaps.size < other.bitmaps.size) bitmaps += mutable.SortedMap.empty
+    var high = 0
+    while (high < other.bitmaps.size) {
+      val m = bitmaps(high)
+      other.bitmaps(high).foreach { case (key, oc) =>
+        m.get(key) match {
+          case None => m(key) = oc
+          case Some(c) => m(key) = c.union(oc)
+        }
+      }
+      high += 1
+    }
+  }
+
   /** Portable serialization: magic ‖ number-of-bitmaps (8B LE) ‖ each
     * 32-bit bitmap with the run-free cookie + offset header. */
   def serialize(): Array[Byte] = {
@@ -119,10 +139,47 @@ object RoaringBitmapArray {
   /** With the run cookie, the offset header only exists at ≥ 4 keys. */
   private val NoOffsetThreshold = 4
 
-  def apply(values: Long*): RoaringBitmapArray = {
-    val r = empty()
-    values.foreach(r.add)
-    r
+  def apply(values: Long*): RoaringBitmapArray =
+    fromUnsorted(values.toArray)
+
+  /** Bulk builder: sort once, then slice directly into containers —
+    * O(n log n) total, where repeated `add` is O(n) PER VALUE once a
+    * container grows (every insert copies its sorted array; building a
+    * dense 65k-value container that way is ~2e9 element moves). This is
+    * the path every DV build takes (positions arrive unsorted from a
+    * distributed scan), so the builder's complexity IS the DELETE's
+    * executor-side cost profile. Duplicates collapse. */
+  def fromUnsorted(values: Array[Long]): RoaringBitmapArray = {
+    if (values.isEmpty) return empty()
+    val sorted = values.clone()
+    java.util.Arrays.sort(sorted)
+    require(sorted(0) >= 0, s"negative value ${sorted(0)}")
+    val arr = mutable.ArrayBuffer.empty[mutable.SortedMap[Int, Container]]
+    var i = 0
+    val n = sorted.length
+    while (i < n) {
+      val v = sorted(i)
+      val high = (v >>> 32).toInt
+      val key = (v.toInt) >>> 16
+      // scan the run of values sharing (high, key): they form one container
+      val prefix = v >>> 16 // high 48 bits identify the container
+      var j = i
+      while (j < n && (sorted(j) >>> 16) == prefix) j += 1
+      val buf = new Array[Int](j - i)
+      var o = 0
+      var k = i
+      var last = -1
+      while (k < j) {
+        val bit = sorted(k).toInt & 0xffff
+        if (bit != last) { buf(o) = bit; o += 1; last = bit }
+        k += 1
+      }
+      while (arr.size <= high) arr += mutable.SortedMap.empty
+      arr(high)(key) =
+        Container(if (o == buf.length) buf else java.util.Arrays.copyOf(buf, o))
+      i = j
+    }
+    new RoaringBitmapArray(arr)
   }
 
   def empty(): RoaringBitmapArray =
@@ -207,6 +264,25 @@ object RoaringBitmapArray {
       }
     }
     def values: Iterator[Int] = sorted.iterator
+
+    /** Sorted-array union with `other` — one linear merge pass. */
+    def union(other: Container): Container = {
+      val a = sorted; val b = other.sorted
+      if (a.isEmpty) return other
+      if (b.isEmpty) return this
+      val out = new Array[Int](a.length + b.length)
+      var i = 0; var j = 0; var o = 0
+      while (i < a.length && j < b.length) {
+        val av = a(i); val bv = b(j)
+        if (av < bv) { out(o) = av; i += 1 }
+        else if (av > bv) { out(o) = bv; j += 1 }
+        else { out(o) = av; i += 1; j += 1 }
+        o += 1
+      }
+      while (i < a.length) { out(o) = a(i); i += 1; o += 1 }
+      while (j < b.length) { out(o) = b(j); j += 1; o += 1 }
+      Container(if (o == out.length) out else java.util.Arrays.copyOf(out, o))
+    }
 
     def serializedSize: Int =
       if (cardinality > ArrayMaxCardinality) 8192 else 2 * cardinality

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 
-import graft.delta.{AddFile, Snapshot}
+import graft.delta.{AddFile, Encs, Snapshot}
 
 /** Filtered file scan with the reference's pushed/residual contract
   * (SURVEY §2.3 S1/S2; ref DeltaScan.java:33-67,
@@ -97,7 +97,7 @@ class DeltaScanBuilder(snapshot: Snapshot) {
     val spark = snapshot.spark
     import spark.implicits._
     val dataPathStr = snapshot.deltaLog.dataPath.toString
-    implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+    implicit val addEnc = Encs.addFile
     val files: org.apache.spark.sql.Dataset[AddFile] =
       if (snapshot.distributedState) snapshot.allFilesDistributed
       else spark.createDataset(snapshot.allFiles)
@@ -142,7 +142,7 @@ class DeltaScanBuilder(snapshot: Snapshot) {
   }
 
   private def antiJoinDeletedRows(df: DataFrame): DataFrame = {
-    implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+    implicit val addEnc = Encs.addFile
     val spark = snapshot.spark
     val dvFiles: org.apache.spark.sql.Dataset[AddFile] =
       if (snapshot.distributedState)
@@ -199,7 +199,7 @@ object DvFilter {
     val withDv = files.filter(_.deletionVector.isDefined)
     if (withDv.isEmpty) df
     else {
-      implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+      implicit val addEnc = Encs.addFile
       val spark = df.sparkSession
       apply(df, spark.createDataset(withDv),
         withDv.iterator.flatMap(_.deletionVector).map(_.cardinality).sum,

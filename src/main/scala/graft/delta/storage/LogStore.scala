@@ -44,15 +44,40 @@ class HadoopFileSystemLogStore extends LogStore {
 
   override def read(path: Path, conf: Configuration): Seq[String] = {
     val fs = path.getFileSystem(conf)
-    val stream = fs.open(path)
-    try {
-      Source.fromInputStream(stream)(Codec.UTF8).getLines().toVector
-    } finally stream.close()
+    if (LogStore.isLocalScheme(path, fs)) {
+      // NIO fast path (guide §1 profile: the Hadoop local FS is
+      // ChecksumFileSystem — every open also reads/verifies a .crc
+      // sidecar, and stream setup dominates for KB-sized commit JSONs).
+      // Commit integrity is the log protocol's own concern (atomic
+      // publish + length checks), exactly as on object stores where no
+      // .crc exists either.
+      val p = java.nio.file.Paths.get(path.toUri.getPath)
+      val in = java.nio.file.Files.newInputStream(p)
+      try Source.fromInputStream(in)(Codec.UTF8).getLines().toVector
+      finally in.close()
+    } else {
+      val stream = fs.open(path)
+      try {
+        Source.fromInputStream(stream)(Codec.UTF8).getLines().toVector
+      } finally stream.close()
+    }
   }
 
   override def write(path: Path, lines: Iterator[String], overwrite: Boolean,
                      conf: Configuration): Unit = {
     val fs = path.getFileSystem(conf)
+    if (LogStore.isLocalScheme(path, fs)) {
+      // NIO fast path for the local scheme: the Hadoop route costs one
+      // fork+exec `chmod` PER CREATED FILE (RawLocalFileSystem.create →
+      // setPermission shells out when the native lib is absent — profiled
+      // at ~10 ms per call on this host) plus a .crc sidecar write
+      // (ChecksumFileSystem). Same publish protocol, same atomicity:
+      // temp + link(2) (below) is unchanged; only the byte I/O moves to
+      // java.nio. Behavior parity pinned by LogStoreSpec +
+      // CrossProcessStoreSpec.
+      LogStore.writeLocalNio(path, lines, overwrite)
+      return
+    }
     if (!fs.exists(path.getParent)) fs.mkdirs(path.getParent)
     if (overwrite) {
       val out = fs.create(path, true)
@@ -277,5 +302,54 @@ object LogStore {
         case _ => new HadoopFileSystemLogStore
       }
     }
+  }
+
+  private[storage] def isLocalScheme(path: Path, fs: FileSystem): Boolean =
+    "file".equalsIgnoreCase(
+      Option(path.toUri.getScheme).getOrElse(fs.getUri.getScheme))
+
+  /** Local-scheme write through java.nio — identical protocol to the
+    * Hadoop route (temp in the destination directory, atomic publish,
+    * FileAlreadyExistsException on a lost race), none of the per-file
+    * fork+exec chmod or .crc sidecar cost of Hadoop's checksummed local
+    * FS. Overwrite=true (e.g. `_last_checkpoint`) publishes by ATOMIC_MOVE
+    * so readers never observe a torn file (stronger than the Hadoop
+    * route's in-place truncate+write), and drops any stale Hadoop .crc
+    * sidecar so a later checksummed read cannot mismatch. */
+  private[storage] def writeLocalNio(path: Path, lines: Iterator[String],
+                                     overwrite: Boolean): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    val dest = Paths.get(path.toUri.getPath)
+    val parent = dest.getParent
+    if (parent != null && !Files.isDirectory(parent)) Files.createDirectories(parent)
+    if (!overwrite && Files.exists(dest)) {
+      throw new FileAlreadyExistsException(path.toString)
+    }
+    val temp = dest.resolveSibling(
+      s".${dest.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = Files.newOutputStream(temp,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      val buffered = new java.io.BufferedOutputStream(out, 64 * 1024)
+      lines.foreach(l => buffered.write((l + "\n").getBytes(UTF_8)))
+      buffered.flush()
+    } finally out.close()
+    try {
+      if (overwrite) {
+        // a pre-NIO Hadoop write may have left a checksum sidecar; it
+        // would mismatch the new bytes under a checksummed reader
+        Files.deleteIfExists(dest.resolveSibling(s".${dest.getFileName}.crc"))
+        Files.move(temp, dest, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        // link(2): atomic no-overwrite publish, EEXIST names the loser
+        // (same primitive and reasoning as the Hadoop route below)
+        try Files.createLink(dest, temp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new FileAlreadyExistsException(path.toString)
+        }
+      }
+    } finally Files.deleteIfExists(temp)
   }
 }

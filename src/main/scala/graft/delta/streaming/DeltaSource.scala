@@ -498,7 +498,7 @@ class DeltaSource(
             s"batch ($v); restart the stream to pick it up")
       }
       implicit val enc =
-        org.apache.spark.sql.Encoders.product[SnapshotIndexedFile]
+        Encs.snapshotIndexedFile
       val sortedRdd = snap.allFilesDistributed.sort("path").rdd
       // global ranks and byte prefix sums without a single-partition
       // window: per-partition totals to the driver (O(partitions)), then
@@ -1119,7 +1119,7 @@ class DeltaSource(
     val undeleted =
       if (snap.dvCardinality == 0L) base
       else {
-        implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+        implicit val enc = Encs.addFile
         val dvFiles =
           if (snap.distributedState)
             snap.allFilesDistributed.filter(_.deletionVector.isDefined)

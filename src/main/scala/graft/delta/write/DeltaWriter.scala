@@ -477,14 +477,37 @@ object DeltaWriter {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       (Int, Option[Option[String]])]
 
-  private def listParquetFiles(fs: FileSystem, dir: Path) = {
-    val it = fs.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+  private def listParquetFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    // local scheme: walk with java.nio — Hadoop's checksummed local FS
+    // materializes permission info per listed file by fork+exec'ing `ls`
+    // when the native lib is absent (profiled ~140 ms per commit here)
+    if ("file".equalsIgnoreCase(
+        Option(dir.toUri.getScheme).getOrElse(fs.getUri.getScheme))) {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(dir.toUri.getPath)
+      val stream = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.flatMap { p =>
+          if (p.getFileName.toString.endsWith(".parquet") &&
+              Files.isRegularFile(p)) {
+            val attrs = Files.readAttributes(p,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+            Some(new org.apache.hadoop.fs.FileStatus(
+              attrs.size(), false, 1, 0, attrs.lastModifiedTime().toMillis,
+              new Path(dir, root.relativize(p).toString)))
+          } else None
+        }.toVector
+      } finally stream.close()
+    } else {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
     }
-    buf.toSeq
   }
 
   /** `p1=v1/p2=v2/part-xxx.parquet` → Map(p1 -> v1, p2 -> v2), unescaping

@@ -45,8 +45,8 @@ private[delta] object DvShade {
     val newBitmaps: Seq[(String, Array[Byte])] = hits
       .select(col("__file"), col("__pos"))
       .groupBy(col("__file")).agg(collect_list(col("__pos")).as("ps"))
-      .as[(String, Seq[Long])]
-      .map { case (f, ps) => (f, dv.RoaringBitmapArray(ps: _*).serialize()) }
+      .as[(String, Array[Long])]
+      .map { case (f, ps) => (f, dv.RoaringBitmapArray.fromUnsorted(ps).serialize()) }
       .collect().toSeq
     if (newBitmaps.isEmpty) return Result(Nil, 0, 0, 0L)
 
@@ -64,8 +64,8 @@ private[delta] object DvShade {
       // construction, so this is a disjoint union)
       val merged = dv.RoaringBitmapArray.deserialize(bytes)
       add.deletionVector.foreach { old =>
-        dv.DeletionVectors.readBitmap(old, deltaLog.dataPath, deltaLog.hadoopConf)
-          .values.foreach(merged.add)
+        merged.union(dv.DeletionVectors.readBitmap(
+          old, deltaLog.dataPath, deltaLog.hadoopConf))
       }
       shadedRows += merged.cardinality - add.deletionVector.fold(0L)(_.cardinality)
       val totalRows = read.DataSkipping.withParsedStats(add)

@@ -101,8 +101,15 @@ object Multimodal {
   private[multimodal] case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
   private[multimodal] case class FeatureRow(id: Long, features: Array[Float], n_bytes: Long)
 
+  // JVM-cached encoders: Encoders.product derives via runtime reflection
+  // on every call — once per JVM is enough (same rationale as delta.Encs)
+  private lazy val mediaRowEnc = org.apache.spark.sql.Encoders.product[MediaRow]
+  private lazy val resizedRowEnc = org.apache.spark.sql.Encoders.product[ResizedRow]
+  private lazy val frameRowEnc = org.apache.spark.sql.Encoders.product[FrameRow]
+  private lazy val featureRowEnc = org.apache.spark.sql.Encoders.product[FeatureRow]
+
   private def asMedia(media: DataFrame): org.apache.spark.sql.Dataset[MediaRow] = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    implicit val enc = mediaRowEnc
     media.select(col("id"), col("media")).as[MediaRow]
   }
 
@@ -114,7 +121,7 @@ object Multimodal {
     * DataFrame→rdd→createDataFrame round-trip severs both. The iterator
     * shape is what a real decode (mapInPandas / Arrow batch) needs. */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[ResizedRow]
+    implicit val enc = resizedRowEnc
     asMedia(media).mapPartitions { it =>
       it.map { m =>
         val resized = resizeStub(m.media, width, height)
@@ -129,7 +136,7 @@ object Multimodal {
     * explode-shaped plumbing a real frame extractor needs. */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
     require(frameBytes > 0 && everyN > 0)
-    implicit val enc = org.apache.spark.sql.Encoders.product[FrameRow]
+    implicit val enc = frameRowEnc
     asMedia(media).mapPartitions { it =>
       it.flatMap { m =>
         val frames = m.media.length / frameBytes
@@ -145,7 +152,7 @@ object Multimodal {
     * fixed-width feature vector. Runs as one iterator pass per partition —
     * the executor never materializes more than one blob batch. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[FeatureRow]
+    implicit val enc = featureRowEnc
     asMedia(media).mapPartitions { it =>
       it.map(m => FeatureRow(m.id, decodeStub(m.media), m.media.length.toLong))
     }.toDF()
@@ -159,13 +166,16 @@ object Multimodal {
       id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
+  private lazy val wavRowEnc = org.apache.spark.sql.Encoders.product[WavRow]
+  private lazy val bmpRowEnc = org.apache.spark.sql.Encoders.product[BmpRow]
+
   /** `(id, media)` of spec-compliant PCM WAVE blobs synthesized from the
     * id column ([[MediaCodecs.synthWav]]; `nSamples = 64 + id mod 64`) —
     * generated per partition, never on the driver. */
   def wavMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    implicit val enc = mediaRowEnc
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map(id => MediaRow(id, MediaCodecs.synthWav(id, (64 + id % 64).toInt)))
     }.toDF()
@@ -179,7 +189,7 @@ object Multimodal {
   def ulawMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    implicit val enc = mediaRowEnc
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map(id => MediaRow(id,
         MediaCodecs.synthUlawWav(id, (50 + 2 * (id % 10)).toInt)))
@@ -190,7 +200,7 @@ object Multimodal {
     * chunk walk + PCM or mu-law fold per blob, one iterator pass, schema
     * `(id, sample_rate, n_channels, n_samples, mean_amp, peak_amp)`. */
   def wavFeatures(media: DataFrame): DataFrame = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[WavRow]
+    implicit val enc = wavRowEnc
     asMedia(media).mapPartitions { it =>
       it.map { m =>
         val s = MediaCodecs.decodeWav(m.media)
@@ -206,7 +216,7 @@ object Multimodal {
   def bmpMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    implicit val enc = mediaRowEnc
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map(id => MediaRow(id,
         MediaCodecs.synthBmp(id, (4 + id % 5).toInt, (3 + id % 4).toInt)))
@@ -217,7 +227,7 @@ object Multimodal {
     * parse + padded bottom-up pixel walk, schema
     * `(id, width, height, mean_r, mean_g, mean_b)`. */
   def bmpFeatures(media: DataFrame): DataFrame = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    implicit val enc = bmpRowEnc
     asMedia(media).mapPartitions { it =>
       it.map { m =>
         val s = MediaCodecs.decodeBmp(m.media)
@@ -233,7 +243,7 @@ object Multimodal {
   def pngMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    implicit val enc = mediaRowEnc
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map(id => MediaRow(id,
         MediaCodecs.synthPng(id, (3 + id % 6).toInt, (5 + id % 5).toInt)))
@@ -245,7 +255,7 @@ object Multimodal {
     * reconstruction; schema `(id, width, height, mean_r, mean_g,
     * mean_b)`. */
   def pngFeatures(media: DataFrame): DataFrame = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    implicit val enc = bmpRowEnc
     asMedia(media).mapPartitions { it =>
       it.map { m =>
         val s = MediaCodecs.decodePng(m.media)
@@ -259,7 +269,7 @@ object Multimodal {
   def gifMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    implicit val enc = mediaRowEnc
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map(id => MediaRow(id,
         MediaCodecs.synthGif(id, (3 + id % 4).toInt, (2 + id % 3).toInt)))
@@ -270,7 +280,7 @@ object Multimodal {
     * walking, color tables, and a full variable-width LZW decode run in
     * executor tasks; output shape matches the other image codecs. */
   def gifFeatures(media: DataFrame): DataFrame = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    implicit val enc = bmpRowEnc
     asMedia(media).mapPartitions { it =>
       it.map { m =>
         val s = MediaCodecs.decodeGif(m.media)
@@ -286,7 +296,7 @@ object Multimodal {
   def jpegMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    implicit val enc = mediaRowEnc
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map(id => MediaRow(id,
         MediaCodecs.synthJpeg(id, (1 + id % 3).toInt, (1 + id % 2).toInt)))
@@ -298,7 +308,7 @@ object Multimodal {
     * YCbCr→RGB — all in executor tasks; output shape matches the other
     * image codecs. */
   def jpegFeatures(media: DataFrame): DataFrame = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[BmpRow]
+    implicit val enc = bmpRowEnc
     asMedia(media).mapPartitions { it =>
       it.map { m =>
         val s = MediaCodecs.decodeJpeg(m.media)

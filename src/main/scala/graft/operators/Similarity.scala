@@ -163,7 +163,13 @@ object Similarity {
                           trainIters: Int): Seq[(Int, DataFrame, DataFrame)] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
+    // the m subspace trainings are INDEPENDENT jobs (each scans its own
+    // slice, collects its own ksub centroids): submit them from a thread
+    // pool so each training's job tail back-fills the others' idle cores
+    // (guide §2.6). Results are per-subspace — execution order cannot
+    // affect them — and the output keeps subspace order.
+    parallelIndexed(0 until m) { s =>
+
       val sCorpus = corpus.select(col(idCol).as("neighbor_id"),
         slice(col(vecCol), s * sub + 1, sub).as("sv"))
       val sFace = sCorpus.select(col("neighbor_id"), col("sv").as("cv0"),
@@ -176,6 +182,29 @@ object Similarity {
         .withColumnRenamed("cell", s"code_$s"))
     }
   }
+
+  /** Run independent per-element work from a small thread pool, keeping
+    * input order in the result (guide §2.6: Spark happily runs several
+    * jobs at once; actions are sequential only because driver code calls
+    * them sequentially). Each element's result depends only on its own
+    * input, so parallel submission cannot change any result. */
+  private def parallelIndexed[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(xs.size, 8))
+      try {
+        val futs = xs.map(x => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
+        futs.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
 
   /** One (s, cid, cv) codebook frame from the per-subspace triples —
     * m × ksub rows, the broadcastable quantizer artifact. */
@@ -265,10 +294,16 @@ object Similarity {
                          dim: Int, m: Int = 4, ksub: Int = 8,
                          trainIters: Int = 1, coarseCells: Int = 16,
                          coarseIters: Int = 1): (DataFrame, DataFrame, DataFrame) = {
-    val subspaces = pqSubspaces(corpus, idCol, vecCol, dim, m, ksub, trainIters)
     val cBase = corpusFace(corpus, idCol, vecCol)
-    val coarse = trainedCentroids(corpus, cBase, idCol, vecCol,
-      coarseCells, coarseIters)
+    // subspace quantizers and the coarse quantizer train on DISJOINT
+    // inputs — overlap them too (guide §2.6)
+    val both = parallelIndexed(Seq(0, 1)) {
+      case 0 => Left(pqSubspaces(corpus, idCol, vecCol, dim, m, ksub, trainIters))
+      case _ => Right(trainedCentroids(corpus, cBase, idCol, vecCol,
+        coarseCells, coarseIters))
+    }
+    val subspaces = both.collectFirst { case Left(s) => s }.get
+    val coarse = both.collectFirst { case Right(c) => c }.get
     val codes = subspaces.map(_._3)
       .reduce((a, b) => a.join(b, Seq("neighbor_id")))
       .join(assignCells(cBase, coarse), Seq("neighbor_id"))
@@ -289,10 +324,15 @@ object Similarity {
     val (codebooks, coarse, codes) = buildPqIndexFrames(corpus, idCol,
       vecCol, dim, m, ksub, trainIters, coarseCells, coarseIters)
     val mode = org.apache.spark.sql.SaveMode.Overwrite
-    graft.delta.DeltaTable.write(codebooks, s"$path/codebooks", mode)
-    graft.delta.DeltaTable.write(coarse, s"$path/centroids", mode)
-    graft.delta.DeltaTable.write(codes, s"$path/codes", mode,
-      partitionBy = Seq("cell"))
+    // three INDEPENDENT tables: overlap the two tiny artifact writes with
+    // the big partitioned codes write (guide §2.6; each table has its own
+    // log, so the commits cannot interact)
+    parallelIndexed(Seq(0, 1, 2)) {
+      case 0 => graft.delta.DeltaTable.write(codebooks, s"$path/codebooks", mode)
+      case 1 => graft.delta.DeltaTable.write(coarse, s"$path/centroids", mode)
+      case _ => graft.delta.DeltaTable.write(codes, s"$path/codes", mode,
+        partitionBy = Seq("cell"))
+    }
   }
 
   /** Exhaustive-ADC top-k against a PERSISTED PQ index: reads codebooks

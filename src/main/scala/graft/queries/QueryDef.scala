@@ -30,7 +30,21 @@ object Tables {
     * 53-bit mantissa, so no floating-point division); when it loads as a
     * timestamp it is already micros — use it as is.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Plan-level memo of the source-table frames: `spark.read.parquet`
+    * re-lists the directory and re-reads footers for schema on EVERY call
+    * (profiled ~30-40 ms driver-side per call, 2-4 calls per query).
+    * The cached object is a LOGICAL PLAN — every execution still scans
+    * the parquet files; nothing about results or data is cached. Keyed by
+    * session identity so a fresh session (new JVM, tests) rebuilds. */
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => tUncached(spark, dir, name))
+
+  private def tUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")

@@ -323,4 +323,36 @@ class DeletionVectorSpec extends SparkSpec {
       assert(e.getMessage.contains("icebergCompatV2"), e.getMessage)
     }
   }
+
+  // ------------------------------------------- bulk builder / union (r15)
+  test("fromUnsorted equals incremental add across container shapes") {
+    val rnd = new scala.util.Random(42)
+    // spans array containers, a dense bitmap container, two 32-bit
+    // bitmaps, duplicates, and unsorted order
+    val values: Array[Long] =
+      (rnd.shuffle((100000L to 170000L by 1L).toVector).take(50000) ++
+        Seq(0L, 1L, 65535L, 65536L, (1L << 32) + 5, (1L << 32) + 5,
+          (3L << 32) | 0xffffL) ++
+        (0 until 500).map(_ => rnd.nextLong(1L << 40))).toArray
+    val bulk = RoaringBitmapArray.fromUnsorted(values)
+    val incr = RoaringBitmapArray.empty()
+    values.foreach(incr.add)
+    assert(bulk.serialize().toSeq == incr.serialize().toSeq)
+    assert(bulk.cardinality == values.distinct.length)
+  }
+
+  test("union equals element-wise add and keeps serialized form canonical") {
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(20000)(rnd.nextLong(1L << 20))
+    val b = Array.fill(20000)(rnd.nextLong(1L << 36))
+    val u = RoaringBitmapArray.fromUnsorted(a)
+    u.union(RoaringBitmapArray.fromUnsorted(b))
+    val ref = RoaringBitmapArray.fromUnsorted(a ++ b)
+    assert(u.serialize().toSeq == ref.serialize().toSeq)
+    // disjoint-high-bitmap union grows the array without trailing gaps
+    val lo = RoaringBitmapArray(1L, 2L)
+    lo.union(RoaringBitmapArray((5L << 32) | 9L))
+    assert(lo.contains((5L << 32) | 9L) && lo.contains(1L))
+    assert(RoaringBitmapArray.deserialize(lo.serialize()).cardinality == 3L)
+  }
 }
