@@ -668,6 +668,23 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .filter(_.delTimestamp >= cutoff)
       .flatMap(r => decode(r.path) +: dvRelPath(r.deletionVector).toSeq)
 
+    // SCALE-ADAPTIVE FAST PATH (guide §1.2/§6): the distributed listing +
+    // two anti-joins below exist for million-file tables; on a
+    // driver-small state they cost ~6 Spark jobs (~3 s profiled in
+    // delta_sql_maintenance) to decide a handful of deletes. Same
+    // decision rules, computed driver-side; the distributed path remains
+    // for distributed-state snapshots and large file counts, and a walk
+    // that discovers an unexpectedly huge orphan set falls through to it.
+    if (!lite && !snapshot.distributedState &&
+        snapshot.numOfFiles <= DeltaTable.DriverVacuumMaxFiles) {
+      driverVacuum(snapshot, cutoff, dryRun, protectedPaths,
+        dvRelPath, decode, tableRetention, retentionMillis,
+        checkEnabled) match {
+        case Some(n) => return n
+        case None => // fell through: too many candidates for the driver
+      }
+    }
+
     import spark.implicits._
     val sconf = new SerializableHadoopConf(conf)
     val rootPrefix = root + "/"
@@ -915,6 +932,114 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         operationMetrics = Map("numDeletedFiles" -> deleted.toString))
     }
     deleted
+  }
+
+  /** Driver-side FULL vacuum for driver-small states: identical decision
+    * rules to the distributed path (same hidden-component regex, same
+    * active/protected sets, same cutoff comparison, same batch-dir
+    * sweep, same START/END logging commits), zero Spark jobs. Returns
+    * None when the walk finds more candidates than the driver should
+    * hold — the caller falls through to the distributed path. */
+  private def driverVacuum(snapshot: Snapshot, cutoff: Long,
+                           dryRun: Boolean,
+                           protectedPaths: Seq[String],
+                           dvRelPath: Option[DeletionVectorDescriptor] => Option[String],
+                           decode: String => String,
+                           tableRetention: Long,
+                           retentionMillis: Option[Long],
+                           checkEnabled: Boolean): Option[Int] = {
+    val conf = deltaLog.hadoopConf
+    val fs = deltaLog.dataPath.getFileSystem(conf)
+    val root = deltaLog.dataPath.toUri.getPath
+    val rootPrefix = root + "/"
+    val hiddenRe = ("(^|/)(?!" + write.CdcWriter.ChangeDir +
+      "(/|$))(?![._][^/]*=)[._]").r
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val tops = fs.listStatus(deltaLog.dataPath).filter { st =>
+      val n = st.getPath.getName
+      !(n.startsWith("_") || n.startsWith(".")) ||
+        n == write.CdcWriter.ChangeDir || n.contains("=")
+    }
+    tops.foreach { st =>
+      if (!st.isDirectory) {
+        candidates += ((st.getPath.toUri.getPath.stripPrefix(rootPrefix),
+          st.getModificationTime))
+      } else {
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (f.isFile && !name.startsWith(".") && !name.startsWith("_")) {
+            candidates += ((f.getPath.toUri.getPath.stripPrefix(rootPrefix),
+              f.getModificationTime))
+          }
+          if (candidates.size > DeltaTable.DriverVacuumMaxCandidates) {
+            return None // unexpected orphan blow-up: let Spark handle it
+          }
+        }
+      }
+    }
+    val active: Set[String] = snapshot.allFiles.iterator.flatMap(f =>
+      decode(f.path) +: dvRelPath(f.deletionVector).toSeq).toSet
+    val protectedSet = protectedPaths.toSet
+    val deletable = candidates.iterator
+      .filter { case (rel, mtime) =>
+        mtime < cutoff && hiddenRe.findFirstIn(rel).isEmpty &&
+          !active.contains(rel) && !protectedSet.contains(rel)
+      }
+      .map(_._1).toVector
+    if (dryRun) return Some(deletable.length)
+    val logging = spark.conf
+      .getOption("spark.graft.vacuum.logging.enabled").exists(_.toBoolean)
+    if (logging) {
+      deltaLog.startTransaction().commit(Nil, "VACUUM START",
+        operationParameters = Map(
+          "mode" -> "FULL",
+          "retentionCheckEnabled" -> checkEnabled.toString,
+          "defaultRetentionMillis" -> tableRetention.toString) ++
+          retentionMillis.map(r => "specifiedRetentionMillis" -> r.toString),
+        operationMetrics = Map("numFilesToDelete" -> deletable.length.toString))
+    }
+    var deleted = 0
+    deletable.foreach { rel =>
+      if (fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false)) {
+        deleted += 1
+      }
+    }
+    // now-empty per-commit batch directories (same rule as the
+    // distributed sweep)
+    deletable.iterator
+      .map { rel =>
+        val parts = rel.split('/')
+        if (parts.length > 2 && parts.head == write.CdcWriter.ChangeDir) {
+          s"${parts(0)}/${parts(1)}"
+        } else parts.head
+      }
+      .filter(d => d.startsWith("batch-") ||
+        d.startsWith(s"${write.CdcWriter.ChangeDir}/batch-"))
+      .toSet[String]
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$d")
+        try {
+          val entries = fs.listStatus(p)
+          val onlyCrumbs = entries.forall { st =>
+            val n = st.getPath.getName
+            if (n.contains("=") && st.isDirectory) {
+              fs.listStatus(st.getPath).isEmpty
+            } else n.startsWith(".") || n.startsWith("_")
+          }
+          if (onlyCrumbs) fs.delete(p, true)
+        } catch { case _: java.io.IOException => /* raced: keep */ }
+      }
+    if (logging) {
+      deltaLog.startTransaction().commit(Nil, "VACUUM END",
+        operationParameters = Map(
+          "status" -> "COMPLETED",
+          "mode" -> "FULL",
+          "cutoffMillis" -> cutoff.toString),
+        operationMetrics = Map("numDeletedFiles" -> deleted.toString))
+    }
+    Some(deleted)
   }
 
   /** RESTORE the table to an earlier `version`: one transactional commit
@@ -1913,6 +2038,17 @@ object DeltaTable {
   /** The remove slice of the action envelope — all VACUUM LITE reads
     * from the commit range it scans. */
   private[delta] case class RemoveSlice(remove: Option[RemoveFile] = None)
+
+  /** FULL vacuum runs driver-side below this active-file count (the
+    * distributed listing + anti-joins cost ~6 Spark jobs, sized for
+    * million-file tables); above it, or in distributed-state mode, the
+    * Spark-job path runs unchanged. */
+  private[delta] val DriverVacuumMaxFiles = 10000L
+
+  /** Driver-side vacuum bails to the distributed path when the directory
+    * walk finds more than this many candidate files (a small ACTIVE set
+    * can still sit in a directory full of orphans). */
+  private[delta] val DriverVacuumMaxCandidates = 200000
 
   /** The domain carrying a clustered table's clustering columns. */
   val ClusteringDomain = "delta.clustering"

@@ -78,6 +78,18 @@ case class InternSortedIds(child: Expression, dict: Map[String, Int])
 
   override protected def withNewChildInternal(newChild: Expression): InternSortedIds =
     copy(child = newChild)
+
+  // the dictionary is payload, not plan structure: the default
+  // case-class toString stringifies the WHOLE map into every plan string
+  // (explain, SQL-listener plan events, codegen comments) — profiled at
+  // ~3 s per dedup_containment execution at sf0.1 (~1M-entry dict). Show
+  // its size only; equality/semanticHash still use the full map via
+  // productIterator, so plan semantics are unchanged.
+  override def flatArguments: Iterator[Any] =
+    Iterator(child, s"dict[${dict.size}]")
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"dict[${dict.size}]")
+  override def toString: String = s"intern_sorted_ids($child, dict[${dict.size}])"
 }
 
 object InternSortedIds {
