@@ -28,30 +28,38 @@ object PrefixSum {
 
   /** Adds `resultCol` = running sum of `value` in the total order
     * (`bucket` major — monotone by contract — then `order` within it).
-    * `bucket` must be integral/orderable and is evaluated twice (cheap
-    * pure expression); rows keep all their columns. */
+    * `bucket` must be integral/orderable (a cheap pure expression); rows
+    * keep all their columns.
+    *
+    * ONE lazy plan, not two actions (r15, guide §2.4): the old form
+    * collected bucket totals to the driver and broadcast them back as a
+    * literal map — which executed the INPUT subtree twice (once for the
+    * collect, once for the window pass; exchange reuse never spans
+    * separate actions) and inlined an O(buckets) literal into the plan.
+    * Here the exclusive prefix is itself a window over the O(buckets)
+    * totals (single-task, but over bucket-count rows — the trap this
+    * operator exists to avoid applies to ROW-count windows), broadcast-
+    * joined back on the bucket id; the totals aggregation and the
+    * within-bucket window hash-partition by the SAME key, so Catalyst
+    * reuses one exchange of the input for both. */
   def runningTotal(df: DataFrame, bucket: Column, order: Seq[Column],
                    value: Column, resultCol: String): DataFrame = {
     val tagged = df.withColumn("__bucket", bucket.cast("long"))
       .withColumn("__v", value.cast("long"))
-    val totals = tagged.groupBy(col("__bucket"))
+    // exclusive prefix per bucket: Σ of all strictly-earlier buckets
+    val offsets = tagged.groupBy(col("__bucket"))
       .agg(sum(col("__v")).as("__s"))
-      .orderBy(col("__bucket"))
-      .collect()
-    // exclusive prefix over the observed buckets, in bucket order
-    var acc = 0L
-    val offsets = totals.map { r =>
-      val b = r.getLong(0); val s = r.getLong(1)
-      val o = (b, acc); acc += s; o
-    }.toMap
+      .withColumn("__off", coalesce(
+        sum(col("__s")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__off"))
     val w = Window.partitionBy(col("__bucket"))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsetCol =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), col("__bucket")), lit(0L))
     tagged
-      .withColumn(resultCol, sum(col("__v")).over(w) + offsetCol)
-      .drop("__bucket", "__v")
+      .withColumn("__run", sum(col("__v")).over(w))
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(resultCol, col("__run") + col("__off"))
+      .drop("__bucket", "__v", "__run", "__off")
   }
 }
