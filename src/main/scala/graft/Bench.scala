@@ -46,6 +46,11 @@ object Bench {
       try {
         graft.delta.DeltaLog.clearCache()
         spark.catalog.clearCache()
+        // sweep the sample's scratch tables (outside the timed region):
+        // dead Delta tables on disk-backed /tmp otherwise accumulate
+        // ~10 GB per full run and their writeback contends with later
+        // queries' commit fsyncs (ScratchDirs doc has the numbers)
+        graft.queries.ScratchDirs.sweep()
       } catch { case _: Throwable => }
     // a failed query must NOT masquerade as a fast one: record -1 so a
     // fast exception is visible in the tail instead of reading as a

@@ -33,6 +33,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the output parquet is written — this query's scratch tables are
+      // dead; sweep so their writeback doesn't tax later queries
+      try graft.queries.ScratchDirs.sweep() catch { case _: Throwable => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -20,7 +20,7 @@ object DeltaQueries {
   import Tables.t
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
+    ScratchDirs.register(Files.createTempDirectory(s"graft_$prefix").toString)
 
   /** Shared table for the staged DV-delete lifecycle, memoized per
     * (JVM, sf dir). `cleanV` is the version right after the DV-enabled
@@ -36,8 +36,10 @@ object DeltaQueries {
   /** Stage 1: DV-enabled write of `orders` (always a fresh Overwrite —
     * this IS the timed work of delta_dv_delete_write). */
   private def dvStageWrite(s: SparkSession, dir: String): DvStageState = {
+    // NOT ScratchDirs-registered: the staged dv_delete_* queries share
+    // this table across samples (restore-to-version partitions the cost)
     val path = Option(dvStageMemo.get(dir)).map(_.path)
-      .getOrElse(tmp("dvstage"))
+      .getOrElse(Files.createTempDirectory("graft_dvstage").toString)
     DeltaTable.write(t(s, dir, "orders"), path, SaveMode.Overwrite,
       configuration = Map("delta.enableDeletionVectors" -> "true"))
     val st = DvStageState(path,

@@ -116,7 +116,10 @@ object IndexCache {
     * stays pristine for every other probe. */
   def cloneIndex(s: SparkSession, indexPath: String,
                  subTables: Seq[String]): String = {
-    val p = temp("graft_idxclone")
+    // per-call scratch (unlike the warmed base indexes): swept after the
+    // sample; the shallow clone's data files belong to the base, so the
+    // sweep removes only the clone's log + its own appended files
+    val p = ScratchDirs.register(temp("graft_idxclone"))
     if (subTables.isEmpty) {
       graft.delta.DeltaTable.forPath(s, indexPath).cloneTo(s"$p/t")
       s"$p/t"

@@ -478,7 +478,7 @@ object PipelineQueries {
       "dedup_index_build",
       (s, dir) => {
         import s.implicits._
-        val idx = java.nio.file.Files.createTempDirectory("graft_lshb").toString
+        val idx = Tables.tmpDir("lshb")
         graft.delta.DeltaTable.write(
           Dedup.buildMinhashIndex(t(s, dir, "documents"), "doc_id", "text",
             shingleWidth = 3, k = 12, bands = 4),
@@ -973,8 +973,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_benchidx").toString
+        val p = Tables.tmpDir("benchidx")
         Dedup.buildBenchWindowIndex(s, p, docs.filter($"doc_id" < 50),
           "doc_id", "text", minLen = 8)
         Dedup.substrContaminationIndexed(s, p, docs.filter($"doc_id" >= 50),
@@ -1826,7 +1825,7 @@ object PipelineQueries {
       "ann_pq_index_build",
       (s, dir) => {
         import s.implicits._
-        val p = java.nio.file.Files.createTempDirectory("graft_pqb").toString
+        val p = Tables.tmpDir("pqb")
         Similarity.writePqIndex(s, p, t(s, dir, "embeddings"),
           "vec_id", "embedding", dim = 64, m = 4, ksub = 8, trainIters = 1,
           coarseCells = 16, coarseIters = 1)
@@ -1848,7 +1847,7 @@ object PipelineQueries {
       "ann_ivf_index_build",
       (s, dir) => {
         import s.implicits._
-        val p = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
+        val p = Tables.tmpDir("ivfb")
         Similarity.writeIvfIndex(s, p, t(s, dir, "embeddings"),
           "vec_id", "embedding", nCells = 16, trainIters = 0)
         graft.delta.DeltaTable.forPath(s, s"$p/members").toDF
@@ -1939,7 +1938,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        val p = java.nio.file.Files.createTempDirectory("graft_sq8inc").toString
+        val p = Tables.tmpDir("sq8inc")
         Similarity.writeSq8Index(s, p, emb.filter($"vec_id" % 2 === 0),
           "vec_id", "embedding")
         Similarity.encodeIntoSq8Index(s, p, emb.filter($"vec_id" % 2 =!= 0),
@@ -1994,7 +1993,7 @@ object PipelineQueries {
       "ann_sq8_index_build",
       (s, dir) => {
         import s.implicits._
-        val p = java.nio.file.Files.createTempDirectory("graft_sq8b").toString
+        val p = Tables.tmpDir("sq8b")
         Similarity.writeSq8Index(s, p, t(s, dir, "embeddings"),
           "vec_id", "embedding")
         graft.delta.DeltaTable.forPath(s, s"$p/codes").toDF

@@ -12,12 +12,50 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Per-sample scratch-dir ledger (guide §6 small-files hygiene, applied
+  * to the HARNESS itself): every per-call scratch dir a query creates is
+  * registered here, and Bench/Verify/ProfileQuery sweep the ledger AFTER
+  * each sample's result is fully consumed — outside the timed region.
+  * Without the sweep a full 154-query bench leaves ~10 GB of dead Delta
+  * tables on disk-backed /tmp, and their dirty-page writeback contends
+  * with the NEXT queries' commit fsyncs (measured: lifecycle queries ran
+  * 1.5-2.5x their isolated-JVM mins late in a run; the io canary's floor
+  * sat at 0.43 s vs 0.35 idle). Deleting promptly also lets the kernel
+  * DROP still-dirty pages instead of flushing them.
+  *
+  * Cross-query memoized state must NOT register: the dv-stage table, the
+  * per-catalog warehouses, and IndexCache's warmed artifacts live for the
+  * whole run by design. */
+object ScratchDirs {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def register(path: String): String = { dirs.add(path); path }
+
+  /** Delete every registered dir; safe to call between samples (queries
+    * recreate their scratch on each invocation). */
+  def sweep(): Unit = {
+    var p = dirs.poll()
+    while (p != null) {
+      try deleteRec(new java.io.File(p)) catch { case _: Throwable => }
+      p = dirs.poll()
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete()
+  }
+}
+
 object Tables {
   import org.apache.spark.sql.functions._
 
-  /** Fresh scratch dir for a query's table/artifact writes. */
+  /** Fresh scratch dir for a query's table/artifact writes — registered
+    * for the post-sample sweep ([[ScratchDirs]]). */
   def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$prefix").toString
+    ScratchDirs.register(
+      java.nio.file.Files.createTempDirectory(s"graft_$prefix").toString)
 
   /** Load one of the driver-generated tables from an sf directory.
     *

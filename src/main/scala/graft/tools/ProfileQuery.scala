@@ -59,6 +59,7 @@ object ProfileQuery {
       try {
         graft.delta.DeltaLog.clearCache()
         spark.catalog.clearCache()
+        graft.queries.ScratchDirs.sweep() // same hygiene as Bench
       } catch { case _: Throwable => }
 
     // poor-man's driver profiler: sample the query thread's stack every
