@@ -330,7 +330,12 @@ object Similarity {
     parallelIndexed(Seq(0, 1, 2)) {
       case 0 => graft.delta.DeltaTable.write(codebooks, s"$path/codebooks", mode)
       case 1 => graft.delta.DeltaTable.write(coarse, s"$path/centroids", mode)
-      case _ => graft.delta.DeltaTable.write(codes, s"$path/codes", mode,
+      case _ => graft.delta.DeltaTable.write(
+        // key each cell into one task before the partitioned write (the
+        // V2-checkpoint bucket trick, guide §6): otherwise every input
+        // task sprays a file per cell it happens to hold — hundreds of
+        // confetti files whose footers the stats pass then re-reads
+        codes.repartition(col("cell")), s"$path/codes", mode,
         partitionBy = Seq("cell"))
     }
   }
@@ -450,34 +455,78 @@ object Similarity {
       s"$indexPath/codebooks").toDF
     val coarse = graft.delta.DeltaTable.forPath(spark,
       s"$indexPath/centroids").toDF
+    // r15: the quantizers are FROZEN and artifact-small by construction
+    // (m × ksub + coarseCells rows), so collect them ONCE and inline the
+    // per-subspace argmax as literal-centroid expressions — the old shape
+    // paid m per-subspace aggregations + an m-way join + the coarse
+    // aggregation (9 shuffles of the batch for m=4) just to attach codes
+    // that are a pure per-row function of the vector. Now: zero shuffles,
+    // one narrow projection (guide §2.4). Assignments stay bit-identical
+    // ([[inlineArgmax]] reproduces assignCells' expression exactly;
+    // spec-pinned against the build path in AnnIndexSpec).
+    val cbRows = codebooks.select(col("s"), col("cid"), col("cv")).collect()
+    val cidType = codebooks.schema("cid").dataType
     // geometry guard: encoding against a differently-shaped index would
     // SILENTLY produce wrong codes (slice() truncates / null-pads) —
     // check the stored codebook's subspace count and width up front
-    val shape = codebooks
-      .groupBy().agg(countDistinct(col("s")).as("m"),
-        max(size(col("cv"))).as("sub")).head()
-    require(shape.getLong(0) == m && shape.getInt(1) == sub,
-      s"index at $indexPath has ${shape.getLong(0)} subspaces of width " +
-        s"${shape.getInt(1)}; caller asked for $m of width $sub — " +
+    val mGot = cbRows.map(_.get(0)).distinct.length.toLong
+    val subGot = cbRows.map(_.getSeq[Any](2).size).max
+    require(mGot == m && subGot == sub,
+      s"index at $indexPath has $mGot subspaces of width " +
+        s"$subGot; caller asked for $m of width $sub — " +
         "encode with the index's own build parameters")
+    val coarseRows = coarse.select(col("cid"), col("cv"), col("cn")).collect()
+    val coarseCidType = coarse.schema("cid").dataType
     val wide = InputWidth.widen(batch)
     // per-subspace code: the same rounded-cosine argmax as the build
     // path's assignCells, against the stored codebook (cn recomputes
     // from cv with the identical expression, so assignments bit-match)
     val codeCols = (0 until m).map { s =>
-      val sFace = wide.select(col(idCol).as("neighbor_id"),
-        slice(col(vecCol), s * sub + 1, sub).as("cv0"))
-        .withColumn("cn0", sqrt(VectorDot(col("cv0"), col("cv0"))))
-      assignCells(sFace,
-        codebooks.filter(col("s") === s)
-          .select(col("cid"), col("cv"),
-            sqrt(VectorDot(col("cv"), col("cv"))).as("cn")))
-        .withColumnRenamed("cell", s"code_$s")
+      val cv0 = slice(col(vecCol), s * sub + 1, sub)
+      val cn0 = sqrt(VectorDot(cv0, cv0))
+      val cands = cbRows.filter(_.getAs[Number]("s").intValue == s)
+        .map { r =>
+          (r.getAs[Number]("cid").longValue,
+            r.getSeq[Number](2).map(_.doubleValue).toArray, Option.empty[Double])
+        }
+      inlineArgmax(cv0, cn0, cands, cidType).as(s"code_$s")
     }
-    codeCols.reduce((a, b) => a.join(b, Seq("neighbor_id")))
-      .join(assignCells(corpusFace(wide, idCol, vecCol), coarse),
-        Seq("neighbor_id"))
-      .withColumnRenamed("neighbor_id", "id")
+    val coarseCands = coarseRows.map { r =>
+      (r.getAs[Number]("cid").longValue,
+        r.getSeq[Number](1).map(_.doubleValue).toArray,
+        Some(r.getAs[Number]("cn").doubleValue))
+    }
+    val fullCn = sqrt(VectorDot(col(vecCol), col(vecCol)))
+    wide.select((col(idCol).as("id") +: codeCols :+
+      inlineArgmax(col(vecCol), fullCn, coarseCands, coarseCidType)
+        .as("cell")): _*)
+  }
+
+  /** Nearest-centroid id of a row vector against DRIVER-COLLECTED
+    * centroids, as one codegen'd expression — bit-identical to
+    * [[assignCells]]'s aggregation (same VectorDot accumulation order,
+    * same round(aff, 6), same (aff, -cid, cid) struct max for the
+    * tie-break) but shuffle-free. `cands` is (cid, centroid vector,
+    * stored norm — None recomputes it from the vector exactly as the
+    * aggregation path did). */
+  private def inlineArgmax(vec: Column, vecNorm: Column,
+                           cands: Seq[(Long, Array[Double], Option[Double])],
+                           cidType: org.apache.spark.sql.types.DataType): Column = {
+    require(cands.nonEmpty, "no centroids to assign against")
+    val structs = cands.map { case (cid, cv, cnStored) =>
+      val litCv = lit(cv)
+      // constant-folds through VectorDot.eval — the identical ascending
+      // accumulation the codegen'd per-row path runs
+      val cn = cnStored.map(lit(_)).getOrElse(sqrt(VectorDot(litCv, litCv)))
+      struct(
+        round(VectorDot(vec, litCv) / (vecNorm * cn), 6).as("aff"),
+        lit(-cid).cast(cidType).as("neg"),
+        lit(cid).cast(cidType).as("cid"))
+    }
+    val best =
+      if (structs.size == 1) structs.head
+      else greatest(structs: _*)
+    best.getField("cid")
   }
 
   /** Append a new batch's codes to a persisted PQ index in one commit —
@@ -490,7 +539,10 @@ object Similarity {
                         dim: Int, m: Int = 4,
                         idempotentTxn: Option[(String, Long)] = None): Unit =
     graft.delta.DeltaTable.write(
-      encodePqBatch(spark, indexPath, batch, idCol, vecCol, dim, m),
+      // one file per touched cell, not one per (task x cell) — see
+      // writePqIndex's codes write
+      encodePqBatch(spark, indexPath, batch, idCol, vecCol, dim, m)
+        .repartition(col("cell")),
       s"$indexPath/codes", org.apache.spark.sql.SaveMode.Append,
       partitionBy = Seq("cell"), idempotentTxn = idempotentTxn)
 
@@ -551,7 +603,8 @@ object Similarity {
         col("cv0").as("vec"), col("cn0").as("norm"))
     val mode = org.apache.spark.sql.SaveMode.Overwrite
     graft.delta.DeltaTable.write(cents, s"$path/centroids", mode)
-    graft.delta.DeltaTable.write(members, s"$path/members", mode,
+    graft.delta.DeltaTable.write(members.repartition(col("cell")),
+      s"$path/members", mode,
       partitionBy = Seq("cell"))
   }
 
@@ -564,11 +617,22 @@ object Similarity {
                          idempotentTxn: Option[(String, Long)] = None): Unit = {
     val cents = graft.delta.DeltaTable.forPath(spark,
       s"$indexPath/centroids").toDF
-    val face = corpusFace(batch, idCol, vecCol)
-    val members = face.join(assignCells(face, cents), Seq("neighbor_id"))
-      .select(col("cell"), col("neighbor_id").as("id"),
+    // frozen artifact-small centroids: inline the argmax (see
+    // encodePqBatch) — zero shuffles instead of an aggregation + join
+    val centRows = cents.select(col("cid"), col("cv"), col("cn")).collect()
+    val cands = centRows.map { r =>
+      (r.getAs[Number]("cid").longValue,
+        r.getSeq[Number](1).map(_.doubleValue).toArray,
+        Some(r.getAs[Number]("cn").doubleValue))
+    }.toSeq
+    val members = corpusFace(batch, idCol, vecCol)
+      .select(
+        inlineArgmax(col("cv0"), col("cn0"), cands,
+          cents.schema("cid").dataType).as("cell"),
+        col("neighbor_id").as("id"),
         col("cv0").as("vec"), col("cn0").as("norm"))
-    graft.delta.DeltaTable.write(members, s"$indexPath/members",
+    graft.delta.DeltaTable.write(members.repartition(col("cell")),
+      s"$indexPath/members",
       org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("cell"),
       idempotentTxn = idempotentTxn)
   }

@@ -299,18 +299,22 @@ class AnnIndexSpec extends SparkSpec {
         dim = dim, m = 2, ksub = 2, trainIters = 1,
         coarseCells = 4, coarseIters = 1)
 
-      // the encode plan scans ONLY the frozen artifact tables — never
-      // batch 1's raw vectors, and (structurally) never k-means: the
-      // whole plan is two broadcast-small artifact reads + the batch
+      // the encode plan scans ONLY the batch — never batch 1's raw
+      // vectors, and (structurally) never k-means: the frozen quantizers
+      // are artifact-small and inlined as literal-centroid expressions
+      // (r15), so the plan is ONE shuffle-free projection of the batch —
+      // no aggregation, no join, no artifact scan at execution time
       val enc = Similarity.encodePqBatch(spark, idx, batch2,
         "vec_id", "embedding", dim = dim, m = 2)
       val scans = fileScans(enc)
-      assert(scans.nonEmpty, "expected scans of the artifact tables")
       assert(!scans.exists(s => scanPaths(s).contains("batch1_vecs")),
         s"encode must not scan already-indexed vectors: " +
           scans.map(scanPaths).mkString("; "))
-      assert(scans.forall(s => scanPaths(s).contains("pq_index")),
-        "every encode scan must read the persisted index")
+      assert(!scans.exists(s => scanPaths(s).contains("pq_index")),
+        "inline encode must not re-scan the artifact at execution time")
+      val encPlan = enc.queryExecution.executedPlan.toString
+      assert(!encPlan.contains("Aggregate") && !encPlan.contains("Join"),
+        s"encode must be a pure projection of the batch, got:\n$encPlan")
 
       Similarity.encodeIntoPqIndex(spark, idx, batch2,
         "vec_id", "embedding", dim = dim, m = 2)
