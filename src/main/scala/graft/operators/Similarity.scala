@@ -811,21 +811,34 @@ object Similarity {
     }
   }
 
-  /** Nearest-centroid cell per corpus vector (neighbor_id, cell): max of
-    * (aff, -cid) structs — a map-side-combinable agg, not a window over
-    * corpus × nCells rows; affinities round to 6 decimals before the
-    * tie-break so assignments reproduce across engines. */
+  /** Nearest-centroid cell per corpus vector (neighbor_id, cell).
+    * Affinities round to 6 decimals before the (aff, -cid) tie-break so
+    * assignments reproduce across engines.
+    *
+    * r15: centroids are nCells-small BY CONSTRUCTION everywhere this is
+    * called, so collect them once and evaluate the argmax as a per-row
+    * literal-centroid expression ([[inlineArgmax]]) — the old
+    * crossJoin + max(struct) aggregation shuffled the corpus face WITH
+    * its vectors once per call just to compute a value that is a pure
+    * function of the row. Zero shuffles now; the expression (and hence
+    * every assignment) is bit-identical. */
   private[operators] def assignCells(cBase: DataFrame,
                                      cents: DataFrame): DataFrame = {
-    val aff = cBase.crossJoin(broadcast(cents))
-      .select(col("neighbor_id"),
-        round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
-          .as("aff"),
-        col("cid"))
-    aff.groupBy(col("neighbor_id"))
-      .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"))
-      .select(col("neighbor_id"), col("best.cid").as("cell"))
+    val cands = collectCentroids(cents)
+    cBase.select(col("neighbor_id"),
+      inlineArgmax(col("cv0"), col("cn0"), cands,
+        cents.schema("cid").dataType).as("cell"))
   }
+
+  /** Driver-collect of an (cid, cv, cn) centroid frame into
+    * [[inlineArgmax]] candidates — centroid sets are quantizer-small by
+    * construction (nCells / ksub rows). */
+  private def collectCentroids(cents: DataFrame): Seq[(Long, Array[Double], Option[Double])] =
+    cents.select(col("cid"), col("cv"), col("cn")).collect().toSeq.map { r =>
+      (r.getAs[Number]("cid").longValue,
+        r.getSeq[Number](1).map(_.doubleValue).toArray,
+        Some(r.getAs[Number]("cn").doubleValue))
+    }
 
   /** Seeded Lloyd refinement of the IVF coarse quantizer: assign every
     * corpus vector to its nearest centroid (cosine, same rounded
@@ -845,15 +858,16 @@ object Similarity {
                                         iters: Int): DataFrame = {
     var cents = init
     for (_ <- 1 to iters) {
-      val aff = c.crossJoin(broadcast(cents))
-        .select(col("neighbor_id"), col("cv0"),
-          round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
-            .as("aff"),
-          col("cid"))
-      val assigned = aff.groupBy(col("neighbor_id"))
-        .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"),
-             first(col("cv0")).as("cv0"))
-        .select(col("best.cid").as("cell"), col("cv0"))
+      // r15: per-row inline argmax against the (collected, nCells-small)
+      // centroids instead of crossJoin + max(struct) — the old shape
+      // shuffled the corpus WITH its vectors once per iteration for a
+      // value that is a pure function of the row. The mean below keeps
+      // its exact expression (same posexplode, same (cell, pos) groups,
+      // same round(avg, 6)), so centroid values are unchanged.
+      val assigned = c.select(
+        inlineArgmax(col("cv0"), col("cn0"), collectCentroids(cents),
+          cents.schema("cid").dataType).as("cell"),
+        col("cv0"))
       // element-wise mean per cell: (cell, dim)-keyed partial aggregation,
       // re-assembled into an ordered array — never a per-cell collect
       val next = assigned

@@ -100,8 +100,12 @@ class PipelinePlanQualitySpec extends SparkSpec {
         case other => other.children.flatMap(go)
       }
     val allShuffles = go(pairs.queryExecution.executedPlan)
-    assert(allShuffles.nonEmpty,
-      "walk must actually see the exchanges or this test proves nothing")
+    // r15: cell assignment became a per-row inline argmax (no shuffle at
+    // all), so at this size the whole plan can legally be shuffle-free —
+    // the vacuity guard is now "the walk saw the joins", not "saw
+    // exchanges"
+    assert(pairs.queryExecution.executedPlan.toString.contains("Join"),
+      "walk must actually see the candidate joins or this test proves nothing")
     val shufflesWithVectors = allShuffles
       .filter(_.output.exists(_.dataType.isInstanceOf[
         org.apache.spark.sql.types.ArrayType]))
