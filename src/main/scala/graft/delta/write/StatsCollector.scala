@@ -42,7 +42,18 @@ object StatsCollector {
               phys: String => String = identity,
               maxCols: Int = NumIndexedCols): Option[String] =
     try {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+      // local scheme: read the footer via java.nio (parquet's own
+      // LocalInputFile) — HadoopInputFile routes through the checksummed
+      // LocalFileSystem, which opens and verifies the .crc sidecar on
+      // every footer read (the write path's recurring per-commit driver
+      // cost; same bypass the log store uses)
+      val uri = path.toUri
+      val input: org.apache.parquet.io.InputFile =
+        if (uri.getScheme == null || uri.getScheme == "file")
+          new org.apache.parquet.io.LocalInputFile(
+            java.nio.file.Paths.get(uri.getPath))
+        else HadoopInputFile.fromPath(path, conf)
+      val reader = ParquetFileReader.open(input)
       try Some(fromFooter(reader, dataSchema, phys, maxCols))
       finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
