@@ -327,14 +327,17 @@ object LogStore {
     }
     val temp = dest.resolveSibling(
       s".${dest.getFileName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = Files.newOutputStream(temp,
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    // ONE try/finally spans both the byte-write and the publish: a write
+    // failure (disk full) must not orphan the temp any more than a lost
+    // publish race does
     try {
-      val buffered = new java.io.BufferedOutputStream(out, 64 * 1024)
-      lines.foreach(l => buffered.write((l + "\n").getBytes(UTF_8)))
-      buffered.flush()
-    } finally out.close()
-    try {
+      val out = Files.newOutputStream(temp,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try {
+        val buffered = new java.io.BufferedOutputStream(out, 64 * 1024)
+        lines.foreach(l => buffered.write((l + "\n").getBytes(UTF_8)))
+        buffered.flush()
+      } finally out.close()
       if (overwrite) {
         // a pre-NIO Hadoop write may have left a checksum sidecar; it
         // would mismatch the new bytes under a checksummed reader
@@ -348,6 +351,16 @@ object LogStore {
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             throw new FileAlreadyExistsException(path.toString)
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            // mounts without hard-link support (overlayfs/NFS/SMB/FAT):
+            // degrade to a no-replace move, matching the Hadoop route's
+            // rename fallback; a move that loses the race surfaces as
+            // FileAlreadyExistsException below
+            try Files.move(temp, dest)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                throw new FileAlreadyExistsException(path.toString)
+            }
         }
       }
     } finally Files.deleteIfExists(temp)

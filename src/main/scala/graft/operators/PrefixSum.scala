@@ -56,10 +56,13 @@ object PrefixSum {
     val w = Window.partitionBy(col("__bucket"))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // LEFT join + coalesce: a NULL bucket never equi-joins, and the old
+    // element_at+coalesce form kept such rows with offset 0 — an inner
+    // join would silently drop them
     tagged
       .withColumn("__run", sum(col("__v")).over(w))
-      .join(broadcast(offsets), Seq("__bucket"))
-      .withColumn(resultCol, col("__run") + col("__off"))
+      .join(broadcast(offsets), Seq("__bucket"), "left")
+      .withColumn(resultCol, col("__run") + coalesce(col("__off"), lit(0L)))
       .drop("__bucket", "__v", "__run", "__off")
   }
 }

@@ -469,6 +469,9 @@ object Similarity {
     // geometry guard: encoding against a differently-shaped index would
     // SILENTLY produce wrong codes (slice() truncates / null-pads) —
     // check the stored codebook's subspace count and width up front
+    // (nonEmpty first: an empty/corrupt codebooks table must surface as
+    // this message, not as .max's UnsupportedOperationException)
+    require(cbRows.nonEmpty, s"no codebooks at $indexPath")
     val mGot = cbRows.map(_.get(0)).distinct.length.toLong
     val subGot = cbRows.map(_.getSeq[Any](2).size).max
     require(mGot == m && subGot == sub,
@@ -478,6 +481,28 @@ object Similarity {
     val coarseRows = coarse.select(col("cid"), col("cv"), col("cn")).collect()
     val coarseCidType = coarse.schema("cid").dataType
     val wide = InputWidth.widen(batch)
+    // scale guard (see InlineArgmaxMaxCentroids): an index built with an
+    // oversized quantizer routes through the pre-r15 aggregation encode —
+    // O(1) plan size, bit-identical codes — instead of inlining thousands
+    // of literal centroids into one projection
+    val ksubMax = cbRows.groupBy(_.getAs[Number]("s").intValue)
+      .valuesIterator.map(_.length).max
+    if (math.max(ksubMax, coarseRows.length) > InlineArgmaxMaxCentroids) {
+      val codeColsA = (0 until m).map { s =>
+        val sFace = wide.select(col(idCol).as("neighbor_id"),
+          slice(col(vecCol), s * sub + 1, sub).as("cv0"))
+          .withColumn("cn0", sqrt(VectorDot(col("cv0"), col("cv0"))))
+        assignCells(sFace,
+          codebooks.filter(col("s") === s)
+            .select(col("cid"), col("cv"),
+              sqrt(VectorDot(col("cv"), col("cv"))).as("cn")))
+          .withColumnRenamed("cell", s"code_$s")
+      }
+      return codeColsA.reduce((a, b) => a.join(b, Seq("neighbor_id")))
+        .join(assignCells(corpusFace(wide, idCol, vecCol), coarse),
+          Seq("neighbor_id"))
+        .withColumnRenamed("neighbor_id", "id")
+    }
     // per-subspace code: the same rounded-cosine argmax as the build
     // path's assignCells, against the stored codebook (cn recomputes
     // from cv with the identical expression, so assignments bit-match)
@@ -625,12 +650,21 @@ object Similarity {
         r.getSeq[Number](1).map(_.doubleValue).toArray,
         Some(r.getAs[Number]("cn").doubleValue))
     }.toSeq
-    val members = corpusFace(batch, idCol, vecCol)
-      .select(
-        inlineArgmax(col("cv0"), col("cn0"), cands,
-          cents.schema("cid").dataType).as("cell"),
-        col("neighbor_id").as("id"),
-        col("cv0").as("vec"), col("cn0").as("norm"))
+    val face = corpusFace(batch, idCol, vecCol)
+    val members =
+      if (cands.size <= InlineArgmaxMaxCentroids) {
+        face.select(
+          inlineArgmax(col("cv0"), col("cn0"), cands,
+            cents.schema("cid").dataType).as("cell"),
+          col("neighbor_id").as("id"),
+          col("cv0").as("vec"), col("cn0").as("norm"))
+      } else {
+        // oversized centroid set (see InlineArgmaxMaxCentroids): the
+        // aggregation path, bit-identical assignments
+        face.join(assignCells(face, cents), Seq("neighbor_id"))
+          .select(col("cell"), col("neighbor_id").as("id"),
+            col("cv0").as("vec"), col("cn0").as("norm"))
+      }
     graft.delta.DeltaTable.write(members.repartition(col("cell")),
       s"$indexPath/members",
       org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("cell"),
@@ -825,9 +859,40 @@ object Similarity {
   private[operators] def assignCells(cBase: DataFrame,
                                      cents: DataFrame): DataFrame = {
     val cands = collectCentroids(cents)
-    cBase.select(col("neighbor_id"),
-      inlineArgmax(col("cv0"), col("cn0"), cands,
-        cents.schema("cid").dataType).as("cell"))
+    if (cands.size <= InlineArgmaxMaxCentroids) {
+      cBase.select(col("neighbor_id"),
+        inlineArgmax(col("cv0"), col("cn0"), cands,
+          cents.schema("cid").dataType).as("cell"))
+    } else {
+      assignCellsAgg(cBase, cents)
+    }
+  }
+
+  /** Cap on the inline literal-centroid argmax (r16, guide §4 flavor):
+    * the `greatest(struct(...))` expression grows O(centroids × dim) in
+    * the plan, and past the JVM's 64 KB method limit whole-stage codegen
+    * falls back to interpreted evaluation — slower than the aggregation
+    * it replaced. Quantizer sets are ≤16 cells / ≤256 codewords by
+    * construction today; an index built with thousands of cells routes
+    * through the (bit-identical, O(1)-plan-size) aggregation path
+    * instead. */
+  private[operators] val InlineArgmaxMaxCentroids = 128
+
+  /** The pre-r15 aggregation form of [[assignCells]] — broadcast
+    * cross-join + map-side-combinable max of (aff, -cid) structs. Same
+    * rounded affinity, same tie-break, bit-identical assignments
+    * (AnnIndexSpec pins the two paths against each other); kept as the
+    * scale-safe fallback above [[InlineArgmaxMaxCentroids]]. */
+  private[operators] def assignCellsAgg(cBase: DataFrame,
+                                        cents: DataFrame): DataFrame = {
+    val aff = cBase.crossJoin(broadcast(cents))
+      .select(col("neighbor_id"),
+        round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
+          .as("aff"),
+        col("cid"))
+    aff.groupBy(col("neighbor_id"))
+      .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"))
+      .select(col("neighbor_id"), col("best.cid").as("cell"))
   }
 
   /** Driver-collect of an (cid, cv, cn) centroid frame into
@@ -864,10 +929,27 @@ object Similarity {
       // value that is a pure function of the row. The mean below keeps
       // its exact expression (same posexplode, same (cell, pos) groups,
       // same round(avg, 6)), so centroid values are unchanged.
-      val assigned = c.select(
-        inlineArgmax(col("cv0"), col("cn0"), collectCentroids(cents),
-          cents.schema("cid").dataType).as("cell"),
-        col("cv0"))
+      val cands = collectCentroids(cents)
+      val assigned =
+        if (cands.size <= InlineArgmaxMaxCentroids) {
+          c.select(
+            inlineArgmax(col("cv0"), col("cn0"), cands,
+              cents.schema("cid").dataType).as("cell"),
+            col("cv0"))
+        } else {
+          // oversized centroid set: the pre-r15 aggregation shape (see
+          // InlineArgmaxMaxCentroids) — one broadcast cross-join + one
+          // map-side-combinable argmax, bit-identical assignments
+          c.crossJoin(broadcast(cents))
+            .select(col("neighbor_id"), col("cv0"),
+              round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
+                .as("aff"),
+              col("cid"))
+            .groupBy(col("neighbor_id"))
+            .agg(max(struct(col("aff"), (-col("cid")).as("neg"), col("cid"))).as("best"),
+              first(col("cv0")).as("cv0"))
+            .select(col("best.cid").as("cell"), col("cv0"))
+        }
       // element-wise mean per cell: (cell, dim)-keyed partial aggregation,
       // re-assembled into an ordered array — never a per-cell collect
       val next = assigned

@@ -75,12 +75,23 @@ object Tables {
     * the parquet files; nothing about results or data is cached. Keyed by
     * session identity so a fresh session (new JVM, tests) rebuilds. */
   private val tableMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      _ => tUncached(spark, dir, name))
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // keyed on the session OBJECT (weakly): identityHashCode can collide
+    // after a stopped session is GC'd, handing a new session a memoized
+    // frame bound to the dead one
+    val perSession = tableMemo.synchronized {
+      var m = tableMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        tableMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => tUncached(spark, dir, name))
+  }
 
   private def tUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

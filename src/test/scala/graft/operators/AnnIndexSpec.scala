@@ -505,4 +505,23 @@ class AnnIndexSpec extends SparkSpec {
       assert(allProbed == full)
     }
   }
+
+  test("assignCells: aggregation fallback is bit-identical to the inline " +
+      "literal-centroid path (the InlineArgmaxMaxCentroids scale guard)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.VectorDot
+    // ties included: vectors 0 and 6 share centroid affinities, so the
+    // (aff, -cid) tie-break is exercised on both paths
+    val cBase = Similarity.corpusFace(
+      corpusRows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val cents = corpusRows.take(5).toDF("cid", "cv")
+      .withColumn("cn", sqrt(VectorDot(col("cv"), col("cv"))))
+    val inline = Similarity.assignCells(cBase, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val agg = Similarity.assignCellsAgg(cBase, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(inline.sameElements(agg))
+    assert(corpusRows.size > 0 && inline.length == corpusRows.size)
+  }
 }
