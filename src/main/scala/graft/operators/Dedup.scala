@@ -1230,8 +1230,17 @@ object Dedup {
       }
       if (splittable.isEmpty) continue = false
       else {
+        // MATERIALIZE each split level (r16, the PageRank localCheckpoint
+        // precedent — a lineage cut, not a result cache): `assign` is a
+        // union of (anti-join of the previous level) + (a full grouped
+        // k-means re-cluster), and it is EXECUTED once per level for the
+        // size census plus once per downstream consumer — without the cut
+        // level N re-runs every previous level's training each time,
+        // quadratic re-execution in depth (SemanticCapSpec's 3-minute
+        // test was exactly this). The checkpoint holds O(corpus) narrow
+        // (id, cell) rows, recomputed from parquet on every invocation.
         assign = splitOversizedCells(c, assign, splittable.keys.toSeq.sorted,
-          nCells, math.max(trainIters, 1))
+          nCells, math.max(trainIters, 1)).localCheckpoint()
         prevOver = over
         depth += 1
         lastSemanticSplitDepth = depth
@@ -1274,16 +1283,32 @@ object Dedup {
           .as("best"),
           first(col("cv0")).as("cv0"))
         .select(col("cell"), col("best.scid").as("scid"), col("cv0"))
-      val next = assigned
+      // same (cell, scid, dim)-keyed round(avg, 6) aggregation as always;
+      // r16 moves the ARRAY ASSEMBLY to the driver (the trainCentroids
+      // rationale: the second groupBy + collect_list exchange reshaped
+      // O(cells × nSplit × dim) rows the driver collects right after).
+      // Values bit-identical: same groups/avg/rounding, pos-ascending
+      // assembly = array_sort's struct order, cn = the same ascending
+      // Σ cv_i² accumulation VectorDot.eval ran.
+      val meanRows = assigned
         .select(col("cell"), col("scid"), posexplode(col("cv0")))
         .groupBy(col("cell"), col("scid"), col("pos"))
         .agg(round(avg(col("col")), 6).as("v"))
-        .groupBy(col("cell"), col("scid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("cv"))
-        .select(col("cell"), col("scid"), col("cv"),
-          sqrt(VectorDot(col("cv"), col("cv"))).as("cn"))
-      cents = localizeSmall(next)
+        .collect()
+      val centRows = meanRows
+        .groupBy(r => (r.getString(0), r.getAs[Number]("scid").intValue))
+        .toSeq
+        .map { case ((cell, scid), rows) =>
+          val cv = rows.sortBy(_.getAs[Number]("pos").intValue)
+            .map(_.getAs[Number]("v").doubleValue).toIndexedSeq
+          var acc = 0.0
+          var i = 0
+          while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+          org.apache.spark.sql.Row(cell, scid, cv, math.sqrt(acc))
+        }
+        .sortBy(r => (r.getString(0), r.getInt(1)))
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows, 1), cents.schema)
     }
     val reassigned = members.join(broadcast(cents), Seq("cell"))
       .select(col("cell"), col("id"),

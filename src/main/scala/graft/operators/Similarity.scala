@@ -921,26 +921,28 @@ object Similarity {
     * is rounded before comparison. */
   private[operators] def trainCentroids(c: DataFrame, init: DataFrame,
                                         iters: Int): DataFrame = {
-    var cents = init
+    val session = c.sparkSession
+    val cidType = init.schema("cid").dataType
+    // collected (cid, cv, cn) candidates for the CURRENT centroids:
+    // iteration 1 executes init's plan once; every later iteration reuses
+    // the rows its own mean job just produced — the old shape re-collected
+    // a localized frame per iteration (one extra Spark job + plan each)
+    var cands = collectCentroids(init)
     for (_ <- 1 to iters) {
       // r15: per-row inline argmax against the (collected, nCells-small)
       // centroids instead of crossJoin + max(struct) — the old shape
       // shuffled the corpus WITH its vectors once per iteration for a
-      // value that is a pure function of the row. The mean below keeps
-      // its exact expression (same posexplode, same (cell, pos) groups,
-      // same round(avg, 6)), so centroid values are unchanged.
-      val cands = collectCentroids(cents)
+      // value that is a pure function of the row.
       val assigned =
         if (cands.size <= InlineArgmaxMaxCentroids) {
           c.select(
-            inlineArgmax(col("cv0"), col("cn0"), cands,
-              cents.schema("cid").dataType).as("cell"),
+            inlineArgmax(col("cv0"), col("cn0"), cands, cidType).as("cell"),
             col("cv0"))
         } else {
           // oversized centroid set: the pre-r15 aggregation shape (see
           // InlineArgmaxMaxCentroids) — one broadcast cross-join + one
           // map-side-combinable argmax, bit-identical assignments
-          c.crossJoin(broadcast(cents))
+          c.crossJoin(broadcast(centroidFrame(session, cands, cidType)))
             .select(col("neighbor_id"), col("cv0"),
               round(VectorDot(col("cv0"), col("cv")) / (col("cn0") * col("cn")), 6)
                 .as("aff"),
@@ -950,29 +952,65 @@ object Similarity {
               first(col("cv0")).as("cv0"))
             .select(col("best.cid").as("cell"), col("cv0"))
         }
-      // element-wise mean per cell: (cell, dim)-keyed partial aggregation,
-      // re-assembled into an ordered array — never a per-cell collect
-      val next = assigned
+      // element-wise mean per cell: the SAME (cell, dim)-keyed
+      // round(avg, 6) partial aggregation as always — same groups, same
+      // value multisets, same rounding, so centroid VALUES are unchanged.
+      // r16: the ARRAY ASSEMBLY moves to the driver — the old plan's
+      // second groupBy(cell) + array_sort(collect_list(struct)) paid one
+      // more exchange + AQE stage per iteration purely to reshape
+      // O(cells × dim) rows the driver was about to collect anyway.
+      // Assembly sorts by pos exactly as array_sort's (pos, v) struct
+      // order did, and cn recomputes sqrt(Σ cv_i²) in the same ascending
+      // index order VectorDot.eval accumulated — bit-identical centroids.
+      val meanRows = assigned
         .select(col("cell"), posexplode(col("cv0")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("col")), 6).as("v"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("cv"))
-        .select(col("cell").as("cid"), col("cv"),
-          sqrt(VectorDot(col("cv"), col("cv"))).as("cn"))
-      // MATERIALIZE each iteration: centroids are nCells-small by
-      // construction, but as a lazy plan iteration N's lineage contains
-      // every previous iteration — and each of the (several) broadcasts
-      // downstream would re-execute the whole training chain, re-scanning
-      // the corpus once per iteration per broadcast. Collect the handful
-      // of rows and restart the lineage from a local relation.
-      val session = c.sparkSession
-      cents = session.createDataFrame(
-        session.sparkContext.parallelize(next.collect().toIndexedSeq, 1),
-        next.schema)
+        .collect()
+      cands = meanRows.groupBy(_.getAs[Number]("cell").longValue).toSeq
+        .map { case (cid, rows) =>
+          val cv = rows.sortBy(_.getAs[Number]("pos").intValue)
+            .map(_.getAs[Number]("v").doubleValue).toArray
+          var acc = 0.0
+          var i = 0
+          while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+          (cid, cv, Some(math.sqrt(acc)))
+        }.sortBy(_._1)
     }
-    cents
+    centroidFrame(session, cands, cidType)
+  }
+
+  /** (cid, cv, cn) candidates as a local-relation DataFrame — the same
+    * frame the old per-iteration localize produced, built from rows the
+    * driver already holds (no Spark job). */
+  private def centroidFrame(session: org.apache.spark.sql.SparkSession,
+                            cands: Seq[(Long, Array[Double], Option[Double])],
+                            cidType: org.apache.spark.sql.types.DataType)
+    : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cid", cidType),
+      StructField("cv", ArrayType(DoubleType)),
+      StructField("cn", DoubleType)))
+    val rows = cands.map { case (cid, cv, cn) =>
+      val cidVal: Any = cidType match {
+        case LongType => cid
+        case IntegerType => cid.toInt
+        case ShortType => cid.toShort
+        case other => throw new IllegalArgumentException(
+          s"unsupported centroid id type $other")
+      }
+      val norm = cn.getOrElse {
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        math.sqrt(acc)
+      }
+      Row(cidVal, cv.toIndexedSeq, norm)
+    }
+    session.createDataFrame(
+      session.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
   /** ANN top-k within the query's LSH bucket(s). Same output shape as
