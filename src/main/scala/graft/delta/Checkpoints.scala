@@ -88,7 +88,8 @@ object Checkpoints {
         snapshot.allFiles.map(a => statsXf(a).wrap) ++
         snapshot.tombstones.map(_.wrap)
     writeCheckpointDS(snapshot, snapshot.spark.createDataset(actions),
-      actions.size.toLong, autoParts(snapshot, parts, actions.size.toLong))
+      actions.size.toLong, autoParts(snapshot, parts, actions.size.toLong),
+      driverRows = Some(actions))
   }
 
   /** Fully distributed variant: the AddFile set comes from the
@@ -157,11 +158,22 @@ object Checkpoints {
     val fs = log.logPath.getFileSystem(log.hadoopConf)
     val spark = snapshot.spark
 
-    val adds =
+    val total = snapshot.numOfFiles + snapshot.tombstones.size
+    // DRIVER-SMALL v2 checkpoint (r16, guide §1 profile): the action set
+    // is already a driver Seq and each artifact is a KB-sized file, yet
+    // the job path paid one full Spark write job per artifact class
+    // (sidecars, tombstones, main) — 0.5-0.9 s per cadence checkpoint of
+    // scaffolding. Same bytes via LocalParquet, same names, same publish
+    // protocol; distributed-state (and non-local-scheme) tables keep the
+    // Spark-job path unchanged.
+    val driverSmall = !snapshot.distributedState &&
+      "file".equalsIgnoreCase(Option(log.logPath.toUri.getScheme)
+        .getOrElse(fs.getUri.getScheme)) &&
+      total <= graft.delta.write.LocalParquet.MaxDriverRows
+    lazy val adds =
       if (snapshot.distributedState)
         snapshot.allFilesDistributed.map(a => statsXf(a).wrap)(enc)
       else spark.createDataset(snapshot.allFiles.map(a => statsXf(a).wrap))
-    val total = snapshot.numOfFiles + snapshot.tombstones.size
 
     val plan = planV2CarryOver(snapshot, parts)
     // full-rewrite bucket count: driven by the SIDECAR size target, not
@@ -181,27 +193,7 @@ object Checkpoints {
     // differently from its add must still land in the add's bucket
     val canonical = snapshot.canonicalPath
     val nb = nBuckets
-    val bucketOf = udf((p: String) => sidecarBucket(canonical(p), nb))
-    val bucketed = adds.toDF
-      .withColumn("__bucket", bucketOf(col("add.path")))
-    val toWrite = plan match {
-      case Some(p) if p.changed.isEmpty => bucketed.filter(lit(false))
-      case Some(p) => bucketed.filter(
-        col("__bucket").isInCollection(p.changed))
-      case None => bucketed
-    }
     try {
-      // 1. bucketed add sidecars: one directory per (changed) bucket.
-      // The repartition keys every bucket's rows into ONE task (bucket
-      // collisions inside a task are fine — partitionBy still splits
-      // them into their own directories), so each bucket rewrite
-      // produces exactly one sidecar instead of one file per input
-      // partition that happened to hold a row of it.
-      val writeParts = plan.map(p => math.max(1, p.changed.size))
-        .getOrElse(nBuckets)
-      toWrite.repartition(writeParts, col("__bucket"))
-        .write.partitionBy("__bucket")
-        .mode(SaveMode.Overwrite).parquet(tempDir.toString)
       fs.mkdirs(sidecarDir)
       def publish(src: Path, destName: String): SidecarFile = {
         val dest = new Path(sidecarDir, destName)
@@ -213,21 +205,65 @@ object Checkpoints {
         SidecarFile(dest.getName, sizeInBytes = Some(st.getLen),
           modificationTime = Some(st.getModificationTime))
       }
-      val newBucketSidecars = fs.listStatus(tempDir)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
-        .sortBy(_.getPath.getName).flatMap { d =>
-          val b = d.getPath.getName.stripPrefix("__bucket=").toInt
-          fs.listStatus(d.getPath).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-            .zipWithIndex.map { case (part, j) =>
-              publish(part, s"$uuid.b${b}of$nBuckets.$j.parquet")
-            }
-        }.toSeq
+      // 1. bucketed add sidecars: one file per (changed) bucket.
+      val newBucketSidecars = if (driverSmall) {
+        // rows already driver-resident: bucket with the SAME function,
+        // write each changed bucket via LocalParquet (identical rows and
+        // schema — partitionBy dropped __bucket on the job path too),
+        // publish under the same names
+        val changed = plan.map(_.changed.toSet)
+        snapshot.allFiles.map(a => statsXf(a).wrap)
+          .groupBy(sa => sidecarBucket(canonical(sa.add.get.path), nb))
+          .toSeq.sortBy(_._1)
+          .filter { case (b, _) => changed.forall(_.contains(b)) }
+          .map { case (b, rows) =>
+            val tmp = new Path(tempDir, s"b$b.parquet")
+            graft.delta.write.LocalParquet.write(spark, tmp.toString, rows,
+              Encs.singleAction)
+            publish(tmp, s"$uuid.b${b}of$nBuckets.0.parquet")
+          }
+      } else {
+        val bucketOf = udf((p: String) => sidecarBucket(canonical(p), nb))
+        val bucketed = adds.toDF
+          .withColumn("__bucket", bucketOf(col("add.path")))
+        val toWrite = plan match {
+          case Some(p) if p.changed.isEmpty => bucketed.filter(lit(false))
+          case Some(p) => bucketed.filter(
+            col("__bucket").isInCollection(p.changed))
+          case None => bucketed
+        }
+        // one directory per (changed) bucket. The repartition keys every
+        // bucket's rows into ONE task (bucket collisions inside a task
+        // are fine — partitionBy still splits them into their own
+        // directories), so each bucket rewrite produces exactly one
+        // sidecar instead of one file per input partition that happened
+        // to hold a row of it.
+        val writeParts = plan.map(p => math.max(1, p.changed.size))
+          .getOrElse(nBuckets)
+        toWrite.repartition(writeParts, col("__bucket"))
+          .write.partitionBy("__bucket")
+          .mode(SaveMode.Overwrite).parquet(tempDir.toString)
+        fs.listStatus(tempDir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+          .sortBy(_.getPath.getName).flatMap { d =>
+            val b = d.getPath.getName.stripPrefix("__bucket=").toInt
+            fs.listStatus(d.getPath).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+              .zipWithIndex.map { case (part, j) =>
+                publish(part, s"$uuid.b${b}of$nBuckets.$j.parquet")
+              }
+          }.toSeq
+      }
       // 2. tombstone sidecars: rewritten from the snapshot every time so
       // retention-based expiry is applied on the checkpoint cadence
       val tombstoneSidecars =
         if (snapshot.tombstones.isEmpty) Seq.empty[SidecarFile]
-        else {
+        else if (driverSmall) {
+          val tmp = new Path(tempDir, "tombstones.parquet")
+          graft.delta.write.LocalParquet.write(spark, tmp.toString,
+            snapshot.tombstones.map(_.wrap), Encs.singleAction)
+          Seq(publish(tmp, s"$uuid.tombstones.0.parquet"))
+        } else {
           val tsDir = new Path(log.logPath, s".v2cp_ts_tmp_$uuid")
           val tParts = autoParts(snapshot, 1, snapshot.tombstones.size.toLong)
           spark.createDataset(snapshot.tombstones.map(_.wrap))
@@ -257,19 +293,37 @@ object Checkpoints {
           snapshot.domainActions.map(d =>
             Checkpoints.V2MainAction(domainMetadata = Some(d))) ++
           sidecars.map(s => Checkpoints.V2MainAction(sidecar = Some(s))))
-      val mainTmp = new Path(log.logPath, s".v2cp_main_tmp_$uuid")
-      spark.createDataset(mainRows).coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(mainTmp.toString)
-      try {
-        val mainPart = fs.listStatus(mainTmp)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      // the main file's rows are a driver Seq by construction (non-file
+      // actions + sidecar references) — on the local scheme write it
+      // driver-side whatever the state mode; the temp+rename publish is
+      // unchanged so readers never observe a torn main
+      val localScheme = "file".equalsIgnoreCase(
+        Option(log.logPath.toUri.getScheme).getOrElse(fs.getUri.getScheme))
+      if (localScheme) {
+        val mainTmp = new Path(tempDir, "main.parquet")
+        graft.delta.write.LocalParquet.write(spark, mainTmp.toString,
+          mainRows, Encs.v2MainAction)
         val dest = FileNames.v2CheckpointFile(
           log.logPath, snapshot.version, uuid, "parquet")
         fs.delete(dest, false)
-        if (!fs.rename(mainPart, dest)) {
-          throw new java.io.IOException(s"rename $mainPart -> $dest failed")
+        if (!fs.rename(mainTmp, dest)) {
+          throw new java.io.IOException(s"rename $mainTmp -> $dest failed")
         }
-      } finally fs.delete(mainTmp, true)
+      } else {
+        val mainTmp = new Path(log.logPath, s".v2cp_main_tmp_$uuid")
+        spark.createDataset(mainRows).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(mainTmp.toString)
+        try {
+          val mainPart = fs.listStatus(mainTmp)
+            .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+          val dest = FileNames.v2CheckpointFile(
+            log.logPath, snapshot.version, uuid, "parquet")
+          fs.delete(dest, false)
+          if (!fs.rename(mainPart, dest)) {
+            throw new java.io.IOException(s"rename $mainPart -> $dest failed")
+          }
+        } finally fs.delete(mainTmp, true)
+      }
 
       val lc = LastCheckpoint(snapshot.version,
         total + mainRows.size.toLong, parts = None)
@@ -470,20 +524,40 @@ object Checkpoints {
       snapshot: Snapshot,
       actionsDS: org.apache.spark.sql.Dataset[SingleAction],
       knownSize: Long,
-      parts: Int): Unit = {
+      parts: Int,
+      driverRows: Option[Seq[SingleAction]] = None): Unit = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val log = snapshot.deltaLog
     val fs = log.logPath.getFileSystem(log.hadoopConf)
 
     val tempDir = new Path(log.logPath,
       s".checkpoint_tmp_${java.util.UUID.randomUUID()}")
-    // parts == 1 (the steady-state cadence checkpoint): coalesce instead
-    // of repartition — one task, NO shuffle exchange (guide §2.4; the
-    // round-robin repartition additionally paid sortBeforeRepartition).
-    // Multi-part keeps repartition: even part sizes need the shuffle.
-    val shaped =
-      if (parts == 1) actionsDS.coalesce(1) else actionsDS.repartition(parts)
-    shaped.write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
+    // DRIVER-SMALL single-part checkpoint (r16, guide §1 profile): the
+    // rows are already a driver Seq and the output is one KB-sized file —
+    // write it with LocalParquet (same WriteSupport/schema/codec as the
+    // one-task job, none of the job/committer/chmod scaffolding, measured
+    // 0.3-0.9 s per cadence checkpoint). The publish protocol below
+    // (claim marker, rename, _last_checkpoint) is unchanged.
+    val local = "file".equalsIgnoreCase(
+      Option(log.logPath.toUri.getScheme).getOrElse(fs.getUri.getScheme))
+    val wroteDriverSide = driverRows match {
+      case Some(rows) if parts == 1 && local &&
+          rows.size <= graft.delta.write.LocalParquet.MaxDriverRows =>
+        graft.delta.write.LocalParquet.write(snapshot.spark,
+          new Path(tempDir, "part-00000.parquet").toString, rows,
+          Encs.singleAction)
+        true
+      case _ => false
+    }
+    if (!wroteDriverSide) {
+      // parts == 1 (the steady-state cadence checkpoint): coalesce instead
+      // of repartition — one task, NO shuffle exchange (guide §2.4; the
+      // round-robin repartition additionally paid sortBeforeRepartition).
+      // Multi-part keeps repartition: even part sizes need the shuffle.
+      val shaped =
+        if (parts == 1) actionsDS.coalesce(1) else actionsDS.repartition(parts)
+      shaped.write.mode(SaveMode.Overwrite).parquet(tempDir.toString)
+    }
     try {
       val written = fs.listStatus(tempDir)
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))

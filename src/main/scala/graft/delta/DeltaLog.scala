@@ -87,7 +87,7 @@ class DeltaLog private (
   /** Refresh to the latest version (M6). Thread-safe; snapshots immutable.
     * A missing/empty log yields the initial version=-1 snapshot so that a
     * first transaction can create the table. */
-  def update(): Snapshot = synchronized {
+  def update(): Snapshot = synchronized { graft.tools.PhaseTimers.time("log.update") {
     var attempts = 0
     var done = false
     while (!done) {
@@ -142,7 +142,7 @@ class DeltaLog private (
         coordinatorName.flatMap(storage.CommitCoordinator.forName).isEmpty
     }
     currentSnapshot
-  }
+  } }
 
   def tableExists: Boolean = update().version >= 0
 

@@ -111,6 +111,25 @@ class Snapshot(
     _.sidecars.map(s =>
       V2Checkpoints.sidecarPath(deltaLog.logPath, s).toString))
 
+  /** Checkpoint parquet bytes small enough (and local) to read on the
+    * driver instead of through a Spark job (r16, guide §1 profile: a
+    * KB-sized checkpoint read cost a full job — scheduling + AQE — per
+    * snapshot bootstrap). None when any size is unknown or the total
+    * exceeds [[write.LocalParquet.MaxDriverReadBytes]]. */
+  private def driverReadableCheckpoint: Boolean = {
+    val local = "file".equalsIgnoreCase(
+      Option(deltaLog.logPath.toUri.getScheme).getOrElse("file"))
+    local && {
+      val bytes = v2Main match {
+        case Some(m) =>
+          if (m.sidecars.exists(_.sizeInBytes.isEmpty)) None
+          else Some(m.sidecars.flatMap(_.sizeInBytes).sum)
+        case None => Some(logSegment.checkpoint.map(_.getLen).sum)
+      }
+      bytes.exists(_ <= write.LocalParquet.MaxDriverReadBytes)
+    }
+  }
+
   /** Above this many state bytes the file list stays distributed.
     * For a V2 checkpoint the state bytes live in the SIDECARS — count
     * their declared sizes, not the (tiny) main file. The JSON tail
@@ -196,7 +215,14 @@ class Snapshot(
     case Some(main) =>
       val fromMain = main.actions.iterator.filter(!_.isInstanceOf[AddFile])
       if (sidecarPaths.isEmpty) fromMain
-      else {
+      else if (driverReadableCheckpoint) {
+        // same requested-schema pruning (only the light columns decode),
+        // no Spark job — the null-unwrap drop below subsumes the job
+        // path's remove-only filter
+        fromMain ++ write.LocalParquet
+          .read(spark, sidecarPaths, Encs.lightAction)
+          .iterator.map(_.unwrap).filter(_ != null)
+      } else {
         implicit val enc = Encs.lightAction
         fromMain ++ spark.read
           .schema(Encs.singleAction.schema)
@@ -210,15 +236,20 @@ class Snapshot(
     case None =>
       implicit val enc = Encs.lightAction
       val paths = logSegment.checkpoint.map(_.getPath.toString)
-      spark.read.schema(Encs.singleAction.schema)
-        .parquet(paths: _*)
-        .selectExpr("txn", "remove", "metaData", "protocol",
-          "domainMetadata")
-        .where("txn IS NOT NULL OR remove IS NOT NULL OR " +
-          "metaData IS NOT NULL OR protocol IS NOT NULL OR " +
-          "domainMetadata IS NOT NULL")
-        .as[Snapshot.LightAction]
-        .collect().iterator.map(_.unwrap).filter(_ != null)
+      if (driverReadableCheckpoint) {
+        write.LocalParquet.read(spark, paths, Encs.lightAction)
+          .iterator.map(_.unwrap).filter(_ != null)
+      } else {
+        spark.read.schema(Encs.singleAction.schema)
+          .parquet(paths: _*)
+          .selectExpr("txn", "remove", "metaData", "protocol",
+            "domainMetadata")
+          .where("txn IS NOT NULL OR remove IS NOT NULL OR " +
+            "metaData IS NOT NULL OR protocol IS NOT NULL OR " +
+            "domainMetadata IS NOT NULL")
+          .as[Snapshot.LightAction]
+          .collect().iterator.map(_.unwrap).filter(_ != null)
+      }
   }
 
   // --------------------------------------------------------- file state
@@ -249,6 +280,9 @@ class Snapshot(
           logSegment.checkpoint.map(_.getPath.toString))(_ => sidecarPaths)
         val fromParquet: Iterator[Action] =
           if (paths.isEmpty) Iterator.empty
+          else if (driverReadableCheckpoint)
+            write.LocalParquet.read(spark, paths, Encs.stateAction)
+              .iterator.map(_.unwrap).filter(_ != null)
           else spark.read.schema(enc.schema).parquet(paths: _*)
             .as[Snapshot.StateAction]
             .collect().iterator.map(_.unwrap).filter(_ != null)

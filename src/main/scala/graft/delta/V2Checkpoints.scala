@@ -95,9 +95,17 @@ object V2Checkpoints {
           .readValue(l, classOf[SidecarEnvelope]).sidecar))
     } else {
       implicit val enc = Encs.v2StateAction
-      val rows = spark.read.schema(enc.schema)
-        .parquet(file.getPath.toString)
-        .as[V2StateAction].collect()
+      // a main file is KB-sized metadata: on the local scheme read it
+      // driver-side (same requested-schema semantics) instead of paying
+      // a Spark job per read (r16, guide §1 profile)
+      val local = "file".equalsIgnoreCase(
+        Option(file.getPath.toUri.getScheme).getOrElse("file"))
+      val rows =
+        if (local && file.getLen <= write.LocalParquet.MaxDriverReadBytes)
+          write.LocalParquet.read(spark, Seq(file.getPath.toString), enc)
+        else spark.read.schema(enc.schema)
+          .parquet(file.getPath.toString)
+          .as[V2StateAction].collect().toVector
       Main(
         rows.iterator.map(_.unwrap).filter(_ != null).toVector,
         rows.iterator.flatMap(_.sidecar).toVector)

@@ -561,8 +561,10 @@ class OptimisticTransaction(
           RowTracking.Domain, RowTracking.renderHwm(hwm), removed = false)
       }
     val version =
-      try doCommitRetryIteratively(commitInfo +: finalActions, isolation,
-        actionsAt)
+      try graft.tools.PhaseTimers.time("commit.log") {
+        doCommitRetryIteratively(commitInfo +: finalActions, isolation,
+          actionsAt)
+      }
       catch {
         // the marker type means the commit IS durable: the transaction
         // must still flip to committed (a re-commit on this txn object
@@ -570,7 +572,9 @@ class OptimisticTransaction(
         case t: PostCommitHookException => committed = true; throw t
       }
     committed = true
-    postCommit(version, finalActions)
+    graft.tools.PhaseTimers.time("commit.post") {
+      postCommit(version, finalActions)
+    }
     version
   }
 

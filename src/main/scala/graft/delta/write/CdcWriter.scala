@@ -38,11 +38,22 @@ object CdcWriter {
       // shared projection + ref-counted conf flip (DeltaWriter) so the
       // change-file path cannot diverge from the data-file path
       val phys = DeltaWriter.physicalProjection(changes, mapping, fieldIds)
-      DeltaWriter.withFieldIdWrite(phys.sparkSession, fieldIds.nonEmpty) {
-        phys.write.mode(SaveMode.Overwrite).parquet(batchDir.toString)
+      graft.tools.PhaseTimers.time("write.cdc") {
+        DirectWriteCommitProtocol.withDirectCommit(phys.sparkSession) {
+          DeltaWriter.withFieldIdWrite(phys.sparkSession, fieldIds.nonEmpty) {
+            phys.write.mode(SaveMode.Overwrite).parquet(batchDir.toString)
+          }
+        }
       }
+      val committedNames = DirectWriteCommitProtocol
+        .takeResult(batchDir.toString)
+        .map(_.map(p => new Path(p).getName).toSet)
+      // an empty change set under the direct-commit protocol creates no
+      // batch dir at all
+      if (!fs.exists(batchDir)) return Seq.empty
       fs.listStatus(batchDir)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => committedNames.forall(_(f.getPath.getName)))
         .toSeq.map { st =>
           AddCDCFile(path = s"$ChangeDir/$batchName/${st.getPath.getName}",
             size = st.getLen)

@@ -314,7 +314,9 @@ object DeltaWriter {
           // real driver-side cost, but the alternatives are wrong: under
           // AQE executedPlan.outputPartitioning is Unknown(0) before
           // execution, which would silently disable optimizeWrite
-          val current = df.rdd.getNumPartitions
+          val current = graft.tools.PhaseTimers.time("write.shape") {
+            df.rdd.getNumPartitions
+          }
           if (wanted < current) df.coalesce(wanted.toInt) else df
         case None => df
       }
@@ -322,13 +324,26 @@ object DeltaWriter {
       // the files we write resolve BY ID for foreign id-mode readers
       val fieldIds = meta.map(_.fieldIdMapping).getOrElse(Map.empty)
       val physDf = physicalProjection(shaped, mapping, fieldIds)
-      withFieldIdWrite(physDf.sparkSession, fieldIds.nonEmpty) {
-        val writer = physDf.write.mode(SaveMode.Overwrite)
-        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-          .parquet(batchDir.toString)
+      graft.tools.PhaseTimers.time("write.job") {
+        DirectWriteCommitProtocol.withDirectCommit(physDf.sparkSession) {
+          withFieldIdWrite(physDf.sparkSession, fieldIds.nonEmpty) {
+            val writer = physDf.write.mode(SaveMode.Overwrite)
+            (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+              .parquet(batchDir.toString)
+          }
+        }
       }
-
-      val files = listParquetFiles(fs, batchDir)
+      // the COMMITTED file names are authoritative under the direct-write
+      // protocol: a speculated/retried attempt may have left an orphan in
+      // the batch dir that must not become an AddFile
+      val committedNames = DirectWriteCommitProtocol
+        .takeResult(batchDir.toString)
+        .map(_.map(p => new Path(p).getName).toSet)
+      val files = graft.tools.PhaseTimers.time("write.list") {
+        val listed = listParquetFiles(fs, batchDir)
+        committedNames.fold(listed)(ns =>
+          listed.filter(f => ns(f.getPath.getName)))
+      }
       val dataSchema = org.apache.spark.sql.types.StructType(
         df.schema.filterNot(f => partCols.contains(f.name)))
       // index the explicit stats-column list when declared, else the
@@ -353,11 +368,13 @@ object DeltaWriter {
           } else dataSchema.take(
             DeltaConfigs.DATA_SKIPPING_NUM_INDEXED_COLS.fromMetadata(m)))
       }.getOrElse(dataSchema)
-      val stats = StatsCollector.collectAll(
-        df.sparkSession, files.map(_.getPath), statsSchema, conf,
-        n => mapping.getOrElse(n, n),
-        // the caller-resolved schema IS the index policy — no second cap
-        maxCols = Int.MaxValue)
+      val stats = graft.tools.PhaseTimers.time("write.stats") {
+        StatsCollector.collectAll(
+          df.sparkSession, files.map(_.getPath), statsSchema, conf,
+          n => mapping.getOrElse(n, n),
+          // the caller-resolved schema IS the index policy — no second cap
+          maxCols = Int.MaxValue)
+      }
       // opt-in per-file Bloom filters (delta.bloomFilter.columns): one
       // extra columnar pass over only the indexed columns; each file's
       // filter is sized from ITS row count (already in the stats just
@@ -485,6 +502,9 @@ object DeltaWriter {
         Option(dir.toUri.getScheme).getOrElse(fs.getUri.getScheme))) {
       import java.nio.file.{Files, Paths}
       val root = Paths.get(dir.toUri.getPath)
+      // an EMPTY write under the direct-commit protocol creates no batch
+      // dir at all (the default committer's _temporary used to): no files
+      if (!Files.isDirectory(root)) return Seq.empty
       val stream = Files.walk(root)
       try {
         import scala.jdk.CollectionConverters._
@@ -500,6 +520,7 @@ object DeltaWriter {
         }.toVector
       } finally stream.close()
     } else {
+      if (!fs.exists(dir)) return Seq.empty
       val it = fs.listFiles(dir, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {

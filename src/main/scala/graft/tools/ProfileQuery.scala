@@ -120,6 +120,9 @@ object ProfileQuery {
           val top = frameCounts.asScala.toSeq.sortBy(-_._2.intValue).take(25)
           top.foreach { case (k, v) => println(f"  FRAME ${v.intValue * 10}%6d ms  $k") }
         }
+        PhaseTimers.dumpAndReset().foreach { case (k, sec, n) =>
+          println(f"  PHASE $name sample=$i $k%-14s ${sec}%8.3f s  n=$n")
+        }
         if (i == samples) {
           // per-job breakdown of this sample, by start time
           import scala.jdk.CollectionConverters._
